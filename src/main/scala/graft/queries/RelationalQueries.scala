@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator coverage — scan, filter/project with pushdown,
+  * hash aggregation, broadcast/shuffle joins, semi/anti joins, window
+  * functions, sort/limit, set ops, distinct aggregates, grouping sets.
+  *
+  * The reference needs none of these beyond its single aggregation
+  * (SURVEY.md §2.2 marks them absent), but they are the relational
+  * substrate any replacement engine must offer; each is declarative
+  * DataFrame code so Catalyst plans them (broadcast for dims, partial
+  * aggregation, pushed filters — verified via explain in BenchNotes).
+  *
+  * Determinism rules for oracle parity: double sums go through
+  * per-row DECIMAL casts (order-independent exact addition) and are
+  * surfaced as doubles; every ordering has a unique tie-break key.
+  */
+object RelationalQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped scan → filter → hash agg (partial+final, codegen'd).
+    "q1_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Projection + predicate that must reach the parquet scan
+    // (PushedFilters / 2-column ReadSchema).
+    "q_filter_project" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // TPC-H Q3-shaped 3-way join: broadcast dim (customer) into orders,
+    // shuffle join with lineitem, agg, top-k by revenue.
+    "q3_join_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t.orders
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val li = t.lineitem
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Broadcast star join across three dims + distinct + sort.
+    "q_broadcast_star" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Left-semi join: orders having at least one high-quantity line (EXISTS).
+    "q_semi_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.lineitem.filter(col("l_quantity") >= 49.0)
+        .select(col("l_orderkey"))
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Left-anti join: customers with no large order (NOT EXISTS).
+    "q_anti_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.orders.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
+      t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Ranking window: top-3 parts by retail price per brand.
+    "q_window_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t.part
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+
+    // Analytic window: per-supplier running quantity ordered by ship date
+    // (unique tie-break: orderkey, linenumber).
+    "q_window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.lineitem
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec2(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
+    "q_sort_limit" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // Distinct aggregates alongside plain ones.
+    "q_distinct_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Set operations: UNION / INTERSECT / EXCEPT over key sets.
+    "q_set_ops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val auto = t.customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_nationkey"))
+      val bldg = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey"))
+      val u = auto.union(bldg).distinct().withColumn("op", lit("union"))
+      val i = auto.intersect(bldg).withColumn("op", lit("intersect"))
+      val e = auto.except(bldg).withColumn("op", lit("except"))
+      u.union(i).union(e)
+        .select(col("op"), col("c_nationkey"))
+        .orderBy(col("op"), col("c_nationkey"))
+    },
+
+    // Grouping sets via CUBE with grouping_id to disambiguate null keys.
+    "q_cube" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Approximate distinct (HLL++). No SQL oracle — estimator-specific;
+    // correctness is bounded-error vs exact count, asserted in tests.
+    "q_approx_distinct" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events.agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_broadcast_star" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+         ORDER BY o_orderkey""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_window_topk" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey) AS rk
+           FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""",
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem WHERE l_suppkey <= 10
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_set_ops" ->
+      """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+            bldg AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         SELECT * FROM (
+           SELECT 'union' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM auto UNION ALL SELECT * FROM bldg))
+           UNION ALL
+           SELECT 'intersect' AS op, c_nationkey FROM (SELECT c_nationkey FROM auto INTERSECT SELECT c_nationkey FROM bldg)
+           UNION ALL
+           SELECT 'except' AS op, c_nationkey FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
+         ) ORDER BY op, c_nationkey""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+  )
+}
