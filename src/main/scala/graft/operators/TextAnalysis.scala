@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: token statistics,
+  * quality scoring, n-gram language identification, and content
+  * fingerprinting. All pure Catalyst expressions (regexp / higher-order
+  * array functions / md5) — per-document work with no shuffle except the
+  * final aggregation a query asks for, so throughput scales linearly with
+  * executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters that are ASCII punctuation. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** How many tokens appear in `words` (a small static vocabulary). */
+  def vocabHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic and engine-portable. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和")
+  )
+
+  /** Predicted language: argmax of stopword hits, ties broken by list
+    * order above, "und" (undetermined) when no list scores > 0. */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> vocabHits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), alt) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(alt)
+    }
+  }
+
+  /** Quality features + a composite score in [0,1]: rewards mid-length
+    * documents and word-like content, penalizes punctuation soup. The
+    * formula is arbitrary but fixed — the operator contract is the feature
+    * extraction, which is what the oracle verifies. */
+  def qualityFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.select(
+        id.as("doc_id"),
+        length(text).as("n_chars"),
+        size(toks).as("n_tokens"),
+        punctCount(text).as("n_punct"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0,
+          round(col("n_punct").cast("double") / col("n_chars"), 6)).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))), 6))
+  }
+
+  /** Content fingerprint: md5 hex of whitespace-normalized lowercase text.
+    * Identical-content detection that survives case/whitespace noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}

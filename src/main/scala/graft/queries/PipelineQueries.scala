@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events`: deduplication (exact, keyed, MinHash-LSH, SimHash),
+  * similarity search (brute-force and LSH ANN), and text analysis
+  * (token stats, quality, language-ID, fingerprinting).
+  *
+  * Oracle strategy: everything deterministic & SQL-expressible gets DuckDB
+  * SQL — including MinHash-LSH near-dup, whose verified output equals the
+  * brute-force all-pairs answer on well-separated corpora (recall ≈ 1-4e-8
+  * at j=0.9 with 16×4 bands; the sf0.01 corpus's planted near-dup pairs
+  * all sit above 0.9 while everything else is < 0.2). Hash-seeded ops whose
+  * intermediate values are engine-specific (SimHash pairs, LSH ANN) are
+  * rows-only here and verified against brute force in the spec suite.
+  */
+object PipelineQueries {
+
+  /** documents plus a planted exact-duplicate of the first 100 docs —
+    * the corpus used to demonstrate exact dedup against a known answer. */
+  private def dupCorpus(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(dupCorpus(Tables(s, dir)), col("text"), col("doc_id"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    "dedup_keep_first" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.keepFirst(t.events,
+          Seq(col("user_id"), col("event_type")),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.minhashLshPairs(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "sim_topk_bruteforce" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(all, queries, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    "sim_ann_lsh" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+      Similarity.lshTopK(all, queries, k = 5, nPlanes = 4, maxProbe = 1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    "text_token_stats" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "token_freq_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }
+  )
+
+  private val tokensSql =
+    """regexp_split_to_array(trim(text), '\s+')"""
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM corpus GROUP BY text ORDER BY keep_id""",
+
+    "dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            d AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                  FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "sim_topk_bruteforce" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         length(text) AS len_chars
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      s"""WITH f AS (
+           SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct
+           FROM documents),
+            g AS (
+           SELECT doc_id, n_chars, n_tokens, n_punct,
+             CASE WHEN n_tokens > 0
+                  THEN round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                  ELSE 0.0 END AS avg_token_len,
+             CASE WHEN n_chars > 0
+                  THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio
+           FROM f)
+         SELECT doc_id, n_chars, n_tokens, n_punct, avg_token_len, punct_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
+         FROM g ORDER BY doc_id""",
+
+    "text_langid" -> {
+      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
+      }.mkString(",\n             ")
+      val langs = TextAnalysis.langStopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+        .mkString(" ")
+      s"""WITH f AS (
+           SELECT doc_id,
+             $hits
+           FROM documents)
+         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         FROM f ORDER BY doc_id"""
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "token_freq_topk" ->
+      s"""SELECT token, count(*) AS n
+         FROM (SELECT unnest($tokensSql) AS token FROM documents
+               WHERE length(trim(text)) > 0)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+  )
+}

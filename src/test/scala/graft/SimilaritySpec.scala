@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN vs exact top-k over the sf0.001 embeddings. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val all =
+    Similarity.prepared(Tables(spark, sfDir).embeddings, col("vec_id"), col("embedding"))
+  private lazy val queries = all.filter(col("vec_id") < 20)
+
+  test("cosine function matches a driver-side computation") {
+    val rows = Tables(spark, sfDir).embeddings.filter(col("vec_id") < 2)
+      .orderBy("vec_id").select("embedding").as[Seq[Float]].collect()
+    val (a, b) = (rows(0).map(_.toDouble), rows(1).map(_.toDouble))
+    val expect = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = spark.range(1).select(
+      VectorFunctions.cosine(
+        typedLit(a), typedLit(b))).head().getDouble(0)
+    assert(math.abs(got - expect) < 1e-9)
+  }
+
+  test("brute-force top-k is correctly ranked and complete") {
+    val got = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.size == queries.count())
+    byQuery.values.foreach { rows =>
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y },
+        "top-k not ranked descending")
+      assert(rows.length == 5)
+    }
+  }
+
+  test("LSH ANN hits are a subset of correct cosines with decent recall") {
+    val exact = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.lshTopK(all, queries, k = 5, nPlanes = 4, maxProbe = 1)
+      .collect()
+    // every ANN pair's cosine equals the exact cosine for that pair
+    val allPairs = all.as("c").crossJoin(queries.select(
+        col("vec_id").as("qid"), col("vec").as("qv"), col("norm").as("qn")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (VectorFunctions.dot(col("vec"), col("qv")) / (col("norm") * col("qn"))).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(allPairs(key) - r.getDouble(3)) < 1e-9)
+    }
+    // single-probe LSH: recall of exact top-5 should be nontrivial
+    val hit = ann.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall $recall suspiciously low")
+  }
+}
