@@ -1,0 +1,124 @@
+package graft
+
+import graft.sources.MockOrderGenerator
+import graft.streaming.{InMemoryKVStore, KVStoreRegistry, OrderStreamPipeline}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** End-to-end Structured Streaming parity: cross-batch accumulation in the
+  * KV sink, checkpoint-based resume (replacing the reference's two manual
+  * offset-management variants), replay semantics, and the idiomatic
+  * watermarked aggregation. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wire(time: String, fee: Long, flag: String): String =
+    s"""{"time":"$time","userId":"7","courseId":"42","fee":"$fee","flag":"$flag","orderId":"x"}"""
+
+  private def freshStore(name: String): InMemoryKVStore = {
+    val store = new InMemoryKVStore
+    KVStoreRegistry.register(name, store)
+    store
+  }
+
+  test("memory-stream e2e: per-day metrics accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore("t1")
+    val input = MemoryStream[String]
+    val pipeline = new OrderStreamPipeline("t1")
+    val ckpt = Files.createTempDirectory("ckpt1").toString
+    val q = pipeline.start(input.toDF().withColumnRenamed("value", "value"),
+      ckpt, Trigger.ProcessingTime("50 milliseconds"))
+
+    input.addData(
+      wire("2024-03-01 10:00:00", 100, "1"),
+      wire("2024-03-01 11:00:00", 50, "0"))
+    q.processAllAvailable()
+    assert(store.hgetAll("n-ko-2024-03-01") ==
+      Map("total" -> 2L, "success" -> 1L, "fee" -> 100L))
+
+    input.addData(
+      wire("2024-03-01 12:00:00", 30, "1"),   // same day, next batch
+      wire("2024-03-02 00:00:01", 7, "1"))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.hgetAll("n-ko-2024-03-01") ==
+      Map("total" -> 3L, "success" -> 2L, "fee" -> 130L))
+    assert(store.hgetAll("n-ko-2024-03-02") ==
+      Map("total" -> 1L, "success" -> 1L, "fee" -> 7L))
+  }
+
+  test("checkpoint resume: restart continues from stored offsets, no recount") {
+    val store = freshStore("t2")
+    val dir = Files.createTempDirectory("files").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val pipeline = new OrderStreamPipeline("t2")
+
+    Seq(wire("2024-04-01 08:00:00", 10, "1")).toDF("value")
+      .coalesce(1).write.mode("append").text(dir)
+    val raw1 = spark.readStream.schema("value STRING").text(dir)
+    val q1 = pipeline.start(raw1, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(store.hgetAll("n-ko-2024-04-01") ==
+      Map("total" -> 1L, "success" -> 1L, "fee" -> 10L))
+
+    // restart with the same checkpoint after new data lands
+    Seq(wire("2024-04-01 09:00:00", 5, "0")).toDF("value")
+      .coalesce(1).write.mode("append").text(dir)
+    val raw2 = spark.readStream.schema("value STRING").text(dir)
+    val q2 = pipeline.start(raw2, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    // old file NOT re-applied: totals reflect each record exactly once
+    assert(store.hgetAll("n-ko-2024-04-01") ==
+      Map("total" -> 2L, "success" -> 1L, "fee" -> 10L))
+  }
+
+  test("replay: default sink double-counts (at-least-once), idempotent mode does not") {
+    val batch = Seq(wire("2024-05-01 10:00:00", 9, "1")).toDF("value")
+
+    val s1 = freshStore("t3")
+    val p1 = new OrderStreamPipeline("t3")
+    p1.applyBatch(batch, batchId = 0); p1.applyBatch(batch, batchId = 0)
+    assert(s1.hgetAll("n-ko-2024-05-01")("total") == 2L) // documented at-least-once
+
+    val s2 = freshStore("t4")
+    val p2 = new OrderStreamPipeline("t4", idempotent = true)
+    p2.applyBatch(batch, batchId = 0); p2.applyBatch(batch, batchId = 0)
+    assert(s2.hgetAll("n-ko-2024-05-01")("total") == 1L) // effectively-once
+  }
+
+  test("idiomatic watermarked daily aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = OrderStreamPipeline.idiomaticDailyAgg(input.toDF())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("daily_idio").start()
+    input.addData(
+      wire("2024-06-01 10:00:00", 100, "1"),
+      wire("2024-06-01 11:00:00", 20, "0"),
+      wire("2024-06-02 09:00:00", 5, "1"))
+    q.processAllAvailable()
+    val got = spark.table("daily_idio").orderBy("day")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    q.stop()
+    assert(got == Seq(
+      ("2024-06-01", 2L, 1L, 100L),
+      ("2024-06-02", 1L, 1L, 5L)))
+  }
+
+  test("mock generator is deterministic and field domains match the reference") {
+    val a = MockOrderGenerator.orders(spark, 200, seed = 7).collect()
+    val b = MockOrderGenerator.orders(spark, 200, seed = 7).collect()
+    assert(a.sameElements(b))
+    val df = MockOrderGenerator.orders(spark, 500)
+    assert(df.filter(!col("flag").isin("0", "1")).count() == 0)
+    assert(df.filter(col("fee").cast("long") < 0 || col("fee").cast("long") > 499).count() == 0)
+    assert(df.filter(col("userId").cast("long") > 999).count() == 0)
+    // wire form round-trips through the parity pipeline
+    val stats = graft.operators.OrderAnalytics
+      .dailyStatsFromWire(MockOrderGenerator.wireJson(df))
+    assert(stats.agg(sum("total")).head().getLong(0) == 500L)
+  }
+}
