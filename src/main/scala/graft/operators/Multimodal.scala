@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travels as an opaque `binary` column plus typed
+  * metadata; per-record compute (decode, feature extraction, resizing,
+  * frame sampling) runs as partition-batched typed transforms
+  * (`Dataset.mapPartitions`) behind a [[MediaDecoder]] interface.
+  *
+  * The decode step itself is STUBBED: no image/audio codec libraries ship
+  * in this build, so [[FakeDecoder]] produces deterministic hash-derived
+  * "features"/"frames" with the same shapes a real codec would emit, and
+  * [[CodecDecoder]] marks exactly where a JNI/library call plugs in. The
+  * Spark-side contract — schema, encoders, partition batching, shuffle
+  * behavior — is real and tested.
+  *
+  * Scale notes: media bytes never pass through a shuffle here — all
+  * transforms are per-partition maps over the scan, so 100 TB of media
+  * streams executor-parallel directly from storage. Metadata-only plans
+  * (count by type, size stats) prune the binary column at the parquet
+  * scan, reading only kilobytes of metadata per file.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String,            // "image" | "audio" | "video"
+      content: Array[Byte],
+      width: Int, height: Int,       // typed metadata
+      duration_ms: Long)
+
+  case class MediaFeatures(media_id: Long, media_type: String,
+      n_bytes: Long, features: Array[Double])
+
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Batched decode interface — one call per record, constructed once per
+    * partition (where a real implementation would initialize its codec /
+    * model once and reuse it across the batch). */
+  trait MediaDecoder extends Serializable {
+    def features(rec: MediaRecord, dim: Int): Array[Double]
+    def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic stand-in: features are scaled byte-histogram moments of
+    * the payload; frames are even slices. Same shapes as a real decoder,
+    * fully reproducible. */
+  object FakeDecoder extends MediaDecoder {
+    def features(rec: MediaRecord, dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < rec.content.length) {
+        out(i % dim) += (rec.content(i) & 0xff) / 255.0
+        i += 1
+      }
+      out
+    }
+    def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = {
+      val len = math.max(rec.content.length / math.max(n, 1), 1)
+      (0 until n).map { i =>
+        rec.content.slice(i * len, math.min((i + 1) * len, rec.content.length))
+      }.filter(_.nonEmpty)
+    }
+  }
+
+  /** The real-codec seam. Decoding requires an image/audio library that is
+    * not available in this environment; wire one in here. */
+  object CodecDecoder extends MediaDecoder {
+    private def unavailable =
+      throw new UnsupportedOperationException(
+        "media codec not bundled: plug a JNI/image library call here")
+    def features(rec: MediaRecord, dim: Int): Array[Double] = unavailable
+    def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = unavailable
+  }
+
+  /** Synthesize a media table from `documents`: payload bytes derive
+    * deterministically from the text, metadata from doc properties. Stands
+    * in for a real `binaryFile`/parquet media source with the same schema. */
+  def synthesize(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("content"),
+        (pmod(xxhash64(col("doc_id")), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1080)) + 1).cast("int").as("height"),
+        pmod(xxhash64(col("doc_id"), lit(2)), lit(600000)).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** Feature extraction: partition-batched map, decoder constructed once
+    * per partition. */
+  def extractFeatures(media: Dataset[MediaRecord], decoder: MediaDecoder,
+                      dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        MediaFeatures(rec.media_id, rec.media_type, rec.content.length.toLong,
+          decoder.features(rec, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video records: one output row per sampled frame. */
+  def sampleFrames(media: Dataset[MediaRecord], decoder: MediaDecoder,
+                   framesPerVideo: Int = 4): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { rec =>
+      decoder.frames(rec, framesPerVideo).zipWithIndex.map {
+        case (bytes, i) => MediaFrame(rec.media_id, i, bytes)
+      }
+    }
+  }
+
+  /** Metadata-only summary — the plan that must never touch `content`:
+    * group sizes and dimensions by media type. */
+  def metadataSummary(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("content"))).as("total_bytes"),
+        avg(col("width")).as("avg_width"),
+        max(col("duration_ms")).as("max_duration_ms"))
+}

@@ -102,6 +102,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    "multimodal_features" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = graft.operators.Multimodal.synthesize(Tables(s, dir).documents)
+      graft.operators.Multimodal
+        .extractFeatures(media, graft.operators.Multimodal.FakeDecoder, dim = 8)
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("media_id"))
+    },
+
+    "multimodal_meta" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = graft.operators.Multimodal.synthesize(Tables(s, dir).documents)
+      media.toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"), sum(octet_length(col("content"))).as("total_bytes"))
+        .orderBy(col("media_type"))
+    },
+
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents
@@ -203,6 +223,12 @@ object PipelineQueries {
          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
          FROM f ORDER BY doc_id"""
     },
+
+    "multimodal_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+         count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
