@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextHashExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,13 +34,6 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the minimum
-    * `xxhash64(shingle, seed)` over the shingle set. One pass per doc, no
-    * shuffle. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleSet, s => xxhash64(s, h))))
-
   /** Band signatures for LSH: split the minhash signature into `bands`
     * bands of `rows` values and hash each band. */
   def bandSignatures(sig: Column, bands: Int, rows: Int): Column =
@@ -71,23 +65,39 @@ object Dedup {
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs
-      .select(id.as("doc_id"), shingles(text, ngram).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = sh
+    // Explicit repartition before the hash kernel: a small corpus arrives
+    // as one scan partition locally (explicit count also stops AQE from
+    // coalescing it back); at scale this is a cheap fixed-width shuffle.
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs
+      .select(id.as("doc_id"), text.as("__text"))
+      .repartition(np, col("doc_id"))
+    // One tight-loop pass per doc (custom Expression); the repartition
+    // after is a materialization barrier — without it CollapseProject
+    // inlines the signature into all 16 band expressions, recomputing it
+    // 16x (no codegen CSE for interpreted expressions).
+    val sig = base
       .select(col("doc_id"),
-        posexplode(bandSignatures(minhashSignature(col("sh"), numHashes), bands, rows))
-          .as(Seq("band", "sig")))
+        TextHashExpressions.shingleMinhash(col("__text"), ngram, numHashes).as("mh"))
+      .filter(col("mh").isNotNull)
+      .repartition(np, col("doc_id"))
+    val banded = sig
+      .select(col("doc_id"),
+        posexplode(bandSignatures(col("mh"), bands, rows)).as(Seq("band", "sig")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verification on candidates only
+    // Exact verification: shingle sets are built only for candidate rows —
+    // LSH keeps candidates near the true-positive count, so this is a
+    // broadcast-scale join however large the corpus.
     val withSets = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("doc_id").as("id_a"), col("__text").as("text_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("__text").as("text_b")), "id_b")
+      .withColumn("sh_a", shingles(col("text_a"), ngram))
+      .withColumn("sh_b", shingles(col("text_b"), ngram))
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
@@ -97,26 +107,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word 3-gram shingles: per bit, sum +1/-1 weighted
-    * by each shingle's hash bit, take the sign. Near-dup docs land within
-    * small Hamming distance. Shingles (not unigrams) are the feature set:
-    * corpora drawn from a shared vocabulary make unigram simhash collapse
-    * (every doc shares most tokens), while shingles keep word order and
-    * separate non-near-dups. */
-  def simhash64(text: Column): Column = {
-    val toks = shingles(text, 3)
-    val bitSums = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash over word 3-gram shingles (custom tight-loop
+    * Expression; see [[TextHashExpressions.SimHash]]). Shingles (not
+    * unigrams) are the feature set: corpora drawn from a shared vocabulary
+    * make unigram simhash collapse, while shingles keep word order. Null
+    * for documents with fewer than 3 tokens. */
+  def simhash64(text: Column): Column = TextHashExpressions.simhash64(text, 3)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * the pigeonhole band trick: split the 64-bit hash into `maxHamming+1`
@@ -127,7 +123,13 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val hashed = docs.select(id.as("doc_id"), simhash64(text).as("sh"))
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val hashed = docs
+      .select(id.as("doc_id"), text.as("__text"))
+      .repartition(np, col("doc_id"))   // spread the CPU off a small scan
+      .select(col("doc_id"), simhash64(col("__text")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(np, col("doc_id"))   // barrier: band keys read `sh`, not recompute it
     val banded = hashed.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => call_function("shiftright", col("sh"), b * lit(width))
