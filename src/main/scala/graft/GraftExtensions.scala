@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.TextHashExpressions.{ShingleMinHash, SimHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text) …")`
+  * works next to the DataFrame API. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleMinHash(text, 3, 64)
+        case Seq(text, n, k) =>
+          ShingleMinHash(text, intArg(n, "ngram"), intArg(k, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "shingle_minhash(text[, ngram, numHashes])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash(text, 3)
+        case Seq(text, n) => SimHash(text, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("simhash64(text[, ngram])")
+      }))
+  }
+}

@@ -188,6 +188,56 @@ object RelationalQueries {
       t.events.agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
+    },
+
+    // Gap-based sessionization (30 min) with per-session rollup.
+    "q_sessionize" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sessionize
+        .sessionStats(t.events, col("user_id"), col("ts"), 1800L,
+          col("value"), Seq(col("event_id")))
+        .select(col("key").as("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // As-of backward join: each event picks the latest prior order in its
+    // (synthetic) customer bucket. Union-and-carry-forward plan: one shuffle.
+    "q_asof_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val right = t.orders
+        .groupBy(pmod(col("o_custkey"), lit(50)).as("k"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.operators.AsOfJoin.backward(
+          t.events.select(col("event_id"), col("ts"), col("user_id")), right,
+          pmod(col("user_id"), lit(50)), col("k"),
+          col("ts"), col("o_orderdate"),
+          Seq("last_orderkey" -> col("last_orderkey")))
+        .select(col("event_id"), col("last_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
+    // Pivot: day x event_type metric matrix.
+    "q_pivot" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(dec6(col("value"))).cast("double"))
+        .orderBy(col("day"))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q_percentile" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -278,6 +328,51 @@ object RelationalQueries {
            UNION ALL
            SELECT 'except' AS op, c_nationkey FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
          ) ORDER BY op, c_nationkey""",
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey % 50 AS k, o_orderdate,
+                      max(o_orderkey) AS last_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, r.last_orderkey
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id % 50 = r.k AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
+
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+         CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+         CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+         CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+         CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Sessionization, as-of join, and SQL extension registration. */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gap and numbers sessions per key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),   // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00"), 3.0),   // 50 min gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Sessionize.byGap(df, col("user_id"), col("ts"), 1800L)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 1L),
+      (1L, ts("2024-01-01 11:00:00"), 2L),
+      (2L, ts("2024-01-01 10:00:00"), 1L)))
+  }
+
+  test("sessionize: exactly-gap boundary stays in the same session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 1.0)    // exactly 1800 s: not > gap
+    ).toDF("user_id", "ts", "value")
+    val sessions = Sessionize.byGap(df, col("user_id"), col("ts"), 1800L)
+      .select("session_id").as[Long].collect().toSet
+    assert(sessions == Set(1L))
+  }
+
+  test("as-of backward join picks latest right row at or before left ts") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-05 00:00:00")),
+      (101L, 1L, ts("2024-01-10 00:00:00")),
+      (102L, 1L, ts("2024-01-02 00:00:00")),  // before any right row
+      (103L, 2L, ts("2024-01-05 00:00:00"))
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-03 00:00:00"), "r1a"),
+      (1L, ts("2024-01-05 00:00:00"), "r1b"), // equal ts: inclusive match
+      (1L, ts("2024-01-08 00:00:00"), "r1c"),
+      (2L, ts("2024-01-01 00:00:00"), "r2a")
+    ).toDF("k", "rts", "tag")
+    val got = AsOfJoin.backward(left, right,
+        col("k"), col("k"), col("ts"), col("rts"), Seq("tag" -> col("tag")))
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      100L -> Some("r1b"), 101L -> Some("r1c"), 102L -> None, 103L -> Some("r2a")))
+  }
+
+  test("extensions register SQL functions: simhash64 / shingle_minhash") {
+    val r = spark.sql(
+      """SELECT simhash64('a b c d e') AS sh,
+                size(shingle_minhash('a b c d e', 3, 16)) AS k""").head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 16)
+    // SQL function and Column API agree
+    val viaCol = Seq("a b c d e").toDF("t")
+      .select(graft.functions.TextHashExpressions.simhash64(col("t"))).head().getLong(0)
+    assert(r.getLong(0) == viaCol)
+  }
+}

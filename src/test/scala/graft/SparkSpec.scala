@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (suites run forked in one JVM; getOrCreate dedups). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
