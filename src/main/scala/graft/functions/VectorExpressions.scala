@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for vector kernels where the higher-order
+  * function formulation is interpreted and measurably hot. */
+object VectorExpressions {
+
+  /** Random-hyperplane LSH bucket of an `array<double>` vector: bit `p` of
+    * the result is the sign of the projection onto pseudo-random plane `p`,
+    * whose components derive from `XXH64.hashLong(p * dim + d)` scaled to
+    * [-1, 1] — deterministic, no plane matrix to broadcast, one tight pass
+    * over `nPlanes × dim` products. Dimension is read from the array. */
+  case class HyperplaneLshBucket(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "hyperplane_lsh_bucket"
+
+    private val SEED = 42L
+    private val SCALE = 1.0 / Long.MaxValue.toDouble
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var proj = 0.0
+        var d = 0
+        val base = p.toLong * dim
+        while (d < dim) {
+          proj += arr.getDouble(d) * (XXH64.hashLong(base + d, SEED) * SCALE)
+          d += 1
+        }
+        bucket = bucket * 2 + (if (proj >= 0.0) 1L else 0L)
+        p += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hyperplaneLshBucket(vec: Column, nPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), nPlanes))
+}

@@ -33,21 +33,10 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
       (acc, v) => acc + v)
 
-  /** Sign bits of projections onto `nPlanes` deterministic pseudo-random
-    * hyperplanes — the random-hyperplane LSH bucket key for cosine
-    * similarity. Plane components are derived from `xxhash64(planeIdx, dim)`
-    * scaled to [-1, 1], so buckets are reproducible with no driver-side
-    * randomness and no broadcast of plane matrices.
-    */
-  def hyperplaneLshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * (xxhash64(p * lit(dim) + i).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, lit(1L)).otherwise(lit(0L))
-    })
-    // pack bits into one long key
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  /** Random-hyperplane LSH bucket key for cosine similarity — delegates to
+    * the tight-loop custom expression
+    * [[VectorExpressions.HyperplaneLshBucket]] (the higher-order-function
+    * formulation was interpreted and dominated ANN bucketing cost). */
+  def hyperplaneLshBucket(vec: Column, nPlanes: Int): Column =
+    VectorExpressions.hyperplaneLshBucket(vec, nPlanes)
 }

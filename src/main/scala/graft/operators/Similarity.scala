@@ -53,8 +53,8 @@ object Similarity {
     * tuned by `nPlanes` (bucket granularity) and `maxProbe` (coverage);
     * the spec suite measures recall against brute force. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64, maxProbe: Int = 1): DataFrame = {
-    val bucket = (v: Column) => hyperplaneLshBucket(v, nPlanes, dim)
+              nPlanes: Int = 8, maxProbe: Int = 1): DataFrame = {
+    val bucket = (v: Column) => hyperplaneLshBucket(v, nPlanes)
     val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
       col("norm").as("cand_norm"), bucket(col("vec")).as("bucket"))
     // all bit-masks with popcount ≤ maxProbe, XORed onto the query bucket
