@@ -50,4 +50,39 @@ object VectorExpressions {
 
   def hyperplaneLshBucket(vec: Column, nPlanes: Int): Column =
     ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), nPlanes))
+
+  /** Σ aᵢ·bᵢ over two `array<double>` columns. Accumulates sequentially
+    * left-to-right — the same order as the higher-order-function
+    * formulation and DuckDB's list_inner_product — so results are
+    * bit-identical across engines; null if the lengths differ. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "vector_dot"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += a.getDouble(i) * b.getDouble(i)
+          i += 1
+        }
+        java.lang.Double.valueOf(acc)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ — single pass over zipped elements. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ — tight-loop custom expression ([[VectorExpressions.DotProduct]]);
+    * same sequential accumulation order as the higher-order-function form
+    * and DuckDB's list_inner_product, so results are engine-identical. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -45,6 +45,42 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine ≥ `threshold`. This is the exact all-pairs baseline — one
+    * cross join pruned by a cheap norm precomputation — correct at any
+    * threshold and the oracle for the LSH-bucketed path, which is the
+    * 100 TB plan (bucket join instead of cross join; recall < 1). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
+    * bucket (single-probe), then exact-cosine verified. Linear shuffle
+    * volume; recall is governed by nPlanes and measured in the spec
+    * suite. */
+  def cosineNearDupPairsLsh(emb: DataFrame, threshold: Double,
+                            nPlanes: Int = 4): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("vec"), col("norm"),
+      hyperplaneLshBucket(col("vec"), nPlanes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** Multi-probe LSH-bucketed ANN. The corpus is bucketed once by its
     * `nPlanes`-bit sign pattern; each query probes its own bucket plus all
     * buckets within Hamming distance `maxProbe` (fan-out is query-side

@@ -56,6 +56,47 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "dedup_embedding" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val emb = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val emb = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4, nPlanes = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.as("a")
+        .join(sh.as("b").withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("sh", "sh_b"),
+          col("doc_id_b") === col("doc_id") + 1)
+        .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          ((size(col("sh")) + size(col("sh_b"))).cast("long") - col("inter")))
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"), col("jaccard"))
+        .orderBy(col("id_a"))
+    },
+
+    "q_approx_quantile" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.95), 10000)").as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p50"), element_at(col("q"), 2).as("p95"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "sim_topk_bruteforce" -> { (s, dir) =>
       val t = Tables(s, dir)
       val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
@@ -165,6 +206,27 @@ object PipelineQueries {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            d AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                  FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         ORDER BY id_a""",
 
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
