@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, OrderAnalytics, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (ScalaCheck driven through explicit
+  * Test.check so no scalatest-plus bridge is needed). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val recGen: Gen[(Int, Long, Boolean)] = for {
+    day <- Gen.choose(1, 4)
+    fee <- Gen.choose(0L, 499L)
+    flag <- Gen.oneOf(true, false)
+  } yield (day, fee, flag)
+
+  test("property: wire-pipeline aggregates equal a brute-force fold") {
+    check(Prop.forAll(Gen.listOfN(60, recGen)) { recs =>
+      val raw = recs.map { case (d, f, fl) =>
+        s"""{"time":"2024-02-0$d 09:00:00","userId":"1","courseId":"2","fee":"$f","flag":"${if (fl) 1 else 0}","orderId":"o"}"""
+      }.toDF("value")
+      val got = OrderAnalytics.dailyStatsFromWire(raw).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val expect = recs.groupBy(_._1).map { case (d, rs) =>
+        s"2024-02-0$d" -> ((rs.size.toLong, rs.count(_._3).toLong,
+          rs.filter(_._3).map(_._2).sum.toDouble))
+      }
+      got == expect
+    }, n = 8)
+  }
+
+  test("property: minhash signature agreement estimates true shingle jaccard") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.listOfN(40, Gen.oneOf(vocab)).map(_.mkString(" "))
+    check(Prop.forAll(docGen, docGen) { (t1, t2) =>
+      val rows = Seq(t1, t2).toDF("text")
+        .select(Dedup.shingles(col("text"), 3).as("sh"),
+          graft.functions.TextHashExpressions.shingleMinhash(col("text"), 3, 64).as("mh"))
+        .collect()
+      val (s1, s2) = (rows(0).getSeq[String](0).toSet, rows(1).getSeq[String](0).toSet)
+      val trueJ = (s1 & s2).size.toDouble / (s1 | s2).size
+      val (m1, m2) = (rows(0).getSeq[Long](1), rows(1).getSeq[Long](1))
+      val est = m1.zip(m2).count { case (x, y) => x == y }.toDouble / 64
+      math.abs(est - trueJ) <= 0.3   // ~5 sigma for 64 hashes
+    }, n = 10)
+  }
+
+  test("property: session count = 1 + number of gaps > threshold") {
+    val deltasGen = Gen.listOfN(30, Gen.choose(1L, 4000L))
+    check(Prop.forAll(deltasGen) { deltas =>
+      val times = deltas.scanLeft(0L)(_ + _)
+      val df = times.map(t =>
+        (1L, new java.sql.Timestamp(1704067200000L + t * 1000))).toDF("k", "ts")
+      val nSessions = Sessionize.byGap(df, col("k"), col("ts"), 1800L)
+        .agg(max("session_id")).head().getLong(0)
+      val expected = 1 + deltas.count(_ > 1800L)
+      nSessions == expected
+    }, n = 8)
+  }
+
+  test("approx_count_distinct is within its documented error bound") {
+    val events = Tables(spark, sfDir).events
+    val r = events.agg(
+      approx_count_distinct(col("user_id")).as("approx"),
+      countDistinct(col("user_id")).as("exact")).head()
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
