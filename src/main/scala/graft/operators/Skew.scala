@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation: two-phase salted aggregation. When one grouping key
+  * carries a disproportionate share of rows (a hot user, an empty-string
+  * dedup key), the single shuffle of a plain `groupBy` sends that key's
+  * entire volume to one reducer. Salting splits each key into `buckets`
+  * sub-groups aggregated in parallel, then merges the partials with a
+  * second (tiny) aggregation — the standard pattern when AQE's runtime
+  * skew-join handling doesn't apply (it covers joins, not aggregations).
+  *
+  * The salt is a deterministic hash of the whole row, so results are
+  * reproducible; duplicates of one row land in one bucket, which only
+  * matters for distribution, not correctness.
+  */
+object Skew {
+
+  /** One aggregate in two phases: `partial` computes within (key, salt);
+    * `merge(partialCol)` combines partials per key. For algebraic
+    * aggregates: sum→sum, count→sum, min→min, max→max. */
+  final case class TwoPhaseAgg(name: String, partial: Column,
+                               merge: Column => Column)
+
+  def sum2(name: String, c: Column): TwoPhaseAgg =
+    TwoPhaseAgg(name, sum(c), sum)
+  def count2(name: String): TwoPhaseAgg =
+    TwoPhaseAgg(name, count(lit(1)), sum)
+  def min2(name: String, c: Column): TwoPhaseAgg =
+    TwoPhaseAgg(name, min(c), min)
+  def max2(name: String, c: Column): TwoPhaseAgg =
+    TwoPhaseAgg(name, max(c), max)
+
+  def saltedAgg(df: DataFrame, keys: Seq[Column], buckets: Int,
+                aggs: Seq[TwoPhaseAgg]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(buckets)))
+    val partialCols = aggs.map(a => a.partial.as(s"__p_${a.name}"))
+    val phase1 = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    val mergeCols = aggs.map(a => a.merge(col(s"__p_${a.name}")).as(a.name))
+    phase1.groupBy(keys: _*).agg(mergeCols.head, mergeCols.tail: _*)
+  }
+}

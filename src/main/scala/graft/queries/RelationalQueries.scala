@@ -228,6 +228,23 @@ object RelationalQueries {
         .orderBy(col("day"))
     },
 
+    // Two-phase salted aggregation — skew-safe groupBy; oracle is the
+    // plain single-shuffle aggregation (results must be identical).
+    "q_salted_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Skew.saltedAgg(
+          t.events.select(col("user_id"),
+            col("value").cast(DecimalType(18, 6)).as("v")),
+          Seq(col("user_id")), buckets = 8,
+          Seq(graft.operators.Skew.count2("n"),
+            graft.operators.Skew.sum2("sum_v", col("v")),
+            graft.operators.Skew.max2("max_v", col("v"))))
+        .select(col("user_id"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("max_v").cast("double").as("max_v"))
+        .orderBy(col("user_id"))
+    },
+
     // Exact interpolated percentiles per group.
     "q_percentile" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -366,6 +383,12 @@ object RelationalQueries {
          CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
          CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+         CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_v
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q_percentile" ->
       """SELECT l_returnflag,
