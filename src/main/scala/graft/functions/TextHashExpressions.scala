@@ -138,7 +138,42 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct word-`ngram` shingle strings, built in one pass (byte-range
+    * views over a single copy of the text, LinkedHashSet dedup) — the fast
+    * path for exact-Jaccard verification, where shingle sets must actually
+    * materialize. Null when fewer than `ngram` tokens. */
+  case class Shingles(child: Expression, ngram: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String]
+      val bytes = text.getBytes   // one copy; views below share it
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      val textOffset = text.getBaseOffset
+      val n = foreachShingle(text, ngram) { (_, off, len) =>
+        out.add(UTF8String.fromBytes(bytes, (off - textOffset).toInt, len))
+      }
+      if (n <= 0) null
+      else {
+        val arr = new Array[Any](out.size)
+        val it = out.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        new GenericArrayData(arr)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge
+
+  def shingles(text: Column, ngram: Int = 3): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(text), ngram))
 
   def shingleMinhash(text: Column, ngram: Int = 3, numHashes: Int = 64): Column =
     ColumnBridge.column(

@@ -25,14 +25,12 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of `text`. Documents with fewer than
-    * `n` tokens yield an empty set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of `text` (null when fewer than `n`
+    * tokens) — tight-loop custom expression
+    * ([[TextHashExpressions.Shingles]]); shingle strings are byte-range
+    * views over one copy of the text. */
+  def shingles(text: Column, n: Int): Column =
+    TextHashExpressions.shingles(text, n)
 
   /** Band signatures for LSH: split the minhash signature into `bands`
     * bands of `rows` values and hash each band. */

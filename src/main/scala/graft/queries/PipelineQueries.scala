@@ -74,9 +74,15 @@ object PipelineQueries {
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
+      val np = s.sessionState.conf.numShufflePartitions
+      // spread the interpreted shingle computation off the single-file scan,
+      // and materialize it once for both self-join branches
       val sh = t.documents
+        .select(col("doc_id"), col("text"))
+        .repartition(np, col("doc_id"))
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+        .repartition(np, col("doc_id"))
       sh.as("a")
         .join(sh.as("b").withColumnRenamed("doc_id", "doc_id_b")
           .withColumnRenamed("sh", "sh_b"),
@@ -95,6 +101,21 @@ object PipelineQueries {
         .select(col("l_returnflag"),
           element_at(col("q"), 1).as("p50"), element_at(col("q"), 2).as("p95"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Typed Aggregator (UDAF): per-label centroid of embeddings; scalar
+    // projections of the centroid keep the oracle comparable.
+    "sim_centroids" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val vmean = udaf(graft.functions.VectorMeanAggregator)
+      t.embeddings
+        .select(col("label"), col("embedding").cast("array<double>").as("vec"))
+        .groupBy(col("label"))
+        .agg(vmean(col("vec")).as("c"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          round(element_at(col("c"), 1), 6).as("c0"),
+          round(element_at(col("c"), 64), 6).as("c63"))
+        .orderBy(col("label"))
     },
 
     "sim_topk_bruteforce" -> { (s, dir) =>
@@ -227,6 +248,13 @@ object PipelineQueries {
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+
+    "sim_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings)
+         SELECT label, count(*) AS n,
+           round(sum(vec[1]) / count(*), 6) AS c0,
+           round(sum(vec[64]) / count(*), 6) AS c63
+         FROM e GROUP BY label ORDER BY label""",
 
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

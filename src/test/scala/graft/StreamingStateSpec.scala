@@ -40,6 +40,22 @@ class StreamingStateSpec extends SparkSpec {
       ts("2024-01-01 12:30:00") -> 2L))
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Long]
+    val joined = input.toDF().toDF("user_id")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .as[(Long, Option[String])].collect().toMap
+    q.stop()
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("streaming dedup within watermark drops replayed ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
