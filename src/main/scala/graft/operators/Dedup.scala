@@ -63,17 +63,13 @@ object Dedup {
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    // Explicit repartition before the hash kernel: a small corpus arrives
-    // as one scan partition locally (explicit count also stops AQE from
-    // coalescing it back); at scale this is a cheap fixed-width shuffle.
     val np = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val base = docs
-      .select(id.as("doc_id"), text.as("__text"))
-      .repartition(np, col("doc_id"))
-    // One tight-loop pass per doc (custom Expression); the repartition
-    // after is a materialization barrier — without it CollapseProject
-    // inlines the signature into all 16 band expressions, recomputing it
-    // 16x (no codegen CSE for interpreted expressions).
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    // One tight-loop pass per doc (custom Expression). The explicit-count
+    // repartition after it is a materialization barrier — without it
+    // CollapseProject inlines the signature into all 16 band expressions,
+    // recomputing it 16x (interpreted expressions get no codegen CSE) —
+    // and spreads downstream work regardless of scan partitioning.
     val sig = base
       .select(col("doc_id"),
         TextHashExpressions.shingleMinhash(col("__text"), ngram, numHashes).as("mh"))
@@ -123,9 +119,7 @@ object Dedup {
     val width = 64 / nBands
     val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val hashed = docs
-      .select(id.as("doc_id"), text.as("__text"))
-      .repartition(np, col("doc_id"))   // spread the CPU off a small scan
-      .select(col("doc_id"), simhash64(col("__text")).as("sh"))
+      .select(id.as("doc_id"), simhash64(text).as("sh"))
       .filter(col("sh").isNotNull)
       .repartition(np, col("doc_id"))   // barrier: band keys read `sh`, not recompute it
     val banded = hashed.select(col("doc_id"), col("sh"),

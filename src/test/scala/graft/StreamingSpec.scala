@@ -108,6 +108,35 @@ class StreamingSpec extends SparkSpec {
       ("2024-06-02", 1L, 1L, 5L)))
   }
 
+  test("watermarked agg drops late data; accumulator mode applies it (both offered)") {
+    implicit val sqlCtx = spark.sqlContext
+    // idiomatic path: event older than watermark is dropped once the
+    // watermark has advanced past its day
+    val input = MemoryStream[String]
+    val agg = OrderStreamPipeline.idiomaticDailyAgg(input.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    input.addData(wire("2024-07-01 10:00:00", 10, "1"))
+    q.processAllAvailable()
+    input.addData(wire("2024-07-03 10:00:00", 20, "1"))  // advances watermark past 7-01
+    q.processAllAvailable()
+    input.addData(wire("2024-07-01 11:00:00", 99, "1"))  // late: behind watermark
+    q.processAllAvailable()
+    input.addData(wire("2024-07-05 10:00:00", 1, "1"))   // closes 7-03 window too
+    q.processAllAvailable()
+    val appended = spark.table("wm_out").as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r._4).toMap
+    q.stop()
+    assert(appended("2024-07-01") == 10L, "late event must NOT be counted")
+
+    // accumulator (reference-parity) path: the same late event still lands
+    val store = freshStore("t5")
+    val p = new OrderStreamPipeline("t5")
+    p.applyBatch(Seq(wire("2024-07-01 10:00:00", 10, "1")).toDF("value"), 0)
+    p.applyBatch(Seq(wire("2024-07-01 11:00:00", 99, "1")).toDF("value"), 1)
+    assert(store.hgetAll("n-ko-2024-07-01")("fee") == 109L)
+  }
+
   test("mock generator is deterministic and field domains match the reference") {
     val a = MockOrderGenerator.orders(spark, 200, seed = 7).collect()
     val b = MockOrderGenerator.orders(spark, 200, seed = 7).collect()
