@@ -190,6 +190,24 @@ object RelationalQueries {
         count(lit(1)).as("n"))
     },
 
+    // SQL front end: spark.sql over registered views, exercising a
+    // correlated scalar subquery (decorrelated to a join by Catalyst) and
+    // an IN-subquery (planned as a semi join).
+    "q_sql_subqueries" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("v_customer")
+      t.orders.createOrReplaceTempView("v_orders")
+      t.nation.createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE (SELECT count(*) FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey) > 12
+          AND c_nationkey IN (SELECT n_nationkey FROM v_nation
+                              WHERE n_regionkey = 2)
+        ORDER BY c_custkey""")
+    },
+
     // Gap-based sessionization (30 min) with per-session rollup.
     "q_sessionize" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -345,6 +363,15 @@ object RelationalQueries {
            UNION ALL
            SELECT 'except' AS op, c_nationkey FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
          ) ORDER BY op, c_nationkey""",
+
+    "q_sql_subqueries" ->
+      """SELECT c_custkey, c_name
+         FROM customer c
+         WHERE (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) > 12
+           AND c_nationkey IN (SELECT n_nationkey FROM nation
+                               WHERE n_regionkey = 2)
+         ORDER BY c_custkey""",
 
     "q_sessionize" ->
       """WITH flagged AS (
