@@ -67,4 +67,5 @@ object KVStoreRegistry {
     require(s != null, s"no KVStore registered under '$name'")
     s
   }
+  def getOption(name: String): Option[KVStore] = Option(stores.get(name))
 }
