@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: generates synthetic corpora 10-100x the sf0.1 document
+  * count (with planted near-duplicates) and times MinHash-LSH end-to-end,
+  * to show the dedup path scales linearly in corpus size rather than
+  * quadratically in pairs. Usage: runMain graft.ScaleProbe [sizes...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+                else Seq(5000, 50000, 200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
+      "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",
+      "key", "value", "stream", "window", "group", "filter")
+    val vocabCol = typedLit(vocab)
+
+    sizes.foreach { n =>
+      // deterministic 60-token docs; doc i with i%100==1 shares its base
+      // text with doc i-1 plus a suffix => one planted near-dup pair per
+      // hundred docs (shingle jaccard ≈ 0.95)
+      val gid = col("id") -
+        when(pmod(col("id"), lit(100)) === 1, 1L).otherwise(0L)
+      val docs = spark.range(n.toLong)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(59)),
+            i => element_at(vocabCol,
+              (pmod(xxhash64(gid, i), lit(vocab.size)) + 1).cast("int")))).as("text"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(100)) === 1,
+            concat(col("text"), lit(" extra"))).otherwise(col("text")))
+      docs.cache().count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"minhash_lsh_scale","docs":$n,"sec":$sec%.2f,"pairs":$pairs}""")
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}
