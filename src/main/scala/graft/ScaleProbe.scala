@@ -14,12 +14,9 @@ object ScaleProbe {
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
                 else Seq(5000, 50000, 200000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
+    // warm the session so the smallest corpus isn't charged JVM startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
 
     val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
       "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",

@@ -16,14 +16,7 @@ object StreamBench {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")

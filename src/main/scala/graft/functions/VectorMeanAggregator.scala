@@ -31,6 +31,8 @@ object VectorMeanAggregator
     if (x._2 == 0L) y
     else if (y._2 == 0L) x
     else {
+      require(x._1.length == y._1.length,
+        s"vector length mismatch across partitions: ${x._1.length} vs ${y._1.length}")
       var i = 0
       while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)

@@ -42,7 +42,10 @@ object OrderAnalytics {
       .withColumn("o", from_json(col(valueCol).cast("string"), wireSchema))
       .select(
         col("o.time").as("time"),
-        col("o.fee").cast("long").as("fee"),
+        // decimal, not long: a non-integral fee string ("12.50") must not
+        // silently null out of the revenue sum; decimal also keeps the
+        // downstream aggregation summation-order-exact
+        col("o.fee").cast(DecimalType(18, 2)).as("fee"),
         col("o.flag").as("flag"))
 
   /** Derive day/hour/minute from the `time` string (reference P3 — positional

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Guarded cosine from precomputed norms: null (not NaN) when either
+    * norm is zero, so zero vectors can never rank first or pass
+    * threshold filters (Spark sorts NaN above every double). */
+  private def cosineFromNorms(dotCol: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(null).cast("double")).otherwise(dotCol / (na * nb))
+
   /** Normalize an embeddings table to (id, vec: array<double>, norm). */
   def prepared(emb: DataFrame, id: Column, vec: Column): DataFrame =
     emb.select(id.as("vec_id"), vec.cast("array<double>").as("vec"))
@@ -35,8 +41,8 @@ object Similarity {
       col("norm").as("query_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot(col("cand_vec"), col("query_vec")) / (col("cand_norm") * col("query_norm")))
+      .withColumn("cosine", cosineFromNorms(
+        dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored
@@ -56,7 +62,7 @@ object Similarity {
     val b = emb.select(col("vec_id").as("id_b"), col("vec").as("vb"),
       col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -75,7 +81,7 @@ object Similarity {
       col("norm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
@@ -93,9 +99,11 @@ object Similarity {
     val bucket = (v: Column) => hyperplaneLshBucket(v, nPlanes)
     val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
       col("norm").as("cand_norm"), bucket(col("vec")).as("bucket"))
-    // all bit-masks with popcount ≤ maxProbe, XORed onto the query bucket
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => Integer.bitCount(m) <= maxProbe).map(_.toLong)
+    // all bit-masks with popcount ≤ maxProbe, XORed onto the query bucket —
+    // enumerated as bit-position combinations, O(output) regardless of
+    // nPlanes (a 0 until 2^n scan breaks down for large n)
+    val masks: Seq[Long] = (0 to maxProbe).flatMap(p =>
+      (0 until nPlanes).combinations(p).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val q = queries.select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
         col("norm").as("query_norm"), bucket(col("vec")).as("qbucket"))
       .withColumn("bucket",
@@ -103,8 +111,8 @@ object Similarity {
       .drop("qbucket")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot(col("cand_vec"), col("query_vec")) / (col("cand_norm") * col("query_norm")))
+      .withColumn("cosine", cosineFromNorms(
+        dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored

@@ -375,7 +375,7 @@ object RelationalQueries {
 
     "q_sessionize" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -383,7 +383,7 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
            SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id, session_id,

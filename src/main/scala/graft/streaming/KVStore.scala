@@ -23,6 +23,9 @@ trait KVStore extends Serializable {
     * Backs the idempotent (effectively-once) sink mode. A Redis
     * implementation maps this to `SADD applied_batches <id>`. */
   def markBatch(batchId: Long): Boolean
+
+  /** Whether `batchId` was already applied (`SISMEMBER` in Redis). */
+  def batchSeen(batchId: Long): Boolean
 }
 
 /** JVM-singleton in-memory store: the test/local backend. In `local[n]`
@@ -47,6 +50,8 @@ class InMemoryKVStore extends KVStore {
   }
 
   override def markBatch(batchId: Long): Boolean = batches.add(batchId)
+
+  override def batchSeen(batchId: Long): Boolean = batches.contains(batchId)
 
   def keys: Set[String] = {
     import scala.jdk.CollectionConverters._

@@ -38,10 +38,16 @@ final class OrderStreamPipeline(
     idempotent: Boolean = false) extends Serializable {
 
   /** Aggregate one micro-batch and apply deltas to the store. Public so
-    * unit tests can exercise replay semantics directly. */
+    * unit tests can exercise replay semantics directly.
+    *
+    * Idempotent mode marks the batch applied only AFTER the sink job
+    * succeeds: a batch that fails mid-apply is NOT marked, so its replay
+    * re-runs (a crash between apply and mark degrades to at-least-once
+    * for that one batch — never to silent loss, which marking up front
+    * would cause). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val store = KVStoreRegistry.get(storeName)
-    if (!idempotent || store.markBatch(batchId)) {
+    if (!idempotent || !store.batchSeen(batchId)) {
       val agg = OrderAnalytics.stats(
         OrderAnalytics.withTimeParts(OrderAnalytics.parseWire(batch))
           .filter(col("day").isNotNull),
@@ -59,6 +65,7 @@ final class OrderStreamPipeline(
             kv.hincrBy(key, "fee", r.getLong(3))
           }
         }
+      if (idempotent) store.markBatch(batchId)
     }
   }
 
@@ -100,7 +107,8 @@ object OrderStreamPipeline {
       .agg(
         count(lit(1)).as("total"),
         sum(when(col("flag") === "1", 1L).otherwise(0L)).as("success"),
-        sum(when(col("flag") === "1", col("fee")).otherwise(0L)).as("fee"))
+        sum(when(col("flag") === "1", col("fee")).otherwise(lit(0)))
+          .cast("long").as("fee"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("total"), col("success"), col("fee"))
   }

@@ -38,6 +38,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero vectors never rank in top-k nor appear as near-duplicates") {
+    val zero = Seq((9999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val emb = Similarity.prepared(
+      Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+        .union(zero), col("vec_id"), col("embedding"))
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+    assert(topk.filter(col("cand_id") === 9999L).count() == 0,
+      "zero vector must not outrank real candidates (NaN ordering bug)")
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.0)
+    assert(pairs.filter(col("id_a") === 9999L || col("id_b") === 9999L).count() == 0)
+  }
+
   test("LSH ANN hits are a subset of correct cosines with decent recall") {
     val exact = Similarity.bruteForceTopK(all, queries, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

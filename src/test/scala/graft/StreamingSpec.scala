@@ -89,6 +89,21 @@ class StreamingSpec extends SparkSpec {
     assert(s2.hgetAll("n-ko-2024-05-01")("total") == 1L) // effectively-once
   }
 
+  test("idempotent: a batch that fails mid-apply is NOT marked; its retry applies") {
+    val store = freshStore("t6")
+    val p = new OrderStreamPipeline("t6", idempotent = true)
+    val good = Seq(wire("2024-08-01 10:00:00", 5, "1")).toDF("value")
+    // batch 0 fails before the sink completes (missing `value` column)
+    intercept[Throwable] {
+      p.applyBatch(spark.range(1).toDF("not_value"), 0L)
+    }
+    assert(store.hgetAll("n-ko-2024-08-01").isEmpty)
+    assert(!store.batchSeen(0L), "failed batch must not be marked applied")
+    p.applyBatch(good, 0L)   // replay of the failed batch: must apply
+    p.applyBatch(good, 0L)   // second replay: must be skipped
+    assert(store.hgetAll("n-ko-2024-08-01")("total") == 1L)
+  }
+
   test("idiomatic watermarked daily aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
