@@ -136,6 +136,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF ANN: k-means coarse quantizer (2 Lloyd iterations), probe the 4
+    // nearest of 16 lists per query. Deterministic; recall vs brute force
+    // is measured in the spec suite (rows-only here).
+    "sim_ivf_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 16)
+      graft.operators.IvfIndex
+        .probeTopK(assigned, centroids, all.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "text_token_stats" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents.select(col("doc_id"),

@@ -38,6 +38,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF: every vector lands in exactly one list; probe recall beats list share") {
+    val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 16)
+    assert(assigned.count() == all.count())
+    assert(assigned.groupBy("vec_id").count().agg(max("count")).head().getLong(0) == 1)
+    assert(centroids.count() <= 16)
+    val exact = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.operators.IvfIndex
+      .probeTopK(assigned, centroids, queries, k = 5, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // scanning 4 of 16 lists must beat the 25% random-share baseline
+    assert(recall >= 0.3, s"IVF recall $recall")
+    // and each returned cosine is the true cosine for that pair
+    val ivfRows = graft.operators.IvfIndex
+      .probeTopK(assigned, centroids, queries, k = 5, nProbe = 4).collect()
+    val exactCos = Similarity.bruteForceTopK(all, queries, k = all.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(exactCos(key) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("zero vectors never rank in top-k nor appear as near-duplicates") {
     val zero = Seq((9999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
     val emb = Similarity.prepared(
