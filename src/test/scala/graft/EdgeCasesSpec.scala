@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, Skew}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Operator edge cases beyond the happy path. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: left rows with no key on the right side get null payload") {
+    val left = Seq((1L, 7L, ts("2024-01-05 00:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq((9L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "rts", "tag")
+    val got = AsOfJoin.backward(left, right, col("k"), col("k"),
+      col("ts"), col("rts"), Seq("tag" -> col("tag"))).collect()
+    assert(got.length == 1 && got(0).isNullAt(3))
+  }
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    // 90% of rows on one hot key — the scenario salting exists for
+    val df = ((1 to 900).map(i => (1L, i.toDouble)) ++
+      (1 to 100).map(i => (i.toLong + 1, i.toDouble))).toDF("k", "v")
+    val salted = Skew.saltedAgg(df, Seq(col("k")), buckets = 8,
+      Seq(Skew.count2("n"), Skew.sum2("s", col("v").cast("decimal(18,6)")),
+        Skew.min2("mn", col("v")), Skew.max2("mx", col("v"))))
+      .withColumn("s", col("s").cast("double"))
+    val plain = df.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,6)")).cast("double").as("s"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("exact dedup treats null keys as one group") {
+    val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "a"))
+      .toDF("id", "key")
+    val groups = Dedup.exactGroups(df, col("key"), col("id"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(groups(Some("a")) == 2L && groups(None) == 2L)
+  }
+
+  test("keepFirst on single-row groups returns the row unchanged") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "only")).toDF("k", "ts", "v")
+    val out = Dedup.keepFirst(df, Seq(col("k")), Seq(col("ts")))
+    assert(out.collect().map(_.getString(2)).toSeq == Seq("only"))
+  }
+
+  test("minhash LSH on a corpus with no near-dups returns empty, not error") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count() == 0)
+  }
+}
