@@ -62,6 +62,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup pairs are a subset of brute force with exact cosines") {
+    val exact = Similarity.cosineNearDupPairs(all, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupPairsLsh(all, threshold = 0.3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"LSH produced non-brute-force pair $pair")
+      assert(math.abs(exact(pair) - cos) < 1e-12)
+    }
+    val recall = lsh.size.toDouble / exact.size
+    // single-probe 4-plane buckets on random data: nontrivial but partial
+    assert(recall >= 0.1, s"LSH near-dup recall $recall")
+  }
+
   test("zero vectors never rank in top-k nor appear as near-duplicates") {
     val zero = Seq((9999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
     val emb = Similarity.prepared(
