@@ -115,7 +115,7 @@ object ParityQueries {
     "daily_order_stats" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
          count(*) AS total,
-         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS success,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS success,
          CAST(sum(CASE WHEN o_orderstatus = 'F'
                        THEN CAST(o_totalprice AS DECIMAL(18,2))
                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fee
@@ -124,7 +124,7 @@ object ParityQueries {
     "order_wire_pipeline" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
          count(*) AS total,
-         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS success,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS success,
          CAST(sum(CASE WHEN o_orderstatus = 'F'
                        THEN CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS DECIMAL(18,2))
                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fee
@@ -133,7 +133,7 @@ object ParityQueries {
     "event_hourly_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
          count(*) AS total,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS success,
          CAST(sum(CASE WHEN event_type = 'purchase'
                        THEN CAST(value AS DECIMAL(18,6))
                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS fee
@@ -142,7 +142,7 @@ object ParityQueries {
     "event_minute_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute,
          count(*) AS total,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS success,
          CAST(sum(CASE WHEN event_type = 'purchase'
                        THEN CAST(value AS DECIMAL(18,6))
                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS fee
@@ -151,7 +151,7 @@ object ParityQueries {
     "event_stats_rollup" ->
       """SELECT day, hour, minute,
          count(*) AS total,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS success,
          CAST(sum(CASE WHEN event_type = 'purchase'
                        THEN CAST(value AS DECIMAL(18,6))
                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS fee

@@ -330,7 +330,8 @@ object PipelineQueries {
     "multimodal_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-         count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+         count(*) AS n,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "text_fingerprint" ->

@@ -383,8 +383,8 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
            SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,

@@ -55,6 +55,13 @@ def main():
         bad = []
         for c in s.columns:
             a, b = s[c], d[c]
+            # Driver hashes TYPED values: a Spark int64 vs a DuckDB HUGEINT
+            # (pandas-coerced to float64/object) must FAIL here even when the
+            # numeric values agree. Compare dtype kinds strictly.
+            if a.dtype.kind != b.dtype.kind:
+                bad.append(f"{c}: dtype kind mismatch spark={a.dtype} "
+                           f"oracle={b.dtype} (driver hash would differ)")
+                continue
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
                 exact = np.array_equal(aa, bb, equal_nan=True)
