@@ -85,4 +85,51 @@ object VectorExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Index of the nearest centroid (squared-euclidean argmin) for an
+    * `array<double>` vector, against a small centroid set embedded in the
+    * plan. Since ‖v‖² is constant across centroids, the score is
+    * ‖c‖² − 2·v·c; ties break to the lowest index. One tight k×dim pass
+    * per row — no join, no shuffle, no row fan-out — which is what lets a
+    * Lloyd assignment step run as a pure projection over the corpus. */
+  case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_centroid"
+
+    @transient private lazy val cvecs: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    @transient private lazy val cnorm2: Array[Double] = cvecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var best = -1
+      var bestScore = Double.PositiveInfinity
+      var ci = 0
+      while (ci < cvecs.length) {
+        val c = cvecs(ci)
+        if (c.length == dim) {
+          var dotAcc = 0.0
+          var i = 0
+          while (i < dim) { dotAcc += v.getDouble(i) * c(i); i += 1 }
+          val score = cnorm2(ci) - 2.0 * dotAcc
+          if (score < bestScore) { bestScore = score; best = ci }
+        }
+        ci += 1
+      }
+      if (best < 0) null else java.lang.Integer.valueOf(best)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
+import graft.functions.VectorExpressions.nearestCentroid
 import graft.functions.VectorFunctions.dot
 import graft.functions.VectorMeanAggregator
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,45 +13,62 @@ import org.apache.spark.sql.functions._
   * ([[Similarity.lshTopK]]) — better suited to clustered corpora, at the
   * cost of a training pass.
   *
-  * Spark-first construction: Lloyd iterations are two shuffles each —
-  * centroids via the [[VectorMeanAggregator]] UDAF (partial-merged
-  * map-side), assignment via a broadcast of the k centroids and an argmin
-  * window. The corpus is never replicated; at 100 TB the per-iteration
-  * cost is one broadcast-join scan + one aggregation, and the final
-  * assignment is the only state kept (one int per vector). Squared
-  * distance is computed as ‖a‖² + ‖b‖² − 2a·b from precomputed norms and
-  * the tight-loop dot expression.
+  * Spark-first construction, sized for a 100 TB corpus: each Lloyd
+  * iteration is exactly ONE corpus scan — a partial-merged
+  * [[VectorMeanAggregator]] groupBy whose k result rows are collected to
+  * the driver (k vectors, a few KB) and re-embedded in the plan as a
+  * [[graft.functions.VectorExpressions.NearestCentroid]] literal. The
+  * assignment step is therefore a pure per-row projection: no
+  * corpus×k fan-out, no N×k shuffle, no window. The final `assigned`
+  * frame's lineage is one scan + one expression, and `centroids` is a
+  * local relation, so downstream consumers ([[probeTopK]]) never
+  * re-execute the k-means. This mirrors how Spark MLlib's KMeans
+  * broadcasts its (tiny) centroid state rather than joining against it.
   */
 object IvfIndex {
 
   /** corpus: (vec_id, vec, norm) as produced by [[Similarity.prepared]].
     * Returns (assigned, centroids): assigned = corpus + centroid_id;
-    * centroids = (centroid_id, cvec, cnorm). Deterministic: k-means init
-    * is vec_id % k and ties break on centroid_id. */
+    * centroids = (centroid_id, cvec, cnorm), a local relation of ≤ k rows.
+    * Deterministic: k-means init is vec_id % k; assignment argmin ties
+    * break to the lowest centroid_id. Centroid ids are re-numbered to the
+    * dense range 0..m-1 after the first aggregation (empty initial lists
+    * drop out). */
   def build(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val vmean = udaf(VectorMeanAggregator)
-    var assigned = corpus.withColumn("centroid_id", pmod(col("vec_id"), lit(k)))
-    var centroids: DataFrame = null
+
+    def centroidsFor(assign: Column): Seq[Seq[Double]] =
+      corpus.withColumn("centroid_id", assign)
+        .groupBy("centroid_id").agg(vmean(col("vec")).as("cvec"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Double](1)))
+        .sortBy(_._1)
+        .map(_._2)
+        .toSeq
+
+    var assign: Column = pmod(col("vec_id"), lit(k)).cast("int")
+    var cents: Seq[Seq[Double]] = Nil
     (0 until iters).foreach { _ =>
-      centroids = assigned.groupBy("centroid_id")
-        .agg(vmean(col("vec")).as("cvec"))
-        .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("centroid_id"))
-      assigned = corpus.crossJoin(broadcast(centroids))
-        .withColumn("d2",
-          col("norm") * col("norm") + col("cnorm") * col("cnorm")
-            - lit(2.0) * dot(col("vec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(corpus.columns.map(col).toSeq :+ col("centroid_id"): _*)
+      cents = centroidsFor(assign) // one corpus scan; ≤ k rows collected
+      assign = nearestCentroid(col("vec"), cents)
     }
+
+    val assigned = corpus.withColumn("centroid_id", assign)
+    val centroidRows = cents.zipWithIndex.map { case (v, i) =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      (i, v, math.sqrt(s))
+    }
+    import spark.implicits._
+    val centroids = centroidRows.toDF("centroid_id", "cvec", "cnorm")
     (assigned, centroids)
   }
 
   /** Top-k by cosine per query, scanning only the `nProbe` nearest lists.
-    * Queries (small) are broadcast against the centroid table and then
-    * against the probed corpus slices. */
+    * `centroids` is a local relation, so the probe-list selection plans
+    * with no corpus access; the corpus is touched by exactly one scan,
+    * filtered to probed lists via the broadcast probes join. */
   def probeTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int, nProbe: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
