@@ -170,6 +170,51 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Exact Jaccard similarity of the distinct word-`ngram` shingle sets of
+    * two texts, in one pass: both shingle sets are built as byte-range
+    * views (one copy per text) and intersected by content hash — identical
+    * to `|A∩B| / |A∪B|` over [[Shingles]] arrays, without materializing
+    * either array in the plan. Null when either side has fewer than
+    * `ngram` tokens. One expression instead of
+    * size(array_intersect(shingles(a), shingles(b))) / … matters because
+    * Catalyst inlines verification predicates into join conditions,
+    * multiplying every sub-expression evaluation. */
+  case class ShingleJaccard(left: Expression, right: Expression, ngram: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingle_jaccard"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val ta = l.asInstanceOf[UTF8String]
+      val tb = r.asInstanceOf[UTF8String]
+      val setA = new java.util.HashSet[UTF8String]()
+      val bytesA = ta.getBytes
+      val offA = ta.getBaseOffset
+      val na = foreachShingle(ta, ngram) { (_, off, len) =>
+        setA.add(UTF8String.fromBytes(bytesA, (off - offA).toInt, len))
+      }
+      if (na <= 0) return null
+      val setB = new java.util.HashSet[UTF8String]()
+      val bytesB = tb.getBytes
+      val offB = tb.getBaseOffset
+      val nb = foreachShingle(tb, ngram) { (_, off, len) =>
+        setB.add(UTF8String.fromBytes(bytesB, (off - offB).toInt, len))
+      }
+      if (nb <= 0) return null
+      var inter = 0
+      val it = setB.iterator()
+      while (it.hasNext) if (setA.contains(it.next())) inter += 1
+      val uni = setA.size + setB.size - inter
+      java.lang.Double.valueOf(inter.toDouble / uni)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge
 
   def shingles(text: Column, ngram: Int = 3): Column =
@@ -181,4 +226,8 @@ object TextHashExpressions {
 
   def simhash64(text: Column, ngram: Int = 3): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(text), ngram))
+
+  def shingleJaccard(a: Column, b: Column, ngram: Int = 3): Column =
+    ColumnBridge.column(
+      ShingleJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b), ngram))
 }

@@ -51,6 +51,17 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** True iff the text has at least `n` single-space-separated tokens — the
+    * exact non-null condition of the shingle expressions
+    * ([[TextHashExpressions]]: null when `nTokens < ngram` or empty), but
+    * computed from two cheap byte passes (length + space count) instead of
+    * evaluating the hash kernel. Used as a pre-filter so the expensive
+    * expression never appears in a Filter AND a Project of the same stage
+    * (interpreted expressions get no codegen CSE → double evaluation). */
+  private def hasNgramTokens(text: Column, n: Int): Column =
+    text.isNotNull && length(text) > 0 &&
+      (length(text) - length(replace(text, lit(" "), lit(""))) + 1 >= n)
+
   /** Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
     *
     * Returns (id_a, id_b, jaccard) for every candidate pair whose TRUE
@@ -58,47 +69,114 @@ object Dedup {
     * in 16 bands of 4, recall at j=0.8 is 1-(1-0.8⁴)^16 ≈ 0.9997 and
     * ≈ 1-4e-8 at j=0.9, so against well-separated corpora the output equals
     * the brute-force answer (which is how the oracle checks it).
+    *
+    * Bucket-skew guard: byte-identical documents are collapsed first
+    * (128-bit md5 fingerprint → one representative per distinct text), LSH
+    * runs on representatives only, and member pairs are expanded afterwards
+    * from the verified representative pairs. A planted cluster of N
+    * identical documents therefore contributes ONE row per band bucket
+    * instead of N — no N²·bands candidate explosion, no N² signature
+    * verifications; the only quadratic term left is the true-positive
+    * output itself (within-cluster pairs at jaccard 1.0, emitted by an
+    * agg-free fingerprint self-join, never verified). The collapse
+    * aggregation feeds exactly one consumer (the LSH candidate path) —
+    * verification and expansion run off scan-level frames — so it executes
+    * once however the optimizer slices the plan.
     */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
+    val (keyed, _, cand) = minhashLshStages(docs, id, text, ngram, numHashes, bands)
+    // Exact verification: true Jaccard is computed only for candidate rows —
+    // LSH keeps candidates near the true-positive count, so this is a
+    // broadcast-scale join however large the corpus. Texts come straight
+    // from the scan (rep ids ARE doc ids); fingerprints for the expansion
+    // are recomputed on verified pairs only. The one-pass ShingleJaccard
+    // expression (instead of shingles + array_intersect) keeps the
+    // inevitable Catalyst inlining of this predicate into the join
+    // condition down to one kernel evaluation per candidate.
+    val texts = keyed.select(col("doc_id"), col("__text"))
+    val repPairs = cand
+      .join(texts.select(col("doc_id").as("id_a"), col("__text").as("text_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("__text").as("text_b")), "id_b")
+      .withColumn("jaccard",
+        TextHashExpressions.shingleJaccard(col("text_a"), col("text_b"), ngram))
+      .filter(col("jaccard") >= threshold)
+      .select(md5(col("text_a")).as("fp_a"), md5(col("text_b")).as("fp_b"),
+        col("jaccard"))
+
+    // --- expansion back to member pairs ---
+    // Cross-cluster: verified rep pairs oriented both ways, joined to the
+    // scan-level member map; ma < mb keeps each member pair exactly once.
+    // The oriented rep-pair set is output-sized → broadcast.
+    val members = keyed.select(col("fp"), col("doc_id"))
+    val oriented = repPairs
+      .unionByName(repPairs.select(col("fp_b").as("fp_a"),
+        col("fp_a").as("fp_b"), col("jaccard")))
+    val cross = broadcast(oriented)
+      .join(members.select(col("fp").as("fp_a"), col("doc_id").as("ma")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("doc_id").as("mb")), "fp_b")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"), col("jaccard"))
+    // Within-cluster: identical texts → jaccard exactly 1.0. A fingerprint
+    // self-join over shingle-eligible members — no aggregation, one shuffle
+    // of (fp, id) pairs; singleton clusters simply produce no pairs.
+    val eligibleMembers = keyed.filter(hasNgramTokens(col("__text"), ngram))
+      .select(col("fp"), col("doc_id"))
+    val within = eligibleMembers.as("x")
+      .join(eligibleMembers.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** Internals of [[minhashLshPairs]] up through the LSH candidate stage,
+    * package-private so the skew-guard spec can assert the representative-
+    * level candidate count directly. Returns (keyed, eligible, candidates):
+    * keyed = (doc_id, __text, fp); eligible = one row per distinct
+    * shingle-eligible text (fp, rep_id, __text); candidates = distinct
+    * (id_a, id_b) representative pairs sharing an LSH bucket. */
+  private[graft] def minhashLshStages(docs: DataFrame, id: Column, text: Column,
+                                      ngram: Int, numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(id.as("doc_id"), text.as("__text"))
-    // One tight-loop pass per doc (custom Expression). The explicit-count
+
+    // --- exact-collapse: one representative per distinct text ---
+    val keyed = base.withColumn("fp", md5(col("__text")))
+    val clusters = keyed.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("__text")).as("__text"))
+      .repartition(np, col("rep_id"))
+    // Representatives with enough tokens to shingle (cheap predicate — the
+    // hash kernel is evaluated exactly once, in the projections below).
+    val eligible = clusters.filter(hasNgramTokens(col("__text"), ngram))
+
+    // One tight-loop minhash pass per distinct text. The explicit-count
     // repartition after it is a materialization barrier — without it
     // CollapseProject inlines the signature into all 16 band expressions,
     // recomputing it 16x (interpreted expressions get no codegen CSE) —
-    // and spreads downstream work regardless of scan partitioning.
-    val sig = base
-      .select(col("doc_id"),
+    // and spreads downstream work regardless of upstream partitioning.
+    val sig = eligible
+      .select(col("rep_id").as("doc_id"),
         TextHashExpressions.shingleMinhash(col("__text"), ngram, numHashes).as("mh"))
-      .filter(col("mh").isNotNull)
       .repartition(np, col("doc_id"))
+    // posexplode_outer, not posexplode: the non-outer generator makes
+    // InferFiltersFromConstraints add isnotnull(<array expr>), which
+    // PushDownPredicates inlines through the projection as a second
+    // evaluation of the hash kernel in the scan Filter. The outer variant
+    // carries no such constraint; null keys cannot equi-join anyway.
     val banded = sig
       .select(col("doc_id"),
-        posexplode(bandSignatures(col("mh"), bands, rows)).as(Seq("band", "sig")))
+        posexplode_outer(bandSignatures(col("mh"), bands, rows)).as(Seq("band", "sig")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Exact verification: shingle sets are built only for candidate rows —
-    // LSH keeps candidates near the true-positive count, so this is a
-    // broadcast-scale join however large the corpus.
-    val withSets = cand
-      .join(base.select(col("doc_id").as("id_a"), col("__text").as("text_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("__text").as("text_b")), "id_b")
-      .withColumn("sh_a", shingles(col("text_a"), ngram))
-      .withColumn("sh_b", shingles(col("text_b"), ngram))
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (keyed, eligible, cand)
   }
 
   /** 64-bit SimHash over word 3-gram shingles (custom tight-loop
@@ -119,11 +197,14 @@ object Dedup {
     val width = 64 / nBands
     val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val hashed = docs
-      .select(id.as("doc_id"), simhash64(text).as("sh"))
-      .filter(col("sh").isNotNull)
+      .filter(hasNgramTokens(text, 3))  // cheap pre-filter: the hash kernel
+      .select(id.as("doc_id"), simhash64(text).as("sh"))   // evaluates once
       .repartition(np, col("doc_id"))   // barrier: band keys read `sh`, not recompute it
+    // posexplode_outer for the same reason as in minhashLshStages: the
+    // non-outer generator's inferred isnotnull constraint gets inlined as a
+    // second simhash64 evaluation in the scan Filter.
     val banded = hashed.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+      posexplode_outer(transform(sequence(lit(0), lit(nBands - 1)),
         b => call_function("shiftright", col("sh"), b * lit(width))
           .bitwiseAND(lit((1L << width) - 1)))).as(Seq("band", "key")))
     banded.as("a")
@@ -134,7 +215,12 @@ object Dedup {
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
+      // coalesce, not a bare <=: the null-intolerant chain of a bare
+      // comparison makes InferFiltersFromConstraints derive isnotnull(sh),
+      // which predicate pushdown inlines through the projection as a second
+      // simhash64 evaluation in the scan Filter. coalesce breaks the chain
+      // (it is not null-intolerant); hamming can't be null here anyway.
+      .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -64,6 +64,37 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("skew guard: a planted 1k-identical cluster never explodes candidates") {
+    // 1000 byte-identical docs + a handful of distinct ones. Without the
+    // exact-collapse guard every band bucket would hold the whole cluster:
+    // ~16 * C(1000,2) = 8M pre-distinct candidate rows and 500k shingle
+    // verifications. With it, LSH sees ONE representative per distinct text.
+    val distinctDocs = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+    val cluster = spark.range(1000)
+      .select((col("id") + 10000).as("doc_id"),
+        lit("the same exact document body repeated many times over").as("text"))
+    val corpus = distinctDocs.unionByName(cluster)
+
+    val (_, eligible, cand) = Dedup.minhashLshStages(
+      corpus, col("doc_id"), col("text"), ngram = 3, numHashes = 64, bands = 16)
+    // collapse: the cluster is one eligible row; candidates are rep-level
+    assert(eligible.count() <= 21)
+    val nCand = cand.count()
+    assert(nCand <= (21L * 20) / 2, s"rep-level candidates exploded: $nCand")
+
+    // and the full operator still returns every true pair: C(1000,2)
+    // within-cluster pairs at jaccard exactly 1.0, plus whatever the
+    // distinct docs contribute among themselves
+    val pairs = Dedup.minhashLshPairs(corpus, col("doc_id"), col("text"))
+    val clusterPairs = pairs.filter(col("id_a") >= 10000)
+    assert(clusterPairs.count() == 1000L * 999 / 2)
+    assert(clusterPairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    // ids within the expanded pairs are ordered and unique
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(pairs.count() == pairs.select("id_a", "id_b").distinct().count())
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.union(d.filter(col("doc_id") < 10)
