@@ -56,6 +56,9 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ORACLE BASELINE ONLY — exact all-pairs cosine (quadratic). The
+    // production operator for embedding dedup is cosineNearDupPairsLsh
+    // ("dedup_embedding_lsh" below); this entry exists to anchor it.
     "dedup_embedding" -> { (s, dir) =>
       val t = Tables(s, dir)
       val emb = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
@@ -118,6 +121,9 @@ object PipelineQueries {
         .orderBy(col("label"))
     },
 
+    // ORACLE BASELINE — exact top-k; O(N) per query. Right at scale only
+    // when the query set is small; for many queries use sim_ann_lsh /
+    // sim_ivf_topk (the scale paths).
     "sim_topk_bruteforce" -> { (s, dir) =>
       val t = Tables(s, dir)
       val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))

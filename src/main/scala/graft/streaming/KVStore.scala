@@ -28,6 +28,23 @@ trait KVStore extends Serializable {
   def batchSeen(batchId: Long): Boolean
 }
 
+object KVStore {
+  /** Serializable handle that resolves the backend from the per-JVM
+    * registry at every call — for JVM-singleton stores addressed by name
+    * (tests, local mode). Network-backed stores ([[SocketKVStore]]) are
+    * their own serializable handles and skip the registry entirely. */
+  def named(name: String): KVStore = new NamedKVStore(name)
+}
+
+private final class NamedKVStore(name: String) extends KVStore {
+  private def s: KVStore = KVStoreRegistry.get(name)
+  override def hincrBy(key: String, field: String, delta: Long): Long =
+    s.hincrBy(key, field, delta)
+  override def hgetAll(key: String): Map[String, Long] = s.hgetAll(key)
+  override def markBatch(batchId: Long): Boolean = s.markBatch(batchId)
+  override def batchSeen(batchId: Long): Boolean = s.batchSeen(batchId)
+}
+
 /** JVM-singleton in-memory store: the test/local backend. In `local[n]`
   * executors share the driver JVM, so this behaves exactly like one shared
   * external store; on a real cluster it would be per-executor and a

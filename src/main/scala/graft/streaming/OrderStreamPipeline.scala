@@ -33,9 +33,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * independent of input volume — so the store never becomes the bottleneck.
   */
 final class OrderStreamPipeline(
-    storeName: String,
-    keyPrefix: String = "n-ko-",
-    idempotent: Boolean = false) extends Serializable {
+    store: KVStore,
+    keyPrefix: String,
+    idempotent: Boolean) extends Serializable {
+
+  /** Registry-addressed store (JVM-singleton backends; tests/local mode).
+    * The primary constructor takes any serializable [[KVStore]] handle —
+    * e.g. [[SocketKVStore]] — which executor closures capture directly, so
+    * nothing needs registering on executors. */
+  def this(storeName: String, keyPrefix: String = "n-ko-",
+           idempotent: Boolean = false) =
+    this(KVStore.named(storeName), keyPrefix, idempotent)
 
   /** Aggregate one micro-batch and apply deltas to the store. Public so
     * unit tests can exercise replay semantics directly.
@@ -46,18 +54,16 @@ final class OrderStreamPipeline(
     * for that one batch — never to silent loss, which marking up front
     * would cause). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-    val store = KVStoreRegistry.get(storeName)
     if (!idempotent || !store.batchSeen(batchId)) {
       val agg = OrderAnalytics.stats(
         OrderAnalytics.withTimeParts(OrderAnalytics.parseWire(batch))
           .filter(col("day").isNotNull),
         Seq(col("day")), col("flag") === "1", col("fee"))
       val prefix = keyPrefix
-      val name = storeName
+      val kv = store   // serializable handle, captured by the task closure
       agg.select(col("day"), col("total"), col("success"),
           col("fee").cast("long").as("fee"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val kv = KVStoreRegistry.get(name)
           rows.foreach { r =>
             val key = prefix + r.getString(0)
             kv.hincrBy(key, "total", r.getLong(1))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.MockOrderGenerator
-import graft.streaming.{InMemoryKVStore, KVStoreRegistry, OrderStreamPipeline}
+import graft.streaming.{InMemoryKVStore, KVServer, KVStoreRegistry, OrderStreamPipeline, SocketKVStore}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -48,6 +48,42 @@ class StreamingSpec extends SparkSpec {
       Map("total" -> 3L, "success" -> 2L, "fee" -> 130L))
     assert(store.hgetAll("n-ko-2024-03-02") ==
       Map("total" -> 1L, "success" -> 1L, "fee" -> 7L))
+  }
+
+  test("TCP KVStore: sink accumulates across a real network boundary") {
+    // The serializable SocketKVStore handle is captured by the task
+    // closure directly — no registry on the "executor" side — and every
+    // increment crosses an actual socket to the server's store. This is
+    // the path a cluster deployment takes (reference: Redis), without the
+    // shared-JVM registry shortcut the in-memory tests use.
+    val server = new KVServer()
+    server.start()
+    try {
+      val store = new SocketKVStore("127.0.0.1", server.port)
+      val p = new OrderStreamPipeline(store, "n-ko-", true)
+      val batch = Seq(
+        wire("2024-05-01 09:00:00", 40, "1"),
+        wire("2024-05-01 10:00:00", 25, "0"),
+        wire("2024-05-02 08:00:00", 11, "1")).toDF("value").repartition(3)
+      p.applyBatch(batch, 0L)
+      assert(server.store.hgetAll("n-ko-2024-05-01") ==
+        Map("total" -> 2L, "success" -> 1L, "fee" -> 40L))
+      assert(server.store.hgetAll("n-ko-2024-05-02") ==
+        Map("total" -> 1L, "success" -> 1L, "fee" -> 11L))
+      // replay of an applied batch id is a no-op (SEEN goes over the wire)
+      p.applyBatch(batch, 0L)
+      assert(server.store.hgetAll("n-ko-2024-05-01") ==
+        Map("total" -> 2L, "success" -> 1L, "fee" -> 40L))
+      // the handle survives java serialization like any task closure
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(store); oos.close()
+      val copy = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[SocketKVStore]
+      assert(copy.hgetAll("n-ko-2024-05-02") ==
+        Map("total" -> 1L, "success" -> 1L, "fee" -> 11L))
+    } finally { server.stop(); SocketKVStore.resetConnections() }
   }
 
   test("checkpoint resume: restart continues from stored offsets, no recount") {
