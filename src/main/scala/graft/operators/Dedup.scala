@@ -131,6 +131,67 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Transitive near-duplicate clusters over the [[minhashLshPairs]] graph:
+    * every document gets `cluster_id` = the smallest doc_id reachable
+    * through verified near-dup pairs (exact duplicates included — identical
+    * texts are jaccard-1.0 edges). Documents with no near-dups, including
+    * shingle-ineligible ones, are their own singleton cluster. This is the
+    * form a dedup pipeline actually consumes: keep one row per cluster_id.
+    *
+    * Scale: connected components run as min-label propagation on the
+    * REPRESENTATIVE graph — one vertex per distinct text with at least one
+    * verified pair, i.e. output-sized, persisted across iterations — so
+    * corpus-sized frames are touched only by the single-pass expansion at
+    * the end. Labels only decrease, so the loop converges within the graph
+    * diameter (near-dup graphs are cliquish: a handful of rounds), capped
+    * at `maxIters`. */
+  def minhashClusters(docs: DataFrame, id: Column, text: Column,
+                      ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    val (keyed, eligible, cand) = minhashLshStages(docs, id, text, ngram, numHashes, bands)
+    val texts = keyed.select(col("doc_id"), col("__text"))
+    val repPairs = cand
+      .join(texts.select(col("doc_id").as("id_a"), col("__text").as("text_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("__text").as("text_b")), "id_b")
+      .filter(TextHashExpressions.shingleJaccard(col("text_a"), col("text_b"), ngram)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = repPairs
+      .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"),
+          "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    // Expansion: member → its exact-dup representative → component label.
+    // Non-participants fall back to their representative (exact-dup cluster
+    // min) and then to themselves. `labels` stays persisted — it is in the
+    // returned frame's lineage.
+    keyed.select(col("fp"), col("doc_id"))
+      .join(eligible.select(col("fp"), col("rep_id")), Seq("fp"), "left")
+      .join(labels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Internals of [[minhashLshPairs]] up through the LSH candidate stage,
     * package-private so the skew-guard spec can assert the representative-
     * level candidate count directly. Returns (keyed, eligible, candidates):

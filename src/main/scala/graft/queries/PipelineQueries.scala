@@ -75,6 +75,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Transitive near-dup clusters — the consumable form of dedup (keep one
+    // row per cluster_id). Oracle: recursive CTE over brute-force pairs.
+    "dedup_minhash_clusters" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.minhashClusters(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
       val np = s.sessionState.conf.numShufflePartitions
@@ -255,6 +263,27 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
          ORDER BY id_a, id_b""",
+
+    "dedup_minhash_clusters" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           d AS (SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS sh
+                 FROM t WHERE len(toks) >= 3),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+           e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

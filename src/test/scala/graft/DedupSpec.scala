@@ -95,6 +95,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == pairs.select("id_a", "id_b").distinct().count())
   }
 
+  test("minhash clusters equal driver-side union-find over brute-force pairs") {
+    val got = Dedup.minhashClusters(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val ids = docs.select(col("doc_id")).as[Long].collect()
+    assert(got.keySet == ids.toSet)
+    // reference: union-find with min-root over the brute-force pair graph
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    brutePairs(0.8).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    ids.foreach { i =>
+      val comp = ids.filter(j => find(j) == find(i))
+      assert(got(i) == comp.min, s"doc $i: got ${got(i)}, want ${comp.min}")
+    }
+    // at least one non-singleton cluster exists in the planted corpus
+    assert(got.values.groupBy(identity).exists(_._2.size > 1))
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.union(d.filter(col("doc_id") < 10)
