@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The text-hash kernels as static JVM methods, callable both from
+  * interpreted `eval` and from generated code (top-level Scala objects get
+  * static forwarders, so codegen emits a plain
+  * `graft.functions.TextKernels.shingleMinhash(...)` call). Keeping the
+  * kernels out of generated source — instead of transliterating the loops
+  * to Java strings — keeps them JIT-friendly and in one audited place,
+  * while the calling expressions still participate in whole-stage codegen
+  * (no CodegenFallback `eval` boxing on the surrounding operators).
+  *
+  * All return `null` (never throw) for texts with fewer than `ngram`
+  * tokens, matching the expressions' nullability contract.
+  */
+object TextKernels {
+
+  private val SEED1 = 42L
+  private val SEED2 = 0x9747b28cL
+
+  /** Byte offsets where each token starts, plus a sentinel end. For text
+    * with tokens t0..tm split on single spaces, token j spans
+    * [starts(j), starts(j+1) - 1) and the n-gram from j spans
+    * [starts(j), starts(j+n) - 1). */
+  private def tokenStarts(base: AnyRef, offset: Long, len: Int): Array[Int] = {
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, offset + i) == ' ') spaces += 1
+      i += 1
+    }
+    val starts = new Array[Int](spaces + 2)
+    starts(0) = 0
+    var s = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, offset + i) == ' ') {
+        starts(s) = i + 1; s += 1
+      }
+      i += 1
+    }
+    starts(s) = len + 1   // sentinel: "start of the token after the last"
+    starts
+  }
+
+  /** Visit every word `ngram`-shingle of `text` as (byteStart, byteLen). */
+  @inline private def foreachShingle(text: UTF8String, ngram: Int)
+                                    (f: (AnyRef, Long, Int) => Unit): Int = {
+    val base = text.getBaseObject
+    val offset = text.getBaseOffset
+    val len = text.numBytes()
+    if (len == 0) return 0
+    val starts = tokenStarts(base, offset, len)
+    val nTokens = starts.length - 1
+    val nShingles = nTokens - ngram + 1
+    var j = 0
+    while (j < nShingles) {
+      val s = starts(j)
+      val e = starts(j + ngram) - 1   // strip the trailing separator
+      f(base, offset + s, e - s)
+      j += 1
+    }
+    math.max(nShingles, 0)
+  }
+
+  /** `array<long>` MinHash signature of the word-`ngram` shingle set, or
+    * null. Kirsch–Mitzenmacher double hashing: two XXH64 per shingle. */
+  def shingleMinhash(text: UTF8String, ngram: Int, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = foreachShingle(text, ngram) { (base, off, len) =>
+      val h1 = XXH64.hashUnsafeBytes(base, off, len, SEED1)
+      val h2 = XXH64.hashUnsafeBytes(base, off, len, SEED2)
+      var k = 0
+      var h = h1
+      while (k < numHashes) {
+        if (h < mins(k)) mins(k) = h
+        h += h2
+        k += 1
+      }
+    }
+    if (n <= 0) null else new GenericArrayData(mins)
+  }
+
+  /** Boxed 64-bit SimHash of the word-`ngram` shingle multiset, or null. */
+  def simhash64(text: UTF8String, ngram: Int): java.lang.Long = {
+    val sums = new Array[Int](64)
+    val n = foreachShingle(text, ngram) { (base, off, len) =>
+      val h = XXH64.hashUnsafeBytes(base, off, len, SEED1)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+    }
+    if (n <= 0) null
+    else {
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) >= 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  /** Distinct word-`ngram` shingle strings (insertion order), or null. */
+  def shingles(text: UTF8String, ngram: Int): ArrayData = {
+    val bytes = text.getBytes   // one copy; views below share it
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val textOffset = text.getBaseOffset
+    val n = foreachShingle(text, ngram) { (_, off, len) =>
+      out.add(UTF8String.fromBytes(bytes, (off - textOffset).toInt, len))
+    }
+    if (n <= 0) null
+    else {
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  /** Boxed exact Jaccard of the two texts' distinct shingle sets, or null
+    * when either side has fewer than `ngram` tokens. */
+  def shingleJaccard(a: UTF8String, b: UTF8String, ngram: Int): java.lang.Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    val bytesA = a.getBytes
+    val offA = a.getBaseOffset
+    val na = foreachShingle(a, ngram) { (_, off, len) =>
+      setA.add(UTF8String.fromBytes(bytesA, (off - offA).toInt, len))
+    }
+    if (na <= 0) return null
+    val setB = new java.util.HashSet[UTF8String]()
+    val bytesB = b.getBytes
+    val offB = b.getBaseOffset
+    val nb = foreachShingle(b, ngram) { (_, off, len) =>
+      setB.add(UTF8String.fromBytes(bytesB, (off - offB).toInt, len))
+    }
+    if (nb <= 0) return null
+    var inter = 0
+    val it = setB.iterator()
+    while (it.hasNext) if (setA.contains(it.next())) inter += 1
+    val uni = setA.size + setB.size - inter
+    java.lang.Double.valueOf(inter.toDouble / uni)
+  }
+}

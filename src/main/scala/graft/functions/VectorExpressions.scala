@@ -1,48 +1,36 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for vector kernels where the higher-order
-  * function formulation is interpreted and measurably hot. */
+  * function formulation is interpreted and measurably hot. All implement
+  * `doGenCode` (a static call into [[VectorKernels]]), so surrounding
+  * operators stay inside whole-stage codegen — no CodegenFallback boxing.
+  */
 object VectorExpressions {
 
   /** Random-hyperplane LSH bucket of an `array<double>` vector: bit `p` of
-    * the result is the sign of the projection onto pseudo-random plane `p`,
-    * whose components derive from `XXH64.hashLong(p * dim + d)` scaled to
-    * [-1, 1] — deterministic, no plane matrix to broadcast, one tight pass
-    * over `nPlanes × dim` products. Dimension is read from the array. */
+    * the result is the sign of the projection onto pseudo-random plane `p`
+    * (see [[VectorKernels.hyperplaneBucket]]). Dimension is read from the
+    * array. */
   case class HyperplaneLshBucket(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "hyperplane_lsh_bucket"
 
-    private val SEED = 42L
-    private val SCALE = 1.0 / Long.MaxValue.toDouble
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes))
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val dim = arr.numElements()
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var proj = 0.0
-        var d = 0
-        val base = p.toLong * dim
-        while (d < dim) {
-          proj += arr.getDouble(d) * (XXH64.hashLong(base + d, SEED) * SCALE)
-          d += 1
-        }
-        bucket = bucket * 2 + (if (proj >= 0.0) 1L else 0L)
-        p += 1
-      }
-      java.lang.Long.valueOf(bucket)
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorKernels.hyperplaneBucket($c, $nPlanes);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -56,27 +44,23 @@ object VectorExpressions {
     * formulation and DuckDB's list_inner_product — so results are
     * bit-identical across engines; null if the lengths differ. */
   case class DotProduct(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def prettyName: String = "vector_dot"
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n != b.numElements()) null
-      else {
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          acc += a.getDouble(i) * b.getDouble(i)
-          i += 1
-        }
-        java.lang.Double.valueOf(acc)
-      }
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dot")
+        s"""
+           |java.lang.Double $tmp = graft.functions.VectorKernels.dot($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -93,7 +77,7 @@ object VectorExpressions {
     * per row — no join, no shuffle, no row fan-out — which is what lets a
     * Lloyd assignment step run as a pure projection over the corpus. */
   case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true
     override def prettyName: String = "nearest_centroid"
@@ -106,24 +90,21 @@ object VectorExpressions {
       s
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val dim = v.numElements()
-      var best = -1
-      var bestScore = Double.PositiveInfinity
-      var ci = 0
-      while (ci < cvecs.length) {
-        val c = cvecs(ci)
-        if (c.length == dim) {
-          var dotAcc = 0.0
-          var i = 0
-          while (i < dim) { dotAcc += v.getDouble(i) * c(i); i += 1 }
-          val score = cnorm2(ci) - 2.0 * dotAcc
-          if (score < bestScore) { bestScore = score; best = ci }
-        }
-        ci += 1
-      }
-      if (best < 0) null else java.lang.Integer.valueOf(best)
+    override def nullSafeEval(input: Any): Any =
+      VectorKernels.nearestCentroid(input.asInstanceOf[ArrayData], cvecs, cnorm2)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", cvecs, "double[][]")
+      val nRef = ctx.addReferenceObj("cnorm2", cnorm2, "double[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("nearest")
+        s"""
+           |java.lang.Integer $tmp =
+           |  graft.functions.VectorKernels.nearestCentroid($c, $cRef, $nRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.intValue(); }
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
