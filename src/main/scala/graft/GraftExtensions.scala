@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.TextHashExpressions.{ShingleMinHash, SimHash}
+import graft.functions.TextHashExpressions.{ShingleJaccard, ShingleMinHash, Shingles, SimHash}
+import graft.functions.VectorExpressions.{DotProduct, HyperplaneLshBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -37,6 +38,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => SimHash(text, 3)
         case Seq(text, n) => SimHash(text, intArg(n, "ngram"))
         case _ => throw new IllegalArgumentException("simhash64(text[, ngram])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => Shingles(text, 3)
+        case Seq(text, n) => Shingles(text, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("shingles(text[, ngram])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_jaccard"),
+      new ExpressionInfo(classOf[ShingleJaccard].getName, "shingle_jaccard"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ShingleJaccard(a, b, 3)
+        case Seq(a, b, n) => ShingleJaccard(a, b, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("shingle_jaccard(a, b[, ngram])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_lsh_bucket"),
+      new ExpressionInfo(classOf[HyperplaneLshBucket].getName, "hyperplane_lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, n) => HyperplaneLshBucket(v, intArg(n, "nPlanes"))
+        case _ => throw new IllegalArgumentException("hyperplane_lsh_bucket(vec, nPlanes)")
       }))
   }
 }

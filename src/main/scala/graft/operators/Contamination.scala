@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.functions.TextHashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination scan: which training documents share word
+  * n-grams with a test/benchmark corpus (the GPT-3/PaLM-style n-gram
+  * overlap check run before training).
+  *
+  * Shape at 100 TB: the train side is ONE scan with its distinct shingles
+  * exploded (fixed small multiplier of the text size); the test side — a
+  * benchmark, thousands of documents — is broadcast, so there is no
+  * corpus shuffle at all. If the test side ever outgrows broadcast, the
+  * same plan degrades gracefully to a hash join keyed on the shingle.
+  * Shingles join as strings for exactness against the SQL oracle; switch
+  * the join key to xxhash64(sh) to make shuffle rows fixed-width when
+  * exactness against string semantics is not required.
+  */
+object Contamination {
+
+  /** (doc_id, test_id, n_shared) for every train/test pair sharing at
+    * least `minShared` distinct word `ngram`-grams. */
+  def ngramOverlap(train: DataFrame, trainId: Column, trainText: Column,
+                   test: DataFrame, testId: Column, testText: Column,
+                   ngram: Int = 3, minShared: Long = 1): DataFrame = {
+    // explode_outer: the non-outer generator would make Catalyst infer
+    // isnotnull(shingles(text)) and inline a second kernel evaluation into
+    // the scan filter; null shingle arrays simply never join.
+    val tr = train.select(trainId.as("doc_id"),
+      explode_outer(TextHashExpressions.shingles(trainText, ngram)).as("sh"))
+    val te = test.select(testId.as("test_id"),
+      explode_outer(TextHashExpressions.shingles(testText, ngram)).as("sh"))
+    tr.join(broadcast(te), "sh")
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

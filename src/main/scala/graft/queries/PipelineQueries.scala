@@ -75,6 +75,37 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Benchmark-contamination scan: training docs sharing >= 3 distinct
+    // 3-grams with the "benchmark" slice (doc_id < 50), exact counts.
+    "contamination_ngram" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val test = t.documents.filter(col("doc_id") < 50)
+      graft.operators.Contamination
+        .ngramOverlap(t.documents, col("doc_id"), col("text"),
+          test, col("doc_id"), col("text"), ngram = 3, minShared = 3)
+        .filter(col("doc_id") =!= col("test_id"))
+        .orderBy(col("doc_id"), col("test_id"))
+    },
+
+    // Deterministic exact-fraction stratified sample (md5-of-id order).
+    "sample_stratified" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .stratified(t.events, Seq(col("event_type")), col("event_id"), 0.1)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // Data mixing by source weights; unlisted sources keep 5%.
+    "sample_mixture" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .mixture(t.documents, col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.2, "src3" -> 1.0), defaultWeight = 0.05)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Transitive near-dup clusters — the consumable form of dedup (keep one
     // row per cluster_id). Oracle: recursive CTE over brute-force pairs.
     "dedup_minhash_clusters" -> { (s, dir) =>
@@ -263,6 +294,38 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
          ORDER BY id_a, id_b""",
+
+    "contamination_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            d AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                  FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS doc_id, b.doc_id AS test_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared
+         FROM d a JOIN d b ON b.doc_id < 50 AND a.doc_id != b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) >= 3
+         ORDER BY doc_id, test_id""",
+
+    "sample_stratified" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
+
+    "sample_mixture" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
+                         WHEN 'src3' THEN 1.0 ELSE 0.05 END AS w,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         WHERE rn <= ceil(n * w) ORDER BY doc_id""",
 
     "dedup_minhash_clusters" ->
       """WITH RECURSIVE

@@ -68,4 +68,20 @@ class EventOpsSpec extends SparkSpec {
       .select(graft.functions.TextHashExpressions.simhash64(col("t"))).head().getLong(0)
     assert(r.getLong(0) == viaCol)
   }
+
+  test("extensions register SQL functions: jaccard / shingles / vector ops") {
+    val r = spark.sql(
+      """SELECT shingle_jaccard('a b c d', 'a b c e') AS j,
+                size(shingles('a b c d')) AS ns,
+                vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                hyperplane_lsh_bucket(array(1.0d, -1.0d), 4) AS bkt""").head()
+    // sets {abc,bcd} vs {abc,bce}: intersection 1, union 3
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-15)
+    assert(r.getInt(1) == 2)
+    assert(r.getDouble(2) == 11.0)
+    val viaCol = Seq((Seq(1.0, -1.0), 0)).toDF("v", "x")
+      .select(graft.functions.VectorExpressions.hyperplaneLshBucket(col("v"), 4))
+      .head().getLong(0)
+    assert(r.getLong(3) == viaCol)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Contamination, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Determinism and exactness of the sampling/mixing/contamination
+  * operators (their value over df.sample is exactly these properties). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables(spark, sfDir).events
+  private lazy val docs = Tables(spark, sfDir).documents
+
+  test("stratified sample is exact per stratum and partitioning-invariant") {
+    val frac = 0.2
+    val got = Sampling.stratified(events, Seq(col("event_type")), col("event_id"), frac)
+    val perStratum = got.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    sizes.foreach { case (s, n) =>
+      assert(perStratum(s) == math.ceil(n * frac).toLong, s"stratum $s")
+    }
+    // identical ids regardless of input partitioning
+    val a = got.select("event_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratified(events.repartition(7, col("user_id")),
+        Seq(col("event_type")), col("event_id"), frac)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("mixture respects per-source weights and the default") {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.0)
+    val got = Sampling.mixture(docs, col("source"), col("doc_id"), weights,
+      defaultWeight = 0.1)
+    val perSource = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (s, n) =>
+      val w = weights.getOrElse(s, 0.1)
+      assert(perSource.getOrElse(s, 0L) == math.ceil(n * w).toLong, s"source $s")
+    }
+  }
+
+  test("contamination overlap counts equal driver-side shingle intersection") {
+    val test = docs.filter(col("doc_id") < 50)
+    val got = Contamination.ngramOverlap(docs, col("doc_id"), col("text"),
+        test, col("doc_id"), col("text"), ngram = 3, minShared = 3)
+      .filter(col("doc_id") =!= col("test_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty, "planted near-dups should contaminate")
+    val sh = docs.select(col("doc_id"),
+        graft.functions.TextHashExpressions.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    got.foreach { case (a, b, n) =>
+      assert((sh(a).toSet & sh(b).toSet).size.toLong == n, s"pair ($a,$b)")
+    }
+  }
+}
