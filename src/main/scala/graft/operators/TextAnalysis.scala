@@ -19,6 +19,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer segments ("BPE-ish"): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * residual whitespace. Counts these segments — the standard cheap
+    * proxy for LLM token counts (true BPE merges only ever split these
+    * further by a roughly constant factor). Pure regexp, codegen'd, and
+    * expressible identically in the SQL oracle. */
+  private val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Characters that are ASCII punctuation. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))

@@ -202,6 +202,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // LLM token-count proxy: GPT-2-style pre-tokenizer segment counts
+    // next to the whitespace count.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
       TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
@@ -387,6 +397,15 @@ object PipelineQueries {
       s"""SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
          length(text) AS len_chars
+         FROM documents ORDER BY doc_id""",
+
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+           AS BIGINT) AS n_bpe,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END
+           AS BIGINT) AS n_ws
          FROM documents ORDER BY doc_id""",
 
     "text_quality" ->
