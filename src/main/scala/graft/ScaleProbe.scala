@@ -42,6 +42,33 @@ object ScaleProbe {
       val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"minhash_lsh_scale","docs":$n,"sec":$sec%.2f,"pairs":$pairs}""")
+
+      // Skew probe: same corpus size, but 20% of rows are ONE identical
+      // document. Without the exact-collapse guard every band bucket would
+      // hold the whole cluster (candidate pairs ~ bands x (n/5)^2); with it,
+      // runtime should stay in the same ballpark as the uniform corpus
+      // while the output contains the full C(n/5, 2) duplicate pairs.
+      val clusterSize = n / 5
+      val skewed = docs.filter(col("doc_id") < n - clusterSize)
+        .unionByName(spark.range(n - clusterSize.toLong, n.toLong)
+          .select(col("id").as("doc_id"),
+            lit(vocab.take(12).mkString(" ") + " " + vocab.drop(8).mkString(" ")).as("text")))
+      skewed.cache().count()
+      val t1 = System.nanoTime()
+      val skewPairs = Dedup.minhashLshPairs(skewed, col("doc_id"), col("text")).count()
+      val sec1 = (System.nanoTime() - t1) / 1e9
+      val expectDup = clusterSize.toLong * (clusterSize - 1) / 2
+      println(f"""{"metric":"minhash_lsh_skew","docs":$n,"cluster":$clusterSize,"sec":$sec1%.2f,"pairs":$skewPairs,"min_expected":$expectDup}""")
+      skewed.unpersist()
+
+      // Transitive clustering over the same uniform corpus: the planted
+      // pair graph is n/100 two-doc components, so the label loop should
+      // converge in one round regardless of n.
+      val t2 = System.nanoTime()
+      val nClusters = Dedup.minhashClusters(docs, col("doc_id"), col("text"))
+        .select(col("cluster_id")).distinct().count()
+      val sec2 = (System.nanoTime() - t2) / 1e9
+      println(f"""{"metric":"minhash_clusters_scale","docs":$n,"sec":$sec2%.2f,"clusters":$nClusters}""")
       docs.unpersist()
     }
     spark.stop()
