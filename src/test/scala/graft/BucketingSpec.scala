@@ -1,32 +1,39 @@
 package graft
 
+import graft.sources.Bucketing
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.{Exchange => PhysicalExchange}
 
-/** Co-located joins via bucketing: writing both sides bucketed on the join
-  * key lets Spark join them with ZERO exchanges — the pre-shuffle trade
-  * that pays for itself the moment a big table is joined more than once.
-  * This is the 100 TB co-location story, proven on the physical plan. */
+/** Co-located joins and aggregations over bucketed tables: the plans must
+  * contain NO shuffle exchange — the whole point of paying the bucketing
+  * shuffle at ingest. */
 class BucketingSpec extends SparkSpec {
-  import spark.implicits._
 
-  test("join of two tables bucketed on the key plans with no exchange") {
-    val warehouse = java.nio.file.Files.createTempDirectory("wh").toString
-    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
-    val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "vb")
-    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .option("path", s"$warehouse/tab_a").saveAsTable("tab_a")
-    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .option("path", s"$warehouse/tab_b").saveAsTable("tab_b")
+  test("co-bucketed join and bucket-key aggregation plan without exchanges") {
+    val t = Tables(spark, sfDir)
+    Bucketing.writeBucketed(
+      t.events.select(col("event_id"), col("user_id"), col("value")),
+      "ev_bucketed", "user_id", buckets = 8)
+    Bucketing.writeBucketed(
+      t.events.groupBy("user_id").agg(count(lit(1)).as("n")),
+      "usr_bucketed", "user_id", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("usr_bucketed"), "user_id")
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), s"bucketed join shuffled:\n$joinPlan")
+      assert(joined.count() == t.events.count())
 
-    val joined = spark.table("tab_a").join(spark.table("tab_b"), "k")
-    val plan = joined.queryExecution.executedPlan
-    val exchanges = plan.collect { case e: PhysicalExchange => e }
-    assert(exchanges.isEmpty,
-      s"bucketed join should be exchange-free, got:\n$plan")
-    assert(joined.count() == 1000)
-
-    // contrast: the same join on plain parquet requires shuffles/broadcast
-    spark.sql("DROP TABLE tab_a"); spark.sql("DROP TABLE tab_b")
+      val agg = spark.table("ev_bucketed").groupBy("user_id")
+        .agg(sum(col("value")).as("s"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucket-key agg shuffled:\n$aggPlan")
+      assert(agg.count() == spark.table("usr_bucketed").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS usr_bucketed")
+    }
   }
 }
