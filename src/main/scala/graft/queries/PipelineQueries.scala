@@ -75,6 +75,33 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The whole preprocessing funnel composed end-to-end: quality filter →
+    // language filter → transitive near-dup dedup (keep cluster min) →
+    // deterministic stratified 50% sample per source → LLM token counts.
+    // One oracle checks the composition of five operators.
+    "pipeline_funnel" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // Predicates inline (same TextAnalysis formulas as qualityFeatures)
+      // rather than a join against the feature frame: downstream operators
+      // re-execute their input lineage per consumer, and an inline
+      // scan+filter is nearly free to re-run where a join is not.
+      val punctRatio = when(length(col("text")) > 0,
+        round(TextAnalysis.punctCount(col("text")).cast("double")
+          / length(col("text")), 6)).otherwise(lit(0.0))
+      val quality = t.documents
+        .filter(TextAnalysis.tokenCount(col("text")) >= 10 &&
+          punctRatio < 0.2 && TextAnalysis.langId(col("text")) === "en")
+        .select(col("doc_id"), col("text"), col("source"))
+      val kept = quality.join(
+        Dedup.minhashClusters(quality, col("doc_id"), col("text"))
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
+      graft.operators.Sampling
+        .stratified(kept, Seq(col("source")), col("doc_id"), 0.5)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination scan: training docs sharing >= 3 distinct
     // 3-grams with the "benchmark" slice (doc_id < 50), exact counts.
     "contamination_ngram" -> { (s, dir) =>
@@ -304,6 +331,61 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
          ORDER BY id_a, id_b""",
+
+    "pipeline_funnel" -> {
+      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
+      }.mkString(",\n             ")
+      val langs = TextAnalysis.langStopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+        .mkString(" ")
+      s"""WITH RECURSIVE
+           q AS (
+             SELECT doc_id, text, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct,
+               $hits
+             FROM documents),
+           f AS (
+             SELECT doc_id, text, source FROM q
+             WHERE n_tokens >= 10
+               AND (CASE WHEN n_chars > 0
+                         THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+                         ELSE 0.0 END) < 0.2
+               AND (CASE $cases ELSE 'und' END) = 'en'),
+           t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM f),
+           d AS (SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS sh
+                 FROM t2 WHERE len(toks) >= 3),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+           e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM f
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+           keep AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+           kept AS (SELECT f.doc_id, f.text, f.source FROM f JOIN keep USING (doc_id)),
+           ranked AS (
+             SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM kept)
+         SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+             AS BIGINT) AS n_bpe
+         FROM ranked WHERE rn <= ceil(n * 0.5) ORDER BY doc_id"""
+    },
 
     "contamination_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
