@@ -75,6 +75,21 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Range join: chunked point-in-interval (hash equi-join on time chunk
+    // + residual predicate) instead of the nested loop a non-equi join
+    // plans. Intervals: 2h windows anchored at every 499th event.
+    "q_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val windows = t.events.filter(pmod(col("event_id"), lit(499)) === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(t.events.select(col("event_id"), col("ts")), col("ts"),
+          windows, col("w_start"), col("w_end"))
+        .groupBy(col("window_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("window_id"))
+    },
+
     // The whole preprocessing funnel composed end-to-end: quality filter →
     // language filter → transitive near-dup dedup (keep cluster min) →
     // deterministic stratified 50% sample per source → LLM token counts.
@@ -331,6 +346,15 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
          ORDER BY id_a, id_b""",
+
+    "q_range_join" ->
+      """WITH w AS (
+           SELECT event_id AS window_id, ts AS w_start,
+                  ts + INTERVAL 2 HOUR AS w_end
+           FROM events WHERE event_id % 499 = 0)
+         SELECT w.window_id, count(*) AS n_events
+         FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+         GROUP BY 1 ORDER BY 1""",
 
     "pipeline_funnel" -> {
       val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
