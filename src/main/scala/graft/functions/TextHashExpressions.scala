@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -123,6 +125,55 @@ object TextHashExpressions {
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Language id by stopword-hit argmax (ties broken by `langs` order,
+    * "und" when nothing scores) in ONE pass over the text — the
+    * higher-order-function formulation runs five interpreted array
+    * filters per row (HOF lambdas get no codegen). Never null: null text
+    * is "und", matching the when-cascade semantics it replaces. */
+  case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "lang_id"
+
+    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+      langs.map { case (_, ws) =>
+        val s = new java.util.HashSet[UTF8String]()
+        ws.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+    @transient private lazy val names: Array[UTF8String] =
+      langs.map(l => UTF8String.fromString(l._1)).toArray
+    @transient private lazy val undS: UTF8String = UTF8String.fromString("und")
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) undS
+      else TextKernels.langId(v.asInstanceOf[UTF8String], sets, names, undS)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      val namesRef = ctx.addReferenceObj("langNames", names,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val undRef = ctx.addReferenceObj("langUnd", undS,
+        "org.apache.spark.unsafe.types.UTF8String")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${c.isNull} ?
+          $undRef :
+          graft.functions.TextKernels.langId(${c.value}, $setsRef, $namesRef, $undRef);
+      """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangId(ColumnBridge.expression(text), langs))
 
   def shingles(text: Column, ngram: Int = 3): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), ngram))

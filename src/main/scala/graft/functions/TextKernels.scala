@@ -125,6 +125,51 @@ object TextKernels {
     }
   }
 
+  /** Language id in ONE pass over the text: tokens are split on ASCII
+    * whitespace runs (the byte scan is exact for Java's `\s` class, which
+    * is ASCII-only, and UTF-8 multibyte sequences cannot contain these
+    * bytes), each token is looked up in every language's stopword set,
+    * and the winner is the first list (declaration order) achieving the
+    * max positive score — identical semantics to the five-filter
+    * higher-order-function formulation, which Spark interprets per row
+    * per language. */
+  def langId(text: UTF8String, sets: Array[java.util.HashSet[UTF8String]],
+             names: Array[UTF8String], und: UTF8String): UTF8String = {
+    val bytes = text.getBytes   // one copy; token views share it
+    val counts = new Array[Int](sets.length)
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      // skip whitespace run
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s) {
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(tok)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    var best = 0
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) best = counts(l)
+      l += 1
+    }
+    if (best == 0) und
+    else {
+      var w = 0
+      while (counts(w) != best) w += 1
+      names(w)
+    }
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
   /** Boxed exact Jaccard of the two texts' distinct shingle sets, or null
     * when either side has fewer than `ngram` tokens. */
   def shingleJaccard(a: UTF8String, b: UTF8String, ngram: Int): java.lang.Double = {

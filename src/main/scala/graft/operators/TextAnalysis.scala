@@ -52,16 +52,12 @@ object TextAnalysis {
   )
 
   /** Predicted language: argmax of stopword hits, ties broken by list
-    * order above, "und" (undetermined) when no list scores > 0. */
-  def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (lang, words) =>
-      lang -> vocabHits(text, words)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, score), alt) =>
-      when(score > 0 && score === best, lit(lang)).otherwise(alt)
-    }
-  }
+    * order above, "und" (undetermined) when no list scores > 0. One
+    * custom-expression pass ([[graft.functions.TextHashExpressions.LangId]])
+    * — the equivalent when-cascade over [[vocabHits]] ran five interpreted
+    * array filters per row. */
+  def langId(text: Column): Column =
+    graft.functions.TextHashExpressions.langId(text, langStopwords)
 
   /** Quality features + a composite score in [0,1]: rewards mid-length
     * documents and word-like content, penalizes punctuation soup. The
