@@ -172,8 +172,52 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass repetition statistics:
+    * `struct<n_tokens:int, n_distinct:int, top_token:int, top_bigram:int>`.
+    * The Gopher-style corpus repetition signals (duplicate-token ratio,
+    * top-token/top-bigram fraction) are declarative ratios over these four
+    * counts; computing the counts per row keeps the operator shuffle-free —
+    * the explode+groupBy formulation re-keys the whole token stream. Null
+    * text → zeros (a blank document has no repetition), never null. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("top_token", IntegerType, nullable = false),
+      StructField("top_bigram", IntegerType, nullable = false)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "repetition_stats"
+
+    @transient private lazy val zeros: InternalRow =
+      TextKernels.repetitionStats(UTF8String.fromString(""))
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) zeros
+      else TextKernels.repetitionStats(v.asInstanceOf[UTF8String])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val zerosRef = ctx.addReferenceObj("repZeros", zeros,
+        "org.apache.spark.sql.catalyst.InternalRow")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${c.isNull} ?
+          $zerosRef :
+          graft.functions.TextKernels.repetitionStats(${c.value});
+      """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text), langs))
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
   def shingles(text: Column, ngram: Int = 3): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), ngram))

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
@@ -169,6 +170,51 @@ object TextKernels {
 
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  /** Repetition statistics in one pass: (n_tokens, n_distinct,
+    * top_token_count, top_bigram_count) as an InternalRow. Tokens split on
+    * ASCII-whitespace runs (same scan as [[langId]]); bigrams are adjacent
+    * token pairs. The standard corpus-quality repetition signals
+    * (duplicate-token ratio, top-n-gram fraction) derive from these counts
+    * declaratively. Empty/blank text → all zeros, never null. */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes   // one copy; token views share it
+    val len = bytes.length
+    val tokCounts = new java.util.HashMap[UTF8String, Int]()
+    val bigramCounts = new java.util.HashMap[UTF8String, Int]()
+    var nTokens = 0
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s) {
+        nTokens += 1
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        tokCounts.merge(tok, 1, (a, b) => a + b)
+        if (prevStart >= 0) {
+          // bigram "prev cur" as a single byte run with one space
+          val bg = new Array[Byte]((prevEnd - prevStart) + 1 + (i - s))
+          System.arraycopy(bytes, prevStart, bg, 0, prevEnd - prevStart)
+          bg(prevEnd - prevStart) = ' '
+          System.arraycopy(bytes, s, bg, prevEnd - prevStart + 1, i - s)
+          bigramCounts.merge(UTF8String.fromBytes(bg), 1, (a, b) => a + b)
+        }
+        prevStart = s
+        prevEnd = i
+      }
+    }
+    var topTok = 0
+    val it = tokCounts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > topTok) topTok = c }
+    var topBg = 0
+    val it2 = bigramCounts.values().iterator()
+    while (it2.hasNext) { val c = it2.next(); if (c > topBg) topBg = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, tokCounts.size(), topTok, topBg))
+  }
 
   /** Boxed exact Jaccard of the two texts' distinct shingle sets, or null
     * when either side has fewer than `ngram` tokens. */

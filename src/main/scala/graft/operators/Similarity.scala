@@ -87,6 +87,25 @@ object Similarity {
       .distinct()
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = maxabs/127`,
+    * `codes[i] = round(vec[i]·127/maxabs)`. 4× smaller than float32 (8× vs
+    * the double vectors used for exact math) — at corpus scale the win is
+    * scan/shuffle bandwidth: ANN candidate generation (LSH/IVF buckets) can
+    * run entirely over codes, with exact re-scoring only on survivors.
+    * Pure codegen-able expressions, no shuffle. Zero vectors quantize to
+    * all-zero codes with scale 0 (dequantization is exact for them). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("vec"))
+      .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
+      .select(col("vec_id"),
+        when(col("maxabs") === 0.0, lit(0.0))
+          .otherwise(col("maxabs") / 127.0).as("scale"),
+        when(col("maxabs") === 0.0,
+            transform(col("vec"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("vec"),
+            x => round(x * 127.0 / col("maxabs"), 0).cast("tinyint")))
+          .as("codes"))
+
   /** Multi-probe LSH-bucketed ANN. The corpus is bucketed once by its
     * `nPlanes`-bit sign pattern; each query probes its own bucket plus all
     * buckets within Hamming distance `maxProbe` (fan-out is query-side

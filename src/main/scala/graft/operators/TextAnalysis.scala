@@ -86,4 +86,27 @@ object TextAnalysis {
     * Identical-content detection that survives case/whitespace noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Gopher-style repetition signals per document: duplicate-token ratio,
+    * top-token fraction, top-bigram count. One custom-expression pass
+    * ([[graft.functions.TextHashExpressions.RepetitionStats]]) computes the
+    * four underlying counts per row — shuffle-free, unlike the
+    * explode+groupBy+window formulation that re-keys the whole token stream
+    * (at corpus scale that shuffle is the size of the corpus itself). */
+  def repetitionFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val r = graft.functions.TextHashExpressions.repetitionStats(text)
+    df.select(id.as("doc_id"), r.as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        col("r.n_distinct").cast("long").as("n_distinct"),
+        when(col("r.n_tokens") > 0,
+          round(lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens"), 6))
+          .otherwise(lit(0.0)).as("dup_token_ratio"),
+        col("r.top_token").cast("long").as("top_token_n"),
+        when(col("r.n_tokens") > 0,
+          round(col("r.top_token").cast("double") / col("r.n_tokens"), 6))
+          .otherwise(lit(0.0)).as("top_token_frac"),
+        col("r.top_bigram").cast("long").as("top_bigram_n"))
+  }
 }

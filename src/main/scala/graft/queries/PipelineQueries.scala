@@ -302,6 +302,41 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // Int8 embedding quantization; the oracle compares scale, two code
+    // elements, and the whole-vector code checksum (array columns don't
+    // hash-compare, scalar projections do).
+    "embed_quantize_int8" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val emb = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          element_at(col("codes"), 1).cast("long").as("c0"),
+          element_at(col("codes"), 64).cast("long").as("c63"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Gopher-style repetition quality signals, one shuffle-free expression
+    // pass per document.
+    "text_repetition" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.repetitionFeatures(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cohort retention over the event stream — see operators.Retention for
+    // the single-user-shuffle, join-free plan rationale.
+    "q_retention_cohort" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Retention
+        .cohortRetention(t.events, col("user_id"), col("ts"))
+        // date32 parquet → pandas object vs DuckDB datetime64: stringify
+        // for the driver's dtype-strict hash compare
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }
   )
 
@@ -566,6 +601,63 @@ object PipelineQueries {
       s"""SELECT token, count(*) AS n
          FROM (SELECT unnest($tokensSql) AS token FROM documents
                WHERE length(trim(text)) > 0)
-         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "embed_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            m AS (SELECT vec_id, vec,
+                    list_max(list_transform(vec, x -> abs(x))) AS ma FROM v),
+            q AS (SELECT vec_id,
+                    CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END AS scale,
+                    CASE WHEN ma = 0 THEN list_transform(vec, x -> 0)
+                         ELSE list_transform(vec,
+                           x -> CAST(round(x * 127.0 / ma) AS INTEGER)) END AS codes
+                  FROM m)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CAST(codes[1] AS BIGINT) AS c0,
+           CAST(codes[64] AS BIGINT) AS c63,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum
+         FROM q ORDER BY vec_id""",
+
+    "text_repetition" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE $tokensSql END AS toks
+           FROM documents),
+          b AS (
+           SELECT doc_id, toks,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs
+           FROM t),
+          c AS (
+           SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             coalesce(list_max([len(list_filter(toks, y -> y = x))
+                                for x in list_distinct(toks)]), 0) AS top_tok,
+             coalesce(list_max([len(list_filter(bgs, y -> y = x))
+                                for x in list_distinct(bgs)]), 0) AS top_bg
+           FROM b)
+         SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CASE WHEN n_tokens > 0
+                THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+                ELSE 0.0 END AS dup_token_ratio,
+           CAST(top_tok AS BIGINT) AS top_token_n,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(top_tok AS DOUBLE) / n_tokens, 6)
+                ELSE 0.0 END AS top_token_frac,
+           CAST(top_bg AS BIGINT) AS top_bigram_n
+         FROM c ORDER BY doc_id""",
+
+    "q_retention_cohort" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', c.cohort_day, d.day) AS day_offset,
+           count(*) AS n_users
+         FROM d JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

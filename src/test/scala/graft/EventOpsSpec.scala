@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, Retention, Sessionize}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -35,6 +35,22 @@ class EventOpsSpec extends SparkSpec {
     val sessions = Sessionize.byGap(df, col("user_id"), col("ts"), 1800L)
       .select("session_id").as[Long].collect().toSet
     assert(sessions == Set(1L))
+  }
+
+  test("cohort retention: first-seen day buckets, distinct-active offsets") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")),  // u1 cohort 01-01
+      (1L, ts("2024-01-01 18:00:00")),  // same day, still one active-day
+      (1L, ts("2024-01-03 10:00:00")),  // offset 2
+      (2L, ts("2024-01-01 12:00:00")),  // u2 cohort 01-01
+      (2L, ts("2024-01-02 12:00:00")),  // offset 1
+      (3L, ts("2024-01-02 08:00:00"))   // u3 cohort 01-02
+    ).toDF("user_id", "ts")
+    val got = Retention.cohortRetention(df, col("user_id"), col("ts"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(got == Set((d1, 0L, 2L), (d1, 1L, 1L), (d1, 2L, 1L), (d2, 0L, 1L)))
   }
 
   test("as-of backward join picks latest right row at or before left ts") {

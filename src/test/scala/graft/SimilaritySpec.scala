@@ -62,6 +62,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: reconstruction within scale/2, cosine preserved") {
+    val q = Similarity.quantizeInt8(all)
+      .join(all.select(col("vec_id"), col("vec")), "vec_id")
+    val rows = q.select(col("vec_id"), col("scale"), col("codes"), col("vec"))
+      .as[(Long, Double, Seq[Byte], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, codes, vec) =>
+      assert(codes.length == vec.length)
+      // element-wise reconstruction error bounded by half a quantization step
+      vec.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"vec $id: |$x - $c*$scale| exceeds scale/2")
+      }
+      // dequantized vector still points the same way
+      val dq = codes.map(_ * scale)
+      val dot = vec.zip(dq).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(vec.map(x => x * x).sum) * math.sqrt(dq.map(x => x * x).sum)
+      if (n > 0) assert(dot / n > 0.995, s"vec $id: quantized cosine ${dot / n}")
+    }
+  }
+
   test("LSH near-dup pairs are a subset of brute force with exact cosines") {
     val exact = Similarity.cosineNearDupPairs(all, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

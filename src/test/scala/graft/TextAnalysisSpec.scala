@@ -34,6 +34,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps("d") != fps("a"))
   }
 
+  test("repetition features: counts, ratios, edge cases") {
+    val df = Seq(
+      ("1", "a b c d"),                 // all distinct
+      ("2", "a a a a"),                 // one token repeated
+      ("3", "go stop go stop go"),      // top bigram "go stop" x2, "stop go" x2
+      ("4", ""),                        // empty
+      ("5", "  x \t y\n x  "),          // mixed whitespace, x twice
+      ("6", "solo")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionFeatures(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def r(i: Int) = (rows(i).getAs[Long]("n_tokens"), rows(i).getAs[Long]("n_distinct"),
+      rows(i).getAs[Long]("top_token_n"), rows(i).getAs[Long]("top_bigram_n"))
+    assert(r(0) == ((4L, 4L, 1L, 1L)))
+    assert(r(1) == ((4L, 1L, 4L, 3L)))          // "a a" appears 3x
+    assert(r(2) == ((5L, 2L, 3L, 2L)))
+    assert(r(3) == ((0L, 0L, 0L, 0L)))
+    assert(rows(3).getAs[Double]("dup_token_ratio") == 0.0)
+    assert(r(4) == ((3L, 2L, 2L, 1L)))
+    assert(r(5) == ((1L, 1L, 1L, 0L)))          // no bigram from one token
+    assert(rows(1).getAs[Double]("dup_token_ratio") == 0.75)
+    assert(rows(1).getAs[Double]("top_token_frac") == 1.0)
+  }
+
   test("quality features on edge-case docs") {
     val df = Seq(("1", ""), ("2", "!!! ??? ..."), ("3", ("word " * 200).trim))
       .toDF("doc_id", "text")
