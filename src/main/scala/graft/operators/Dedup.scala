@@ -138,16 +138,23 @@ object Dedup {
     * shingle-ineligible ones, are their own singleton cluster. This is the
     * form a dedup pipeline actually consumes: keep one row per cluster_id.
     *
-    * Scale: connected components run as min-label propagation on the
-    * REPRESENTATIVE graph — one vertex per distinct text with at least one
-    * verified pair, i.e. output-sized, persisted across iterations — so
-    * corpus-sized frames are touched only by the single-pass expansion at
-    * the end. Labels only decrease, so the loop converges within the graph
-    * diameter (near-dup graphs are cliquish: a handful of rounds), capped
-    * at `maxIters`. */
+    * Scale: connected components run on the REPRESENTATIVE graph — one
+    * vertex per distinct text with at least one verified pair, i.e.
+    * output-sized — so corpus-sized frames are touched only by the
+    * single-pass expansion at the end. The component algorithm is hybrid:
+    * when the verified edge list fits comfortably on the driver
+    * (≤ `driverMaxEdges`, default 4M ≈ 64 MB — near-dup graphs after
+    * exact-collapse are almost always far below this even for web-scale
+    * corpora), a single collect + union-find replaces the iterative
+    * min-label-propagation loop, whose per-iteration job latency dominates
+    * the operator on all but the largest graphs. Above the threshold the
+    * distributed loop runs: labels only decrease, so it converges within
+    * the graph diameter (near-dup graphs are cliquish: a handful of
+    * rounds), capped at `maxIters`. */
   def minhashClusters(docs: DataFrame, id: Column, text: Column,
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+                      threshold: Double = 0.8, maxIters: Int = 20,
+                      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val (keyed, eligible, cand) = minhashLshStages(docs, id, text, ngram, numHashes, bands)
     val texts = keyed.select(col("doc_id"), col("__text"))
     val repPairs = cand
@@ -156,38 +163,69 @@ object Dedup {
       .filter(TextHashExpressions.shingleJaccard(col("text_a"), col("text_b"), ngram)
         >= threshold)
       .select(col("id_a"), col("id_b"))
-    val edges = repPairs
-      .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    labels.count()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"),
-          "id_b")
-        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") < col("o.label")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
-    edges.unpersist()
+    val nEdges = repPairs.count()
+
+    // (rep_id, label) for every representative touched by a verified pair;
+    // persisted/broadcast-sized either way — it is in the result lineage.
+    val labels: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        // Driver union-find with min-root, one pass over the edge list.
+        val pairs = repPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        repPairs.unpersist()
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x   // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val session = docs.sparkSession
+        import session.implicits._
+        broadcast(parent.keysIterator.map(k => (k, find(k))).toSeq
+          .toDF("rep_id", "label"))
+      } else {
+        val edges = repPairs
+          .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+          .persist()
+        var labs = edges.select(col("id_a").as("id")).distinct()
+          .withColumn("label", col("id")).persist()
+        labs.count()
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIters) {
+          val nbrMin = edges
+            .join(labs.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"),
+              "id_b")
+            .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_label"))
+          val next = labs.join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+            .persist()
+          val changed = next.as("n").join(labs.as("o"), "id")
+            .filter(col("n.label") < col("o.label")).count()
+          labs.unpersist()
+          labs = next
+          converged = changed == 0
+          i += 1
+        }
+        edges.unpersist()
+        repPairs.unpersist()
+        labs.withColumnRenamed("id", "rep_id")
+      }
     // Expansion: member → its exact-dup representative → component label.
     // Non-participants fall back to their representative (exact-dup cluster
-    // min) and then to themselves. `labels` stays persisted — it is in the
-    // returned frame's lineage.
+    // min) and then to themselves.
     keyed.select(col("fp"), col("doc_id"))
       .join(eligible.select(col("fp"), col("rep_id")), Seq("fp"), "left")
-      .join(labels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .join(labels, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
   }

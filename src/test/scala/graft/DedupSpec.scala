@@ -115,6 +115,16 @@ class DedupSpec extends SparkSpec {
     assert(got.values.groupBy(identity).exists(_._2.size > 1))
   }
 
+  test("distributed label propagation matches the driver union-find path") {
+    // driverMaxEdges = -1 forces the distributed loop on the same corpus
+    val dist = Dedup.minhashClusters(docs, col("doc_id"), col("text"),
+        driverMaxEdges = -1L)
+      .as[(Long, Long)].collect().toSet
+    val drv = Dedup.minhashClusters(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(dist == drv)
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.union(d.filter(col("doc_id") < 10)
