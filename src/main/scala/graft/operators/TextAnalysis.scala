@@ -87,6 +87,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Email / phone / IPv4 patterns valid in both Java regex and RE2, so the
+    * exact same redaction is expressible in any engine's regexp_replace. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b"
+
+  /** PII scrub: emails, then IPv4 literals, then phone-like digit runs,
+    * replaced with typed placeholder tags. Order matters (an email may
+    * contain digits; an IP looks like a short phone) and is part of the
+    * operator contract. Pure per-row regexp — codegen'd, shuffle-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Split each document into fixed-size token windows with `overlap`
+    * tokens shared between consecutive chunks — the standard shaping step
+    * for LLM training/context windows. Chunk i covers tokens
+    * `[i·(size-overlap), i·(size-overlap)+size)`; every token is covered
+    * and the tail chunk may be short. Per-row generate + explode: output
+    * rows ≈ n_tokens/step per doc, no shuffle — at corpus scale this is a
+    * map-only stage whose output feeds whatever partitioning the trainer
+    * wants next. */
+  def chunkByTokens(df: DataFrame, id: Column, text: Column,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ceil(col("n").cast("double") / step).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * step + 1, lit(chunkSize)), " ")))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-token ratio,
     * top-token fraction, top-bigram count. One custom-expression pass
     * ([[graft.functions.TextHashExpressions.RepetitionStats]]) computes the

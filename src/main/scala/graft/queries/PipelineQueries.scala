@@ -326,6 +326,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-window chunking for training context windows: 32-token chunks,
+    // 8-token overlap; map-only (generate + explode, no shuffle).
+    "text_chunk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.chunkByTokens(t.documents, col("doc_id"), col("text"),
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // PII redaction over a corpus with deterministically planted emails,
+    // IPs, and phone numbers (the synthetic docs contain none).
+    "text_redact_pii" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val planted = t.documents.select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach me at user"), col("doc_id"), lit("@example.com"),
+          lit(" or +1 555 000 77"), pmod(col("doc_id"), lit(100)),
+          lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cohort retention over the event stream — see operators.Retention for
     // the single-user-shuffle, join-free plan rationale.
     "q_retention_cohort" -> { (s, dir) =>
@@ -650,6 +675,35 @@ object PipelineQueries {
                 ELSE 0.0 END AS top_token_frac,
            CAST(top_bg AS BIGINT) AS top_bigram_n
          FROM c ORDER BY doc_id""",
+
+    "text_chunk" ->
+      s"""WITH f AS (
+           SELECT doc_id, $tokensSql AS toks,
+             len($tokensSql) AS n
+           FROM documents WHERE length(trim(text)) > 0),
+          e AS (
+           SELECT doc_id, i AS chunk_id,
+             array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text
+           FROM f, unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 24) AS INT))) AS u(i))
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens
+         FROM e ORDER BY doc_id, chunk_id""",
+
+    "text_redact_pii" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             text || ' reach me at user' || doc_id || '@example.com'
+                  || ' or +1 555 000 77' || (doc_id % 100)
+                  || ' host 10.0.' || (doc_id % 256) || '.7' AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+         FROM planted ORDER BY doc_id""",
 
     "q_retention_cohort" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -57,6 +57,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("top_token_frac") == 1.0)
   }
 
+  test("chunking: full coverage, overlap, short tail, empty doc dropped") {
+    val df = Seq(
+      ("1", (1 to 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+      ("2", "a b"),                                     // single short chunk
+      ("3", "")                                         // no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, col("doc_id"), col("text"),
+        chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(String, Int, String, Int)].collect()
+    // step = 3: chunks at 0,3,6,9 → [t1..t4],[t4..t7],[t7..t10],[t10]
+    val doc1 = got.filter(_._1 == "1")
+    assert(doc1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4, 1))
+    assert(got.filter(_._1 == "2").map(_._3).toSeq == Seq("a b"))
+    assert(!got.exists(_._1 == "3"))
+  }
+
+  test("PII redaction replaces emails, IPs, and phones with typed tags") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1 555 123 4567 today",
+      "server 192.168.1.200 up",
+      "nothing sensitive here",
+      "combo a@b.io and 10.0.0.1 and 555-123-9876").toDF("text")
+    val got = df.select(TextAnalysis.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> today",
+      "server <IP> up",
+      "nothing sensitive here",
+      "combo <EMAIL> and <IP> and <PHONE>"))
+  }
+
   test("quality features on edge-case docs") {
     val df = Seq(("1", ""), ("2", "!!! ??? ..."), ("3", ("word " * 200).trim))
       .toDF("doc_id", "text")
