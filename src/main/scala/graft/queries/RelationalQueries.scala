@@ -134,6 +134,28 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
+    // RANGE-frame sliding window: 7-day rolling revenue over the daily
+    // aggregate. rangeBetween on a day number handles calendar gaps exactly
+    // like the INTERVAL frame in ANSI engines; sums stay DECIMAL inside the
+    // frame so float ordering can't break cross-engine equality. The window
+    // runs over the (tiny) daily aggregate, not the event stream — at scale
+    // the shuffle is days-sized.
+    "q_rolling_7day" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).as("rev"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev").cast("double"), 6).as("revenue"),
+          round(sum(col("rev")).over(w).cast("double"), 6).as("roll_sum_7d"),
+          count(lit(1)).over(w).as("n_days_7d"))
+        .orderBy(col("day"))
+    },
+
     // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
     "q_sort_limit" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -341,6 +363,20 @@ object RelationalQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_suppkey <= 10
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q_rolling_7day" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS rev
+           FROM events GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(rev AS DOUBLE), 6) AS revenue,
+           round(CAST(sum(rev) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 6) AS roll_sum_7d,
+           count(*) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS n_days_7d
+         FROM daily ORDER BY day""",
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
