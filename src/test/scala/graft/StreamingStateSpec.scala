@@ -40,6 +40,32 @@ class StreamingStateSpec extends SparkSpec {
       ts("2024-01-01 12:30:00") -> 2L))
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      imps.toDF().toDF("imp_id", "k", "left_ts"),
+      clicks.toDF().toDF("click_id", "k", "right_ts"),
+      window = "30 minutes", delay = "10 minutes")
+    val q = joined.select("imp_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+
+    imps.addData(
+      (100L, 1L, ts("2024-01-01 10:00:00")),   // clicked 10 min later
+      (101L, 2L, ts("2024-01-01 10:00:00")),   // clicked too late (45 min)
+      (102L, 3L, ts("2024-01-01 10:00:00")))   // never clicked
+    clicks.addData(
+      (900L, 1L, ts("2024-01-01 10:10:00")),
+      (901L, 2L, ts("2024-01-01 10:45:00")),
+      (902L, 9L, ts("2024-01-01 10:05:00")))   // key with no impression
+    q.processAllAvailable()
+    val got = spark.table("attrib_out").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((100L, 900L)))
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
