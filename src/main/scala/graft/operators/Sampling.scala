@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * `ceil(fraction × stratum_size)` survive. Exact counts, one shuffle
   * (the stratum window), same result on 1 or 1000 executors.
   *
-  * Scale note: a giant stratum funnels through one task in the window
-  * sort. For corpus-scale strata, pre-aggregate stratum sizes (one cheap
-  * count) and filter on `md5(id) < quantile` instead; the window form is
-  * exact for the common many-moderate-strata shape of mixing weights.
+  * Scale note: the exact-count forms window per stratum, so a giant
+  * stratum funnels through one task in the window sort. [[hashSample]] /
+  * [[mixtureHash]] are the corpus-scale forms — per-row hash-threshold
+  * filters, shuffle-free at any stratum size, approximate in count but
+  * just as deterministic.
   */
 object Sampling {
 
@@ -33,6 +34,41 @@ object Sampling {
       .withColumn("__n", count(lit(1)).over(cw))
       .filter(col("__rn") <= least(ceil(col("__n") * fraction), lit(cap)))
       .drop("__rn", "__n")
+  }
+
+  /** 8-hex-digit threshold for `fraction` of the md5 keyspace: fixed-width
+    * lowercase hex compares lexicographically in numeric order, so
+    * `substr(md5(id),1,8) < threshold` keeps ≈`fraction` of rows — the
+    * same rows in every engine, every partitioning, every run. "g" sorts
+    * above every hex digit and means keep-all. */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    val t = math.min(math.max(fraction, 0.0), 1.0)
+    val v = math.round(t * (1L << 32))
+    if (v >= (1L << 32)) "g" else f"$v%08x"
+  }
+
+  private def hashKey(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 8)
+
+  /** The corpus-scale sampler: per-row hash-threshold filter — no window,
+    * no shuffle, no per-stratum funnel; a giant stratum costs nothing
+    * extra. Fractions are approximate (binomial around the target, exact
+    * in expectation) where [[stratified]]/[[mixture]] are exact-count;
+    * both are deterministic and partition-invariant. This is the form
+    * that survives a 100 TB stratum. */
+  def hashSample(df: DataFrame, id: Column, fraction: Double): DataFrame =
+    df.filter(hashKey(id) < lit(hexThreshold(fraction)))
+
+  /** Scale path of [[mixture]]: per-stratum weights applied as per-row
+    * hash thresholds. Map-only — the weight lookup and the filter are
+    * plain expressions on each row. */
+  def mixtureHash(df: DataFrame, stratum: Column, id: Column,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 0.0): DataFrame = {
+    val thrs = typedLit(weights.map { case (k, v) => k -> hexThreshold(v) })
+    df.filter(hashKey(id) <
+      coalesce(element_at(thrs, stratum.cast("string")),
+        lit(hexThreshold(defaultWeight))))
   }
 
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata

@@ -138,6 +138,17 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // Scale-path sampler: per-row hash-threshold mixing — no window, no
+    // shuffle, immune to giant strata (approximate counts, deterministic).
+    "sample_hash_mixture" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .mixtureHash(t.documents, col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.2, "src3" -> 1.0), defaultWeight = 0.05)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Data mixing by source weights; unlisted sources keep 5%.
     "sample_mixture" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -491,6 +502,17 @@ object PipelineQueries {
              count(*) OVER (PARTITION BY event_type) AS n
            FROM events)
          WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
+
+    "sample_hash_mixture" -> {
+      import graft.operators.Sampling.hexThreshold
+      s"""SELECT doc_id, source FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE source WHEN 'src0' THEN '${hexThreshold(0.5)}'
+                       WHEN 'src1' THEN '${hexThreshold(0.2)}'
+                       WHEN 'src3' THEN '${hexThreshold(1.0)}'
+                       ELSE '${hexThreshold(0.05)}' END
+         ORDER BY doc_id"""
+    },
 
     "sample_mixture" ->
       """SELECT doc_id, source FROM (

@@ -41,6 +41,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("hash sampler: deterministic, shuffle-free plan, fraction near target") {
+    val frac = 0.3
+    val got = Sampling.hashSample(events, col("event_id"), frac)
+    // no exchange anywhere: per-row filter only (ignoring the scan itself)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash sample shuffled:\n$plan")
+    // deterministic across partitionings
+    val a = got.select("event_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(events.repartition(13), col("event_id"), frac)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // binomial tolerance: well within ±5 sigma of n*frac
+    val n = events.count().toDouble
+    val sigma = math.sqrt(n * frac * (1 - frac))
+    assert(math.abs(a.size - n * frac) < 5 * sigma, s"kept ${a.size} of $n")
+    // edge fractions
+    assert(Sampling.hashSample(events, col("event_id"), 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(events, col("event_id"), 0.0).count() == 0)
+  }
+
+  test("mixtureHash keeps full 1.0-weight strata and samples the rest") {
+    val got = Sampling.mixtureHash(docs, col("source"), col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5)
+    val per = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(per("src0") == sizes("src0"))          // weight 1.0 keeps all
+    assert(!per.contains("src1"))                 // weight 0.0 keeps none
+    val others = per.filter { case (k, _) => k != "src0" }.values.sum.toDouble
+    val othersTotal = sizes.filter { case (k, _) => k != "src0" && k != "src1" }
+      .values.sum.toDouble
+    assert(others > 0.2 * othersTotal && others < 0.8 * othersTotal)
+  }
+
   test("contamination overlap counts equal driver-side shingle intersection") {
     val test = docs.filter(col("doc_id") < 50)
     val got = Contamination.ngramOverlap(docs, col("doc_id"), col("text"),
