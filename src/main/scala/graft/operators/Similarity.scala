@@ -106,6 +106,55 @@ object Similarity {
             x => round(x * 127.0 / col("maxabs"), 0).cast("tinyint")))
           .as("codes"))
 
+  /** Top-k via the quantized corpus with exact re-ranking: candidates are
+    * scored on int8 codes (8× less scan/shuffle bandwidth than the double
+    * vectors — at 100 TB the scan IS the cost), the best `rerank × k` per
+    * query survive, and only those re-score against the exact vectors.
+    * Quantized cosine ≈ true cosine to ~1/254 per component, so with a
+    * modest rerank multiple the final top-k matches exact brute force
+    * (recall measured in the spec suite). The exact-vector join touches
+    * candidates only — `rerank × k × |queries|` rows. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    rerank: Int = 4): DataFrame = {
+    val cq = quantizeInt8(corpus)
+      .select(col("vec_id").as("cand_id"), col("scale").as("cand_scale"),
+        col("codes").cast("array<double>").as("cand_codes"))
+    val qq = quantizeInt8(queries)
+      .select(col("vec_id").as("query_id"), col("scale").as("query_scale"),
+        col("codes").cast("array<double>").as("query_codes"))
+    // cosine of the dequantized vectors: scales cancel in the norms, so
+    // only the code arrays matter — scale columns are needed for nothing
+    // but sign (always >= 0) and are dropped.
+    val approx = cq.crossJoin(broadcast(qq))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos", cosineFromNorms(
+        dot(col("cand_codes"), col("query_codes")),
+        sqrt(dot(col("cand_codes"), col("cand_codes"))),
+        sqrt(dot(col("query_codes"), col("query_codes")))))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("cand_id"))
+    val candidates = approx
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * rerank)
+      .select(col("query_id"), col("cand_id"))
+    // exact re-score on survivors only
+    val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
+      col("norm").as("cand_norm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+      col("norm").as("query_norm"))
+    val rescored = candidates
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", cosineFromNorms(
+        dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+  }
+
   /** Multi-probe LSH-bucketed ANN. The corpus is bucketed once by its
     * `nPlanes`-bit sign pattern; each query probes its own bucket plus all
     * buckets within Hamming distance `maxProbe` (fan-out is query-side

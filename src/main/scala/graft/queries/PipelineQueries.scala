@@ -225,6 +225,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Quantized candidate generation + exact re-rank; fully deterministic,
+    // so the ENTIRE two-stage pipeline is oracle-checked.
+    "sim_quantized_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      Similarity.quantizedTopK(all, all.filter(col("vec_id") < 10), k = 5, rerank = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "sim_ann_lsh" -> { (s, dir) =>
       val t = Tables(s, dir)
       val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
@@ -578,6 +588,46 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, cand_id) AS rk
               FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "sim_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            m AS (SELECT vec_id, vec,
+                    list_max(list_transform(vec, x -> abs(x))) AS ma FROM v),
+            qz AS (SELECT vec_id,
+                     CASE WHEN ma = 0
+                          THEN list_transform(vec, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(vec, x -> CAST(CAST(
+                            round(x * 127.0 / ma) AS INTEGER) AS DOUBLE)) END AS codes
+                   FROM m),
+            qn AS (SELECT vec_id, codes,
+                     sqrt(list_inner_product(codes, codes)) AS cn FROM qz),
+            qq AS (SELECT vec_id AS query_id, codes AS qcodes, cn AS qcn
+                   FROM qn WHERE vec_id < 10),
+            approx AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                CASE WHEN c.cn * q.qcn = 0 THEN NULL
+                     ELSE list_inner_product(c.codes, q.qcodes) / (c.cn * q.qcn)
+                END AS acos
+              FROM qn c, qq q WHERE c.vec_id <> q.query_id),
+            cand AS (
+              SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY acos DESC, cand_id) AS ark
+                FROM approx) WHERE ark <= 20),
+            rescored AS (
+              SELECT cand.query_id, cand.cand_id,
+                list_inner_product(c.vec, q.vec) / (c.nrm * q.nrm) AS cosine
+              FROM cand JOIN n c ON c.vec_id = cand.cand_id
+                        JOIN n q ON q.vec_id = cand.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM rescored)
          SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
 

@@ -83,6 +83,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k with re-ranking recovers the exact top-k") {
+    val exact = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = Similarity.quantizedTopK(all, queries, k = 5, rerank = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(got.size == exact.size)
+    // recall over the top-5 sets per query (ties aside, should be ~all)
+    val byQ = exact.keys.map(_._1).toSet
+    val hits = byQ.toSeq.map { q =>
+      val e = (1 to 5).map(i => exact((q, i))).toSet
+      val g = got.filter(_._1._1 == q).map(_._2._1).toSet
+      (e intersect g).size
+    }.sum
+    assert(hits >= byQ.size * 5 * 0.9, s"recall too low: $hits / ${byQ.size * 5}")
+    // re-scored cosines are exact (match brute-force values where ids agree)
+    val exactCos = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { case ((q, _), (cand, cos)) =>
+      exactCos.get((q, cand)).foreach(e => assert(math.abs(e - cos) < 1e-12))
+    }
+  }
+
   test("LSH near-dup pairs are a subset of brute force with exact cosines") {
     val exact = Similarity.cosineNearDupPairs(all, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
