@@ -1,13 +1,15 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale-up probe: generates synthetic corpora 10-100x the sf0.1 document
   * count (with planted near-duplicates) and times MinHash-LSH end-to-end,
   * to show the dedup path scales linearly in corpus size rather than
-  * quadratically in pairs. Usage: runMain graft.ScaleProbe [sizes...]
+  * quadratically in pairs; plus an ANN probe timing quantized-code top-k
+  * against full-precision brute force on the same synthetic vectors.
+  * Usage: runMain graft.ScaleProbe [sizes...]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -70,6 +72,33 @@ object ScaleProbe {
       val sec2 = (System.nanoTime() - t2) / 1e9
       println(f"""{"metric":"minhash_clusters_scale","docs":$n,"sec":$sec2%.2f,"clusters":$nClusters}""")
       docs.unpersist()
+
+      // ANN probe on the same row counts: deterministic 64-dim vectors,
+      // 10 queries. Times exact brute force vs quantized-candidates +
+      // exact re-rank and reports overlap of the two top-5 sets. Both are
+      // corpus-scan-bound; the quantized path's win at real scale is scan
+      // and shuffle BYTES (int8 vs float64), which local[n] timing cannot
+      // show — overlap proves the result holds.
+      val vecs = spark.range(n.toLong)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+              / 500.0).as("vec"))
+        .withColumn("norm", sqrt(aggregate(transform(col("vec"), x => x * x),
+          lit(0.0), (a, x) => a + x)))
+      vecs.cache().count()
+      val queries = vecs.filter(col("vec_id") < 10)
+      val t3 = System.nanoTime()
+      val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+        .select(col("query_id"), col("cand_id")).collect().toSet
+      val sec3 = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val quant = Similarity.quantizedTopK(vecs, queries, k = 5)
+        .select(col("query_id"), col("cand_id")).collect().toSet
+      val sec4 = (System.nanoTime() - t4) / 1e9
+      val overlap = (exact intersect quant).size
+      println(f"""{"metric":"ann_scale","vecs":$n,"sec_brute":$sec3%.2f,"sec_quant":$sec4%.2f,"top5_overlap":$overlap,"of":${exact.size}}""")
+      vecs.unpersist()
     }
     spark.stop()
   }

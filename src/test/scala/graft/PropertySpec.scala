@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, OrderAnalytics, Sessionize}
+import graft.operators.{Dedup, OrderAnalytics, Sessionize, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -63,6 +63,32 @@ class PropertySpec extends SparkSpec {
       val expected = 1 + deltas.count(_ > 1800L)
       nSessions == expected
     }, n = 8)
+  }
+
+  test("property: zero-overlap chunks partition the doc; overlap covers every token") {
+    val docGen = Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(4))))
+    check(Prop.forAll(docGen, Gen.choose(2, 12), Gen.choose(0, 1)) {
+      (toks, size, ovFlag) =>
+        val overlap = if (ovFlag == 1) size / 2 else 0
+        val doc = toks.mkString(" ")
+        val chunks = TextAnalysis.chunkByTokens(
+            Seq(("d", doc)).toDF("doc_id", "text"), col("doc_id"), col("text"),
+            chunkSize = size, overlap = overlap)
+          .orderBy("chunk_id").select("chunk_text").as[String].collect()
+          .map(_.split(" ").toSeq)
+        if (overlap == 0)
+          // exact partition: concatenation reconstructs the document
+          chunks.flatten.toSeq == toks
+        else {
+          // every chunk starts step tokens after the previous; each covers
+          // its slice of the doc; union covers every token index
+          val step = size - overlap
+          chunks.zipWithIndex.forall { case (c, i) =>
+            c == toks.slice(i * step, i * step + size)
+          } && (chunks.length - 1) * step + chunks.last.length == toks.length
+        }
+    })
   }
 
   test("approx_count_distinct is within its documented error bound") {
