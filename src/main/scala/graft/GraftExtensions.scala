@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextHashExpressions.{ShingleJaccard, ShingleMinHash, Shingles, SimHash}
+import graft.functions.TextHashExpressions.{RepetitionStats, ShingleJaccard, ShingleMinHash, Shingles, SimHash}
 import graft.functions.VectorExpressions.{DotProduct, HyperplaneLshBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => ShingleJaccard(a, b, 3)
         case Seq(a, b, n) => ShingleJaccard(a, b, intArg(n, "ngram"))
         case _ => throw new IllegalArgumentException("shingle_jaccard(a, b[, ngram])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => RepetitionStats(text)
+        case _ => throw new IllegalArgumentException("repetition_stats(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),

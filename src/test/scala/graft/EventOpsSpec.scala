@@ -100,4 +100,15 @@ class EventOpsSpec extends SparkSpec {
       .head().getLong(0)
     assert(r.getLong(3) == viaCol)
   }
+
+  test("extensions register repetition_stats; kernel handles UTF-8 and NBSP") {
+    val r = spark.sql(
+      "SELECT repetition_stats('go go stop') AS r").select("r.*").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((3, 2, 2, 1)))
+    // multi-byte tokens count correctly; U+00A0 (non-breaking space, a
+    // multi-byte sequence) is NOT a separator — matches Java \s semantics
+    val u = spark.sql("SELECT repetition_stats('日本 語 日本 語 a b') AS r")
+      .select("r.*").head()
+    assert((u.getInt(0), u.getInt(1), u.getInt(2)) == ((5, 3, 2)))
+  }
 }
