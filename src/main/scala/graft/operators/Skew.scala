@@ -43,4 +43,23 @@ object Skew {
     val mergeCols = aggs.map(a => a.merge(col(s"__p_${a.name}")).as(a.name))
     phase1.groupBy(keys: _*).agg(mergeCols.head, mergeCols.tail: _*)
   }
+
+  /** Skew-safe fact-to-dimension shuffle join: the fact side is salted
+    * (deterministic whole-row hash mod `saltFactor`) and the dim side is
+    * replicated `saltFactor`× with every salt value, so each hot key's
+    * volume spreads over `saltFactor` reducers instead of one. Result is
+    * exactly the plain inner join. For when the dim is too big to
+    * broadcast and AQE's skew split doesn't engage (it needs the skew
+    * visible in map statistics; a pre-shuffled or bucketed layout hides
+    * it). Replication cost is `saltFactor × |dim|` — pick the smallest
+    * factor that levels the hot keys. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(saltFactor))
+        .cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(joinKey, "__salt")).drop("__salt")
+  }
 }

@@ -134,6 +134,19 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Skew-safe fact-dim shuffle join: fact salted, dim replicated 8x —
+    // result identical to the plain join (which IS the oracle).
+    "q_salted_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val dim = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+      graft.operators.Skew
+        .saltedJoin(t.events.select(col("event_id"), col("user_id"),
+          col("event_type")), dim, "user_id", saltFactor = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_n")).as("s"))
+        .orderBy(col("event_type"))
+    },
+
     // RANGE-frame sliding window: 7-day rolling revenue over the daily
     // aggregate. rangeBetween on a day number handles calendar gaps exactly
     // like the INTERVAL frame in ANSI engines; sums stay DECIMAL inside the
@@ -363,6 +376,12 @@ object RelationalQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_suppkey <= 10
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q_salted_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+         SELECT e.event_type, count(*) AS n, CAST(sum(d.user_n) AS BIGINT) AS s
+         FROM events e JOIN dim d USING (user_id)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_rolling_7day" ->
       """WITH daily AS (

@@ -33,6 +33,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join equals plain join on hot-key data") {
+    import spark.implicits._
+    // one hot key (0) carrying 90% of the fact rows
+    val fact = spark.range(1000)
+      .select(col("id").as("row_id"),
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"))
+    val dim = fact.groupBy("k").agg(count(lit(1)).as("dn"))
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", saltFactor = 4)
+      .select("row_id", "k", "dn").as[(Long, Long, Long)].collect().toSet
+    val plain = fact.join(dim, "k")
+      .select("row_id", "k", "dn").as[(Long, Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+
   test("exact dedup treats null keys as one group") {
     val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "a"))
       .toDF("id", "key")
