@@ -117,6 +117,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Second funnel, composed from the shuffle-free scale-path operators:
+    // plant PII → redact → repetition filter → hash-threshold sample →
+    // token-window chunks → per-doc chunk/BPE counts. Every stage is
+    // map-only until the final per-doc aggregation; ONE oracle checks the
+    // whole composition.
+    "pipeline_chunks" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val planted = t.documents.select(col("doc_id"),
+        concat(col("text"), lit(" reach me at user"), col("doc_id"),
+          lit("@example.com")).as("text"))
+      val clean = planted.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text"))
+      val rep = graft.functions.TextHashExpressions.repetitionStats(col("text"))
+      val kept = clean.withColumn("r", rep)
+        .filter(col("r.n_tokens") >= 10 &&
+          col("r.top_token").cast("double") / col("r.n_tokens") <= 0.2)
+        .drop("r")
+      val sampled = graft.operators.Sampling.hashSample(kept, col("doc_id"), 0.5)
+      TextAnalysis.chunkByTokens(sampled, col("doc_id"), col("text"),
+          chunkSize = 32, overlap = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(TextAnalysis.bpeTokenCount(col("chunk_text")).cast("long")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination scan: training docs sharing >= 3 distinct
     // 3-grams with the "benchmark" slice (doc_id < 50), exact counts.
     "contamination_ngram" -> { (s, dir) =>
@@ -490,6 +516,47 @@ object PipelineQueries {
              '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
              AS BIGINT) AS n_bpe
          FROM ranked WHERE rn <= ceil(n * 0.5) ORDER BY doc_id"""
+    },
+
+    "pipeline_chunks" -> {
+      import graft.operators.Sampling.hexThreshold
+      s"""WITH planted AS (
+           SELECT doc_id,
+             text || ' reach me at user' || doc_id || '@example.com' AS text
+           FROM documents),
+          clean AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS text
+           FROM planted),
+          tok AS (
+           SELECT doc_id, text, $tokensSql AS toks,
+             len($tokensSql) AS n
+           FROM clean WHERE length(trim(text)) > 0),
+          kept AS (
+           SELECT doc_id, text, toks, n FROM tok
+           WHERE n >= 10
+             AND CAST(coalesce(list_max([len(list_filter(toks, y -> y = x))
+                                         for x in list_distinct(toks)]), 0)
+                      AS DOUBLE) / n <= 0.2),
+          sampled AS (
+           SELECT * FROM kept
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             < '${hexThreshold(0.5)}'),
+          chunks AS (
+           SELECT doc_id,
+             array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text
+           FROM sampled,
+             unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 24) AS INT))) AS u(i))
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(len(regexp_extract_all(chunk_text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))
+             AS BIGINT) AS n_bpe
+         FROM chunks GROUP BY doc_id ORDER BY doc_id"""
     },
 
     "contamination_ngram" ->
