@@ -148,9 +148,9 @@ object Dedup {
     * corpora), a single collect + union-find replaces the iterative
     * min-label-propagation loop, whose per-iteration job latency dominates
     * the operator on all but the largest graphs. Above the threshold the
-    * distributed loop runs: labels only decrease, so it converges within
-    * the graph diameter (near-dup graphs are cliquish: a handful of
-    * rounds), capped at `maxIters`. */
+    * distributed loop runs ([[propagateLabels]]): min-label propagation
+    * with pointer jumping, converging in O(log diameter) rounds, capped at
+    * `maxIters`. */
   def minhashClusters(docs: DataFrame, id: Column, text: Column,
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8, maxIters: Int = 20,
@@ -195,27 +195,7 @@ object Dedup {
         val edges = repPairs
           .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
           .persist()
-        var labs = edges.select(col("id_a").as("id")).distinct()
-          .withColumn("label", col("id")).persist()
-        labs.count()
-        var converged = false
-        var i = 0
-        while (!converged && i < maxIters) {
-          val nbrMin = edges
-            .join(labs.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"),
-              "id_b")
-            .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_label"))
-          val next = labs.join(nbrMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-            .persist()
-          val changed = next.as("n").join(labs.as("o"), "id")
-            .filter(col("n.label") < col("o.label")).count()
-          labs.unpersist()
-          labs = next
-          converged = changed == 0
-          i += 1
-        }
+        val labs = propagateLabels(edges, maxIters)
         edges.unpersist()
         repPairs.unpersist()
         labs.withColumnRenamed("id", "rep_id")
@@ -228,6 +208,55 @@ object Dedup {
       .join(labels, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Distributed min-label propagation with POINTER JUMPING over an
+    * oriented edge list `(id_a, id_b)` (both directions present):
+    * each round takes the min over neighbours, then shortcuts
+    * `label := label(label)`, so the remaining hop distance to the
+    * component minimum at least halves per round — convergence in
+    * O(log diameter) rounds, and the `maxIters` cap (default 20 → safe for
+    * diameters beyond 10^6) is a backstop, not a correctness risk. The
+    * returned `(id, label)` frame is locally checkpointed (materialized,
+    * lineage cut); its blocks are released by the ContextCleaner once the
+    * frame is no longer referenced — unlike a bare persist, nothing needs
+    * a manual unpersist. */
+  private[graft] def propagateLabels(edges: DataFrame, maxIters: Int): DataFrame = {
+    // localCheckpoint (not persist) on the carried frame: the self-join
+    // doubles the LOGICAL plan per round, so without lineage truncation the
+    // plan tree grows exponentially and planning itself OOMs around round
+    // 15 — checkpointing resets each round's plan to a constant-size scan.
+    var labs = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labs.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"),
+          "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_label"))
+      val stepped = labs.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labs.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).count()
+      stepped.unpersist()
+      labs = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] propagateLabels: not converged after $maxIters rounds; " +
+          "labels may not be component minima")
+    labs
   }
 
   /** Internals of [[minhashLshPairs]] up through the LSH candidate stage,

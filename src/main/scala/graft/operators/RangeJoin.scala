@@ -34,6 +34,11 @@ object RangeJoin {
     val i = intervals
       .withColumn("__s", unix_micros(start.cast("timestamp")))
       .withColumn("__e", unix_micros(end.cast("timestamp")))
+      // drop empty/inverted intervals BEFORE the explode: they can match
+      // nothing (the residual filter is s <= ts < e), but sequence(a, b)
+      // with b < a steps DOWNWARD, so one dirty row (e.g. a zeroed end
+      // timestamp) would otherwise fan out into millions of chunk rows
+      .filter(col("__e") > col("__s"))
       .withColumn("__chunk", explode_outer(sequence(
         floor(col("__s") / chunkMicros),
         floor((col("__e") - 1) / chunkMicros))))

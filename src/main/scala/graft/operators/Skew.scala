@@ -55,6 +55,9 @@ object Skew {
     * factor that levels the hot keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
                  saltFactor: Int): DataFrame = {
+    // pmod(x, 0) is null (non-ANSI): without this a zero factor would make
+    // every fact row's salt null and silently return an EMPTY join
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(saltFactor))
         .cast("int"))

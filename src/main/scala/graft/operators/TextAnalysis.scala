@@ -107,20 +107,25 @@ object TextAnalysis {
   /** Split each document into fixed-size token windows with `overlap`
     * tokens shared between consecutive chunks — the standard shaping step
     * for LLM training/context windows. Chunk i covers tokens
-    * `[i·(size-overlap), i·(size-overlap)+size)`; every token is covered
-    * and the tail chunk may be short. Per-row generate + explode: output
-    * rows ≈ n_tokens/step per doc, no shuffle — at corpus scale this is a
-    * map-only stage whose output feeds whatever partitioning the trainer
-    * wants next. */
+    * `[i·(size-overlap), i·(size-overlap)+size)`; every token is covered,
+    * the tail chunk may be short, and the chunk count is
+    * `max(1, ceil((n-overlap)/step))` so a tail that would contribute no
+    * NEW tokens (pure suffix of the previous chunk) is never emitted —
+    * emitting it would duplicate trailing tokens in the training data.
+    * Per-row generate + explode: output rows ≈ n_tokens/step per doc, no
+    * shuffle — at corpus scale this is a map-only stage whose output feeds
+    * whatever partitioning the trainer wants next. */
   def chunkByTokens(df: DataFrame, id: Column, text: Column,
                     chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val step = chunkSize - overlap
+    val nChunks = greatest(lit(1),
+      ceil((col("n") - overlap).cast("double") / step).cast("int"))
     df.select(id.as("doc_id"), tokens(text).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
       .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), ceil(col("n").cast("double") / step).cast("int") - 1),
+          sequence(lit(0), nChunks - 1),
           i => array_join(slice(col("toks"), i * step + 1, lit(chunkSize)), " ")))
         .as(Seq("chunk_id", "chunk_text")))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))

@@ -551,7 +551,8 @@ object PipelineQueries {
            SELECT doc_id,
              array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text
            FROM sampled,
-             unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 24) AS INT))) AS u(i))
+             unnest(range(0, greatest(1,
+               CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS INT)))) AS u(i))
          SELECT doc_id, count(*) AS n_chunks,
            CAST(sum(len(regexp_extract_all(chunk_text,
              '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))
@@ -823,7 +824,8 @@ object PipelineQueries {
           e AS (
            SELECT doc_id, i AS chunk_id,
              array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text
-           FROM f, unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 24) AS INT))) AS u(i))
+           FROM f, unnest(range(0, greatest(1,
+             CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS INT)))) AS u(i))
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
            CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens
          FROM e ORDER BY doc_id, chunk_id""",

@@ -62,15 +62,27 @@ object SocketKVStore {
   private val conns = new ConcurrentHashMap[(String, Int), Conn]()
 
   /** One shared connection per JVM per endpoint; calls are serialized on it
-    * (a production client would hold a pool instead of a mutex). */
+    * (a production client would hold a pool instead of a mutex). A dead
+    * connection is evicted on failure so the NEXT call reconnects — without
+    * the eviction one server restart would poison the cache entry and fail
+    * every later call to that endpoint for the life of the JVM. */
   private def pooled(host: String, port: Int, line: String): String = {
-    val c = conns.computeIfAbsent((host, port), _ => new Conn(host, port))
+    val key = (host, port)
+    val c = conns.computeIfAbsent(key, _ => new Conn(host, port))
     c.synchronized {
-      c.out.println(line)
-      val resp = c.in.readLine()
-      require(resp != null, s"KV server at $host:$port closed the connection")
-      if (resp.startsWith("ERR ")) throw new IllegalStateException(resp)
-      resp.stripPrefix("OK ")
+      try {
+        c.out.println(line)
+        val resp = c.in.readLine()
+        require(resp != null, s"KV server at $host:$port closed the connection")
+        if (resp.startsWith("ERR ")) throw new IllegalStateException(resp)
+        resp.stripPrefix("OK ")
+      } catch {
+        case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
+          // transport-level failure: drop the connection, not the endpoint
+          conns.remove(key, c)
+          try c.socket.close() catch { case _: Throwable => () }
+          throw e
+      }
     }
   }
 
@@ -97,13 +109,18 @@ final class KVServer(bind: String = "127.0.0.1") {
   def start(): Unit = {
     running = true
     val acceptor = new Thread(() => {
-      while (running) {
+      while (running && !server.isClosed) {
         try {
           val sock = server.accept()
           val t = new Thread(() => serve(sock))
           t.setDaemon(true)
           t.start()
-        } catch { case _: Throwable => () } // closed during stop()
+        } catch {
+          // closed during stop() exits via the loop condition; any other
+          // accept failure (fd exhaustion, transient socket error) must not
+          // hot-spin — back off briefly before retrying
+          case _: Throwable => if (running && !server.isClosed) Thread.sleep(50)
+        }
       }
     })
     acceptor.setDaemon(true)

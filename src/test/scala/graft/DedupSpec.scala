@@ -115,6 +115,18 @@ class DedupSpec extends SparkSpec {
     assert(got.values.groupBy(identity).exists(_._2.size > 1))
   }
 
+  test("pointer jumping converges on a long chain well within maxIters") {
+    // 60-node path graph: plain min-propagation needs 59 rounds; pointer
+    // jumping must land every node on label 0 within the default 20
+    val fwd = spark.range(59).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val edges = fwd.unionByName(
+      fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val labels = Dedup.propagateLabels(edges, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 0L), s"unconverged labels: $labels")
+  }
+
   test("distributed label propagation matches the driver union-find path") {
     // driverMaxEdges = -1 forces the distributed loop on the same corpus
     val dist = Dedup.minhashClusters(docs, col("doc_id"), col("text"),

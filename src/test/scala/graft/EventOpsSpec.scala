@@ -106,8 +106,11 @@ class EventOpsSpec extends SparkSpec {
       "SELECT repetition_stats('go go stop') AS r").select("r.*").head()
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((3, 2, 2, 1)))
     // multi-byte tokens count correctly; U+00A0 (non-breaking space, a
-    // multi-byte sequence) is NOT a separator — matches Java \s semantics
-    val u = spark.sql("SELECT repetition_stats('日本 語 日本 語 a b') AS r")
+    // multi-byte sequence) is NOT a separator — matches Java \s semantics.
+    // The NBSP is spliced in via its escape so no invisible byte hides in
+    // the literal: the last "token" is a<NBSP>b, so 5 tokens, 3 distinct.
+    val nbsp = "\u00a0"
+    val u = spark.sql(s"SELECT repetition_stats('日本 語 日本 語 a${nbsp}b') AS r")
       .select("r.*").head()
     assert((u.getInt(0), u.getInt(1), u.getInt(2)) == ((5, 3, 2)))
   }

@@ -86,7 +86,9 @@ class PropertySpec extends SparkSpec {
           val step = size - overlap
           chunks.zipWithIndex.forall { case (c, i) =>
             c == toks.slice(i * step, i * step + size)
-          } && (chunks.length - 1) * step + chunks.last.length == toks.length
+          } && (chunks.length - 1) * step + chunks.last.length == toks.length &&
+            // every chunk past the first contributes new tokens
+            (chunks.length == 1 || chunks.last.length > overlap)
         }
     })
   }

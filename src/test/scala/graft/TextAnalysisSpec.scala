@@ -67,11 +67,12 @@ class TextAnalysisSpec extends SparkSpec {
         chunkSize = 4, overlap = 1)
       .orderBy("doc_id", "chunk_id")
       .as[(String, Int, String, Int)].collect()
-    // step = 3: chunks at 0,3,6,9 → [t1..t4],[t4..t7],[t7..t10],[t10]
+    // step = 3, nChunks = ceil((10-1)/3) = 3: [t1..t4],[t4..t7],[t7..t10]
+    // — a 4th chunk [t10] would add no new tokens and is not emitted
     val doc1 = got.filter(_._1 == "1")
     assert(doc1.map(_._3).toSeq == Seq(
-      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
-    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4, 1))
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4))
     assert(got.filter(_._1 == "2").map(_._3).toSeq == Seq("a b"))
     assert(!got.exists(_._1 == "3"))
   }
