@@ -97,11 +97,13 @@ object SocketKVStore {
   * protocol, backed by an [[InMemoryKVStore]]. Test/demo scaffolding for the
   * network path — run it in a separate thread or process and point any
   * number of [[SocketKVStore]] handles at it. */
-final class KVServer(bind: String = "127.0.0.1") {
+final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0) {
   import SocketKVStore.{b64, unb64}
 
   val store = new InMemoryKVStore
-  private val server = new ServerSocket(0, 64, java.net.InetAddress.getByName(bind))
+  private val server =
+    new ServerSocket(fixedPort, 64, java.net.InetAddress.getByName(bind))
+  private val clients = ConcurrentHashMap.newKeySet[Socket]()
   @volatile private var running = false
 
   def port: Int = server.getLocalPort
@@ -128,6 +130,7 @@ final class KVServer(bind: String = "127.0.0.1") {
   }
 
   private def serve(sock: Socket): Unit = {
+    clients.add(sock)
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
@@ -137,7 +140,8 @@ final class KVServer(bind: String = "127.0.0.1") {
         out.println(try handle(line) catch { case e: Throwable => s"ERR ${e.getMessage}" })
         line = in.readLine()
       }
-    } finally sock.close()
+    } catch { case _: java.io.IOException => () } // connection closed under us
+    finally { clients.remove(sock); sock.close() }
   }
 
   private def handle(line: String): String = line.split(" ").toList match {
@@ -151,8 +155,13 @@ final class KVServer(bind: String = "127.0.0.1") {
     case _ => s"ERR bad command: $line"
   }
 
+  /** Stop accepting AND drop live client connections — a restart must
+    * look like a real server death to pooled clients, not a half-open
+    * socket that keeps serving from the old process. */
   def stop(): Unit = {
     running = false
     try server.close() catch { case _: Throwable => () }
+    clients.forEach(s => try s.close() catch { case _: Throwable => () })
+    clients.clear()
   }
 }

@@ -86,6 +86,25 @@ class StreamingSpec extends SparkSpec {
     } finally { server.stop(); SocketKVStore.resetConnections() }
   }
 
+  test("TCP KVStore: a server restart does not poison the pooled connection") {
+    val server = new KVServer()
+    server.start()
+    val port = server.port
+    try {
+      val store = new SocketKVStore("127.0.0.1", port)
+      assert(store.hincrBy("k", "f", 1L) == 1L)
+      // kill the server mid-life: the cached connection is now dead
+      server.stop()
+      intercept[Exception](store.hincrBy("k", "f", 1L))
+      // a new server on the SAME endpoint: the failed call must have
+      // evicted the dead connection so this call reconnects and succeeds
+      val server2 = new KVServer(fixedPort = port)
+      server2.start()
+      try assert(store.hincrBy("k", "f", 5L) == 5L)
+      finally server2.stop()
+    } finally { server.stop(); SocketKVStore.resetConnections() }
+  }
+
   test("checkpoint resume: restart continues from stored offsets, no recount") {
     val store = freshStore("t2")
     val dir = Files.createTempDirectory("files").toString
