@@ -143,9 +143,11 @@ object Dedup {
     * output-sized — so corpus-sized frames are touched only by the
     * single-pass expansion at the end. The component algorithm is hybrid:
     * when the verified edge list fits comfortably on the driver
-    * (≤ `driverMaxEdges`, default 4M ≈ 64 MB — near-dup graphs after
-    * exact-collapse are almost always far below this even for web-scale
-    * corpora), a single collect + union-find replaces the iterative
+    * (≤ `driverMaxEdges`, default 1M edges — collected as primitive Long
+    * pairs, ≈ 50 MB of boxed tuples on the heap, with the resulting
+    * ≤ 2M-row label frame broadcast; near-dup graphs after exact-collapse
+    * are almost always far below this even for web-scale corpora), a
+    * single collect + union-find replaces the iterative
     * min-label-propagation loop, whose per-iteration job latency dominates
     * the operator on all but the largest graphs. Above the threshold the
     * distributed loop runs ([[propagateLabels]]): min-label propagation
@@ -154,7 +156,7 @@ object Dedup {
   def minhashClusters(docs: DataFrame, id: Column, text: Column,
                       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8, maxIters: Int = 20,
-                      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
+                      driverMaxEdges: Long = 1000 * 1000): DataFrame = {
     val (keyed, eligible, cand) = minhashLshStages(docs, id, text, ngram, numHashes, bands)
     val texts = keyed.select(col("doc_id"), col("__text"))
     val repPairs = cand
@@ -171,7 +173,11 @@ object Dedup {
     val labels: DataFrame =
       if (nEdges <= driverMaxEdges) {
         // Driver union-find with min-root, one pass over the edge list.
-        val pairs = repPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // Collected through the tuple encoder (primitive-backed UnsafeRow
+        // decode, no Row objects retained).
+        val session = docs.sparkSession
+        import session.implicits._
+        val pairs = repPairs.as[(Long, Long)].collect()
         repPairs.unpersist()
         val parent = scala.collection.mutable.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -187,10 +193,11 @@ object Dedup {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        val session = docs.sparkSession
-        import session.implicits._
-        broadcast(parent.keysIterator.map(k => (k, find(k))).toSeq
-          .toDF("rep_id", "label"))
+        // Snapshot the key set BEFORE resolving labels: find() compresses
+        // paths (mutates `parent`), and iterating a mutable map while
+        // mutating it is undefined however the current HashMap behaves.
+        val ks = parent.keys.toArray
+        broadcast(ks.map(k => (k, find(k))).toSeq.toDF("rep_id", "label"))
       } else {
         val edges = repPairs
           .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -323,14 +330,21 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // The hash is materialized behind a Generate (posexplode_outer of a
+    // one-element array): downstream band keys and the hamming computation
+    // read the `sh` ATTRIBUTE, and neither CollapseProject nor an inferred
+    // isnotnull constraint can rewrite an attribute back into the kernel
+    // expression through a Generate — so simhash64 evaluates exactly once
+    // per row per join side with NO exchange. (Round 2 bought the same
+    // single-eval guarantee with a repartition barrier; that shuffled the
+    // whole hashed corpus and cost 2x on the bench. The second join branch
+    // re-scans instead of reusing an exchange — one extra kernel pass, far
+    // cheaper than a full shuffle, and still linear in the corpus.)
     val hashed = docs
-      .filter(hasNgramTokens(text, 3))  // cheap pre-filter: the hash kernel
-      .select(id.as("doc_id"), simhash64(text).as("sh"))   // evaluates once
-      .repartition(np, col("doc_id"))   // barrier: band keys read `sh`, not recompute it
-    // posexplode_outer for the same reason as in minhashLshStages: the
-    // non-outer generator's inferred isnotnull constraint gets inlined as a
-    // second simhash64 evaluation in the scan Filter.
+      .filter(hasNgramTokens(text, 3))  // cheap pre-filter: sub-3-token rows
+      .select(id.as("doc_id"),          // can't hash; nulls never equi-join
+        posexplode_outer(array(simhash64(text))).as(Seq("__p", "sh")))
+      .select(col("doc_id"), col("sh"))
     val banded = hashed.select(col("doc_id"), col("sh"),
       posexplode_outer(transform(sequence(lit(0), lit(nBands - 1)),
         b => call_function("shiftright", col("sh"), b * lit(width))
@@ -340,15 +354,14 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      // coalesce, not a bare <=: the null-intolerant chain of a bare
-      // comparison makes InferFiltersFromConstraints derive isnotnull(sh),
-      // which predicate pushdown inlines through the projection as a second
-      // simhash64 evaluation in the scan Filter. coalesce breaks the chain
-      // (it is not null-intolerant); hamming can't be null here anyway.
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      // Filter BEFORE the dedup exchange: multi-band agreement duplicates
+      // only matter for surviving pairs, so eliminating the false-positive
+      // candidates first shrinks the distinct's shuffle from
+      // candidate-sized to output-sized. coalesce keeps the predicate
+      // null-tolerant (defense in depth — `sh` already sits behind the
+      // Generate, so an inferred isnotnull could not reach the kernel).
       .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -54,7 +54,16 @@ object IvfIndex {
       assign = nearestCentroid(col("vec"), cents)
     }
 
-    val assigned = corpus.withColumn("centroid_id", assign)
+    // Materialize the assignment behind a Generate (posexplode_outer of a
+    // one-element array): probeTopK equi-joins on centroid_id, and with a
+    // plain Project the join's inferred isnotnull(centroid_id) constraint
+    // gets pushed through the projection as a SECOND evaluation of the
+    // k x dim nearest_centroid kernel in the scan Filter. A constraint on
+    // a Generate output attribute cannot cross the Generate, so the kernel
+    // runs exactly once per corpus row.
+    val assigned = corpus
+      .select(col("*"), posexplode_outer(array(assign)).as(Seq("__p", "centroid_id")))
+      .drop("__p")
     val centroidRows = cents.zipWithIndex.map { case (v, i) =>
       var s = 0.0; var j = 0
       while (j < v.length) { s += v(j) * v(j); j += 1 }

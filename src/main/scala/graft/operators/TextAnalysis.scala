@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token array of trimmed text; empty text → empty array. */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace token array; empty/blank text → empty array. The text is
+    * trimmed of ALL leading/trailing whitespace first — Spark's `trim`
+    * strips only ' ', so a doc starting with a tab/newline would otherwise
+    * produce a leading empty token. This split-based tokenizer is the
+    * CANONICAL one: it yields exactly the tokens of the one-pass kernels
+    * ([[graft.functions.TextKernels.repetitionStats]]/`langId`, which scan
+    * ASCII-whitespace runs and never emit empties — Java's `\s` class is
+    * the same six ASCII bytes), so counts from either path agree. */
+  def tokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -83,14 +92,27 @@ object TextAnalysis {
   }
 
   /** Content fingerprint: md5 hex of whitespace-normalized lowercase text.
-    * Identical-content detection that survives case/whitespace noise. */
+    * Identical-content detection that survives case/whitespace noise.
+    * Full-whitespace trim (not `trim`, which strips only ' ') so leading
+    * tabs/newlines don't leak a space into the normalized form. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(
+      lower(regexp_replace(text, "^\\s+|\\s+$", "")), "\\s+", " ").cast("binary"))
 
   /** Email / phone / IPv4 patterns valid in both Java regex and RE2, so the
-    * exact same redaction is expressible in any engine's regexp_replace. */
+    * exact same redaction is expressible in any engine's regexp_replace
+    * (RE2 rules out lookaround — patterns must work without it).
+    *
+    * PhoneRe matches 7–15 digits with at most ONE space/hyphen between
+    * consecutive digits (optionally +-prefixed) — the E.164 length band.
+    * Known false-positive class, accepted by contract: digit runs that
+    * LOOK like phone numbers still match — a year list ("2018 2019 2020")
+    * or a separator-free numeric ID is structurally indistinguishable
+    * without lookahead. The bounded count at least stops the unbounded
+    * `[\d -]{7,}` swallow of arbitrarily long digit/space runs (16+-digit
+    * sequences no longer match as a whole). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  val PhoneRe = "\\+?\\d(?:[ -]?\\d){6,14}"
   val Ipv4Re = "\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b"
 
   /** PII scrub: emails, then IPv4 literals, then phone-like digit runs,

@@ -412,8 +412,18 @@ object PipelineQueries {
     }
   )
 
+  /** Canonical whitespace class for the DuckDB oracles: the six ASCII
+    * bytes of Java's `\s` (RE2's `\s` lacks \x0B, so the class is spelled
+    * out). `wsTrimSql` strips ALL leading/trailing whitespace — DuckDB's
+    * `trim`, like Spark's, strips only ' ' — so the split below matches
+    * [[graft.operators.TextAnalysis.tokens]] and the one-pass kernels:
+    * no empty tokens, whatever whitespace the text starts or ends with. */
+  private val wsClassSql = """[ \t\n\f\r\x0B]"""
+  private val wsTrimSql =
+    s"""regexp_replace(text, '^$wsClassSql+|$wsClassSql+$$', '', 'g')"""
   private val tokensSql =
-    """regexp_split_to_array(trim(text), '\s+')"""
+    s"""regexp_split_to_array($wsTrimSql, '$wsClassSql+')"""
+  private val blankSql = s"""length($wsTrimSql) = 0"""
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -475,7 +485,7 @@ object PipelineQueries {
       s"""WITH RECURSIVE
            q AS (
              SELECT doc_id, text, source,
-               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+               CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,
                length(text) AS n_chars,
                length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct,
                $hits
@@ -529,14 +539,14 @@ object PipelineQueries {
              regexp_replace(
                regexp_replace(
                  regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b', '<IP>', 'g'),
-               '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS text
+                   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                 '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+               '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
            FROM planted),
           tok AS (
            SELECT doc_id, text, $tokensSql AS toks,
              len($tokensSql) AS n
-           FROM clean WHERE length(trim(text)) > 0),
+           FROM clean WHERE NOT $blankSql),
           kept AS (
            SELECT doc_id, text, toks, n FROM tok
            WHERE n >= 10
@@ -701,7 +711,7 @@ object PipelineQueries {
 
     "text_token_stats" ->
       s"""SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,
          length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
 
@@ -710,14 +720,14 @@ object PipelineQueries {
          CAST(len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
            AS BIGINT) AS n_bpe,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END
+         CAST(CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END
            AS BIGINT) AS n_ws
          FROM documents ORDER BY doc_id""",
 
     "text_quality" ->
       s"""WITH f AS (
            SELECT doc_id, length(text) AS n_chars,
-             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS n_tokens,
+             CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,
              length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct
            FROM documents),
             g AS (
@@ -750,6 +760,20 @@ object PipelineQueries {
          FROM f ORDER BY doc_id"""
     },
 
+    // FakeDecoder's byte histogram is deterministic, so the whole decode
+    // path is oracle-checkable: f0 = sum of payload bytes at offsets
+    // ≡ 0 (mod 8), each scaled by 1/255. The payload is the UTF-8 text —
+    // ASCII in this corpus (verified), so byte i == character i+1 and the
+    // oracle can walk substr() instead of blob bytes.
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         round(coalesce(list_sum([ord(substr(text, i, 1)) / 255.0
+           for i in range(1, length(text) + 1) if (i - 1) % 8 = 0]), 0.0), 6) AS f0
+         FROM documents ORDER BY doc_id""",
+
     "multimodal_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
@@ -758,14 +782,14 @@ object PipelineQueries {
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "text_fingerprint" ->
-      """SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      s"""SELECT doc_id,
+         md5(regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n
          FROM (SELECT unnest($tokensSql) AS token FROM documents
-               WHERE length(trim(text)) > 0)
+               WHERE NOT $blankSql)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
     "embed_quantize_int8" ->
@@ -787,7 +811,7 @@ object PipelineQueries {
     "text_repetition" ->
       s"""WITH t AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN $blankSql THEN []::VARCHAR[]
                   ELSE $tokensSql END AS toks
            FROM documents),
           b AS (
@@ -820,7 +844,7 @@ object PipelineQueries {
       s"""WITH f AS (
            SELECT doc_id, $tokensSql AS toks,
              len($tokensSql) AS n
-           FROM documents WHERE length(trim(text)) > 0),
+           FROM documents WHERE NOT $blankSql),
           e AS (
            SELECT doc_id, i AS chunk_id,
              array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text
@@ -831,7 +855,7 @@ object PipelineQueries {
          FROM e ORDER BY doc_id, chunk_id""",
 
     "text_redact_pii" ->
-      """WITH planted AS (
+      s"""WITH planted AS (
            SELECT doc_id,
              text || ' reach me at user' || doc_id || '@example.com'
                   || ' or +1 555 000 77' || (doc_id % 100)
@@ -841,9 +865,9 @@ object PipelineQueries {
            regexp_replace(
              regexp_replace(
                regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b', '<IP>', 'g'),
-             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+                 '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+               '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+             '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
          FROM planted ORDER BY doc_id""",
 
     "q_retention_cohort" ->

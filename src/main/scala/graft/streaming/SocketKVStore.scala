@@ -131,6 +131,17 @@ final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0) {
 
   private def serve(sock: Socket): Unit = {
     clients.add(sock)
+    // Re-check AFTER registering: a connection accepted in the window
+    // between stop()'s `running = false` and its client sweep would
+    // otherwise be served by a "stopped" server — the half-open behavior
+    // stop() exists to prevent. Register-then-check pairs with stop()'s
+    // flag-then-sweep: whichever thread runs second sees the other's
+    // write, so the socket is closed on at least one path.
+    if (!running) {
+      clients.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+      return
+    }
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)

@@ -12,6 +12,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(0, 0, 1, 2, 2))
   }
 
+  test("tokenizer is canonical: split path == kernel path on leading/odd whitespace") {
+    // Leading tab/newline used to give the split tokenizer an empty first
+    // token (Spark's `trim` strips only ' '), diverging from the one-pass
+    // kernel. Both paths must agree on every whitespace shape.
+    val docs = Seq("\tstarts with tab", "\n\nnewlines first", "\u000Bvertical tab",
+      " normal lead", "tab\tinside", "trailing tab\t", "\t", "", "a\r\nb")
+    val df = docs.toDF("text")
+    val split = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq
+    val kernel = df.select(
+        graft.functions.TextHashExpressions.repetitionStats(col("text"))
+          .getField("n_tokens")).as[Int].collect().toSeq
+    assert(split == kernel, s"split=$split kernel=$kernel")
+    assert(split == Seq(3, 2, 2, 2, 2, 2, 0, 0, 2))
+    // and no empty tokens survive in the arrays themselves
+    val toks = df.select(TextAnalysis.tokens(col("text"))).as[Seq[String]].collect()
+    assert(toks.forall(_.forall(_.nonEmpty)))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog is in a house",
