@@ -71,6 +71,17 @@ object ScaleProbe {
         .select(col("cluster_id")).distinct().count()
       val sec2 = (System.nanoTime() - t2) / 1e9
       println(f"""{"metric":"minhash_clusters_scale","docs":$n,"sec":$sec2%.2f,"clusters":$nClusters}""")
+
+      // Same clustering with the driver union-find DISABLED
+      // (driverMaxEdges = 0): forces the distributed pointer-jumping
+      // propagateLabels loop — the >1M-edge fallback — end-to-end on a
+      // real corpus. Cluster count must equal the hybrid path's.
+      val t2b = System.nanoTime()
+      val nClustersDist = Dedup.minhashClusters(docs, col("doc_id"), col("text"),
+          driverMaxEdges = 0)
+        .select(col("cluster_id")).distinct().count()
+      val sec2b = (System.nanoTime() - t2b) / 1e9
+      println(f"""{"metric":"minhash_clusters_distributed","docs":$n,"sec":$sec2b%.2f,"clusters":$nClustersDist,"clusters_hybrid":$nClusters}""")
       docs.unpersist()
 
       // ANN probe on the same row counts: deterministic 64-dim vectors,
@@ -98,6 +109,24 @@ object ScaleProbe {
       val sec4 = (System.nanoTime() - t4) / 1e9
       val overlap = (exact intersect quant).size
       println(f"""{"metric":"ann_scale","vecs":$n,"sec_brute":$sec3%.2f,"sec_quant":$sec4%.2f,"top5_overlap":$overlap,"of":${exact.size}}""")
+
+      // IVF vs multi-probe LSH on the same vectors: build (2 Lloyd scans,
+      // 16 lists) + probe-4 top-5, against nPlanes=4/maxProbe=1 LSH.
+      // Recall is top-5 overlap with exact brute force. IVF's edge is
+      // clustered corpora (these synthetic vectors are near-uniform, so
+      // this is its worst case); the row published here is the honest
+      // build+probe cost curve, not a cherry-picked win.
+      val t5 = System.nanoTime()
+      val (assigned, centroids) = graft.operators.IvfIndex.build(vecs, k = 16)
+      val ivf = graft.operators.IvfIndex
+        .probeTopK(assigned, centroids, queries, k = 5, nProbe = 4)
+        .select(col("query_id"), col("cand_id")).collect().toSet
+      val sec5 = (System.nanoTime() - t5) / 1e9
+      val t6 = System.nanoTime()
+      val lsh = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 4, maxProbe = 1)
+        .select(col("query_id"), col("cand_id")).collect().toSet
+      val sec6 = (System.nanoTime() - t6) / 1e9
+      println(f"""{"metric":"ivf_scale","vecs":$n,"sec_ivf_build_probe":$sec5%.2f,"sec_lsh":$sec6%.2f,"top5_overlap_ivf":${(exact intersect ivf).size},"top5_overlap_lsh":${(exact intersect lsh).size},"of":${exact.size}}""")
       vecs.unpersist()
     }
     spark.stop()

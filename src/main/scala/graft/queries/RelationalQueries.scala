@@ -159,6 +159,9 @@ object RelationalQueries {
       val daily = t.events
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast(DecimalType(18, 6))).as("rev"))
+      // Unpartitioned Window = one task — fine HERE and forever: its input
+      // is the per-day aggregate (one row per calendar day, bounded at
+      // ~365/year however large the event stream), never the raw events.
       val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
       daily
         .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))

@@ -96,13 +96,25 @@ object SocketKVStore {
 /** Minimal thread-per-connection server speaking the [[SocketKVStore]]
   * protocol, backed by an [[InMemoryKVStore]]. Test/demo scaffolding for the
   * network path — run it in a separate thread or process and point any
-  * number of [[SocketKVStore]] handles at it. */
-final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0) {
+  * number of [[SocketKVStore]] handles at it. Pass `backing` to restart a
+  * server over surviving data — the serving process dies, the store's
+  * contents don't, which is how a persistent KV backend (Redis with AOF)
+  * behaves across a crash. */
+final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
+                     backing: InMemoryKVStore = new InMemoryKVStore) {
   import SocketKVStore.{b64, unb64}
 
-  val store = new InMemoryKVStore
-  private val server =
-    new ServerSocket(fixedPort, 64, java.net.InetAddress.getByName(bind))
+  val store: InMemoryKVStore = backing
+  // SO_REUSEADDR before bind: a fixed-port restart right after a stop()
+  // must not fail on the dead process's lingering TIME_WAIT sockets —
+  // restartability is the point of the fixed-port mode.
+  private val server = {
+    val s = new ServerSocket()
+    s.setReuseAddress(true)
+    s.bind(new java.net.InetSocketAddress(
+      java.net.InetAddress.getByName(bind), fixedPort), 64)
+    s
+  }
   private val clients = ConcurrentHashMap.newKeySet[Socket]()
   @volatile private var running = false
 

@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(lowSim.isEmpty, s"simhash matched dissimilar pairs: $lowSim")
   }
 
+  test("plan guard: simhash kernel evaluates once per join side, never in a scan filter") {
+    // The kernel sits behind a Generate; if a future change re-exposes it
+    // to CollapseProject or inferred-isnotnull pushdown, the count jumps
+    // (r1 regression: 5 evals/row; r2's fix cost a full corpus shuffle).
+    val plan = Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    val n = "simhash64\\(".r.findAllIn(plan).size
+    assert(n == 2, s"expected 2 simhash64 occurrences (one per join side), got $n")
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      "simhash path should not shuffle the hashed corpus before banding")
+  }
+
   test("simhash hamming values match recomputed signatures") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

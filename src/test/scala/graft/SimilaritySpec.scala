@@ -62,6 +62,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("plan guard: nearest_centroid evaluates once per corpus row") {
+    // The assignment sits behind a Generate; a plain Project would let the
+    // probe join's inferred isnotnull(centroid_id) push a second k x dim
+    // kernel evaluation into the scan filter.
+    val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 8)
+    val plan = graft.operators.IvfIndex
+      .probeTopK(assigned, centroids, queries, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val n = "nearest_centroid\\(".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly 1 nearest_centroid in the plan, got $n")
+  }
+
   test("int8 quantization: reconstruction within scale/2, cosine preserved") {
     val q = Similarity.quantizeInt8(all)
       .join(all.select(col("vec_id"), col("vec")), "vec_id")

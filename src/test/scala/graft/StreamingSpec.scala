@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
+/** [[graft.streaming.KVStore]] wrapper that "crashes the serving process"
+  * the moment the sink tries to mark a batch applied. The kill hook is
+  * @transient: increments run inside executor task closures (which must
+  * serialize this handle), while markBatch only ever runs on the driver,
+  * where the hook is live. */
+private final class CrashAtMarkStore(inner: SocketKVStore, kill0: () => Unit)
+    extends graft.streaming.KVStore {
+  @transient private val kill = kill0
+  def hincrBy(k: String, f: String, d: Long): Long = inner.hincrBy(k, f, d)
+  def hgetAll(k: String): Map[String, Long] = inner.hgetAll(k)
+  def batchSeen(id: Long): Boolean = inner.batchSeen(id)
+  def markBatch(id: Long): Boolean = {
+    kill()
+    throw new IllegalStateException("serving process died before mark")
+  }
+}
+
 /** End-to-end Structured Streaming parity: cross-batch accumulation in the
   * KV sink, checkpoint-based resume (replacing the reference's two manual
   * offset-management variants), replay semantics, and the idiomatic
@@ -102,6 +119,52 @@ class StreamingSpec extends SparkSpec {
       server2.start()
       try assert(store.hincrBy("k", "f", 5L) == 5L)
       finally server2.stop()
+    } finally { server.stop(); SocketKVStore.resetConnections() }
+  }
+
+  test("TCP KVStore: server death between apply and mark degrades to " +
+       "at-least-once for that batch — replay re-applies, nothing is lost") {
+    // The documented window (OrderStreamPipeline.applyBatch): increments
+    // land on the store, then the server dies BEFORE markBatch. The batch
+    // is deliberately not marked up front, so its replay must re-apply
+    // (double-count — at-least-once), never be skipped (silent loss).
+    val server = new KVServer()
+    server.start()
+    val port = server.port
+    val store = new SocketKVStore("127.0.0.1", port)
+    // Kills the serving process at the exact apply→mark boundary. The
+    // store DATA survives (server restarts over the same backing), the
+    // mark does not happen — a real crash of a persistent KV backend.
+    // (Routing the MARK through the dying socket instead would race the
+    // server's close.)
+    val crashing = new CrashAtMarkStore(store, () => {
+      server.stop()
+      SocketKVStore.resetConnections()
+    })
+    try {
+      val p = new OrderStreamPipeline(crashing, "n-ko-", true)
+      val batch = Seq(wire("2024-06-01 10:00:00", 20, "1")).toDF("value")
+      // crash in the window: increments applied, mark call dies
+      intercept[Exception](p.applyBatch(batch, 0L))
+      // serving process restarts over the SURVIVING data
+      val server2 = new KVServer(fixedPort = port, backing = server.store)
+      server2.start()
+      try {
+        assert(server2.store.hgetAll("n-ko-2024-06-01") ==
+          Map("total" -> 1L, "success" -> 1L, "fee" -> 20L))
+        assert(!store.batchSeen(0L))   // the crash window: applied, unmarked
+        // replay: MUST re-apply (batch 0 was never marked) → double-count,
+        // the documented at-least-once degradation for exactly this batch
+        val p2 = new OrderStreamPipeline(store, "n-ko-", true)
+        p2.applyBatch(batch, 0L)
+        assert(server2.store.hgetAll("n-ko-2024-06-01") ==
+          Map("total" -> 2L, "success" -> 2L, "fee" -> 40L))
+        // this replay marked the batch, so a further replay is a no-op —
+        // effectively-once resumes after the one degraded batch
+        p2.applyBatch(batch, 0L)
+        assert(server2.store.hgetAll("n-ko-2024-06-01") ==
+          Map("total" -> 2L, "success" -> 2L, "fee" -> 40L))
+      } finally server2.stop()
     } finally { server.stop(); SocketKVStore.resetConnections() }
   }
 
