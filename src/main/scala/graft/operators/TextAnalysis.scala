@@ -12,19 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token array; empty/blank text → empty array. The text is
-    * trimmed of ALL leading/trailing whitespace first — Spark's `trim`
-    * strips only ' ', so a doc starting with a tab/newline would otherwise
-    * produce a leading empty token. This split-based tokenizer is the
-    * CANONICAL one: it yields exactly the tokens of the one-pass kernels
+  /** Whitespace token array; empty/blank text → empty array. Splitting on
+    * `\s+` runs can produce empty strings only at the array edges (leading
+    * or trailing whitespace; Spark's `trim` strips only ' ', so a doc
+    * starting with a tab would otherwise keep an empty first token) —
+    * `array_remove` drops them in one pass, no pre-trim or blank guard
+    * needed. This split-based tokenizer is the CANONICAL one: it yields
+    * exactly the tokens of the one-pass kernels
     * ([[graft.functions.TextKernels.repetitionStats]]/`langId`, which scan
     * ASCII-whitespace runs and never emit empties — Java's `\s` class is
     * the same six ASCII bytes), so counts from either path agree. */
-  def tokens(text: Column): Column = {
-    val t = regexp_replace(text, "^\\s+|\\s+$", "")
-    when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-  }
+  def tokens(text: Column): Column =
+    array_remove(split(text, "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -414,15 +414,16 @@ object PipelineQueries {
 
   /** Canonical whitespace class for the DuckDB oracles: the six ASCII
     * bytes of Java's `\s` (RE2's `\s` lacks \x0B, so the class is spelled
-    * out). `wsTrimSql` strips ALL leading/trailing whitespace — DuckDB's
-    * `trim`, like Spark's, strips only ' ' — so the split below matches
-    * [[graft.operators.TextAnalysis.tokens]] and the one-pass kernels:
-    * no empty tokens, whatever whitespace the text starts or ends with. */
+    * out). Splitting on whitespace RUNS leaves empty strings only at the
+    * array edges (leading/trailing whitespace); the filter drops them, so
+    * `tokensSql` matches [[graft.operators.TextAnalysis.tokens]] and the
+    * one-pass kernels exactly: no empty tokens, whatever whitespace the
+    * text starts or ends with. */
   private val wsClassSql = """[ \t\n\f\r\x0B]"""
   private val wsTrimSql =
     s"""regexp_replace(text, '^$wsClassSql+|$wsClassSql+$$', '', 'g')"""
   private val tokensSql =
-    s"""regexp_split_to_array($wsTrimSql, '$wsClassSql+')"""
+    s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
   private val blankSql = s"""length($wsTrimSql) = 0"""
 
   def oracle: Map[String, String] = Map(
