@@ -71,6 +71,32 @@ object Sampling {
         lit(hexThreshold(defaultWeight))))
   }
 
+  /** Deterministic corpus shuffle — the standard step before training:
+    * each row gets a `shard` (which output file / data-loader worker
+    * consumes it) and a within-shard `pos`, both derived from
+    * `md5(id || salt)`, so the global reading order is id-decorrelated,
+    * bit-reproducible in any engine, and re-seedable by changing `salt`.
+    *
+    * Scale: shard assignment is a per-row projection; the within-shard
+    * rank is ONE shard-keyed window — there is never a global sort or a
+    * single-partition window. Writing `partitionBy(shard)` with a sort on
+    * `pos` then yields shuffled training files in one pass, the same
+    * shape as Spark's own repartition + sortWithinPartitions. */
+  def shuffleShards(df: DataFrame, id: Column, nShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // first 8 hex digits of the md5 as an integer: portable (conv here,
+    // '0x' cast in DuckDB), uniform over 2^32, so pmod spreads evenly
+    val h = md5(concat(id.cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata
     * absent from `weights` get `defaultWeight`; weights above 1.0 keep the
     * whole stratum (upsampling is the caller's union). */

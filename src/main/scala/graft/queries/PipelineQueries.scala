@@ -175,6 +175,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic corpus shuffle: shard + pseudo-random training order
+    // from md5(id || salt) — one shard-keyed window, no global sort.
+    "corpus_shuffle" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .shuffleShards(t.documents.select(col("doc_id")), col("doc_id"),
+          nShards = 8, salt = "r3")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // Data mixing by source weights; unlisted sources keep 5%.
     "sample_mixture" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -602,6 +613,20 @@ object PipelineQueries {
                        ELSE '${hexThreshold(0.05)}' END
          ORDER BY doc_id"""
     },
+
+    "corpus_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'r3') AS hh
+           FROM documents),
+          s AS (
+           SELECT doc_id, hh,
+             CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+             AS INT) AS pos
+         FROM s ORDER BY shard, pos""",
 
     "sample_mixture" ->
       """SELECT doc_id, source FROM (

@@ -61,6 +61,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(events, col("event_id"), 0.0).count() == 0)
   }
 
+  test("corpus shuffle: total, balanced-ish, decorrelated, reproducible, reseedable") {
+    val n = docs.count()
+    val got = Sampling.shuffleShards(docs.select(col("doc_id")), col("doc_id"),
+      nShards = 8, salt = "s1")
+    val rows = got.select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // a permutation: every doc exactly once, pos is 1..count within shard
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == n)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"shard $shard pos gaps")
+    }
+    // shards carry roughly n/8 each (binomial, ±5 sigma)
+    val sigma = math.sqrt(n / 8.0 * (1 - 1.0 / 8))
+    rows.groupBy(_._2).values.foreach(rs =>
+      assert(math.abs(rs.length - n / 8.0) < 5 * sigma, s"shard size ${rs.length}"))
+    // order decorrelated from id: consecutive ids rarely adjacent in order
+    val posOf = rows.map(r => r._1 -> (r._2.toLong << 32 | r._3.toLong)).toMap
+    val adjacent = (0L until n - 1)
+      .count(i => math.abs(posOf(i) - posOf(i + 1)) == 1)
+    assert(adjacent < n / 20, s"$adjacent of $n consecutive ids stayed adjacent")
+    // bit-reproducible; a different salt is a different permutation
+    val again = Sampling.shuffleShards(docs.select(col("doc_id")), col("doc_id"),
+      nShards = 8, salt = "s1").select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val reseeded = Sampling.shuffleShards(docs.select(col("doc_id")), col("doc_id"),
+      nShards = 8, salt = "s2").select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq)
+  }
+
   test("mixtureHash keeps full 1.0-weight strata and samples the rest") {
     val got = Sampling.mixtureHash(docs, col("source"), col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5)
