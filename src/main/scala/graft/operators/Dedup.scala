@@ -217,6 +217,94 @@ object Dedup {
         coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Canonical-document selection — the step a dedup pipeline actually
+    * ends with: one surviving document per transitive near-dup cluster,
+    * chosen as the member with the highest `quality` (ties broken toward
+    * the smallest `id`, so the choice is total and deterministic).
+    * Returns (cluster_id, keep_id, n_members, keep_quality).
+    *
+    * Scale: clustering cost is [[minhashClusters]]; the selection itself
+    * is ONE additional shuffle of (doc_id, cluster_id, quality) rows,
+    * aggregated with partial `max_by` on each map side — no window sort,
+    * no second pass over the texts. `quality` is any Column over `docs`
+    * (a score, a length, a trust tier), evaluated in the same scan that
+    * feeds clustering expansion. */
+  def canonicalize(docs: DataFrame, id: Column, text: Column, quality: Column,
+                   ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8): DataFrame = {
+    val clusters = minhashClusters(docs, id, text, ngram, numHashes, bands, threshold)
+    val scored = docs.select(id.as("doc_id"), quality.as("__q"))
+    clusters.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        // struct comparison is lexicographic, so (quality, -doc_id) argmax
+        // = highest quality, then smallest id — one agg, no window sort.
+        max_by(col("doc_id"), struct(col("__q"), -col("doc_id"))).as("keep_id"),
+        max(col("__q")).as("keep_quality"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"),
+        col("keep_quality"))
+  }
+
+  /** Banded MinHash signature index over a corpus: one row per
+    * (doc_id, band, sig), the exact key the LSH candidate join uses.
+    * This is the PERSISTED form of near-dup state — write it bucketed by
+    * (band, sig) once, and incremental batches ([[minhashIncrementalPairs]])
+    * join against it without re-reading or re-hashing a single corpus
+    * document. Shingle-ineligible docs (< `ngram` tokens) produce no rows,
+    * mirroring [[minhashLshPairs]] eligibility.
+    *
+    * Scale: `bands` fixed-width rows per document (doc_id, two longs —
+    * text never leaves the scan), one map-only pass; the kernel runs once
+    * per document (the Generate materialization trick — see
+    * [[simhashPairs]]). At 100 TB collapse exact duplicates first
+    * ([[exactGroups]]) so a hot identical-text cluster contributes one
+    * index row per band, not N. */
+  def minhashIndex(docs: DataFrame, id: Column, text: Column,
+                   ngram: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    docs.filter(hasNgramTokens(text, ngram))
+      .select(id.as("doc_id"),
+        posexplode_outer(array(
+          TextHashExpressions.shingleMinhash(text, ngram, numHashes))).as(Seq("__p", "mh")))
+      .select(col("doc_id"),
+        posexplode_outer(bandSignatures(col("mh"), bands, rows)).as(Seq("band", "sig")))
+  }
+
+  /** Incremental near-duplicate detection: verified near-dup pairs between
+    * a NEW batch and an EXISTING corpus, given the corpus's prebuilt
+    * [[minhashIndex]] — the shape of a continuously-ingesting pipeline,
+    * where yesterday's 100 TB must not be re-hashed to admit today's 100 GB.
+    * Returns (old_id, new_id, jaccard) with true n-gram Jaccard ≥
+    * `threshold`. Within-batch duplicates are [[minhashLshPairs]]'s job;
+    * this operator deliberately joins old×new only, so the corpus side
+    * never self-joins.
+    *
+    * Scale: the batch is hashed once (map-only, `bands` rows/doc) and
+    * joined against the index on (band, sig) — when the index is written
+    * bucketed on that key, the join is exchange-free on the corpus side
+    * and only the batch's banded rows shuffle. Verification then fetches
+    * texts BY ID for candidate rows only (LSH keeps candidates near the
+    * true-positive count), so corpus text I/O is candidate-sized, not
+    * corpus-sized. */
+  def minhashIncrementalPairs(index: DataFrame, corpus: DataFrame,
+                              batch: DataFrame, id: Column, text: Column,
+                              ngram: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val newIdx = minhashIndex(batch, id, text, ngram, numHashes, bands)
+    val cand = index.as("old")
+      .join(newIdx.as("new"),
+        col("old.band") === col("new.band") && col("old.sig") === col("new.sig"))
+      .select(col("old.doc_id").as("old_id"), col("new.doc_id").as("new_id"))
+      .distinct()
+    cand
+      .join(corpus.select(id.as("old_id"), text.as("old_text")), "old_id")
+      .join(batch.select(id.as("new_id"), text.as("new_text")), "new_id")
+      .withColumn("jaccard",
+        TextHashExpressions.shingleJaccard(col("old_text"), col("new_text"), ngram))
+      .filter(col("jaccard") >= threshold)
+      .select(col("old_id"), col("new_id"), col("jaccard"))
+  }
+
   /** Distributed min-label propagation with POINTER JUMPING over an
     * oriented edge list `(id_a, id_b)` (both directions present):
     * each round takes the min over neighbours, then shortcuts

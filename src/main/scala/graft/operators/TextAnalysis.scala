@@ -174,4 +174,38 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_token_frac"),
         col("r.top_bigram").cast("long").as("top_bigram_n"))
   }
+
+  /** Top-`k` TF-IDF terms per document — the canonical corpus-global
+    * statistic: a per-document count joined against a vocabulary-sized
+    * document-frequency table. Score = tf × ln(N / df), rounded to 6
+    * decimals so the ranking (and any cross-engine comparison) is immune
+    * to last-ulp libm differences; ties break on the token string.
+    * Returns (doc_id, rk, token, tf, tfidf), rk ∈ [1, k].
+    *
+    * Scale: one corpus shuffle keyed (doc_id, token) with map-side
+    * partial counts builds TF; DF is a second aggregation of the
+    * ALREADY-distinct (doc, token) pairs, so it never re-reads text; the
+    * TF⋈DF join shuffles on token (the DF side is vocabulary-sized —
+    * broadcastable for bounded vocabularies, and Spark's AQE picks that up
+    * from runtime stats). The per-doc top-k runs as a rank-limited window
+    * (WindowGroupLimit prunes to k rows per doc BEFORE the final sort).
+    * N is computed as a 1-row aggregate cross-joined in (broadcast), not a
+    * driver-side count. */
+  def tfIdf(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
+  }
 }

@@ -204,6 +204,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Canonical-document selection: one surviving doc per near-dup cluster,
+    // highest quality (here: longest text) wins, ties to the smallest id.
+    "dedup_canonical" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.canonicalize(t.documents, col("doc_id"), col("text"),
+          length(col("text")).cast("long"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Incremental dedup: new batch (doc_id % 4 == 0) against the prebuilt
+    // banded signature index of the rest of the corpus — old×new pairs
+    // only, the corpus is never self-joined or re-hashed.
+    "dedup_incremental" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+      Dedup.minhashIncrementalPairs(index, corpus, batch,
+          col("doc_id"), col("text"))
+        .orderBy(col("new_id"), col("old_id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
       val np = s.sessionState.conf.numShufflePartitions
@@ -350,6 +373,14 @@ object PipelineQueries {
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n"), sum(octet_length(col("content"))).as("total_bytes"))
         .orderBy(col("media_type"))
+    },
+
+    // Top-5 TF-IDF terms per document: per-doc TF against the corpus-global
+    // document-frequency table.
+    "text_tfidf" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.tfIdf(t.documents, col("doc_id"), col("text"), k = 5)
+        .orderBy(col("doc_id"), col("rk"))
     },
 
     "token_freq_topk" -> { (s, dir) =>
@@ -660,6 +691,54 @@ object PipelineQueries {
          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
 
+    "dedup_canonical" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           d AS (SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS sh
+                 FROM t WHERE len(toks) >= 3),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+           e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+           c AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY id),
+           m AS (SELECT c.cluster_id, c.doc_id,
+                   CAST(length(documents.text) AS BIGINT) AS q
+                 FROM c JOIN documents USING (doc_id)),
+           rnk AS (SELECT cluster_id, doc_id, q,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY q DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                     max(q) OVER (PARTITION BY cluster_id) AS keep_quality
+                   FROM m)
+         SELECT cluster_id, doc_id AS keep_id, n_members, keep_quality
+         FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
+
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            d AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            side_old AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+            side_new AS (SELECT * FROM d WHERE doc_id % 4 = 0)
+         SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+           CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE)
+             / (len(o.sh) + len(n.sh) - len(list_intersect(o.sh, n.sh))) AS jaccard
+         FROM side_old o JOIN side_new n ON true
+         WHERE CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE)
+             / (len(o.sh) + len(n.sh) - len(list_intersect(o.sh, n.sh))) >= 0.8
+         ORDER BY new_id, old_id""",
+
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             d AS (SELECT doc_id,
@@ -811,6 +890,23 @@ object PipelineQueries {
       s"""SELECT doc_id,
          md5(regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, token, tf,
+                round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, token, tf, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rk
+              FROM scored)
+         SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, tfidf
+         FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n

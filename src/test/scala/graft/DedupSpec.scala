@@ -160,6 +160,53 @@ class DedupSpec extends SparkSpec {
       .head().getLong(0) < 1000)
   }
 
+  test("canonicalize keeps the highest-quality member per cluster, ties to min id") {
+    val clusters = Dedup.minhashClusters(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap               // doc_id -> cluster_id
+    val quality = docs.select(col("doc_id"),
+        length(col("text")).cast("long")).as[(Long, Long)].collect().toMap
+    val expect = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.keys.toSeq
+      val keep = ids.maxBy(i => (quality(i), -i))
+      (cid, keep, ids.size.toLong, ids.map(quality).max)
+    }.toSet
+    val got = Dedup.canonicalize(docs, col("doc_id"), col("text"),
+        length(col("text")).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // every cluster keeps exactly one doc; cluster count preserved
+    assert(got.size == clusters.values.toSet.size)
+  }
+
+  test("incremental pairs equal brute-force old-cross-new near-dups") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+    val got = Dedup.minhashIncrementalPairs(index, corpus, batch,
+        col("doc_id"), col("text"))
+      .select(col("old_id"), col("new_id")).as[(Long, Long)].collect().toSet
+    // brute force: all near-dup pairs with exactly one endpoint in the batch
+    val expect = brutePairs(0.8).flatMap { case (a, b) =>
+      (a % 4, b % 4) match {
+        case (0, x) if x != 0 => Some((b, a)) // a is new, b is old
+        case (x, 0) if x != 0 => Some((a, b))
+        case _                => None
+      }
+    }
+    assert(expect.nonEmpty, "corpus should contain cross-side near-dups")
+    assert(got == expect)
+    // structurally old-cross-new only
+    assert(got.forall { case (o, n) => o % 4 != 0 && n % 4 == 0 })
+  }
+
+  test("plan guard: minhash index hashes each batch doc once, map-only") {
+    val plan = Dedup.minhashIndex(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    val n = "shingle_minhash\\(".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 shingle_minhash occurrence, got $n")
+    assert(!plan.contains("Exchange"), "index build must be map-only")
+  }
+
   test("keepFirst keeps exactly one earliest row per key") {
     val events = Tables(spark, sfDir).events
     val out = Dedup.keepFirst(events,

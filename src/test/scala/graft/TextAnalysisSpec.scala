@@ -111,6 +111,28 @@ class TextAnalysisSpec extends SparkSpec {
       "combo <EMAIL> and <IP> and <PHONE>"))
   }
 
+  test("tfIdf: scores, ranking, and k-limit on a hand-computed corpus") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(df, col("doc_id"), col("text"), k = 5)
+      .orderBy("doc_id", "rk")
+      .as[(Long, Int, String, Long, Double)].collect().toSeq
+    def s(tf: Long, df_ : Long) = // tf * ln(3/df), rounded to 6 dp
+      BigDecimal(tf * math.log(3.0 / df_))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1, "apple", 2L, s(2, 1)),   // rare + frequent-in-doc wins
+      (1L, 2, "banana", 1L, s(1, 2)),
+      (2L, 1, "cherry", 1L, s(1, 1)),
+      (2L, 2, "banana", 1L, s(1, 2)),
+      (3L, 1, "durian", 3L, s(3, 1))))
+    // k truncates per doc
+    val k1 = TextAnalysis.tfIdf(df, col("doc_id"), col("text"), k = 1)
+    assert(k1.count() == 3 && k1.agg(max("rk")).head().getInt(0) == 1)
+  }
+
   test("quality features on edge-case docs") {
     val df = Seq(("1", ""), ("2", "!!! ??? ..."), ("3", ("word " * 200).trim))
       .toDF("doc_id", "text")
