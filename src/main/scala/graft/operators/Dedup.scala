@@ -281,11 +281,19 @@ object Dedup {
     *
     * Scale: the batch is hashed once (map-only, `bands` rows/doc) and
     * joined against the index on (band, sig) — when the index is written
-    * bucketed on that key, the join is exchange-free on the corpus side
-    * and only the batch's banded rows shuffle. Verification then fetches
-    * texts BY ID for candidate rows only (LSH keeps candidates near the
-    * true-positive count), so corpus text I/O is candidate-sized, not
-    * corpus-sized. */
+    * bucketed on that key ([[graft.sources.Bucketing.writeBucketed]] with
+    * keys (band, sig); plan-guard spec'd), the join is exchange-free on
+    * the corpus side and only the batch's banded rows shuffle.
+    * Verification then fetches texts by id with the CANDIDATE side
+    * explicitly broadcast, so the corpus text column is scanned once and
+    * NEVER shuffled — without the hint, Spark may plan a shuffle join
+    * that moves the full corpus text column, which is exactly the
+    * corpus-sized I/O this operator exists to avoid. The broadcast is
+    * candidate-sized (ids, then ids + matched old texts); LSH keeps that
+    * near the true-positive count, and the precondition for pathological
+    * corpora — collapse exact duplicates first so a hot identical-text
+    * cluster can't inflate the candidate set — is the same one the index
+    * build states. */
   def minhashIncrementalPairs(index: DataFrame, corpus: DataFrame,
                               batch: DataFrame, id: Column, text: Column,
                               ngram: Int = 3, numHashes: Int = 64,
@@ -296,9 +304,13 @@ object Dedup {
         col("old.band") === col("new.band") && col("old.sig") === col("new.sig"))
       .select(col("old.doc_id").as("old_id"), col("new.doc_id").as("new_id"))
       .distinct()
-    cand
-      .join(corpus.select(id.as("old_id"), text.as("old_text")), "old_id")
-      .join(batch.select(id.as("new_id"), text.as("new_text")), "new_id")
+    // corpus streamed against the broadcast candidate ids: one scan, no
+    // corpus shuffle; result is candidate-sized and carries the old texts
+    val withOld = corpus.select(id.as("old_id"), text.as("old_text"))
+      .join(broadcast(cand), "old_id")
+    // batch streamed the same way against the (still candidate-sized) set
+    batch.select(id.as("new_id"), text.as("new_text"))
+      .join(broadcast(withOld), "new_id")
       .withColumn("jaccard",
         TextHashExpressions.shingleJaccard(col("old_text"), col("new_text"), ngram))
       .filter(col("jaccard") >= threshold)

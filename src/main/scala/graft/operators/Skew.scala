@@ -11,15 +11,31 @@ import org.apache.spark.sql.functions._
   * second (tiny) aggregation — the standard pattern when AQE's runtime
   * skew-join handling doesn't apply (it covers joins, not aggregations).
   *
-  * The salt is a per-row round-robin counter
-  * (`monotonically_increasing_id % buckets`), NOT a row hash: a hot key in
-  * real data is typically N near- or byte-identical rows, and a
-  * whole-row hash sends all of them to ONE bucket — recreating exactly
-  * the hotspot salting exists to break (it also fails outright on
-  * map-typed columns, which hash functions reject). The counter is
-  * nondeterministic across task retries, which is harmless by
-  * construction: the merged aggregate and the join output are invariant
-  * to WHICH bucket a row lands in — the salt only spreads work.
+  * Salt derivation — two modes, in preference order:
+  *
+  *  1. `saltFrom = Some(id)` (a unique row id): salt =
+  *     `pmod(xxhash64(id), buckets)`. DETERMINISTIC under task retry —
+  *     a recomputed map task re-salts every row identically, so a fetch
+  *     failure needs no stage rollback — and it still spreads a hot key's
+  *     N byte-identical payload rows across buckets, because their ids
+  *     differ even when every other column agrees. This is the mode to
+  *     use whenever any unique column exists.
+  *  2. `saltFrom = None`: salt = `monotonically_increasing_id() % buckets`,
+  *     a round-robin counter. A whole-row hash is NOT a usable fallback
+  *     (N byte-identical hot rows all hash to ONE bucket, recreating
+  *     exactly the hotspot salting exists to break, and hash functions
+  *     reject map-typed columns), so the counter is the only spread that
+  *     needs no unique column — but it is NONDETERMINISTIC across task
+  *     retries. The merged result is invariant to which bucket a row
+  *     lands in, so the algebra is safe, but the SCHEDULER is not: if the
+  *     input sits downstream of a shuffle, a lost map output recomputed
+  *     after some reducers already fetched re-salts rows differently, and
+  *     Spark's only safe response to an indeterminate stage is a
+  *     full-stage rollback (the SPARK-23207 class). Precondition for this
+  *     mode, stated as the operator contract: the input must be
+  *     deterministically ordered per partition (scan-level, not
+  *     post-shuffle), or the job must tolerate stage rollback on fetch
+  *     failure.
   */
 object Skew {
 
@@ -38,10 +54,18 @@ object Skew {
   def max2(name: String, c: Column): TwoPhaseAgg =
     TwoPhaseAgg(name, max(c), max)
 
+  /** Salt column for `buckets` sub-groups — see the object scaladoc for
+    * the determinism contract of each mode. */
+  private def saltExpr(saltFrom: Option[Column], buckets: Int): Column =
+    saltFrom match {
+      case Some(id) => pmod(xxhash64(id), lit(buckets.toLong))
+      case None     => pmod(monotonically_increasing_id(), lit(buckets.toLong))
+    }
+
   def saltedAgg(df: DataFrame, keys: Seq[Column], buckets: Int,
-                aggs: Seq[TwoPhaseAgg]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+                aggs: Seq[TwoPhaseAgg],
+                saltFrom: Option[Column] = None): DataFrame = {
+    val salted = df.withColumn("__salt", saltExpr(saltFrom, buckets))
     val partialCols = aggs.map(a => a.partial.as(s"__p_${a.name}"))
     val phase1 = salted
       .groupBy(keys :+ col("__salt"): _*)
@@ -51,23 +75,23 @@ object Skew {
   }
 
   /** Skew-safe fact-to-dimension shuffle join: the fact side is salted
-    * (round-robin counter mod `saltFactor` — see the object scaladoc for
-    * why not a row hash) and the dim side is replicated `saltFactor`×
-    * with every salt value, so each hot key's volume — including N
-    * byte-identical copies of one row — spreads over `saltFactor`
-    * reducers instead of one. Result is exactly the plain inner join.
-    * For when the dim is too big to broadcast and AQE's skew split
-    * doesn't engage (it needs the skew visible in map statistics; a
-    * pre-shuffled or bucketed layout hides it). Replication cost is
-    * `saltFactor × |dim|` — pick the smallest factor that levels the hot
-    * keys. */
+    * (deterministically from `saltFrom` when supplied — see the object
+    * scaladoc) and the dim side is replicated `saltFactor`× with every
+    * salt value, so each hot key's volume — including N byte-identical
+    * copies of one row — spreads over `saltFactor` reducers instead of
+    * one. Result is exactly the plain inner join. For when the dim is too
+    * big to broadcast and AQE's skew split doesn't engage (it needs the
+    * skew visible in map statistics; a pre-shuffled or bucketed layout
+    * hides it). Replication cost is `saltFactor × |dim|` — pick the
+    * smallest factor that levels the hot keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int,
+                 saltFrom: Option[Column] = None): DataFrame = {
     // pmod(x, 0) is null (non-ANSI): without this a zero factor would make
     // every fact row's salt null and silently return an EMPTY join
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      saltExpr(saltFrom, saltFactor).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(joinKey, "__salt")).drop("__salt")

@@ -107,22 +107,31 @@ object TextAnalysis {
     * Known false-positive class, accepted by contract: digit runs that
     * LOOK like phone numbers still match — a year list ("2018 2019 2020")
     * or a separator-free numeric ID is structurally indistinguishable
-    * without lookahead. The bounded count at least stops the unbounded
-    * `[\d -]{7,}` swallow of arbitrarily long digit/space runs (16+-digit
-    * sequences no longer match as a whole). */
+    * without lookahead.
+    *
+    * LongNumRe catches the runs PhoneRe deliberately excludes: 16+ digits
+    * (single space/hyphen separators allowed) — the credit-card / account
+    * number shape. It runs BEFORE PhoneRe so a long run is consumed
+    * whole as `<NUM>` instead of PhoneRe matching its first 15 digits and
+    * leaking the tail (a 16-digit PAN must never surface as `<PHONE>6`). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?\\d(?:[ -]?\\d){6,14}"
+  val LongNumRe = "\\+?\\d(?:[ -]?\\d){15,}"
   val Ipv4Re = "\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b"
 
-  /** PII scrub: emails, then IPv4 literals, then phone-like digit runs,
-    * replaced with typed placeholder tags. Order matters (an email may
-    * contain digits; an IP looks like a short phone) and is part of the
-    * operator contract. Pure per-row regexp — codegen'd, shuffle-free. */
+  /** PII scrub: emails, then IPv4 literals, then 16+-digit runs (card /
+    * account shape → `<NUM>`), then phone-like digit runs. Order matters
+    * (an email may contain digits; an IP looks like a short phone; a long
+    * run must be consumed whole before the bounded phone pattern can
+    * match a prefix of it) and is part of the operator contract. Pure
+    * per-row regexp — codegen'd, shuffle-free. */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        LongNumRe, "<NUM>"),
       PhoneRe, "<PHONE>")
 
   /** Split each document into fixed-size token windows with `overlap`

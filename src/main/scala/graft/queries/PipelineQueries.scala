@@ -230,11 +230,12 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
       val np = s.sessionState.conf.numShufflePartitions
-      // spread the interpreted shingle computation off the single-file scan,
-      // and materialize it once for both self-join branches
+      // ONE exchange, after the shingle projection: it materializes the
+      // interpreted shingle arrays once for both self-join branches
+      // (ReusedExchange) and spreads the join work. At scale the scan
+      // itself is thousands of partitions, so a second pre-projection
+      // spread exchange buys nothing the scan doesn't already provide.
       val sh = t.documents
-        .select(col("doc_id"), col("text"))
-        .repartition(np, col("doc_id"))
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
         .repartition(np, col("doc_id"))
@@ -581,9 +582,11 @@ object PipelineQueries {
            SELECT doc_id,
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text,
-                   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-                 '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+                 regexp_replace(
+                   regexp_replace(text,
+                     '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                   '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+                 '${TextAnalysis.LongNumRe}', '<NUM>', 'g'),
                '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
            FROM planted),
           tok AS (
@@ -986,9 +989,11 @@ object PipelineQueries {
          SELECT doc_id,
            regexp_replace(
              regexp_replace(
-               regexp_replace(text,
-                 '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-               '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+               regexp_replace(
+                 regexp_replace(text,
+                   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                 '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+               '${TextAnalysis.LongNumRe}', '<NUM>', 'g'),
              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
          FROM planted ORDER BY doc_id""",
 

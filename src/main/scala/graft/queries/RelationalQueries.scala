@@ -141,7 +141,8 @@ object RelationalQueries {
       val dim = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
       graft.operators.Skew
         .saltedJoin(t.events.select(col("event_id"), col("user_id"),
-          col("event_type")), dim, "user_id", saltFactor = 8)
+          col("event_type")), dim, "user_id", saltFactor = 8,
+          saltFrom = Some(col("event_id")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_n")).as("s"))
         .orderBy(col("event_type"))
@@ -289,12 +290,13 @@ object RelationalQueries {
     "q_salted_agg" -> { (s, dir) =>
       val t = Tables(s, dir)
       graft.operators.Skew.saltedAgg(
-          t.events.select(col("user_id"),
+          t.events.select(col("event_id"), col("user_id"),
             col("value").cast(DecimalType(18, 6)).as("v")),
           Seq(col("user_id")), buckets = 8,
           Seq(graft.operators.Skew.count2("n"),
             graft.operators.Skew.sum2("sum_v", col("v")),
-            graft.operators.Skew.max2("max_v", col("v"))))
+            graft.operators.Skew.max2("max_v", col("v"))),
+          saltFrom = Some(col("event_id")))
         .select(col("user_id"), col("n"),
           col("sum_v").cast("double").as("sum_v"),
           col("max_v").cast("double").as("max_v"))

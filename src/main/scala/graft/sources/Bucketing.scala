@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
 object Bucketing {
 
   /** Write `df` as a managed parquet table bucketed (and bucket-sorted)
-    * by `key` — `sortCols` defaults to the key itself. */
-  def writeBucketed(df: DataFrame, table: String, key: String,
+    * by `keys` — multi-column keys hash on all of them, e.g. the minhash
+    * signature index bucketed by (band, sig). `sortCols` defaults to the
+    * keys themselves. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+    require(keys.nonEmpty, "need at least one bucket column")
+    val sorted = if (sortCols.isEmpty) keys else sortCols
     df.write.mode("overwrite")
-      .bucketBy(buckets, key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)
       .format("parquet")
       .saveAsTable(table)

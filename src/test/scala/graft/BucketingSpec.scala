@@ -12,10 +12,10 @@ class BucketingSpec extends SparkSpec {
     val t = Tables(spark, sfDir)
     Bucketing.writeBucketed(
       t.events.select(col("event_id"), col("user_id"), col("value")),
-      "ev_bucketed", "user_id", buckets = 8)
+      "ev_bucketed", Seq("user_id"), buckets = 8)
     Bucketing.writeBucketed(
       t.events.groupBy("user_id").agg(count(lit(1)).as("n")),
-      "usr_bucketed", "user_id", buckets = 8)
+      "usr_bucketed", Seq("user_id"), buckets = 8)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import graft.sources.Bucketing
 import org.apache.spark.sql.functions._
 
 /** Near-dup operators against brute force on the sf0.001 corpus, which has
@@ -197,6 +198,75 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     // structurally old-cross-new only
     assert(got.forall { case (o, n) => o % 4 != 0 && n % 4 == 0 })
+  }
+
+  test("plan guard: bucketed index join is exchange-free on the corpus side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // Write the corpus index bucketed by (band, sig) — the LSH join key —
+    // then run the incremental join against the bucketed table. The
+    // scaladoc contract: the corpus-side index never shuffles; only the
+    // batch's banded rows do. Broadcast is disabled so the candidate join
+    // can't sidestep the question (the verification joins carry explicit
+    // broadcast hints, which the threshold does not affect).
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    Bucketing.writeBucketed(
+      Dedup.minhashIndex(corpus, col("doc_id"), col("text")),
+      "mh_idx_bucketed", Seq("band", "sig"), buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.minhashIncrementalPairs(spark.table("mh_idx_bucketed"),
+        corpus, batch, col("doc_id"), col("text"))
+      val root = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      def bucketedScans(p: SparkPlan) =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans(root).nonEmpty,
+        s"index scan should read bucketed:\n$root")
+      val shufflesAbove = root.collect {
+        case e: ShuffleExchangeLike if bucketedScans(e.asInstanceOf[SparkPlan]).nonEmpty => e
+      }
+      assert(shufflesAbove.isEmpty,
+        s"no exchange may sit above the bucketed index scan:\n$root")
+      // and the bucketed path returns the same pairs as the unbucketed one
+      val plain = Dedup.minhashIncrementalPairs(
+        Dedup.minhashIndex(corpus, col("doc_id"), col("text")), corpus, batch,
+        col("doc_id"), col("text"))
+      assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS mh_idx_bucketed")
+    }
+  }
+
+  test("plan guard: incremental verification never shuffles corpus or batch text") {
+    // The candidate side is explicitly broadcast: the corpus (and batch)
+    // text columns must be scanned, never exchanged. Regression guard for
+    // the round-3 gap where a planner-chosen shuffle join could move the
+    // full corpus text column.
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+    val root = Dedup.minhashIncrementalPairs(index, corpus, batch,
+        col("doc_id"), col("text"))
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // no shuffle in the plan may CARRY a text column — shuffled rows are
+    // banded signatures and candidate ids only
+    root.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      val carried = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+        .output.map(_.name).filter(_.toLowerCase.contains("text"))
+      assert(carried.isEmpty, s"text columns shuffled: $carried")
+    }
   }
 
   test("plan guard: minhash index hashes each batch doc once, map-only") {

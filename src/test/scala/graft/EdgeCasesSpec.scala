@@ -48,6 +48,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(salted.size == 1000)
   }
 
+  test("salt from a unique id is deterministic (retry-safe shuffle key)") {
+    // With saltFrom supplied, the whole plan must be deterministic — a
+    // nondeterministic shuffle key is the SPARK-23207 indeterminate-stage
+    // hazard: after a fetch failure, regenerated map output would route
+    // rows to different buckets than the output already consumed.
+    val df = ((1 to 900).map(i => (i.toLong, 1L, i.toDouble)) ++
+      (1 to 100).map(i => (900L + i, i.toLong + 1, i.toDouble)))
+      .toDF("row_id", "k", "v")
+    val salted = Skew.saltedAgg(df, Seq(col("k")), buckets = 8,
+      Seq(Skew.count2("n"), Skew.sum2("s", col("v").cast("decimal(18,6)"))),
+      saltFrom = Some(col("row_id")))
+    val analyzed = salted.queryExecution.analyzed
+    assert(analyzed.collect { case p => p }.forall(_.expressions.forall(_.deterministic)),
+      "saltedAgg with saltFrom must contain no nondeterministic expression")
+    assert(!analyzed.toString.contains("monotonically_increasing_id"))
+    val plain = df.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,6)")).as("s"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // deterministic salt must still SPREAD the hot key: its 900
+    // byte-distinct ids should land in every one of the 8 buckets
+    val nBuckets = df.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("row_id")), lit(8L))).distinct().count()
+    assert(nBuckets == 8, s"hot key spread over $nBuckets/8 buckets")
+
+    val sj = Skew.saltedJoin(df, df.groupBy("k").agg(count(lit(1)).as("dn")),
+      "k", saltFactor = 4, saltFrom = Some(col("row_id")))
+    val sjAnalyzed = sj.queryExecution.analyzed
+    assert(sjAnalyzed.collect { case p => p }.forall(_.expressions.forall(_.deterministic)))
+    assert(sj.count() == 1000)
+  }
+
   test("exact dedup treats null keys as one group") {
     val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "a"))
       .toDF("id", "key")

@@ -111,6 +111,35 @@ class TextAnalysisSpec extends SparkSpec {
       "combo <EMAIL> and <IP> and <PHONE>"))
   }
 
+  test("PII redaction consumes 16+-digit runs whole — no partial-tail leak") {
+    val df = Seq(
+      "card 4111111111111111 on file",            // 16 digits, card shape
+      "acct 1234 5678 9012 3456 789 end",         // 19 digits with spaces
+      "id +12345678901234567890 x",               // +-prefixed 20 digits
+      "call +1 555 123 4567 today"                // 11 digits: still a phone
+    ).toDF("text")
+    val got = df.select(TextAnalysis.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "card <NUM> on file",
+      "acct <NUM> end",
+      "id <NUM> x",
+      "call <PHONE> today"))
+    // the old failure mode: no trailing digits may survive a redaction tag
+    assert(!got.exists(_.matches(".*<(NUM|PHONE)>\\d.*")))
+  }
+
+  test("plan guard: tfIdf top-k prunes to k per doc before the sort (WindowGroupLimit)") {
+    // The scaladoc claims the rank-limited window prunes to k rows per
+    // doc BEFORE sorting the full (doc, token) frame; WindowGroupLimit is
+    // the physical node that does it. If a rewrite loses the rk <= k
+    // pattern the node disappears and the sort goes corpus-sized.
+    val docs = Tables(spark, sfDir).documents
+    val plan = TextAnalysis.tfIdf(docs, col("doc_id"), col("text"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in tfIdf plan:\n$plan")
+  }
+
   test("tfIdf: scores, ranking, and k-limit on a hand-computed corpus") {
     val df = Seq(
       (1L, "apple banana apple"),
