@@ -68,23 +68,57 @@ object Similarity {
   }
 
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
-    * bucket (single-probe), then exact-cosine verified. Linear shuffle
-    * volume; recall is governed by nPlanes and measured in the spec
-    * suite. */
+    * bucket in at least one of `nTables` hash tables, then exact-cosine
+    * verified (precision 1 by construction). Linear shuffle volume.
+    *
+    * OR-amplification: ONE `nPlanes × nTables`-bit hyperplane hash is
+    * computed per vector (materialized behind a Generate so the kernel
+    * runs once — see [[graft.operators.Dedup.simhashPairs]] for why), and
+    * each table's bucket is one `nPlanes`-bit band of it. A pair at
+    * cosine θ agrees on a band with probability p^nPlanes
+    * (p = 1 − arccos(θ)/π) and is missed only if ALL `nTables` bands
+    * disagree — miss = (1 − p^nPlanes)^nTables, driven arbitrarily low by
+    * tables while each table's bucket stays selective. Recall/cost is
+    * measured in the spec suite; with enough tables the verified output
+    * equals [[cosineNearDupPairs]] exactly, which is how the driver
+    * oracle checks it. */
   def cosineNearDupPairsLsh(emb: DataFrame, threshold: Double,
-                            nPlanes: Int = 4): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("vec"), col("norm"),
-      hyperplaneLshBucket(col("vec"), nPlanes).as("bucket"))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("vec").as("va"),
-      col("norm").as("na"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("vec").as("vb"),
-      col("norm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+                            nPlanes: Int = 4, nTables: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nTables >= 1 && nPlanes * nTables <= 63,
+      s"need 1 <= nPlanes x nTables <= 63, got $nPlanes x $nTables")
+    val mask = (1L << nPlanes) - 1
+    // kernel once per row, attribute-materialized behind the Generate
+    val hashed = emb.select(col("vec_id"), col("vec"), col("norm"),
+      posexplode_outer(array(hyperplaneLshBucket(col("vec"), nPlanes * nTables)))
+        .as(Seq("__p", "hb")))
+    val banded = hashed.select(col("vec_id"), col("vec"), col("norm"), col("hb"),
+      posexplode_outer(transform(sequence(lit(0), lit(nTables - 1)),
+        t => call_function("shiftright", col("hb"), t * lit(nPlanes))
+          .bitwiseAND(lit(mask)))).as(Seq("band", "bucket")))
+    val a = banded.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"), col("hb").as("hb_a"), col("band"), col("bucket"))
+    val b = banded.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"), col("hb").as("hb_b"), col("band"), col("bucket"))
+    // Each colliding pair is emitted from its FIRST agreeing band only,
+    // so scoring runs once per candidate pair and no dedup exchange
+    // exists at all (the join's shuffle moves only the banded index rows —
+    // the wide joined stream never materializes). The test is pure bit
+    // arithmetic on the carried hashes — no per-row array allocation:
+    // OR-collapse every band's xor bits onto the band's lowest bit, take
+    // the complement's band-select bits (bit t·nPlanes set ⇔ band t
+    // agrees), and require none below the joining band.
+    val xorBands = col("hb_a").bitwiseXOR(col("hb_b"))
+    val collapsed = (1 until nPlanes).foldLeft(xorBands)((w, i) =>
+      w.bitwiseOR(shiftright(xorBands, i)))
+    val bandSelect = (0 until nTables).foldLeft(0L)((m, t) => m | (1L << (t * nPlanes)))
+    val agreeBits = bitwise_not(collapsed).bitwiseAND(lit(bandSelect))
+    val lowMask = call_function("shiftleft", lit(1L), col("band") * lit(nPlanes)) - lit(1L)
+    val firstAgreeingBand = agreeBits.bitwiseAND(lowMask) === 0
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && firstAgreeingBand)
       .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
 
   /** Symmetric per-vector int8 quantization: `scale = maxabs/127`,
@@ -155,30 +189,58 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
   }
 
-  /** Multi-probe LSH-bucketed ANN. The corpus is bucketed once by its
-    * `nPlanes`-bit sign pattern; each query probes its own bucket plus all
-    * buckets within Hamming distance `maxProbe` (fan-out is query-side
-    * only — `Σ C(nPlanes,i)` keys per query — so the corpus is never
-    * duplicated, which is what makes this the 100 TB path). Recall/cost is
-    * tuned by `nPlanes` (bucket granularity) and `maxProbe` (coverage);
-    * the spec suite measures recall against brute force. */
+  /** Multi-probe, multi-table LSH-bucketed ANN. The corpus is hashed ONCE
+    * into an `nPlanes × nTables`-bit sign pattern and emits one
+    * (band, bucket) row per table; each query probes, per table, its own
+    * bucket plus all buckets within Hamming distance `maxProbe` (fan-out
+    * is query-side only — `nTables × Σ C(nPlanes,i)` keys per query — so
+    * the corpus is never duplicated beyond its `nTables` fixed-width
+    * index rows, which is what makes this the 100 TB path). Recall/cost
+    * is tuned by `nPlanes` (bucket granularity), `maxProbe` (within-table
+    * coverage) and `nTables` (OR-amplification across independent
+    * tables); the spec suite measures recall against brute force, and
+    * with enough tables the top-k equals brute force exactly (the driver
+    * oracle checks that). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, maxProbe: Int = 1): DataFrame = {
-    val bucket = (v: Column) => hyperplaneLshBucket(v, nPlanes)
+              nPlanes: Int = 8, maxProbe: Int = 1, nTables: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nTables >= 1 && nPlanes * nTables <= 63,
+      s"need 1 <= nPlanes x nTables <= 63, got $nPlanes x $nTables")
+    val mask = (1L << nPlanes) - 1
+    val bandsOf = (hb: Column) =>
+      transform(sequence(lit(0), lit(nTables - 1)),
+        t => call_function("shiftright", hb, t * lit(nPlanes)).bitwiseAND(lit(mask)))
+    // corpus: kernel once per row behind a Generate, then nTables rows
     val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
-      col("norm").as("cand_norm"), bucket(col("vec")).as("bucket"))
+        col("norm").as("cand_norm"),
+        posexplode_outer(array(hyperplaneLshBucket(col("vec"), nPlanes * nTables)))
+          .as(Seq("__p", "hb")))
+      .select(col("cand_id"), col("cand_vec"), col("cand_norm"), col("hb"),
+        posexplode_outer(bandsOf(col("hb"))).as(Seq("band", "bucket")))
     // all bit-masks with popcount ≤ maxProbe, XORed onto the query bucket —
     // enumerated as bit-position combinations, O(output) regardless of
     // nPlanes (a 0 until 2^n scan breaks down for large n)
     val masks: Seq[Long] = (0 to maxProbe).flatMap(p =>
       (0 until nPlanes).combinations(p).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val q = queries.select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
-        col("norm").as("query_norm"), bucket(col("vec")).as("qbucket"))
+        col("norm").as("query_norm"),
+        hyperplaneLshBucket(col("vec"), nPlanes * nTables).as("qhb"))
+      .select(col("query_id"), col("query_vec"), col("query_norm"), col("qhb"),
+        posexplode_outer(bandsOf(col("qhb"))).as(Seq("band", "qbucket")))
       .withColumn("bucket",
         explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m))))
       .drop("qbucket")
-    val scored = c.join(broadcast(q), "bucket")
-      .filter(col("cand_id") =!= col("query_id"))
+    // Within a band a (query, cand) pair joins at most once (exactly one
+    // probe mask equals the band xor); across bands, emit only from the
+    // FIRST band whose xor is within the probe budget — a few bit ops on
+    // the carried hashes, so scoring runs once per pair and no dedup
+    // exchange exists.
+    val xorBands = col("qhb").bitwiseXOR(col("hb"))
+    val firstProbedBand = forall(sequence(lit(0), lit(nTables - 1)),
+      t => (t >= col("band")) ||
+        bit_count(call_function("shiftright", xorBands, t * lit(nPlanes))
+          .bitwiseAND(lit(mask))) > maxProbe)
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("cand_id") =!= col("query_id") && firstProbedBand)
       .withColumn("cosine", cosineFromNorms(
         dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Parameter sweep for the multi-table LSH operators against their exact
+  * counterparts at a given SF — prints, per (nPlanes, nTables[, maxProbe])
+  * combination, recall vs the exact answer and the candidate-pair volume,
+  * so the registered-query parameters (which the driver oracle holds to
+  * EXACT equality with brute force) are chosen from measurement, not hope.
+  *
+  * Usage: runMain graft.tools.LshTune /root/testdata/sf0.01
+  */
+object LshTune {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-lsh-tune")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Similarity.prepared(Tables(spark, dir).embeddings,
+      col("vec_id"), col("embedding"))
+    val nVec = emb.count()
+
+    if (args.length > 1 && args(1) == "time") {
+      // wall-time the registered-query configurations only
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[lshtune] TIME $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("brute_pairs@0.4")(Similarity.cosineNearDupPairs(emb, 0.4).count())
+      time("lsh_pairs b=2 t=16")(
+        Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = 2, nTables = 16).count())
+      val q10 = emb.filter(col("vec_id") < 10)
+      time("brute_topk")(Similarity.bruteForceTopK(emb, q10, 5).count())
+      time("lsh_topk b=4 t=8 p=1")(
+        Similarity.lshTopK(emb, q10, 5, nPlanes = 4, maxProbe = 1, nTables = 8).count())
+      spark.stop(); return
+    }
+
+    // --- near-dup pairs at threshold 0.4 ---
+    val exactPairs = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[lshtune] corpus=$nVec exact pairs@0.4 = ${exactPairs.size}")
+    for (b <- Seq(2, 3, 4); t <- Seq(4, 8, 12, 16) if b * t <= 63) {
+      val got = Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = b, nTables = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & exactPairs).size.toDouble / math.max(1, exactPairs.size)
+      println(f"[lshtune] pairs b=$b t=$t recall=$recall%.4f got=${got.size} exact=${exactPairs.size}")
+    }
+
+    // --- top-k ---
+    val queries = emb.filter(col("vec_id") < 10)
+    val exactTopk = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "rk", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for (b <- Seq(4, 6, 8); t <- Seq(4, 8, 10) if b * t <= 63; p <- Seq(0, 1)) {
+      val got = Similarity.lshTopK(emb, queries, 5, nPlanes = b, maxProbe = p, nTables = t)
+        .select("query_id", "rk", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val eq = got == exactTopk
+      println(f"[lshtune] topk b=$b t=$t probe=$p exact_equal=$eq overlap=${(got & exactTopk).size}/${exactTopk.size}")
+    }
+    spark.stop()
+  }
+}

@@ -132,6 +132,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"LSH near-dup recall $recall")
   }
 
+  test("multi-table LSH pairs at the registered oracle params equal brute force") {
+    // dedup_embedding_lsh registers (nPlanes=2, nTables=16) precisely
+    // because OR-amplification reaches recall 1.0 on this corpus — the
+    // driver oracle holds the query to exact set equality with the
+    // all-pairs answer, and this spec is the pre-driver tripwire.
+    val exact = Similarity.cosineNearDupPairs(all, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupPairsLsh(all, threshold = 0.4,
+        nPlanes = 2, nTables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(exact.nonEmpty)
+    // first-agreeing-band dedup: each pair exactly once
+    assert(lsh.map(_._1).distinct.length == lsh.length, "duplicate pairs emitted")
+    assert(lsh.toMap.keySet == exact.keySet,
+      s"LSH != brute force: missing ${exact.keySet -- lsh.map(_._1).toSet}, " +
+        s"spurious ${lsh.map(_._1).toSet -- exact.keySet}")
+    lsh.foreach { case (pair, cos) => assert(math.abs(exact(pair) - cos) < 1e-12) }
+  }
+
+  test("multi-table ANN top-k at the registered oracle params equals brute force") {
+    val q10 = all.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(all, q10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(all, q10, k = 5,
+        nPlanes = 4, maxProbe = 1, nTables = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ann == exact, s"ANN top-k != exact: ${ann.diff(exact)} / ${exact.diff(ann)}")
+  }
+
+  test("plan guard: LSH hashes each vector once per side (Generate-materialized)") {
+    val pairsPlan = Similarity.cosineNearDupPairsLsh(all, 0.4, nPlanes = 2, nTables = 16)
+      .queryExecution.executedPlan.toString
+    val n = "hyperplane_lsh_bucket\\(".r.findAllIn(pairsPlan).size
+    assert(n == 2, s"expected 2 hyperplane_lsh_bucket occurrences (one per side), got $n")
+    val topkPlan = Similarity.lshTopK(all, all.filter(col("vec_id") < 10), 5,
+        nPlanes = 4, maxProbe = 1, nTables = 8)
+      .queryExecution.executedPlan.toString
+    val m = "hyperplane_lsh_bucket\\(".r.findAllIn(topkPlan).size
+    assert(m == 2, s"expected 2 hyperplane_lsh_bucket occurrences (corpus + query), got $m")
+  }
+
   test("zero vectors never rank in top-k nor appear as near-duplicates") {
     val zero = Seq((9999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
     val emb = Similarity.prepared(
