@@ -19,8 +19,13 @@ object Bench {
     // Deterministic ordering + one untimed warm pass per query: iteration
     // order of a Map is arbitrary, so without this the first few queries
     // absorb residual JIT/codegen warmup and round-over-round comparisons
-    // drift by seconds.
+    // drift by seconds. SPARK_GRAFT_ONLY=a,b,c times just those queries in
+    // a fresh JVM — the isolation probe for "did this number move on its
+    // own, or was the full run contended?" (see BENCH_NOTES.md round 5).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
     }

@@ -293,24 +293,45 @@ object Dedup {
     * near the true-positive count, and the precondition for pathological
     * corpora — collapse exact duplicates first so a hot identical-text
     * cluster can't inflate the candidate set — is the same one the index
-    * build states. */
+    * build states.
+    *
+    * That precondition is ENFORCED, not assumed: the candidate set is
+    * counted first (one extra pass over the fixed-width index join —
+    * exchange-free on a bucketed index, never touching a text column),
+    * and above `maxBroadcastCandidates` the forced hints are dropped so
+    * the planner degrades to a shuffle join that completes, instead of a
+    * broadcast build that hits the 8 GB broadcast cap / driver OOM when a
+    * skewed batch or hot band inflates candidates. The cap bounds the
+    * broadcast build: 1M candidate rows of a few-KB text ≈ low GBs. */
   def minhashIncrementalPairs(index: DataFrame, corpus: DataFrame,
                               batch: DataFrame, id: Column, text: Column,
                               ngram: Int = 3, numHashes: Int = 64,
-                              bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                              bands: Int = 16, threshold: Double = 0.8,
+                              maxBroadcastCandidates: Long = 1000 * 1000): DataFrame = {
     val newIdx = minhashIndex(batch, id, text, ngram, numHashes, bands)
     val cand = index.as("old")
       .join(newIdx.as("new"),
         col("old.band") === col("new.band") && col("old.sig") === col("new.sig"))
       .select(col("old.doc_id").as("old_id"), col("new.doc_id").as("new_id"))
       .distinct()
+    // Deliberately count (one cheap narrow job) rather than persist: an
+    // InMemoryRelation in the lineage would hide the bucketed index scan
+    // from the final plan, and with it the exchange-free evidence the
+    // plan-guard specs (and any plan reviewer) rely on.
+    val broadcastSafe = cand.count() <= maxBroadcastCandidates
+    def hinted(df: DataFrame): DataFrame = if (broadcastSafe) broadcast(df) else df
+    if (!broadcastSafe)
+      System.err.println(
+        s"[graft] minhashIncrementalPairs: candidate set exceeds " +
+          s"$maxBroadcastCandidates rows — falling back to a shuffle join; " +
+          "collapse exact duplicates first (exactGroups) to shrink it")
     // corpus streamed against the broadcast candidate ids: one scan, no
     // corpus shuffle; result is candidate-sized and carries the old texts
     val withOld = corpus.select(id.as("old_id"), text.as("old_text"))
-      .join(broadcast(cand), "old_id")
+      .join(hinted(cand), "old_id")
     // batch streamed the same way against the (still candidate-sized) set
     batch.select(id.as("new_id"), text.as("new_text"))
-      .join(broadcast(withOld), "new_id")
+      .join(hinted(withOld), "new_id")
       .withColumn("jaccard",
         TextHashExpressions.shingleJaccard(col("old_text"), col("new_text"), ngram))
       .filter(col("jaccard") >= threshold)

@@ -87,18 +87,24 @@ object Similarity {
     require(nPlanes >= 1 && nTables >= 1 && nPlanes * nTables <= 63,
       s"need 1 <= nPlanes x nTables <= 63, got $nPlanes x $nTables")
     val mask = (1L << nPlanes) - 1
-    // kernel once per row, attribute-materialized behind the Generate
-    val hashed = emb.select(col("vec_id"), col("vec"), col("norm"),
+    // kernel once per row, attribute-materialized behind the Generate.
+    // The banded index rows are FIXED-WIDTH (id, 64-bit hash, band,
+    // bucket) — vectors are deliberately NOT carried: the nTables-way
+    // self-join exchange would otherwise move every vector nTables times
+    // per side. Vectors are fetched afterwards for surviving candidate
+    // pairs only, so each one crosses the wire at most once per side
+    // however many tables amplify recall.
+    val hashed = emb.select(col("vec_id"),
       posexplode_outer(array(hyperplaneLshBucket(col("vec"), nPlanes * nTables)))
         .as(Seq("__p", "hb")))
-    val banded = hashed.select(col("vec_id"), col("vec"), col("norm"), col("hb"),
+    val banded = hashed.select(col("vec_id"), col("hb"),
       posexplode_outer(transform(sequence(lit(0), lit(nTables - 1)),
         t => call_function("shiftright", col("hb"), t * lit(nPlanes))
           .bitwiseAND(lit(mask)))).as(Seq("band", "bucket")))
-    val a = banded.select(col("vec_id").as("id_a"), col("vec").as("va"),
-      col("norm").as("na"), col("hb").as("hb_a"), col("band"), col("bucket"))
-    val b = banded.select(col("vec_id").as("id_b"), col("vec").as("vb"),
-      col("norm").as("nb"), col("hb").as("hb_b"), col("band"), col("bucket"))
+    val a = banded.select(col("vec_id").as("id_a"), col("hb").as("hb_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("vec_id").as("id_b"), col("hb").as("hb_b"),
+      col("band"), col("bucket"))
     // Each colliding pair is emitted from its FIRST agreeing band only,
     // so scoring runs once per candidate pair and no dedup exchange
     // exists at all (the join's shuffle moves only the banded index rows —
@@ -114,8 +120,16 @@ object Similarity {
     val agreeBits = bitwise_not(collapsed).bitwiseAND(lit(bandSelect))
     val lowMask = call_function("shiftleft", lit(1L), col("band") * lit(nPlanes)) - lit(1L)
     val firstAgreeingBand = agreeBits.bitwiseAND(lowMask) === 0
-    a.join(b, Seq("band", "bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b") && firstAgreeingBand)
+      .select(col("id_a"), col("id_b"))
+    // Exact verification on survivors: two id-keyed joins, candidate-sized;
+    // the only exchanges that ever carry a vector.
+    val va = emb.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

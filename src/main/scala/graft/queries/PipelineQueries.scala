@@ -28,6 +28,21 @@ object PipelineQueries {
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** embeddings plus a planted near-duplicate (`v + 0.01·reverse(v)`,
+    * cosine ≈ 0.9999) of every 10th vector — a GAPPED corpus: dup pairs
+    * sit near cosine 1.0, background pairs top out around 0.6, so a
+    * selective LSH config carries full recall at near-linear candidate
+    * volume. Pure double arithmetic, reproduced verbatim by the DuckDB
+    * oracle (list comprehension over the reversed index). */
+  private def plantedEmbeddings(t: Tables): DataFrame = {
+    val base = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(dupCorpus(Tables(s, dir)), col("text"), col("doc_id"))
@@ -67,20 +82,24 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Production path for embedding near-dup: OR-amplified hyperplane LSH.
-    // 16 tables of 2-bit buckets give miss = (1 - p^2)^16 ≈ 3e-4 per pair
-    // at cosine 0.4 — so the verified output EQUALS the all-pairs answer
-    // and the DuckDB oracle holds it to exact set equality with brute
-    // force (any lost pair = row-count mismatch). The coarse buckets are
-    // forced by this corpus having NO similarity gap (near-uniform random
-    // vectors; threshold pairs sit at the distribution tail) — on real
-    // near-dup data (cosine ≥ 0.8 dups vs ≤ 0.3 background) selective
-    // configs like 8-bit × 8-table buckets carry full recall at a
-    // fraction of the candidate volume; fewer/finer tables is the knob.
+    // Production path for embedding near-dup: OR-amplified hyperplane LSH
+    // on a GAPPED corpus — every 10th vector gets a planted near-duplicate
+    // (v + 0.01·reverse(v), cosine ≈ 0.9999) so dups sit far above the
+    // 0.8 threshold while the background tops out at ~0.6 (measured: max
+    // background cosine 0.513 at sf0.01, 0.601 at sf0.1). That is the
+    // shape of real near-dup data, and it lets the REGISTERED config be
+    // selective: 4 tables of 8-bit buckets ⇒ candidate volume ≈ N²/64
+    // (~31k pairs at sf0.1 vs 2M all-pairs) with per-pair miss ≈ 1.6e-6
+    // at cosine 0.9999 — recall 1.0 on this corpus (measured by LshTune's
+    // planted sweep), so the DuckDB brute-force oracle holds the output
+    // to exact set equality. The no-gap full-recall config (2-bit × 16
+    // tables at threshold 0.4, quadratic candidates) remains a spec-level
+    // tripwire in SimilaritySpec — it is the knob's other end, not the
+    // production registration.
     "dedup_embedding_lsh" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      val emb = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
-      Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4, nPlanes = 2, nTables = 16)
+      val emb = Similarity.prepared(plantedEmbeddings(Tables(s, dir)),
+        col("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairsLsh(emb, threshold = 0.8, nPlanes = 8, nTables = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -523,16 +542,26 @@ object PipelineQueries {
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
          ORDER BY id_a, id_b""",
 
-    // The LSH path at the registered full-recall parameters returns the
-    // exact all-pairs answer (verified precision 1 by construction,
-    // recall 1 held by this oracle) — so its oracle IS the brute-force SQL.
+    // The LSH path at the registered selective parameters returns the
+    // exact all-pairs answer on the planted gapped corpus (precision 1 by
+    // construction, recall 1 measured) — so its oracle IS the brute-force
+    // SQL over the same planted corpus, rebuilt here with identical
+    // double arithmetic.
     "dedup_embedding_lsh" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v)
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            planted AS (
+              SELECT vec_id, vec FROM base
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     [vec[i] + vec[len(vec) + 1 - i] * 0.01
+                      for i in range(1, len(vec) + 1)] AS vec
+              FROM base WHERE vec_id % 10 = 0),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                  FROM planted)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
          FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+         WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.8
          ORDER BY id_a, id_b""",
 
     "q_range_join" ->

@@ -216,23 +216,38 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashIndex(corpus, col("doc_id"), col("text")),
       "mh_idx_bucketed", Seq("band", "sig"), buckets = 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE's pre-execution inputPlan carries no exchanges (EnsureRequirements
+    // runs at stage preparation), so exchange assertions against it are
+    // vacuous — disable AQE and inspect the executed plan directly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val out = Dedup.minhashIncrementalPairs(spark.table("mh_idx_bucketed"),
         corpus, batch, col("doc_id"), col("text"))
-      val root = out.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
+      val root = out.queryExecution.executedPlan
       def bucketedScans(p: SparkPlan) =
         p.collect { case f: FileSourceScanExec if f.bucketedScan => f }
       assert(bucketedScans(root).nonEmpty,
         s"index scan should read bucketed:\n$root")
+      // non-vacuous: the batch side DOES shuffle (its banded rows must
+      // co-locate with the bucketed index), the corpus index side does not
+      val allShuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(allShuffles.nonEmpty,
+        s"expected the batch side to shuffle its banded rows:\n$root")
+      // The JOIN is exchange-free on the index side: the only exchange
+      // allowed above the bucketed scan is the candidate-dedup aggregation
+      // — fixed-width (old_id, new_id) rows, map-side partially aggregated,
+      // candidate-sized. A (band, sig) re-shuffle of the index rows (what
+      // bucketing exists to eliminate) or anything wider than ids fails.
       val shufflesAbove = root.collect {
         case e: ShuffleExchangeLike if bucketedScans(e.asInstanceOf[SparkPlan]).nonEmpty => e
       }
-      assert(shufflesAbove.isEmpty,
-        s"no exchange may sit above the bucketed index scan:\n$root")
+      shufflesAbove.foreach { e =>
+        val names = e.asInstanceOf[SparkPlan].output.map(_.name)
+        assert(names.toSet.subsetOf(Set("old_id", "new_id")),
+          s"exchange above the bucketed index scan carries $names:\n$root")
+      }
       // and the bucketed path returns the same pairs as the unbucketed one
       val plain = Dedup.minhashIncrementalPairs(
         Dedup.minhashIndex(corpus, col("doc_id"), col("text")), corpus, batch,
@@ -240,6 +255,7 @@ class DedupSpec extends SparkSpec {
       assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS mh_idx_bucketed")
     }
   }
@@ -251,22 +267,52 @@ class DedupSpec extends SparkSpec {
     // full corpus text column.
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // see the bucketed guard above: exchange assertions need AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+      val root = Dedup.minhashIncrementalPairs(index, corpus, batch,
+          col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      // no shuffle in the plan may CARRY a text column — shuffled rows are
+      // banded signatures and candidate ids only
+      val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty, s"expected banded/candidate exchanges in:\n$root")
+      shuffles.foreach { e =>
+        val carried = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.map(_.name).filter(_.toLowerCase.contains("text"))
+        assert(carried.isEmpty, s"text columns shuffled: $carried")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("incremental broadcast guard: over-cap candidates fall back, same answer") {
+    // maxBroadcastCandidates = 0 forces the fallback: with the forced
+    // hints dropped (and auto-broadcast disabled) the planner chooses a
+    // shuffle join — the job degrades gracefully instead of building an
+    // unbounded broadcast of candidate texts — and the answer is identical.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
     val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
-    val root = Dedup.minhashIncrementalPairs(index, corpus, batch,
-        col("doc_id"), col("text"))
-      .queryExecution.executedPlan match {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = Dedup.minhashIncrementalPairs(index, corpus, batch,
+        col("doc_id"), col("text"), maxBroadcastCandidates = 0)
+      val root = guarded.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
         case p => p
       }
-    // no shuffle in the plan may CARRY a text column — shuffled rows are
-    // banded signatures and candidate ids only
-    root.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
-      val carried = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
-        .output.map(_.name).filter(_.toLowerCase.contains("text"))
-      assert(carried.isEmpty, s"text columns shuffled: $carried")
-    }
+      assert(root.collect { case e: BroadcastExchangeLike => e }.isEmpty,
+        s"fallback must not force a broadcast build:\n$root")
+      val hinted = Dedup.minhashIncrementalPairs(index, corpus, batch,
+        col("doc_id"), col("text"))
+      assert(guarded.exceptAll(hinted).isEmpty && hinted.exceptAll(guarded).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("plan guard: minhash index hashes each batch doc once, map-only") {

@@ -132,11 +132,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"LSH near-dup recall $recall")
   }
 
-  test("multi-table LSH pairs at the registered oracle params equal brute force") {
-    // dedup_embedding_lsh registers (nPlanes=2, nTables=16) precisely
-    // because OR-amplification reaches recall 1.0 on this corpus — the
-    // driver oracle holds the query to exact set equality with the
-    // all-pairs answer, and this spec is the pre-driver tripwire.
+  test("multi-table LSH at full-recall params equals brute force on a gapless corpus") {
+    // The knob's brute end: on a corpus with NO similarity gap (raw
+    // near-uniform vectors, threshold pairs at the distribution tail),
+    // full recall needs coarse 2-bit buckets OR-amplified across 16
+    // tables — quadratic candidates, kept as a spec-level tripwire only.
+    // The REGISTERED dedup_embedding_lsh config runs selective params on
+    // a gapped corpus (next test).
     val exact = Similarity.cosineNearDupPairs(all, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Similarity.cosineNearDupPairsLsh(all, threshold = 0.4,
@@ -149,6 +151,63 @@ class SimilaritySpec extends SparkSpec {
       s"LSH != brute force: missing ${exact.keySet -- lsh.map(_._1).toSet}, " +
         s"spurious ${lsh.map(_._1).toSet -- exact.keySet}")
     lsh.foreach { case (pair, cos) => assert(math.abs(exact(pair) - cos) < 1e-12) }
+  }
+
+  test("selective LSH on a planted gapped corpus equals brute force (registered params)") {
+    // Mirror of the registered dedup_embedding_lsh query: every 10th
+    // vector gets a planted near-dup (v + 0.01·reverse(v), cosine
+    // ≈ 0.9999); dups sit far above the 0.8 threshold, background far
+    // below, so 8-bit × 4-table buckets carry recall 1.0 at near-linear
+    // candidate volume. Pre-driver tripwire for the DuckDB oracle.
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding")))
+    val emb = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.8,
+        nPlanes = 8, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair is found, and nothing else exists on this corpus
+    val nPlanted = base.filter(pmod(col("vec_id"), lit(10)) === 0).count()
+    assert(exact.size == nPlanted,
+      s"gap violated: expected $nPlanted planted pairs, brute force found ${exact.size}")
+    assert(lsh == exact, s"selective LSH != brute force: " +
+      s"missing ${exact -- lsh}, spurious ${lsh -- exact}")
+  }
+
+  test("plan guard: banded LSH self-join exchanges carry no vectors") {
+    // The fixed-width contract: the nTables-amplified (band, bucket)
+    // exchange moves (id, hash, band, bucket) rows only; vectors cross
+    // the wire at most once per side, in the candidate-sized fetch joins.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE's pre-execution plan carries no exchanges yet (EnsureRequirements
+    // runs at stage-preparation time); disable it so executedPlan shows them.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Similarity.cosineNearDupPairsLsh(all, 0.4, nPlanes = 8, nTables = 4)
+        .queryExecution.executedPlan
+      val banded = root.collect {
+        case e: ShuffleExchangeLike
+          if e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+            .output.exists(_.name == "bucket") => e
+      }
+      assert(banded.nonEmpty, s"expected banded exchanges in:\n$root")
+      banded.foreach { e =>
+        val wide = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.filter(a => a.name.startsWith("v") && a.name != "vec_id")
+        assert(wide.isEmpty, s"banded exchange carries vectors: $wide")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("multi-table ANN top-k at the registered oracle params equals brute force") {
