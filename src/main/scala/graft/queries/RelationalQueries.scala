@@ -142,7 +142,7 @@ object RelationalQueries {
       graft.operators.Skew
         .saltedJoin(t.events.select(col("event_id"), col("user_id"),
           col("event_type")), dim, "user_id", saltFactor = 8,
-          saltFrom = Some(col("event_id")))
+          graft.operators.Skew.SaltMode.FromId(col("event_id")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_n")).as("s"))
         .orderBy(col("event_type"))
@@ -296,7 +296,7 @@ object RelationalQueries {
           Seq(graft.operators.Skew.count2("n"),
             graft.operators.Skew.sum2("sum_v", col("v")),
             graft.operators.Skew.max2("max_v", col("v"))),
-          saltFrom = Some(col("event_id")))
+          graft.operators.Skew.SaltMode.FromId(col("event_id")))
         .select(col("user_id"), col("n"),
           col("sum_v").cast("double").as("sum_v"),
           col("max_v").cast("double").as("max_v"))

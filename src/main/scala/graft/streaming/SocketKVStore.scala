@@ -91,6 +91,14 @@ object SocketKVStore {
     conns.values.forEach(c => try c.socket.close() catch { case _: Throwable => () })
     conns.clear()
   }
+
+  /** Sever every cached connection WITHOUT forgetting it (crash-injection
+    * test hook): the next call on a severed connection fails at the
+    * transport level and takes the eviction path — to the pooled client
+    * this is indistinguishable from the link dying under a running task,
+    * which is exactly the executor-side failure the crash specs inject. */
+  def killConnections(): Unit =
+    conns.values.forEach(c => try c.socket.close() catch { case _: Throwable => () })
 }
 
 /** Minimal thread-per-connection server speaking the [[SocketKVStore]]

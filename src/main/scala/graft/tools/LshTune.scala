@@ -24,9 +24,19 @@ object LshTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = Similarity.prepared(Tables(spark, dir).embeddings,
-      col("vec_id"), col("embedding"))
+    val base = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val emb = Similarity.prepared(base, col("vec_id"), col("embedding"))
     val nVec = emb.count()
+
+    // Recall sweeps collect full pair/top-k sets to the driver — fine at
+    // sweep scale, quadratic-output hazard beyond it. Refuse rather than
+    // OOM: the count-only "time" mode works at any SF.
+    val maxSweepVectors = 20000L
+    val sweepable = nVec <= maxSweepVectors
+    if (!sweepable)
+      println(s"[lshtune] corpus=$nVec exceeds $maxSweepVectors vectors: " +
+        "recall sweeps (driver-side collects) disabled; use the 'time' mode")
 
     if (args.length > 1 && args(1) == "time") {
       // wall-time the registered-query configurations only
@@ -42,6 +52,27 @@ object LshTune {
       time("lsh_topk b=4 t=8 p=1")(
         Similarity.lshTopK(emb, q10, 5, nPlanes = 4, maxProbe = 1, nTables = 8).count())
       spark.stop(); return
+    }
+    require(sweepable,
+      s"recall sweeps need <= $maxSweepVectors vectors (got $nVec); run 'time' mode")
+
+    // --- planted gapped corpus at threshold 0.8 (the registered
+    // dedup_embedding_lsh shape: every 10th vector + a cosine-0.9999 twin,
+    // background <= ~0.6) — selective configs must carry recall 1.0 ---
+    val planted = Similarity.prepared(
+      base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01)).as("embedding"))),
+      col("vec_id"), col("embedding"))
+    val exactPlanted = Similarity.cosineNearDupPairs(planted, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[lshtune] planted corpus exact pairs@0.8 = ${exactPlanted.size}")
+    for (b <- Seq(6, 8); t <- Seq(1, 2, 4) if b * t <= 63) {
+      val got = Similarity.cosineNearDupPairsLsh(planted, 0.8, nPlanes = b, nTables = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & exactPlanted).size.toDouble / math.max(1, exactPlanted.size)
+      println(f"[lshtune] planted b=$b t=$t recall=$recall%.4f got=${got.size} exact=${exactPlanted.size}")
     }
 
     // --- near-dup pairs at threshold 0.4 ---

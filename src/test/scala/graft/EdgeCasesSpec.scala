@@ -24,7 +24,8 @@ class EdgeCasesSpec extends SparkSpec {
       (1 to 100).map(i => (i.toLong + 1, i.toDouble))).toDF("k", "v")
     val salted = Skew.saltedAgg(df, Seq(col("k")), buckets = 8,
       Seq(Skew.count2("n"), Skew.sum2("s", col("v").cast("decimal(18,6)")),
-        Skew.min2("mn", col("v")), Skew.max2("mx", col("v"))))
+        Skew.min2("mn", col("v")), Skew.max2("mx", col("v"))),
+      Skew.SaltMode.RoundRobinUnsafe)
       .withColumn("s", col("s").cast("double"))
     val plain = df.groupBy(col("k")).agg(
       count(lit(1)).as("n"),
@@ -40,7 +41,8 @@ class EdgeCasesSpec extends SparkSpec {
       .select(col("id").as("row_id"),
         when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"))
     val dim = fact.groupBy("k").agg(count(lit(1)).as("dn"))
-    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", saltFactor = 4)
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", saltFactor = 4,
+      graft.operators.Skew.SaltMode.RoundRobinUnsafe)
       .select("row_id", "k", "dn").as[(Long, Long, Long)].collect().toSet
     val plain = fact.join(dim, "k")
       .select("row_id", "k", "dn").as[(Long, Long, Long)].collect().toSet
@@ -58,7 +60,7 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("row_id", "k", "v")
     val salted = Skew.saltedAgg(df, Seq(col("k")), buckets = 8,
       Seq(Skew.count2("n"), Skew.sum2("s", col("v").cast("decimal(18,6)"))),
-      saltFrom = Some(col("row_id")))
+      Skew.SaltMode.FromId(col("row_id")))
     val analyzed = salted.queryExecution.analyzed
     assert(analyzed.collect { case p => p }.forall(_.expressions.forall(_.deterministic)),
       "saltedAgg with saltFrom must contain no nondeterministic expression")
@@ -74,7 +76,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(nBuckets == 8, s"hot key spread over $nBuckets/8 buckets")
 
     val sj = Skew.saltedJoin(df, df.groupBy("k").agg(count(lit(1)).as("dn")),
-      "k", saltFactor = 4, saltFrom = Some(col("row_id")))
+      "k", saltFactor = 4, Skew.SaltMode.FromId(col("row_id")))
     val sjAnalyzed = sj.queryExecution.analyzed
     assert(sjAnalyzed.collect { case p => p }.forall(_.expressions.forall(_.deterministic)))
     assert(sj.count() == 1000)

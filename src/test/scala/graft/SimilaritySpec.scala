@@ -62,6 +62,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF twin queries at nProbe=1 return the exact nearest neighbor") {
+    // Mirror of the registered sim_ivf_top1 query: queries are identical
+    // copies of corpus vectors, so each query's nearest centroid is its
+    // twin's assignment list and the twin (cosine 1.0) is guaranteed
+    // probed and ranked first — top-1 equals brute force exactly even at
+    // the most selective probe setting. Pre-driver oracle tripwire.
+    val twins = all.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+    val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 16)
+    val got = graft.operators.IvfIndex
+      .probeTopK(assigned, centroids, twins, k = 1, nProbe = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 10)
+    got.foreach { case (qid, (cand, cos)) =>
+      assert(cand == qid - 100000, s"query $qid: top-1 is $cand, not its twin")
+      assert(math.abs(cos - 1.0) < 1e-9, s"twin cosine $cos != 1.0")
+    }
+  }
+
   test("plan guard: nearest_centroid evaluates once per corpus row") {
     // The assignment sits behind a Generate; a plain Project would let the
     // probe join's inferred isnotnull(centroid_id) push a second k x dim

@@ -24,6 +24,32 @@ private final class CrashAtMarkStore(inner: SocketKVStore, kill0: () => Unit)
   }
 }
 
+/** JVM-wide increment counter + arm switch for [[CrashMidApplyStore]]:
+  * static so the crash fires exactly once on the Nth hincrBy, whichever
+  * task closure (deserialized copy of the handle) issues it. */
+private object CrashMidApply {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var armed = false
+}
+
+/** [[graft.streaming.KVStore]] wrapper that severs the pooled TCP
+  * connection immediately before the Nth increment — the link dies UNDER
+  * a running foreachPartition task, after some increments of the same
+  * batch already landed. The server stays alive: this injects a transport
+  * failure (executor-side), not a server death (that window is
+  * [[CrashAtMarkStore]]'s). */
+private final class CrashMidApplyStore(inner: SocketKVStore, crashOn: Int)
+    extends graft.streaming.KVStore {
+  def hincrBy(k: String, f: String, d: Long): Long = {
+    if (CrashMidApply.armed && CrashMidApply.calls.incrementAndGet() == crashOn)
+      SocketKVStore.killConnections()
+    inner.hincrBy(k, f, d)
+  }
+  def hgetAll(k: String): Map[String, Long] = inner.hgetAll(k)
+  def batchSeen(id: Long): Boolean = inner.batchSeen(id)
+  def markBatch(id: Long): Boolean = inner.markBatch(id)
+}
+
 /** End-to-end Structured Streaming parity: cross-batch accumulation in the
   * KV sink, checkpoint-based resume (replacing the reference's two manual
   * offset-management variants), replay semantics, and the idiomatic
@@ -165,6 +191,64 @@ class StreamingSpec extends SparkSpec {
         assert(server2.store.hgetAll("n-ko-2024-06-01") ==
           Map("total" -> 2L, "success" -> 2L, "fee" -> 40L))
       } finally server2.stop()
+    } finally { server.stop(); SocketKVStore.resetConnections() }
+  }
+
+  test("TCP KVStore: connection death mid-apply leaves partial increments; " +
+       "the unmarked batch replays and converges") {
+    // The executor-side crash window: the pooled link dies UNDER a
+    // foreachPartition task after some of the batch's increments landed.
+    // Contract under test — partial increments are visible (at-least-once,
+    // never silent loss), the batch is NOT marked, the failed connection's
+    // eviction lets the replay reconnect and re-apply in full, and once
+    // the replay marks the batch, further replays are no-ops.
+    val server = new KVServer()
+    server.start()
+    val store = new SocketKVStore("127.0.0.1", server.port)
+    val days = Seq("2024-08-01", "2024-08-02")
+    def state(): Map[String, Map[String, Long]] =
+      days.map(d => d -> server.store.hgetAll("n-ko-" + d)).toMap
+    def total(s: Map[String, Map[String, Long]]): Long =
+      s.values.flatMap(_.values).sum
+    try {
+      val crashing = new CrashMidApplyStore(store, crashOn = 3)
+      val p = new OrderStreamPipeline(crashing, "n-ko-", true)
+      val batch = Seq(
+        wire("2024-08-01 09:00:00", 40, "1"),
+        wire("2024-08-01 10:00:00", 25, "0"),
+        wire("2024-08-02 08:00:00", 11, "1")).toDF("value")
+      val expected = Map(
+        "2024-08-01" -> Map("total" -> 2L, "success" -> 1L, "fee" -> 40L),
+        "2024-08-02" -> Map("total" -> 1L, "success" -> 1L, "fee" -> 11L))
+
+      CrashMidApply.calls.set(0)
+      CrashMidApply.armed = true
+      try intercept[Exception](p.applyBatch(batch, 0L))
+      finally CrashMidApply.armed = false
+
+      // partial: the 3rd increment died on the severed link, so at least
+      // the first two landed and at least one is missing
+      val partial = state()
+      assert(total(partial) > 0, "no increments landed before the crash")
+      assert(partial != expected, "crash was not mid-apply: batch fully landed")
+      assert(!store.batchSeen(0L), "a failed batch must never be marked")
+
+      // replay on the healed link (eviction → reconnect): re-applies IN
+      // FULL on top of the partial increments — at-least-once, the
+      // overcount bounded by the one crashed attempt
+      p.applyBatch(batch, 0L)
+      val afterReplay = state()
+      days.foreach { d =>
+        val merged = (expected(d).keySet ++ partial(d).keySet).map(f =>
+          f -> (expected(d).getOrElse(f, 0L) + partial(d).getOrElse(f, 0L))).toMap
+        assert(afterReplay(d) == merged,
+          s"$d: expected partial+full = $merged, got ${afterReplay(d)}")
+      }
+      assert(store.batchSeen(0L))
+
+      // convergence: the marked batch makes every further replay a no-op
+      p.applyBatch(batch, 0L)
+      assert(state() == afterReplay)
     } finally { server.stop(); SocketKVStore.resetConnections() }
   }
 
