@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * quadratically in pairs; plus an ANN probe timing quantized-code top-k
   * against full-precision brute force on the same synthetic vectors.
   * Usage: runMain graft.ScaleProbe [sizes...]
+  * SPARK_GRAFT_PROBES=minhash,ann,ivf,emb selects a probe subset.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
                 else Seq(5000, 50000, 200000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val want = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def on(p: String): Boolean = want.forall(_.contains(p))
     val spark = GraftSession.local(cpus)
     // warm the session so the smallest corpus isn't charged JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -39,6 +43,7 @@ object ScaleProbe {
         .withColumn("text",
           when(pmod(col("doc_id"), lit(100)) === 1,
             concat(col("text"), lit(" extra"))).otherwise(col("text")))
+      if (on("minhash")) {
       docs.cache().count()
       val t0 = System.nanoTime()
       val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count()
@@ -83,7 +88,9 @@ object ScaleProbe {
       val sec2b = (System.nanoTime() - t2b) / 1e9
       println(f"""{"metric":"minhash_clusters_distributed","docs":$n,"sec":$sec2b%.2f,"clusters":$nClustersDist,"clusters_hybrid":$nClusters}""")
       docs.unpersist()
+      }
 
+      if (on("ann") || on("ivf") || on("emb")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -100,15 +107,19 @@ object ScaleProbe {
       vecs.cache().count()
       val queries = vecs.filter(col("vec_id") < 10)
       val t3 = System.nanoTime()
-      val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
-        .select(col("query_id"), col("cand_id")).collect().toSet
+      val exact = if (on("ann") || on("ivf"))
+        Similarity.bruteForceTopK(vecs, queries, k = 5)
+          .select(col("query_id"), col("cand_id")).collect().toSet
+      else Set.empty[org.apache.spark.sql.Row]
       val sec3 = (System.nanoTime() - t3) / 1e9
+      if (on("ann")) {
       val t4 = System.nanoTime()
       val quant = Similarity.quantizedTopK(vecs, queries, k = 5)
         .select(col("query_id"), col("cand_id")).collect().toSet
       val sec4 = (System.nanoTime() - t4) / 1e9
       val overlap = (exact intersect quant).size
       println(f"""{"metric":"ann_scale","vecs":$n,"sec_brute":$sec3%.2f,"sec_quant":$sec4%.2f,"top5_overlap":$overlap,"of":${exact.size}}""")
+      }
 
       // IVF vs multi-probe LSH on the same vectors: build (2 Lloyd scans,
       // 16 lists) + probe-4 top-5, against nPlanes=4/maxProbe=1 LSH.
@@ -116,6 +127,7 @@ object ScaleProbe {
       // clustered corpora (these synthetic vectors are near-uniform, so
       // this is its worst case); the row published here is the honest
       // build+probe cost curve, not a cherry-picked win.
+      if (on("ivf")) {
       val t5 = System.nanoTime()
       val (assigned, centroids) = graft.operators.IvfIndex.build(vecs, k = 16)
       val ivf = graft.operators.IvfIndex
@@ -127,7 +139,38 @@ object ScaleProbe {
         .select(col("query_id"), col("cand_id")).collect().toSet
       val sec6 = (System.nanoTime() - t6) / 1e9
       println(f"""{"metric":"ivf_scale","vecs":$n,"sec_ivf_build_probe":$sec5%.2f,"sec_lsh":$sec6%.2f,"top5_overlap_ivf":${(exact intersect ivf).size},"top5_overlap_lsh":${(exact intersect lsh).size},"of":${exact.size}}""")
+      }
+
+      // Embedding near-dup PRODUCTION path (cosineNearDupPairsLsh) on a
+      // gapped corpus: every 100th vector gets a planted twin
+      // (v + 0.01·reverse(v), cosine ≈ 0.9999 vs a ~N(0, 1/8) random
+      // background). Bucket granularity must scale with the corpus —
+      // planes ≈ log2(n/32), ×4 OR-tables — so per-table buckets stay
+      // selective and candidate volume stays near-linear; the registered
+      // sf config (8×4) is this rule at n=500..5000. Full planted recall
+      // is asserted at every size; the all-pairs baseline this replaces
+      // is already infeasible at 200k (20B pairs).
+      if (on("emb")) {
+      val twins = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") + n).as("vec_id"),
+          zip_with(col("vec"), reverse(col("vec")),
+            (x, y) => x + y * lit(0.01)).as("vec"))
+      val gapped = Similarity.prepared(
+        vecs.select(col("vec_id"), col("vec")).unionByName(twins),
+        col("vec_id"), col("vec"))
+      val planes = math.min(15, math.max(8,
+        (math.log(n / 32.0) / math.log(2)).ceil.toInt))
+      val t7 = System.nanoTime()
+      val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes, nTables = 4)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("id_b") === col("id_a") + n &&
+            pmod(col("id_a"), lit(100)) === 0, 1L).otherwise(0L)).as("planted"))
+        .head()
+      val sec7 = (System.nanoTime() - t7) / 1e9
+      println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
+      }
       vecs.unpersist()
+      }
     }
     spark.stop()
   }
