@@ -74,6 +74,30 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Persist the IVF index with one DIRECTORY PER LIST (a parquet table
+    * partitioned by `centroid_id`) plus a tiny companion centroid table.
+    * This is the PERSISTED form of ANN state — the analogue of the
+    * bucketed minhash index for near-dup: build once, then every probe
+    * batch reads only its lists. Probing a loaded index is a scan-pruned
+    * join: the probe side is broadcast, and Spark's dynamic partition
+    * pruning narrows the index scan to the probed `centroid_id`
+    * directories — "probe nProbe of k lists" becomes reading nProbe/k of
+    * the index BYTES, not a full scan filtered after the fact
+    * (plan-guard spec'd: the scan carries a dynamicpruning partition
+    * filter). */
+  def writeIndex(assigned: DataFrame, centroids: DataFrame, table: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .format("parquet").saveAsTable(table)
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_centroids")
+  }
+
+  /** Load a persisted index written by [[writeIndex]]: (assigned,
+    * centroids), directly consumable by [[probeTopK]]. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                table: String): (DataFrame, DataFrame) =
+    (spark.table(table), spark.table(table + "_centroids"))
+
   /** Top-k by cosine per query, scanning only the `nProbe` nearest lists.
     * `centroids` is a local relation, so the probe-list selection plans
     * with no corpus access; the corpus is touched by exactly one scan,

@@ -288,6 +288,55 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("streaming ingestion: incremental near-dup against the bucketed index, batch by batch") {
+    // The continuously-ingesting pipeline end-to-end: the corpus index is
+    // built and bucketed ONCE; each arriving micro-batch joins against it
+    // through foreachBatch + minhashIncrementalPairs (no corpus re-hash,
+    // no corpus text shuffle — the same plan the batch plan-guards pin);
+    // across micro-batches the emitted pairs equal the brute-force
+    // old-cross-new answer.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    Bucketing.writeBucketed(
+      Dedup.minhashIndex(corpus, col("doc_id"), col("text")),
+      "mh_idx_stream", Seq("band", "sig"), buckets = 4)
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val pairs = Dedup.minhashIncrementalPairs(spark.table("mh_idx_stream"),
+              corpus, batch, col("doc_id"), col("text"))
+            .select("old_id", "new_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          found.synchronized { found ++= pairs }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-inc").toString)
+        .start()
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val expect = brutePairs(0.8).flatMap { case (a, b) =>
+        (a % 4, b % 4) match {
+          case (0, x) if x != 0 => Some((b, a))
+          case (x, 0) if x != 0 => Some((a, b))
+          case _                => None
+        }
+      }
+      assert(expect.nonEmpty, "corpus should contain cross-side near-dups")
+      assert(found.toSet == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS mh_idx_stream")
+  }
+
   test("incremental broadcast guard: over-cap candidates fall back, same answer") {
     // maxBroadcastCandidates = 0 forces the fallback: with the forced
     // hints dropped (and auto-broadcast disabled) the planner chooses a

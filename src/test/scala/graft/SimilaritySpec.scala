@@ -81,6 +81,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: probes dynamically prune to the probed lists") {
+    // writeIndex lays the corpus out one directory per list; probing a
+    // loaded index must (a) return exactly the in-memory index's answer
+    // and (b) carry a dynamic-pruning partition filter on the index scan,
+    // so only the probed centroid_id directories are read — the nProbe/k
+    // byte-reduction is physical, not a post-scan filter.
+    val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 8)
+    graft.operators.IvfIndex.writeIndex(assigned, centroids, "ivf_idx_part")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE's wrapper hides the scan from plan collects (see the banded
+    // LSH guard); DPP inserts either way, but assert on the plain plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (la, lc) = graft.operators.IvfIndex.loadIndex(spark, "ivf_idx_part")
+      val out = graft.operators.IvfIndex.probeTopK(la, lc, queries, k = 3, nProbe = 2)
+      val scans = out.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "centroid_id") => f
+      }
+      assert(scans.nonEmpty, "expected a partitioned index scan")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+        s"index scan must carry a dynamic partition-pruning filter:\n${scans.head}")
+      val mem = graft.operators.IvfIndex
+        .probeTopK(assigned, centroids, queries, k = 3, nProbe = 2)
+      assert(out.exceptAll(mem).isEmpty && mem.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_part")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_part_centroids")
+    }
+  }
+
   test("plan guard: nearest_centroid evaluates once per corpus row") {
     // The assignment sits behind a Generate; a plain Project would let the
     // probe join's inferred isnotnull(centroid_id) push a second k x dim
