@@ -106,18 +106,18 @@ object Dedup {
         col("jaccard"))
 
     // --- expansion back to member pairs ---
-    // Cross-cluster: verified rep pairs oriented both ways, joined to the
-    // scan-level member map; ma < mb keeps each member pair exactly once.
-    // The oriented rep-pair set is output-sized → broadcast.
+    // Cross-cluster: each verified rep pair joins to the scan-level
+    // member map once per side; (least, greatest) orders every member
+    // pair without the both-ways union that would execute the whole
+    // verification lineage twice (clusters are disjoint, so ma ≠ mb and
+    // each cross pair appears exactly once). The rep-pair set is
+    // output-sized → broadcast.
     val members = keyed.select(col("fp"), col("doc_id"))
-    val oriented = repPairs
-      .unionByName(repPairs.select(col("fp_b").as("fp_a"),
-        col("fp_a").as("fp_b"), col("jaccard")))
-    val cross = broadcast(oriented)
+    val cross = broadcast(repPairs)
       .join(members.select(col("fp").as("fp_a"), col("doc_id").as("ma")), "fp_a")
       .join(members.select(col("fp").as("fp_b"), col("doc_id").as("mb")), "fp_b")
-      .filter(col("ma") < col("mb"))
-      .select(col("ma").as("id_a"), col("mb").as("id_b"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
     // Within-cluster: identical texts → jaccard exactly 1.0. A fingerprint
     // self-join over shingle-eligible members — no aggregation, one shuffle
     // of (fp, id) pairs; singleton clusters simply produce no pairs.
@@ -391,40 +391,47 @@ object Dedup {
     * package-private so the skew-guard spec can assert the representative-
     * level candidate count directly. Returns (keyed, eligible, candidates):
     * keyed = (doc_id, __text, fp); eligible = one row per distinct
-    * shingle-eligible text (fp, rep_id, __text); candidates = distinct
-    * (id_a, id_b) representative pairs sharing an LSH bucket. */
+    * shingle-eligible text (fp, rep_id) — fixed-width, no text column;
+    * candidates = distinct (id_a, id_b) representative pairs sharing an
+    * LSH bucket. */
   private[graft] def minhashLshStages(docs: DataFrame, id: Column, text: Column,
                                       ngram: Int, numHashes: Int, bands: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
-    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val keyed = base.withColumn("fp", md5(col("__text")))
 
     // --- exact-collapse: one representative per distinct text ---
-    val keyed = base.withColumn("fp", md5(col("__text")))
-    val clusters = keyed.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep_id"), first(col("__text")).as("__text"))
-      .repartition(np, col("rep_id"))
-    // Representatives with enough tokens to shingle (cheap predicate — the
-    // hash kernel is evaluated exactly once, in the projections below).
-    val eligible = clusters.filter(hasNgramTokens(col("__text"), ngram))
-
-    // One tight-loop minhash pass per distinct text. The explicit-count
-    // repartition after it is a materialization barrier — without it
-    // CollapseProject inlines the signature into all 16 band expressions,
-    // recomputing it 16x (interpreted expressions get no codegen CSE) —
-    // and spreads downstream work regardless of upstream partitioning.
-    val sig = eligible
-      .select(col("rep_id").as("doc_id"),
+    // The signature is computed MAP-SIDE on every shingle-eligible row
+    // (the kernel is a linear tight loop, embarrassingly parallel;
+    // identical texts produce identical signatures), so the collapse
+    // exchange carries fixed-width (fp, doc_id, mh) rows — the corpus
+    // TEXT column never crosses a shuffle anywhere in this operator.
+    // Hashing per row instead of per distinct text trades bounded extra
+    // map CPU on duplicate-heavy corpora for ~10x less shuffle bytes on
+    // multi-KB documents, which is the 100 TB-dominant cost. The
+    // Aggregate below is also the materialization barrier that round 1
+    // bought with an explicit repartition: band expressions read the
+    // aggregated `mh` ATTRIBUTE, and CollapseProject cannot inline an
+    // expression through an Aggregate, so the kernel still runs exactly
+    // once per row and one whole exchange is gone.
+    val sigAll = keyed.filter(hasNgramTokens(col("__text"), ngram))
+      .select(col("fp"), col("doc_id"),
         TextHashExpressions.shingleMinhash(col("__text"), ngram, numHashes).as("mh"))
-      .repartition(np, col("doc_id"))
+    val collapsed = sigAll.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("mh")).as("mh"))
+    // (fp, rep_id) for the expansion joins — deliberately KERNEL-FREE
+    // lineage (md5 + min only), so consumers that never touch a
+    // signature (the clusters expansion) never pay a hash pass.
+    val eligible = keyed.filter(hasNgramTokens(col("__text"), ngram))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+
     // posexplode_outer, not posexplode: the non-outer generator makes
-    // InferFiltersFromConstraints add isnotnull(<array expr>), which
-    // PushDownPredicates inlines through the projection as a second
-    // evaluation of the hash kernel in the scan Filter. The outer variant
-    // carries no such constraint; null keys cannot equi-join anyway.
-    val banded = sig
-      .select(col("doc_id"),
+    // InferFiltersFromConstraints add isnotnull(<array expr>); here the
+    // array is an agg attribute so no kernel re-evaluation is possible,
+    // but the outer variant keeps the plan constraint-free either way.
+    val banded = collapsed
+      .select(col("rep_id").as("doc_id"),
         posexplode_outer(bandSignatures(col("mh"), bands, rows)).as(Seq("band", "sig")))
     val cand = banded.as("a")
       .join(banded.as("b"),

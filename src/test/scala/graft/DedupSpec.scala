@@ -56,6 +56,28 @@ class DedupSpec extends SparkSpec {
     assert(lowSim.isEmpty, s"simhash matched dissimilar pairs: $lowSim")
   }
 
+  test("plan guard: minhash LSH never shuffles a text column") {
+    // The round-5 collapse redesign: signatures are computed map-side per
+    // row, so the exact-collapse exchange carries (fp, doc_id, mh)
+    // fixed-width rows and NO exchange anywhere in the operator moves the
+    // corpus text. Texts are only read from scans (verification fetch,
+    // expansion). AQE off so exchanges are visible (see the bucketed guard).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty, s"expected collapse/band exchanges in:\n$root")
+      shuffles.foreach { e =>
+        val carried = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.map(_.name).filter(_.toLowerCase.contains("text"))
+        assert(carried.isEmpty, s"text columns shuffled: $carried\n$root")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("plan guard: simhash kernel evaluates once per join side, never in a scan filter") {
     // The kernel sits behind a Generate; if a future change re-exposes it
     // to CollapseProject or inferred-isnotnull pushdown, the count jumps

@@ -51,7 +51,7 @@ class EdgeCasesSpec extends SparkSpec {
   }
 
   test("salt from a unique id is deterministic (retry-safe shuffle key)") {
-    // With saltFrom supplied, the whole plan must be deterministic — a
+    // With SaltMode.FromId, the whole plan must be deterministic — a
     // nondeterministic shuffle key is the SPARK-23207 indeterminate-stage
     // hazard: after a fetch failure, regenerated map output would route
     // rows to different buckets than the output already consumed.
@@ -63,7 +63,7 @@ class EdgeCasesSpec extends SparkSpec {
       Skew.SaltMode.FromId(col("row_id")))
     val analyzed = salted.queryExecution.analyzed
     assert(analyzed.collect { case p => p }.forall(_.expressions.forall(_.deterministic)),
-      "saltedAgg with saltFrom must contain no nondeterministic expression")
+      "saltedAgg with SaltMode.FromId must contain no nondeterministic expression")
     assert(!analyzed.toString.contains("monotonically_increasing_id"))
     val plain = df.groupBy(col("k")).agg(count(lit(1)).as("n"),
       sum(col("v").cast("decimal(18,6)")).as("s"))
