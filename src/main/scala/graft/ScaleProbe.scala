@@ -158,16 +158,32 @@ object ScaleProbe {
       val gapped = Similarity.prepared(
         vecs.select(col("vec_id"), col("vec")).unionByName(twins),
         col("vec_id"), col("vec"))
-      val planes = math.min(15, math.max(8,
-        (math.log(n / 32.0) / math.log(2)).ceil.toInt))
-      val t7 = System.nanoTime()
-      val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes, nTables = 4)
-        .agg(count(lit(1)).as("total"),
-          sum(when(col("id_b") === col("id_a") + n &&
-            pmod(col("id_a"), lit(100)) === 0, 1L).otherwise(0L)).as("planted"))
-        .head()
-      val sec7 = (System.nanoTime() - t7) / 1e9
-      println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
+      // Natural rule: planes ≈ log2(n/32) so per-table buckets stay
+      // selective as the corpus grows. No longer capped at 15: configs
+      // wider than 63 total bits split across independent hash columns
+      // (LshLayout), so bucket granularity keeps pace with N past ~1M.
+      // At large sizes a second, deliberately wider run (+3 planes, 8×
+      // finer buckets) measures what the multi-hash headroom buys.
+      val planesNatural = math.max(8,
+        (math.log(n / 32.0) / math.log(2)).ceil.toInt)
+      // SPARK_GRAFT_EMB_PLANES=a,b forces specific plane counts (e.g. to
+      // probe only a selective config where the natural one would spill
+      // more than local disk holds).
+      val configs = sys.env.get("SPARK_GRAFT_EMB_PLANES")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(if (n >= 500000) Seq(planesNatural, planesNatural + 3)
+                   else Seq(planesNatural))
+      configs.foreach { planes =>
+        val t7 = System.nanoTime()
+        val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes, nTables = 4)
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("id_b") === col("id_a") + n &&
+              pmod(col("id_a"), lit(100)) === 0, 1L).otherwise(0L)).as("planted"))
+          .head()
+        val sec7 = (System.nanoTime() - t7) / 1e9
+        val nHashes = (4 + 63 / planes - 1) / (63 / planes)
+        println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"hash_cols":$nHashes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
+      }
       }
       vecs.unpersist()
       }

@@ -18,7 +18,8 @@ object VectorExpressions {
     * the result is the sign of the projection onto pseudo-random plane `p`
     * (see [[VectorKernels.hyperplaneBucket]]). Dimension is read from the
     * array. */
-  case class HyperplaneLshBucket(child: Expression, nPlanes: Int)
+  case class HyperplaneLshBucket(child: Expression, nPlanes: Int,
+                                 planeOffset: Int = 0)
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -26,18 +27,20 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Long.valueOf(
-        VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes))
+        VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes,
+          planeOffset))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.VectorKernels.hyperplaneBucket($c, $nPlanes);")
+        s"${ev.value} = graft.functions.VectorKernels.hyperplaneBucket($c, $nPlanes, $planeOffset);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  def hyperplaneLshBucket(vec: Column, nPlanes: Int): Column =
-    ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), nPlanes))
+  def hyperplaneLshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    ColumnBridge.column(
+      HyperplaneLshBucket(ColumnBridge.expression(vec), nPlanes, planeOffset))
 
   /** Σ aᵢ·bᵢ over two `array<double>` columns. Accumulates sequentially
     * left-to-right — the same order as the higher-order-function

@@ -38,6 +38,6 @@ object VectorFunctions {
     * the tight-loop custom expression
     * [[VectorExpressions.HyperplaneLshBucket]] (the higher-order-function
     * formulation was interpreted and dominated ANN bucketing cost). */
-  def hyperplaneLshBucket(vec: Column, nPlanes: Int): Column =
-    VectorExpressions.hyperplaneLshBucket(vec, nPlanes)
+  def hyperplaneLshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    VectorExpressions.hyperplaneLshBucket(vec, nPlanes, planeOffset)
 }

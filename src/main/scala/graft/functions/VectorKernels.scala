@@ -28,11 +28,19 @@ object VectorKernels {
   /** Sign-pattern bucket over `nPlanes` pseudo-random hyperplanes whose
     * components derive from `XXH64.hashLong(p * dim + d)` scaled to
     * [-1, 1] — deterministic, no plane matrix to broadcast. */
-  def hyperplaneBucket(v: ArrayData, nPlanes: Int): Long = {
+  def hyperplaneBucket(v: ArrayData, nPlanes: Int): Long =
+    hyperplaneBucket(v, nPlanes, 0)
+
+  /** As above, projecting onto planes `planeOffset until planeOffset+nPlanes`
+    * of the same global pseudo-random plane family — disjoint offsets give
+    * statistically independent hash columns, which is how LSH configs wider
+    * than 63 total bits split across multiple 64-bit bucket keys. */
+  def hyperplaneBucket(v: ArrayData, nPlanes: Int, planeOffset: Int): Long = {
     val dim = v.numElements()
     var bucket = 0L
-    var p = 0
-    while (p < nPlanes) {
+    var p = planeOffset
+    val end = planeOffset + nPlanes
+    while (p < end) {
       var proj = 0.0
       var d = 0
       val base = p.toLong * dim

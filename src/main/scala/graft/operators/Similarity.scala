@@ -67,59 +67,106 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Layout of an `nPlanes × nTables` LSH config over however many 64-bit
+    * hash columns it needs: `tablesPerHash = 63 / nPlanes` bands fit one
+    * hash, so configs up to 63 total bits keep a single hash column
+    * (bit-identical to the historical layout) and wider ones — the
+    * >1M-vector regime where bucket granularity must keep growing — split
+    * across `ceil(nTables / tablesPerHash)` columns whose kernels project
+    * onto DISJOINT plane indices (`planeOffset`), i.e. independent tables.
+    * For global table `t`: hash column `t / tablesPerHash`, band
+    * `t % tablesPerHash` within it. */
+  private final case class LshLayout(nPlanes: Int, nTables: Int) {
+    require(nPlanes >= 1 && nPlanes <= 63 && nTables >= 1 && nTables <= 62,
+      s"need 1 <= nPlanes <= 63 and 1 <= nTables <= 62, got $nPlanes x $nTables")
+    val mask: Long = (1L << nPlanes) - 1
+    val tablesPerHash: Int = 63 / nPlanes
+    val nHashes: Int = (nTables + tablesPerHash - 1) / tablesPerHash
+    def tablesIn(h: Int): Int =
+      math.min(tablesPerHash, nTables - h * tablesPerHash)
+    /** One kernel eval per hash column, as fields of a single struct —
+      * materialized behind a Generate by the caller so each kernel runs
+      * exactly once per row. */
+    def hashStruct(vec: Column): Column =
+      struct((0 until nHashes).map(h =>
+        hyperplaneLshBucket(vec, nPlanes * tablesIn(h),
+          planeOffset = h * tablesPerHash * nPlanes).as(s"h$h")): _*)
+    def hashCols(prefix: String): Seq[Column] =
+      (0 until nHashes).map(h => col(s"${prefix}h$h"))
+    /** Bucket of global table `t` from the materialized hash struct. */
+    def bucketOf(hs: String => Column, t: Int): Column =
+      call_function("shiftright", hs(s"h${t / tablesPerHash}"),
+        lit((t % tablesPerHash) * nPlanes)).bitwiseAND(lit(mask))
+    /** Bitmap with bit `t` set iff table `t`'s band xor is within
+      * `maxProbe` bits (0 = buckets agree exactly) — compile-time unrolled
+      * over tables, plain bit arithmetic on the carried hashes at
+      * runtime. */
+    def matchMap(ha: String => Column, hb: String => Column,
+                 maxProbe: Int = 0): Column =
+      (0 until nTables).foldLeft(lit(0L)) { (acc, t) =>
+        val xorH = ha(s"h${t / tablesPerHash}").bitwiseXOR(hb(s"h${t / tablesPerHash}"))
+        val bandXor = call_function("shiftright", xorH,
+          lit((t % tablesPerHash) * nPlanes)).bitwiseAND(lit(mask))
+        val matches =
+          if (maxProbe == 0) bandXor === 0 else bit_count(bandXor) <= maxProbe
+        acc.bitwiseOR(when(matches, lit(1L << t)).otherwise(lit(0L)))
+      }
+    /** True iff no table before `band` has its bit set in `map` — the
+      * emit-once-per-pair rule: only the first agreeing/probed band emits. */
+    def firstBand(map: Column, band: Column): Column =
+      map.bitwiseAND(
+        call_function("shiftleft", lit(1L), band) - lit(1L)) === 0
+  }
+
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
     * bucket in at least one of `nTables` hash tables, then exact-cosine
     * verified (precision 1 by construction). Linear shuffle volume.
     *
-    * OR-amplification: ONE `nPlanes × nTables`-bit hyperplane hash is
-    * computed per vector (materialized behind a Generate so the kernel
-    * runs once — see [[graft.operators.Dedup.simhashPairs]] for why), and
-    * each table's bucket is one `nPlanes`-bit band of it. A pair at
-    * cosine θ agrees on a band with probability p^nPlanes
-    * (p = 1 − arccos(θ)/π) and is missed only if ALL `nTables` bands
-    * disagree — miss = (1 − p^nPlanes)^nTables, driven arbitrarily low by
-    * tables while each table's bucket stays selective. Recall/cost is
-    * measured in the spec suite; with enough tables the verified output
-    * equals [[cosineNearDupPairs]] exactly, which is how the driver
-    * oracle checks it. */
+    * OR-amplification: `nPlanes × nTables` hyperplane bits are computed
+    * per vector in one kernel pass per 64-bit hash column (materialized
+    * behind a Generate so each kernel runs once — see
+    * [[graft.operators.Dedup.simhashPairs]] for why), and each table's
+    * bucket is one `nPlanes`-bit band. A pair at cosine θ agrees on a
+    * band with probability p^nPlanes (p = 1 − arccos(θ)/π) and is missed
+    * only if ALL `nTables` bands disagree — miss = (1 − p^nPlanes)^nTables,
+    * driven arbitrarily low by tables while each table's bucket stays
+    * selective. Configs wider than 63 total bits split across multiple
+    * independent hash columns (see [[LshLayout]]) — the regime past ~1M
+    * vectors where `2^nPlanes` buckets must keep pace with N²-growing
+    * candidate volume. Recall/cost is measured in the spec suite; with
+    * enough tables the verified output equals [[cosineNearDupPairs]]
+    * exactly, which is how the driver oracle checks it. */
   def cosineNearDupPairsLsh(emb: DataFrame, threshold: Double,
                             nPlanes: Int = 4, nTables: Int = 1): DataFrame = {
-    require(nPlanes >= 1 && nTables >= 1 && nPlanes * nTables <= 63,
-      s"need 1 <= nPlanes x nTables <= 63, got $nPlanes x $nTables")
-    val mask = (1L << nPlanes) - 1
-    // kernel once per row, attribute-materialized behind the Generate.
-    // The banded index rows are FIXED-WIDTH (id, 64-bit hash, band,
+    val lay = LshLayout(nPlanes, nTables)
+    // kernels once per row, attribute-materialized behind the Generate.
+    // The banded index rows are FIXED-WIDTH (id, hash column(s), band,
     // bucket) — vectors are deliberately NOT carried: the nTables-way
     // self-join exchange would otherwise move every vector nTables times
     // per side. Vectors are fetched afterwards for surviving candidate
     // pairs only, so each one crosses the wire at most once per side
     // however many tables amplify recall.
     val hashed = emb.select(col("vec_id"),
-      posexplode_outer(array(hyperplaneLshBucket(col("vec"), nPlanes * nTables)))
-        .as(Seq("__p", "hb")))
-    val banded = hashed.select(col("vec_id"), col("hb"),
-      posexplode_outer(transform(sequence(lit(0), lit(nTables - 1)),
-        t => call_function("shiftright", col("hb"), t * lit(nPlanes))
-          .bitwiseAND(lit(mask)))).as(Seq("band", "bucket")))
-    val a = banded.select(col("vec_id").as("id_a"), col("hb").as("hb_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("vec_id").as("id_b"), col("hb").as("hb_b"),
-      col("band"), col("bucket"))
+        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "hs")))
+      .select(col("vec_id") +: (0 until lay.nHashes)
+        .map(h => col("hs")(s"h$h").as(s"h$h")): _*)
+    val banded = hashed.select(col("vec_id") +: lay.hashCols("") :+
+      posexplode_outer(array((0 until nTables)
+        .map(t => lay.bucketOf(f => col(f), t)): _*)).as(Seq("band", "bucket")): _*)
+    val a = banded.select(col("vec_id").as("id_a") +:
+      (0 until lay.nHashes).map(h => col(s"h$h").as(s"ha$h")) :+
+      col("band") :+ col("bucket"): _*)
+    val b = banded.select(col("vec_id").as("id_b") +:
+      (0 until lay.nHashes).map(h => col(s"h$h").as(s"hb$h")) :+
+      col("band") :+ col("bucket"): _*)
     // Each colliding pair is emitted from its FIRST agreeing band only,
     // so scoring runs once per candidate pair and no dedup exchange
     // exists at all (the join's shuffle moves only the banded index rows —
     // the wide joined stream never materializes). The test is pure bit
-    // arithmetic on the carried hashes — no per-row array allocation:
-    // OR-collapse every band's xor bits onto the band's lowest bit, take
-    // the complement's band-select bits (bit t·nPlanes set ⇔ band t
-    // agrees), and require none below the joining band.
-    val xorBands = col("hb_a").bitwiseXOR(col("hb_b"))
-    val collapsed = (1 until nPlanes).foldLeft(xorBands)((w, i) =>
-      w.bitwiseOR(shiftright(xorBands, i)))
-    val bandSelect = (0 until nTables).foldLeft(0L)((m, t) => m | (1L << (t * nPlanes)))
-    val agreeBits = bitwise_not(collapsed).bitwiseAND(lit(bandSelect))
-    val lowMask = call_function("shiftleft", lit(1L), col("band") * lit(nPlanes)) - lit(1L)
-    val firstAgreeingBand = agreeBits.bitwiseAND(lowMask) === 0
+    // arithmetic on the carried hashes — no per-row array allocation.
+    val firstAgreeingBand = lay.firstBand(
+      lay.matchMap(f => col("ha" + f.drop(1)), f => col("hb" + f.drop(1))),
+      col("band"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b") && firstAgreeingBand)
       .select(col("id_a"), col("id_b"))
@@ -217,19 +264,18 @@ object Similarity {
     * oracle checks that). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 8, maxProbe: Int = 1, nTables: Int = 1): DataFrame = {
-    require(nPlanes >= 1 && nTables >= 1 && nPlanes * nTables <= 63,
-      s"need 1 <= nPlanes x nTables <= 63, got $nPlanes x $nTables")
-    val mask = (1L << nPlanes) - 1
-    val bandsOf = (hb: Column) =>
-      transform(sequence(lit(0), lit(nTables - 1)),
-        t => call_function("shiftright", hb, t * lit(nPlanes)).bitwiseAND(lit(mask)))
-    // corpus: kernel once per row behind a Generate, then nTables rows
+    val lay = LshLayout(nPlanes, nTables)
+    // corpus: one kernel per hash column per row behind a Generate, then
+    // nTables index rows
     val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
         col("norm").as("cand_norm"),
-        posexplode_outer(array(hyperplaneLshBucket(col("vec"), nPlanes * nTables)))
-          .as(Seq("__p", "hb")))
-      .select(col("cand_id"), col("cand_vec"), col("cand_norm"), col("hb"),
-        posexplode_outer(bandsOf(col("hb"))).as(Seq("band", "bucket")))
+        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "chs")))
+      .select(Seq(col("cand_id"), col("cand_vec"), col("cand_norm")) ++
+        (0 until lay.nHashes).map(h => col("chs")(s"h$h").as(s"ch$h")): _*)
+      .select(col("*"),
+        posexplode_outer(array((0 until nTables)
+          .map(t => lay.bucketOf(f => col("c" + f), t)): _*))
+          .as(Seq("band", "bucket")))
     // all bit-masks with popcount ≤ maxProbe, XORed onto the query bucket —
     // enumerated as bit-position combinations, O(output) regardless of
     // nPlanes (a 0 until 2^n scan breaks down for large n)
@@ -237,9 +283,13 @@ object Similarity {
       (0 until nPlanes).combinations(p).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val q = queries.select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
         col("norm").as("query_norm"),
-        hyperplaneLshBucket(col("vec"), nPlanes * nTables).as("qhb"))
-      .select(col("query_id"), col("query_vec"), col("query_norm"), col("qhb"),
-        posexplode_outer(bandsOf(col("qhb"))).as(Seq("band", "qbucket")))
+        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "qhs")))
+      .select(Seq(col("query_id"), col("query_vec"), col("query_norm")) ++
+        (0 until lay.nHashes).map(h => col("qhs")(s"h$h").as(s"qh$h")): _*)
+      .select(col("*"),
+        posexplode_outer(array((0 until nTables)
+          .map(t => lay.bucketOf(f => col("q" + f), t)): _*))
+          .as(Seq("band", "qbucket")))
       .withColumn("bucket",
         explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m))))
       .drop("qbucket")
@@ -248,11 +298,8 @@ object Similarity {
     // FIRST band whose xor is within the probe budget — a few bit ops on
     // the carried hashes, so scoring runs once per pair and no dedup
     // exchange exists.
-    val xorBands = col("qhb").bitwiseXOR(col("hb"))
-    val firstProbedBand = forall(sequence(lit(0), lit(nTables - 1)),
-      t => (t >= col("band")) ||
-        bit_count(call_function("shiftright", xorBands, t * lit(nPlanes))
-          .bitwiseAND(lit(mask))) > maxProbe)
+    val firstProbedBand = lay.firstBand(
+      lay.matchMap(f => col("q" + f), f => col("c" + f), maxProbe), col("band"))
     val scored = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("cand_id") =!= col("query_id") && firstProbedBand)
       .withColumn("cosine", cosineFromNorms(

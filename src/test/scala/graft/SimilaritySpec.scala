@@ -231,6 +231,66 @@ class SimilaritySpec extends SparkSpec {
       s"missing ${exact -- lsh}, spurious ${lsh -- exact}")
   }
 
+  test("plane-offset hash: offset planes are a bit-slice of the wider hash") {
+    // hyperplaneBucket(v, n, offset) projects onto planes
+    // offset..offset+n-1, so its value must equal the LOW n bits of the
+    // 0-offset (offset+n)-plane hash — the property that makes split hash
+    // columns jointly equivalent to one wide sign pattern.
+    val vec = all.orderBy("vec_id").select("vec").as[Seq[Double]].head()
+    val wide = spark.range(1).select(
+      VectorFunctions.hyperplaneLshBucket(typedLit(vec), 20)).head().getLong(0)
+    val sliced = spark.range(1).select(
+      VectorFunctions.hyperplaneLshBucket(typedLit(vec), 8, planeOffset = 12))
+      .head().getLong(0)
+    assert(sliced == (wide & ((1L << 8) - 1)))
+  }
+
+  test("wide LSH config (>63 bits, split hash columns) equals brute force") {
+    // 16 planes × 4 tables = 64 bits: tablesPerHash = 63/16 = 3, so the
+    // config splits into two independent hash columns (3 + 1 tables).
+    // Same planted gapped corpus as the registered query; the 16-bit
+    // buckets are MORE selective than the registered 8-bit ones — this is
+    // the shape the operator takes past ~1M vectors where 2^nPlanes must
+    // keep pace with the corpus and one 63-bit hash runs out of planes.
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding")))
+    val emb = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.8,
+        nPlanes = 16, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.distinct.length == wide.length,
+      "duplicate pairs emitted across split hash columns")
+    assert(wide.toSet == exact, s"wide LSH != brute force: " +
+      s"missing ${exact -- wide.toSet}, spurious ${wide.toSet -- exact}")
+  }
+
+  test("wide ANN top-k (>63 bits) stays a subset of correct cosines") {
+    // 8 planes × 10 tables = 80 bits → two hash columns (7 + 3 tables).
+    val got = Similarity.lshTopK(all, queries, k = 5,
+      nPlanes = 8, maxProbe = 1, nTables = 10).collect()
+    assert(got.nonEmpty)
+    // pairs unique per (query, cand) — the first-probed-band rule holds
+    // across hash columns
+    val keys = got.map(r => (r.getLong(0), r.getLong(2)))
+    assert(keys.distinct.length == keys.length, "pair scored twice")
+    val exactCos = Similarity.bruteForceTopK(all, queries, k = all.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      assert(math.abs(exactCos((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-12)
+    }
+    // OR-amplification across 10 tables on 8-bit buckets: decent recall
+    val exactTop = Similarity.bruteForceTopK(all, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (keys.toSet & exactTop).size.toDouble / exactTop.size
+    assert(recall >= 0.5, s"wide ANN recall $recall")
+  }
+
   test("plan guard: banded LSH self-join exchanges carry no vectors") {
     // The fixed-width contract: the nTables-amplified (band, bucket)
     // exchange moves (id, hash, band, bucket) rows only; vectors cross
