@@ -93,6 +93,27 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** XXH64 of the word-`ngram` window at every token position
+    * (non-distinct, document order) — see [[TextKernels.spanHashes]]. */
+  case class SpanHashes(child: Expression, ngram: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "span_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.spanHashes(input.asInstanceOf[UTF8String], ngram)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.TextKernels.spanHashes($c, $ngram);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Exact Jaccard similarity of the distinct word-`ngram` shingle sets of
     * two texts, in one pass — identical to `|A∩B| / |A∪B|` over
     * [[Shingles]] arrays, without materializing either array in the plan.
@@ -221,6 +242,9 @@ object TextHashExpressions {
 
   def shingles(text: Column, ngram: Int = 3): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), ngram))
+
+  def spanHashes(text: Column, ngram: Int): Column =
+    ColumnBridge.column(SpanHashes(ColumnBridge.expression(text), ngram))
 
   def shingleMinhash(text: Column, ngram: Int = 3, numHashes: Int = 64): Column =
     ColumnBridge.column(

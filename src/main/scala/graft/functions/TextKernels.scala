@@ -126,6 +126,28 @@ object TextKernels {
     }
   }
 
+  /** XXH64 of the word-`ngram` window at EVERY position (non-distinct,
+    * document order), or null when the text has fewer than `ngram`
+    * tokens. The positional multiset is what span-level dedup needs —
+    * which positions of which documents repeat across the corpus — and
+    * hashing in the kernel means downstream operators shuffle fixed-width
+    * longs, never window strings. */
+  def spanHashes(text: UTF8String, ngram: Int): ArrayData = {
+    var arr = new Array[Long](16)
+    var n = 0
+    val total = foreachShingle(text, ngram) { (base, off, len) =>
+      if (n == arr.length) {
+        val na = new Array[Long](n * 2)
+        System.arraycopy(arr, 0, na, 0, n)
+        arr = na
+      }
+      arr(n) = XXH64.hashUnsafeBytes(base, off, len, SEED1)
+      n += 1
+    }
+    if (total <= 0) null
+    else new GenericArrayData(java.util.Arrays.copyOf(arr, n))
+  }
+
   /** Language id in ONE pass over the text: tokens are split on ASCII
     * whitespace runs (the byte scan is exact for Java's `\s` class, which
     * is ASCII-only, and UTF-8 multibyte sequences cannot contain these

@@ -442,6 +442,45 @@ object Dedup {
     (keyed, eligible, cand)
   }
 
+  /** Span-level duplication statistics: for every document, how many of
+    * its `k`-token sliding windows (every position, not distinct) also
+    * occur in at least `minDocs` distinct documents. This is the
+    * suffix-array-style exact substring dedup signal — long verbatim runs
+    * shared across documents (boilerplate, mirrored pages, benchmark
+    * leakage) show up as high `dup_frac` even when whole-document
+    * similarity is low.
+    *
+    * Shape at 100 TB: windows are hashed IN the scan by the
+    * [[TextHashExpressions.spanHashes]] kernel (one pass per row, 64-bit
+    * hash per position — no window string ever materializes), so both
+    * exchanges move fixed-width (id/hash, count) rows: one hash-keyed
+    * aggregation for global window frequencies, one hash-keyed join back,
+    * one id-keyed aggregation for the per-document rollup. Corpus text is
+    * never shuffled. A 64-bit hash collision across ~10^10 distinct
+    * windows is ~1e-2 per corpus and only perturbs a count by 1; use the
+    * window string as the key (swap `spanHashes` for a window-string
+    * explode) only if exact-string semantics is required.
+    *
+    * Documents with fewer than `k` tokens have no windows and are absent
+    * from the output (their dup_frac is undefined, not zero). */
+  def spanStats(docs: DataFrame, id: Column, text: Column, k: Int = 6,
+                minDocs: Int = 2): DataFrame = {
+    val w = docs.select(id.as("doc_id"),
+      posexplode_outer(TextHashExpressions.spanHashes(text, k))
+        .as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+    val dupWindows = w.groupBy(col("wh"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("wh"), lit(1L).as("is_dup"))
+    w.join(dupWindows, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** 64-bit SimHash over word 3-gram shingles (custom tight-loop
     * Expression; see [[TextHashExpressions.SimHash]]). Shingles (not
     * unigrams) are the feature set: corpora drawn from a shared vocabulary

@@ -256,6 +256,18 @@ object PipelineQueries {
         .orderBy(col("new_id"), col("old_id"))
     },
 
+    // Span-level duplication: per-document count/fraction of 6-token
+    // sliding windows that also appear in >= 2 distinct documents — the
+    // exact-substring dedup signal (shared boilerplate, mirrored spans,
+    // benchmark leakage). Windows shuffle as 64-bit kernel hashes, never
+    // as strings; the oracle rebuilds the same counts from the window
+    // strings themselves.
+    "dedup_span" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.spanStats(t.documents, col("doc_id"), col("text"), k = 6, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
       val np = s.sessionState.conf.numShufflePartitions
@@ -806,6 +818,22 @@ object PipelineQueries {
          WHERE CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE)
              / (len(o.sh) + len(n.sh) - len(list_intersect(o.sh, n.sh))) >= 0.8
          ORDER BY new_id, old_id""",
+
+    "dedup_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            w AS (SELECT doc_id,
+                    [array_to_string(toks[i:i+5], ' ')
+                     for i in range(1, len(toks) - 4)] AS wins
+                  FROM t WHERE len(toks) >= 6),
+            e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+            g AS (SELECT win, count(DISTINCT doc_id) AS nd FROM e GROUP BY win),
+            j AS (SELECT e.doc_id,
+                    CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END AS isdup
+                  FROM e JOIN g USING (win))
+         SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(isdup) AS BIGINT) AS n_dup_windows,
+           round(CAST(sum(isdup) AS DOUBLE) / count(*), 6) AS dup_frac
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

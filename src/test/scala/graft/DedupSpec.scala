@@ -394,6 +394,56 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "index build must be map-only")
   }
 
+  test("span stats: planted verbatim run counted positionally, within-doc repeats excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // shares the 6-token run "c d e f g h"
+      (2L, "x y c d e f g h z w"),       // ... with doc 1, one window each
+      (3L, "p q r s t u"),               // exactly one window, unique
+      (4L, "m n o p q r m n o p q r"),   // repeats a run WITHIN itself only
+      (5L, "too short")                  // < 6 tokens: no windows, absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStats(docs, col("doc_id"), col("text"), k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"got $got")
+    assert(got(1L) == ((5L, 1L)), s"doc1 $got")   // 10 tokens → 5 windows
+    assert(got(2L) == ((5L, 1L)), s"doc2 $got")
+    assert(got(3L) == ((1L, 0L)), s"doc3 $got")
+    // "m n o p q r" occurs twice in doc 4 but in ONE distinct doc — not
+    // cross-corpus duplication, and both positions stay counted in the
+    // window total (12 tokens → 7 windows)
+    assert(got(4L) == ((7L, 0L)), s"doc4 $got")
+  }
+
+  test("span stats: kernel hashes agree with string-built windows") {
+    // spanHashes shuffles 64-bit hashes instead of window strings; its
+    // per-position multiset must match the windows built naively from the
+    // token array (same split semantics, same order).
+    val docs = Tables(spark, sfDir).documents.limit(50)
+    val viaKernel = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextHashExpressions.spanHashes(col("text"), 6))
+          .as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos"), col("wh"))
+    val viaStrings = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 6)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - 6),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(6))))).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("wh_str"))
+    // xxhash64(string) seeds differently than the kernel, so compare the
+    // GROUPING structure: same (doc, pos) keys, and equal-hash pairs via
+    // kernel ⇔ equal window strings
+    val joined = viaKernel.join(viaStrings, Seq("doc_id", "pos"))
+    assert(joined.count() == viaKernel.count())
+    assert(joined.count() == viaStrings.count())
+    val a = joined.select(col("wh").as("h1"), col("wh_str").as("s1"))
+    val cross = a.groupBy("h1").agg(count_distinct(col("s1")).as("nds")).agg(max("nds")).head().getLong(0)
+    val cross2 = joined.groupBy("wh_str").agg(count_distinct(col("wh")).as("ndh")).agg(max("ndh")).head().getLong(0)
+    assert(cross == 1, "one kernel hash maps to two distinct window strings")
+    assert(cross2 == 1, "one window string maps to two distinct kernel hashes")
+  }
+
   test("keepFirst keeps exactly one earliest row per key") {
     val events = Tables(spark, sfDir).events
     val out = Dedup.keepFirst(events,
