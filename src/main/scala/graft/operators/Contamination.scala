@@ -36,4 +36,22 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Exact-substring contamination: (doc_id, test_id) for every training
+    * document containing a test fragment VERBATIM — the strict form of
+    * the scan, catching the copy [[ngramOverlap]]'s distinct-shingle
+    * counting can understate (a fragment repeated once vs pasted whole).
+    *
+    * Shape at 100 TB: fragments (a benchmark — thousands of strings) are
+    * broadcast and the train side is ONE scan with a per-row contains
+    * check; no shuffle touches the corpus, and output is match-sized. The
+    * per-row cost is |frags| substring searches; if the fragment set ever
+    * outgrows that, run [[ngramOverlap]] first and exact-check only its
+    * survivors (candidate-sized). */
+  def exactSubstring(train: DataFrame, trainId: Column, trainText: Column,
+                     frags: DataFrame, fragId: Column, fragText: Column): DataFrame =
+    train.select(trainId.as("doc_id"), trainText.as("__text"))
+      .crossJoin(broadcast(frags.select(fragId.as("test_id"), fragText.as("frag"))))
+      .filter(instr(col("__text"), col("frag")) > 0)
+      .select(col("doc_id"), col("test_id"))
 }

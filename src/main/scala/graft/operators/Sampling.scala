@@ -97,6 +97,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Token-budget sampling — the "fill each source's token budget" step
+    * of training-mix construction: keep documents, in the deterministic
+    * md5(id) order, while the stratum's running token total BEFORE the
+    * document is under `budget`. The first overshooting document is kept
+    * (the budget is a floor on coverage, not a cap), everything after it
+    * is dropped — so every engine selects the identical prefix whatever
+    * the document sizes.
+    *
+    * Scale: one stratum-keyed window, the same caveat as [[stratified]] —
+    * a giant stratum funnels its sort through one task. The corpus-scale
+    * form shards each stratum by a hash prefix and gives every shard
+    * `budget / nShards`: same coverage in expectation, fully parallel
+    * (compose [[shuffleShards]] + this with the shard in `strata`). */
+  def tokenBudget(df: DataFrame, strata: Seq[Column], id: Column,
+                  tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(hashOrder(id): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(tokens).over(w), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata
     * absent from `weights` get `defaultWeight`; weights above 1.0 keep the
     * whole stratum (upsampling is the caller's union). */

@@ -217,4 +217,34 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
   }
+
+  /** Cross-corpus boilerplate removal (the CCNet/RefinedWeb paragraph
+    * filter): drop every paragraph — a `sep`-delimited segment — that
+    * occurs in at least `minDocs` DISTINCT documents (nav bars, cookie
+    * banners, license footers), and reassemble each document from its
+    * surviving paragraphs in order. Documents whose every paragraph is
+    * boilerplate vanish from the output.
+    *
+    * Shape at 100 TB: paragraphs explode map-side; the frequency
+    * aggregation exchanges (64-bit paragraph hash, id) rows only; the
+    * boilerplate set — tiny by nature, it is the paragraphs repeated
+    * across ≥ `minDocs` documents — broadcasts into a hash-keyed ANTI
+    * join, so the only exchange that ever carries paragraph text is the
+    * final doc-keyed reassembly, which is output-sized. */
+  def stripBoilerplate(docs: DataFrame, id: Column, text: Column,
+                       sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    val paras = docs.select(id.as("doc_id"),
+        posexplode_outer(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("ph", xxhash64(col("para")))
+    val boilerplate = paras.groupBy(col("ph"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("ph"))
+    paras.join(broadcast(boilerplate), Seq("ph"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para")), sep).as("clean_text"))
+  }
 }

@@ -184,6 +184,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("test_id"))
     },
 
+    // Strict contamination: train docs containing an 8-token fragment of
+    // a benchmark doc verbatim (fragments = tokens 6..13 of docs 0..49,
+    // the same benchmark slice contamination_ngram scans).
+    // Every fragment matches its own source doc, so rows >= |frags|; the
+    // interesting hits are the near-dup copies.
+    "contamination_exact" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val frags = t.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 6, 8)).as("frag"))
+      graft.operators.Contamination
+        .exactSubstring(t.documents, col("doc_id"), col("text"),
+          frags, col("doc_id"), col("frag"))
+        .orderBy(col("doc_id"), col("test_id"))
+    },
+
     // Deterministic exact-fraction stratified sample (md5-of-id order).
     "sample_stratified" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -200,6 +217,18 @@ object PipelineQueries {
       graft.operators.Sampling
         .mixtureHash(t.documents, col("source"), col("doc_id"),
           Map("src0" -> 0.5, "src1" -> 0.2, "src3" -> 1.0), defaultWeight = 0.05)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fill a 600-whitespace-token budget per source in deterministic
+    // hash order; the first overshooting doc is kept (budget = coverage
+    // floor).
+    "sample_token_budget" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .tokenBudget(t.documents, Seq(col("source")), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long"), budget = 600L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
@@ -496,6 +525,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Boilerplate paragraph removal over a corpus with planted recurring
+    // lines (every 5th doc gets a "subscribe" footer, every 7th a rights
+    // notice): paragraphs occurring in >= 3 distinct docs are stripped
+    // and documents reassembled from the survivors in order.
+    "text_strip_boilerplate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pages = t.documents.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\nsubscribe to our newsletter for updates")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nall rights reserved")).otherwise(lit(""))).as("text"))
+      TextAnalysis.stripBoilerplate(pages, col("doc_id"), col("text"),
+          sep = "\n", minDocs = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // Cohort retention over the event stream — see operators.Retention for
     // the single-user-shuffle, join-free plan rationale.
     "q_retention_cohort" -> { (s, dir) =>
@@ -705,6 +751,16 @@ object PipelineQueries {
          WHERE len(list_intersect(a.sh, b.sh)) >= 3
          ORDER BY doc_id, test_id""",
 
+    "contamination_exact" ->
+      """WITH f AS (
+           SELECT doc_id AS test_id,
+             array_to_string((string_split(text, ' '))[6:13], ' ') AS frag
+           FROM documents
+           WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 13)
+         SELECT d.doc_id, f.test_id
+         FROM documents d JOIN f ON position(f.frag IN d.text) > 0
+         ORDER BY d.doc_id, f.test_id""",
+
     "sample_stratified" ->
       """SELECT event_id, event_type FROM (
            SELECT event_id, event_type,
@@ -724,6 +780,18 @@ object PipelineQueries {
                        ELSE '${hexThreshold(0.05)}' END
          ORDER BY doc_id"""
     },
+
+    "sample_token_budget" ->
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM (SELECT doc_id, source,
+                   CASE WHEN $blankSql THEN 0
+                        ELSE len($tokensSql) END AS n_tok
+                 FROM documents))
+         WHERE cum < 600 ORDER BY doc_id""",
 
     "corpus_shuffle" ->
       """WITH h AS (
@@ -1127,6 +1195,29 @@ object PipelineQueries {
                '${TextAnalysis.LongNumRe}', '<NUM>', 'g'),
              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
          FROM planted ORDER BY doc_id""",
+
+    "text_strip_boilerplate" ->
+      """WITH pages AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'subscribe to our newsletter for updates'
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || 'all rights reserved'
+                ELSE '' END AS text
+           FROM documents),
+          p AS (
+           SELECT doc_id, i AS pos, parts[i] AS para
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM pages),
+                unnest(range(1, len(parts) + 1)) AS u(i)),
+          common AS (
+           SELECT para FROM p GROUP BY para
+           HAVING count(DISTINCT doc_id) >= 3),
+          kept AS (
+           SELECT doc_id, pos, para FROM p
+           WHERE para NOT IN (SELECT para FROM common))
+         SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
 
     "q_retention_cohort" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -119,4 +119,49 @@ class SamplingSpec extends SparkSpec {
       assert((sh(a).toSet & sh(b).toSet).size.toLong == n, s"pair ($a,$b)")
     }
   }
+
+  test("token budget keeps exactly the hash-order prefix; first overshoot included") {
+    val budget = 100L
+    val toks = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+    val got = Sampling.tokenBudget(docs, Seq(col("source")), col("doc_id"),
+        toks, budget)
+      .select(col("doc_id"), col("source"), toks.as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // reproduce the selection rule per stratum from the raw order
+    val ordered = docs
+      .select(col("doc_id"), col("source"), toks.as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._2)
+    val expect = ordered.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._1))
+      val cum = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(cum).filter(_._2 < budget).map(_._1)
+    }.map(r => (r._1, r._2, r._3)).toSet
+    assert(got.toSet == expect, s"missing ${expect -- got.toSet}")
+    // the budget binds (some docs dropped) and every stratum reaches it
+    assert(got.length < docs.count())
+    expect.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.toSeq.map(_._3).sum >= budget, s"stratum $s under budget")
+    }
+    // partitioning-invariant
+    val again = Sampling.tokenBudget(docs.repartition(7, col("doc_id")),
+        Seq(col("source")), col("doc_id"), toks, budget)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == got.map(_._1).sorted.toSeq)
+  }
+
+  test("exact-substring contamination finds planted verbatim copies only") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words alpha beta gamma delta suffix"),   // contains frag of 1
+      (3L, "completely different text here entirely"),
+      (4L, "alpha beta gamma DELTA epsilon")                // case differs: no match
+    ).toDF("doc_id", "text")
+    val frags = Seq((10L, "alpha beta gamma delta")).toDF("test_id", "frag")
+    val got = Contamination.exactSubstring(train, col("doc_id"), col("text"),
+        frags, col("test_id"), col("frag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
+  }
 }

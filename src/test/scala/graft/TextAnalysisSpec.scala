@@ -171,4 +171,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("quality_score") == 0.0)      // punct soup
     assert(rows(2).getAs[Double]("quality_score") == 1.0)      // long clean text
   }
+
+  test("boilerplate paragraphs stripped, order kept, all-boilerplate docs vanish") {
+    val bp = "subscribe now"
+    val docs = Seq(
+      (1L, s"unique one\n$bp\nunique two"),
+      (2L, s"$bp\nanother body"),
+      (3L, s"third body\n$bp"),
+      (4L, bp),                               // nothing survives
+      (5L, "kept alone\nkept alone")          // repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(docs, col("doc_id"), col("text"),
+        sep = "\n", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unique one\nunique two",
+      2L -> "another body",
+      3L -> "third body",
+      5L -> "kept alone\nkept alone"), s"got $got")
+  }
 }
