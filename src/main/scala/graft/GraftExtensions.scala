@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextHashExpressions.{RepetitionStats, ShingleJaccard, ShingleMinHash, Shingles, SimHash}
+import graft.functions.TextHashExpressions.{RepetitionStats, ShingleJaccard, ShingleMinHash, Shingles, SimHash, SpanHashes}
 import graft.functions.VectorExpressions.{DotProduct, HyperplaneLshBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("shingle_jaccard(a, b[, ngram])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => SpanHashes(text, intArg(n, "ngram"))
+        case _ => throw new IllegalArgumentException("span_hashes(text, ngram)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (args: Seq[Expression]) => args match {
@@ -74,7 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneLshBucket].getName, "hyperplane_lsh_bucket"),
       (args: Seq[Expression]) => args match {
         case Seq(v, n) => HyperplaneLshBucket(v, intArg(n, "nPlanes"))
-        case _ => throw new IllegalArgumentException("hyperplane_lsh_bucket(vec, nPlanes)")
+        case Seq(v, n, off) => HyperplaneLshBucket(v, intArg(n, "nPlanes"),
+          intArg(off, "planeOffset"))
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_lsh_bucket(vec, nPlanes[, planeOffset])")
       }))
   }
 }

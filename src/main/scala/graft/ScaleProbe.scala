@@ -158,21 +158,20 @@ object ScaleProbe {
       val gapped = Similarity.prepared(
         vecs.select(col("vec_id"), col("vec")).unionByName(twins),
         col("vec_id"), col("vec"))
-      // Natural rule: planes ≈ log2(n/32) so per-table buckets stay
-      // selective as the corpus grows. No longer capped at 15: configs
-      // wider than 63 total bits split across independent hash columns
-      // (LshLayout), so bucket granularity keeps pace with N past ~1M.
-      // At large sizes a second, deliberately wider run (+3 planes, 8×
-      // finer buckets) measures what the multi-hash headroom buys.
-      val planesNatural = math.max(8,
-        (math.log(n / 32.0) / math.log(2)).ceil.toInt)
+      // Measured rule (round 5): planes ≈ log2(n)+1, i.e. ~2 buckets per
+      // vector per table, so per-table candidate volume stays ≈ N/2.
+      // The earlier log2(n/32) rule (~32 vectors/bucket ⇒ ~64N total
+      // candidates) was what the 63-bit single-hash cap forced; with
+      // split hash columns (LshLayout) granularity keeps pace with N:
+      // 1M went 182 s (15 planes, capped) → 12 s (18 planes), and 2M
+      // runs 16.6 s at 22 planes vs 110 s at 19.
+      val planesNatural = math.max(8, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 1)
       // SPARK_GRAFT_EMB_PLANES=a,b forces specific plane counts (e.g. to
-      // probe only a selective config where the natural one would spill
-      // more than local disk holds).
+      // chart the granularity curve, or avoid a config whose spill
+      // exceeds local disk).
       val configs = sys.env.get("SPARK_GRAFT_EMB_PLANES")
         .map(_.split(",").map(_.trim.toInt).toSeq)
-        .getOrElse(if (n >= 500000) Seq(planesNatural, planesNatural + 3)
-                   else Seq(planesNatural))
+        .getOrElse(Seq(planesNatural))
       configs.foreach { planes =>
         val t7 = System.nanoTime()
         val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes, nTables = 4)

@@ -444,6 +444,28 @@ class DedupSpec extends SparkSpec {
     assert(cross2 == 1, "one window string maps to two distinct kernel hashes")
   }
 
+  test("plan guard: span stats shuffles no string column at all") {
+    // Windows hash in the scan (spanHashes kernel), so every exchange —
+    // window-frequency agg, join-back, per-doc rollup — carries only
+    // fixed-width numeric rows. Stronger than the minhash guard: not
+    // just no text, no strings anywhere in any shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Dedup.spanStats(docs, col("doc_id"), col("text"), k = 6)
+        .queryExecution.executedPlan
+      val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty, s"expected frequency/join/rollup exchanges in:\n$root")
+      shuffles.foreach { e =>
+        val stringy = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.filter(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name)
+        assert(stringy.isEmpty, s"string columns shuffled: $stringy\n$root")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("keepFirst keeps exactly one earliest row per key") {
     val events = Tables(spark, sfDir).events
     val out = Dedup.keepFirst(events,

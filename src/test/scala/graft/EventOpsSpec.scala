@@ -85,6 +85,23 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(0) == viaCol)
   }
 
+  test("extensions register SQL functions: span_hashes / offset hyperplane bucket") {
+    val r = spark.sql(
+      """SELECT size(span_hashes('a b c d e f g', 6)) AS n,
+                span_hashes('a b c d e f g', 6)[0] AS h0,
+                hyperplane_lsh_bucket(array(1.0d, -1.0d), 4, 8) AS bkt""").head()
+    assert(r.getInt(0) == 2)   // 7 tokens, 6-gram windows at 2 positions
+    val viaCol = Seq("a b c d e f g").toDF("t")
+      .select(graft.functions.TextHashExpressions.spanHashes(col("t"), 6))
+      .head().getSeq[Long](0)
+    assert(r.getLong(1) == viaCol.head)
+    val bktCol = Seq((Seq(1.0, -1.0), 0)).toDF("v", "x")
+      .select(graft.functions.VectorExpressions
+        .hyperplaneLshBucket(col("v"), 4, planeOffset = 8))
+      .head().getLong(0)
+    assert(r.getLong(2) == bktCol)
+  }
+
   test("extensions register SQL functions: jaccard / shingles / vector ops") {
     val r = spark.sql(
       """SELECT shingle_jaccard('a b c d', 'a b c e') AS j,

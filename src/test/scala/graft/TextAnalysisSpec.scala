@@ -172,6 +172,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("quality_score") == 1.0)      // long clean text
   }
 
+  test("plan guard: boilerplate filter is a broadcast anti join; only reassembly shuffles text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables(spark, sfDir).documents
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = TextAnalysis.stripBoilerplate(docs, col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      val anti = root.collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, s"boilerplate set must broadcast into an anti join:\n$root")
+      // the frequency agg exchanges hashes; the single text-carrying
+      // exchange is the output-sized doc-keyed reassembly
+      val textShuffles = root.collect { case e: ShuffleExchangeLike => e }
+        .count(_.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.exists(a => a.dataType.toString.toLowerCase.contains("string")))
+      assert(textShuffles <= 1,
+        s"expected at most one text-carrying exchange (reassembly), got $textShuffles:\n$root")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("boilerplate paragraphs stripped, order kept, all-boilerplate docs vanish") {
     val bp = "subscribe now"
     val docs = Seq(
