@@ -481,6 +481,57 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Span excision — the removal step of exact-substring dedup: every
+    * occurrence of a `k`-token window EXCEPT the globally first one
+    * (ordered by (doc_id, pos)) marks its k positions for removal; a
+    * document's surviving tokens are reassembled in order. Overlapping
+    * duplicated windows merge naturally (a token survives only if NO
+    * removed window covers it), so a long verbatim run shared between
+    * two documents survives once, in the lower-id document — the
+    * Lee-et-al-style "deduplicating training data" transform, expressed
+    * as three hash-keyed exchanges.
+    *
+    * Shape at 100 TB: windows hash in the scan ([[spanStats]] kernel);
+    * the global-first choice is one partial→final `min_by` aggregation
+    * on the 64-bit window hash; non-first occurrences shuffle back as
+    * (doc_id, pos) pairs and aggregate to one small start-list per
+    * affected document, which joins the corpus doc-keyed. Text is never
+    * exchanged — it is read from the scan and rewritten in a final
+    * map-only projection (the exists-over-starts filter is O(tokens ×
+    * removed-spans) per row, and the start-list is span-sized). The
+    * start-lists join the corpus by BROADCAST — their rows are a doc_id
+    * plus a small int array, so the 8 GB broadcast cap is ~10^8 affected
+    * documents; past that swap the hint for a shuffle join, which moves
+    * each affected document's text once. Documents with no duplicated
+    * spans pass through untouched. */
+  def spanExcise(docs: DataFrame, id: Column, text: Column,
+                 k: Int = 6): DataFrame = {
+    val w = docs.select(id.as("doc_id"),
+        posexplode_outer(TextHashExpressions.spanHashes(text, k))
+          .as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+    // globally-first occurrence per window: one agg, no window sort
+    val firsts = w.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("wh"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    // non-first occurrences → per-doc sorted removal starts
+    val marks = w.join(firsts, Seq("wh"))
+      .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("starts"))
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .join(broadcast(marks), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, col("__text")).otherwise {
+          val toks = split(col("__text"), " ")
+          val kept = filter(sequence(lit(0), size(toks) - 1),
+            i => !exists(col("starts"), s => i >= s && i < s + k))
+          concat_ws(" ", transform(kept, i => element_at(toks, i + 1)))
+        }.as("clean_text"))
+  }
+
   /** 64-bit SimHash over word 3-gram shingles (custom tight-loop
     * Expression; see [[TextHashExpressions.SimHash]]). Shingles (not
     * unigrams) are the feature set: corpora drawn from a shared vocabulary

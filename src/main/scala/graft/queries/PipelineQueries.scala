@@ -297,6 +297,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Span excision — the removal step: every non-first occurrence of a
+    // duplicated 6-token window is excised (overlaps merge), documents
+    // reassembled from surviving tokens; the shared run survives once,
+    // in the lowest-(doc_id, pos) occurrence.
+    "dedup_span_excise" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dedup.spanExcise(t.documents, col("doc_id"), col("text"), k = 6)
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val t = Tables(s, dir)
       val np = s.sessionState.conf.numShufflePartitions
@@ -902,6 +912,29 @@ object PipelineQueries {
            CAST(sum(isdup) AS BIGINT) AS n_dup_windows,
            round(CAST(sum(isdup) AS DOUBLE) / count(*), 6) AS dup_frac
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_span_excise" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+                    FROM documents),
+            w AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(toks[i:i+5], ' ') AS win
+                  FROM t, unnest(range(1, len(toks) - 4)) AS u(i)
+                  WHERE len(toks) >= 6),
+            r AS (SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY win) AS n
+                  FROM w),
+            m AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+                  FROM r WHERE n > 1 AND rn > 1 GROUP BY doc_id)
+         SELECT t.doc_id,
+           CASE WHEN m.starts IS NULL THEN t.text
+                ELSE coalesce(array_to_string(
+                  [toks[i] for i in range(1, len(toks) + 1)
+                   if len(list_filter(m.starts,
+                         s -> i - 1 >= s AND i - 1 < s + 6)) = 0], ' '), '')
+           END AS clean_text
+         FROM t LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

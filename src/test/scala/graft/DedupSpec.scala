@@ -444,6 +444,44 @@ class DedupSpec extends SparkSpec {
     assert(cross2 == 1, "one window string maps to two distinct kernel hashes")
   }
 
+  test("span excision: first occurrence survives, overlaps merge, exact dups empty") {
+    val frame = Seq(
+      (1L, "a b c d e f g h i j"),           // owns every first occurrence
+      (2L, "x y a b c d e f z w"),           // later copy of the 6-run → excised
+      (3L, "a b c d e f g h i j"),           // exact dup of 1 → fully excised
+      (4L, "p q r s t u v"),                 // unique → untouched
+      (5L, "m n o p q r x m n o p q r")      // repeats a run within itself
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanExcise(frame, col("doc_id"), col("text"), k = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e f g h i j", got(1L))
+    assert(got(2L) == "x y z w", got(2L))
+    assert(got(3L) == "", got(3L))
+    assert(got(4L) == "p q r s t u v", got(4L))
+    assert(got(5L) == "m n o p q r x", got(5L))
+  }
+
+  test("plan guard: span excision never shuffles text (map-only rewrite)") {
+    // Window hashes aggregate and join as 64-bit keys; the per-doc
+    // start-lists broadcast back onto the corpus, so the rewrite is a
+    // projection over the scan — text appears in NO exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6)
+        .queryExecution.executedPlan
+      val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val stringy = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+          .output.filter(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name)
+        assert(stringy.isEmpty, s"string columns shuffled: $stringy\n$root")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("plan guard: span stats shuffles no string column at all") {
     // Windows hash in the scan (spanHashes kernel), so every exchange —
     // window-frequency agg, join-back, per-doc rollup — carries only
