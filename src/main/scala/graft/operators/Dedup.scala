@@ -165,48 +165,10 @@ object Dedup {
       .filter(TextHashExpressions.shingleJaccard(col("text_a"), col("text_b"), ngram)
         >= threshold)
       .select(col("id_a"), col("id_b"))
-      .persist()
-    val nEdges = repPairs.count()
-
     // (rep_id, label) for every representative touched by a verified pair;
     // persisted/broadcast-sized either way — it is in the result lineage.
-    val labels: DataFrame =
-      if (nEdges <= driverMaxEdges) {
-        // Driver union-find with min-root, one pass over the edge list.
-        // Collected through the tuple encoder (primitive-backed UnsafeRow
-        // decode, no Row objects retained).
-        val session = docs.sparkSession
-        import session.implicits._
-        val pairs = repPairs.as[(Long, Long)].collect()
-        repPairs.unpersist()
-        val parent = scala.collection.mutable.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x   // path compression
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        pairs.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        // Snapshot the key set BEFORE resolving labels: find() compresses
-        // paths (mutates `parent`), and iterating a mutable map while
-        // mutating it is undefined however the current HashMap behaves.
-        val ks = parent.keys.toArray
-        broadcast(ks.map(k => (k, find(k))).toSeq.toDF("rep_id", "label"))
-      } else {
-        val edges = repPairs
-          .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-          .persist()
-        val labs = propagateLabels(edges, maxIters)
-        edges.unpersist()
-        repPairs.unpersist()
-        labs.withColumnRenamed("id", "rep_id")
-      }
+    val labels = componentsFromPairs(repPairs, driverMaxEdges, maxIters)
+      .withColumnRenamed("id", "rep_id")
     // Expansion: member → its exact-dup representative → component label.
     // Non-participants fall back to their representative (exact-dup cluster
     // min) and then to themselves.
@@ -215,6 +177,57 @@ object Dedup {
       .join(labels, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Hybrid connected components over an undirected edge list
+    * (`id_a`, `id_b`): returns (`id`, `label`) for every vertex touched
+    * by an edge, `label` = the smallest reachable id. Driver union-find
+    * when the edge count fits `driverMaxEdges` (collected as primitive
+    * Long pairs, labels broadcast back), distributed min-label
+    * propagation with pointer jumping ([[propagateLabels]]) above it —
+    * the same hybrid [[minhashClusters]] has always used, extracted so
+    * any near-dup pair graph (text LSH, embedding LSH, span edges) can
+    * be clustered with it. */
+  def componentsFromPairs(pairs: DataFrame, driverMaxEdges: Long = 1000 * 1000,
+                          maxIters: Int = 20): DataFrame = {
+    val repPairs = pairs.select(col("id_a"), col("id_b")).persist()
+    val nEdges = repPairs.count()
+    if (nEdges <= driverMaxEdges) {
+      // Driver union-find with min-root, one pass over the edge list.
+      // Collected through the tuple encoder (primitive-backed UnsafeRow
+      // decode, no Row objects retained).
+      val session = pairs.sparkSession
+      import session.implicits._
+      val edgeArr = repPairs.as[(Long, Long)].collect()
+      repPairs.unpersist()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x   // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // Snapshot the key set BEFORE resolving labels: find() compresses
+      // paths (mutates `parent`), and iterating a mutable map while
+      // mutating it is undefined however the current HashMap behaves.
+      val ks = parent.keys.toArray
+      broadcast(ks.map(k => (k, find(k))).toSeq.toDF("id", "label"))
+    } else {
+      val edges = repPairs
+        .unionByName(repPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .persist()
+      val labs = propagateLabels(edges, maxIters)
+      edges.unpersist()
+      repPairs.unpersist()
+      labs
+    }
   }
 
   /** Canonical-document selection — the step a dedup pipeline actually

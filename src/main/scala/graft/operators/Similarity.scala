@@ -182,6 +182,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Transitive embedding near-dup clusters: connected components over
+    * the [[cosineNearDupPairsLsh]] pair graph (hybrid driver/distributed —
+    * [[Dedup.componentsFromPairs]]); every vector gets `cluster_id` = the
+    * smallest reachable vec_id, singletons themselves. The embedding
+    * mirror of [[Dedup.minhashClusters]], at the same cost shape: the
+    * component graph is pair-sized, and the corpus is touched only by
+    * the final label join (labels broadcast below `driverMaxEdges`). */
+  def cosineClusters(emb: DataFrame, threshold: Double,
+                     nPlanes: Int = 4, nTables: Int = 1,
+                     maxIters: Int = 20,
+                     driverMaxEdges: Long = 1000 * 1000): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(emb, threshold, nPlanes, nTables)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.componentsFromPairs(pairs, driverMaxEdges, maxIters)
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** Canonical-vector selection per near-dup cluster: the member with
+    * the largest L2 norm survives (ties to the smallest vec_id) — one
+    * `max_by` aggregation over (cluster_id, vec_id, norm) rows on top of
+    * [[cosineClusters]], no window sort, vectors untouched. */
+  def cosineCanonical(emb: DataFrame, threshold: Double,
+                      nPlanes: Int = 4, nTables: Int = 1): DataFrame = {
+    val clustered = cosineClusters(emb, threshold, nPlanes, nTables)
+      .join(emb.select(col("vec_id"), col("norm")), "vec_id")
+    clustered.groupBy(col("cluster_id"))
+      .agg(max_by(col("vec_id"), struct(col("norm"), -col("vec_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("norm")).as("keep_norm"))
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = maxabs/127`,
     * `codes[i] = round(vec[i]·127/maxabs)`. 4× smaller than float32 (8× vs
     * the double vectors used for exact math) — at corpus scale the win is

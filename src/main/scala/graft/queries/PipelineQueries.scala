@@ -104,6 +104,18 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Embedding-side canonicalize: LSH near-dup pairs → connected
+    // components (shared hybrid componentsFromPairs) → keep the largest-
+    // norm member per cluster. The embedding mirror of dedup_canonical,
+    // on the same planted gapped corpus as dedup_embedding_lsh.
+    "dedup_embedding_canonical" -> { (s, dir) =>
+      val emb = Similarity.prepared(plantedEmbeddings(Tables(s, dir)),
+        col("vec_id"), col("embedding"))
+      Similarity.cosineCanonical(emb, threshold = 0.8, nPlanes = 8, nTables = 4)
+        .withColumn("keep_norm", round(col("keep_norm"), 6))
+        .orderBy(col("cluster_id"))
+    },
+
     // Range join: chunked point-in-interval (hash equi-join on time chunk
     // + residual predicate) instead of the nested loop a non-equi join
     // plans. Intervals: 2h windows anchored at every 499th event.
@@ -640,6 +652,42 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "dedup_embedding_canonical" ->
+      """WITH RECURSIVE
+           base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           planted AS (
+             SELECT vec_id, vec FROM base
+             UNION ALL
+             SELECT vec_id + 100000 AS vec_id,
+                    [vec[i] + vec[len(vec) + 1 - i] * 0.01
+                     for i in range(1, len(vec) + 1)] AS vec
+             FROM base WHERE vec_id % 10 = 0),
+           n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                 FROM planted),
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.8),
+           e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT vec_id, vec_id FROM planted
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+           c AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY id),
+           m AS (SELECT c.cluster_id, c.id, n.nrm
+                 FROM c JOIN n ON n.vec_id = c.id),
+           rnk AS (SELECT cluster_id, id, nrm,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY nrm DESC, id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                     max(nrm) OVER (PARTITION BY cluster_id) AS keep_norm
+                   FROM m)
+         SELECT cluster_id, id AS keep_id, n_members,
+           round(keep_norm, 6) AS keep_norm
+         FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
 
     "q_range_join" ->
       """WITH w AS (

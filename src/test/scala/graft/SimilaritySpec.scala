@@ -291,6 +291,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"wide ANN recall $recall")
   }
 
+  test("embedding clusters and canonical: twins cluster together, larger norm survives") {
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding")))
+    val emb = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+    val clusters = Similarity.cosineClusters(emb, 0.8, nPlanes = 8, nTables = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == emb.count())
+    val twinIds = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    twinIds.foreach { v =>
+      assert(clusters(v) == v && clusters(v + 100000) == v,
+        s"twin pair $v not clustered to min id")
+    }
+    // everything else is a singleton labeled by itself
+    clusters.foreach { case (id, c) =>
+      if (!twinIds.contains(id) && !twinIds.contains(id - 100000))
+        assert(c == id, s"unexpected cluster for $id")
+    }
+    val canon = Similarity.cosineCanonical(emb, 0.8, nPlanes = 8, nTables = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val norms = emb.select(col("vec_id"), col("norm")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    twinIds.foreach { v =>
+      val (keep, n) = canon(v)
+      assert(n == 2)
+      val expect = if (norms(v + 100000) > norms(v)) v + 100000 else v
+      assert(keep == expect, s"cluster $v kept $keep, expected $expect")
+    }
+  }
+
   test("plan guard: banded LSH self-join exchanges carry no vectors") {
     // The fixed-width contract: the nTables-amplified (band, bucket)
     // exchange moves (id, hash, band, bucket) rows only; vectors cross
