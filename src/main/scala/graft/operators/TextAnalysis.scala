@@ -218,6 +218,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
   }
 
+  /** LM-quality proxy (the CCNet-style perplexity filter, with the
+    * corpus's own unigram distribution standing in for the external LM):
+    * per document, the average negative log-probability of its tokens
+    * under corpus unigram frequencies. High = rare-token-heavy (OCR
+    * noise, gibberish); low = stopword/boilerplate-heavy; the useful
+    * training band is the middle. Per-token -ln p is rounded to 6
+    * decimals and summed as DECIMAL, so the aggregate is exact and
+    * engine-independent (float summation order never shows).
+    *
+    * Shape at 100 TB: token explode is map-side; the frequency table is
+    * vocabulary-sized (Zipf: far smaller than the corpus) and joins the
+    * token stream by broadcast when it fits, degrading planner-chosen to
+    * a token-keyed shuffle join when it does not; the per-doc rollup is
+    * one id-keyed aggregation. */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("total"))
+    val scored = tok
+      .join(broadcast(freq.crossJoin(broadcast(total))), "token")
+      .withColumn("nl", round(-log(col("c").cast("double") / col("total")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("nl")).cast("double") / count(lit(1))), 6).as("avg_neg_logp"))
+  }
+
   /** Cross-corpus boilerplate removal (the CCNet/RefinedWeb paragraph
     * filter): drop every paragraph — a `sep`-delimited segment — that
     * occurs in at least `minDocs` DISTINCT documents (nav bars, cookie

@@ -490,6 +490,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // Corpus-unigram LM quality proxy: per-doc average token -ln p.
+    "text_unigram_logprob" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.unigramLogProb(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents
@@ -1190,6 +1197,19 @@ object PipelineQueries {
               FROM scored)
          SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, tfidf
          FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""",
+
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token
+                       FROM documents WHERE NOT $blankSql),
+            f AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+            t AS (SELECT sum(c) AS total FROM f),
+            s AS (SELECT doc_id,
+                    CAST(round(-ln(CAST(c AS DOUBLE) / total), 6)
+                      AS DECIMAL(18,6)) AS nl
+                  FROM tok JOIN f USING (token) CROSS JOIN t)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n

@@ -172,6 +172,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("quality_score") == 1.0)      // long clean text
   }
 
+  test("unigram logprob: rare tokens score higher; decimal sum is partitioning-invariant") {
+    val docs = Seq(
+      (1L, "the the the the the the the the the the"),  // all common
+      (2L, "the the the the the the the the the zyzzyva") // one rare token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2L) > got(1L), s"rare token must raise avg -logp: $got")
+    // p(the) = 19/20 for doc1: avg -ln p is exactly -ln(0.95) rounded
+    assert(math.abs(got(1L) - BigDecimal(-math.log(19.0 / 20))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // same result whatever the input partitioning (decimal sum is exact,
+    // no float-order dependence)
+    val corpus = Tables(spark, sfDir).documents
+    val a = TextAnalysis.unigramLogProb(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    val b = TextAnalysis.unigramLogProb(corpus.repartition(13, col("source")),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    assert(a == b)
+  }
+
   test("plan guard: boilerplate filter is a broadcast anti join; only reassembly shuffles text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
