@@ -90,6 +90,29 @@ object ScaleProbe {
       docs.unpersist()
       }
 
+      // Span-dedup probe over the same corpora: the planted pairs share
+      // their whole 60-token base text, so each contributes ~55 duplicated
+      // windows per side. Both operators shuffle only fixed-width rows
+      // (hash-keyed counts, broadcast start-lists), so the curve should be
+      // scan-bound and near-linear.
+      if (on("span")) {
+      docs.cache().count()
+      val ts1 = System.nanoTime()
+      val st = Dedup.spanStats(docs, col("doc_id"), col("text"), k = 6)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("dup_docs"))
+        .head()
+      val secS1 = (System.nanoTime() - ts1) / 1e9
+      println(f"""{"metric":"span_stats_scale","docs":$n,"sec":$secS1%.2f,"docs_with_dups":${st.getLong(1)},"expected_min":${2 * (n / 100)}}""")
+      val ts2 = System.nanoTime()
+      val ex = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6)
+        .agg(count(lit(1)).as("n"), sum(length(col("clean_text"))).as("bytes"))
+        .head()
+      val secS2 = (System.nanoTime() - ts2) / 1e9
+      println(f"""{"metric":"span_excise_scale","docs":$n,"sec":$secS2%.2f,"rows":${ex.getLong(0)},"clean_bytes":${ex.getLong(1)}}""")
+      docs.unpersist()
+      }
+
       if (on("ann") || on("ivf") || on("emb")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +

@@ -179,6 +179,47 @@ object Dedup {
         coalesce(col("label"), col("rep_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Window-hash index over a corpus: one row per distinct `k`-token
+    * window hash with its occurrence count — the PERSISTED form of
+    * span-level state. Write it bucketed on `wh`
+    * ([[graft.sources.Bucketing.writeBucketed]]) once and incremental
+    * batches ([[spanIncrementalStats]]) join it without re-reading or
+    * re-hashing a single corpus document. Map-side kernel + one
+    * fixed-width aggregation; text never leaves the scan. */
+  def spanIndex(docs: DataFrame, id: Column, text: Column,
+                k: Int = 6): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode_outer(TextHashExpressions.spanHashes(text, k))
+          .as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+      .groupBy(col("wh"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Incremental span contamination: for each document of a NEW batch,
+    * how many of its `k`-token windows already occur in the indexed
+    * corpus ([[spanIndex]]) — the ingest-time leakage/dedup check, where
+    * yesterday's corpus must not be re-hashed to admit today's batch.
+    * Returns (doc_id, n_windows, n_indexed_windows, overlap_frac).
+    *
+    * Scale: the batch hashes map-side and joins the index on the 64-bit
+    * window hash — exchange-free on the corpus side when the index is
+    * bucketed on `wh` (plan-guard spec'd); only the batch's fixed-width
+    * rows shuffle, and the rollup is one id-keyed aggregation. No text
+    * column exists anywhere in the plan past the two scans. */
+  def spanIncrementalStats(index: DataFrame, batch: DataFrame,
+                           id: Column, text: Column, k: Int = 6): DataFrame = {
+    val w = batch.select(id.as("doc_id"),
+        posexplode_outer(TextHashExpressions.spanHashes(text, k))
+          .as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+    w.join(index.select(col("wh"), lit(1L).as("hit")), Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_indexed_windows"))
+      .withColumn("overlap_frac",
+        round(col("n_indexed_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** Hybrid connected components over an undirected edge list
     * (`id_a`, `id_b`): returns (`id`, `label`) for every vertex touched
     * by an edge, `label` = the smallest reachable id. Driver union-find

@@ -309,6 +309,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Ingest-time span check: batch docs (doc_id % 4 == 0) against the
+    // window-hash index of the rest of the corpus — which new spans
+    // already exist in training data, without re-hashing the corpus.
+    "dedup_span_incremental" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val index = Dedup.spanIndex(corpus, col("doc_id"), col("text"), k = 6)
+      Dedup.spanIncrementalStats(index, batch, col("doc_id"), col("text"), k = 6)
+        .orderBy(col("doc_id"))
+    },
+
     // Span excision — the removal step: every non-first occurrence of a
     // duplicated 6-token window is excised (overlaps merge), documents
     // reassembled from surviving tokens; the shared run survives once,
@@ -966,6 +979,21 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_windows,
            CAST(sum(isdup) AS BIGINT) AS n_dup_windows,
            round(CAST(sum(isdup) AS DOUBLE) / count(*), 6) AS dup_frac
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_span_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            w AS (SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS win
+                  FROM t, unnest(range(1, len(toks) - 4)) AS u(i)
+                  WHERE len(toks) >= 6),
+            idx AS (SELECT DISTINCT win FROM w WHERE doc_id % 4 <> 0),
+            b AS (SELECT doc_id, win FROM w WHERE doc_id % 4 = 0),
+            j AS (SELECT b.doc_id,
+                    CASE WHEN idx.win IS NOT NULL THEN 1 ELSE 0 END AS hit
+                  FROM b LEFT JOIN idx USING (win))
+         SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(hit) AS BIGINT) AS n_indexed_windows,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
          FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_span_excise" ->

@@ -359,6 +359,51 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS mh_idx_stream")
   }
 
+  test("streaming ingestion: span check against the bucketed index, batch by batch") {
+    // Ingest-time leakage detection composed into structured streaming:
+    // the window-hash index is built and bucketed once, each arriving
+    // micro-batch runs spanIncrementalStats against it through
+    // foreachBatch, and the union across micro-batches equals the
+    // one-shot batch answer.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    Bucketing.writeBucketed(
+      Dedup.spanIndex(corpus, col("doc_id"), col("text"), k = 6),
+      "span_idx_stream", Seq("wh"), buckets = 4)
+    val found = scala.collection.mutable.Map[Long, (Long, Long)]()
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = Dedup.spanIncrementalStats(spark.table("span_idx_stream"),
+              batch, col("doc_id"), col("text"), k = 6)
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          found.synchronized { found ++= rows }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-span").toString)
+        .start()
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val expect = Dedup.spanIncrementalStats(
+        Dedup.spanIndex(corpus, col("doc_id"), col("text"), k = 6),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        col("doc_id"), col("text"), k = 6)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(expect.nonEmpty)
+      assert(found.toMap == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS span_idx_stream")
+  }
+
   test("incremental broadcast guard: over-cap candidates fall back, same answer") {
     // maxBroadcastCandidates = 0 forces the fallback: with the forced
     // hints dropped (and auto-broadcast disabled) the planner chooses a
@@ -392,6 +437,48 @@ class DedupSpec extends SparkSpec {
     val n = "shingle_minhash\\(".r.findAllIn(plan).size
     assert(n == 1, s"expected 1 shingle_minhash occurrence, got $n")
     assert(!plan.contains("Exchange"), "index build must be map-only")
+  }
+
+  test("span incremental: bucketed index join is exchange-free on the index side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    Bucketing.writeBucketed(
+      Dedup.spanIndex(corpus, col("doc_id"), col("text"), k = 6),
+      "span_idx_bucketed", Seq("wh"), buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Dedup.spanIncrementalStats(spark.table("span_idx_bucketed"),
+        batch, col("doc_id"), col("text"), k = 6)
+      // correctness against the unbucketed path first
+      val expect = Dedup.spanIncrementalStats(
+        Dedup.spanIndex(corpus, col("doc_id"), col("text"), k = 6),
+        batch, col("doc_id"), col("text"), k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        == expect)
+      val root = out.queryExecution.executedPlan
+      def bucketedScans(p: SparkPlan) =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans(root).nonEmpty, s"index scan should read bucketed:\n$root")
+      // the batch side shuffles its fixed-width (doc_id, wh) rows to meet
+      // the bucketed index; no exchange anywhere carries a string
+      val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val stringy = e.asInstanceOf[SparkPlan].output
+          .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+        assert(stringy.isEmpty, s"string columns shuffled: $stringy\n$root")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS span_idx_bucketed")
+    }
   }
 
   test("span stats: planted verbatim run counted positionally, within-doc repeats excluded") {
