@@ -54,4 +54,29 @@ object Contamination {
       .crossJoin(broadcast(frags.select(fragId.as("test_id"), fragText.as("frag"))))
       .filter(instr(col("__text"), col("frag")) > 0)
       .select(col("doc_id"), col("test_id"))
+
+  /** The multi-pattern scale form of [[exactSubstring]], for fragment
+    * sets too large to probe per row: each `k`-token fragment's single
+    * window hash equi-joins the corpus's per-position `k`-token window
+    * hashes ([[graft.functions.TextHashExpressions.spanHashes]] — one
+    * kernel pass per document, 64-bit keys), so cost is one corpus scan
+    * plus a hash join instead of |frags| substring searches per row.
+    * Semantics are TOKEN-ALIGNED containment (the fragment equals some
+    * k-token window), the natural unit for training-data checks;
+    * [[exactSubstring]] is the byte-level form. Fragments that are not
+    * exactly `k` tokens are ignored — group a mixed benchmark by token
+    * count and run once per length. */
+  def exactSubstringIndexed(train: DataFrame, trainId: Column, trainText: Column,
+                            frags: DataFrame, fragId: Column, fragText: Column,
+                            k: Int = 8): DataFrame = {
+    val fw = frags.select(fragId.as("test_id"),
+        TextHashExpressions.spanHashes(fragText, k).as("__whs"))
+      .filter(size(col("__whs")) === 1)
+      .select(col("test_id"), element_at(col("__whs"), 1).as("wh"))
+    val w = train.select(trainId.as("doc_id"),
+      explode_outer(TextHashExpressions.spanHashes(trainText, k)).as("wh"))
+    w.join(broadcast(fw), "wh")
+      .select(col("doc_id"), col("test_id"))
+      .distinct()
+  }
 }

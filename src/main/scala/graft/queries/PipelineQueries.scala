@@ -213,6 +213,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("test_id"))
     },
 
+    // The multi-pattern scale form: fragment window hashes equi-join the
+    // corpus's 8-token window hashes (token-aligned containment) — one
+    // corpus scan + a broadcast hash join, whatever the benchmark size.
+    "contamination_exact_indexed" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val frags = t.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 6, 8)).as("frag"))
+      graft.operators.Contamination
+        .exactSubstringIndexed(t.documents, col("doc_id"), col("text"),
+          frags, col("doc_id"), col("frag"), k = 8)
+        .orderBy(col("doc_id"), col("test_id"))
+    },
+
     // Deterministic exact-fraction stratified sample (md5-of-id order).
     "sample_stratified" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -838,6 +853,20 @@ object PipelineQueries {
          SELECT d.doc_id, f.test_id
          FROM documents d JOIN f ON position(f.frag IN d.text) > 0
          ORDER BY d.doc_id, f.test_id""",
+
+    "contamination_exact_indexed" ->
+      """WITH f AS (
+           SELECT doc_id AS test_id,
+             array_to_string((string_split(text, ' '))[6:13], ' ') AS frag
+           FROM documents
+           WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 13),
+          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+                FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+                WHERE len(toks) >= 8)
+         SELECT DISTINCT w.doc_id, f.test_id
+         FROM w JOIN f ON w.win = f.frag
+         ORDER BY w.doc_id, f.test_id""",
 
     "sample_stratified" ->
       """SELECT event_id, event_type FROM (

@@ -164,4 +164,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
   }
+
+  test("indexed contamination: token-aligned matches only, equals per-row form there") {
+    val frag = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"lead in $frag trail out"),        // token-aligned copy
+      (2L, s"xx$frag"),                        // first token fused: byte-level only
+      (3L, "nothing shared here at all today whatsoever")
+    ).toDF("doc_id", "text")
+    val frags = Seq((10L, frag)).toDF("test_id", "frag")
+    val byteLevel = Contamination.exactSubstring(train, col("doc_id"), col("text"),
+        frags, col("test_id"), col("frag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = Contamination.exactSubstringIndexed(train, col("doc_id"), col("text"),
+        frags, col("test_id"), col("frag"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byteLevel == Set((1L, 10L), (2L, 10L)), s"byte-level $byteLevel")
+    // the fused-token doc is byte-contained but not token-aligned — the
+    // indexed form's documented semantics exclude it
+    assert(indexed == Set((1L, 10L)), s"indexed $indexed")
+    // fragments of the wrong token count are ignored, not mismatched
+    val shortFrag = Seq((11L, "alpha beta gamma")).toDF("test_id", "frag")
+    assert(Contamination.exactSubstringIndexed(train, col("doc_id"), col("text"),
+      shortFrag, col("test_id"), col("frag"), k = 8).count() == 0)
+  }
 }
