@@ -599,6 +599,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // One-row corpus health report composing five operators: doc/token
+    // totals, language mix, exact decimal-mean quality, span-duplication
+    // incidence, and distinct-text count (via 64-bit fingerprints so the
+    // distinct aggregation never exchanges text).
+    "corpus_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val quality = TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val lang = t.documents.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        xxhash64(col("text")).as("fp"))
+      val span = Dedup.spanStats(t.documents, col("doc_id"), col("text"), k = 6)
+        .select(col("doc_id"), col("n_dup_windows"))
+      quality.join(lang, "doc_id").join(span, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          round(sum(col("quality_score")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("n_span_dup_docs"),
+          count_distinct(col("fp")).as("n_distinct_texts"))
+    },
+
     // Cohort retention over the event stream — see operators.Retention for
     // the single-user-shuffle, join-free plan rationale.
     "q_retention_cohort" -> { (s, dir) =>
@@ -1376,6 +1401,48 @@ object PipelineQueries {
            WHERE para NOT IN (SELECT para FROM common))
          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_report" -> {
+      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
+      }.mkString(",\n             ")
+      val langs = TextAnalysis.langStopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+        .mkString(" ")
+      s"""WITH f AS (
+           SELECT doc_id, text, length(text) AS n_chars,
+             CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct,
+             $hits
+           FROM documents),
+          q AS (
+           SELECT doc_id, text, n_tokens,
+             CASE $cases ELSE 'und' END AS lang_pred,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               * (1.0 - least(CASE WHEN n_chars > 0
+                    THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+                    ELSE 0.0 END * 5.0, 1.0)), 6) AS quality_score
+           FROM f),
+          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          w AS (SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS win
+                FROM t, unnest(range(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 6),
+          g AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY win),
+          sp AS (SELECT w.doc_id,
+                   max(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS has_dup
+                 FROM w JOIN g USING (win) GROUP BY w.doc_id)
+         SELECT count(*) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN q.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           round(CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_quality,
+           CAST(sum(CASE WHEN coalesce(sp.has_dup, 0) = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_span_dup_docs,
+           count(DISTINCT q.text) AS n_distinct_texts
+         FROM q LEFT JOIN sp USING (doc_id)"""
+    },
 
     "q_retention_cohort" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

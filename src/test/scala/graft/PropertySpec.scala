@@ -93,6 +93,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: span hashes — position count, injectivity vs windows, shingle agreement") {
+    val vocab = Vector("a", "b", "cc", "d", "e", "longword", "g", "h")
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks
+    check(Prop.forAll(docGen) { toks =>
+      val text = toks.mkString(" ")
+      val k = 4
+      val row = Seq(text).toDF("text")
+        .select(graft.functions.TextHashExpressions.spanHashes(col("text"), k).as("whs"),
+          Dedup.shingles(col("text"), k).as("sh"))
+        .head()
+      val whs = if (row.isNullAt(0)) Seq.empty[Long] else row.getSeq[Long](0)
+      val sh = if (row.isNullAt(1)) Seq.empty[String] else row.getSeq[String](1)
+      val windows = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      // one hash per position; equal windows <=> equal hashes (no 64-bit
+      // collisions at this scale); distinct hash count == shingle count
+      whs.length == windows.length &&
+        windows.zip(whs).groupBy(_._1).values
+          .forall(g => g.map(_._2).distinct.length == 1) &&
+        whs.distinct.length == windows.distinct.length &&
+        whs.distinct.length == sh.length
+    }, n = 40)
+  }
+
   test("approx_count_distinct is within its documented error bound") {
     val events = Tables(spark, sfDir).events
     val r = events.agg(
