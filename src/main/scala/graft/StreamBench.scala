@@ -17,6 +17,9 @@ object StreamBench {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("span")) {
+      spanIngest(spark, n.toInt, batches); spark.stop(); return
+    }
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")
@@ -31,5 +34,48 @@ object StreamBench {
     val total = n * batches
     println(f"""{"metric":"stream_records_per_sec","value":${total / sec}%.0f,"records":$total,"sec":$sec%.2f}""")
     spark.stop()
+  }
+
+  /** Ingest-time span-check throughput (`SPARK_GRAFT_STREAM=span`): the
+    * corpus window-hash index is built and bucketed ONCE for `n` docs,
+    * then `batches` fresh batches of `n/4` new docs each run
+    * [[graft.operators.Dedup.spanIncrementalStats]] against it — the
+    * per-micro-batch cost of the streaming composition, with the index
+    * side exchange-free. Prints new-docs/sec. */
+  private def spanIngest(spark: SparkSession, n: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
+      "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",
+      "key", "value", "stream", "window", "group", "filter")
+    val vocabCol = typedLit(vocab)
+    def corpus(from: Long, count: Long, salt: Int) = spark.range(from, from + count)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(vocabCol,
+            (pmod(xxhash64(col("id"), i, lit(salt)), lit(vocab.size)) + 1)
+              .cast("int")))).as("text"))
+    graft.sources.Bucketing.writeBucketed(
+      graft.operators.Dedup.spanIndex(corpus(0, n, 0), col("doc_id"), col("text"), k = 6),
+      "span_ingest_idx", Seq("wh"), buckets = 32)
+    val batchN = math.max(n / 4, 1)
+    // warmup
+    graft.operators.Dedup.spanIncrementalStats(spark.table("span_ingest_idx"),
+        corpus(n, 1000, 99), col("doc_id"), col("text"), k = 6)
+      .agg(count(lit(1))).head()
+    val t0 = System.nanoTime()
+    var hits = 0L
+    (0 until batches).foreach { b =>
+      val r = graft.operators.Dedup.spanIncrementalStats(
+          spark.table("span_ingest_idx"),
+          corpus(n + b.toLong * batchN, batchN, b + 1),
+          col("doc_id"), col("text"), k = 6)
+        .agg(count(lit(1)).as("docs"), sum(col("n_indexed_windows")).as("h"))
+        .head()
+      hits += r.getLong(1)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val total = batchN.toLong * batches
+    println(f"""{"metric":"span_ingest_docs_per_sec","value":${total / sec}%.0f,"new_docs":$total,"corpus":$n,"sec":$sec%.2f,"indexed_window_hits":$hits}""")
+    spark.sql("DROP TABLE IF EXISTS span_ingest_idx")
   }
 }

@@ -554,12 +554,16 @@ object Dedup {
     * map-only projection (the exists-over-starts filter is O(tokens ×
     * removed-spans) per row, and the start-list is span-sized). The
     * start-lists join the corpus by BROADCAST — their rows are a doc_id
-    * plus a small int array, so the 8 GB broadcast cap is ~10^8 affected
-    * documents; past that swap the hint for a shuffle join, which moves
-    * each affected document's text once. Documents with no duplicated
-    * spans pass through untouched. */
+    * plus a small int array — and the hint is GUARDED, not assumed: the
+    * marked-doc count is measured first (one narrow job over fixed-width
+    * rows), and above `maxBroadcastMarks` the hint is dropped so a
+    * duplication-dense corpus degrades to a planner-chosen join (each
+    * affected document's text then moves once) instead of driving the
+    * broadcast build into the 8 GB cap / driver OOM. Documents with no
+    * duplicated spans pass through untouched. */
   def spanExcise(docs: DataFrame, id: Column, text: Column,
-                 k: Int = 6): DataFrame = {
+                 k: Int = 6,
+                 maxBroadcastMarks: Long = 10 * 1000 * 1000): DataFrame = {
     val w = docs.select(id.as("doc_id"),
         posexplode_outer(TextHashExpressions.spanHashes(text, k))
           .as(Seq("pos", "wh")))
@@ -575,8 +579,14 @@ object Dedup {
       .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("pos"))).as("starts"))
+    val broadcastSafe = marks.count() <= maxBroadcastMarks
+    if (!broadcastSafe)
+      System.err.println(
+        s"[graft] spanExcise: marked-doc count exceeds $maxBroadcastMarks — " +
+          "dropping the broadcast hint; affected documents' text will move " +
+          "once through a planner-chosen join")
     docs.select(id.as("doc_id"), text.as("__text"))
-      .join(broadcast(marks), Seq("doc_id"), "left")
+      .join(if (broadcastSafe) broadcast(marks) else marks, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("starts").isNull, col("__text")).otherwise {
           val toks = split(col("__text"), " ")

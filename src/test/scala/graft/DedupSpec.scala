@@ -548,6 +548,16 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == "m n o p q r x", got(5L))
   }
 
+  test("span excision broadcast guard: over-cap marks fall back, same answer") {
+    val hinted = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fallback = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6,
+        maxBroadcastMarks = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hinted == fallback)
+    assert(hinted.nonEmpty)
+  }
+
   test("plan guard: span excision never shuffles text (map-only rewrite)") {
     // Window hashes aggregate and join as 64-bit keys; the per-doc
     // start-lists broadcast back onto the corpus, so the rewrite is a
