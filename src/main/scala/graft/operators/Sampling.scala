@@ -119,6 +119,45 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Concat-and-chunk sequence packing — the last step before a training
+    * loader: within each shard (deterministic `md5(id || salt)` order,
+    * same derivation as [[shuffleShards]]), documents are conceptually
+    * concatenated and cut into fixed `seqLen`-token training sequences;
+    * a document straddling a cut contributes a piece to each side. The
+    * output is the PACKING MAP — (shard, seq_id, doc_id, tok_start,
+    * n_toks) — which is what a loader needs to assemble sequences
+    * without the engine ever materializing them; every sequence is
+    * exactly `seqLen` tokens except each shard's last.
+    *
+    * Scale: one shard-keyed window (the running token offset — shards
+    * bound the sort, never a global one), then a map-only bin explode;
+    * a document emits one row per sequence it touches, ≤ 1 + n/seqLen.
+    * Deterministic and partitioning-invariant, so the same corpus packs
+    * identically on any cluster — reproducible training order. */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+                    nShards: Int, seqLen: Int,
+                    salt: String = ""): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val n = TextAnalysis.tokenCount(text).cast("long")
+    val sharded = shuffleShards(
+      docs.select(id.as("doc_id"), n.as("__n")).filter(col("__n") > 0),
+      col("doc_id"), nShards, salt)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__start") / seqLen),
+          floor((col("__start") + col("__n") - 1) / seqLen))))
+      .select(col("shard"), col("seq_id"),
+        col("doc_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__start"))
+          .as("tok_start"),
+        (least(col("__n"), (col("seq_id") + 1) * seqLen - col("__start")) -
+          greatest(lit(0L), col("seq_id") * seqLen - col("__start")))
+          .as("n_toks"))
+  }
+
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata
     * absent from `weights` get `defaultWeight`; weights above 1.0 keep the
     * whole stratum (upsampling is the caller's union). */

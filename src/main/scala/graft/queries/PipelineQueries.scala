@@ -271,6 +271,17 @@ object PipelineQueries {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // Sequence packing: concat-and-chunk into 256-token training
+    // sequences within 4 deterministic shards; output is the packing map
+    // (which doc contributes which token range to which sequence).
+    "pack_sequences" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .packSequences(t.documents, col("doc_id"), col("text"),
+          nShards = 4, seqLen = 256, salt = "r5")
+        .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+    },
+
     // Data mixing by source weights; unlisted sources keep 5%.
     "sample_mixture" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -938,6 +949,32 @@ object PipelineQueries {
            CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
              AS INT) AS pos
          FROM s ORDER BY shard, pos""",
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n
+           FROM documents),
+          nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM d WHERE n > 0),
+          h AS (SELECT doc_id, n,
+                  md5(CAST(doc_id AS VARCHAR) || 'r5') AS hh
+                FROM nz),
+          s AS (SELECT doc_id, n, hh,
+                  CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+                FROM h),
+          p AS (SELECT doc_id, n, shard,
+                  CAST(coalesce(sum(n) OVER (PARTITION BY shard
+                    ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS strt
+                FROM s),
+          e AS (SELECT shard, doc_id, n, strt, b AS seq_id
+                FROM p, unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS u(b))
+         SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           greatest(0, seq_id * 256 - strt) AS tok_start,
+           least(n, (seq_id + 1) * 256 - strt)
+             - greatest(0, seq_id * 256 - strt) AS n_toks
+         FROM e ORDER BY shard, seq_id, doc_id""",
 
     "sample_mixture" ->
       """SELECT doc_id, source FROM (

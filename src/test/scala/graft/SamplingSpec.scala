@@ -165,6 +165,46 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
   }
 
+  test("sequence packing: full bins, contiguous doc coverage, partitioning-invariant") {
+    val seqLen = 64
+    val out = Sampling.packSequences(docs, col("doc_id"), col("text"),
+        nShards = 4, seqLen = seqLen, salt = "t")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // every sequence is exactly seqLen tokens except each shard's last
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val perSeq = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum)
+      val lastSeq = perSeq.keys.max
+      perSeq.foreach { case (seq, total) =>
+        if (seq != lastSeq)
+          assert(total == seqLen, s"shard $shard seq $seq has $total tokens")
+        else assert(total >= 1 && total <= seqLen)
+      }
+    }
+    // each doc's pieces tile [0, n) contiguously, no overlap, nothing lost
+    val tokCounts = docs
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._3).foreach { case (doc, pieces) =>
+      val sorted = pieces.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"doc $doc first piece starts at ${sorted.head._4}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"doc $doc gap/overlap")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == tokCounts(doc), s"doc $doc coverage")
+    }
+    // identical map whatever the input partitioning
+    val again = Sampling.packSequences(docs.repartition(7, col("source")),
+        col("doc_id"), col("text"), nShards = 4, seqLen = seqLen, salt = "t")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+      out.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("indexed contamination: token-aligned matches only, equals per-row form there") {
     val frag = "alpha beta gamma delta epsilon zeta eta theta"
     val train = Seq(
