@@ -101,4 +101,54 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count() == 0)
   }
+
+  test("span operators on degenerate corpora: empty, single doc, all-identical") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.spanStats(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.spanExcise(empty, col("doc_id"), col("text")).count() == 0)
+
+    val single = Seq((7L, "a b c d e f g h")).toDF("doc_id", "text")
+    val st = Dedup.spanStats(single, col("doc_id"), col("text")).head()
+    assert(st.getLong(1) == 3 && st.getLong(2) == 0)   // 8 tokens → 3 windows
+    assert(Dedup.spanExcise(single, col("doc_id"), col("text"))
+      .head().getString(1) == "a b c d e f g h")
+
+    // ten byte-identical docs: the first survives whole, the rest empty
+    val same = (1L to 10L).map(i => (i, "w x y z a b c d")).toDF("doc_id", "text")
+    val excised = Dedup.spanExcise(same, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(excised(1L) == "w x y z a b c d")
+    (2L to 10L).foreach(i => assert(excised(i) == "", s"doc $i: '${excised(i)}'"))
+  }
+
+  test("sequence packing degenerate cases: seqLen 1, doc longer than seqLen") {
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val one = graft.operators.Sampling.packSequences(docs, col("doc_id"),
+        col("text"), nShards = 1, seqLen = 1, salt = "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // seqLen=1 → every token its own sequence, ids 0..4, pieces of 1
+    assert(one.length == 5 && one.forall(_._4 == 1L))
+    assert(one.map(_._1).sorted.toSeq == (0L to 4L))
+
+    val long = Seq((1L, Seq.fill(10)("t").mkString(" "))).toDF("doc_id", "text")
+    val pieces = graft.operators.Sampling.packSequences(long, col("doc_id"),
+        col("text"), nShards = 1, seqLen = 4, salt = "e")
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // 10 tokens at seqLen 4 → pieces (0,4)(4,4)(8,2) in sequences 0,1,2
+    assert(pieces.toSeq == Seq((0L, 0L, 4L), (1L, 4L, 4L), (2L, 8L, 2L)))
+  }
+
+  test("boilerplate stripping with a custom separator and minDocs 2") {
+    val docs = Seq(
+      (1L, "keep me|shared line"),
+      (2L, "shared line|also keep"),
+      (3L, "solo content here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.stripBoilerplate(docs, col("doc_id"),
+        col("text"), sep = "|", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "keep me", 2L -> "also keep",
+      3L -> "solo content here"), s"got $got")
+  }
 }
