@@ -203,7 +203,7 @@ object ScaleProbe {
               pmod(col("id_a"), lit(100)) === 0, 1L).otherwise(0L)).as("planted"))
           .head()
         val sec7 = (System.nanoTime() - t7) / 1e9
-        val nHashes = (4 + 63 / planes - 1) / (63 / planes)
+        val nHashes = Similarity.lshHashColumns(planes, 4)
         println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"hash_cols":$nHashes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
       }
       }

@@ -51,7 +51,11 @@ object Contamination {
   def exactSubstring(train: DataFrame, trainId: Column, trainText: Column,
                      frags: DataFrame, fragId: Column, fragText: Column): DataFrame =
     train.select(trainId.as("doc_id"), trainText.as("__text"))
-      .crossJoin(broadcast(frags.select(fragId.as("test_id"), fragText.as("frag"))))
+      // blank fragments are dropped, not matched: instr(text, '') is 1
+      // for EVERY document, so one empty benchmark row would otherwise
+      // flag the whole corpus and blow the match-sized-output contract
+      .crossJoin(broadcast(frags.select(fragId.as("test_id"), fragText.as("frag"))
+        .filter(col("frag").isNotNull && length(col("frag")) > 0)))
       .filter(instr(col("__text"), col("frag")) > 0)
       .select(col("doc_id"), col("test_id"))
 

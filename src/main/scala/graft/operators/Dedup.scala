@@ -579,6 +579,13 @@ object Dedup {
       .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("pos"))).as("starts"))
+    // The count runs the mark pipeline once more (scan + two fixed-width
+    // exchanges; no text ever participates) — deliberately NOT persisted,
+    // for the same reason as minhashIncrementalPairs: an InMemoryRelation
+    // would hide the exchanges from the executed plan and blind the
+    // plan-guard specs. Callers who know their corpus can skip the extra
+    // pass with maxBroadcastMarks = Long.MaxValue (always broadcast) or
+    // force the planner's choice with maxBroadcastMarks = 0.
     val broadcastSafe = marks.count() <= maxBroadcastMarks
     if (!broadcastSafe)
       System.err.println(

@@ -118,6 +118,13 @@ object Similarity {
         call_function("shiftleft", lit(1L), band) - lit(1L)) === 0
   }
 
+  /** Number of 64-bit hash columns an (nPlanes, nTables) LSH config
+    * occupies — [[LshLayout]]'s derivation, exposed so tooling reports
+    * the same layout the operators use (and fails with the layout's own
+    * require on an invalid config instead of dividing by zero). */
+  def lshHashColumns(nPlanes: Int, nTables: Int): Int =
+    LshLayout(nPlanes, nTables).nHashes
+
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
     * bucket in at least one of `nTables` hash tables, then exact-cosine
     * verified (precision 1 by construction). Linear shuffle volume.

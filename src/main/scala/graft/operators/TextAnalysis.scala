@@ -236,8 +236,11 @@ object TextAnalysis {
     val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("total"))
+    // no forced hint: the planner broadcasts a vocabulary that fits and
+    // degrades to a token-keyed shuffle join when it does not — exactly
+    // the contract above (the 1-row total is always broadcast)
     val scored = tok
-      .join(broadcast(freq.crossJoin(broadcast(total))), "token")
+      .join(freq.crossJoin(broadcast(total)), "token")
       .withColumn("nl", round(-log(col("c").cast("double") / col("total")), 6)
         .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
     scored.groupBy(col("doc_id"))
@@ -254,12 +257,21 @@ object TextAnalysis {
     *
     * Shape at 100 TB: paragraphs explode map-side; the frequency
     * aggregation exchanges (64-bit paragraph hash, id) rows only; the
-    * boilerplate set — tiny by nature, it is the paragraphs repeated
+    * boilerplate set — normally tiny, it is the paragraphs repeated
     * across ≥ `minDocs` documents — broadcasts into a hash-keyed ANTI
     * join, so the only exchange that ever carries paragraph text is the
-    * final doc-keyed reassembly, which is output-sized. */
+    * final doc-keyed reassembly, which is output-sized. The broadcast is
+    * GUARDED, not assumed: the set is counted first (one job over
+    * hash-only exchanges), and above `maxBroadcastParagraphs` — a
+    * template-saturated corpus where "boilerplate" is most of the data —
+    * the hint is dropped and the planner's join runs instead (paragraph
+    * text then shuffles once on the hash key). The count re-runs the
+    * frequency aggregation; deliberately not persisted, both to keep the
+    * executed plan's exchanges visible to the plan-guard spec and
+    * because the re-run touches no text exchange. */
   def stripBoilerplate(docs: DataFrame, id: Column, text: Column,
-                       sep: String = "\n", minDocs: Int = 3): DataFrame = {
+                       sep: String = "\n", minDocs: Int = 3,
+                       maxBroadcastParagraphs: Long = 10 * 1000 * 1000): DataFrame = {
     val paras = docs.select(id.as("doc_id"),
         posexplode_outer(split(text, java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
@@ -268,7 +280,14 @@ object TextAnalysis {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("ph"))
-    paras.join(broadcast(boilerplate), Seq("ph"), "left_anti")
+    val broadcastSafe = boilerplate.count() <= maxBroadcastParagraphs
+    if (!broadcastSafe)
+      System.err.println(
+        s"[graft] stripBoilerplate: boilerplate set exceeds " +
+          s"$maxBroadcastParagraphs paragraphs — dropping the broadcast " +
+          "hint; paragraph text will shuffle once on the hash key")
+    paras.join(if (broadcastSafe) broadcast(boilerplate) else boilerplate,
+        Seq("ph"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -163,6 +163,13 @@ class SamplingSpec extends SparkSpec {
         frags, col("test_id"), col("frag"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
+    // a blank fragment (instr(text, '') = 1 everywhere) is dropped, not
+    // matched against the whole corpus
+    val withBlank = frags.unionByName(Seq((11L, "")).toDF("test_id", "frag"))
+    val got2 = Contamination.exactSubstring(train, col("doc_id"), col("text"),
+        withBlank, col("test_id"), col("frag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, s"blank fragment leaked: $got2")
   }
 
   test("sequence packing: full bins, contiguous doc coverage, partitioning-invariant") {

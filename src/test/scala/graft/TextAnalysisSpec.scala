@@ -235,5 +235,10 @@ class TextAnalysisSpec extends SparkSpec {
       2L -> "another body",
       3L -> "third body",
       5L -> "kept alone\nkept alone"), s"got $got")
+    // over-cap guard: dropping the broadcast hint returns the same result
+    val fallback = TextAnalysis.stripBoilerplate(docs, col("doc_id"), col("text"),
+        sep = "\n", minDocs = 3, maxBroadcastParagraphs = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fallback == got)
   }
 }
