@@ -94,23 +94,38 @@ object ScaleProbe {
       // their whole 60-token base text, so each contributes ~55 duplicated
       // windows per side. Both operators shuffle only fixed-width rows
       // (hash-keyed counts, broadcast start-lists), so the curve should be
-      // scan-bound and near-linear.
+      // scan-bound and near-linear. The default 20-word vocabulary makes
+      // 6-gram collisions DENSE (worst-case mark density);
+      // SPARK_GRAFT_SPAN_VOCAB=50000 swaps in synthetic w<i> tokens for a
+      // realistic sparse corpus where only the planted runs repeat.
       if (on("span")) {
-      docs.cache().count()
+      val spanDocs = sys.env.get("SPARK_GRAFT_SPAN_VOCAB").map { v =>
+        val vs = v.toInt
+        val gid = col("id") -
+          when(pmod(col("id"), lit(100)) === 1, 1L).otherwise(0L)
+        spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(59)),
+              i => concat(lit("w"), pmod(xxhash64(gid, i), lit(vs))))).as("text"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(100)) === 1,
+              concat(col("text"), lit(" extra"))).otherwise(col("text")))
+      }.getOrElse(docs)
+      spanDocs.cache().count()
       val ts1 = System.nanoTime()
-      val st = Dedup.spanStats(docs, col("doc_id"), col("text"), k = 6)
+      val st = Dedup.spanStats(spanDocs, col("doc_id"), col("text"), k = 6)
         .agg(count(lit(1)).as("n"),
           sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("dup_docs"))
         .head()
       val secS1 = (System.nanoTime() - ts1) / 1e9
       println(f"""{"metric":"span_stats_scale","docs":$n,"sec":$secS1%.2f,"docs_with_dups":${st.getLong(1)},"expected_min":${2 * (n / 100)}}""")
       val ts2 = System.nanoTime()
-      val ex = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6)
+      val ex = Dedup.spanExcise(spanDocs, col("doc_id"), col("text"), k = 6)
         .agg(count(lit(1)).as("n"), sum(length(col("clean_text"))).as("bytes"))
         .head()
       val secS2 = (System.nanoTime() - ts2) / 1e9
       println(f"""{"metric":"span_excise_scale","docs":$n,"sec":$secS2%.2f,"rows":${ex.getLong(0)},"clean_bytes":${ex.getLong(1)}}""")
-      docs.unpersist()
+      spanDocs.unpersist()
       }
 
       if (on("ann") || on("ivf") || on("emb")) {
