@@ -68,7 +68,8 @@ object LshTune {
     val exactPlanted = Similarity.cosineNearDupPairs(planted, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[lshtune] planted corpus exact pairs@0.8 = ${exactPlanted.size}")
-    for (b <- Seq(6, 8); t <- Seq(1, 2, 4) if b * t <= 63) {
+    // configs past 63 total bits run on split hash columns (LshLayout)
+    for (b <- Seq(6, 8, 16); t <- Seq(1, 2, 4)) {
       val got = Similarity.cosineNearDupPairsLsh(planted, 0.8, nPlanes = b, nTables = t)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & exactPlanted).size.toDouble / math.max(1, exactPlanted.size)
@@ -79,7 +80,7 @@ object LshTune {
     val exactPairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[lshtune] corpus=$nVec exact pairs@0.4 = ${exactPairs.size}")
-    for (b <- Seq(2, 3, 4); t <- Seq(4, 8, 12, 16) if b * t <= 63) {
+    for (b <- Seq(2, 3, 4); t <- Seq(4, 8, 16, 22)) {
       val got = Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = b, nTables = t)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & exactPairs).size.toDouble / math.max(1, exactPairs.size)
@@ -91,7 +92,7 @@ object LshTune {
     val exactTopk = Similarity.bruteForceTopK(emb, queries, 5)
       .select("query_id", "rk", "cand_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    for (b <- Seq(4, 6, 8); t <- Seq(4, 8, 10) if b * t <= 63; p <- Seq(0, 1)) {
+    for (b <- Seq(4, 6, 8); t <- Seq(4, 8, 10); p <- Seq(0, 1)) {
       val got = Similarity.lshTopK(emb, queries, 5, nPlanes = b, maxProbe = p, nTables = t)
         .select("query_id", "rk", "cand_id").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
