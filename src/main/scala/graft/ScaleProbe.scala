@@ -210,16 +210,21 @@ object ScaleProbe {
       val configs = sys.env.get("SPARK_GRAFT_EMB_PLANES")
         .map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(Seq(planesNatural))
+      // SPARK_GRAFT_EMB_TABLES overrides the 4-table default — e.g. a 5th
+      // OR-table (a third hash column at wide plane counts) to close the
+      // last fraction of recall at very large N.
+      val nTablesCfg = sys.env.get("SPARK_GRAFT_EMB_TABLES").map(_.toInt).getOrElse(4)
       configs.foreach { planes =>
         val t7 = System.nanoTime()
-        val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes, nTables = 4)
+        val r = Similarity.cosineNearDupPairsLsh(gapped, 0.8, nPlanes = planes,
+            nTables = nTablesCfg)
           .agg(count(lit(1)).as("total"),
             sum(when(col("id_b") === col("id_a") + n &&
               pmod(col("id_a"), lit(100)) === 0, 1L).otherwise(0L)).as("planted"))
           .head()
         val sec7 = (System.nanoTime() - t7) / 1e9
-        val nHashes = Similarity.lshHashColumns(planes, 4)
-        println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"hash_cols":$nHashes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
+        val nHashes = Similarity.lshHashColumns(planes, nTablesCfg)
+        println(f"""{"metric":"emb_lsh_scale","vecs":$n,"planes":$planes,"tables":$nTablesCfg,"hash_cols":$nHashes,"sec":$sec7%.2f,"planted_found":${r.getLong(1)},"planted_expected":${n / 100},"total_pairs":${r.getLong(0)}}""")
       }
       }
       vecs.unpersist()
