@@ -270,6 +270,29 @@ class SimilaritySpec extends SparkSpec {
       s"missing ${exact -- wide.toSet}, spurious ${wide.toSet -- exact}")
   }
 
+  test("LSH layout boundaries: invalid configs fail fast, extremes still work") {
+    val tiny = all.limit(30)
+    // invalid: zero/negative, > 63 planes, > 62 tables
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsLsh(tiny, 0.5, nPlanes = 0, nTables = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsLsh(tiny, 0.5, nPlanes = 64, nTables = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(all, queries, 5, nPlanes = 4, maxProbe = 1, nTables = 63)
+    }
+    // extremes run: 63-plane buckets (one table per hash column) and a
+    // 62-table OR-amplification (62 hash columns at 63 planes would be
+    // absurd — use 2 planes, 4 columns)
+    Similarity.cosineNearDupPairsLsh(tiny, 0.99, nPlanes = 63, nTables = 2).count()
+    val wide = Similarity.cosineNearDupPairsLsh(tiny, 0.99, nPlanes = 2, nTables = 62)
+    assert(Similarity.lshHashColumns(2, 62) == 2)
+    wide.count()
+    assert(Similarity.lshHashColumns(63, 2) == 2)
+    assert(Similarity.lshHashColumns(8, 4) == 1)   // registered config: unchanged layout
+  }
+
   test("wide ANN top-k (>63 bits) stays a subset of correct cosines") {
     // 8 planes × 10 tables = 80 bits → two hash columns (7 + 3 tables).
     val got = Similarity.lshTopK(all, queries, k = 5,
