@@ -55,6 +55,10 @@ object ScaleProbe {
       // hold the whole cluster (candidate pairs ~ bands x (n/5)^2); with it,
       // runtime should stay in the same ballpark as the uniform corpus
       // while the output contains the full C(n/5, 2) duplicate pairs.
+      // SPARK_GRAFT_SKIP_SKEW=1 skips the skew sub-probe (output-bound:
+      // ~26 min at 1M docs emitting 20B verified pairs) so the uniform +
+      // clustering curves can be refreshed quickly at large sizes.
+      if (!sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) {
       val clusterSize = n / 5
       val skewed = docs.filter(col("doc_id") < n - clusterSize)
         .unionByName(spark.range(n - clusterSize.toLong, n.toLong)
@@ -67,6 +71,7 @@ object ScaleProbe {
       val expectDup = clusterSize.toLong * (clusterSize - 1) / 2
       println(f"""{"metric":"minhash_lsh_skew","docs":$n,"cluster":$clusterSize,"sec":$sec1%.2f,"pairs":$skewPairs,"min_expected":$expectDup}""")
       skewed.unpersist()
+      }
 
       // Transitive clustering over the same uniform corpus: the planted
       // pair graph is n/100 two-doc components, so the label loop should
