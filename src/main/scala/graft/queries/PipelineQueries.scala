@@ -104,6 +104,19 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The SPLIT-HASH layout under the driver's oracle gate: 16 planes ×
+    // 4 tables = 64 bits > the 63 a single hash column holds, so the
+    // config runs on two hash columns over disjoint plane sets
+    // (Similarity.LshLayout) — the >1M-vector regime's shape, held to
+    // exact brute-force equality on the same planted corpus.
+    "dedup_embedding_lsh_wide" -> { (s, dir) =>
+      val emb = Similarity.prepared(plantedEmbeddings(Tables(s, dir)),
+        col("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairsLsh(emb, threshold = 0.8, nPlanes = 16, nTables = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Embedding-side canonicalize: LSH near-dup pairs → connected
     // components (shared hybrid componentsFromPairs) → keep the largest-
     // norm member per cluster. The embedding mirror of dedup_canonical,
@@ -759,6 +772,27 @@ object PipelineQueries {
          SELECT cluster_id, id AS keep_id, n_members,
            round(keep_norm, 6) AS keep_norm
          FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // Same brute-force contract as dedup_embedding_lsh: the wide config
+    // also carries recall 1.0 on the gapped corpus (finer buckets can
+    // only shrink candidates, and the 4-table OR keeps every planted
+    // pair), so its oracle is the identical SQL.
+    "dedup_embedding_lsh_wide" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            planted AS (
+              SELECT vec_id, vec FROM base
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     [vec[i] + vec[len(vec) + 1 - i] * 0.01
+                      for i in range(1, len(vec) + 1)] AS vec
+              FROM base WHERE vec_id % 10 = 0),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                  FROM planted)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.8
+         ORDER BY id_a, id_b""",
 
     "q_range_join" ->
       """WITH w AS (
