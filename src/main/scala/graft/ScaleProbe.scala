@@ -208,7 +208,7 @@ object ScaleProbe {
       // split hash columns (LshLayout) granularity keeps pace with N:
       // 1M went 182 s (15 planes, capped) → 12 s (18 planes), and 2M
       // runs 16.6 s at 22 planes vs 110 s at 19.
-      val planesNatural = math.max(8, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 1)
+      val planesNatural = math.max(8, Similarity.lshAutoPlanes(n.toLong))
       // SPARK_GRAFT_EMB_PLANES=a,b forces specific plane counts (e.g. to
       // chart the granularity curve, or avoid a config whose spill
       // exceeds local disk).

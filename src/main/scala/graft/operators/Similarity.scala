@@ -125,6 +125,20 @@ object Similarity {
   def lshHashColumns(nPlanes: Int, nTables: Int): Int =
     LshLayout(nPlanes, nTables).nHashes
 
+  /** The measured provisioning rule for [[cosineNearDupPairsLsh]]:
+    * `planes ≈ log2(N)+1`, i.e. ~2 buckets per vector per table, so
+    * per-table candidate volume stays ≈ N/2 and the self-join is linear
+    * in the corpus. Measured to 8M vectors (BENCH_NOTES round 5): recall
+    * tracks the closed-form miss rate at every size, while configs a few
+    * planes short of this go quadratic (2M vectors at 19 planes spilled
+    * 60M candidates per table; at 22 it runs in 16.6 s). Clamped to
+    * [4, 63]; pair with 4–5 OR-tables for recall. */
+  def lshAutoPlanes(n: Long): Int = {
+    require(n >= 1, s"corpus size must be positive, got $n")
+    math.min(63, math.max(4,
+      (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 1))
+  }
+
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
     * bucket in at least one of `nTables` hash tables, then exact-cosine
     * verified (precision 1 by construction). Linear shuffle volume.
@@ -142,9 +156,25 @@ object Similarity {
     * vectors where `2^nPlanes` buckets must keep pace with N²-growing
     * candidate volume. Recall/cost is measured in the spec suite; with
     * enough tables the verified output equals [[cosineNearDupPairs]]
-    * exactly, which is how the driver oracle checks it. */
+    * exactly, which is how the driver oracle checks it.
+    *
+    * Under-provisioning guard: an `nPlanes` far below [[lshAutoPlanes]]
+    * makes candidate volume quadratic — every candidate is
+    * exact-verified, so the job doesn't return wrong answers, it
+    * shuffles and spills until the cluster gives out (a 2M-vector probe
+    * at 19 planes generated ~60M candidates per table and spilled past
+    * 80 GB of local disk — BENCH_NOTES). Before the self-join, ACTUAL
+    * bucket occupancy is aggregated (fixed-width rows, one cheap extra
+    * pass — the same measured-count shape as
+    * [[Dedup.minhashIncrementalPairs]]'s broadcast guard) and the run
+    * aborts, naming the correctly-provisioned config, when
+    * Σ C(occupancy, 2) exceeds `maxCandidateFactor × N`. Corpora with
+    * genuinely huge near-dup clusters (where quadratic OUTPUT is the
+    * right answer) can raise the factor; `Double.PositiveInfinity`
+    * skips the guard pass entirely. */
   def cosineNearDupPairsLsh(emb: DataFrame, threshold: Double,
-                            nPlanes: Int = 4, nTables: Int = 1): DataFrame = {
+                            nPlanes: Int = 4, nTables: Int = 1,
+                            maxCandidateFactor: Double = 64.0): DataFrame = {
     val lay = LshLayout(nPlanes, nTables)
     // kernels once per row, attribute-materialized behind the Generate.
     // The banded index rows are FIXED-WIDTH (id, hash column(s), band,
@@ -160,6 +190,35 @@ object Similarity {
     val banded = hashed.select(col("vec_id") +: lay.hashCols("") :+
       posexplode_outer(array((0 until nTables)
         .map(t => lay.bucketOf(f => col(f), t)): _*)).as(Seq("band", "bucket")): _*)
+    // Candidate-volume guard (see scaladoc). Deliberately a count, not a
+    // persist: caching `banded` would hide the scan from the final plan
+    // and with it the evidence the plan-guard specs audit. Column pruning
+    // keeps the extra pass fixed-width — (band, bucket) only.
+    if (!maxCandidateFactor.isPosInfinity) {
+      val g = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("occ"))
+        // occ*(occ-1) stays integral (Column./ would go through DOUBLE
+        // and lose exactness past 2^53); halved on the driver.
+        .agg(sum(col("occ")).as("n_rows"),
+          sum(col("occ") * (col("occ") - lit(1L))).as("cands2"))
+        .head()
+      if (!g.isNullAt(0)) {
+        val nVecs = g.getLong(0) / nTables
+        val cands = g.getLong(1) / 2
+        if (nVecs > 0 && cands > maxCandidateFactor * nVecs)
+          throw new IllegalArgumentException(
+            f"cosineNearDupPairsLsh: config ($nPlanes planes x $nTables " +
+              f"tables) is under-provisioned for this corpus: bucket " +
+              f"occupancy implies $cands%,d candidate pairs over $nVecs%,d " +
+              f"vectors (> maxCandidateFactor=$maxCandidateFactor x N). " +
+              f"Every candidate is exact-verified, so this would shuffle/" +
+              f"spill quadratically rather than fail. Use nPlanes = " +
+              f"lshAutoPlanes(n) = ${lshAutoPlanes(nVecs)} (planes = " +
+              f"log2(N)+1 keeps per-table candidates near N/2), or raise " +
+              f"maxCandidateFactor if the corpus genuinely contains " +
+              f"near-dup clusters this large.")
+      }
+    }
     val a = banded.select(col("vec_id").as("id_a") +:
       (0 until lay.nHashes).map(h => col(s"h$h").as(s"ha$h")) :+
       col("band") :+ col("bucket"): _*)
@@ -199,8 +258,10 @@ object Similarity {
   def cosineClusters(emb: DataFrame, threshold: Double,
                      nPlanes: Int = 4, nTables: Int = 1,
                      maxIters: Int = 20,
-                     driverMaxEdges: Long = 1000 * 1000): DataFrame = {
-    val pairs = cosineNearDupPairsLsh(emb, threshold, nPlanes, nTables)
+                     driverMaxEdges: Long = 1000 * 1000,
+                     maxCandidateFactor: Double = 64.0): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(emb, threshold, nPlanes, nTables,
+        maxCandidateFactor)
       .select(col("id_a"), col("id_b"))
     val labels = Dedup.componentsFromPairs(pairs, driverMaxEdges, maxIters)
       .withColumnRenamed("id", "vec_id")
@@ -214,8 +275,10 @@ object Similarity {
     * `max_by` aggregation over (cluster_id, vec_id, norm) rows on top of
     * [[cosineClusters]], no window sort, vectors untouched. */
   def cosineCanonical(emb: DataFrame, threshold: Double,
-                      nPlanes: Int = 4, nTables: Int = 1): DataFrame = {
-    val clustered = cosineClusters(emb, threshold, nPlanes, nTables)
+                      nPlanes: Int = 4, nTables: Int = 1,
+                      maxCandidateFactor: Double = 64.0): DataFrame = {
+    val clustered = cosineClusters(emb, threshold, nPlanes, nTables,
+        maxCandidateFactor = maxCandidateFactor)
       .join(emb.select(col("vec_id"), col("norm")), "vec_id")
     clustered.groupBy(col("cluster_id"))
       .agg(max_by(col("vec_id"), struct(col("norm"), -col("vec_id"))).as("keep_id"),

@@ -65,9 +65,34 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SimHash near-dup under a REAL DuckDB oracle (graduated from
+    // rows-only in round 6, the same way sim_ivf_top1 and
+    // dedup_embedding_lsh did: register the corpus whose expected output
+    // is provable). DuckDB cannot reproduce XXH64-seeded simhash values,
+    // so the planted corpus makes the PAIR SET hash-free: texts are
+    // synthesized per doc_id from a ~10^9-token vocabulary (two distinct
+    // docs share no 3-gram shingle, so their simhashes are independent
+    // 64-bit draws — P(hamming ≤ 3) ≈ 2.4e-15 per pair, zero background
+    // pairs at any test SF), and every 20th doc gets a byte-identical
+    // twin (simhash equal by construction ⇒ hamming 0 ≤ 3). The expected
+    // output is therefore exactly the planted (i, i+100000, 0) set — pure
+    // id arithmetic in the oracle. The machinery is still fully
+    // exercised: identical hashes collide in EVERY band (the
+    // first-band-emit dedup does maximal work) and random 16-bit band
+    // collisions (~900 candidate pairs at sf0.1) must be pruned by the
+    // hamming verification. Recall on NEAR-identical (hamming 1-3) texts
+    // stays covered by DedupSpec's seeded-corpus tests — near-identical
+    // simhash distance is probabilistic, so only the identical-twin
+    // config has a provable oracle.
     "dedup_simhash" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxHamming = 3)
+      val base = Tables(s, dir).documents.select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"),
+            pmod(xxhash64(col("doc_id"), i), lit(1000000000L))))).as("text"))
+      val planted = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.simhashPairs(planted, col("doc_id"), col("text"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -705,6 +730,14 @@ object PipelineQueries {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          ORDER BY id_a, id_b""",
+
+    // The planted-corpus pair set is hash-free (see the query comment):
+    // byte-identical twins at +100000 are the ONLY pairs within hamming 3,
+    // so the oracle is pure id arithmetic over the same documents table.
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+         FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a, id_b""",
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -193,8 +193,11 @@ class SimilaritySpec extends SparkSpec {
     // a gapped corpus (next test).
     val exact = Similarity.cosineNearDupPairs(all, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quadratic-candidate config: the volume guard exists to catch exactly
+    // this shape, so the tripwire opts out explicitly
     val lsh = Similarity.cosineNearDupPairsLsh(all, threshold = 0.4,
-        nPlanes = 2, nTables = 16).collect()
+        nPlanes = 2, nTables = 16,
+        maxCandidateFactor = Double.PositiveInfinity).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
     assert(exact.nonEmpty)
     // first-agreeing-band dedup: each pair exactly once
@@ -286,11 +289,56 @@ class SimilaritySpec extends SparkSpec {
     // 62-table OR-amplification (62 hash columns at 63 planes would be
     // absurd — use 2 planes, 4 columns)
     Similarity.cosineNearDupPairsLsh(tiny, 0.99, nPlanes = 63, nTables = 2).count()
-    val wide = Similarity.cosineNearDupPairsLsh(tiny, 0.99, nPlanes = 2, nTables = 62)
+    // 2-bit buckets on 62 tables are deliberately saturated (layout test,
+    // not a provisioning demo) — opt out of the volume guard
+    val wide = Similarity.cosineNearDupPairsLsh(tiny, 0.99, nPlanes = 2, nTables = 62,
+      maxCandidateFactor = Double.PositiveInfinity)
     assert(Similarity.lshHashColumns(2, 62) == 2)
     wide.count()
     assert(Similarity.lshHashColumns(63, 2) == 2)
     assert(Similarity.lshHashColumns(8, 4) == 1)   // registered config: unchanged layout
+  }
+
+  test("under-provisioned LSH config aborts fast with the corrected config in the message") {
+    // The failure mode this guards: candidate volume quadratic in N —
+    // the job would not be wrong, it would shuffle and spill until the
+    // cluster gave out (the 2M-vector/19-plane probe spilled past 80 GB
+    // of local disk — BENCH_NOTES). 2-bit buckets on this corpus put
+    // most of N² in candidates, far beyond the default 64×N budget.
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsLsh(all, threshold = 0.8,
+        nPlanes = 2, nTables = 4).count()
+    }
+    val n = all.count()
+    assert(ex.getMessage.contains("under-provisioned"), ex.getMessage)
+    assert(ex.getMessage.contains(s"lshAutoPlanes(n) = ${Similarity.lshAutoPlanes(n)}"),
+      s"message must name the corrected config:\n${ex.getMessage}")
+    assert(ex.getMessage.contains("maxCandidateFactor"), ex.getMessage)
+    // the guard composes through the cluster/canonical wrappers too
+    intercept[IllegalArgumentException] {
+      Similarity.cosineClusters(all, 0.8, nPlanes = 2, nTables = 4).count()
+    }
+    // raising the factor (or passing infinity) is the documented escape
+    // hatch for corpora whose quadratic output is genuine
+    Similarity.cosineNearDupPairsLsh(all, threshold = 0.8,
+      nPlanes = 2, nTables = 4,
+      maxCandidateFactor = Double.PositiveInfinity).count()
+  }
+
+  test("lshAutoPlanes encodes the measured planes = log2(N)+1 rule") {
+    assert(Similarity.lshAutoPlanes(1000000) == 21)   // measured: 6.1 s vs 182 at 15
+    assert(Similarity.lshAutoPlanes(2000000) == 22)   // measured: 16.6 s vs 110 at 19
+    assert(Similarity.lshAutoPlanes(8000000) == 24)
+    assert(Similarity.lshAutoPlanes(1) == 4)          // clamped floor
+    assert(Similarity.lshAutoPlanes(Long.MaxValue) == 63) // clamped ceiling
+    intercept[IllegalArgumentException](Similarity.lshAutoPlanes(0))
+    // the registered sf configs sit inside their own guard budget: the
+    // auto rule at the gate corpus size stays a valid (guard-passing)
+    // config as well
+    val emb = all
+    val auto = Similarity.lshAutoPlanes(emb.count())
+    Similarity.cosineNearDupPairsLsh(emb, threshold = 0.8,
+      nPlanes = auto, nTables = 4).count()
   }
 
   test("wide ANN top-k (>63 bits) stays a subset of correct cosines") {
@@ -390,7 +438,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("plan guard: LSH hashes each vector once per side (Generate-materialized)") {
-    val pairsPlan = Similarity.cosineNearDupPairsLsh(all, 0.4, nPlanes = 2, nTables = 16)
+    val pairsPlan = Similarity.cosineNearDupPairsLsh(all, 0.4, nPlanes = 2, nTables = 16,
+        maxCandidateFactor = Double.PositiveInfinity)
       .queryExecution.executedPlan.toString
     val n = "hyperplane_lsh_bucket\\(".r.findAllIn(pairsPlan).size
     assert(n == 2, s"expected 2 hyperplane_lsh_bucket occurrences (one per side), got $n")
