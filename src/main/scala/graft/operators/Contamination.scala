@@ -69,18 +69,39 @@ object Contamination {
     * k-token window), the natural unit for training-data checks;
     * [[exactSubstring]] is the byte-level form. Fragments that are not
     * exactly `k` tokens are ignored — group a mixed benchmark by token
-    * count and run once per length. */
+    * count and run once per length.
+    *
+    * Hash candidates are then STRING-verified: a 64-bit window-hash
+    * collision must not report a false 'exact' contamination pair (this
+    * output gates training data), so the match-sized survivor set is
+    * broadcast back onto one more corpus scan and re-checked against the
+    * actual strings. The window hash covers the RAW BYTES between two
+    * single-space token boundaries ([[TextKernels.spanHashes]]), so the
+    * exact string form of "fragment equals some k-token window" is
+    * space-padded byte containment: `' '||doc||' '` contains
+    * `' '||frag||' '`. Corpus text never shuffles; the extra scan's
+    * join side is match-sized. */
   def exactSubstringIndexed(train: DataFrame, trainId: Column, trainText: Column,
                             frags: DataFrame, fragId: Column, fragText: Column,
                             k: Int = 8): DataFrame = {
-    val fw = frags.select(fragId.as("test_id"),
+    val fw = frags.select(fragId.as("test_id"), fragText.as("__frag"),
         TextHashExpressions.spanHashes(fragText, k).as("__whs"))
       .filter(size(col("__whs")) === 1)
-      .select(col("test_id"), element_at(col("__whs"), 1).as("wh"))
+      .select(col("test_id"), col("__frag"), element_at(col("__whs"), 1).as("wh"))
     val w = train.select(trainId.as("doc_id"),
       explode_outer(TextHashExpressions.spanHashes(trainText, k)).as("wh"))
-    w.join(broadcast(fw), "wh")
-      .select(col("doc_id"), col("test_id"))
+    val cand = w.join(broadcast(fw), "wh")
+      .select(col("doc_id"), col("test_id"), col("__frag"))
       .distinct()
+    // Collision re-verification against the actual strings. A true hash
+    // match means the fragment's bytes equal a window's bytes, and every
+    // window is bounded by ' ' (or a string edge) — the space sentinels
+    // make instr accept exactly those positions, so a real match always
+    // survives and a collision cannot.
+    def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+    train.select(trainId.as("doc_id"), padded(trainText).as("__padded"))
+      .join(broadcast(cand), "doc_id")
+      .filter(instr(col("__padded"), padded(col("__frag"))) > 0)
+      .select(col("doc_id"), col("test_id"))
   }
 }

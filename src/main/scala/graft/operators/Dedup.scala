@@ -560,7 +560,19 @@ object Dedup {
     * duplication-dense corpus degrades to a planner-chosen join (each
     * affected document's text then moves once) instead of driving the
     * broadcast build into the 8 GB cap / driver OOM. Documents with no
-    * duplicated spans pass through untouched. */
+    * duplicated spans pass through untouched.
+    *
+    * Collision trade-off — NOTE this operator is data-destructive,
+    * unlike [[spanStats]]: window identity is the 64-bit hash alone, so
+    * a collision between two distinct windows doesn't just perturb a
+    * count by 1, it silently deletes `k` tokens from an unrelated
+    * document. At 10^9 indexed windows the expected number of colliding
+    * window PAIRS is ~0.027 (birthday bound n²/2^65), i.e. at most a few
+    * spurious k-token excisions per exabyte-scale corpus — an accepted
+    * trade for fixed-width exchanges. Where even that is unacceptable,
+    * swap the hash key for the window's token string (`wh` →
+    * `array_join(slice(tokens, pos+1, k), ' ')`): identical plan shape,
+    * exact semantics, string-width exchanges. */
   def spanExcise(docs: DataFrame, id: Column, text: Column,
                  k: Int = 6,
                  maxBroadcastMarks: Long = 10 * 1000 * 1000): DataFrame = {

@@ -268,7 +268,17 @@ object TextAnalysis {
     * text then shuffles once on the hash key). The count re-runs the
     * frequency aggregation; deliberately not persisted, both to keep the
     * executed plan's exchanges visible to the plan-guard spec and
-    * because the re-run touches no text exchange. */
+    * because the re-run touches no text exchange.
+    *
+    * Paragraph identity is (xxhash64, length), not the string — this
+    * DROPS data on a key collision (a unique paragraph silently deleted,
+    * unlike a count perturbation), so the hash is strengthened with the
+    * length: a false drop needs a 64-bit collision between same-length
+    * paragraphs, pushing the birthday bound past 10^9 distinct
+    * paragraphs per length class (expected false drops ≈ n²/2^65 per
+    * class — effectively zero at corpus scale). The exchanges stay
+    * fixed-width; swapping the key for `para` itself is the exact-
+    * semantics escape hatch at string-width exchange cost. */
   def stripBoilerplate(docs: DataFrame, id: Column, text: Column,
                        sep: String = "\n", minDocs: Int = 3,
                        maxBroadcastParagraphs: Long = 10 * 1000 * 1000): DataFrame = {
@@ -276,10 +286,11 @@ object TextAnalysis {
         posexplode_outer(split(text, java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
       .withColumn("ph", xxhash64(col("para")))
-    val boilerplate = paras.groupBy(col("ph"))
+      .withColumn("plen", length(col("para")))
+    val boilerplate = paras.groupBy(col("ph"), col("plen"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("ph"))
+      .select(col("ph"), col("plen"))
     val broadcastSafe = boilerplate.count() <= maxBroadcastParagraphs
     if (!broadcastSafe)
       System.err.println(
@@ -287,7 +298,7 @@ object TextAnalysis {
           s"$maxBroadcastParagraphs paragraphs — dropping the broadcast " +
           "hint; paragraph text will shuffle once on the hash key")
     paras.join(if (broadcastSafe) broadcast(boilerplate) else boilerplate,
-        Seq("ph"), "left_anti")
+        Seq("ph", "plen"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -235,4 +235,25 @@ class SamplingSpec extends SparkSpec {
     assert(Contamination.exactSubstringIndexed(train, col("doc_id"), col("text"),
       shortFrag, col("test_id"), col("frag"), k = 8).count() == 0)
   }
+
+  test("indexed contamination string re-verify keeps every true match") {
+    // The collision re-verification must not delete real matches: a true
+    // hash match means the fragment's bytes equal a window's bytes, so
+    // the space-padded containment check must accept it at every
+    // position — mid-document, the very first window, and the very last
+    // (string edges have no ' ' boundary; the sentinels supply it).
+    val frag = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"lead in $frag trail out"),   // interior window
+      (2L, s"$frag trail out"),           // doc-initial window
+      (3L, s"lead in $frag"),             // doc-final window
+      (4L, frag),                         // the whole document
+      (5L, "no match in this document at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val frags = Seq((10L, frag)).toDF("test_id", "frag")
+    val got = Contamination.exactSubstringIndexed(train, col("doc_id"), col("text"),
+        frags, col("test_id"), col("frag"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)), s"got $got")
+  }
 }
