@@ -208,16 +208,24 @@ object ScaleProbe {
       // >8M regime couldn't be measured past. Sharded parquet is also the
       // honest shape — a real corpus streams from storage across
       // executors; nothing is driver- or heap-resident.
-      val twins = vecsExpr.filter(pmod(col("vec_id"), lit(100)) === 0)
-        .select((col("vec_id") + n).as("vec_id"),
-          zip_with(col("vec"), reverse(col("vec")),
-            (x, y) => x + y * lit(0.01)).as("vec"))
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
         System.getProperty("java.io.tmpdir") + "/graft_probe")
       val path = s"$probeDir/emb_$n"
       val nShards = math.max(32, n / 250000)
-      vecsExpr.select(col("vec_id"), col("vec")).unionByName(twins)
-        .repartition(nShards)
+      // Shard by generating the range PRE-partitioned — repartition()
+      // would shuffle the full vector payload to disk just to split
+      // files, and those shuffle files live until job end (at 32M that
+      // transient alone approaches this container's free disk).
+      val sharded = spark.range(0L, n.toLong, 1L, nShards)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+              / 500.0).as("vec"))
+      val twins = sharded.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") + n).as("vec_id"),
+          zip_with(col("vec"), reverse(col("vec")),
+            (x, y) => x + y * lit(0.01)).as("vec"))
+      sharded.unionByName(twins)
         .write.mode("overwrite").parquet(path)
       val gapped = Similarity.prepared(
         spark.read.parquet(path), col("vec_id"), col("vec"))

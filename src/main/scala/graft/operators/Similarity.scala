@@ -365,7 +365,16 @@ object Similarity {
     * coverage) and `nTables` (OR-amplification across independent
     * tables); the spec suite measures recall against brute force, and
     * with enough tables the top-k equals brute force exactly (the driver
-    * oracle checks that). */
+    * oracle checks that).
+    *
+    * No candidate-volume guard here, deliberately — the asymmetry with
+    * [[cosineNearDupPairsLsh]] matters: that operator SELF-joins the
+    * corpus, so under-provisioning is quadratic in N (cluster-killing,
+    * hence the abort). Here the corpus only ever joins the (small,
+    * broadcast) query probe set, so the worst case of an
+    * under-provisioned config is per-query cost degrading toward
+    * [[bruteForceTopK]]'s O(N) — slow, bounded, and correct, never a
+    * spill explosion. Provision with [[lshAutoPlanes]] all the same. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 8, maxProbe: Int = 1, nTables: Int = 1): DataFrame = {
     val lay = LshLayout(nPlanes, nTables)

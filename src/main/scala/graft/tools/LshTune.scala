@@ -46,7 +46,9 @@ object LshTune {
       }
       time("brute_pairs@0.4")(Similarity.cosineNearDupPairs(emb, 0.4).count())
       time("lsh_pairs b=2 t=16")(
-        Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = 2, nTables = 16).count())
+        // a sweep tool measures bad configs on purpose — guard opted out
+        Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = 2, nTables = 16,
+          maxCandidateFactor = Double.PositiveInfinity).count())
       val q10 = emb.filter(col("vec_id") < 10)
       time("brute_topk")(Similarity.bruteForceTopK(emb, q10, 5).count())
       time("lsh_topk b=4 t=8 p=1")(
@@ -70,7 +72,8 @@ object LshTune {
     println(s"[lshtune] planted corpus exact pairs@0.8 = ${exactPlanted.size}")
     // configs past 63 total bits run on split hash columns (LshLayout)
     for (b <- Seq(6, 8, 16); t <- Seq(1, 2, 4)) {
-      val got = Similarity.cosineNearDupPairsLsh(planted, 0.8, nPlanes = b, nTables = t)
+      val got = Similarity.cosineNearDupPairsLsh(planted, 0.8, nPlanes = b, nTables = t,
+          maxCandidateFactor = Double.PositiveInfinity)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & exactPlanted).size.toDouble / math.max(1, exactPlanted.size)
       println(f"[lshtune] planted b=$b t=$t recall=$recall%.4f got=${got.size} exact=${exactPlanted.size}")
@@ -81,7 +84,8 @@ object LshTune {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[lshtune] corpus=$nVec exact pairs@0.4 = ${exactPairs.size}")
     for (b <- Seq(2, 3, 4); t <- Seq(4, 8, 16, 22)) {
-      val got = Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = b, nTables = t)
+      val got = Similarity.cosineNearDupPairsLsh(emb, 0.4, nPlanes = b, nTables = t,
+          maxCandidateFactor = Double.PositiveInfinity)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & exactPairs).size.toDouble / math.max(1, exactPairs.size)
       println(f"[lshtune] pairs b=$b t=$t recall=$recall%.4f got=${got.size} exact=${exactPairs.size}")
