@@ -139,6 +139,31 @@ object Similarity {
       (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 1))
   }
 
+  /** Banded LSH index rows of a prepared embeddings frame: one
+    * (vec_id, h0..h{nHashes-1}, band, bucket) row per table per vector —
+    * fixed-width, NO vector payload, kernels evaluated once per row
+    * behind a Generate. Shared by the self-join and incremental paths. */
+  private def bandedIndex(emb: DataFrame, lay: LshLayout): DataFrame = {
+    val hashed = emb.select(col("vec_id"),
+        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "hs")))
+      .select(col("vec_id") +: (0 until lay.nHashes)
+        .map(h => col("hs")(s"h$h").as(s"h$h")): _*)
+    hashed.select(col("vec_id") +: lay.hashCols("") :+
+      posexplode_outer(array((0 until lay.nTables)
+        .map(t => lay.bucketOf(f => col(f), t)): _*)).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Persistable banded LSH index of a [[prepared]] embeddings corpus:
+    * `nTables` fixed-width (vec_id, hash column(s), band, bucket) rows
+    * per vector, the corpus half of [[cosineIncrementalPairs]]. Write it
+    * bucketed on (band, bucket)
+    * ([[graft.sources.Bucketing.writeBucketed]]) so ingest-time joins
+    * are exchange-free on the corpus side (plan-guard spec'd). Rebuild
+    * (or append) with the SAME (nPlanes, nTables) the probe side will
+    * use — bucket bits are config-specific. */
+  def lshIndex(emb: DataFrame, nPlanes: Int = 4, nTables: Int = 1): DataFrame =
+    bandedIndex(emb, LshLayout(nPlanes, nTables))
+
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
     * bucket in at least one of `nTables` hash tables, then exact-cosine
     * verified (precision 1 by construction). Linear shuffle volume.
@@ -183,13 +208,7 @@ object Similarity {
     // per side. Vectors are fetched afterwards for surviving candidate
     // pairs only, so each one crosses the wire at most once per side
     // however many tables amplify recall.
-    val hashed = emb.select(col("vec_id"),
-        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "hs")))
-      .select(col("vec_id") +: (0 until lay.nHashes)
-        .map(h => col("hs")(s"h$h").as(s"h$h")): _*)
-    val banded = hashed.select(col("vec_id") +: lay.hashCols("") :+
-      posexplode_outer(array((0 until nTables)
-        .map(t => lay.bucketOf(f => col(f), t)): _*)).as(Seq("band", "bucket")): _*)
+    val banded = bandedIndex(emb, lay)
     // Candidate-volume guard (see scaladoc). Deliberately a count, not a
     // persist: caching `banded` would hide the scan from the final plan
     // and with it the evidence the plan-guard specs audit. Column pruning
@@ -246,6 +265,68 @@ object Similarity {
       .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Incremental embedding near-dup: verified cosine-≥-threshold pairs
+    * between a NEW batch of vectors and an EXISTING corpus, given the
+    * corpus's prebuilt [[lshIndex]] — the embedding member of the
+    * ingest-time family ([[Dedup.minhashIncrementalPairs]] for text,
+    * [[Dedup.spanIncrementalStats]] for spans): yesterday's 100 TB of
+    * indexed vectors must not be re-hashed to admit today's batch.
+    * Returns (old_id, new_id, cosine). Old×new only — within-batch
+    * duplicates are [[cosineNearDupPairsLsh]]'s job — and corpus/batch
+    * id spaces are assumed disjoint. `nPlanes`/`nTables` MUST match the
+    * index build (bucket bits are config-specific).
+    *
+    * Scale: the batch is hashed once (map-only, `nTables` fixed-width
+    * rows per vector) and joined against the index on (band, bucket);
+    * with the index written bucketed on that key the join is
+    * exchange-free on the corpus side and only the batch's banded rows
+    * shuffle (plan-guard spec'd). Both sides carry their hash columns,
+    * so the first-agreeing-band rule dedups candidates with plain bit
+    * arithmetic — NO distinct exchange exists at all (a step beyond the
+    * minhash form, whose band signatures cannot express it). Vectors
+    * enter only in verification: the candidate set is counted first
+    * (the shared guard shape) and broadcast-hinted below
+    * `maxBroadcastCandidates`, so the corpus vector column is scanned
+    * once and never shuffled; above the cap the hints drop and the
+    * planner's join runs instead. */
+  def cosineIncrementalPairs(index: DataFrame, corpus: DataFrame,
+                             batch: DataFrame, threshold: Double,
+                             nPlanes: Int = 4, nTables: Int = 1,
+                             maxBroadcastCandidates: Long = 1000 * 1000): DataFrame = {
+    val lay = LshLayout(nPlanes, nTables)
+    val old = index.select(col("vec_id").as("old_id") +:
+      (0 until lay.nHashes).map(h => col(s"h$h").as(s"ha$h")) :+
+      col("band") :+ col("bucket"): _*)
+    val fresh = bandedIndex(batch, lay).select(col("vec_id").as("new_id") +:
+      (0 until lay.nHashes).map(h => col(s"h$h").as(s"hb$h")) :+
+      col("band") :+ col("bucket"): _*)
+    val firstAgreeingBand = lay.firstBand(
+      lay.matchMap(f => col("ha" + f.drop(1)), f => col("hb" + f.drop(1))),
+      col("band"))
+    val cand = old.join(fresh, Seq("band", "bucket"))
+      .filter(firstAgreeingBand)
+      .select(col("old_id"), col("new_id"))
+    // Count, deliberately not persist — same rationale as
+    // minhashIncrementalPairs: an InMemoryRelation would hide the
+    // bucketed index scan from the executed plan and blind the plan
+    // guards. The counted rows are fixed-width ids.
+    val broadcastSafe = cand.count() <= maxBroadcastCandidates
+    def hinted(df: DataFrame): DataFrame = if (broadcastSafe) broadcast(df) else df
+    if (!broadcastSafe)
+      System.err.println(
+        s"[graft] cosineIncrementalPairs: candidate set exceeds " +
+          s"$maxBroadcastCandidates rows — falling back to a shuffle join; " +
+          "check the index config against lshAutoPlanes(corpusSize)")
+    val withOld = corpus
+      .select(col("vec_id").as("old_id"), col("vec").as("va"), col("norm").as("na"))
+      .join(hinted(cand), "old_id")
+    batch.select(col("vec_id").as("new_id"), col("vec").as("vb"), col("norm").as("nb"))
+      .join(hinted(withOld), "new_id")
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("old_id"), col("new_id"), col("cosine"))
   }
 
   /** Transitive embedding near-dup clusters: connected components over

@@ -361,6 +361,29 @@ object PipelineQueries {
         .orderBy(col("new_id"), col("old_id"))
     },
 
+    // The embedding member of the ingest-time family (minhash and span
+    // already have one): corpus = the raw embeddings, indexed ONCE via
+    // lshIndex at the registered 8x4 config; batch = the planted twins
+    // (v + 0.01·reverse(v), the gapped shape). Recall 1 on the gap, so
+    // the oracle is exact brute-force old x new — the same anchoring
+    // dedup_embedding_lsh uses.
+    "dedup_embedding_incremental" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
+      val batch = Similarity.prepared(
+        base.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (x, y) => x + y * lit(0.01)).as("embedding")),
+        col("vec_id"), col("embedding"))
+      val index = Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4)
+      Similarity.cosineIncrementalPairs(index, corpus, batch,
+          threshold = 0.8, nPlanes = 8, nTables = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("old_id"), col("new_id"))
+    },
+
     // Span-level duplication: per-document count/fraction of 6-token
     // sliding windows that also appear in >= 2 distinct documents — the
     // exact-substring dedup signal (shared boilerplate, mirrored spans,
@@ -1106,6 +1129,26 @@ object PipelineQueries {
                    FROM m)
          SELECT cluster_id, doc_id AS keep_id, n_members, keep_quality
          FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // Exact brute force old x new over the same planted construction —
+    // the incremental LSH path returns exactly this set on the gapped
+    // corpus (recall 1 at 8x4, anchored like dedup_embedding_lsh).
+    "dedup_embedding_incremental" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            newb AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     [vec[i] + vec[len(vec) + 1 - i] * 0.01
+                      for i in range(1, len(vec) + 1)] AS vec
+              FROM base WHERE vec_id % 10 = 0),
+            no AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                   FROM base),
+            nn AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                   FROM newb)
+         SELECT o.vec_id AS old_id, n.vec_id AS new_id,
+           round(list_inner_product(o.vec, n.vec) / (o.nrm * n.nrm), 6) AS cosine
+         FROM no o JOIN nn n ON true
+         WHERE list_inner_product(o.vec, n.vec) / (o.nrm * n.nrm) >= 0.8
+         ORDER BY old_id, new_id""",
 
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -299,6 +299,155 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshHashColumns(8, 4) == 1)   // registered config: unchanged layout
   }
 
+  test("incremental embedding pairs equal brute-force old x new on the planted corpus") {
+    // Corpus = raw embeddings (indexed once); batch = the planted twins.
+    // On the gapped corpus the registered 8x4 config has recall 1, so
+    // the incremental output must equal exact brute force old x new.
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
+    val batch = Similarity.prepared(
+      base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01)).as("embedding")),
+      col("vec_id"), col("embedding"))
+    val exact = corpus.select(col("vec_id").as("old_id"), col("vec").as("va"),
+        col("norm").as("na"))
+      .crossJoin(batch.select(col("vec_id").as("new_id"), col("vec").as("vb"),
+        col("norm").as("nb")))
+      .withColumn("cosine", VectorFunctions.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.8)
+      .select("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4)
+    val got = Similarity.cosineIncrementalPairs(index, corpus, batch, 0.8,
+        nPlanes = 8, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted batch must match its originals")
+    assert(got == exact, s"incremental != brute force: " +
+      s"missing ${exact -- got}, spurious ${got -- exact}")
+    // every twin found its original and nothing else (gapped corpus)
+    assert(got.forall { case (o, n) => n == o + 100000 })
+    // over-cap fallback (shuffle-join verification) returns the same set
+    val fallback = Similarity.cosineIncrementalPairs(index, corpus, batch, 0.8,
+        nPlanes = 8, nTables = 4, maxBroadcastCandidates = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fallback == exact)
+  }
+
+  test("plan guard: bucketed LSH index join is exchange-free on the index side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
+    val batch = Similarity.prepared(
+      base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"))
+    graft.sources.Bucketing.writeBucketed(
+      Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4),
+      "lsh_idx_bucketed", Seq("band", "bucket"), buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // exchange assertions need AQE off (see DedupSpec's bucketed guard)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Similarity.cosineIncrementalPairs(spark.table("lsh_idx_bucketed"),
+        corpus, batch, 0.8, nPlanes = 8, nTables = 4)
+      val root = out.queryExecution.executedPlan
+      def bucketedScans(p: SparkPlan) =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans(root).nonEmpty,
+        s"index scan should read bucketed:\n$root")
+      // non-vacuous: the batch side DOES shuffle its banded rows to meet
+      // the bucketed index
+      val allShuffles = root.collect { case e: ShuffleExchangeLike => e }
+      assert(allShuffles.nonEmpty,
+        s"expected the batch side to shuffle its banded rows:\n$root")
+      // STRONGER than the minhash form: the first-agreeing-band rule
+      // replaces the candidate distinct, so NO exchange of any kind sits
+      // above the bucketed index scan (the verification joins broadcast).
+      val shufflesAboveIndex = root.collect {
+        case e: ShuffleExchangeLike
+          if bucketedScans(e.asInstanceOf[SparkPlan]).nonEmpty => e
+      }
+      assert(shufflesAboveIndex.isEmpty,
+        s"exchange above the bucketed index scan:\n$root")
+      // and the bucketed path equals the unbucketed one
+      val plain = Similarity.cosineIncrementalPairs(
+        Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4), corpus, batch,
+        0.8, nPlanes = 8, nTables = 4)
+      assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_bucketed")
+    }
+  }
+
+  test("streaming ingestion: embedding dedup against the bucketed index, batch by batch") {
+    // The embedding member of the streaming-ingest family (DedupSpec has
+    // the minhash and span forms): the corpus LSH index is built and
+    // bucketed ONCE; each arriving micro-batch of vectors joins against
+    // it through foreachBatch + cosineIncrementalPairs (no corpus
+    // re-hash); across micro-batches the emitted pairs equal the
+    // brute-force old-cross-new answer on the planted corpus.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
+    val twins = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding"))
+    val exact = corpus.select(col("vec_id").as("old_id"), col("vec").as("va"),
+        col("norm").as("na"))
+      .crossJoin(Similarity.prepared(twins, col("vec_id"), col("embedding"))
+        .select(col("vec_id").as("new_id"), col("vec").as("vb"), col("norm").as("nb")))
+      .withColumn("cosine", VectorFunctions.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.8)
+      .select("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.sources.Bucketing.writeBucketed(
+      Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4),
+      "emb_idx_stream", Seq("band", "bucket"), buckets = 4)
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    try {
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val pairs = Similarity.cosineIncrementalPairs(
+              spark.table("emb_idx_stream"), corpus,
+              Similarity.prepared(batch, col("vec_id"), col("embedding")),
+              0.8, nPlanes = 8, nTables = 4)
+            .select("old_id", "new_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          found.synchronized { found ++= pairs }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-emb").toString)
+        .start()
+      val newVecs = twins.as[(Long, Seq[Double])].collect()
+      val (b1, b2) = newVecs.splitAt(newVecs.length / 2)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(exact.nonEmpty, "planted twins must match their originals")
+      assert(found.toSet == exact, s"streamed != brute force: " +
+        s"missing ${exact -- found}, spurious ${found.toSet -- exact}")
+    } finally spark.sql("DROP TABLE IF EXISTS emb_idx_stream")
+  }
+
   test("under-provisioned LSH config aborts fast with the corrected config in the message") {
     // The failure mode this guards: candidate volume quadratic in N —
     // the job would not be wrong, it would shuffle and spill until the
