@@ -20,6 +20,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("span")) {
       spanIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("emb")) {
+      embIngest(spark, n, batches); spark.stop(); return
+    }
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")
@@ -77,5 +80,62 @@ object StreamBench {
     val total = batchN.toLong * batches
     println(f"""{"metric":"span_ingest_docs_per_sec","value":${total / sec}%.0f,"new_docs":$total,"corpus":$n,"sec":$sec%.2f,"indexed_window_hits":$hits}""")
     spark.sql("DROP TABLE IF EXISTS span_ingest_idx")
+  }
+
+  /** Ingest-time embedding-dedup throughput (`SPARK_GRAFT_STREAM=emb`):
+    * the corpus's banded LSH index is built and bucketed ONCE for `n`
+    * vectors at the [[graft.operators.Similarity.lshAutoPlanes]] config,
+    * then `batches` fresh batches of `n/4` new vectors each (1-in-100 a
+    * planted twin of a corpus vector, ScaleProbe's gapped shape) run
+    * [[graft.operators.Similarity.cosineIncrementalPairs]] against it —
+    * the per-micro-batch cost of the streaming composition, with the
+    * index side exchange-free. Prints new-vectors/sec. */
+  private def embIngest(spark: SparkSession, n: Long, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // ScaleProbe's centered shape: uniform in [-1, 1) so random cosines
+    // sit near 0 (all-positive values would put random pairs at ~0.75,
+    // inside any useful near-dup threshold)
+    def vecs(from: Long, count: Long, salt: Int) = spark.range(from, from + count)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(xxhash64(col("id"), d, lit(salt)), lit(1000)).cast("double")
+            - 500.0) / 500.0)).as("vec"))
+    val planes = Similarity.lshAutoPlanes(n)
+    val tables = 4
+    val corpus = Similarity.prepared(vecs(0, n, 0), col("vec_id"), col("vec"))
+    graft.sources.Bucketing.writeBucketed(
+      Similarity.lshIndex(corpus, planes, tables),
+      "emb_ingest_idx", Seq("band", "bucket"), buckets = 32)
+    val batchN = math.max(n / 4, 1L)
+    // each batch: fresh random vectors, plus twins of every 100th corpus
+    // vector in its id range so indexed_hits is non-trivial
+    def batchOf(b: Int): org.apache.spark.sql.DataFrame = {
+      val fresh = vecs(0, batchN, b + 1)
+        .select((col("vec_id") + n * (b + 1)).as("vec_id"), col("vec"))
+      // twin source range wraps so it stays inside the corpus [0, n) for
+      // any batch count; twin ids live past every fresh-id region
+      val twins = vecs((b % 4) * batchN, batchN, 0)
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") + n * (batches + 2 + b)).as("vec_id"),
+          zip_with(col("vec"), reverse(col("vec")),
+            (x, y) => x + y * lit(0.01)).as("vec"))
+      Similarity.prepared(fresh.unionAll(twins), col("vec_id"), col("vec"))
+    }
+    // warmup
+    Similarity.cosineIncrementalPairs(spark.table("emb_ingest_idx"), corpus,
+        batchOf(0).limit(1000), 0.8, planes, tables)
+      .agg(count(lit(1))).head()
+    val t0 = System.nanoTime()
+    var hits = 0L
+    (0 until batches).foreach { b =>
+      hits += Similarity.cosineIncrementalPairs(spark.table("emb_ingest_idx"),
+          corpus, batchOf(b), 0.8, planes, tables)
+        .agg(count(lit(1)).as("pairs")).head().getLong(0)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val total = (batchN + batchN / 100) * batches
+    println(f"""{"metric":"emb_ingest_vecs_per_sec","value":${total / sec}%.0f,"new_vecs":$total,"corpus":$n,"planes":$planes,"tables":$tables,"sec":$sec%.2f,"near_dup_hits":$hits}""")
+    spark.sql("DROP TABLE IF EXISTS emb_ingest_idx")
   }
 }
