@@ -164,6 +164,43 @@ object Similarity {
   def lshIndex(emb: DataFrame, nPlanes: Int = 4, nTables: Int = 1): DataFrame =
     bandedIndex(emb, LshLayout(nPlanes, nTables))
 
+  /** Streaming-shape banded rows: every input column kept, plus the
+    * materialized `hashes` array (one element per 64-bit hash column) and
+    * one (band, bucket) row per table — the keying step of the
+    * within-stream near-dup path ([[graft.streaming.StreamingNearDup]]).
+    * Map-only (kernels once per row behind a Generate), so legal on a
+    * streaming DataFrame. */
+  private[graft] def bandedWithHashes(emb: DataFrame, nPlanes: Int,
+                                      nTables: Int): DataFrame = {
+    val lay = LshLayout(nPlanes, nTables)
+    def h(f: String): Column = element_at(col("hashes"), lit(f.drop(1).toInt + 1))
+    emb
+      .select(col("*"),
+        posexplode_outer(array(lay.hashStruct(col("vec")))).as(Seq("__p", "__hs")))
+      .withColumn("hashes",
+        array((0 until lay.nHashes).map(i => col("__hs")(s"h$i")): _*))
+      .drop("__p", "__hs")
+      .select(col("*"), posexplode_outer(array((0 until nTables)
+        .map(t => lay.bucketOf(h, t)): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** JVM mirror of [[LshLayout.matchMap]] + [[LshLayout.firstBand]] for
+    * executor-side state code: index of the first table whose band agrees
+    * between two hash arrays (as produced by [[bandedWithHashes]]), or -1
+    * if none agree. Emitting a pair only from its first agreeing band is
+    * what makes multi-table detection exactly-once without a distinct. */
+  private[graft] def firstAgreeingBand(nPlanes: Int, nTables: Int,
+                                       ha: Seq[Long], hb: Seq[Long]): Int = {
+    val lay = LshLayout(nPlanes, nTables)
+    var t = 0
+    while (t < nTables) {
+      val x = ha(t / lay.tablesPerHash) ^ hb(t / lay.tablesPerHash)
+      if (((x >> ((t % lay.tablesPerHash) * nPlanes)) & lay.mask) == 0L) return t
+      t += 1
+    }
+    -1
+  }
+
   /** LSH-bucketed variant of [[cosineNearDupPairs]]: candidates share a
     * bucket in at least one of `nTables` hash tables, then exact-cosine
     * verified (precision 1 by construction). Linear shuffle volume.

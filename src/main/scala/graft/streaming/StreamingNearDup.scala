@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Within-stream embedding near-dup detection with BOUNDED state: emits
+  * (old_id, new_id, cosine) whenever an arriving vector is cosine-≥-
+  * threshold to a RECENTLY seen one — the streaming counterpart of
+  * [[graft.operators.Similarity.cosineNearDupPairsLsh]], for the
+  * ingestion contract where duplicates arrive close together (retries,
+  * re-sent batches, crawler revisits), the same contract as
+  * [[StreamingDedup.dropDupesWithinWatermark]] but approximate instead
+  * of exact-fingerprint.
+  *
+  * Keying: each vector is LSH-banded once (map-only kernels, the batch
+  * path's layout) and exploded to its `nTables` (band, bucket) keys; a
+  * `flatMapGroupsWithState` group holds the bucket's recent vectors.
+  * A pair found in several tables is emitted ONLY from its first
+  * agreeing band ([[graft.operators.Similarity.firstAgreeingBand]], the
+  * JVM mirror of the batch rule), so detection is exactly-once with no
+  * downstream distinct.
+  *
+  * State per bucket is capped at `maxPerBucket` most-recent entries and
+  * optionally age-evicted (`maxAgeMillis`, event-time, relative to the
+  * newest arrival in the bucket); `idleTimeout` evicts whole idle
+  * buckets. All three bounds trade recall, never correctness: an
+  * evicted entry's later duplicates are missed (precision stays 1 —
+  * every emitted pair is exact-cosine verified), which is the right
+  * trade for ingestion dedup, exactly as the watermark form argues for
+  * the exact case.
+  *
+  * Scale note: the groupBy exchange and the state store carry each
+  * vector `nTables` times — the unavoidable price of SELF-CONTAINED
+  * within-stream detection. Against a large existing corpus, use the
+  * index-based composition instead (foreachBatch +
+  * [[graft.operators.Similarity.cosineIncrementalPairs]], which moves
+  * no corpus vectors at all); this operator covers the complementary
+  * case — duplicates WITHIN the arriving stream itself, before any
+  * index exists. State is fully distributed (per-bucket keys), bounded
+  * by `maxPerBucket × buckets-touched-within-timeout`, checkpointed
+  * with the query.
+  */
+object StreamingNearDup {
+
+  case class Pair(old_id: Long, new_id: Long, cosine: Double)
+  case class Keyed(band: Int, bucket: Long, vec_id: Long, tsMillis: Long,
+                   hashes: Seq[Long], vec: Seq[Double], norm: Double)
+  case class Entry(vec_id: Long, tsMillis: Long, hashes: Seq[Long],
+                   vec: Seq[Double], norm: Double)
+  case class BucketState(entries: Seq[Entry])
+
+  private def dotJvm(a: Seq[Double], b: Seq[Double]): Double = {
+    var i = 0; var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** `vecs` needs (vec_id: long, `tsCol`: timestamp, vec: array) columns.
+    * Old/new in an emitted pair is arrival order (event time, then id). */
+  def pairs(vecs: DataFrame, tsCol: String, threshold: Double,
+            nPlanes: Int = 8, nTables: Int = 4,
+            maxPerBucket: Int = 64, maxAgeMillis: Long = Long.MaxValue,
+            idleTimeout: Option[String] = None): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val prep = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        unix_millis(col(tsCol).cast("timestamp")).as("tsMillis"),
+        col("vec").cast("array<double>").as("vec"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
+    val keyed = Similarity.bandedWithHashes(prep, nPlanes, nTables)
+      .select(col("band"), col("bucket"), col("vec_id"), col("tsMillis"),
+        col("hashes"), col("vec"), col("norm"))
+      .as[Keyed]
+    keyed.groupByKey(k => (k.band, k.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[Keyed], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val band = key._1
+            val incoming = it.toIndexedSeq.sortBy(k => (k.tsMillis, k.vec_id))
+            var retained = state.getOption
+              .map(_.entries.toIndexedSeq).getOrElse(IndexedSeq.empty[Entry])
+            val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
+            incoming.foreach { e =>
+              if (maxAgeMillis != Long.MaxValue)
+                retained = retained.filter(_.tsMillis >= e.tsMillis - maxAgeMillis)
+              retained.foreach { s =>
+                if (s.vec_id != e.vec_id &&
+                    Similarity.firstAgreeingBand(nPlanes, nTables,
+                      s.hashes, e.hashes) == band) {
+                  val denom = s.norm * e.norm
+                  if (denom != 0.0) {
+                    val c = dotJvm(s.vec, e.vec) / denom
+                    if (c >= threshold) out += Pair(s.vec_id, e.vec_id, c)
+                  }
+                }
+              }
+              retained = (retained :+ Entry(e.vec_id, e.tsMillis, e.hashes,
+                e.vec, e.norm)).takeRight(maxPerBucket)
+            }
+            if (incoming.nonEmpty) {
+              state.update(BucketState(retained))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.streaming.StreamingNearDup
+import graft.streaming.StreamingNearDup.Pair
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Within-stream embedding near-dup: bounded LSH-bucket state across
+  * micro-batches, exactly-once pair emission, recall/eviction trades. */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(millis: Long) = new Timestamp(millis)
+
+  test("streamed planted twins are each detected exactly once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus vectors arrive in batch 1, their planted twins in batch 2 —
+    // the same gapped construction the batch oracles anchor on. Planted
+    // recall at 8x4 is ~1 (cosine 0.9999); marginal random pairs may be
+    // missed (that is the LSH trade), so the assertions are: every
+    // planted pair found, every emitted pair exact-cosine-true and
+    // arrival-ordered, and NO pair emitted twice despite 4 OR-tables.
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val twins = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      val r = v.reverse
+      (id + 100000, v.zip(r).map { case (x, y) => x + y * 0.01 })
+    }
+    val vecsById = (base ++ twins).toMap
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val q = StreamingNearDup.pairs(
+        input.toDF().toDF("vec_id", "ts", "vec"), "ts", threshold = 0.8,
+        nPlanes = 8, nTables = 4, maxPerBucket = 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("snd_out").start()
+    try {
+      input.addData(base.map { case (id, v) => (id, ts(id), v) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(twins.map { case (id, v) => (id, ts(id), v) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("snd_out").as[Pair].collect()
+      // exactly-once: the first-agreeing-band rule, not a distinct
+      assert(got.map(p => (p.old_id, p.new_id)).distinct.length == got.length,
+        "a pair was emitted from more than one table")
+      // precision 1: every emitted pair is cosine-true and arrival-ordered
+      got.foreach { p =>
+        assert(p.old_id < p.new_id, s"arrival order violated: $p")
+        val c = cosine(vecsById(p.old_id), vecsById(p.new_id))
+        assert(math.abs(c - p.cosine) < 1e-9 && c >= 0.8, s"false pair: $p vs $c")
+      }
+      // planted recall: every twin found its original
+      val gotSet = got.map(p => (p.old_id, p.new_id)).toSet
+      val planted = twins.map { case (id, _) => (id - 100000, id) }.toSet
+      assert(planted.nonEmpty && planted.subsetOf(gotSet),
+        s"missing planted pairs: ${planted -- gotSet}")
+    } finally q.stop()
+  }
+
+  test("state caps trade recall only: maxPerBucket and maxAgeMillis evict deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    // Three identical vectors across three micro-batches: all buckets
+    // agree in every table, so exactly-once emission and eviction are
+    // both exercised on a corpus small enough to enumerate.
+    val v = Seq.tabulate(16)(i => (i % 5) - 2.0)
+    def run(name: String, maxPerBucket: Int, maxAgeMillis: Long,
+            times: Seq[Long]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+      val q = StreamingNearDup.pairs(
+          input.toDF().toDF("vec_id", "ts", "vec"), "ts", threshold = 0.99,
+          nPlanes = 4, nTables = 2, maxPerBucket = maxPerBucket,
+          maxAgeMillis = maxAgeMillis)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        times.zipWithIndex.foreach { case (t, i) =>
+          input.addData((i + 1L, ts(t), v))
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.table(name).as[Pair].collect()
+          .map(p => (p.old_id, p.new_id)).toSet
+      } finally q.stop()
+    }
+    // unbounded enough: every earlier-later pair, each exactly once
+    assert(run("snd_all", 64, Long.MaxValue, Seq(0L, 1000L, 2000L)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap 1: only the immediately-preceding vector is retained
+    assert(run("snd_cap", 1, Long.MaxValue, Seq(0L, 1000L, 2000L)) ==
+      Set((1L, 2L), (2L, 3L)))
+    // age 1.5 s with arrivals at 0 s, 1 s, 10 s: the 10 s arrival finds
+    // an empty bucket
+    assert(run("snd_age", 64, 1500L, Seq(0L, 1000L, 10000L)) ==
+      Set((1L, 2L)))
+  }
+}
