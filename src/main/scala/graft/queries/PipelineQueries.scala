@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -380,6 +381,32 @@ object PipelineQueries {
       val index = Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4)
       Similarity.cosineIncrementalPairs(index, corpus, batch,
           threshold = 0.8, nPlanes = 8, nTables = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("old_id"), col("new_id"))
+    },
+
+    // Batch parity for the WITHIN-STREAM operator: flatMapGroupsWithState
+    // runs on batch Datasets too (one group invocation, empty initial
+    // state), so StreamingNearDup's exactly-once first-agreeing-band
+    // logic is held to the same brute-force oracle as the batch LSH —
+    // originals "arrive" (ts = vec_id ms) before their planted twins, so
+    // the answer is the arrival-ordered old x new pair set. maxPerBucket
+    // is effectively unbounded here: eviction is a recall trade for
+    // endless streams, not wanted under an exactness oracle.
+    "dedup_embedding_stream" -> { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01)).as("embedding"))
+      StreamingNearDup.pairs(
+          base.unionByName(twins)
+            .select(col("vec_id"), timestamp_millis(col("vec_id")).as("ts"),
+              col("embedding").as("vec")),
+          "ts", threshold = 0.8, nPlanes = 8, nTables = 4,
+          maxPerBucket = Int.MaxValue)
+        .toDF()
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("old_id"), col("new_id"))
     },
@@ -1134,6 +1161,27 @@ object PipelineQueries {
     // the incremental LSH path returns exactly this set on the gapped
     // corpus (recall 1 at 8x4, anchored like dedup_embedding_lsh).
     "dedup_embedding_incremental" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            newb AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     [vec[i] + vec[len(vec) + 1 - i] * 0.01
+                      for i in range(1, len(vec) + 1)] AS vec
+              FROM base WHERE vec_id % 10 = 0),
+            no AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                   FROM base),
+            nn AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm
+                   FROM newb)
+         SELECT o.vec_id AS old_id, n.vec_id AS new_id,
+           round(list_inner_product(o.vec, n.vec) / (o.nrm * n.nrm), 6) AS cosine
+         FROM no o JOIN nn n ON true
+         WHERE list_inner_product(o.vec, n.vec) / (o.nrm * n.nrm) >= 0.8
+         ORDER BY old_id, new_id""",
+
+    // Same planted construction, streamed: arrival order is ts = vec_id,
+    // so the within-stream operator's answer is again exact brute-force
+    // old x new (originals precede their twins; no other pair reaches
+    // the threshold on the gapped corpus, sf0.01 AND sf0.1).
+    "dedup_embedding_stream" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             newb AS (
               SELECT vec_id + 100000 AS vec_id,
