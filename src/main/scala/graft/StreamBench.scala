@@ -23,6 +23,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("emb")) {
       embIngest(spark, n, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("neardup")) {
+      nearDupStream(spark, n.toInt, batches); spark.stop(); return
+    }
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")
@@ -137,5 +140,60 @@ object StreamBench {
     val total = (batchN + batchN / 100) * batches
     println(f"""{"metric":"emb_ingest_vecs_per_sec","value":${total / sec}%.0f,"new_vecs":$total,"corpus":$n,"planes":$planes,"tables":$tables,"sec":$sec%.2f,"near_dup_hits":$hits}""")
     spark.sql("DROP TABLE IF EXISTS emb_ingest_idx")
+  }
+
+  /** Within-stream near-dup throughput (`SPARK_GRAFT_STREAM=neardup`):
+    * `batches` micro-batches of `n/batches` vectors each flow through
+    * [[graft.streaming.StreamingNearDup]]; every batch after the first
+    * carries twins of 1-in-100 vectors from the PREVIOUS batch, so hits
+    * come from cross-batch bucket state. Prints vectors/sec through the
+    * stateful path (vector payload crosses the state exchange ×nTables —
+    * the operator's documented price; compare the index-based `emb` mode,
+    * which moves no corpus vectors). */
+  private def nearDupStream(spark: SparkSession, n: Int, batches: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val perBatch = math.max(n / batches, 1)
+    val planes = graft.operators.Similarity.lshAutoPlanes(n.toLong)
+    val rnd = new scala.util.Random(7)
+    var ts = 0L
+    var prevSampled = Seq.empty[(Long, Seq[Double])]
+    def nextBatch(b: Int): Seq[(Long, java.sql.Timestamp, Seq[Double])] = {
+      val fresh = (0 until perBatch).map { i =>
+        val id = b.toLong * perBatch + i
+        ts += 1
+        (id, new java.sql.Timestamp(ts), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+      }
+      val twins = prevSampled.map { case (id, v) =>
+        ts += 1
+        (id + n.toLong * 10, new java.sql.Timestamp(ts),
+          v.zip(v.reverse).map { case (x, y) => x + y * 0.01 })
+      }
+      prevSampled = fresh.collect { case (id, _, v) if id % 100 == 0 => (id, v) }
+      fresh ++ twins
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val q = StreamingNearDup.pairs(
+        input.toDF().toDF("vec_id", "ts", "vec"), "ts", threshold = 0.8,
+        nPlanes = planes, nTables = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_bench").start()
+    // warmup (also batch 0 seeds prevSampled)
+    input.addData(nextBatch(0): _*)
+    q.processAllAvailable()
+    var total = 0L
+    val t0 = System.nanoTime()
+    (1 to batches).foreach { b =>
+      val data = nextBatch(b)
+      total += data.size
+      input.addData(data: _*)
+      q.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val hits = spark.table("neardup_bench").count()
+    q.stop()
+    println(f"""{"metric":"stream_neardup_vecs_per_sec","value":${total / sec}%.0f,"vecs":$total,"batches":$batches,"planes":$planes,"tables":4,"sec":$sec%.2f,"near_dup_hits":$hits}""")
   }
 }

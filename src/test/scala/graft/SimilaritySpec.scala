@@ -389,6 +389,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("firstAgreeingBand JVM mirror agrees with the Catalyst banded layout on every pair") {
+    // The streaming path's exactly-once rule re-derives band agreement
+    // from the carried hash arrays on the JVM; if it ever diverged from
+    // the Catalyst layout (bandedWithHashes' bucketOf slicing), streaming
+    // and batch would silently disagree on which band emits a pair. Check
+    // all pairs of a seeded corpus across single-hash (4x2, 8x4) and
+    // split-hash (22x4 -> 2 columns, 25x5 -> 3 columns) configs: the
+    // mirror must return exactly min(agreeing bands) or -1.
+    val rnd = new scala.util.Random(42)
+    val randoms = Seq.tabulate(12)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    // a planted exact copy guarantees the agree path is exercised even at
+    // split-hash configs, where random 16-dim pairs almost never collide
+    val vecs = (randoms :+ (12L, randoms.head._2)).toDF("vec_id", "vec")
+    for ((planes, tables) <- Seq((4, 2), (8, 4), (22, 4), (25, 5))) {
+      val rows = Similarity.bandedWithHashes(vecs, planes, tables)
+        .select("vec_id", "hashes", "band", "bucket").collect()
+      val hashesById = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val buckets = rows.map(r =>
+        (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+      assert(Similarity.firstAgreeingBand(planes, tables,
+        hashesById(0L), hashesById(12L)) == 0, "exact copy must agree at band 0")
+      for (a <- 0L until 13L; b <- 0L until 13L if a != b) {
+        val agreeing = (0 until tables).filter(t =>
+          buckets((a, t)) == buckets((b, t)))
+        val expect = if (agreeing.isEmpty) -1 else agreeing.min
+        val got = Similarity.firstAgreeingBand(planes, tables,
+          hashesById(a), hashesById(b))
+        assert(got == expect,
+          s"config ${planes}x$tables pair ($a,$b): mirror=$got layout=$expect")
+      }
+    }
+  }
+
   test("streaming ingestion: embedding dedup against the bucketed index, batch by batch") {
     // The embedding member of the streaming-ingest family (DedupSpec has
     // the minhash and span forms): the corpus LSH index is built and
