@@ -328,11 +328,41 @@ object Similarity {
     * `maxBroadcastCandidates`, so the corpus vector column is scanned
     * once and never shuffled; above the cap the hints drop and the
     * planner's join runs instead. */
+  /** Fail fast on an index built under a different layout: bucket bits
+    * are config-specific, and a mismatched probe would not be WRONG, it
+    * would silently miss pairs (exact verification keeps precision 1
+    * regardless). A small sample's buckets are recomputed from the
+    * carried hashes under the probe layout — any disagreement, or a band
+    * outside the probe's table range, proves the configs differ. Catches
+    * plane-count/layout mismatches and an index with MORE tables than
+    * the probe claims; a probe claiming more tables than the index has
+    * is undetectable from a sample and simply leaves the extra bands
+    * candidate-less (recall loss — keep configs identical). */
+  private def requireIndexLayout(index: DataFrame, lay: LshLayout,
+                                 nPlanes: Int, nTables: Int): Unit = {
+    val cols = col("band") +: col("bucket") +: lay.hashCols("")
+    index.select(cols: _*).limit(64).collect().foreach { r =>
+      val band = r.getInt(0)
+      val ok = band >= 0 && band < nTables && {
+        val h = r.getLong(2 + band / lay.tablesPerHash)
+        ((h >> ((band % lay.tablesPerHash) * nPlanes)) & lay.mask) == r.getLong(1)
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"cosineIncrementalPairs: the index does not match the probe " +
+          s"config ($nPlanes planes x $nTables tables) — its (band, bucket) " +
+          "rows disagree with buckets recomputed from its own hash columns " +
+          "under that layout. Rebuild the index with lshIndex at the SAME " +
+          "(nPlanes, nTables) the probe side uses; bucket bits are " +
+          "config-specific.")
+    }
+  }
+
   def cosineIncrementalPairs(index: DataFrame, corpus: DataFrame,
                              batch: DataFrame, threshold: Double,
                              nPlanes: Int = 4, nTables: Int = 1,
                              maxBroadcastCandidates: Long = 1000 * 1000): DataFrame = {
     val lay = LshLayout(nPlanes, nTables)
+    requireIndexLayout(index, lay, nPlanes, nTables)
     val old = index.select(col("vec_id").as("old_id") +:
       (0 until lay.nHashes).map(h => col(s"h$h").as(s"ha$h")) :+
       col("band") :+ col("bucket"): _*)

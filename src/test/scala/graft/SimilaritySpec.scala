@@ -389,6 +389,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mismatched index config aborts fast instead of silently missing pairs") {
+    // An index probed under a different layout would not be wrong, it
+    // would quietly lose recall — the guard recomputes sampled buckets
+    // from the index's own hashes under the probe layout and aborts on
+    // disagreement (plane mismatch) or out-of-range bands (more index
+    // tables than the probe claims).
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
+    val index = Similarity.lshIndex(corpus, nPlanes = 8, nTables = 4)
+    val batch = corpus.limit(10)
+    val planeMismatch = intercept[IllegalArgumentException] {
+      Similarity.cosineIncrementalPairs(index, corpus, batch, 0.8,
+        nPlanes = 10, nTables = 4)
+    }
+    assert(planeMismatch.getMessage.contains("does not match the probe config"))
+    val tableMismatch = intercept[IllegalArgumentException] {
+      Similarity.cosineIncrementalPairs(index, corpus, batch, 0.8,
+        nPlanes = 8, nTables = 2)
+    }
+    assert(tableMismatch.getMessage.contains("does not match the probe config"))
+  }
+
   test("firstAgreeingBand JVM mirror agrees with the Catalyst banded layout on every pair") {
     // The streaming path's exactly-once rule re-derives band agreement
     // from the carried hash arrays on the JVM; if it ever diverged from
