@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * runMain graft.IngestApp docs <corpusParquet> <batchParquet> <outDir> \
   *   [threshold=0.8] [maxSpanFrac=0.5]
   * runMain graft.IngestApp vecs <corpusParquet> <batchParquet> <outDir> \
-  *   [threshold=0.9] [nPlanes=8] [nTables=4]
+  *   [threshold=0.9] [nPlanes=auto] [nTables=4]
   * }}}
   *
   * Writes `<outDir>/admitted` and `<outDir>/rejects` (id, reason).
@@ -69,18 +69,24 @@ object IngestApp {
     (admitted, rejects)
   }
 
-  /** Vectors admission. Returns (admitted, rejects(vec_id, reason)). */
+  /** Vectors admission. Returns (admitted, rejects(vec_id, reason)).
+    * `nPlanes = 0` (the default) self-provisions from the measured
+    * `planes = log2(N)+1` rule ([[Similarity.lshAutoPlanes]], one corpus
+    * count) so callers get a selective config at any corpus size. */
   def runVecs(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.9,
-              nPlanes: Int = 8, nTables: Int = 4): (DataFrame, DataFrame) = {
+              nPlanes: Int = 0, nTables: Int = 4): (DataFrame, DataFrame) = {
     val c = Similarity.prepared(corpus, col("vec_id"), col("embedding"))
     val b = Similarity.prepared(batch, col("vec_id"), col("embedding"))
-    val index = Similarity.lshIndex(c, nPlanes, nTables)
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else math.max(8, Similarity.lshAutoPlanes(math.max(1L, c.count())))
+    val index = Similarity.lshIndex(c, planes, nTables)
     val vsCorpus = Similarity.cosineIncrementalPairs(index, c, b, threshold,
-        nPlanes, nTables)
+        planes, nTables)
       .select(col("new_id").as("vec_id"), lit("near_dup_of_corpus").as("reason"))
       .distinct()
     val withinBatch = Similarity.cosineNearDupPairsLsh(b, threshold,
-        nPlanes, nTables)
+        planes, nTables)
       .select(greatest(col("id_a"), col("id_b")).as("vec_id"),
         lit("near_dup_within_batch").as("reason"))
       .distinct()
@@ -104,7 +110,7 @@ object IngestApp {
           maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
         case "vecs" => runVecs(corpus, batch,
           threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
-          nPlanes = args.lift(5).map(_.toInt).getOrElse(8),
+          nPlanes = args.lift(5).map(_.toInt).getOrElse(0),   // 0 = lshAutoPlanes
           nTables = args.lift(6).map(_.toInt).getOrElse(4))
         case other => throw new IllegalArgumentException(
           s"unknown mode '$other' (docs|vecs)")
