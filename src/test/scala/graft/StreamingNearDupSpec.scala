@@ -63,6 +63,46 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket state survives a query restart from the checkpoint") {
+    // The production property: the vectors batch 1 left in bucket state
+    // are recovered from the state store when a NEW query starts over
+    // the same checkpoint, so twins arriving after the restart still
+    // find their originals. File source + AvailableNow + parquet sink —
+    // the same restart harness the KV pipeline's resume test uses.
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("snd-in").toString
+    val outDir = Files.createTempDirectory("snd-out").toString
+    val ckpt = Files.createTempDirectory("snd-ckpt").toString
+    val rnd = new scala.util.Random(17)
+    val originals = (0L until 50L).map(i =>
+      (i, ts(i), Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val twins = originals.collect { case (i, _, v) if i % 5 == 0 =>
+      (i + 1000L, ts(1000 + i), v.zip(v.reverse).map { case (x, y) => x + y * 0.01 })
+    }
+    def runOnce(rows: Seq[(Long, java.sql.Timestamp, Seq[Double])]): Unit = {
+      rows.toDF("vec_id", "ts", "vec")
+        .write.mode("append").parquet(inDir)
+      val stream = spark.readStream
+        .schema("vec_id LONG, ts TIMESTAMP, vec ARRAY<DOUBLE>")
+        .parquet(inDir)
+      val q = StreamingNearDup.pairs(stream, "ts", threshold = 0.99,
+          nPlanes = 6, nTables = 4)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(originals)   // batch 1: originals fill bucket state
+    runOnce(twins)       // RESTARTED query: twins must hit recovered state
+    val got = spark.read.parquet(outDir).as[Pair].collect()
+      .map(p => (p.old_id, p.new_id)).toSet
+    val expect = originals.collect { case (i, _, _) if i % 5 == 0 =>
+      (i, i + 1000L) }.toSet
+    assert(got == expect,
+      s"missing ${expect -- got}, spurious ${got -- expect}")
+  }
+
   test("state caps trade recall only: maxPerBucket and maxAgeMillis evict deterministically") {
     implicit val sqlCtx = spark.sqlContext
     // Three identical vectors across three micro-batches: all buckets
