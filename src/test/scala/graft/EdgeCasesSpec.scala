@@ -139,6 +139,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(pieces.toSeq == Seq((0L, 0L, 4L), (1L, 4L, 4L), (2L, 8L, 2L)))
   }
 
+  test("incremental embedding dedup degenerate cases: empty batch, empty corpus, zero vectors") {
+    import graft.operators.Similarity
+    val mk = (rows: Seq[(Long, Seq[Double])]) =>
+      Similarity.prepared(rows.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"))
+    val corpus = mk(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))))
+    val index = Similarity.lshIndex(corpus, nPlanes = 4, nTables = 2)
+    val emptyBatch = mk(Seq.empty)
+    assert(Similarity.cosineIncrementalPairs(index, corpus, emptyBatch, 0.9,
+      nPlanes = 4, nTables = 2).isEmpty)
+    val emptyCorpus = mk(Seq.empty)
+    val emptyIndex = Similarity.lshIndex(emptyCorpus, nPlanes = 4, nTables = 2)
+    assert(Similarity.cosineIncrementalPairs(emptyIndex, emptyCorpus,
+      mk(Seq((9L, Seq(1.0, 0.0)))), 0.9, nPlanes = 4, nTables = 2).isEmpty)
+    // a zero vector has no direction: it must pair with nothing, not
+    // divide by zero (same contract as the batch operators)
+    val zeroBatch = mk(Seq((10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0))))
+    val got = Similarity.cosineIncrementalPairs(index, corpus, zeroBatch, 0.5,
+        nPlanes = 4, nTables = 2)
+      .select("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L)), s"got $got")
+  }
+
   test("boilerplate stripping with a custom separator and minDocs 2") {
     val docs = Seq(
       (1L, "keep me|shared line"),
