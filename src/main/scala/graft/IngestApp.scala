@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * the library's ingest-time operators in their canonical order.
   *
   * Documents mode:
+  *  0. exact dup vs corpus ([[Dedup.bloomAdmit]] against the fingerprint
+  *     index, Bloom-prefiltered — rejects byte-identical re-crawls with a
+  *     broadcast membership test before any LSH machinery runs; later
+  *     stages see only the exact-new survivors)
   *  1. near-dup vs corpus ([[Dedup.minhashIncrementalPairs]] against the
-  *     prebuilt minhash index — exact duplicates are Jaccard-1 near-dups,
-  *     so this subsumes the exact check)
+  *     prebuilt minhash index)
   *  2. span-overlap vs corpus ([[Dedup.spanIncrementalStats]] against the
   *     window-hash index; rejects documents whose indexed-window fraction
   *     exceeds `maxSpanFrac` even when no whole-document pair fires)
@@ -45,25 +48,39 @@ import org.apache.spark.sql.functions._
   * plan minus the bucketed-scan saving. */
 object IngestApp {
 
-  /** Documents admission. Returns (admitted, rejects(doc_id, reason)). */
+  /** Documents admission. Returns (admitted, rejects(doc_id, reason)).
+    *
+    * Stage 0 is the Bloom-prefiltered EXACT check ([[Dedup.bloomAdmit]]):
+    * byte-identical re-crawls are rejected by a broadcast membership test
+    * plus a candidate-sized confirm join, and only the exact-new survivors
+    * enter the LSH / span-index joins — in a re-crawl-heavy batch that is
+    * most of the admission cost gone before the expensive stages start. */
   def runDocs(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.8,
               maxSpanFrac: Double = 0.5): (DataFrame, DataFrame) = {
+    val fpIdx = Dedup.admissionIndex(corpus, col("text"))
+    val bloom = batch.sparkSession.sparkContext
+      .broadcast(Dedup.admissionBloom(fpIdx))
+    val survivors = Dedup.bloomAdmit(fpIdx, bloom, batch,
+      col("doc_id"), col("text"))
+    val exactDup = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup_of_corpus").as("reason"))
     val nearIdx = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
-    val nearDup = Dedup.minhashIncrementalPairs(nearIdx, corpus, batch,
+    val nearDup = Dedup.minhashIncrementalPairs(nearIdx, corpus, survivors,
         col("doc_id"), col("text"), threshold = threshold)
       .select(col("new_id").as("doc_id"), lit("near_dup_of_corpus").as("reason"))
       .distinct()
     val spanIdx = Dedup.spanIndex(corpus, col("doc_id"), col("text"))
-    val spanHeavy = Dedup.spanIncrementalStats(spanIdx, batch,
+    val spanHeavy = Dedup.spanIncrementalStats(spanIdx, survivors,
         col("doc_id"), col("text"))
       .filter(col("overlap_frac") > maxSpanFrac)
       .select(col("doc_id"), lit("span_overlap_with_corpus").as("reason"))
-    val withinBatch = Dedup.minhashLshPairs(batch, col("doc_id"), col("text"),
+    val withinBatch = Dedup.minhashLshPairs(survivors, col("doc_id"), col("text"),
         threshold = threshold)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id"),
         lit("near_dup_within_batch").as("reason"))
       .distinct()
-    val rejects = nearDup.unionByName(spanHeavy).unionByName(withinBatch)
+    val rejects = exactDup.unionByName(nearDup).unionByName(spanHeavy)
+      .unionByName(withinBatch)
     val admitted = batch.join(
       rejects.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     (admitted, rejects)

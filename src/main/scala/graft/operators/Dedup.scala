@@ -1,9 +1,11 @@
 package graft.operators
 
-import graft.functions.TextHashExpressions
+import graft.functions.{SketchExpressions, TextHashExpressions}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Deduplication operators for large text corpora — exact, keyed, and
   * near-duplicate (MinHash + LSH, SimHash). Everything is declarative
@@ -61,6 +63,86 @@ object Dedup {
   private def hasNgramTokens(text: Column, n: Int): Column =
     text.isNotNull && length(text) > 0 &&
       (length(text) - length(replace(text, lit(" "), lit(""))) + 1 >= n)
+
+  /** 64-bit text fingerprint used by the exact-admission family. As with
+    * [[spanStats]], the 64-bit key is a deliberate trade: a collision
+    * between two distinct texts makes [[bloomAdmit]] wrongly reject one new
+    * document (expected collisions ≈ n²/2⁶⁵ — about 0.05 documents at a
+    * billion-row index). Swap in `md5` (128-bit) where even that is too
+    * much. */
+  def textFingerprint(text: Column): Column = xxhash64(text)
+
+  /** The exact-dedup admission index: one fixed-width row per distinct
+    * corpus text fingerprint. This is the frame to PERSIST between ingest
+    * batches (bucketed by `fp` if the shuffle-join fallback of
+    * [[bloomAdmit]] is expected); the corpus text column is read once, at
+    * build time, and never again. */
+  def admissionIndex(corpus: DataFrame, text: Column): DataFrame =
+    corpus.select(textFingerprint(text).as("fp")).distinct()
+
+  /** Bloom filter over the admission index, built distributed (per-partition
+    * sketches merged on the driver) via `DataFrameStatFunctions.bloomFilter`.
+    *
+    * Sizing (100 TB): bits = −n·ln(fpp)/ln²2 ≈ 1.2 GiB for 10⁹ fingerprints
+    * at 1% — broadcastable. The filter grows linearly in `expectedItems`,
+    * so past ~5·10⁹ rows either relax `fpp` (the admission result stays
+    * EXACT — false positives only route more rows through the confirm
+    * join) or shard the index by `pmod(fp, k)` and build k filters.
+    * `expectedItems <= 0` counts the index first (one cheap agg over
+    * fixed-width rows). */
+  def admissionBloom(indexFp: DataFrame, expectedItems: Long = -1L,
+                     fpp: Double = 0.01): BloomFilter = {
+    val n = if (expectedItems > 0) expectedItems else indexFp.count()
+    indexFp.stat.bloomFilter("fp", math.max(n, 1L), fpp)
+  }
+
+  /** Exact-dedup ADMISSION with a Bloom pre-filter: the subset of `batch`
+    * whose text fingerprint is absent from the admission index, i.e. the
+    * documents to ingest. The result is EXACT (up to the documented 64-bit
+    * fingerprint trade) for any `fpp`: bloom-negative rows are definitively
+    * new (no false negatives), and bloom-positive rows are confirmed
+    * against the real index before rejection.
+    *
+    * Why this beats a plain anti-join at scale: the per-batch exact join
+    * shrinks from |batch| rows to |true dups| + fpp·|batch| rows, and the
+    * filter itself is built ONCE and reused across every subsequent batch,
+    * while an anti-join re-scans (and, unbucketed, re-shuffles) the
+    * billion-row index per batch. For a fresh crawl slice that is mostly
+    * new, the index is barely touched.
+    *
+    * Plan shape (broadcast path): the index never shuffles — the surviving
+    * bloom-positive fingerprints are broadcast and the index is streamed
+    * through a broadcast SEMI join (output ≤ the candidate count), then the
+    * candidates anti-join that small present-set. Like
+    * [[minhashIncrementalPairs]], the broadcast is GUARDED by a measured
+    * count: a batch that is mostly duplicates (a re-crawl) can make the
+    * bloom-positive set batch-sized, so above `maxBroadcastCandidates` the
+    * operator degrades to a plain shuffle anti-join of the candidates
+    * against the index, which completes instead of OOMing the driver. */
+  def bloomAdmit(indexFp: DataFrame, bloom: Broadcast[BloomFilter],
+                 batch: DataFrame, id: Column, text: Column,
+                 maxBroadcastCandidates: Long = 10L * 1000 * 1000): DataFrame = {
+    val fpb = batch.select(id.as("doc_id"), text.as("text"),
+      textFingerprint(text).as("fp"))
+    val mightDup = fpb.filter(SketchExpressions.bloomMightContain(col("fp"), bloom))
+    val fresh = fpb.filter(!SketchExpressions.bloomMightContain(col("fp"), bloom))
+    val candFp = mightDup.select(col("fp")).distinct()
+    val confirmedNew =
+      if (candFp.count() <= maxBroadcastCandidates) {
+        // present-set = index ⋉ broadcast(candidates): candidate-sized, so
+        // it can itself broadcast into the anti-join — index side never
+        // exchanges.
+        val present = indexFp.join(broadcast(candFp), Seq("fp"), "left_semi")
+        mightDup.join(broadcast(present), Seq("fp"), "left_anti")
+      } else {
+        System.err.println(
+          s"[graft] bloomAdmit: bloom-positive set exceeds " +
+            s"$maxBroadcastCandidates distinct fingerprints — falling back " +
+            "to a shuffle anti-join (batch is mostly duplicates?)")
+        mightDup.join(indexFp, Seq("fp"), "left_anti")
+      }
+    fresh.unionByName(confirmedNew).select(col("doc_id"), col("text"))
+  }
 
   /** Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
     *

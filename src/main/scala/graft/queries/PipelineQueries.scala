@@ -362,6 +362,24 @@ object PipelineQueries {
         .orderBy(col("new_id"), col("old_id"))
     },
 
+    // Exact-dedup admission with a Bloom pre-filter: batch = the %4 slice
+    // plus renumbered byte-identical copies of 10 corpus docs (planted
+    // true duplicates). Result is exact for any fpp — bloom-negatives are
+    // definitively new, positives are confirmed against the real index —
+    // so the oracle is the plain text-keyed NOT EXISTS.
+    "dedup_bloom_admission" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .unionByName(corpus.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val idx = Dedup.admissionIndex(corpus, col("text"))
+      val bloom = s.sparkContext.broadcast(Dedup.admissionBloom(idx))
+      Dedup.bloomAdmit(idx, bloom, batch, col("doc_id"), col("text"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // The embedding member of the ingest-time family (minhash and span
     // already have one): corpus = the raw embeddings, indexed ONCE via
     // lshIndex at the registered 8x4 config; batch = the planted twins
@@ -1213,6 +1231,17 @@ object PipelineQueries {
          WHERE CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE)
              / (len(o.sh) + len(n.sh) - len(list_intersect(o.sh, n.sh))) >= 0.8
          ORDER BY new_id, old_id""",
+
+    "dedup_bloom_admission" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id < 40)
+         SELECT b.doc_id FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+         ORDER BY doc_id""",
 
     "dedup_span" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

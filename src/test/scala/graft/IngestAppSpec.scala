@@ -29,7 +29,9 @@ class IngestAppSpec extends SparkSpec {
     val reasonsById = rejects.as[(Long, String)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(admittedIds == ((100L until 110L).toSet + 112L))
-    assert(reasonsById(110L).contains("near_dup_of_corpus"))
+    // the exact copy is caught at stage 0 (bloom-prefiltered exact check)
+    // and never reaches the LSH/span stages
+    assert(reasonsById(110L) == Set("exact_dup_of_corpus"))
     assert(reasonsById(111L) == Set("span_overlap_with_corpus"))
     assert(reasonsById(113L) == Set("near_dup_within_batch"))
     assert(!reasonsById.contains(112L))
