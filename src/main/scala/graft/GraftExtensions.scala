@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextHashExpressions.{RepetitionStats, ShingleJaccard, ShingleMinHash, Shingles, SimHash, SpanHashes}
+import graft.functions.TextHashExpressions.{DeletionNeighborhood, RepetitionStats, ShingleJaccard, ShingleMinHash, Shingles, SimHash, SpanHashes}
 import graft.functions.VectorExpressions.{DotProduct, HyperplaneLshBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -68,6 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => RepetitionStats(text)
         case _ => throw new IllegalArgumentException("repetition_stats(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("deletion_neighborhood"),
+      new ExpressionInfo(classOf[DeletionNeighborhood].getName,
+        "deletion_neighborhood"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key) => DeletionNeighborhood(key, 1)
+        case Seq(key, d) => DeletionNeighborhood(key, intArg(d, "maxDist"))
+        case _ => throw new IllegalArgumentException(
+          "deletion_neighborhood(key[, maxDist])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),

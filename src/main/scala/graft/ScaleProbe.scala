@@ -139,6 +139,32 @@ object ScaleProbe {
       spanDocs.unpersist()
       }
 
+      // Fuzzy-key-join probe: n synthetic ~25-char keys (two vocab words +
+      // 16 hex chars of a row hash — random keys land at edit distance ≥ 2
+      // essentially always), with one planted 1-deletion variant per
+      // hundred keys. Deletion banding is linear in keys × key length;
+      // the pair count must track the planted n/100.
+      if (on("fuzzy")) {
+      val gidK = col("id") -
+        when(pmod(col("id"), lit(100)) === 1, 1L).otherwise(0L)
+      val baseKey = concat_ws("-",
+        element_at(vocabCol, (pmod(xxhash64(gidK, lit(1)), lit(vocab.size)) + 1).cast("int")),
+        element_at(vocabCol, (pmod(xxhash64(gidK, lit(2)), lit(vocab.size)) + 1).cast("int")),
+        lower(hex(xxhash64(gidK, lit(3)))))
+      val keys = spark.range(n.toLong)
+        .select(col("id"),
+          when(pmod(col("id"), lit(100)) === 1,
+            concat(substring(baseKey, 1, 3), substring(baseKey, 5, 1000)))
+            .otherwise(baseKey).as("key"))
+      keys.cache().count()
+      val tf0 = System.nanoTime()
+      val fuzzyPairs = graft.operators.FuzzyJoin
+        .editDistancePairs(keys, col("key")).count()
+      val secF = (System.nanoTime() - tf0) / 1e9
+      println(f"""{"metric":"fuzzy_join_scale","keys":$n,"sec":$secF%.2f,"pairs":$fuzzyPairs,"planted":${n / 100}}""")
+      keys.unpersist()
+      }
+
       if (on("ann") || on("ivf") || on("emb")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +

@@ -93,6 +93,28 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct strings reachable from the key by at most `maxDist`
+    * character deletions (the key itself included) — the SymSpell-style
+    * band key for edit-distance joins; see
+    * [[TextKernels.deletionNeighborhood]]. Null only on null input: the
+    * empty string's neighborhood is `[""]`. */
+  case class DeletionNeighborhood(child: Expression, maxDist: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "deletion_neighborhood"
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.deletionNeighborhood(input.asInstanceOf[UTF8String], maxDist)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.deletionNeighborhood($c, $maxDist);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** XXH64 of the word-`ngram` window at every token position
     * (non-distinct, document order) — see [[TextKernels.spanHashes]]. */
   case class SpanHashes(child: Expression, ngram: Int)
@@ -242,6 +264,10 @@ object TextHashExpressions {
 
   def shingles(text: Column, ngram: Int = 3): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), ngram))
+
+  def deletionNeighborhood(key: Column, maxDist: Int = 1): Column =
+    ColumnBridge.column(
+      DeletionNeighborhood(ColumnBridge.expression(key), maxDist))
 
   def spanHashes(text: Column, ngram: Int): Column =
     ColumnBridge.column(SpanHashes(ColumnBridge.expression(text), ngram))

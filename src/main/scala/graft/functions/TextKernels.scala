@@ -261,4 +261,41 @@ object TextKernels {
     val uni = setA.size + setB.size - inter
     java.lang.Double.valueOf(inter.toDouble / uni)
   }
+
+  /** The deletion neighborhood of `key`: every distinct string reachable by
+    * deleting at most `maxDist` characters (the key itself included — zero
+    * deletions). Two strings within edit distance d always share a member
+    * of their d-deletion neighborhoods (align the edit script and delete
+    * the substituted/inserted characters from each side), which is what
+    * makes the neighborhood an LSH-style band key for edit-distance joins
+    * ([[graft.operators.FuzzyJoin]]). Size is O(L^maxDist), so this is for
+    * KEYS (names, titles, normalized URLs), not documents.
+    *
+    * Deletions operate on UTF-16 units (astral-plane characters would
+    * split); key columns are expected to be BMP text. */
+  def deletionNeighborhood(key: UTF8String, maxDist: Int): ArrayData = {
+    val s = key.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    var frontier: List[String] = s :: Nil
+    var d = 0
+    while (d < maxDist && frontier.nonEmpty) {
+      var next: List[String] = Nil
+      frontier.foreach { t =>
+        var i = 0
+        while (i < t.length) {
+          val v = t.substring(0, i) + t.substring(i + 1)
+          if (seen.add(v)) next = v :: next
+          i += 1
+        }
+      }
+      frontier = next
+      d += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it2 = seen.iterator()
+    var i = 0
+    while (it2.hasNext) { arr(i) = UTF8String.fromString(it2.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
 }

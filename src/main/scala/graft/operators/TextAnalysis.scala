@@ -98,6 +98,38 @@ object TextAnalysis {
     md5(regexp_replace(
       lower(regexp_replace(text, "^\\s+|\\s+$", "")), "\\s+", " ").cast("binary"))
 
+  /** Canonicalized URL for crawl-scale dedup: two fetches of the same page
+    * that differ only in scheme, `www.`, host case, a trailing slash,
+    * tracking parameters, parameter order, or a fragment normalize to one
+    * key. Rules (each reproducible with anchored regexes + list ops in any
+    * engine — no URL parser, so the semantics are the documented string
+    * transforms, not RFC 3986):
+    *
+    *  1. trim; drop the fragment (`#…`)
+    *  2. scheme unified to `https://`, leading `www.` dropped
+    *  3. host (first path-free segment) lowercased; path case preserved
+    *  4. trailing slashes stripped from the path
+    *  5. query parameters: drop `utm_*`, `gclid=*`, `fbclid=*` and empties,
+    *     sort the rest byte-wise, rejoin; `?` dropped when none survive
+    *
+    * Per-row expression tree, shuffle-free; the grouping a dedup asks for
+    * afterwards shuffles the already-short canonical key. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(trim(url), "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = coalesce(get(split(noFrag, "\\?", 2), lit(1)), lit(""))
+    val rest = regexp_replace(
+      regexp_replace(base, "^[Hh][Tt][Tt][Pp][Ss]?://", ""), "^[Ww]{3}\\.", "")
+    val host = lower(substring_index(rest, "/", 1))
+    val path = regexp_replace(regexp_replace(rest, "^[^/]*", ""), "/+$", "")
+    val kept = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p === ""))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(lit("https://"), host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** Email / phone / IPv4 patterns valid in both Java regex and RE2, so the
     * exact same redaction is expressible in any engine's regexp_replace
     * (RE2 rules out lookaround — patterns must work without it).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
 import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -378,6 +378,42 @@ object PipelineQueries {
       Dedup.bloomAdmit(idx, bloom, batch, col("doc_id"), col("text"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization over synthetic crawl URLs built from events
+    // columns: three per-row variants (scheme/www/case, trailing slash +
+    // tracking params, fragment + shuffled params) of one logical page
+    // must collapse to a single canonical key. The fixture is the string
+    // construction; the operator under test is normalizeUrl.
+    "url_normalize" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val url = concat(
+        when(pmod(col("event_id"), lit(2)) === 0, lit("HTTP://WWW.Ex"))
+          .otherwise(lit("https://ex")),
+        pmod(col("event_id"), lit(5)).cast("string"),
+        lit(".COM/"), col("event_type"), lit("/item"),
+        pmod(col("user_id"), lit(100)).cast("string"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit("/?utm_source=feed&b=2&a=1"))
+          .when(pmod(col("event_id"), lit(3)) === 1, lit("?b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2&gclid=xyz")))
+      e.select(TextAnalysis.normalizeUrl(url).as("url_norm"))
+        .groupBy(col("url_norm")).agg(count(lit(1)).as("n"))
+        .orderBy(col("url_norm"))
+    },
+
+    // Fuzzy key join (SymSpell deletion banding): part names plus planted
+    // one-character-deleted variants of the first 30; the operator must
+    // return exactly the brute-force levenshtein<=1 pair set over distinct
+    // key values, which the oracle computes as a cross join (fine at
+    // oracle scale, impossible at operator scale).
+    "fuzzy_key_join" -> { (s, dir) =>
+      val p = Tables(s, dir).part.select(col("p_partkey"), col("p_name"))
+      val keys = p.select(col("p_name"))
+        .unionByName(p.filter(col("p_partkey") < 30)
+          .select(concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("p_name")))
+      FuzzyJoin.editDistancePairs(keys, col("p_name"))
+        .orderBy(col("key_a"), col("key_b"))
     },
 
     // The embedding member of the ingest-time family (minhash and span
@@ -1231,6 +1267,49 @@ object PipelineQueries {
          WHERE CAST(len(list_intersect(o.sh, n.sh)) AS DOUBLE)
              / (len(o.sh) + len(n.sh) - len(list_intersect(o.sh, n.sh))) >= 0.8
          ORDER BY new_id, old_id""",
+
+    "url_normalize" ->
+      """WITH u AS (
+           SELECT (CASE WHEN event_id % 2 = 0 THEN 'HTTP://WWW.Ex'
+                        ELSE 'https://ex' END)
+               || (event_id % 5) || '.COM/' || event_type || '/item'
+               || (user_id % 100)
+               || (CASE WHEN event_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1'
+                        WHEN event_id % 3 = 1 THEN '?b=2&a=1#frag'
+                        ELSE '?a=1&b=2&gclid=xyz' END) AS url
+           FROM events),
+         s1 AS (SELECT split_part(trim(url), '#', 1) AS no_frag FROM u),
+         s2 AS (SELECT
+             regexp_replace(regexp_replace(split_part(no_frag, '?', 1),
+               '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[Ww]{3}\.', '') AS rest,
+             split_part(no_frag, '?', 2) AS query
+           FROM s1),
+         s3 AS (SELECT
+             lower(split_part(rest, '/', 1)) AS host,
+             regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/+$', '') AS path,
+             list_sort(list_filter(string_split(query, '&'),
+               p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+                         OR starts_with(p, 'fbclid=') OR p = ''))) AS kept
+           FROM s2),
+         n AS (SELECT 'https://' || host || path ||
+             (CASE WHEN len(kept) = 0 THEN ''
+                   ELSE '?' || array_to_string(kept, '&') END) AS url_norm
+           FROM s3)
+         SELECT url_norm, count(*) AS n FROM n
+         GROUP BY url_norm ORDER BY url_norm""",
+
+    "fuzzy_key_join" ->
+      """WITH keys AS (
+           SELECT p_name AS key FROM part
+           UNION ALL
+           SELECT substr(p_name, 1, 2) || substr(p_name, 4) AS key
+           FROM part WHERE p_partkey < 30),
+         dk AS (SELECT DISTINCT key FROM keys)
+         SELECT a.key AS key_a, b.key AS key_b,
+           levenshtein(a.key, b.key) AS dist
+         FROM dk a JOIN dk b ON a.key < b.key
+         WHERE levenshtein(a.key, b.key) <= 1
+         ORDER BY key_a, key_b""",
 
     "dedup_bloom_admission" ->
       """WITH corpus AS (

@@ -95,6 +95,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.exists(_._1 == "3"))
   }
 
+  test("URL normalization: variants of one page collapse to one key") {
+    def norm(u: String): String = Seq(u).toDF("u")
+      .select(TextAnalysis.normalizeUrl(col("u"))).as[String].head()
+    val canonical = "https://ex.com/A/b?a=1&b=2"
+    assert(norm("HTTP://WWW.Ex.COM/A/b?b=2&a=1") == canonical)
+    assert(norm("https://ex.com/A/b/?utm_source=f&a=1&b=2#frag") == canonical)
+    assert(norm("https://ex.com/A/b?a=1&gclid=xyz&b=2") == canonical)
+    // path case preserved, host case folded
+    assert(norm("https://EX.com/A/b?a=1&b=2") == canonical)
+    assert(norm("https://ex.com/a/B") != norm("https://ex.com/A/b"))
+    // no query, bare host, trailing slashes
+    assert(norm("http://www.site.org/") == "https://site.org")
+    assert(norm("  https://site.org/p///  ") == "https://site.org/p")
+    // all params tracking -> '?' dropped entirely
+    assert(norm("https://s.io/x?utm_a=1&utm_b=2") == "https://s.io/x")
+  }
+
   test("PII redaction replaces emails, IPs, and phones with typed tags") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
