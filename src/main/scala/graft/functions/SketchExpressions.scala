@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Catalyst expressions over probabilistic sketches.
@@ -27,8 +27,12 @@ object SketchExpressions {
     * `true` is wrong with probability `fpp`. Not CodegenFallback —
     * surrounding operators stay in whole-stage codegen. */
   case class BloomMightContainLong(child: Expression, bloom: Broadcast[BloomFilter])
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = BooleanType
+    // Analysis-time type check: the filter stores 64-bit fingerprints, so a
+    // non-long child (a raw string column, say) must fail with a typed
+    // analysis error, not a ClassCastException inside generated code.
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
     override def prettyName: String = "bloom_might_contain"
 
     override def nullSafeEval(input: Any): Any =

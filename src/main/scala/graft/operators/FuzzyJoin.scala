@@ -51,10 +51,18 @@ object FuzzyJoin {
       s"editDistancePairs: keys longer than $maxKeyLength chars present — " +
         "this operator bands KEYS (names, titles, URLs), not documents; " +
         "raise maxKeyLength only if the length is intentional")
-    // one partial-aggregated exchange collapses duplicate keys; kf is the
-    // fixed-width stand-in for the key from here on
+    // One partial-aggregated exchange collapses duplicate keys — grouped on
+    // the KEY STRING itself (bounded by maxKeyLength, so the exchange is no
+    // wider than the min(key) payload it used to carry), so no 64-bit
+    // collision can merge two distinct key values and silently drop one.
+    // kf is the fixed-width stand-in from here on; the residual collision
+    // class is benign in the other direction: two distinct keys sharing kf
+    // cannot candidate-pair with EACH OTHER (`kf_a < kf_b` never holds), an
+    // expected n²/2⁶⁵ missed pairs — they still pair correctly with every
+    // other key, and verification joins expand both and levenshtein-verify.
     val keys = df.select(key.as("key")).filter(col("key").isNotNull)
-      .groupBy(xxhash64(col("key")).as("kf")).agg(min(col("key")).as("key"))
+      .distinct()
+      .select(xxhash64(col("key")).as("kf"), col("key"))
     val banded = keys.select(col("kf"),
         explode(TextHashExpressions.deletionNeighborhood(col("key"), maxDist))
           .as("v"))

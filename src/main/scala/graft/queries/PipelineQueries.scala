@@ -21,10 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Real-id pass-through that FAILS LOUDLY when the corpus has grown into
+    * a planted-twin window: planted rows are renumbered at `id + offset`,
+    * and every planted oracle assumes the two id spaces are disjoint — at a
+    * scale factor where real ids reach `offset`, twins would collide with
+    * real rows and the Spark/DuckDB comparison would corrupt SILENTLY (r6
+    * advisory). assert_true keeps the check a per-row codegen predicate on
+    * the scan the query already runs — no extra action, no extra pass —
+    * and it errors (driver records `err`) the moment a real id reaches the
+    * offset, naming the fix. */
+  private def belowPlantedOffset(id: Column, offset: Long): Column =
+    when(assert_true(id < offset, lit(
+      s"planted-twin offset $offset collides with real ids at this scale " +
+        "factor — raise the offset in PipelineQueries")).isNull, id)
+
   /** documents plus a planted exact-duplicate of the first 100 docs —
     * the corpus used to demonstrate exact dedup against a known answer. */
   private def dupCorpus(t: Tables): DataFrame = {
-    val d = t.documents.select(col("doc_id"), col("text"))
+    val d = t.documents.select(
+      belowPlantedOffset(col("doc_id"), 100000).as("doc_id"), col("text"))
     d.union(d.filter(col("doc_id") < 100)
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
@@ -37,7 +52,8 @@ object PipelineQueries {
     * oracle (list comprehension over the reversed index). */
   private def plantedEmbeddings(t: Tables): DataFrame = {
     val base = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .select(belowPlantedOffset(col("vec_id"), 100000).as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
     base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         zip_with(col("embedding"), reverse(col("embedding")),
@@ -86,7 +102,8 @@ object PipelineQueries {
     // simhash distance is probabilistic, so only the identical-twin
     // config has a provable oracle.
     "dedup_simhash" -> { (s, dir) =>
-      val base = Tables(s, dir).documents.select(col("doc_id"),
+      val base = Tables(s, dir).documents.select(
+        belowPlantedOffset(col("doc_id"), 100000).as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(39)),
           i => concat(lit("w"),
             pmod(xxhash64(col("doc_id"), i), lit(1000000000L))))).as("text"))
@@ -368,7 +385,8 @@ object PipelineQueries {
     // definitively new, positives are confirmed against the real index —
     // so the oracle is the plain text-keyed NOT EXISTS.
     "dedup_bloom_admission" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val docs = Tables(s, dir).documents.select(
+        belowPlantedOffset(col("doc_id"), 200000).as("doc_id"), col("text"))
       val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
         .unionByName(corpus.filter(col("doc_id") < 40)
@@ -424,7 +442,8 @@ object PipelineQueries {
     // dedup_embedding_lsh uses.
     "dedup_embedding_incremental" -> { (s, dir) =>
       val base = Tables(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .select(belowPlantedOffset(col("vec_id"), 100000).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
       val corpus = Similarity.prepared(base, col("vec_id"), col("embedding"))
       val batch = Similarity.prepared(
         base.filter(pmod(col("vec_id"), lit(10)) === 0)
@@ -449,7 +468,8 @@ object PipelineQueries {
     // endless streams, not wanted under an exactness oracle.
     "dedup_embedding_stream" -> { (s, dir) =>
       val base = Tables(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .select(belowPlantedOffset(col("vec_id"), 100000).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
       val twins = base.filter(pmod(col("vec_id"), lit(10)) === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           zip_with(col("embedding"), reverse(col("embedding")),
@@ -595,7 +615,8 @@ object PipelineQueries {
     // the spec suite and by the LshTune sweep instead.
     "sim_ivf_top1" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
       val queries = all.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
       val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 16)

@@ -100,16 +100,18 @@ class FuzzyJoinSpec extends SparkSpec {
       val root = FuzzyJoin.editDistancePairs(keys, col("key"))
         .queryExecution.executedPlan
       // the ONLY string-carrying exchanges allowed are the distinct-key
-      // collapse (map-side combined, distinct-sized, documented) and
-      // nothing else: band rows and candidate pairs are (kf, vh) longs
+      // collapse (map-side combined, distinct-sized, grouped on the key
+      // string itself so no 64-bit collision can drop a key) and nothing
+      // else: band rows and candidate pairs are (kf, vh) longs
       val stringShuffles = root.collect { case e: ShuffleExchangeLike => e }
         .filter(_.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
           .output.exists(_.dataType.typeName == "string"))
       stringShuffles.foreach { e =>
         val p = e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
-        // partial_min marks the map-side combine of the collapse (Hash- or
-        // SortAggregate, the planner's choice for a string min)
-        assert(p.children.exists(_.toString.contains("partial_min")),
+        // the collapse exchange carries exactly the bare key column of the
+        // partial distinct aggregate — anything wider is a leak
+        assert(p.output.map(_.name) == Seq("key") &&
+          p.children.exists(_.toString.contains("HashAggregate")),
           s"non-collapse exchange carries strings:\n$p")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
