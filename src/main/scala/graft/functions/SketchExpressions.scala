@@ -5,7 +5,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Catalyst expressions over probabilistic sketches.
@@ -32,7 +32,9 @@ object SketchExpressions {
     // Analysis-time type check: the filter stores 64-bit fingerprints, so a
     // non-long child (a raw string column, say) must fail with a typed
     // analysis error, not a ClassCastException inside generated code.
-    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    // (Seq[DataType], not Seq[AbstractDataType]: the latter is private[sql]
+    // in Spark 4 and unreferencable here; the covariant override is legal.)
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def prettyName: String = "bloom_might_contain"
 
     override def nullSafeEval(input: Any): Any =

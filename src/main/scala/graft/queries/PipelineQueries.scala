@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
 import graft.streaming.StreamingNearDup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
@@ -29,9 +29,11 @@ object PipelineQueries {
     * advisory). assert_true keeps the check a per-row codegen predicate on
     * the scan the query already runs — no extra action, no extra pass —
     * and it errors (driver records `err`) the moment a real id reaches the
-    * offset, naming the fix. */
+    * offset, naming the fix. NULL ids pass through unchecked (the `isNull`
+    * disjunct) — the generated corpora are non-null, but the guard must not
+    * change null semantics of the column it wraps. */
   private def belowPlantedOffset(id: Column, offset: Long): Column =
-    when(assert_true(id < offset, lit(
+    when(assert_true(id.isNull || id < offset, lit(
       s"planted-twin offset $offset collides with real ids at this scale " +
         "factor — raise the offset in PipelineQueries")).isNull, id)
 
