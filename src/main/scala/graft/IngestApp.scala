@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import graft.sources.IndexStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,11 +42,12 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * Writes `<outDir>/admitted` and `<outDir>/rejects` (id, reason).
-  * At production scale the index halves are persisted bucketed
-  * ([[graft.sources.Bucketing.writeBucketed]] on (band, sig) / wh /
-  * (band, bucket)) so the per-batch joins are exchange-free on the
-  * corpus side — this main rebuilds them inline, which is the same
-  * plan minus the bucketed-scan saving. */
+  * The `docs`/`vecs` modes build the corpus indexes inline (one-shot
+  * shape); the `build-*`/`admit-*` modes run the CLOSED loop over a
+  * persisted [[graft.sources.IndexStore]] — indexes bucketed on their
+  * join keys (exchange-free corpus side, plan-guard spec'd), each
+  * admitted batch appended back so the next batch is checked against
+  * everything admitted before it. */
 object IngestApp {
 
   /** Documents admission. Returns (admitted, rejects(doc_id, reason)).
@@ -58,24 +60,41 @@ object IngestApp {
   def runDocs(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.8,
               maxSpanFrac: Double = 0.5): (DataFrame, DataFrame) = {
     val fpIdx = Dedup.admissionIndex(corpus, col("text"))
+    val nearIdx = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+    val spanIdx = Dedup.spanIndex(corpus, col("doc_id"), col("text"))
+    runDocsWith(fpIdx, nearIdx, spanIdx, corpus, batch,
+      IndexStore.DocConfig(), threshold, maxSpanFrac)
+  }
+
+  /** The documents-admission core against EXTERNALLY-SUPPLIED indexes —
+    * the persisted-store path: `fpIdx`/`mhIdx`/`spanIdx` are the three
+    * admission indexes (inline-built by [[runDocs]], catalog tables in
+    * [[admitDocs]]), `corpus` is the (doc_id, text) side verification
+    * fetches candidate texts from, and `cfg` must be the configuration
+    * the indexes were HASHED under — stale configs are exactly what
+    * [[graft.sources.IndexStore]]'s recorded properties exist to
+    * prevent. */
+  def runDocsWith(fpIdx: DataFrame, mhIdx: DataFrame, spanIdx: DataFrame,
+                  corpus: DataFrame, batch: DataFrame,
+                  cfg: IndexStore.DocConfig, threshold: Double,
+                  maxSpanFrac: Double): (DataFrame, DataFrame) = {
     val bloom = batch.sparkSession.sparkContext
       .broadcast(Dedup.admissionBloom(fpIdx))
     val survivors = Dedup.bloomAdmit(fpIdx, bloom, batch,
       col("doc_id"), col("text"))
     val exactDup = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup_of_corpus").as("reason"))
-    val nearIdx = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
-    val nearDup = Dedup.minhashIncrementalPairs(nearIdx, corpus, survivors,
-        col("doc_id"), col("text"), threshold = threshold)
+    val nearDup = Dedup.minhashIncrementalPairs(mhIdx, corpus, survivors,
+        col("doc_id"), col("text"), cfg.ngram, cfg.numHashes, cfg.bands,
+        threshold = threshold)
       .select(col("new_id").as("doc_id"), lit("near_dup_of_corpus").as("reason"))
       .distinct()
-    val spanIdx = Dedup.spanIndex(corpus, col("doc_id"), col("text"))
     val spanHeavy = Dedup.spanIncrementalStats(spanIdx, survivors,
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), cfg.spanK)
       .filter(col("overlap_frac") > maxSpanFrac)
       .select(col("doc_id"), lit("span_overlap_with_corpus").as("reason"))
     val withinBatch = Dedup.minhashLshPairs(survivors, col("doc_id"), col("text"),
-        threshold = threshold)
+        cfg.ngram, cfg.numHashes, cfg.bands, threshold = threshold)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id"),
         lit("near_dup_within_batch").as("reason"))
       .distinct()
@@ -86,6 +105,22 @@ object IngestApp {
     (admitted, rejects)
   }
 
+  /** Documents admission against a persisted [[graft.sources.IndexStore]]:
+    * reads the four store tables and the recorded config from the catalog
+    * and runs [[runDocsWith]] — per batch, the corpus is touched only by
+    * the bucketed index scans and the candidate-sized text fetch. Does
+    * NOT append; callers close the loop with
+    * [[graft.sources.IndexStore.appendDocs]] AFTER materializing the
+    * admitted frame (it reads the very tables the append writes). */
+  def admitDocs(spark: SparkSession, prefix: String, batch: DataFrame,
+                threshold: Double = 0.8,
+                maxSpanFrac: Double = 0.5): (DataFrame, DataFrame) =
+    runDocsWith(spark.table(IndexStore.fpTable(prefix)),
+      spark.table(IndexStore.mhTable(prefix)),
+      spark.table(IndexStore.spanTable(prefix)),
+      spark.table(IndexStore.docsTable(prefix)), batch,
+      IndexStore.docConfig(spark, prefix), threshold, maxSpanFrac)
+
   /** Vectors admission. Returns (admitted, rejects(vec_id, reason)).
     * `nPlanes = 0` (the default) self-provisions from the measured
     * `planes = log2(N)+1` rule ([[Similarity.lshAutoPlanes]], one corpus
@@ -93,13 +128,24 @@ object IngestApp {
   def runVecs(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.9,
               nPlanes: Int = 0, nTables: Int = 4): (DataFrame, DataFrame) = {
     val c = Similarity.prepared(corpus, col("vec_id"), col("embedding"))
-    val b = Similarity.prepared(batch, col("vec_id"), col("embedding"))
     val planes =
       if (nPlanes > 0) nPlanes
       else math.max(8, Similarity.lshAutoPlanes(math.max(1L, c.count())))
-    val index = Similarity.lshIndex(c, planes, nTables)
-    val vsCorpus = Similarity.cosineIncrementalPairs(index, c, b, threshold,
-        planes, nTables)
+    runVecsWith(Similarity.lshIndex(c, planes, nTables), c, batch,
+      threshold, planes, nTables)
+  }
+
+  /** The vectors-admission core against an externally-supplied
+    * [[Similarity.lshIndex]]. `corpusPrepared` is in [[Similarity.prepared]]
+    * shape; (planes, tables) must be the index's build config — enforced
+    * from recorded properties on the store path, and double-checked by
+    * `cosineIncrementalPairs`' sampled layout self-test. */
+  def runVecsWith(index: DataFrame, corpusPrepared: DataFrame, batch: DataFrame,
+                  threshold: Double, planes: Int,
+                  nTables: Int): (DataFrame, DataFrame) = {
+    val b = Similarity.prepared(batch, col("vec_id"), col("embedding"))
+    val vsCorpus = Similarity.cosineIncrementalPairs(index, corpusPrepared, b,
+        threshold, planes, nTables)
       .select(col("new_id").as("vec_id"), lit("near_dup_of_corpus").as("reason"))
       .distinct()
     val withinBatch = Similarity.cosineNearDupPairsLsh(b, threshold,
@@ -113,33 +159,95 @@ object IngestApp {
     (admitted, rejects)
   }
 
+  /** Vectors admission against a persisted [[graft.sources.IndexStore]];
+    * same contract as [[admitDocs]] (no append — materialize, then
+    * [[graft.sources.IndexStore.appendVecs]]). */
+  def admitVecs(spark: SparkSession, prefix: String, batch: DataFrame,
+                threshold: Double = 0.9): (DataFrame, DataFrame) = {
+    val cfg = IndexStore.vecConfig(spark, prefix)
+    runVecsWith(spark.table(IndexStore.lshTable(prefix)),
+      spark.table(IndexStore.vecsTable(prefix)), batch,
+      threshold, cfg.nPlanes, cfg.nTables)
+  }
+
+  /** Write admission output, print the one-line JSON report, and return
+    * the RE-READ admitted frame — materialized through parquet, so a
+    * subsequent index append never writes tables its own input plan is
+    * still reading. */
+  private def writeAndReport(spark: SparkSession, mode: String,
+                             batch: DataFrame, admitted: DataFrame,
+                             rejects: DataFrame, outDir: String): DataFrame = {
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+    rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
+    val nBatch = batch.count()
+    val admittedBack = spark.read.parquet(s"$outDir/admitted")
+    val byReason = spark.read.parquet(s"$outDir/rejects")
+      .groupBy("reason").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+    println(s"""{"metric":"ingest_admission","mode":"$mode","batch":$nBatch,"admitted":${admittedBack.count()},"rejects":{$byReason}}""")
+    admittedBack
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: IngestApp docs|vecs <corpusParquet> <batchParquet> <outDir> [...]")
-    val Array(mode, corpusPath, batchPath, outDir) = args.take(4)
+    require(args.nonEmpty,
+      "usage: IngestApp docs|vecs <corpus> <batch> <outDir> [...] | " +
+        "build-docs <corpus> <prefix> [buckets] | " +
+        "admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
+        "build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables] | " +
+        "admit-vecs <batch> <prefix> <outDir> [threshold]")
+    val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    try {
-      val corpus = spark.read.parquet(corpusPath)
-      val batch = spark.read.parquet(batchPath)
-      val (admitted, rejects) = mode match {
-        case "docs" => runDocs(corpus, batch,
+    try mode match {
+      // one-shot admission: corpus indexes built inline, nothing persisted
+      case "docs" | "vecs" =>
+        require(args.length >= 4, s"usage: IngestApp $mode <corpus> <batch> <outDir> [...]")
+        val corpus = spark.read.parquet(args(1))
+        val batch = spark.read.parquet(args(2))
+        val (admitted, rejects) =
+          if (mode == "docs") runDocs(corpus, batch,
+            threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
+            maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
+          else runVecs(corpus, batch,
+            threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
+            nPlanes = args.lift(5).map(_.toInt).getOrElse(0), // 0 = lshAutoPlanes
+            nTables = args.lift(6).map(_.toInt).getOrElse(4))
+        writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+
+      // the continuous loop: build once ...
+      case "build-docs" =>
+        require(args.length >= 3, "usage: IngestApp build-docs <corpus> <prefix> [buckets]")
+        IndexStore.buildDocs(spark.read.parquet(args(1)), col("doc_id"),
+          col("text"), args(2), IndexStore.DocConfig(
+            buckets = args.lift(3).map(_.toInt).getOrElse(32)))
+        println(s"""{"metric":"ingest_build","mode":"docs","prefix":"${args(2)}","rows":${spark.table(IndexStore.docsTable(args(2))).count()}}""")
+      case "build-vecs" =>
+        require(args.length >= 3, "usage: IngestApp build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables]")
+        IndexStore.buildVecs(spark.read.parquet(args(1)), col("vec_id"),
+          col("embedding"), args(2),
+          nPlanes = args.lift(4).map(_.toInt).getOrElse(0),
+          nTables = args.lift(5).map(_.toInt).getOrElse(4),
+          buckets = args.lift(3).map(_.toInt).getOrElse(32))
+        println(s"""{"metric":"ingest_build","mode":"vecs","prefix":"${args(2)}","rows":${spark.table(IndexStore.vecsTable(args(2))).count()}}""")
+
+      // ... then admit + append per batch, forever
+      case "admit-docs" =>
+        require(args.length >= 4, "usage: IngestApp admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac]")
+        val batch = spark.read.parquet(args(1))
+        val (admitted, rejects) = admitDocs(spark, args(2), batch,
           threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
           maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
-        case "vecs" => runVecs(corpus, batch,
-          threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
-          nPlanes = args.lift(5).map(_.toInt).getOrElse(0),   // 0 = lshAutoPlanes
-          nTables = args.lift(6).map(_.toInt).getOrElse(4))
-        case other => throw new IllegalArgumentException(
-          s"unknown mode '$other' (docs|vecs)")
-      }
-      admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
-      rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
-      val nBatch = batch.count()
-      val nAdmitted = spark.read.parquet(s"$outDir/admitted").count()
-      val byReason = spark.read.parquet(s"$outDir/rejects")
-        .groupBy("reason").count().collect()
-        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
-      println(s"""{"metric":"ingest_admission","mode":"$mode","batch":$nBatch,"admitted":$nAdmitted,"rejects":{$byReason}}""")
+        val admittedBack = writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+        IndexStore.appendDocs(admittedBack, col("doc_id"), col("text"), args(2))
+      case "admit-vecs" =>
+        require(args.length >= 4, "usage: IngestApp admit-vecs <batch> <prefix> <outDir> [threshold]")
+        val batch = spark.read.parquet(args(1))
+        val (admitted, rejects) = admitVecs(spark, args(2), batch,
+          threshold = args.lift(4).map(_.toDouble).getOrElse(0.9))
+        val admittedBack = writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+        IndexStore.appendVecs(admittedBack, col("vec_id"), col("embedding"), args(2))
+
+      case other => throw new IllegalArgumentException(
+        s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|admit-vecs)")
     } finally spark.stop()
   }
 }

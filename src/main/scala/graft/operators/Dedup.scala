@@ -287,14 +287,22 @@ object Dedup {
     * window hash — exchange-free on the corpus side when the index is
     * bucketed on `wh` (plan-guard spec'd); only the batch's fixed-width
     * rows shuffle, and the rollup is one id-keyed aggregation. No text
-    * column exists anywhere in the plan past the two scans. */
+    * column exists anywhere in the plan past the two scans.
+    *
+    * The index may carry DUPLICATE `wh` rows — an appended store
+    * ([[graft.sources.IndexStore.appendDocs]]) is an unmerged count-delta
+    * log — so presence is read through a distinct; on a wh-bucketed (or
+    * freshly [[spanIndex]]-grouped) index that aggregation needs no
+    * exchange, and without it a duplicated hash would double-count hits
+    * and push `overlap_frac` past 1. */
   def spanIncrementalStats(index: DataFrame, batch: DataFrame,
                            id: Column, text: Column, k: Int = 6): DataFrame = {
     val w = batch.select(id.as("doc_id"),
         posexplode_outer(TextHashExpressions.spanHashes(text, k))
           .as(Seq("pos", "wh")))
       .filter(col("wh").isNotNull)
-    w.join(index.select(col("wh"), lit(1L).as("hit")), Seq("wh"), "left")
+    w.join(index.select(col("wh")).distinct().withColumn("hit", lit(1L)),
+        Seq("wh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("hit"), lit(0L))).as("n_indexed_windows"))

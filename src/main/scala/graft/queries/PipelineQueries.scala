@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.Tables
+import graft.{IngestApp, Tables}
 import graft.operators.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
+import graft.sources.IndexStore
 import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -811,6 +812,42 @@ object PipelineQueries {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // The CLOSED ingest-admission loop over a persisted IndexStore —
+    // build bucketed indexes from the corpus (doc_id%4 ∈ {2,3}), admit
+    // batch 1 (%4==0), APPEND the admitted rows back, then admit batch 2
+    // (%4==1): batch-2 duplicates of batch-1 admissions must be rejected
+    // against the APPENDED state, which is what distinguishes a loop from
+    // two independent one-shot admissions. Emits every rejection with its
+    // batch and reason; the oracle replays both batches with exact logic
+    // (text equality, brute-force 3-gram Jaccard, token-window overlap)
+    // against the growing corpus. The store is dropped and rebuilt per
+    // run so the query is deterministic under re-execution.
+    "ingest_loop" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+      val p = "ingest_loop_store"
+      IndexStore.dropDocs(s, p)
+      IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 8))
+      val (adm1, rej1) = IngestApp.admitDocs(s, p, b1)
+      // localCheckpoint BOTH admission outputs BEFORE appending: the
+      // append mutates the very tables their plans read, so a lazy rej1
+      // re-evaluated after it would see batch 1 in the "corpus" and
+      // reject every admitted doc as a near-dup of itself (the exact
+      // read-your-own-append hazard admitDocs' contract warns about).
+      val rej1M = rej1.localCheckpoint(true)
+      IndexStore.appendDocs(adm1.localCheckpoint(true),
+        col("doc_id"), col("text"), p)
+      val (_, rej2) = IngestApp.admitDocs(s, p, b2)
+      rej1M.withColumn("batch", lit(1L))
+        .unionByName(rej2.withColumn("batch", lit(2L)))
+        .select(col("batch"), col("doc_id"), col("reason"))
+        .orderBy(col("batch"), col("doc_id"), col("reason"))
     }
   )
 
@@ -1375,6 +1412,96 @@ object PipelineQueries {
            CAST(sum(hit) AS BIGINT) AS n_indexed_windows,
            round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    // The two-batch loop replayed with exact logic against the growing
+    // corpus: batch-1 admissions join the corpus before batch 2 is
+    // checked. Stage mirror: exact = text equality; near = brute 3-gram
+    // Jaccard >= 0.8 on exact-new survivors; span = 6-token-window
+    // overlap > 0.5; within = greater id of each surviving near-dup pair.
+    "ingest_loop" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+            sh AS (SELECT doc_id,
+                     list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                    for i in range(1, len(toks) - 1)]) AS sh
+                   FROM t WHERE len(toks) >= 3),
+            w AS (SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS win
+                  FROM t, unnest(range(1, len(toks) - 4)) AS u(i)
+                  WHERE len(toks) >= 6),
+            c1 AS (SELECT doc_id, text FROM t WHERE doc_id % 4 >= 2),
+            b1 AS (SELECT doc_id, text FROM t WHERE doc_id % 4 = 0),
+            x1 AS (SELECT b.doc_id FROM b1 b
+                   WHERE EXISTS (SELECT 1 FROM c1 c WHERE c.text = b.text)),
+            s1 AS (SELECT doc_id, text FROM b1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM x1)),
+            n1 AS (SELECT DISTINCT ns.doc_id
+                   FROM s1 JOIN sh ns ON ns.doc_id = s1.doc_id
+                        JOIN c1 ON true
+                        JOIN sh cs ON cs.doc_id = c1.doc_id
+                   WHERE CAST(len(list_intersect(cs.sh, ns.sh)) AS DOUBLE)
+                     / (len(cs.sh) + len(ns.sh) - len(list_intersect(cs.sh, ns.sh)))
+                     >= 0.8),
+            p1 AS (SELECT bw.doc_id
+                   FROM (SELECT s1.doc_id, w.win FROM s1
+                         JOIN w ON w.doc_id = s1.doc_id) bw
+                   LEFT JOIN (SELECT DISTINCT w.win FROM w
+                              JOIN c1 ON w.doc_id = c1.doc_id) iw
+                     ON bw.win = iw.win
+                   GROUP BY bw.doc_id
+                   HAVING CAST(sum(CASE WHEN iw.win IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) > 0.5),
+            wb1 AS (SELECT DISTINCT b.doc_id
+                    FROM s1 a JOIN sh sa ON sa.doc_id = a.doc_id
+                         JOIN s1 b ON a.doc_id < b.doc_id
+                         JOIN sh sb ON sb.doc_id = b.doc_id
+                    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                      >= 0.8),
+            r1 AS (SELECT doc_id, 'exact_dup_of_corpus' AS reason FROM x1
+                   UNION SELECT doc_id, 'near_dup_of_corpus' FROM n1
+                   UNION SELECT doc_id, 'span_overlap_with_corpus' FROM p1
+                   UNION SELECT doc_id, 'near_dup_within_batch' FROM wb1),
+            c2 AS (SELECT * FROM c1
+                   UNION ALL
+                   SELECT doc_id, text FROM b1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM r1)),
+            b2 AS (SELECT doc_id, text FROM t WHERE doc_id % 4 = 1),
+            x2 AS (SELECT b.doc_id FROM b2 b
+                   WHERE EXISTS (SELECT 1 FROM c2 c WHERE c.text = b.text)),
+            s2 AS (SELECT doc_id, text FROM b2
+                   WHERE doc_id NOT IN (SELECT doc_id FROM x2)),
+            n2 AS (SELECT DISTINCT ns.doc_id
+                   FROM s2 JOIN sh ns ON ns.doc_id = s2.doc_id
+                        JOIN c2 ON true
+                        JOIN sh cs ON cs.doc_id = c2.doc_id
+                   WHERE CAST(len(list_intersect(cs.sh, ns.sh)) AS DOUBLE)
+                     / (len(cs.sh) + len(ns.sh) - len(list_intersect(cs.sh, ns.sh)))
+                     >= 0.8),
+            p2 AS (SELECT bw.doc_id
+                   FROM (SELECT s2.doc_id, w.win FROM s2
+                         JOIN w ON w.doc_id = s2.doc_id) bw
+                   LEFT JOIN (SELECT DISTINCT w.win FROM w
+                              JOIN c2 ON w.doc_id = c2.doc_id) iw
+                     ON bw.win = iw.win
+                   GROUP BY bw.doc_id
+                   HAVING CAST(sum(CASE WHEN iw.win IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) > 0.5),
+            wb2 AS (SELECT DISTINCT b.doc_id
+                    FROM s2 a JOIN sh sa ON sa.doc_id = a.doc_id
+                         JOIN s2 b ON a.doc_id < b.doc_id
+                         JOIN sh sb ON sb.doc_id = b.doc_id
+                    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                      >= 0.8),
+            r2 AS (SELECT doc_id, 'exact_dup_of_corpus' AS reason FROM x2
+                   UNION SELECT doc_id, 'near_dup_of_corpus' FROM n2
+                   UNION SELECT doc_id, 'span_overlap_with_corpus' FROM p2
+                   UNION SELECT doc_id, 'near_dup_within_batch' FROM wb2)
+         SELECT batch, doc_id, reason FROM (
+           SELECT CAST(1 AS BIGINT) AS batch, doc_id, reason FROM r1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT) AS batch, doc_id, reason FROM r2)
+         ORDER BY batch, doc_id, reason""",
 
     "dedup_span_excise" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text

@@ -30,6 +30,26 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append `df` to an existing bucketed table written by [[writeBucketed]]
+    * with the SAME keys/buckets — the cheap half of an ingest loop: each
+    * append shuffles only the delta into the existing bucket layout (one
+    * file per touched bucket), and every join/aggregation on the bucket key
+    * stays exchange-free afterwards. The bucket spec must be re-stated
+    * because `saveAsTable(Append)` validates it against the catalog — a
+    * mismatched spec is an AnalysisException, not silent corruption. Note
+    * bucket-SORT guarantees weaken under append (multiple files per
+    * bucket): joins stay exchange-free but may re-sort per query. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "need at least one bucket column")
+    val sorted = if (sortCols.isEmpty) keys else sortCols
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Z-order (Morton) key: interleave the low `bits` bits of each column
     * so that sorting by the single key clusters rows close in EVERY
     * dimension. Built from shift/and/or expressions only — codegen'd, no

@@ -1,0 +1,204 @@
+package graft.sources
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted state of a continuous ingest-admission loop — the piece
+  * that turns the incremental operators ([[Dedup.bloomAdmit]],
+  * [[Dedup.minhashIncrementalPairs]], [[Dedup.spanIncrementalStats]],
+  * [[Similarity.cosineIncrementalPairs]]) from one-shot demos into a
+  * pipeline: build the bucketed index tables ONCE from the existing
+  * corpus, admit each new batch against them, then APPEND the admitted
+  * batch's index rows back, so the next batch is checked against
+  * everything that came before without re-reading or re-hashing a single
+  * already-ingested document.
+  *
+  * A store is a table-name prefix owning:
+  *  - docs store: `<prefix>_docs` (doc_id, text; bucketed by doc_id — the
+  *    candidate-sized text fetch side of verification), `<prefix>_fp`
+  *    (fp; bucketed by fp), `<prefix>_mh` (doc_id, band, sig; bucketed by
+  *    (band, sig)), `<prefix>_span` (wh, n; bucketed by wh).
+  *  - vecs store: `<prefix>_vecs` ([[Similarity.prepared]] rows; bucketed
+  *    by vec_id), `<prefix>_lsh` ([[Similarity.lshIndex]] rows; bucketed
+  *    by (band, bucket)).
+  *
+  * The hash configuration (ngram/numHashes/bands/spanK, or
+  * nPlanes/nTables) is recorded as table properties AT BUILD TIME and
+  * every append/admit reads it back from the catalog — a batch hashed
+  * under a different config than the index can therefore never be
+  * appended or probed (the classic silent-recall-loss failure;
+  * [[Similarity.cosineIncrementalPairs]]'s sampled layout check now has a
+  * config source of truth instead of a convention). Bucket-spec drift is
+  * independently rejected by `saveAsTable(Append)` itself.
+  *
+  * Append semantics per table:
+  *  - `_docs`, `_mh`, `_vecs`, `_lsh`: admitted ids are NEW (that is what
+  *    admission established), so appended rows are disjoint from existing
+  *    rows and the appended table equals a from-scratch rebuild exactly
+  *    (spec-verified).
+  *  - `_fp`: admitted texts are distinct from every indexed text, so the
+  *    same holds. (Consumers tolerate duplicate `fp` rows anyway — the
+  *    confirm path is a semi/anti join.)
+  *  - `_span`: the SAME window hash legitimately recurs across appends;
+  *    the table is an unmerged count delta log, total occurrence count =
+  *    `sum(n)` per `wh`. [[Dedup.spanIncrementalStats]] reads presence
+  *    through a distinct that is exchange-free on the wh-bucketed table,
+  *    so no per-append compaction is needed; compact (groupBy wh, sum n,
+  *    rewrite) only if append count grows into many small files.
+  *
+  * Scale (100 TB): each append pays one delta-sized shuffle into the
+  * existing bucket layout; per-batch admission joins stay exchange-free
+  * on the corpus side (the existing plan-guard specs, now also asserted
+  * over APPENDED tables). One caveat is deliberate: the LSH plane count
+  * is fixed at build time (`lshAutoPlanes` of the BUILD corpus), and
+  * bucket selectivity decays as appends grow the corpus past ~2× the
+  * build size — the candidate-count guards then degrade gracefully
+  * (shuffle fallback / abort-with-config), and the fix is a rebuild at
+  * the new size, which is the standard LSH re-provisioning trade.
+  */
+object IndexStore {
+
+  def docsTable(prefix: String): String = s"${prefix}_docs"
+  def fpTable(prefix: String): String   = s"${prefix}_fp"
+  def mhTable(prefix: String): String   = s"${prefix}_mh"
+  def spanTable(prefix: String): String = s"${prefix}_span"
+  def vecsTable(prefix: String): String = s"${prefix}_vecs"
+  def lshTable(prefix: String): String  = s"${prefix}_lsh"
+
+  /** Hash/bucket configuration of a documents store. */
+  case class DocConfig(ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                       spanK: Int = 6, buckets: Int = 32)
+
+  /** Hash/bucket configuration of a vectors store. `nPlanes` here is
+    * always the RESOLVED plane count (auto-provisioning happens once, at
+    * build). */
+  case class VecConfig(nPlanes: Int, nTables: Int, buckets: Int)
+
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * session catalog forgets tables when the JVM exits but the warehouse
+    * directory persists, so a fresh session's `CREATE` would fail with
+    * LOCATION_ALREADY_EXISTS after any uncleaned previous run — rebuild
+    * paths must clear both. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Drop every table of a documents store (catalog + location). */
+  def dropDocs(spark: SparkSession, prefix: String): Unit =
+    Seq(docsTable(prefix), fpTable(prefix), mhTable(prefix), spanTable(prefix))
+      .foreach(dropTable(spark, _))
+
+  /** Drop every table of a vectors store (catalog + location). */
+  def dropVecs(spark: SparkSession, prefix: String): Unit =
+    Seq(vecsTable(prefix), lshTable(prefix)).foreach(dropTable(spark, _))
+
+  private def setProps(spark: SparkSession, table: String,
+                       props: Map[String, String]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+
+  private def prop(spark: SparkSession, table: String, key: String): Int = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === key).collect()
+    require(rows.nonEmpty,
+      s"table $table has no '$key' property — not built by IndexStore?")
+    rows(0).getString(1).toInt
+  }
+
+  /** Build the documents store: corpus + the three admission indexes,
+    * all bucketed on their join keys, config recorded on `_docs`. */
+  def buildDocs(corpus: DataFrame, id: Column, text: Column, prefix: String,
+                cfg: DocConfig = DocConfig()): Unit = {
+    val spark = corpus.sparkSession
+    val docs = corpus.select(id.as("doc_id"), text.as("text"))
+    Bucketing.writeBucketed(docs, docsTable(prefix), Seq("doc_id"), cfg.buckets)
+    Bucketing.writeBucketed(Dedup.admissionIndex(docs, col("text")),
+      fpTable(prefix), Seq("fp"), cfg.buckets)
+    Bucketing.writeBucketed(
+      Dedup.minhashIndex(docs, col("doc_id"), col("text"),
+        cfg.ngram, cfg.numHashes, cfg.bands),
+      mhTable(prefix), Seq("band", "sig"), cfg.buckets)
+    Bucketing.writeBucketed(
+      Dedup.spanIndex(docs, col("doc_id"), col("text"), cfg.spanK),
+      spanTable(prefix), Seq("wh"), cfg.buckets)
+    setProps(spark, docsTable(prefix), Map(
+      "graft.ngram" -> cfg.ngram.toString,
+      "graft.numHashes" -> cfg.numHashes.toString,
+      "graft.bands" -> cfg.bands.toString,
+      "graft.spanK" -> cfg.spanK.toString,
+      "graft.buckets" -> cfg.buckets.toString))
+  }
+
+  /** The build-time configuration of a documents store, from the catalog. */
+  def docConfig(spark: SparkSession, prefix: String): DocConfig = {
+    val t = docsTable(prefix)
+    DocConfig(prop(spark, t, "graft.ngram"), prop(spark, t, "graft.numHashes"),
+      prop(spark, t, "graft.bands"), prop(spark, t, "graft.spanK"),
+      prop(spark, t, "graft.buckets"))
+  }
+
+  /** Append an ADMITTED batch to the documents store: one delta-sized
+    * bucketed append per table, hashed under the store's own recorded
+    * config. Call only with the admitted output of an admission run
+    * against this store — that is what makes appended ≡ rebuilt hold. */
+  def appendDocs(admitted: DataFrame, id: Column, text: Column,
+                 prefix: String): Unit = {
+    val spark = admitted.sparkSession
+    val cfg = docConfig(spark, prefix)
+    val docs = admitted.select(id.as("doc_id"), text.as("text"))
+    Bucketing.appendBucketed(docs, docsTable(prefix), Seq("doc_id"), cfg.buckets)
+    Bucketing.appendBucketed(Dedup.admissionIndex(docs, col("text")),
+      fpTable(prefix), Seq("fp"), cfg.buckets)
+    Bucketing.appendBucketed(
+      Dedup.minhashIndex(docs, col("doc_id"), col("text"),
+        cfg.ngram, cfg.numHashes, cfg.bands),
+      mhTable(prefix), Seq("band", "sig"), cfg.buckets)
+    Bucketing.appendBucketed(
+      Dedup.spanIndex(docs, col("doc_id"), col("text"), cfg.spanK),
+      spanTable(prefix), Seq("wh"), cfg.buckets)
+  }
+
+  /** Build the vectors store. `nPlanes = 0` auto-provisions from the
+    * measured `log2(N)+1` rule against the BUILD corpus size and records
+    * the resolved value, so every later append and probe agrees. */
+  def buildVecs(corpus: DataFrame, id: Column, vec: Column, prefix: String,
+                nPlanes: Int = 0, nTables: Int = 4, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    val prep = Similarity.prepared(corpus, id, vec)
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else math.max(8, Similarity.lshAutoPlanes(math.max(1L, prep.count())))
+    Bucketing.writeBucketed(prep, vecsTable(prefix), Seq("vec_id"), buckets)
+    Bucketing.writeBucketed(Similarity.lshIndex(prep, planes, nTables),
+      lshTable(prefix), Seq("band", "bucket"), buckets)
+    setProps(spark, vecsTable(prefix), Map(
+      "graft.nPlanes" -> planes.toString,
+      "graft.nTables" -> nTables.toString,
+      "graft.buckets" -> buckets.toString))
+  }
+
+  /** The build-time configuration of a vectors store, from the catalog. */
+  def vecConfig(spark: SparkSession, prefix: String): VecConfig = {
+    val t = vecsTable(prefix)
+    VecConfig(prop(spark, t, "graft.nPlanes"), prop(spark, t, "graft.nTables"),
+      prop(spark, t, "graft.buckets"))
+  }
+
+  /** Append an ADMITTED vector batch to the vectors store, hashed under
+    * the store's recorded (nPlanes, nTables). */
+  def appendVecs(admitted: DataFrame, id: Column, vec: Column,
+                 prefix: String): Unit = {
+    val spark = admitted.sparkSession
+    val cfg = vecConfig(spark, prefix)
+    val prep = Similarity.prepared(admitted, id, vec)
+    Bucketing.appendBucketed(prep, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
+    Bucketing.appendBucketed(
+      Similarity.lshIndex(prep, cfg.nPlanes, cfg.nTables),
+      lshTable(prefix), Seq("band", "bucket"), cfg.buckets)
+  }
+}

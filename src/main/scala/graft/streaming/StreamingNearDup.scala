@@ -24,12 +24,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per bucket is capped at `maxPerBucket` most-recent entries and
   * optionally age-evicted (`maxAgeMillis`, event-time, relative to the
-  * newest arrival in the bucket); `idleTimeout` evicts whole idle
-  * buckets. All three bounds trade recall, never correctness: an
-  * evicted entry's later duplicates are missed (precision stays 1 —
-  * every emitted pair is exact-cosine verified), which is the right
-  * trade for ingestion dedup, exactly as the watermark form argues for
-  * the exact case.
+  * newest arrival in the bucket); whole idle buckets are evicted by
+  * `idleTimeout` (processing time) or `eventTimeIdleMillis` (event
+  * time). The two idle modes differ in REPLAY semantics, not in intent:
+  * processing-time eviction depends on the wall clock of the run, so a
+  * checkpoint replay or a backfill executed faster than the original
+  * stream evicts differently and can emit different pairs;
+  * event-time eviction keys off the data's own watermark (bucket
+  * expires when the watermark passes its newest event + idle window),
+  * so state evolution is a pure function of the input and identical on
+  * every replay — spec-verified under deliberately different pacing.
+  * One structural caveat either way: a group's timeout only fires in a
+  * micro-batch where that group receives NO data (Spark invokes
+  * timed-out groups separately), so a bucket's eviction lands on the
+  * next silent batch after expiry, never mid-arrival. All these bounds
+  * trade recall, never correctness: an evicted entry's later duplicates
+  * are missed (precision stays 1 — every emitted pair is exact-cosine
+  * verified), which is the right trade for ingestion dedup, exactly as
+  * the watermark form argues for the exact case.
   *
   * Scale note: the groupBy exchange and the state store carry each
   * vector `nTables` times — the unavoidable price of SELF-CONTAINED
@@ -45,8 +57,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingNearDup {
 
   case class Pair(old_id: Long, new_id: Long, cosine: Double)
-  case class Keyed(band: Int, bucket: Long, vec_id: Long, tsMillis: Long,
-                   hashes: Seq[Long], vec: Seq[Double], norm: Double)
+  /** `ts` stays a TIMESTAMP (not pre-converted millis) deliberately: the
+    * event-time-timeout checker requires the watermarked attribute to
+    * reach the grouped Dataset, and watermark metadata rides the column. */
+  case class Keyed(band: Int, bucket: Long, vec_id: Long, ts: java.sql.Timestamp,
+                   hashes: Seq[Long], vec: Seq[Double], norm: Double) {
+    def tsMillis: Long = ts.getTime
+  }
   case class Entry(vec_id: Long, tsMillis: Long, hashes: Seq[Long],
                    vec: Seq[Double], norm: Double)
   case class BucketState(entries: Seq[Entry])
@@ -59,24 +76,43 @@ object StreamingNearDup {
   }
 
   /** `vecs` needs (vec_id: long, `tsCol`: timestamp, vec: array) columns.
-    * Old/new in an emitted pair is arrival order (event time, then id). */
+    * Old/new in an emitted pair is arrival order (event time, then id).
+    *
+    * Idle-bucket eviction: pass `idleTimeout` (e.g. "10 minutes") for
+    * processing-time eviction, or `eventTimeIdleMillis` for
+    * replay-deterministic event-time eviction — the latter applies a
+    * watermark of `eventTimeWatermarkDelay` on the event-time column
+    * (the required reference clock) and expires a bucket once the
+    * watermark passes its newest event + the idle window. The two modes
+    * are mutually exclusive. */
   def pairs(vecs: DataFrame, tsCol: String, threshold: Double,
             nPlanes: Int = 8, nTables: Int = 4,
             maxPerBucket: Int = 64, maxAgeMillis: Long = Long.MaxValue,
-            idleTimeout: Option[String] = None): Dataset[Pair] = {
+            idleTimeout: Option[String] = None,
+            eventTimeIdleMillis: Option[Long] = None,
+            eventTimeWatermarkDelay: String = "0 seconds"): Dataset[Pair] = {
+    require(idleTimeout.isEmpty || eventTimeIdleMillis.isEmpty,
+      "pick ONE idle-eviction clock: idleTimeout (processing time) or " +
+        "eventTimeIdleMillis (event time)")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val prep = vecs.select(col("vec_id").cast("long").as("vec_id"),
-        unix_millis(col(tsCol).cast("timestamp")).as("tsMillis"),
-        col("vec").cast("array<double>").as("vec"))
+    val based = vecs.select(col("vec_id").cast("long").as("vec_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col("vec").cast("array<double>").as("vec"))
+    val marked =
+      if (eventTimeIdleMillis.isDefined)
+        based.withWatermark("ts", eventTimeWatermarkDelay)
+      else based
+    val prep = marked
       .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
     val keyed = Similarity.bandedWithHashes(prep, nPlanes, nTables)
-      .select(col("band"), col("bucket"), col("vec_id"), col("tsMillis"),
+      .select(col("band"), col("bucket"), col("vec_id"), col("ts"),
         col("hashes"), col("vec"), col("norm"))
       .as[Keyed]
     keyed.groupByKey(k => (k.band, k.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
-        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        if (eventTimeIdleMillis.isDefined) GroupStateTimeout.EventTimeTimeout
+        else if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), it: Iterator[Keyed], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
@@ -108,6 +144,15 @@ object StreamingNearDup {
             if (incoming.nonEmpty) {
               state.update(BucketState(retained))
               idleTimeout.foreach(state.setTimeoutDuration)
+              eventTimeIdleMillis.foreach { idle =>
+                // Spark rejects a timeout at or below the current
+                // watermark; a bucket fed only already-late events gets
+                // the earliest legal expiry instead (evicted on the next
+                // silent batch).
+                state.setTimeoutTimestamp(math.max(
+                  incoming.last.tsMillis + idle,
+                  state.getCurrentWatermarkMs() + 1))
+              }
             }
             out.iterator
           }

@@ -139,4 +139,44 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(run("snd_age", 64, 1500L, Seq(0L, 1000L, 10000L)) ==
       Set((1L, 2L)))
   }
+
+  test("event-time idle eviction is replay-deterministic under different pacing") {
+    implicit val sqlCtx = spark.sqlContext
+    // v's bucket receives one vector, then sits silent for two batches
+    // while OTHER traffic (-v: every hyperplane sign flips, so every
+    // table's bucket differs) advances the watermark past its expiry —
+    // the bucket is evicted on a silent batch, and v's later twin finds
+    // empty state. The wall clock appears nowhere: a run paced with
+    // sleeps between micro-batches must emit EXACTLY the same pairs,
+    // which is the replay/backfill guarantee processing-time eviction
+    // cannot give.
+    val v = Seq.tabulate(16)(i => (i % 5) - 2.0)
+    val nv = v.map(x => -x)
+    def run(name: String, pauseMs: Long, idle: Option[Long]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+      val q = StreamingNearDup.pairs(
+          input.toDF().toDF("vec_id", "ts", "vec"), "ts", threshold = 0.99,
+          nPlanes = 4, nTables = 2, eventTimeIdleMillis = idle)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        Seq((1L, 0L, v), (10L, 5000L, nv), (11L, 6000L, nv), (2L, 7000L, v))
+          .foreach { case (id, t, vec) =>
+            input.addData((id, ts(t), vec))
+            q.processAllAvailable()
+            if (pauseMs > 0) Thread.sleep(pauseMs)
+          }
+        q.stop()
+        spark.table(name).as[Pair].collect().map(p => (p.old_id, p.new_id)).toSet
+      } finally q.stop()
+    }
+    // control — no idle eviction: v's bucket survives to its twin
+    assert(run("snd_et_none", 0, None) == Set((10L, 11L), (1L, 2L)))
+    // event-time idle 1.5 s: watermark (5000 entering batch 3) passes the
+    // bucket's expiry (0 + 1500) while it is silent -> evicted -> no (1,2)
+    val fast = run("snd_et_fast", 0, Some(1500L))
+    val slow = run("snd_et_slow", 800, Some(1500L))
+    assert(fast == Set((10L, 11L)), s"expected eviction to drop (1,2), got $fast")
+    assert(slow == fast, s"pacing changed event-time eviction: $slow vs $fast")
+  }
 }
