@@ -73,13 +73,19 @@ object IngestApp {
     * fetches candidate texts from, and `cfg` must be the configuration
     * the indexes were HASHED under — stale configs are exactly what
     * [[graft.sources.IndexStore]]'s recorded properties exist to
-    * prevent. */
+    * prevent. `prebuiltBloom` skips the per-batch bloom aggregation —
+    * at production index sizes that is a full fp-index scan per batch;
+    * the caller MUST keep the filter current with every append
+    * ([[graft.sources.IndexStore]] does), because a bloom miss is
+    * admitted with no confirm join. */
   def runDocsWith(fpIdx: DataFrame, mhIdx: DataFrame, spanIdx: DataFrame,
                   corpus: DataFrame, batch: DataFrame,
                   cfg: IndexStore.DocConfig, threshold: Double,
-                  maxSpanFrac: Double): (DataFrame, DataFrame) = {
+                  maxSpanFrac: Double,
+                  prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter]
+                    = None): (DataFrame, DataFrame) = {
     val bloom = batch.sparkSession.sparkContext
-      .broadcast(Dedup.admissionBloom(fpIdx))
+      .broadcast(prebuiltBloom.getOrElse(Dedup.admissionBloom(fpIdx)))
     val survivors = Dedup.bloomAdmit(fpIdx, bloom, batch,
       col("doc_id"), col("text"))
     val exactDup = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -119,7 +125,8 @@ object IngestApp {
       spark.table(IndexStore.mhTable(prefix)),
       spark.table(IndexStore.spanTable(prefix)),
       spark.table(IndexStore.docsTable(prefix)), batch,
-      IndexStore.docConfig(spark, prefix), threshold, maxSpanFrac)
+      IndexStore.docConfig(spark, prefix), threshold, maxSpanFrac,
+      prebuiltBloom = Some(IndexStore.readBloom(spark, prefix)))
 
   /** Vectors admission. Returns (admitted, rejects(vec_id, reason)).
     * `nPlanes = 0` (the default) self-provisions from the measured
@@ -173,15 +180,21 @@ object IngestApp {
   /** Write admission output, print the one-line JSON report, and return
     * the RE-READ admitted frame — materialized through parquet, so a
     * subsequent index append never writes tables its own input plan is
-    * still reading. */
-  private def writeAndReport(spark: SparkSession, mode: String,
-                             batch: DataFrame, admitted: DataFrame,
-                             rejects: DataFrame, outDir: String): DataFrame = {
-    admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+    * still reading. The expensive admission DAG executes ONCE (for the
+    * rejects); the admitted side is re-derived as `batch` anti-join the
+    * written reject ids — definitionally what runDocsWith/runVecsWith
+    * return, at the cost of one batch scan instead of a second full
+    * admission pass. */
+  private def writeAndReport(spark: SparkSession, mode: String, idCol: String,
+                             batch: DataFrame, rejects: DataFrame,
+                             outDir: String): DataFrame = {
     rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
+    val rejectsBack = spark.read.parquet(s"$outDir/rejects")
+    batch.join(rejectsBack.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/admitted")
     val nBatch = batch.count()
     val admittedBack = spark.read.parquet(s"$outDir/admitted")
-    val byReason = spark.read.parquet(s"$outDir/rejects")
+    val byReason = rejectsBack
       .groupBy("reason").count().collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
     println(s"""{"metric":"ingest_admission","mode":"$mode","batch":$nBatch,"admitted":${admittedBack.count()},"rejects":{$byReason}}""")
@@ -194,7 +207,10 @@ object IngestApp {
         "build-docs <corpus> <prefix> [buckets] | " +
         "admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
         "build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables] | " +
-        "admit-vecs <batch> <prefix> <outDir> [threshold]")
+        "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
+        "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
+        "stream-vecs <srcDir> <prefix> <outDir> [threshold] | " +
+        "compact-docs <prefix> | compact-vecs <prefix>")
     val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try mode match {
@@ -203,7 +219,7 @@ object IngestApp {
         require(args.length >= 4, s"usage: IngestApp $mode <corpus> <batch> <outDir> [...]")
         val corpus = spark.read.parquet(args(1))
         val batch = spark.read.parquet(args(2))
-        val (admitted, rejects) =
+        val (_, rejects) =
           if (mode == "docs") runDocs(corpus, batch,
             threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
             maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
@@ -211,7 +227,8 @@ object IngestApp {
             threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
             nPlanes = args.lift(5).map(_.toInt).getOrElse(0), // 0 = lshAutoPlanes
             nTables = args.lift(6).map(_.toInt).getOrElse(4))
-        writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+        writeAndReport(spark, mode, if (mode == "docs") "doc_id" else "vec_id",
+          batch, rejects, args(3))
 
       // the continuous loop: build once ...
       case "build-docs" =>
@@ -233,21 +250,46 @@ object IngestApp {
       case "admit-docs" =>
         require(args.length >= 4, "usage: IngestApp admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac]")
         val batch = spark.read.parquet(args(1))
-        val (admitted, rejects) = admitDocs(spark, args(2), batch,
+        val (_, rejects) = admitDocs(spark, args(2), batch,
           threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
           maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
-        val admittedBack = writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+        val admittedBack = writeAndReport(spark, mode, "doc_id", batch, rejects, args(3))
         IndexStore.appendDocs(admittedBack, col("doc_id"), col("text"), args(2))
       case "admit-vecs" =>
         require(args.length >= 4, "usage: IngestApp admit-vecs <batch> <prefix> <outDir> [threshold]")
         val batch = spark.read.parquet(args(1))
-        val (admitted, rejects) = admitVecs(spark, args(2), batch,
+        val (_, rejects) = admitVecs(spark, args(2), batch,
           threshold = args.lift(4).map(_.toDouble).getOrElse(0.9))
-        val admittedBack = writeAndReport(spark, mode, batch, admitted, rejects, args(3))
+        val admittedBack = writeAndReport(spark, mode, "vec_id", batch, rejects, args(3))
         IndexStore.appendVecs(admittedBack, col("vec_id"), col("embedding"), args(2))
 
+      // the same loop as a structured stream: drain available source
+      // files as micro-batches (admit → log rejects → append), then exit;
+      // rerun with the same outDir to resume from the checkpoint
+      case "stream-docs" | "stream-vecs" =>
+        require(args.length >= 4, s"usage: IngestApp $mode <srcDir> <prefix> <outDir> [...]")
+        val q =
+          if (mode == "stream-docs")
+            graft.streaming.StreamingIngest.docsStream(spark, args(1), args(2),
+              args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
+              maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
+          else
+            graft.streaming.StreamingIngest.vecsStream(spark, args(1), args(2),
+              args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9))
+        q.awaitTermination()
+        println(s"""{"metric":"ingest_stream","mode":"$mode","prefix":"${args(2)}","batches":${q.recentProgress.length}}""")
+
+      // maintenance: fold appended file sets back to one file per bucket
+      case "compact-docs" =>
+        require(args.length >= 2, "usage: IngestApp compact-docs <prefix>")
+        IndexStore.compactDocs(spark, args(1))
+      case "compact-vecs" =>
+        require(args.length >= 2, "usage: IngestApp compact-vecs <prefix>")
+        IndexStore.compactVecs(spark, args(1))
+
       case other => throw new IllegalArgumentException(
-        s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|admit-vecs)")
+        s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|" +
+          "admit-vecs|stream-docs|stream-vecs|compact-docs|compact-vecs)")
     } finally spark.stop()
   }
 }

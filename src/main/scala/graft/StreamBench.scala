@@ -20,6 +20,12 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("span")) {
       spanIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("docs")) {
+      docsIngest(spark, n.toInt, batches); spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsloop")) {
+      vecsLoop(spark, n, batches); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("emb")) {
       embIngest(spark, n, batches); spark.stop(); return
     }
@@ -42,6 +48,25 @@ object StreamBench {
     spark.stop()
   }
 
+  /** Synthetic 60-token documents over a small vocabulary, text a pure
+    * hash of (doc_id, position, salt): distinct salts give unrelated
+    * texts, the same salt reproduces them — the generator every docs-path
+    * mode shares. */
+  private def synthDocs(spark: SparkSession)(from: Long, nDocs: Long,
+                                             salt: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
+      "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",
+      "key", "value", "stream", "window", "group", "filter")
+    val vocabCol = typedLit(vocab)
+    spark.range(from, from + nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(vocabCol,
+            (pmod(xxhash64(col("id"), i, lit(salt)), lit(vocab.size)) + 1)
+              .cast("int")))).as("text"))
+  }
+
   /** Ingest-time span-check throughput (`SPARK_GRAFT_STREAM=span`): the
     * corpus window-hash index is built and bucketed ONCE for `n` docs,
     * then `batches` fresh batches of `n/4` new docs each run
@@ -50,16 +75,7 @@ object StreamBench {
     * side exchange-free. Prints new-docs/sec. */
   private def spanIngest(spark: SparkSession, n: Int, batches: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
-      "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",
-      "key", "value", "stream", "window", "group", "filter")
-    val vocabCol = typedLit(vocab)
-    def corpus(from: Long, count: Long, salt: Int) = spark.range(from, from + count)
-      .select(col("id").as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(59)),
-          i => element_at(vocabCol,
-            (pmod(xxhash64(col("id"), i, lit(salt)), lit(vocab.size)) + 1)
-              .cast("int")))).as("text"))
+    val corpus = synthDocs(spark) _
     graft.sources.Bucketing.writeBucketed(
       graft.operators.Dedup.spanIndex(corpus(0, n, 0), col("doc_id"), col("text"), k = 6),
       "span_ingest_idx", Seq("wh"), buckets = 32)
@@ -83,6 +99,114 @@ object StreamBench {
     val total = batchN.toLong * batches
     println(f"""{"metric":"span_ingest_docs_per_sec","value":${total / sec}%.0f,"new_docs":$total,"corpus":$n,"sec":$sec%.2f,"indexed_window_hits":$hits}""")
     spark.sql("DROP TABLE IF EXISTS span_ingest_idx")
+  }
+
+  /** Full docs-path admission-LOOP throughput (`SPARK_GRAFT_STREAM=docs`):
+    * the [[graft.sources.IndexStore]] is built ONCE for `n` docs, then
+    * `batches` batches of ~`n/4` docs each (fresh, plus 1-in-200 planted
+    * exact re-crawls and 1-in-200 planted near-dup drifts of corpus docs)
+    * run the COMPLETE per-batch cycle: [[IngestApp.admitDocs]] (bloom →
+    * minhash-vs-corpus → span-vs-corpus → within-batch) followed by
+    * [[graft.sources.IndexStore.appendDocs]] of the admissions — so later
+    * batches are admitted against state grown by earlier ones, exactly
+    * the production loop. Prints docs/sec over the timed loop (build
+    * reported separately). */
+  private def docsIngest(spark: SparkSession, n: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val corpus = synthDocs(spark) _
+    val p = "docs_ingest_store"
+    IndexStore.dropDocs(spark, p)
+    val tb = System.nanoTime()
+    IndexStore.buildDocs(corpus(0, n, 0), col("doc_id"), col("text"), p)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val batchN = math.max(n / 4, 1)
+    def batchOf(b: Int): org.apache.spark.sql.DataFrame = {
+      val fresh = corpus(n.toLong + b.toLong * batchN, batchN, b + 1)
+      val src = corpus((b % 4).toLong * batchN, batchN, 0)
+      val exacts = src.filter(pmod(col("doc_id"), lit(200)) === 0)
+        .select((col("doc_id") + n.toLong * (batches + 2 + b)).as("doc_id"),
+          col("text"))
+      val nears = src.filter(pmod(col("doc_id"), lit(200)) === 100)
+        .select((col("doc_id") + n.toLong * (2 * batches + 4 + b)).as("doc_id"),
+          concat(col("text"), lit(" drifted suffix tok")).as("text"))
+      fresh.unionByName(exacts).unionByName(nears)
+    }
+    // warmup: admission only, nothing appended
+    IngestApp.admitDocs(spark, p, batchOf(0).limit(1000))._2.count()
+    var admitted = 0L
+    var rejected = 0L
+    var total = 0L
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      val batch = batchOf(b)
+      total += batch.count()
+      val (_, rej) = IngestApp.admitDocs(spark, p, batch)
+      // ONE admission execution (checkpointed rejects — also required
+      // before the append mutates the tables the plan reads); admitted
+      // re-derived as batch anti-join reject ids, the main's shape
+      val rejM = rej.localCheckpoint(true)
+      rejected += rejM.select(col("doc_id")).distinct().count()
+      val admM = batch.join(rejM.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      admitted += admM.count()
+      IndexStore.appendDocs(admM, col("doc_id"), col("text"), p)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"docs_ingest_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    IndexStore.dropDocs(spark, p)
+  }
+
+  /** Full vecs-path admission-LOOP throughput (`SPARK_GRAFT_STREAM=
+    * vecsloop`): [[graft.sources.IndexStore.buildVecs]] once (auto-
+    * provisioned planes recorded in the catalog), then per batch
+    * [[IngestApp.admitVecs]] + [[graft.sources.IndexStore.appendVecs]] —
+    * fresh vectors plus 1-in-100 planted twins of corpus vectors, later
+    * batches admitted against state grown by earlier ones. */
+  private def vecsLoop(spark: SparkSession, n: Long, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    def vecs(from: Long, nVecs: Long, salt: Int) = spark.range(from, from + nVecs)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(xxhash64(col("id"), d, lit(salt)), lit(1000)).cast("double")
+            - 500.0) / 500.0)).as("embedding"))
+    val p = "vecs_loop_store"
+    IndexStore.dropVecs(spark, p)
+    val tb = System.nanoTime()
+    IndexStore.buildVecs(vecs(0, n, 0), col("vec_id"), col("embedding"), p)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val batchN = math.max(n / 4, 1L)
+    def batchOf(b: Int): org.apache.spark.sql.DataFrame = {
+      val fresh = vecs(0, batchN, b + 1)
+        .select((col("vec_id") + n * (b + 1)).as("vec_id"), col("embedding"))
+      val twins = vecs((b % 4) * batchN, batchN, 0)
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") + n * (batches + 2 + b)).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01)).as("embedding"))
+      fresh.unionByName(twins)
+    }
+    // warmup: admission only, nothing appended
+    IngestApp.admitVecs(spark, p, batchOf(0).limit(1000))._2.count()
+    var admitted = 0L
+    var rejected = 0L
+    var total = 0L
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      val batch = batchOf(b)
+      total += batch.count()
+      val (_, rej) = IngestApp.admitVecs(spark, p, batch)
+      val rejM = rej.localCheckpoint(true)
+      rejected += rejM.select(col("vec_id")).distinct().count()
+      val admM = batch.join(rejM.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti").localCheckpoint(true)
+      admitted += admM.count()
+      IndexStore.appendVecs(admM, col("vec_id"), col("embedding"), p)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"vecs_loop_vecs_per_sec","value":${total / sec}%.0f,"vecs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    IndexStore.dropVecs(spark, p)
   }
 
   /** Ingest-time embedding-dedup throughput (`SPARK_GRAFT_STREAM=emb`):

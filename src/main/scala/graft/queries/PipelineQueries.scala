@@ -834,14 +834,17 @@ object PipelineQueries {
       IndexStore.dropDocs(s, p)
       IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
         IndexStore.DocConfig(buckets = 8))
-      val (adm1, rej1) = IngestApp.admitDocs(s, p, b1)
-      // localCheckpoint BOTH admission outputs BEFORE appending: the
-      // append mutates the very tables their plans read, so a lazy rej1
-      // re-evaluated after it would see batch 1 in the "corpus" and
-      // reject every admitted doc as a near-dup of itself (the exact
-      // read-your-own-append hazard admitDocs' contract warns about).
+      val (_, rej1) = IngestApp.admitDocs(s, p, b1)
+      // localCheckpoint the rejects BEFORE appending: the append mutates
+      // the very tables their plan reads, so a lazy rej1 re-evaluated
+      // after it would see batch 1 in the "corpus" and reject every
+      // admitted doc as a near-dup of itself (the read-your-own-append
+      // hazard admitDocs' contract warns about). The admitted side is
+      // re-derived from the checkpointed reject ids — one admission
+      // execution, the runnable main's exact shape.
       val rej1M = rej1.localCheckpoint(true)
-      IndexStore.appendDocs(adm1.localCheckpoint(true),
+      IndexStore.appendDocs(
+        b1.join(rej1M.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
         col("doc_id"), col("text"), p)
       val (_, rej2) = IngestApp.admitDocs(s, p, b2)
       rej1M.withColumn("batch", lit(1L))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed-table ingest: the shuffle you pay ONCE so that repeated
@@ -48,6 +48,71 @@ object Bucketing {
       .sortBy(sorted.head, sorted.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Drop a managed table from the catalog AND delete its warehouse
+    * directory — the in-memory catalog forgets tables across JVMs but
+    * their directories persist, so a later `CREATE` at the same name
+    * would fail with LOCATION_ALREADY_EXISTS unless both go. */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Compact an appended bucketed table back to ONE file per bucket.
+    *
+    * Every [[appendBucketed]] adds a file set per touched bucket, so a
+    * long-running ingest loop degrades its own index reads: N appends →
+    * up to N+1 files per bucket, each a separate scan split with its own
+    * footer/dictionary overhead, and per-bucket sort guarantees gone.
+    * Compaction is the standard answer (every LSM/lakehouse store has
+    * one): rewrite the table in its own bucket layout, restoring
+    * one-sorted-file-per-bucket reads, and amortize it over many appends.
+    *
+    * The rewrite is ZERO-shuffle: the scan is forced bucketed
+    * (`autoBucketedScan` off — by default Spark logically removes a
+    * `repartition(buckets, keys)` as redundant against the table's
+    * declared HashPartitioning yet still reads by file splits when no
+    * operator "requires" the distribution, which would scatter every
+    * bucket across every write task), so each read task holds exactly
+    * one bucket's rows end-to-end and emits exactly one file. The
+    * explicit repartition stays as a belt-and-braces no-op. `transform`
+    * hooks delta-log merges into the same pass (e.g. the span store
+    * folds `sum(n)` per window hash — also exchange-free, the data is
+    * already bucketed on the group key).
+    *
+    * Swap is write-aside: write `<table>__compact`, drop the original,
+    * `ALTER TABLE RENAME` the new one into place (a catalog update plus
+    * a directory move — no second data copy). Readers in THIS session
+    * planned against the old table must re-resolve. Crash safety (with a
+    * persistent metastore): before the drop both copies exist and a
+    * re-run clears the stale temp; after it only the temp holds the
+    * data, and a re-run detects the missing original and finishes the
+    * rename instead of rewriting. */
+  def compactTable(spark: SparkSession, table: String, keys: Seq[String],
+                   buckets: Int, sortCols: Seq[String] = Nil,
+                   transform: DataFrame => DataFrame = identity): Unit = {
+    require(keys.nonEmpty, "need at least one bucket column")
+    val tmp = s"${table}__compact"
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(tmp),
+        s"neither $table nor $tmp exists — nothing to compact or recover")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return
+    }
+    dropManagedTable(spark, tmp)
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.get(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try writeBucketed(
+      transform(spark.table(table)).repartition(buckets, keys.map(col): _*),
+      tmp, keys, buckets, sortCols)
+    finally spark.conf.set(autoScanKey, prevAutoScan)
+    dropManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Z-order (Morton) key: interleave the low `bits` bits of each column

@@ -3,6 +3,7 @@ package graft.sources
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** The persisted state of a continuous ingest-admission loop — the piece
   * that turns the incremental operators ([[Dedup.bloomAdmit]],
@@ -66,9 +67,16 @@ object IndexStore {
   def vecsTable(prefix: String): String = s"${prefix}_vecs"
   def lshTable(prefix: String): String  = s"${prefix}_lsh"
 
-  /** Hash/bucket configuration of a documents store. */
+  /** Hash/bucket configuration of a documents store. `bloomN` is the
+    * Bloom filter's PROVISIONED capacity — it must cover the corpus plus
+    * expected append growth, because the persisted filter is merged
+    * incrementally and never resized (0 = provision at build time for 4×
+    * the build corpus, floor 1M). An over-full filter degrades fpp, not
+    * correctness: admission stays exact, the confirm join just sees more
+    * candidates. */
   case class DocConfig(ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                       spanK: Int = 6, buckets: Int = 32)
+                       spanK: Int = 6, buckets: Int = 32,
+                       bloomN: Long = 0L, bloomFpp: Double = 0.01)
 
   /** Hash/bucket configuration of a vectors store. `nPlanes` here is
     * always the RESOLVED plane count (auto-provisioning happens once, at
@@ -80,18 +88,18 @@ object IndexStore {
     * directory persists, so a fresh session's `CREATE` would fail with
     * LOCATION_ALREADY_EXISTS after any uncleaned previous run — rebuild
     * paths must clear both. */
-  def dropTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
+  def dropTable(spark: SparkSession, table: String): Unit =
+    Bucketing.dropManagedTable(spark, table)
 
-  /** Drop every table of a documents store (catalog + location). */
-  def dropDocs(spark: SparkSession, prefix: String): Unit =
+  /** Drop every table of a documents store (catalog + location), plus
+    * the persisted bloom. */
+  def dropDocs(spark: SparkSession, prefix: String): Unit = {
     Seq(docsTable(prefix), fpTable(prefix), mhTable(prefix), spanTable(prefix))
       .foreach(dropTable(spark, _))
+    val dir = bloomPath(spark, prefix).getParent
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
 
   /** Drop every table of a vectors store (catalog + location). */
   def dropVecs(spark: SparkSession, prefix: String): Unit =
@@ -102,12 +110,38 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
 
-  private def prop(spark: SparkSession, table: String, key: String): Int = {
+  private def prop(spark: SparkSession, table: String, key: String): String = {
     val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
       .filter(col("key") === key).collect()
     require(rows.nonEmpty,
       s"table $table has no '$key' property — not built by IndexStore?")
-    rows(0).getString(1).toInt
+    rows(0).getString(1)
+  }
+
+  private def bloomPath(spark: SparkSession, prefix: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${prefix}_bloom/filter.bin")
+
+  /** Persist the admission Bloom filter next to the store tables. */
+  private def writeBloom(spark: SparkSession, prefix: String,
+                         bloom: BloomFilter): Unit = {
+    val path = bloomPath(spark, prefix)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** The store's persisted admission Bloom filter — built once, merged on
+    * every append, loaded per batch instead of re-aggregated from the fp
+    * table (at production index sizes the rebuild is a full index scan
+    * per batch; the load is an O(bits) file read). */
+  def readBloom(spark: SparkSession, prefix: String): BloomFilter = {
+    val path = bloomPath(spark, prefix)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"no persisted bloom at $path — store '$prefix' not built by buildDocs?")
+    val in = fs.open(path)
+    try BloomFilter.readFrom(in) finally in.close()
   }
 
   /** Build the documents store: corpus + the three admission indexes,
@@ -126,20 +160,31 @@ object IndexStore {
     Bucketing.writeBucketed(
       Dedup.spanIndex(docs, col("doc_id"), col("text"), cfg.spanK),
       spanTable(prefix), Seq("wh"), cfg.buckets)
+    // provision the persisted bloom for append growth, then build it
+    // from the just-written fp table (one fixed-width scan, at build only)
+    val bloomN =
+      if (cfg.bloomN > 0) cfg.bloomN
+      else math.max(spark.table(fpTable(prefix)).count() * 4, 1000L * 1000)
+    writeBloom(spark, prefix, Dedup.admissionBloom(
+      spark.table(fpTable(prefix)), bloomN, cfg.bloomFpp))
     setProps(spark, docsTable(prefix), Map(
       "graft.ngram" -> cfg.ngram.toString,
       "graft.numHashes" -> cfg.numHashes.toString,
       "graft.bands" -> cfg.bands.toString,
       "graft.spanK" -> cfg.spanK.toString,
-      "graft.buckets" -> cfg.buckets.toString))
+      "graft.buckets" -> cfg.buckets.toString,
+      "graft.bloomN" -> bloomN.toString,
+      "graft.bloomFpp" -> cfg.bloomFpp.toString))
   }
 
   /** The build-time configuration of a documents store, from the catalog. */
   def docConfig(spark: SparkSession, prefix: String): DocConfig = {
     val t = docsTable(prefix)
-    DocConfig(prop(spark, t, "graft.ngram"), prop(spark, t, "graft.numHashes"),
-      prop(spark, t, "graft.bands"), prop(spark, t, "graft.spanK"),
-      prop(spark, t, "graft.buckets"))
+    DocConfig(prop(spark, t, "graft.ngram").toInt,
+      prop(spark, t, "graft.numHashes").toInt,
+      prop(spark, t, "graft.bands").toInt, prop(spark, t, "graft.spanK").toInt,
+      prop(spark, t, "graft.buckets").toInt, prop(spark, t, "graft.bloomN").toLong,
+      prop(spark, t, "graft.bloomFpp").toDouble)
   }
 
   /** Append an ADMITTED batch to the documents store: one delta-sized
@@ -151,9 +196,22 @@ object IndexStore {
     val spark = admitted.sparkSession
     val cfg = docConfig(spark, prefix)
     val docs = admitted.select(id.as("doc_id"), text.as("text"))
+    // an all-rejected batch appends nothing: skip the four table writes
+    // (file-count hygiene) and the bloom merge (stat.bloomFilter over
+    // zero rows yields a null sketch buffer)
+    if (docs.isEmpty) return
     Bucketing.appendBucketed(docs, docsTable(prefix), Seq("doc_id"), cfg.buckets)
-    Bucketing.appendBucketed(Dedup.admissionIndex(docs, col("text")),
-      fpTable(prefix), Seq("fp"), cfg.buckets)
+    val deltaFp = Dedup.admissionIndex(docs, col("text"))
+    Bucketing.appendBucketed(deltaFp, fpTable(prefix), Seq("fp"), cfg.buckets)
+    // merge the delta into the persisted bloom: same provisioned
+    // (n, fpp) -> same bit size -> mergeInPlace compatible. Skipping this
+    // would be a CORRECTNESS bug for the next batch, not a perf trade —
+    // a bloom miss is taken as "definitively new" with no confirm join,
+    // so a re-crawl of a just-appended doc would sail through.
+    val merged = readBloom(spark, prefix)
+    merged.mergeInPlace(
+      Dedup.admissionBloom(deltaFp, cfg.bloomN, cfg.bloomFpp))
+    writeBloom(spark, prefix, merged)
     Bucketing.appendBucketed(
       Dedup.minhashIndex(docs, col("doc_id"), col("text"),
         cfg.ngram, cfg.numHashes, cfg.bands),
@@ -161,6 +219,45 @@ object IndexStore {
     Bucketing.appendBucketed(
       Dedup.spanIndex(docs, col("doc_id"), col("text"), cfg.spanK),
       spanTable(prefix), Seq("wh"), cfg.buckets)
+  }
+
+  /** Compact every table of a documents store back to one sorted file
+    * per bucket ([[Bucketing.compactTable]]) — the maintenance half of a
+    * long-running loop: admission cost per batch is flat, but each
+    * append leaves another file set per bucket, and scan overhead grows
+    * with file count until a compaction folds it back. The span table is
+    * an unmerged count-delta log, so its rewrite also folds `sum(n)` per
+    * window hash (exchange-free — already bucketed on `wh`). Config
+    * properties and the persisted bloom survive: the bloom is exact over
+    * fingerprints, which compaction does not change. */
+  def compactDocs(spark: SparkSession, prefix: String): Unit = {
+    val cfg = docConfig(spark, prefix)
+    Bucketing.compactTable(spark, docsTable(prefix), Seq("doc_id"), cfg.buckets)
+    Bucketing.compactTable(spark, fpTable(prefix), Seq("fp"), cfg.buckets)
+    Bucketing.compactTable(spark, mhTable(prefix), Seq("band", "sig"), cfg.buckets)
+    Bucketing.compactTable(spark, spanTable(prefix), Seq("wh"), cfg.buckets,
+      transform = _.groupBy("wh").agg(sum("n").as("n")))
+    // the rewrite replaced the docs table wholesale; re-record its config
+    setProps(spark, docsTable(prefix), Map(
+      "graft.ngram" -> cfg.ngram.toString,
+      "graft.numHashes" -> cfg.numHashes.toString,
+      "graft.bands" -> cfg.bands.toString,
+      "graft.spanK" -> cfg.spanK.toString,
+      "graft.buckets" -> cfg.buckets.toString,
+      "graft.bloomN" -> cfg.bloomN.toString,
+      "graft.bloomFpp" -> cfg.bloomFpp.toString))
+  }
+
+  /** Compact both tables of a vectors store; same contract as
+    * [[compactDocs]]. */
+  def compactVecs(spark: SparkSession, prefix: String): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    Bucketing.compactTable(spark, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
+    Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets)
+    setProps(spark, vecsTable(prefix), Map(
+      "graft.nPlanes" -> cfg.nPlanes.toString,
+      "graft.nTables" -> cfg.nTables.toString,
+      "graft.buckets" -> cfg.buckets.toString))
   }
 
   /** Build the vectors store. `nPlanes = 0` auto-provisions from the
@@ -185,8 +282,8 @@ object IndexStore {
   /** The build-time configuration of a vectors store, from the catalog. */
   def vecConfig(spark: SparkSession, prefix: String): VecConfig = {
     val t = vecsTable(prefix)
-    VecConfig(prop(spark, t, "graft.nPlanes"), prop(spark, t, "graft.nTables"),
-      prop(spark, t, "graft.buckets"))
+    VecConfig(prop(spark, t, "graft.nPlanes").toInt,
+      prop(spark, t, "graft.nTables").toInt, prop(spark, t, "graft.buckets").toInt)
   }
 
   /** Append an ADMITTED vector batch to the vectors store, hashed under
@@ -196,6 +293,7 @@ object IndexStore {
     val spark = admitted.sparkSession
     val cfg = vecConfig(spark, prefix)
     val prep = Similarity.prepared(admitted, id, vec)
+    if (prep.isEmpty) return // all-rejected batch: nothing to append
     Bucketing.appendBucketed(prep, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
     Bucketing.appendBucketed(
       Similarity.lshIndex(prep, cfg.nPlanes, cfg.nTables),

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.IngestApp
+import graft.sources.IndexStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
+
+/** The ingest-admission loop as a STRUCTURED STREAM: a file-source of
+  * arriving batches, each micro-batch admitted against the persisted
+  * [[IndexStore]] and the admissions appended back — the continuous
+  * form of `IngestApp build-* / admit-*`, with progress tracking and
+  * restart handled by the streaming checkpoint instead of an external
+  * scheduler. This is the library's analogue of the reference's whole
+  * program shape (a DStream loop that checks arriving records against
+  * accumulated state and folds them in), re-expressed as Structured
+  * Streaming over bucketed index tables.
+  *
+  * Per micro-batch (inside `foreachBatch`):
+  *  1. [[IngestApp.admitDocs]]/[[IngestApp.admitVecs]] against the store
+  *     (bloom → vs-corpus minhash/span → within-batch; corpus side
+  *     exchange-free on the bucketed tables),
+  *  2. rejects pinned with `localCheckpoint` (the append below mutates
+  *     the very tables their lazy plan reads) and appended to a
+  *     `rejects` parquet log with the micro-batch id,
+  *  3. admitted = batch anti-join reject ids (one admission execution),
+  *     appended to the store ([[IndexStore.appendDocs]]/`appendVecs`).
+  *
+  * Delivery semantics: `foreachBatch` is at-least-once — after a crash
+  * between sink writes and checkpoint commit, the whole micro-batch
+  * replays. The loop is nevertheless IDEMPOTENT on the store, not by a
+  * transaction but by the admission check itself: every document the
+  * crashed attempt already appended is rejected by the replay as
+  * `exact_dup_of_corpus` (the persisted bloom + fp index now contain
+  * it), so nothing is appended twice — state converges to exactly the
+  * no-crash outcome (spec: replaying ALL input against the final store
+  * admits zero rows). The rejects log inherits at-least-once: audit
+  * readers key by (batch_id, id, reason) or dedupe on read.
+  *
+  * Scale: per-batch cost is the admission joins (delta × index-bucket
+  * reads) plus a delta-sized append — flat in corpus size; the growing
+  * cost is file count per bucket, paid down by
+  * [[IndexStore.compactDocs]] on whatever cadence the deployment likes
+  * (e.g. every N batches, from the same driver between triggers). */
+object StreamingIngest {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Start the documents ingest stream over parquet files arriving in
+    * `srcDir`. `outDir` holds the rejects log and the checkpoint;
+    * restart with the same `outDir` resumes from the last committed
+    * micro-batch. */
+  def docsStream(spark: SparkSession, srcDir: String, prefix: String,
+                 outDir: String, threshold: Double = 0.8,
+                 maxSpanFrac: Double = 0.5,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitAppend(spark, batch, batchId, "doc_id", outDir) { b =>
+          IngestApp.admitDocs(spark, prefix, b, threshold, maxSpanFrac)._2
+        } { adm => IndexStore.appendDocs(adm, col("doc_id"), col("text"), prefix) }
+      }
+      .start()
+
+  /** Start the vectors ingest stream; same contract as [[docsStream]]. */
+  def vecsStream(spark: SparkSession, srcDir: String, prefix: String,
+                 outDir: String, threshold: Double = 0.9,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(vecSchema).parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitAppend(spark, batch, batchId, "vec_id", outDir) { b =>
+          IngestApp.admitVecs(spark, prefix, b, threshold)._2
+        } { adm => IndexStore.appendVecs(adm, col("vec_id"), col("embedding"), prefix) }
+      }
+      .start()
+
+  /** The shared micro-batch body: one admission execution (rejects),
+    * reject-log append, admitted re-derived and appended to the store.
+    *
+    * The admitted frame is RE-HOMED onto the driving session before the
+    * append: `batch` belongs to the micro-batch's CLONED SparkSession,
+    * and an append executed through the clone refreshes only the
+    * clone's relation cache — the driving session (which the next
+    * micro-batch's admission reads the store tables through) would keep
+    * serving the pre-append file listing and silently re-admit
+    * duplicates. `createDataFrame` over the checkpointed RDD moves the
+    * plan, not the rows — nothing is collected to the driver. */
+  private def admitAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
+                          idCol: String, outDir: String)(
+                          admit: DataFrame => DataFrame)(
+                          append: DataFrame => Unit): Unit = {
+    val rejM = admit(batch).localCheckpoint(true)
+    rejM.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$outDir/rejects")
+    val admitted = batch
+      .join(rejM.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    append(spark.createDataFrame(admitted.rdd, admitted.schema))
+  }
+}

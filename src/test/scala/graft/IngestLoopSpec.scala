@@ -44,8 +44,11 @@ class IngestLoopSpec extends SparkSpec {
     try {
       IndexStore.buildDocs(corpusDocs, col("doc_id"), col("text"), p,
         IndexStore.DocConfig(buckets = 4))
+      // bloomN round-trips RESOLVED (0 = auto-provision at build: 4x the
+      // corpus, floor 1M), so every later append merges a same-sized filter
       assert(IndexStore.docConfig(spark, p) ==
-        IndexStore.DocConfig(buckets = 4), "config must round-trip the catalog")
+        IndexStore.DocConfig(buckets = 4, bloomN = 1000000L),
+        "config must round-trip the catalog with bloomN resolved")
 
       // batch 1: natural fresh docs + planted outcomes of every kind
       val freshPair = "graft ingest loop alpha beta gamma delta epsilon " +
