@@ -210,7 +210,8 @@ object IngestApp {
         "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
         "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
         "stream-vecs <srcDir> <prefix> <outDir> [threshold] | " +
-        "compact-docs <prefix> | compact-vecs <prefix>")
+        "compact-docs <prefix> | compact-vecs <prefix> | " +
+        "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix>")
     val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try mode match {
@@ -287,9 +288,21 @@ object IngestApp {
         require(args.length >= 2, "usage: IngestApp compact-vecs <prefix>")
         IndexStore.compactVecs(spark, args(1))
 
+      // forget documents/vectors by id: the takedown half of maintenance
+      // (<ids> = parquet whose first column holds the ids)
+      case "remove-docs" =>
+        require(args.length >= 3, "usage: IngestApp remove-docs <ids> <prefix>")
+        IndexStore.removeDocs(spark, args(2), spark.read.parquet(args(1)))
+        println(s"""{"metric":"ingest_remove","mode":"docs","prefix":"${args(2)}","rows":${spark.table(IndexStore.docsTable(args(2))).count()}}""")
+      case "remove-vecs" =>
+        require(args.length >= 3, "usage: IngestApp remove-vecs <ids> <prefix>")
+        IndexStore.removeVecs(spark, args(2), spark.read.parquet(args(1)))
+        println(s"""{"metric":"ingest_remove","mode":"vecs","prefix":"${args(2)}","rows":${spark.table(IndexStore.vecsTable(args(2))).count()}}""")
+
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|" +
-          "admit-vecs|stream-docs|stream-vecs|compact-docs|compact-vecs)")
+          "admit-vecs|stream-docs|stream-vecs|compact-docs|compact-vecs|" +
+          "remove-docs|remove-vecs)")
     } finally spark.stop()
   }
 }

@@ -20,6 +20,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("span")) {
       spanIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("docsstream")) {
+      docsStreamIngest(spark, n.toInt, batches); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("docs")) {
       docsIngest(spark, n.toInt, batches); spark.stop(); return
     }
@@ -51,20 +54,20 @@ object StreamBench {
   /** Synthetic 60-token documents over a small vocabulary, text a pure
     * hash of (doc_id, position, salt): distinct salts give unrelated
     * texts, the same salt reproduces them — the generator every docs-path
-    * mode shares. */
+    * mode shares. The vocabulary is 50k hash-derived tokens: wide enough
+    * that the spanK-token window space never saturates at bench corpus
+    * sizes (a 20-word vocabulary has only 20^6 = 64M 6-grams, and an
+    * 800k-doc corpus occupies ~half of them — every fresh doc then trips
+    * the span-overlap rejection by birthday collision alone, and the
+    * probe measures vocabulary exhaustion instead of admission cost). */
   private def synthDocs(spark: SparkSession)(from: Long, nDocs: Long,
                                              salt: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val vocab = Seq("spark", "data", "engine", "query", "row", "batch",
-      "join", "scan", "hash", "sort", "merge", "fast", "slow", "table",
-      "key", "value", "stream", "window", "group", "filter")
-    val vocabCol = typedLit(vocab)
     spark.range(from, from + nDocs)
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(59)),
-          i => element_at(vocabCol,
-            (pmod(xxhash64(col("id"), i, lit(salt)), lit(vocab.size)) + 1)
-              .cast("int")))).as("text"))
+          i => concat(lit("tok"),
+            pmod(xxhash64(col("id"), i, lit(salt)), lit(50000))))).as("text"))
   }
 
   /** Ingest-time span-check throughput (`SPARK_GRAFT_STREAM=span`): the
@@ -155,6 +158,53 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"metric":"docs_ingest_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
     IndexStore.dropDocs(spark, p)
+  }
+
+  /** The admission loop as a STRUCTURED STREAM, timed end-to-end
+    * (`SPARK_GRAFT_STREAM=docsstream`): the same store and batch shapes
+    * as [[docsIngest]], but the batches arrive as parquet files in a
+    * source directory and [[graft.streaming.StreamingIngest.docsStream]]
+    * drains them as `maxFilesPerTrigger=1` micro-batches — so the
+    * printed docs/sec additionally carries the streaming machinery's
+    * overhead (checkpoint WAL, file-source listing, rejects log,
+    * per-batch session re-home) over the loop mode's number. */
+  private def docsStreamIngest(spark: SparkSession, n: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val corpus = synthDocs(spark) _
+    val p = "docs_stream_store"
+    IndexStore.dropDocs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("bench-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bench-out").toString
+    try {
+      val tb = System.nanoTime()
+      IndexStore.buildDocs(corpus(0, n, 0), col("doc_id"), col("text"), p)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val batchN = math.max(n / 4, 1)
+      var total = 0L
+      (0 until batches).foreach { b =>
+        val fresh = corpus(n.toLong + b.toLong * batchN, batchN, b + 1)
+        val src = corpus((b % 4).toLong * batchN, batchN, 0)
+        val exacts = src.filter(pmod(col("doc_id"), lit(200)) === 0)
+          .select((col("doc_id") + n.toLong * (batches + 2 + b)).as("doc_id"),
+            col("text"))
+        val batch = fresh.unionByName(exacts)
+        total += batch.count()
+        batch.coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingIngest.docsStream(spark, srcDir, p, outDir,
+        readerOptions = Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.table(IndexStore.docsTable(p)).count() - n
+      val rejected = spark.read.parquet(s"$outDir/rejects").count()
+      println(f"""{"metric":"docs_stream_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      Seq(srcDir, outDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
   }
 
   /** Full vecs-path admission-LOOP throughput (`SPARK_GRAFT_STREAM=

@@ -260,6 +260,103 @@ object IndexStore {
       "graft.buckets" -> cfg.buckets.toString))
   }
 
+  /** Remove documents from the store by id — the takedown/right-to-erase
+    * half of maintenance: after it, a re-crawl of a removed text is
+    * ADMITTED again (nothing in the store remembers it), while every
+    * admission decision about surviving documents is unchanged
+    * (spec: removed-then-probed store ≡ store rebuilt without the
+    * removed docs). Rewrites are [[Bucketing.compactTable]] passes with
+    * the removal folded into the `transform`, so removal doubles as a
+    * compaction: zero-shuffle bucket-local rewrites, one sorted file per
+    * bucket after. The removal set is broadcast (a takedown batch is
+    * operationally tiny next to the corpus; batch large backfills
+    * through several calls if it ever isn't).
+    *
+    * Per-table semantics:
+    *  - `_docs`, `_mh`: rows carry `doc_id` — plain anti-join.
+    *  - `_fp`: rows are distinct fingerprints WITHOUT ids, and a build
+    *    corpus may hold two docs with identical text collapsed onto one
+    *    row — so forget a removed doc's fingerprint only if NO surviving
+    *    doc shares it (one map-only fingerprint pass over survivors,
+    *    semi-joined against the delta-sized removed-fp set).
+    *  - `_span`: an unmerged count-delta log without ids — fold
+    *    `sum(n)` per window hash (exchange-free on the `wh`-bucketed
+    *    scan) and subtract the removed docs' own window counts,
+    *    dropping hashes that reach zero. Shared windows survive with
+    *    reduced counts, exactly the rebuild-without-removed state.
+    *  - bloom: rebuilt from the rewritten `_fp` at the provisioned
+    *    (n, fpp). A STALE bloom would still be CORRECT — a bloom
+    *    positive is confirmed against `_fp` before rejection, so ghosts
+    *    of removed docs only cost confirm-join work — but this pass
+    *    already rewrote `_fp`, so refreshing is one fixed-width scan.
+    *
+    * Every removal-derived frame is pinned (`localCheckpoint`) BEFORE
+    * the first table rewrite: their lazy plans read the very tables the
+    * rewrites replace. */
+  def removeDocs(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    val cfg = docConfig(spark, prefix)
+    val rm = broadcast(ids
+      .select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true))
+    if (rm.isEmpty) return
+    val removedDocs = spark.table(docsTable(prefix))
+      .join(rm, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val removedFps = broadcast(
+      Dedup.admissionIndex(removedDocs, col("text")).localCheckpoint(true))
+    val survivorShared = spark.table(docsTable(prefix))
+      .join(rm, Seq("doc_id"), "left_anti")
+      .select(Dedup.textFingerprint(col("text")).as("fp"))
+      .join(removedFps, Seq("fp"), "left_semi").distinct()
+    val fpForget = broadcast(removedFps
+      .join(survivorShared, Seq("fp"), "left_anti").localCheckpoint(true))
+    val rmSpan = broadcast(
+      Dedup.spanIndex(removedDocs, col("doc_id"), col("text"), cfg.spanK)
+        .withColumnRenamed("n", "n_rm").localCheckpoint(true))
+    Bucketing.compactTable(spark, docsTable(prefix), Seq("doc_id"), cfg.buckets,
+      transform = _.join(rm, Seq("doc_id"), "left_anti"))
+    Bucketing.compactTable(spark, fpTable(prefix), Seq("fp"), cfg.buckets,
+      transform = _.join(fpForget, Seq("fp"), "left_anti"))
+    Bucketing.compactTable(spark, mhTable(prefix), Seq("band", "sig"), cfg.buckets,
+      transform = _.join(rm, Seq("doc_id"), "left_anti"))
+    Bucketing.compactTable(spark, spanTable(prefix), Seq("wh"), cfg.buckets,
+      transform = _.groupBy("wh").agg(sum("n").as("n"))
+        .join(rmSpan, Seq("wh"), "left")
+        .select(col("wh"),
+          (col("n") - coalesce(col("n_rm"), lit(0L))).as("n"))
+        .filter(col("n") > 0))
+    // the docs-table rewrite replaced the table holding the config
+    setProps(spark, docsTable(prefix), Map(
+      "graft.ngram" -> cfg.ngram.toString,
+      "graft.numHashes" -> cfg.numHashes.toString,
+      "graft.bands" -> cfg.bands.toString,
+      "graft.spanK" -> cfg.spanK.toString,
+      "graft.buckets" -> cfg.buckets.toString,
+      "graft.bloomN" -> cfg.bloomN.toString,
+      "graft.bloomFpp" -> cfg.bloomFpp.toString))
+    writeBloom(spark, prefix, Dedup.admissionBloom(
+      spark.table(fpTable(prefix)), cfg.bloomN, cfg.bloomFpp))
+  }
+
+  /** Remove vectors from the store by id; same contract and mechanics as
+    * [[removeDocs]] — both tables carry `vec_id`, so both rewrites are a
+    * plain anti-join folded into a compaction pass, and there is no
+    * bloom to refresh. */
+  def removeVecs(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    val rm = broadcast(ids
+      .select(col(ids.columns.head).cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true))
+    if (rm.isEmpty) return
+    Bucketing.compactTable(spark, vecsTable(prefix), Seq("vec_id"), cfg.buckets,
+      transform = _.join(rm, Seq("vec_id"), "left_anti"))
+    Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets,
+      transform = _.join(rm, Seq("vec_id"), "left_anti"))
+    setProps(spark, vecsTable(prefix), Map(
+      "graft.nPlanes" -> cfg.nPlanes.toString,
+      "graft.nTables" -> cfg.nTables.toString,
+      "graft.buckets" -> cfg.buckets.toString))
+  }
+
   /** Build the vectors store. `nPlanes = 0` auto-provisions from the
     * measured `log2(N)+1` rule against the BUILD corpus size and records
     * the resolved value, so every later append and probe agrees. */

@@ -59,8 +59,9 @@ object StreamingIngest {
   def docsStream(spark: SparkSession, srcDir: String, prefix: String,
                  outDir: String, threshold: Double = 0.8,
                  maxSpanFrac: Double = 0.5,
-                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.schema(docSchema).parquet(srcDir)
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 readerOptions: Map[String, String] = Map.empty): StreamingQuery =
+    spark.readStream.options(readerOptions).schema(docSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -73,8 +74,9 @@ object StreamingIngest {
   /** Start the vectors ingest stream; same contract as [[docsStream]]. */
   def vecsStream(spark: SparkSession, srcDir: String, prefix: String,
                  outDir: String, threshold: Double = 0.9,
-                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.schema(vecSchema).parquet(srcDir)
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 readerOptions: Map[String, String] = Map.empty): StreamingQuery =
+    spark.readStream.options(readerOptions).schema(vecSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

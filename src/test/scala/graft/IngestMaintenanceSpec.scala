@@ -225,4 +225,136 @@ class IngestMaintenanceSpec extends SparkSpec {
       }
     }
   }
+
+  test("docs removal: forgotten docs re-admittable, shared text survives, store == rebuild") {
+    val p = "mt_rm_docs"
+    val pRef = "mt_rm_ref"
+    IndexStore.dropDocs(spark, p)
+    IndexStore.dropDocs(spark, pRef)
+    try {
+      // build corpus includes a doc-7 text twin under id 9000: the two
+      // collapse onto ONE _fp row, the removal edge the fp rewrite must
+      // get right (forget a fingerprint only when no survivor shares it)
+      val buildCorpus = corpusDocs
+        .unionByName(Seq((9000L, textOf(7))).toDF("doc_id", "text"))
+      IndexStore.buildDocs(buildCorpus, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      IndexStore.appendDocs(
+        materialize(allDocs.filter(col("doc_id").between(200, 229))),
+        col("doc_id"), col("text"), p)
+      val cfgBefore = IndexStore.docConfig(spark, p)
+
+      // remove a build doc, the twin of doc 7, and an appended doc
+      IndexStore.removeDocs(spark, p, Seq(5L, 9000L, 210L).toDF("doc_id"))
+
+      // reference: the store a from-scratch build over the survivors gives
+      val survivors = buildCorpus
+        .unionByName(allDocs.filter(col("doc_id").between(200, 229)))
+        .filter(!col("doc_id").isin(5L, 9000L, 210L))
+      IndexStore.buildDocs(survivors, col("doc_id"), col("text"), pRef,
+        IndexStore.DocConfig(buckets = 4))
+      multisetEqual(spark.table(IndexStore.docsTable(p)),
+        spark.table(IndexStore.docsTable(pRef)), "_docs after removal")
+      multisetEqual(spark.table(IndexStore.fpTable(p)),
+        spark.table(IndexStore.fpTable(pRef)), "_fp after removal")
+      multisetEqual(spark.table(IndexStore.mhTable(p)),
+        spark.table(IndexStore.mhTable(pRef)), "_mh after removal")
+      multisetEqual(
+        spark.table(IndexStore.spanTable(p))
+          .groupBy("wh").agg(sum("n").as("n")),
+        spark.table(IndexStore.spanTable(pRef))
+          .groupBy("wh").agg(sum("n").as("n")), "_span totals after removal")
+      assert(IndexStore.docConfig(spark, p) == cfgBefore,
+        "config properties must survive removal")
+      // removal doubles as compaction: back to one file per bucket
+      Seq(IndexStore.docsTable(p), IndexStore.fpTable(p),
+        IndexStore.mhTable(p), IndexStore.spanTable(p)).foreach { t =>
+        assert(dataFileCount(t) == 4,
+          s"$t should be compacted by removal, got ${dataFileCount(t)}")
+      }
+
+      // probes through the rewritten store AND its persisted bloom:
+      // a re-crawl of a removed text is new again; the shared text is
+      // still remembered through its survivor; survivor dups still reject
+      val probe = Seq(
+        (9601L, textOf(210)),          // removed -> forgotten -> admit
+        (9602L, textOf(7)),            // twin removed, doc 7 survives -> reject
+        (9603L, textOf(220)),          // surviving appended doc -> reject
+        (9604L, "wholly fresh removal probe document with plenty of " +
+          "novel tokens to stand alone")).toDF("doc_id", "text")
+      val (adm, rej) = IngestApp.admitDocs(spark, p, probe)
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9601L, 9604L),
+        "removed text must be re-admittable, fresh text admitted")
+      val reasons = rej.as[(Long, String)].collect().toMap
+      assert(reasons.get(9602L).contains("exact_dup_of_corpus"),
+        s"shared text must survive its twin's removal: $reasons")
+      assert(reasons.get(9603L).contains("exact_dup_of_corpus"), s"$reasons")
+      // and the reference store decides identically
+      val (admRef, rejRef) = IngestApp.admitDocs(spark, pRef, probe)
+      assert(admRef.select("doc_id").as[Long].collect().toSet ==
+        adm.select("doc_id").as[Long].collect().toSet)
+      assert(rejRef.as[(Long, String)].collect().toMap == reasons)
+
+      // the rewritten store still appends (bucket spec + props intact)
+      IndexStore.appendDocs(
+        materialize(allDocs.filter(col("doc_id").between(230, 239))),
+        col("doc_id"), col("text"), p)
+      val (_, rej2) = IngestApp.admitDocs(spark, p,
+        Seq((9605L, textOf(235))).toDF("doc_id", "text"))
+      assert(rej2.as[(Long, String)].collect().toMap
+        .get(9605L).contains("exact_dup_of_corpus"),
+        "store must keep admitting/appending after a removal rewrite")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      IndexStore.dropDocs(spark, pRef)
+    }
+  }
+
+  test("vecs removal: twin of removed vector admitted again, tables == rebuild") {
+    val p = "mt_rm_vecs"
+    val pRef = "mt_rm_vref"
+    IndexStore.dropVecs(spark, p)
+    IndexStore.dropVecs(spark, pRef)
+    val allVecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def twinOf(id: Long, newId: Long): DataFrame =
+      allVecs.filter(col("vec_id") === id)
+        .select(lit(newId).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01)).as("embedding"))
+    try {
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      IndexStore.appendVecs(
+        materialize(allVecs.filter(col("vec_id").between(200, 249))),
+        col("vec_id"), col("embedding"), p)
+      val cfg = IndexStore.vecConfig(spark, p)
+
+      IndexStore.removeVecs(spark, p, Seq(5L, 210L).toDF("vec_id"))
+
+      // rebuild reference pinned to the SAME plane provisioning (the
+      // store was provisioned for the build corpus, not the survivors)
+      IndexStore.buildVecs(
+        allVecs.filter(col("vec_id") < 250 && !col("vec_id").isin(5L, 210L)),
+        col("vec_id"), col("embedding"), pRef,
+        nPlanes = cfg.nPlanes, nTables = cfg.nTables, buckets = cfg.buckets)
+      multisetEqual(spark.table(IndexStore.vecsTable(p)),
+        spark.table(IndexStore.vecsTable(pRef)), "_vecs after removal")
+      multisetEqual(spark.table(IndexStore.lshTable(p)),
+        spark.table(IndexStore.lshTable(pRef)), "_lsh after removal")
+      assert(IndexStore.vecConfig(spark, p) == cfg)
+
+      // a near-twin of the removed vector sails through; a twin of a
+      // survivor is still caught
+      val probe = twinOf(210L, 9700L).unionByName(twinOf(220L, 9701L))
+      val (adm, rej) = IngestApp.admitVecs(spark, p, materialize(probe))
+      assert(adm.select("vec_id").as[Long].collect().toSet == Set(9700L),
+        "twin of a removed vector must be admitted")
+      assert(rej.select("vec_id").as[Long].collect().toSet == Set(9701L),
+        "twin of a surviving vector must still be rejected")
+    } finally {
+      IndexStore.dropVecs(spark, p)
+      IndexStore.dropVecs(spark, pRef)
+    }
+  }
 }
