@@ -140,10 +140,13 @@ object StreamBench {
     var admitted = 0L
     var rejected = 0L
     var total = 0L
+    var admitNs = 0L // admission joins + checkpointed decision frames
+    var appendNs = 0L // bucketed delta writes + bloom merge
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
       val batch = batchOf(b)
       total += batch.count()
+      val ta = System.nanoTime()
       val (_, rej) = IngestApp.admitDocs(spark, p, batch)
       // ONE admission execution (checkpointed rejects — also required
       // before the append mutates the tables the plan reads); admitted
@@ -153,10 +156,13 @@ object StreamBench {
       val admM = batch.join(rejM.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti").localCheckpoint(true)
       admitted += admM.count()
+      admitNs += System.nanoTime() - ta
+      val tp = System.nanoTime()
       IndexStore.appendDocs(admM, col("doc_id"), col("text"), p)
+      appendNs += System.nanoTime() - tp
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"docs_ingest_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    println(f"""{"metric":"docs_ingest_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"admit_sec":${admitNs / 1e9}%.2f,"append_sec":${appendNs / 1e9}%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
     IndexStore.dropDocs(spark, p)
   }
 
@@ -242,20 +248,26 @@ object StreamBench {
     var admitted = 0L
     var rejected = 0L
     var total = 0L
+    var admitNs = 0L
+    var appendNs = 0L
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
       val batch = batchOf(b)
       total += batch.count()
+      val ta = System.nanoTime()
       val (_, rej) = IngestApp.admitVecs(spark, p, batch)
       val rejM = rej.localCheckpoint(true)
       rejected += rejM.select(col("vec_id")).distinct().count()
       val admM = batch.join(rejM.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti").localCheckpoint(true)
       admitted += admM.count()
+      admitNs += System.nanoTime() - ta
+      val tp = System.nanoTime()
       IndexStore.appendVecs(admM, col("vec_id"), col("embedding"), p)
+      appendNs += System.nanoTime() - tp
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"vecs_loop_vecs_per_sec","value":${total / sec}%.0f,"vecs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    println(f"""{"metric":"vecs_loop_vecs_per_sec","value":${total / sec}%.0f,"vecs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"admit_sec":${admitNs / 1e9}%.2f,"append_sec":${appendNs / 1e9}%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
     IndexStore.dropVecs(spark, p)
   }
 

@@ -220,13 +220,24 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
-    // Approximate distinct (HLL++). No SQL oracle — estimator-specific;
-    // correctness is bounded-error vs exact count, asserted in tests.
+    // Approximate distinct (HLL++), SELF-CERTIFYING for the exact-hash
+    // oracle protocol: an estimator's value differs engine to engine, so
+    // instead of dumping it we dump the exact count plus a boolean
+    // attesting the estimate landed within 2x the configured rsd (0.05
+    // default -> 10% gate; the tight 5% assertion lives in PropertySpec).
+    // DuckDB's side of the compare is then fully deterministic (`true`),
+    // and a broken estimator flips the boolean -> hash mismatch. The
+    // exact count costs one extra shuffle at VERIFY scale; the estimator
+    // itself is still what this entry exists to exercise.
     "q_approx_distinct" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.events.agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+        .select(col("n"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.10).as("within_bound"))
     },
 
     // SQL front end: spark.sql over registered views, exercising a
@@ -423,6 +434,12 @@ object RelationalQueries {
            UNION ALL
            SELECT 'except' AS op, c_nationkey FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
          ) ORDER BY op, c_nationkey""",
+
+    // The estimator attests its own bound (see the query's comment); the
+    // oracle side is the deterministic remainder: exact counts + `true`.
+    "q_approx_distinct" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS exact_users,
+           true AS within_bound FROM events""",
 
     "q_sql_subqueries" ->
       """SELECT c_custkey, c_name

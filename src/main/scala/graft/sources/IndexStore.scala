@@ -292,26 +292,47 @@ object IndexStore {
     *
     * Every removal-derived frame is pinned (`localCheckpoint`) BEFORE
     * the first table rewrite: their lazy plans read the very tables the
-    * rewrites replace. */
-  def removeDocs(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    * rewrites replace. Each is then broadcast only under a MEASURED
+    * count guard (the [[Dedup.minhashIncrementalPairs]] pattern) — a
+    * takedown batch is operationally tiny, but `rmSpan` is the removed
+    * docs' span index (k-gram windows × doc length), which a
+    * large-document backfill inflates far past the id count; above
+    * `maxBroadcastRows` the hint is dropped and the rewrite degrades to
+    * a shuffle join that completes instead of an 8 GB broadcast-cap /
+    * driver-OOM failure. Counting is cheap: every frame is already an
+    * eagerly materialized checkpoint. */
+  def removeDocs(spark: SparkSession, prefix: String, ids: DataFrame,
+                 maxBroadcastRows: Long = 1000L * 1000): Unit = {
     val cfg = docConfig(spark, prefix)
-    val rm = broadcast(ids
+    def guarded(df: DataFrame, what: String): DataFrame =
+      if (df.count() <= maxBroadcastRows) broadcast(df)
+      else {
+        System.err.println(
+          s"[graft] removeDocs: $what exceeds $maxBroadcastRows rows — " +
+            "dropping the broadcast hint; the table rewrite degrades to a " +
+            "shuffle join (correct, no longer bucket-local)")
+        df
+      }
+    val rm = guarded(ids
       .select(col(ids.columns.head).cast("long").as("doc_id"))
-      .distinct().localCheckpoint(true))
+      .distinct().localCheckpoint(true), "removal id set")
     if (rm.isEmpty) return
     val removedDocs = spark.table(docsTable(prefix))
       .join(rm, Seq("doc_id"), "left_semi").localCheckpoint(true)
-    val removedFps = broadcast(
-      Dedup.admissionIndex(removedDocs, col("text")).localCheckpoint(true))
+    val removedFps = guarded(
+      Dedup.admissionIndex(removedDocs, col("text")).localCheckpoint(true),
+      "removed fingerprint set")
     val survivorShared = spark.table(docsTable(prefix))
       .join(rm, Seq("doc_id"), "left_anti")
       .select(Dedup.textFingerprint(col("text")).as("fp"))
       .join(removedFps, Seq("fp"), "left_semi").distinct()
-    val fpForget = broadcast(removedFps
-      .join(survivorShared, Seq("fp"), "left_anti").localCheckpoint(true))
-    val rmSpan = broadcast(
+    val fpForget = guarded(removedFps
+      .join(survivorShared, Seq("fp"), "left_anti").localCheckpoint(true),
+      "forgettable fingerprint set")
+    val rmSpan = guarded(
       Dedup.spanIndex(removedDocs, col("doc_id"), col("text"), cfg.spanK)
-        .withColumnRenamed("n", "n_rm").localCheckpoint(true))
+        .withColumnRenamed("n", "n_rm").localCheckpoint(true),
+      "removed span index")
     Bucketing.compactTable(spark, docsTable(prefix), Seq("doc_id"), cfg.buckets,
       transform = _.join(rm, Seq("doc_id"), "left_anti"))
     Bucketing.compactTable(spark, fpTable(prefix), Seq("fp"), cfg.buckets,
@@ -340,12 +361,22 @@ object IndexStore {
   /** Remove vectors from the store by id; same contract and mechanics as
     * [[removeDocs]] — both tables carry `vec_id`, so both rewrites are a
     * plain anti-join folded into a compaction pass, and there is no
-    * bloom to refresh. */
-  def removeVecs(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    * bloom to refresh. The removal set gets the same measured-count
+    * broadcast guard. */
+  def removeVecs(spark: SparkSession, prefix: String, ids: DataFrame,
+                 maxBroadcastRows: Long = 1000L * 1000): Unit = {
     val cfg = vecConfig(spark, prefix)
-    val rm = broadcast(ids
+    val rmBase = ids
       .select(col(ids.columns.head).cast("long").as("vec_id"))
-      .distinct().localCheckpoint(true))
+      .distinct().localCheckpoint(true)
+    val rm =
+      if (rmBase.count() <= maxBroadcastRows) broadcast(rmBase)
+      else {
+        System.err.println(
+          s"[graft] removeVecs: removal id set exceeds $maxBroadcastRows rows — " +
+            "dropping the broadcast hint (shuffle fallback)")
+        rmBase
+      }
     if (rm.isEmpty) return
     Bucketing.compactTable(spark, vecsTable(prefix), Seq("vec_id"), cfg.buckets,
       transform = _.join(rm, Seq("vec_id"), "left_anti"))
@@ -374,6 +405,54 @@ object IndexStore {
       "graft.nPlanes" -> planes.toString,
       "graft.nTables" -> nTables.toString,
       "graft.buckets" -> buckets.toString))
+  }
+
+  /** Re-derive the LSH index of a vectors store from its own `_vecs`
+    * table under a NEW plane/table configuration — the re-provisioning
+    * path the store's scale story depends on: bucket selectivity decays
+    * once appends grow the corpus past ~2× the build-time size (the
+    * plane count was auto-provisioned against the BUILD corpus), and the
+    * standard LSH answer is a rebuild at the new size. Without this
+    * helper a user had to hand-orchestrate drop + re-read + re-write and
+    * got the config-properties bookkeeping wrong for free.
+    *
+    * `nPlanes = 0` re-runs the `log2(N)+1` auto-provisioning rule
+    * against the CURRENT corpus count (the whole point of the call);
+    * `nTables = 0` keeps the store's recorded value. Only `_lsh` is
+    * rewritten — `_vecs` rows are config-independent.
+    *
+    * Swap is write-aside + drop + RENAME (the [[Bucketing.compactTable]]
+    * protocol): the new index is fully written before the old one goes,
+    * and a crash between drop and rename is recovered by the next call
+    * (missing `_lsh` + present temp → finish the rename, skip the
+    * rewrite). Readers planned against the old table must re-resolve. */
+  def rebuildVecs(spark: SparkSession, prefix: String,
+                  nPlanes: Int = 0, nTables: Int = 0): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    val lsh = lshTable(prefix)
+    val tmp = s"${lsh}__rebuild"
+    val prep = spark.table(vecsTable(prefix))
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else math.max(8, Similarity.lshAutoPlanes(math.max(1L, prep.count())))
+    val tables = if (nTables > 0) nTables else cfg.nTables
+    if (spark.catalog.tableExists(lsh)) {
+      dropTable(spark, tmp)
+      // repartition on the bucket key (same Murmur3-mod-buckets hash the
+      // bucket spec uses) so each write task holds exactly one bucket and
+      // the rebuilt index lands compact: one sorted file per bucket
+      Bucketing.writeBucketed(
+        Similarity.lshIndex(prep, planes, tables)
+          .repartition(cfg.buckets, col("band"), col("bucket")),
+        tmp, Seq("band", "bucket"), cfg.buckets)
+      dropTable(spark, lsh)
+    } else require(spark.catalog.tableExists(tmp),
+      s"neither $lsh nor $tmp exists — store '$prefix' has no LSH index to rebuild")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $lsh")
+    setProps(spark, vecsTable(prefix), Map(
+      "graft.nPlanes" -> planes.toString,
+      "graft.nTables" -> tables.toString,
+      "graft.buckets" -> cfg.buckets.toString))
   }
 
   /** The build-time configuration of a vectors store, from the catalog. */

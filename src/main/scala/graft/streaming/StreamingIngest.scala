@@ -55,12 +55,27 @@ object StreamingIngest {
   /** Start the documents ingest stream over parquet files arriving in
     * `srcDir`. `outDir` holds the rejects log and the checkpoint;
     * restart with the same `outDir` resumes from the last committed
-    * micro-batch. */
+    * micro-batch.
+    *
+    * `compactEvery = N > 0` runs [[IndexStore.compactDocs]] inside every
+    * Nth micro-batch (after its append), folding the store's per-append
+    * file growth back to one sorted file per bucket on a fixed cadence —
+    * without it a long-running stream degrades its own admission scans
+    * until an operator intervenes. Placement matters: compaction runs
+    * INSIDE `foreachBatch`, so it is serialized against admissions (the
+    * write-aside swap is not safe under a concurrent reader of the same
+    * session's catalog) and a crash mid-compaction replays the batch,
+    * whose admission-idempotence already covers the re-run; the
+    * compacted store is equal row-wise to the uncompacted one, so
+    * results are cadence-independent. The cadence counts micro-batches,
+    * not rows — size N so compaction cost (a full store rewrite)
+    * amortizes over the appends between runs. */
   def docsStream(spark: SparkSession, srcDir: String, prefix: String,
                  outDir: String, threshold: Double = 0.8,
                  maxSpanFrac: Double = 0.5,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 readerOptions: Map[String, String] = Map.empty): StreamingQuery =
+                 readerOptions: Map[String, String] = Map.empty,
+                 compactEvery: Int = 0): StreamingQuery =
     spark.readStream.options(readerOptions).schema(docSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
@@ -68,14 +83,18 @@ object StreamingIngest {
         admitAppend(spark, batch, batchId, "doc_id", outDir) { b =>
           IngestApp.admitDocs(spark, prefix, b, threshold, maxSpanFrac)._2
         } { adm => IndexStore.appendDocs(adm, col("doc_id"), col("text"), prefix) }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          IndexStore.compactDocs(spark, prefix)
       }
       .start()
 
-  /** Start the vectors ingest stream; same contract as [[docsStream]]. */
+  /** Start the vectors ingest stream; same contract as [[docsStream]],
+    * including the `compactEvery` cadence ([[IndexStore.compactVecs]]). */
   def vecsStream(spark: SparkSession, srcDir: String, prefix: String,
                  outDir: String, threshold: Double = 0.9,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 readerOptions: Map[String, String] = Map.empty): StreamingQuery =
+                 readerOptions: Map[String, String] = Map.empty,
+                 compactEvery: Int = 0): StreamingQuery =
     spark.readStream.options(readerOptions).schema(vecSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
@@ -83,6 +102,8 @@ object StreamingIngest {
         admitAppend(spark, batch, batchId, "vec_id", outDir) { b =>
           IngestApp.admitVecs(spark, prefix, b, threshold)._2
         } { adm => IndexStore.appendVecs(adm, col("vec_id"), col("embedding"), prefix) }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          IndexStore.compactVecs(spark, prefix)
       }
       .start()
 

@@ -1,0 +1,171 @@
+package graft
+
+import graft.sources.IndexStore
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 maintenance additions: the broadcast-guard fallback in
+  * takedown ([[IndexStore.removeDocs]] with a tiny `maxBroadcastRows`),
+  * LSH re-provisioning ([[IndexStore.rebuildVecs]]), and the streaming
+  * compaction cadence ([[StreamingIngest.docsStream]] `compactEvery`). */
+class IngestProvisioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val allDocs = Tables(spark, sfDir).documents
+    .select(col("doc_id"), col("text"))
+
+  private def multisetEqual(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val bb = b.select(a.columns.map(col): _*)
+    assert(a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty, s"$what differs")
+  }
+
+  private def materialize(df: DataFrame): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  private def dataFileCount(table: String): Int = {
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    new java.io.File(wh, table.toLowerCase)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
+  test("removeDocs shuffle fallback (guard tripped) equals rebuild-without-removed") {
+    val p = "pv_rm_fb"
+    val pRef = "pv_rm_fbref"
+    IndexStore.dropDocs(spark, p)
+    IndexStore.dropDocs(spark, pRef)
+    try {
+      val corpus = allDocs.filter(col("doc_id") < 200)
+      IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      // maxBroadcastRows = 1 trips the guard on every removal-derived
+      // frame (ids, fps, span index all exceed one row), forcing the
+      // shuffle-fallback rewrite the 100-TB takedown path relies on
+      IndexStore.removeDocs(spark, p, Seq(5L, 17L, 42L).toDF("doc_id"),
+        maxBroadcastRows = 1L)
+      IndexStore.buildDocs(corpus.filter(!col("doc_id").isin(5L, 17L, 42L)),
+        col("doc_id"), col("text"), pRef, IndexStore.DocConfig(buckets = 4))
+      multisetEqual(spark.table(IndexStore.docsTable(p)),
+        spark.table(IndexStore.docsTable(pRef)), "_docs (fallback removal)")
+      multisetEqual(spark.table(IndexStore.fpTable(p)),
+        spark.table(IndexStore.fpTable(pRef)), "_fp (fallback removal)")
+      multisetEqual(spark.table(IndexStore.mhTable(p)),
+        spark.table(IndexStore.mhTable(pRef)), "_mh (fallback removal)")
+      multisetEqual(
+        spark.table(IndexStore.spanTable(p)).groupBy("wh").agg(sum("n").as("n")),
+        spark.table(IndexStore.spanTable(pRef)).groupBy("wh").agg(sum("n").as("n")),
+        "_span totals (fallback removal)")
+      // and admission still works through the rewritten store + bloom
+      val (adm, rej) = IngestApp.admitDocs(spark, p, Seq(
+        (9650L, allDocs.filter(col("doc_id") === 5L).select("text").as[String].head()),
+        (9651L, allDocs.filter(col("doc_id") === 20L).select("text").as[String].head()))
+        .toDF("doc_id", "text"))
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9650L),
+        "removed text must re-admit after a fallback removal")
+      assert(rej.select("doc_id").as[Long].collect().toSet == Set(9651L),
+        "surviving text must still reject after a fallback removal")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      IndexStore.dropDocs(spark, pRef)
+    }
+  }
+
+  test("rebuildVecs at 2x corpus == fresh build; store swapped atomically") {
+    val p = "pv_rb_vecs"
+    val pRef = "pv_rb_vref"
+    IndexStore.dropVecs(spark, p)
+    IndexStore.dropVecs(spark, pRef)
+    val allVecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    try {
+      // build at 150 vectors, append past 2x the build size — the decay
+      // regime rebuildVecs exists for
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 150),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      IndexStore.appendVecs(
+        materialize(allVecs.filter(col("vec_id").between(150, 349))),
+        col("vec_id"), col("embedding"), p)
+
+      IndexStore.rebuildVecs(spark, p)
+
+      // reference: a fresh auto-provisioned build over the SAME corpus —
+      // same count -> same auto plane count -> identical deterministic LSH
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 350),
+        col("vec_id"), col("embedding"), pRef, nTables = 4, buckets = 4)
+      assert(IndexStore.vecConfig(spark, p) == IndexStore.vecConfig(spark, pRef),
+        "rebuild must re-provision planes to the current corpus size")
+      multisetEqual(spark.table(IndexStore.lshTable(p)),
+        spark.table(IndexStore.lshTable(pRef)), "_lsh after rebuild")
+      multisetEqual(spark.table(IndexStore.vecsTable(p)),
+        spark.table(IndexStore.vecsTable(pRef)), "_vecs after rebuild")
+      assert(!spark.catalog.tableExists(s"${IndexStore.lshTable(p)}__rebuild"),
+        "write-aside temp must be renamed away")
+      assert(dataFileCount(IndexStore.lshTable(p)) == 4,
+        "rebuilt index is one file per bucket")
+
+      // the rebuilt store still probes and appends under the new config
+      val (adm, _) = IngestApp.admitVecs(spark, p,
+        materialize(allVecs.filter(col("vec_id").between(350, 354))))
+      assert(adm.count() > 0, "rebuilt store must keep admitting")
+    } finally {
+      IndexStore.dropVecs(spark, p)
+      IndexStore.dropVecs(spark, pRef)
+    }
+  }
+
+  test("streaming ingest compactEvery: store compacted on cadence, results unchanged") {
+    val p = "pv_ce"
+    val pRef = "pv_ce_ref"
+    IndexStore.dropDocs(spark, p)
+    IndexStore.dropDocs(spark, pRef)
+    val srcDir = java.nio.file.Files.createTempDirectory("ce-src").toString
+    val srcDirRef = java.nio.file.Files.createTempDirectory("ceref-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ce-out").toString
+    val outDirRef = java.nio.file.Files.createTempDirectory("ceref-out").toString
+    try {
+      val corpus = allDocs.filter(col("doc_id") < 200)
+      IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      IndexStore.buildDocs(corpus, col("doc_id"), col("text"), pRef,
+        IndexStore.DocConfig(buckets = 4))
+
+      // two micro-batches, compaction after each (cadence 1); the
+      // reference stream never compacts
+      for ((lo, hi) <- Seq((200, 219), (220, 239))) {
+        allDocs.filter(col("doc_id").between(lo, hi))
+          .write.mode("append").parquet(srcDir)
+        StreamingIngest.docsStream(spark, srcDir, p, outDir, compactEvery = 1)
+          .awaitTermination()
+        allDocs.filter(col("doc_id").between(lo, hi))
+          .write.mode("append").parquet(srcDirRef)
+        StreamingIngest.docsStream(spark, srcDirRef, pRef, outDirRef)
+          .awaitTermination()
+      }
+
+      val tables = Seq(IndexStore.docsTable _, IndexStore.fpTable _,
+        IndexStore.mhTable _, IndexStore.spanTable _)
+      tables.foreach { t =>
+        assert(dataFileCount(t(p)) == 4,
+          s"${t(p)} must be back to one file per bucket, got ${dataFileCount(t(p))}")
+        assert(dataFileCount(t(pRef)) > 4,
+          s"${t(pRef)} (no cadence) should hold appended file sets")
+      }
+      // cadence must not change WHAT the stream computed, only the layout
+      multisetEqual(spark.table(IndexStore.docsTable(p)),
+        spark.table(IndexStore.docsTable(pRef)), "_docs (cadence vs none)")
+      multisetEqual(
+        spark.table(IndexStore.spanTable(p)).groupBy("wh").agg(sum("n").as("n")),
+        spark.table(IndexStore.spanTable(pRef)).groupBy("wh").agg(sum("n").as("n")),
+        "_span totals (cadence vs none)")
+      multisetEqual(spark.read.parquet(s"$outDir/rejects").drop("batch_id"),
+        spark.read.parquet(s"$outDirRef/rejects").drop("batch_id"),
+        "rejects (cadence vs none)")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      IndexStore.dropDocs(spark, pRef)
+      Seq(srcDir, srcDirRef, outDir, outDirRef).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+}
