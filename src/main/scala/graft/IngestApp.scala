@@ -208,10 +208,11 @@ object IngestApp {
         "admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
         "build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables] | " +
         "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
-        "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
-        "stream-vecs <srcDir> <prefix> <outDir> [threshold] | " +
+        "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] [compactEvery] | " +
+        "stream-vecs <srcDir> <prefix> <outDir> [threshold] [compactEvery] | " +
         "compact-docs <prefix> | compact-vecs <prefix> | " +
-        "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix>")
+        "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix> | " +
+        "rebuild-vecs <prefix> [nPlanes] [nTables]")
     val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try mode match {
@@ -273,10 +274,12 @@ object IngestApp {
           if (mode == "stream-docs")
             graft.streaming.StreamingIngest.docsStream(spark, args(1), args(2),
               args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
-              maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5))
+              maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5),
+              compactEvery = args.lift(6).map(_.toInt).getOrElse(0))
           else
             graft.streaming.StreamingIngest.vecsStream(spark, args(1), args(2),
-              args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9))
+              args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
+              compactEvery = args.lift(5).map(_.toInt).getOrElse(0))
         q.awaitTermination()
         println(s"""{"metric":"ingest_stream","mode":"$mode","prefix":"${args(2)}","batches":${q.recentProgress.length}}""")
 
@@ -299,10 +302,20 @@ object IngestApp {
         IndexStore.removeVecs(spark, args(2), spark.read.parquet(args(1)))
         println(s"""{"metric":"ingest_remove","mode":"vecs","prefix":"${args(2)}","rows":${spark.table(IndexStore.vecsTable(args(2))).count()}}""")
 
+      // re-provision the LSH index against the grown corpus (nPlanes 0 =
+      // re-run auto-provisioning at the current count)
+      case "rebuild-vecs" =>
+        require(args.length >= 2, "usage: IngestApp rebuild-vecs <prefix> [nPlanes] [nTables]")
+        IndexStore.rebuildVecs(spark, args(1),
+          nPlanes = args.lift(2).map(_.toInt).getOrElse(0),
+          nTables = args.lift(3).map(_.toInt).getOrElse(0))
+        val cfg = IndexStore.vecConfig(spark, args(1))
+        println(s"""{"metric":"ingest_rebuild","mode":"vecs","prefix":"${args(1)}","nPlanes":${cfg.nPlanes},"nTables":${cfg.nTables}}""")
+
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|" +
           "admit-vecs|stream-docs|stream-vecs|compact-docs|compact-vecs|" +
-          "remove-docs|remove-vecs)")
+          "remove-docs|remove-vecs|rebuild-vecs)")
     } finally spark.stop()
   }
 }

@@ -26,6 +26,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("docs")) {
       docsIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsstream")) {
+      vecsStreamIngest(spark, n, batches); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsloop")) {
       vecsLoop(spark, n, batches); spark.stop(); return
     }
@@ -207,6 +210,57 @@ object StreamBench {
       println(f"""{"metric":"docs_stream_docs_per_sec","value":${total / sec}%.0f,"docs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
     } finally {
       IndexStore.dropDocs(spark, p)
+      Seq(srcDir, outDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
+  /** The vectors admission loop as a STRUCTURED STREAM
+    * (`SPARK_GRAFT_STREAM=vecsstream`) — [[docsStreamIngest]]'s contract
+    * over [[graft.streaming.StreamingIngest.vecsStream]]: same store and
+    * batch shapes as [[vecsLoop]] minus the planted twins' near-dup
+    * verification noise (fresh vectors + 1-in-100 twins), arriving as
+    * parquet files drained one per micro-batch. */
+  private def vecsStreamIngest(spark: SparkSession, n: Long, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    def vecs(from: Long, nVecs: Long, salt: Int) = spark.range(from, from + nVecs)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(xxhash64(col("id"), d, lit(salt)), lit(1000)).cast("double")
+            - 500.0) / 500.0).cast("float")).as("embedding"))
+    val p = "vecs_stream_store"
+    IndexStore.dropVecs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("vbench-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vbench-out").toString
+    try {
+      val tb = System.nanoTime()
+      IndexStore.buildVecs(vecs(0, n, 0), col("vec_id"), col("embedding"), p)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val batchN = math.max(n / 4, 1L)
+      var total = 0L
+      (0 until batches).foreach { b =>
+        val fresh = vecs(0, batchN, b + 1)
+          .select((col("vec_id") + n * (b + 1)).as("vec_id"), col("embedding"))
+        val twins = vecs((b % 4) * batchN, batchN, 0)
+          .filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + n * (batches + 2 + b)).as("vec_id"),
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (x, y) => (x + y * lit(0.01f)).cast("float")).as("embedding"))
+        val batch = fresh.unionByName(twins)
+        total += batch.count()
+        batch.coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingIngest.vecsStream(spark, srcDir, p, outDir,
+        readerOptions = Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.table(IndexStore.vecsTable(p)).count() - n
+      val rejected = spark.read.parquet(s"$outDir/rejects").count()
+      println(f"""{"metric":"vecs_stream_vecs_per_sec","value":${total / sec}%.0f,"vecs":$total,"corpus":$n,"batches":$batches,"sec":$sec%.2f,"build_sec":$buildSec%.2f,"admitted":$admitted,"rejected":$rejected}""")
+    } finally {
+      IndexStore.dropVecs(spark, p)
       Seq(srcDir, outDir).foreach { d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
       }
