@@ -212,7 +212,8 @@ object IngestApp {
         "stream-vecs <srcDir> <prefix> <outDir> [threshold] [compactEvery] | " +
         "compact-docs <prefix> | compact-vecs <prefix> | " +
         "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix> | " +
-        "rebuild-vecs <prefix> [nPlanes] [nTables]")
+        "rebuild-vecs <prefix> [nPlanes] [nTables] | " +
+        "rebuild-docs <prefix> [bands] [spanK] [ngram] [numHashes] [buckets]")
     val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try mode match {
@@ -312,10 +313,27 @@ object IngestApp {
         val cfg = IndexStore.vecConfig(spark, args(1))
         println(s"""{"metric":"ingest_rebuild","mode":"vecs","prefix":"${args(1)}","nPlanes":${cfg.nPlanes},"nTables":${cfg.nTables}}""")
 
+      // re-derive the docs indexes under a new config (unspecified knobs
+      // keep their recorded values; the bloom is always re-provisioned
+      // against the current corpus size)
+      case "rebuild-docs" =>
+        require(args.length >= 2,
+          "usage: IngestApp rebuild-docs <prefix> [bands] [spanK] [ngram] [numHashes] [buckets]")
+        val cur = IndexStore.docConfig(spark, args(1))
+        IndexStore.rebuildDocs(spark, args(1), cur.copy(
+          bands = args.lift(2).map(_.toInt).getOrElse(cur.bands),
+          spanK = args.lift(3).map(_.toInt).getOrElse(cur.spanK),
+          ngram = args.lift(4).map(_.toInt).getOrElse(cur.ngram),
+          numHashes = args.lift(5).map(_.toInt).getOrElse(cur.numHashes),
+          buckets = args.lift(6).map(_.toInt).getOrElse(cur.buckets),
+          bloomN = 0L))
+        val after = IndexStore.docConfig(spark, args(1))
+        println(s"""{"metric":"ingest_rebuild","mode":"docs","prefix":"${args(1)}","bands":${after.bands},"spanK":${after.spanK},"bloomN":${after.bloomN}}""")
+
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (docs|vecs|build-docs|admit-docs|build-vecs|" +
           "admit-vecs|stream-docs|stream-vecs|compact-docs|compact-vecs|" +
-          "remove-docs|remove-vecs|rebuild-vecs)")
+          "remove-docs|remove-vecs|rebuild-vecs|rebuild-docs)")
     } finally spark.stop()
   }
 }

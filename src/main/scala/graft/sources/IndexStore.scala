@@ -221,6 +221,50 @@ object IndexStore {
       spanTable(prefix), Seq("wh"), cfg.buckets)
   }
 
+  /** Re-derive every index of a documents store from its own `_docs`
+    * table under a NEW configuration — the docs-path twin of
+    * [[rebuildVecs]], and the answer to the docs store's two decay
+    * modes: the persisted bloom filling past its provisioned capacity
+    * (fpp degrades → confirm-join volume grows) and a band/spanK choice
+    * tuned for the build corpus losing selectivity as appends grow it.
+    * `cfg.bloomN = 0` re-provisions the bloom against the CURRENT
+    * corpus (4× headroom — the same rule as first build, at the new
+    * size).
+    *
+    * The rebuild goes through a TEMP PREFIX (`<prefix>__rebuild`): a
+    * full [[buildDocs]] of the current corpus into the temp store, then
+    * a per-table drop + RENAME swap plus a bloom-directory move —
+    * nothing replaces the live store until the replacement is fully
+    * written. A crash mid-swap is recovered by the next call: a missing
+    * live table with its temp present finishes the rename instead of
+    * rebuilding (config properties travel with the renamed `_docs`). */
+  def rebuildDocs(spark: SparkSession, prefix: String, cfg: DocConfig): Unit = {
+    val tmpPrefix = s"${prefix}__rebuild"
+    val tables: Seq[String => String] =
+      Seq(docsTable _, fpTable _, mhTable _, spanTable _)
+    if (spark.catalog.tableExists(docsTable(prefix))) {
+      dropDocs(spark, tmpPrefix)
+      buildDocs(spark.table(docsTable(prefix)), col("doc_id"), col("text"),
+        tmpPrefix, cfg)
+    } else require(spark.catalog.tableExists(docsTable(tmpPrefix)),
+      s"neither $prefix nor $tmpPrefix holds a docs table — nothing to rebuild or recover")
+    tables.foreach { t =>
+      if (spark.catalog.tableExists(t(tmpPrefix))) {
+        dropTable(spark, t(prefix))
+        spark.sql(s"ALTER TABLE ${t(tmpPrefix)} RENAME TO ${t(prefix)}")
+      }
+    }
+    // move the rebuilt bloom into place (directory swap, no re-read)
+    val fs = bloomPath(spark, prefix)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = bloomPath(spark, prefix).getParent
+    val tmpDir = bloomPath(spark, tmpPrefix).getParent
+    if (fs.exists(tmpDir)) {
+      if (fs.exists(liveDir)) fs.delete(liveDir, true)
+      fs.rename(tmpDir, liveDir)
+    }
+  }
+
   /** Compact every table of a documents store back to one sorted file
     * per bucket ([[Bucketing.compactTable]]) — the maintenance half of a
     * long-running loop: admission cost per batch is flat, but each

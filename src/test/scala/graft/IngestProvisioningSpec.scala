@@ -113,6 +113,67 @@ class IngestProvisioningSpec extends SparkSpec {
     }
   }
 
+  test("rebuildDocs under a new config == fresh build; bloom re-provisioned; admission intact") {
+    val p = "pv_rb_docs"
+    val pRef = "pv_rb_dref"
+    IndexStore.dropDocs(spark, p)
+    IndexStore.dropDocs(spark, pRef)
+    try {
+      // build with one config, append past it, then re-provision with
+      // different bands/spanK (the selectivity knobs) and auto bloom
+      IndexStore.buildDocs(allDocs.filter(col("doc_id") < 150),
+        col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(bands = 16, spanK = 6, buckets = 4))
+      IndexStore.appendDocs(
+        materialize(allDocs.filter(col("doc_id").between(150, 299))),
+        col("doc_id"), col("text"), p)
+      val newCfg = IndexStore.DocConfig(bands = 32, spanK = 8, buckets = 4)
+
+      IndexStore.rebuildDocs(spark, p, newCfg)
+
+      IndexStore.buildDocs(allDocs.filter(col("doc_id") < 300),
+        col("doc_id"), col("text"), pRef, newCfg)
+      val cfgP = IndexStore.docConfig(spark, p)
+      val cfgRef = IndexStore.docConfig(spark, pRef)
+      assert(cfgP == cfgRef,
+        s"rebuild must record the new config incl. re-provisioned bloom: $cfgP vs $cfgRef")
+      multisetEqual(spark.table(IndexStore.docsTable(p)),
+        spark.table(IndexStore.docsTable(pRef)), "_docs after rebuild")
+      multisetEqual(spark.table(IndexStore.fpTable(p)),
+        spark.table(IndexStore.fpTable(pRef)), "_fp after rebuild")
+      multisetEqual(spark.table(IndexStore.mhTable(p)),
+        spark.table(IndexStore.mhTable(pRef)), "_mh after rebuild")
+      multisetEqual(
+        spark.table(IndexStore.spanTable(p)).groupBy("wh").agg(sum("n").as("n")),
+        spark.table(IndexStore.spanTable(pRef)).groupBy("wh").agg(sum("n").as("n")),
+        "_span totals after rebuild")
+      Seq(IndexStore.docsTable _, IndexStore.fpTable _,
+        IndexStore.mhTable _, IndexStore.spanTable _).foreach { t =>
+        assert(!spark.catalog.tableExists(t(s"${p}__rebuild")),
+          s"temp ${t(s"${p}__rebuild")} must be renamed away")
+      }
+
+      // the rebuilt store admits through its re-provisioned bloom: a dup
+      // of an APPENDED doc still rejects, fresh text still admits, and
+      // the reference store decides identically
+      val probe = Seq(
+        (9660L, allDocs.filter(col("doc_id") === 250L).select("text").as[String].head()),
+        (9661L, "wholly fresh rebuild probe document with plenty of novel " +
+          "tokens to stand alone")).toDF("doc_id", "text")
+      val (adm, rej) = IngestApp.admitDocs(spark, p, probe)
+      assert(rej.select("doc_id").as[Long].collect().toSet == Set(9660L))
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9661L))
+      val (admRef, rejRef) = IngestApp.admitDocs(spark, pRef, probe)
+      assert(admRef.select("doc_id").as[Long].collect().toSet ==
+        adm.select("doc_id").as[Long].collect().toSet)
+      assert(rejRef.select("doc_id").as[Long].collect().toSet ==
+        rej.select("doc_id").as[Long].collect().toSet)
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      IndexStore.dropDocs(spark, pRef)
+    }
+  }
+
   test("streaming ingest compactEvery: store compacted on cadence, results unchanged") {
     val p = "pv_ce"
     val pRef = "pv_ce_ref"
