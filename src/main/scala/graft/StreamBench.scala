@@ -26,6 +26,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("docs")) {
       docsIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("maint")) {
+      docsMaintenance(spark, n.toInt); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsstream")) {
       vecsStreamIngest(spark, n, batches); spark.stop(); return
     }
@@ -214,6 +217,48 @@ object StreamBench {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
       }
     }
+  }
+
+  /** Maintenance-operation cost on a GROWN docs store
+    * (`SPARK_GRAFT_STREAM=maint`): build `n` docs, append `n/4` more
+    * (so every table holds two file sets per bucket), then time the
+    * three maintenance rewrites a long-running deployment schedules —
+    * [[graft.sources.IndexStore.compactDocs]],
+    * [[graft.sources.IndexStore.removeDocs]] of a 1-in-200 id sample
+    * (the takedown path, including its bloom rebuild), and
+    * [[graft.sources.IndexStore.rebuildDocs]] under the same config
+    * (the re-provisioning worst case: every index re-derived). Each is
+    * a full-store rewrite by design; the number that matters is the
+    * wall relative to the build it replaces (re-provisioning should
+    * cost ≈ one build) and the appends it amortizes over. */
+  private def docsMaintenance(spark: SparkSession, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val corpus = synthDocs(spark) _
+    val p = "docs_maint_store"
+    IndexStore.dropDocs(spark, p)
+    try {
+      val tb = System.nanoTime()
+      IndexStore.buildDocs(corpus(0, n, 0), col("doc_id"), col("text"), p)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      IndexStore.appendDocs(corpus(n, n / 4, 1), col("doc_id"), col("text"), p)
+      val total = n + n / 4
+      val t1 = System.nanoTime()
+      IndexStore.compactDocs(spark, p)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val rmIds = spark.range(0, total).filter(pmod(col("id"), lit(200)) === 7)
+        .select(col("id").as("doc_id"))
+      val nRm = rmIds.count()
+      val t2 = System.nanoTime()
+      IndexStore.removeDocs(spark, p, rmIds)
+      val removeSec = (System.nanoTime() - t2) / 1e9
+      val cfg = IndexStore.docConfig(spark, p)
+      val t3 = System.nanoTime()
+      IndexStore.rebuildDocs(spark, p, cfg.copy(bloomN = 0L))
+      val rebuildSec = (System.nanoTime() - t3) / 1e9
+      val left = spark.table(IndexStore.docsTable(p)).count()
+      println(f"""{"metric":"docs_maint_sec","corpus":$total,"docs_left":$left,"removed":$nRm,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f}""")
+    } finally IndexStore.dropDocs(spark, p)
   }
 
   /** The vectors admission loop as a STRUCTURED STREAM
