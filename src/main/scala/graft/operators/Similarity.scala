@@ -67,6 +67,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped near-dup pruning: duplicates are
+    * searched only WITHIN a cluster (the `cluster` column — a semantic
+    * partition such as a k-means/IVF assignment or a topic label), and a
+    * row survives iff no lower-id cluster-mate sits at cosine ≥
+    * `threshold`. This is the third point on the embedding-dedup
+    * cost/recall curve alongside [[cosineNearDupPairs]] (exact, global,
+    * quadratic) and [[cosineNearDupPairsLsh]] (global, sub-quadratic,
+    * recall < 1): pruning is EXACT within clusters and zero across them
+    * — the published semantic-dedup trade, where cross-cluster pairs are
+    * by construction not near-duplicates.
+    *
+    * Scale shape: one hash partition of fixed-width (vec, norm) rows per
+    * side on `cluster` — the only exchanges in the plan — then the
+    * within-cluster pair generation is quadratic per CLUSTER, never per
+    * corpus: cost is Σ|c|², bounded by (max cluster size)·N. The knob at
+    * 100 TB is cluster granularity (more centroids → smaller clusters →
+    * cheaper pairs, at more cross-cluster recall loss), exactly the
+    * published trade; a skewed giant cluster should be split at
+    * assignment time (increase k), not salted here, because salting
+    * changes which pairs are compared at all. */
+  def semDedupKeep(emb: DataFrame, id: Column, vec: Column, cluster: Column,
+                   threshold: Double): DataFrame = {
+    val prep = emb.select(id.as("vec_id"), vec.cast("array<double>").as("vec"),
+        cluster.as("cluster"))
+      .withColumn("norm", l2Norm(col("vec")))
+    val a = prep.select(col("cluster"), col("vec_id").as("id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = prep.select(col("cluster"), col("vec_id").as("id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    prep.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Layout of an `nPlanes × nTables` LSH config over however many 64-bit
     * hash columns it needs: `tablesPerHash = 63 / nPlanes` bands fit one
     * hash, so configs up to 63 total bits keep a single hash column

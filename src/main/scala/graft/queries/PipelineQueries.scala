@@ -128,6 +128,18 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SemDeDup-style cluster-scoped pruning over the embeddings table,
+    // with the `label` column as the semantic cluster (in production an
+    // IvfIndex/k-means assignment): exact within-cluster near-dup
+    // removal, zero cross-cluster work — see Similarity.semDedupKeep
+    // for the cost/recall position vs the global exact and LSH paths.
+    "dedup_semdedup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Similarity.semDedupKeep(t.embeddings, col("vec_id"), col("embedding"),
+          col("label"), threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     // Production path for embedding near-dup: OR-amplified hyperplane LSH
     // on a GAPPED corpus — every 10th vector gets a planted near-duplicate
     // (v + 0.01·reverse(v), cosine ≈ 0.9999) so dups sit far above the
@@ -944,6 +956,19 @@ object PipelineQueries {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
            CAST(0 AS INTEGER) AS hamming
          FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a, id_b""",
+
+    "dedup_semdedup" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, label, vec,
+                    sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            d AS (SELECT DISTINCT b.vec_id
+                  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE CASE WHEN a.nrm * b.nrm = 0 THEN NULL
+                        ELSE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                        END >= 0.3)
+         SELECT vec_id, CAST(label AS INT) AS cluster FROM v
+         WHERE vec_id NOT IN (SELECT vec_id FROM d)
+         ORDER BY vec_id""",
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -12,6 +12,40 @@ class SimilaritySpec extends SparkSpec {
     Similarity.prepared(Tables(spark, sfDir).embeddings, col("vec_id"), col("embedding"))
   private lazy val queries = all.filter(col("vec_id") < 20)
 
+  test("semDedupKeep: within-cluster twin dropped, cross-cluster twin kept, matches scoped brute force") {
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .filter(col("vec_id") < 100)
+    // two planted twins of vector 7 (cosine ≈ 0.9999): one in 7's own
+    // cluster (must be dropped — higher id), one in a different cluster
+    // (must SURVIVE — SemDeDup never compares across clusters)
+    val lbl7 = emb.filter(col("vec_id") === 7L).select("label").as[Int].head()
+    def twin(newId: Long, newLabel: Int) = emb.filter(col("vec_id") === 7L)
+      .select(lit(newId).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01f)).as("embedding"),
+        lit(newLabel).as("label"))
+    val corpus = emb.unionByName(twin(9000L, lbl7))
+      .unionByName(twin(9001L, (lbl7 + 1) % 10))
+    val kept = Similarity.semDedupKeep(corpus, col("vec_id"), col("embedding"),
+      col("label"), threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(9000L), "within-cluster twin must be pruned")
+    assert(kept.contains(9001L), "cross-cluster twin must survive")
+    assert(kept.contains(7L), "the lower-id original always survives")
+
+    // full agreement with brute-force pairs restricted to cluster scope
+    val p = Similarity.prepared(corpus, col("vec_id"), col("embedding"))
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+    val lbls = corpus.select(col("vec_id").as("id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val dropped = Similarity.cosineNearDupPairs(p, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, bb) => lbls(a) == lbls(bb) }.map(_._2).toSet
+    assert(kept == lbls.keySet -- dropped,
+      "semDedupKeep must equal global pairs filtered to same-cluster scope")
+  }
+
   test("cosine function matches a driver-side computation") {
     val rows = Tables(spark, sfDir).embeddings.filter(col("vec_id") < 2)
       .orderBy("vec_id").select("embedding").as[Seq[Float]].collect()
