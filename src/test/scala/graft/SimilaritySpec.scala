@@ -46,6 +46,37 @@ class SimilaritySpec extends SparkSpec {
       "semDedupKeep must equal global pairs filtered to same-cluster scope")
   }
 
+  test("semDedupKeep composes with IVF assignment (the production cluster source)") {
+    import graft.operators.IvfIndex
+    // a twin of vector 7 rides along so at least one near-dup pair exists
+    val base = all.filter(col("vec_id") < 150)
+    val twin = base.filter(col("vec_id") === 7L)
+      .select(lit(9100L).as("vec_id"),
+        zip_with(col("vec"), reverse(col("vec")),
+          (x, y) => x + y * lit(0.01)).as("vec"))
+      .withColumn("norm", VectorFunctions.l2Norm(col("vec")))
+    val corpus = base.unionByName(twin)
+    val (assigned, _) = IvfIndex.build(corpus, k = 8)
+    val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+        col("centroid_id"), threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+
+    // ground truth from the ACTUAL assignment: drop the higher id of
+    // every same-cell pair at cosine >= 0.9
+    val cell = assigned.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toMap
+    val dropped = Similarity.cosineNearDupPairs(
+        assigned.select(col("vec_id"), col("vec"), col("norm")), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cell(a) == cell(b) }.map(_._2).toSet
+    assert(kept == cell.keySet -- dropped,
+      "IVF-scoped semdedup must equal pairs filtered to same-cell scope")
+    // the cosine-0.9999 twin shares 7's direction, so k-means argmin
+    // puts it in 7's cell and the pruning step must catch it
+    assert(cell(9100L) == cell(7L) && !kept.contains(9100L),
+      s"twin cell ${cell(9100L)} vs ${cell(7L)}; kept=${kept.contains(9100L)}")
+  }
+
   test("cosine function matches a driver-side computation") {
     val rows = Tables(spark, sfDir).embeddings.filter(col("vec_id") < 2)
       .orderBy("vec_id").select("embedding").as[Seq[Float]].collect()
