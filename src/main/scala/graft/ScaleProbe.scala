@@ -165,7 +165,7 @@ object ScaleProbe {
       keys.unpersist()
       }
 
-      if (on("ann") || on("ivf") || on("emb")) {
+      if (on("ann") || on("ivf") || on("emb") || on("semdedup")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -287,6 +287,46 @@ object ScaleProbe {
       }
       // bound probe disk: each size's shards are deleted before the next
       deleteRecursively(new java.io.File(path))
+      }
+
+      // Cluster-scoped semantic dedup at scale: same vector generator,
+      // clusters assigned round-robin at a FIXED target cluster size so
+      // the claimed cost model (sum of |c|^2 over clusters, linear in N
+      // at fixed granularity) is directly observable — wall should grow
+      // ~linearly with N, not quadratically. Twins share their
+      // original's cluster id (id arithmetic), so planted recall is
+      // exact and asserted. SPARK_GRAFT_SEMDEDUP_CSIZE overrides the
+      // 250-vector target.
+      if (on("semdedup")) {
+        val cSize = sys.env.get("SPARK_GRAFT_SEMDEDUP_CSIZE")
+          .map(_.toInt).getOrElse(250)
+        val kClusters = math.max(1, n / cSize)
+        val baseV = spark.range(n.toLong)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+                / 500.0).as("vec"))
+        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + n).as("vec_id"),
+            zip_with(col("vec"), reverse(col("vec")),
+              (x, y) => x + y * lit(0.01)).as("vec"))
+        val corpusV = baseV.unionByName(twinsV)
+          .withColumn("cluster",
+            pmod(when(col("vec_id") >= n, col("vec_id") - n)
+              .otherwise(col("vec_id")), lit(kClusters)).cast("int"))
+          .localCheckpoint(true)
+        val t8 = System.nanoTime()
+        val keptN = Similarity.semDedupKeep(corpusV, col("vec_id"), col("vec"),
+          col("cluster"), threshold = 0.8).count()
+        val sec8 = (System.nanoTime() - t8) / 1e9
+        val totalV = corpusV.count()
+        // every planted twin must be pruned (its original shares the
+        // cluster and has the lower id); background drops are possible
+        // but the planted floor is exact
+        val planted = (n + 99) / 100
+        println(f"""{"metric":"semdedup_scale","vecs":$totalV,"clusters":$kClusters,"cluster_size":$cSize,"sec":$sec8%.2f,"kept":$keptN,"pruned":${totalV - keptN},"planted":$planted}""")
+        assert(totalV - keptN >= planted,
+          s"planted twins must all be pruned: pruned=${totalV - keptN} < $planted")
       }
       if (on("ann") || on("ivf")) vecs.unpersist()
       }
