@@ -25,6 +25,24 @@ class TestdataDriftSpec extends SparkSpec {
     }
   }
 
+  test("pipeline-table schemas hold the shapes the operators assume") {
+    import org.apache.spark.sql.types._
+    val t = Tables(spark, sfDir)
+    val docs = t.documents.schema
+    assert(docs("doc_id").dataType === LongType, s"documents.doc_id: ${docs("doc_id").dataType}")
+    assert(docs("text").dataType === StringType, s"documents.text: ${docs("text").dataType}")
+    val emb = t.embeddings.schema
+    assert(emb("vec_id").dataType === LongType, s"embeddings.vec_id: ${emb("vec_id").dataType}")
+    assert(emb("embedding").dataType === ArrayType(FloatType),
+      s"embeddings.embedding: ${emb("embedding").dataType}")
+    assert(emb("label").dataType === IntegerType, s"embeddings.label: ${emb("label").dataType}")
+    val ev = t.events.schema
+    for (f <- Seq("event_id" -> LongType, "user_id" -> LongType,
+                  "event_type" -> StringType, "value" -> DoubleType,
+                  "props" -> StringType))
+      assert(ev(f._1).dataType === f._2, s"events.${f._1}: ${ev(f._1).dataType}")
+  }
+
   test("every registered query analyzes against sf0.001") {
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       try {
