@@ -240,6 +240,30 @@ object RelationalQueries {
             <= col("exact_users") * 0.10).as("within_bound"))
     },
 
+    // Count-min-sketch frequency estimation (the third sketch family
+    // next to HLL++ distinct and the percentile sketch), SELF-CERTIFYING
+    // like q_approx_distinct: the CMS guarantee is one-sided —
+    // estimate ∈ [exact, exact + eps·N] with prob ≥ confidence — so the
+    // dumped row is the exact per-key count plus a boolean attesting the
+    // estimate landed in that interval (eps 0.001, conf 0.999, fixed
+    // seed). The sketch is fixed-size and mergeable (treeAggregate under
+    // stat.countMinSketch), so the build is one pass at any corpus
+    // size; the 10-row exact side is report-sized.
+    "q_approx_freq" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ev = t.events
+      val cms = ev.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
+      val slack = math.ceil(1e-3 * cms.totalCount).toLong
+      ev.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        .map { r =>
+          val (k, n) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(k)
+          (k, n, est >= n && est <= n + slack)
+        }.toSeq.toDF("event_type", "n", "within_bound")
+        .orderBy(col("event_type"))
+    },
+
     // SQL front end: spark.sql over registered views, exercising a
     // correlated scalar subquery (decorrelated to a join by Catalyst) and
     // an IN-subquery (planned as a semi join).
@@ -440,6 +464,12 @@ object RelationalQueries {
     "q_approx_distinct" ->
       """SELECT count(*) AS n, count(DISTINCT user_id) AS exact_users,
            true AS within_bound FROM events""",
+
+    // Self-certifying sketch (see the query comment): oracle is the
+    // deterministic remainder — exact per-key counts + `true`.
+    "q_approx_freq" ->
+      """SELECT event_type, count(*) AS n, true AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_sql_subqueries" ->
       """SELECT c_custkey, c_name

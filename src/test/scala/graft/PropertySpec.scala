@@ -119,6 +119,23 @@ class PropertySpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("count-min sketch estimates are one-sided within eps*N") {
+    val events = Tables(spark, sfDir).events
+    val cms = events.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
+    val slack = math.ceil(1e-3 * cms.totalCount).toLong
+    val exact = events.groupBy("event_type").count().collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (k, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(k)
+      assert(est >= n && est <= n + slack,
+        s"CMS estimate for '$k': $est outside [$n, ${n + slack}]")
+    }
+    // a never-seen key can only over-count, never report negative
+    val ghost = cms.estimateCount("no_such_event_type")
+    assert(ghost >= 0 && ghost <= slack, s"ghost key estimate $ghost")
+  }
+
   test("approx_count_distinct is within its documented error bound") {
     val events = Tables(spark, sfDir).events
     val r = events.agg(
