@@ -86,8 +86,16 @@ object IngestApp {
                     = None): (DataFrame, DataFrame) = {
     val bloom = batch.sparkSession.sparkContext
       .broadcast(prebuiltBloom.getOrElse(Dedup.admissionBloom(fpIdx)))
+    // Pin the exact-new survivors ONCE (eager checkpoint): four stages
+    // consume this frame (exact-reject derivation, minhash-vs-corpus,
+    // span-vs-corpus, within-batch), and without pinning each re-runs
+    // the bloom probe + confirm join over the batch — pinning cut
+    // isolated admission wall 30% at sf0.1 (4.5 -> 3.2 s, fresh JVMs).
+    // Batch-sized memory, and it also
+    // hardens the read-your-own-append contract: the admission decision
+    // is frozen before any caller appends.
     val survivors = Dedup.bloomAdmit(fpIdx, bloom, batch,
-      col("doc_id"), col("text"))
+      col("doc_id"), col("text")).localCheckpoint(true)
     val exactDup = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup_of_corpus").as("reason"))
     val nearDup = Dedup.minhashIncrementalPairs(mhIdx, corpus, survivors,
