@@ -91,9 +91,11 @@ object IngestApp {
     // span-vs-corpus, within-batch), and without pinning each re-runs
     // the bloom probe + confirm join over the batch — pinning cut
     // isolated admission wall 30% at sf0.1 (4.5 -> 3.2 s, fresh JVMs).
-    // Batch-sized memory, and it also
-    // hardens the read-your-own-append contract: the admission decision
-    // is frozen before any caller appends.
+    // Batch-sized memory. NOTE this pins stage 0 only: the RETURNED
+    // rejects/admitted frames are still lazy plans over the live index
+    // tables, so the read-your-own-append contract stands — callers
+    // must materialize the decision (localCheckpoint the rejects, as
+    // ingest_loop and StreamingIngest do) BEFORE appending.
     val survivors = Dedup.bloomAdmit(fpIdx, bloom, batch,
       col("doc_id"), col("text")).localCheckpoint(true)
     val exactDup = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -327,14 +329,22 @@ object IngestApp {
       case "rebuild-docs" =>
         require(args.length >= 2,
           "usage: IngestApp rebuild-docs <prefix> [bands] [spanK] [ngram] [numHashes] [buckets]")
-        val cur = IndexStore.docConfig(spark, args(1))
-        IndexStore.rebuildDocs(spark, args(1), cur.copy(
-          bands = args.lift(2).map(_.toInt).getOrElse(cur.bands),
-          spanK = args.lift(3).map(_.toInt).getOrElse(cur.spanK),
-          ngram = args.lift(4).map(_.toInt).getOrElse(cur.ngram),
-          numHashes = args.lift(5).map(_.toInt).getOrElse(cur.numHashes),
-          buckets = args.lift(6).map(_.toInt).getOrElse(cur.buckets),
-          bloomN = 0L))
+        // read the current config only when the live _docs exists — in
+        // the mid-swap crash state (live dropped, temp present) there is
+        // no config to read, and rebuildDocs' recovery branch ignores the
+        // passed config anyway (it only finishes the renames)
+        val cfg =
+          if (spark.catalog.tableExists(IndexStore.docsTable(args(1)))) {
+            val cur = IndexStore.docConfig(spark, args(1))
+            cur.copy(
+              bands = args.lift(2).map(_.toInt).getOrElse(cur.bands),
+              spanK = args.lift(3).map(_.toInt).getOrElse(cur.spanK),
+              ngram = args.lift(4).map(_.toInt).getOrElse(cur.ngram),
+              numHashes = args.lift(5).map(_.toInt).getOrElse(cur.numHashes),
+              buckets = args.lift(6).map(_.toInt).getOrElse(cur.buckets),
+              bloomN = 0L)
+          } else IndexStore.DocConfig() // recovery call: unused
+        IndexStore.rebuildDocs(spark, args(1), cfg)
         val after = IndexStore.docConfig(spark, args(1))
         println(s"""{"metric":"ingest_rebuild","mode":"docs","prefix":"${args(1)}","bands":${after.bands},"spanK":${after.spanK},"bloomN":${after.bloomN}}""")
 

@@ -301,7 +301,13 @@ object ScaleProbe {
         val cSize = sys.env.get("SPARK_GRAFT_SEMDEDUP_CSIZE")
           .map(_.toInt).getOrElse(250)
         val kClusters = math.max(1, n / cSize)
-        val baseV = spark.range(n.toLong)
+        // parquet-backed like the emb probe, NOT checkpointed in the
+        // JVM: pinned checkpoint blocks accumulate across the size loop
+        // and re-introduce the in-memory ceiling the emb probe removed
+        // in round 5; the shard dir is deleted before the next size
+        val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+          System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_$n"
+        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
           .select(col("id").as("vec_id"),
             transform(sequence(lit(0), lit(63)),
               i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
@@ -310,11 +316,12 @@ object ScaleProbe {
           .select((col("vec_id") + n).as("vec_id"),
             zip_with(col("vec"), reverse(col("vec")),
               (x, y) => x + y * lit(0.01)).as("vec"))
-        val corpusV = baseV.unionByName(twinsV)
+        baseV.unionByName(twinsV)
           .withColumn("cluster",
             pmod(when(col("vec_id") >= n, col("vec_id") - n)
               .otherwise(col("vec_id")), lit(kClusters)).cast("int"))
-          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(sdDir)
+        val corpusV = spark.read.parquet(sdDir)
         val t8 = System.nanoTime()
         val keptN = Similarity.semDedupKeep(corpusV, col("vec_id"), col("vec"),
           col("cluster"), threshold = 0.8).count()
@@ -327,6 +334,7 @@ object ScaleProbe {
         println(f"""{"metric":"semdedup_scale","vecs":$totalV,"clusters":$kClusters,"cluster_size":$cSize,"sec":$sec8%.2f,"kept":$keptN,"pruned":${totalV - keptN},"planted":$planted}""")
         assert(totalV - keptN >= planted,
           s"planted twins must all be pruned: pruned=${totalV - keptN} < $planted")
+        deleteRecursively(new java.io.File(sdDir))
       }
       if (on("ann") || on("ivf")) vecs.unpersist()
       }

@@ -885,15 +885,20 @@ object PipelineQueries {
     // pass constructs it and the timed pass measures pure admission
     // (bloom probe → vs-corpus minhash/span joins → within-batch pass);
     // nothing is appended, so re-execution is deterministic. The prefix
-    // is keyed by the data dir: a stale store from another scale factor
-    // can never serve a probe. Rejects-only output = the batch-1 slice
-    // of the `ingest_loop` oracle.
+    // is keyed by the data dir AND the documents file's (mtime, length)
+    // fingerprint: a stale store from another scale factor — or from an
+    // in-place testdata regeneration mid-session, the round-9 drift
+    // event — can never serve a probe. Rejects-only output = the
+    // batch-1 slice of the `ingest_loop` oracle.
     "ingest_admit" -> { (s, dir) =>
       val t = Tables(s, dir)
       val docs = t.documents.select(col("doc_id"), col("text"))
       val corpus = docs.filter(pmod(col("doc_id"), lit(4)) >= 2)
       val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-      val p = s"ingest_admit_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val p = "ingest_admit_store_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
       if (!s.catalog.tableExists(IndexStore.docsTable(p))) {
         IndexStore.dropDocs(s, p) // clear any cross-JVM warehouse leftovers
         IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,

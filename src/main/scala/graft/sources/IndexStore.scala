@@ -208,10 +208,25 @@ object IndexStore {
     // would be a CORRECTNESS bug for the next batch, not a perf trade —
     // a bloom miss is taken as "definitively new" with no confirm join,
     // so a re-crawl of a just-appended doc would sail through.
-    val merged = readBloom(spark, prefix)
-    merged.mergeInPlace(
-      Dedup.admissionBloom(deltaFp, cfg.bloomN, cfg.bloomFpp))
-    writeBloom(spark, prefix, merged)
+    // SELF-HEAL on a provisioning mismatch (a rebuildDocs interrupted
+    // between its table renames and its bloom move leaves new-bloomN
+    // properties next to the old-provisioned filter): rather than
+    // letting mergeInPlace throw IncompatibleMergeException on every
+    // subsequent append, rebuild the filter from the just-appended fp
+    // index at the recorded provisioning — one fixed-width scan, and
+    // the rebuilt filter already covers the delta.
+    val delta = Dedup.admissionBloom(deltaFp, cfg.bloomN, cfg.bloomFpp)
+    val persisted = readBloom(spark, prefix)
+    val next =
+      if (persisted.bitSize == delta.bitSize) { persisted.mergeInPlace(delta); persisted }
+      else {
+        System.err.println(
+          s"[graft] appendDocs: persisted bloom bit size ${persisted.bitSize} != " +
+            s"provisioned ${delta.bitSize} (stale filter from an interrupted " +
+            "rebuild?) — rebuilding from the fp index")
+        Dedup.admissionBloom(spark.table(fpTable(prefix)), cfg.bloomN, cfg.bloomFpp)
+      }
+    writeBloom(spark, prefix, next)
     Bucketing.appendBucketed(
       Dedup.minhashIndex(docs, col("doc_id"), col("text"),
         cfg.ngram, cfg.numHashes, cfg.bands),
@@ -298,6 +313,11 @@ object IndexStore {
     val cfg = vecConfig(spark, prefix)
     Bucketing.compactTable(spark, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
     Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets)
+    // both rewrites replaced the tables holding the config; re-record
+    // (the compaction does not change what the index was hashed under)
+    setProps(spark, lshTable(prefix), Map(
+      "graft.nPlanes" -> cfg.nPlanes.toString,
+      "graft.nTables" -> cfg.nTables.toString))
     setProps(spark, vecsTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
       "graft.nTables" -> cfg.nTables.toString,
@@ -426,6 +446,9 @@ object IndexStore {
       transform = _.join(rm, Seq("vec_id"), "left_anti"))
     Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets,
       transform = _.join(rm, Seq("vec_id"), "left_anti"))
+    setProps(spark, lshTable(prefix), Map(
+      "graft.nPlanes" -> cfg.nPlanes.toString,
+      "graft.nTables" -> cfg.nTables.toString))
     setProps(spark, vecsTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
       "graft.nTables" -> cfg.nTables.toString,
@@ -445,6 +468,13 @@ object IndexStore {
     Bucketing.writeBucketed(prep, vecsTable(prefix), Seq("vec_id"), buckets)
     Bucketing.writeBucketed(Similarity.lshIndex(prep, planes, nTables),
       lshTable(prefix), Seq("band", "bucket"), buckets)
+    // the plane config ALSO lives on the lsh table itself (authoritative
+    // — see vecConfig): the index and the config describing it then
+    // travel together through any drop/rename swap, so no crash window
+    // can pair an index with a mismatched recorded config
+    setProps(spark, lshTable(prefix), Map(
+      "graft.nPlanes" -> planes.toString,
+      "graft.nTables" -> nTables.toString))
     setProps(spark, vecsTable(prefix), Map(
       "graft.nPlanes" -> planes.toString,
       "graft.nTables" -> nTables.toString,
@@ -469,18 +499,23 @@ object IndexStore {
     * protocol): the new index is fully written before the old one goes,
     * and a crash between drop and rename is recovered by the next call
     * (missing `_lsh` + present temp → finish the rename, skip the
-    * rewrite). Readers planned against the old table must re-resolve. */
+    * rewrite). The plane config is recorded ON THE TEMP INDEX before
+    * anything is dropped and travels through the rename, so the
+    * recovered index always carries the config it was actually hashed
+    * under — a recovery call's own (possibly different) arguments
+    * cannot be mis-recorded against the crashed call's index. Readers
+    * planned against the old table must re-resolve. */
   def rebuildVecs(spark: SparkSession, prefix: String,
                   nPlanes: Int = 0, nTables: Int = 0): Unit = {
     val cfg = vecConfig(spark, prefix)
     val lsh = lshTable(prefix)
     val tmp = s"${lsh}__rebuild"
-    val prep = spark.table(vecsTable(prefix))
-    val planes =
-      if (nPlanes > 0) nPlanes
-      else math.max(8, Similarity.lshAutoPlanes(math.max(1L, prep.count())))
-    val tables = if (nTables > 0) nTables else cfg.nTables
     if (spark.catalog.tableExists(lsh)) {
+      val prep = spark.table(vecsTable(prefix))
+      val planes =
+        if (nPlanes > 0) nPlanes
+        else math.max(8, Similarity.lshAutoPlanes(math.max(1L, prep.count())))
+      val tables = if (nTables > 0) nTables else cfg.nTables
       dropTable(spark, tmp)
       // repartition on the bucket key (same Murmur3-mod-buckets hash the
       // bucket spec uses) so each write task holds exactly one bucket and
@@ -489,21 +524,37 @@ object IndexStore {
         Similarity.lshIndex(prep, planes, tables)
           .repartition(cfg.buckets, col("band"), col("bucket")),
         tmp, Seq("band", "bucket"), cfg.buckets)
+      setProps(spark, tmp, Map(
+        "graft.nPlanes" -> planes.toString,
+        "graft.nTables" -> tables.toString))
       dropTable(spark, lsh)
     } else require(spark.catalog.tableExists(tmp),
       s"neither $lsh nor $tmp exists — store '$prefix' has no LSH index to rebuild")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $lsh")
+    // mirror the renamed index's own recorded config onto _vecs (legacy
+    // location) — read back from the index, never from this call's args
     setProps(spark, vecsTable(prefix), Map(
-      "graft.nPlanes" -> planes.toString,
-      "graft.nTables" -> tables.toString,
+      "graft.nPlanes" -> prop(spark, lsh, "graft.nPlanes"),
+      "graft.nTables" -> prop(spark, lsh, "graft.nTables"),
       "graft.buckets" -> cfg.buckets.toString))
   }
 
-  /** The build-time configuration of a vectors store, from the catalog. */
+  /** The build-time configuration of a vectors store, from the catalog.
+    * Plane/table counts prefer the `_lsh` table's OWN properties (written
+    * at build/rebuild time, inseparable from the index data through any
+    * rename swap); stores written before those existed fall back to the
+    * `_vecs` mirror. Buckets always come from `_vecs`. */
   def vecConfig(spark: SparkSession, prefix: String): VecConfig = {
     val t = vecsTable(prefix)
-    VecConfig(prop(spark, t, "graft.nPlanes").toInt,
-      prop(spark, t, "graft.nTables").toInt, prop(spark, t, "graft.buckets").toInt)
+    val lsh = lshTable(prefix)
+    def lshProp(key: String): Option[String] =
+      if (!spark.catalog.tableExists(lsh)) None
+      else spark.sql(s"SHOW TBLPROPERTIES $lsh")
+        .filter(col("key") === key).collect().headOption.map(_.getString(1))
+    VecConfig(
+      lshProp("graft.nPlanes").getOrElse(prop(spark, t, "graft.nPlanes")).toInt,
+      lshProp("graft.nTables").getOrElse(prop(spark, t, "graft.nTables")).toInt,
+      prop(spark, t, "graft.buckets").toInt)
   }
 
   /** Append an ADMITTED vector batch to the vectors store, hashed under

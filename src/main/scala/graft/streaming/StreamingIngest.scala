@@ -108,7 +108,19 @@ object StreamingIngest {
       .start()
 
   /** The shared micro-batch body: one admission execution (rejects),
-    * reject-log append, admitted re-derived and appended to the store.
+    * reject-log write, admitted re-derived and appended to the store.
+    *
+    * The rejects log is written per-batch into a hive-partitioned
+    * directory (`rejects/batch_id=N`, mode OVERWRITE) so a crash-replay
+    * of micro-batch N REPLACES its own log rows instead of appending a
+    * second, contradictory set: on replay, docs the crashed attempt
+    * already appended are re-classified `exact_dup_of_corpus`, and an
+    * append-mode log would keep both the original "admitted" outcome
+    * and the replay's wrong-reason rows forever — rows no read-side
+    * dedup could remove. With per-batch overwrite the log converges to
+    * the LAST attempt's view, under which the store state is exactly
+    * what that attempt observed; readers get `batch_id` back as a
+    * partition column.
     *
     * The admitted frame is RE-HOMED onto the driving session before the
     * append: `batch` belongs to the micro-batch's CLONED SparkSession,
@@ -118,13 +130,12 @@ object StreamingIngest {
     * serving the pre-append file listing and silently re-admit
     * duplicates. `createDataFrame` over the checkpointed RDD moves the
     * plan, not the rows — nothing is collected to the driver. */
-  private def admitAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
+  private[graft] def admitAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
                           idCol: String, outDir: String)(
                           admit: DataFrame => DataFrame)(
                           append: DataFrame => Unit): Unit = {
     val rejM = admit(batch).localCheckpoint(true)
-    rejM.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$outDir/rejects")
+    rejM.write.mode("overwrite").parquet(s"$outDir/rejects/batch_id=$batchId")
     val admitted = batch
       .join(rejM.select(idCol).distinct(), Seq(idCol), "left_anti")
       .localCheckpoint(true)

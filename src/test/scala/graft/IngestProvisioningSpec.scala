@@ -174,6 +174,122 @@ class IngestProvisioningSpec extends SparkSpec {
     }
   }
 
+  test("rebuildVecs crash recovery records the crashed call's config, not its own") {
+    val p = "pv_rb_crash"
+    IndexStore.dropVecs(spark, p)
+    val allVecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") < 150)
+    try {
+      IndexStore.buildVecs(allVecs, col("vec_id"), col("embedding"), p,
+        nTables = 4, buckets = 4)
+      // simulate rebuildVecs(nPlanes = 29) crashing between dropTable(lsh)
+      // and the rename: temp index exists with ITS config recorded, live
+      // index gone
+      val prep = spark.table(IndexStore.vecsTable(p))
+      val lsh = IndexStore.lshTable(p)
+      val tmp = s"${lsh}__rebuild"
+      graft.sources.Bucketing.writeBucketed(
+        graft.operators.Similarity.lshIndex(prep, 29, 4), tmp,
+        Seq("band", "bucket"), 4)
+      spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+        "('graft.nPlanes'='29', 'graft.nTables'='4')")
+      val tmpRows = spark.table(tmp).collect()
+      IndexStore.dropTable(spark, lsh)
+
+      // the recovery call passes NO config — it must finish the rename
+      // and record 29 (the temp's recorded planes), not re-auto-provision
+      IndexStore.rebuildVecs(spark, p)
+
+      val cfg = IndexStore.vecConfig(spark, p)
+      assert(cfg.nPlanes == 29 && cfg.nTables == 4,
+        s"recovered config must be the crashed call's (29 planes), got $cfg")
+      multisetEqual(spark.createDataFrame(
+        java.util.Arrays.asList(tmpRows: _*), spark.table(lsh).schema),
+        spark.table(lsh), "recovered _lsh content")
+    } finally IndexStore.dropVecs(spark, p)
+  }
+
+  test("appendDocs self-heals a bloom whose provisioning mismatches the recorded config") {
+    val p = "pv_bloom_heal"
+    IndexStore.dropDocs(spark, p)
+    try {
+      val corpus = allDocs.filter(col("doc_id") < 150)
+      IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4, bloomN = 1000000L))
+      // simulate the interrupted-rebuild state: properties say 1M but the
+      // persisted filter is provisioned at a different size
+      val stale = graft.operators.Dedup.admissionBloom(
+        spark.table(IndexStore.fpTable(p)), 250000L, 0.01)
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_bloom/filter.bin")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try stale.writeTo(out) finally out.close()
+
+      // the next append must NOT throw IncompatibleMergeException — it
+      // rebuilds the filter at the recorded provisioning instead
+      IndexStore.appendDocs(
+        materialize(allDocs.filter(col("doc_id").between(150, 179))),
+        col("doc_id"), col("text"), p)
+
+      // and the healed bloom covers BOTH corpus and appended docs: dups
+      // of each reject, fresh text admits
+      val probe = Seq(
+        (9720L, allDocs.filter(col("doc_id") === 5L).select("text").as[String].head()),
+        (9721L, allDocs.filter(col("doc_id") === 160L).select("text").as[String].head()),
+        (9722L, "wholly fresh bloom heal probe document with plenty of " +
+          "novel tokens to stand alone")).toDF("doc_id", "text")
+      val (adm, rej) = IngestApp.admitDocs(spark, p, probe)
+      assert(rej.select("doc_id").as[Long].collect().toSet == Set(9720L, 9721L))
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9722L))
+    } finally IndexStore.dropDocs(spark, p)
+  }
+
+  test("streaming rejects log: a replayed micro-batch replaces its rows, not appends") {
+    val p = "pv_replay_log"
+    IndexStore.dropDocs(spark, p)
+    val outDir = java.nio.file.Files.createTempDirectory("replay-log").toString
+    try {
+      IndexStore.buildDocs(allDocs.filter(col("doc_id") < 150),
+        col("doc_id"), col("text"), p, IndexStore.DocConfig(buckets = 4))
+      val batch = materialize(allDocs.filter(col("doc_id").between(150, 169)))
+      def runBatch(): Unit =
+        StreamingIngest.admitAppend(spark, batch, 7L, "doc_id", outDir) { b =>
+          IngestApp.admitDocs(spark, p, b)._2
+        } { adm => IndexStore.appendDocs(adm, col("doc_id"), col("text"), p) }
+
+      runBatch() // original attempt: fresh docs admitted + appended
+      val firstRejects = spark.read.parquet(s"$outDir/rejects")
+        .select("doc_id").as[Long].collect().toSet
+      val admitted = (150L to 169L).toSet -- firstRejects
+      assert(admitted.nonEmpty, "some docs must admit on the first attempt")
+      val storeAfterFirst = spark.table(IndexStore.docsTable(p)).count()
+
+      runBatch() // crash-replay of the SAME batch id
+
+      val log = spark.read.parquet(s"$outDir/rejects")
+        .select(col("doc_id"), col("reason"), col("batch_id").cast("long"))
+        .as[(Long, String, Long)].collect()
+      // every doc rejected (admitted ones are now their own exact dups),
+      // all rows carry the replayed batch id, and — the fix — each
+      // first-attempt-admitted doc appears ONLY under the replay's
+      // exact-dup view, never alongside a stale first-attempt row set
+      assert(log.map(_._1).toSet == (150L to 169L).toSet, s"${log.toSeq}")
+      assert(log.forall(_._3 == 7L), s"${log.toSeq}")
+      admitted.foreach { id =>
+        val rows = log.filter(_._1 == id).toSeq
+        assert(rows == Seq((id, "exact_dup_of_corpus", 7L)),
+          s"replaced log for admitted doc $id must be the replay's single row: $rows")
+      }
+      assert(spark.table(IndexStore.docsTable(p)).count() == storeAfterFirst,
+        "replay must not grow the store")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
+  }
+
   test("streaming ingest compactEvery: store compacted on cadence, results unchanged") {
     val p = "pv_ce"
     val pRef = "pv_ce_ref"
