@@ -900,6 +900,22 @@ object PipelineQueries {
         scala.util.hashing.MurmurHash3.stringHash(
           s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
       if (!s.catalog.tableExists(IndexStore.docsTable(p))) {
+        // Only ONE probe store may exist at a time: the prefix is keyed
+        // by the testdata fingerprint, so every regeneration mints a new
+        // hash and the previous generation's warehouse tables/bloom dirs
+        // would otherwise accumulate forever. Sweep sibling prefixes
+        // (catalog-registered or cross-JVM directory leftovers) before
+        // building under the current one.
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("ingest_admit_store_") && !nm.startsWith(p + "_")) {
+            if (s.catalog.tableExists(nm)) IndexStore.dropTable(s, nm)
+            else fs.delete(st.getPath, true)
+          }
+        }
         IndexStore.dropDocs(s, p) // clear any cross-JVM warehouse leftovers
         IndexStore.buildDocs(corpus, col("doc_id"), col("text"), p,
           IndexStore.DocConfig(buckets = 8))

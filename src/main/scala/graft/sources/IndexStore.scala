@@ -3,7 +3,7 @@ package graft.sources
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.util.sketch.{BloomFilter, IncompatibleMergeException}
 
 /** The persisted state of a continuous ingest-admission loop — the piece
   * that turns the incremental operators ([[Dedup.bloomAdmit]],
@@ -99,6 +99,10 @@ object IndexStore {
     val dir = bloomPath(spark, prefix).getParent
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
+    // a rebuildDocs crash can leave the aside-renamed previous bloom
+    val oldDir = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + "__old")
+    if (fs.exists(oldDir)) fs.delete(oldDir, true)
   }
 
   /** Drop every table of a vectors store (catalog + location). */
@@ -139,9 +143,17 @@ object IndexStore {
     val path = bloomPath(spark, prefix)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path),
-      s"no persisted bloom at $path — store '$prefix' not built by buildDocs?")
+      s"no persisted bloom at $path — store '$prefix' not built by buildDocs, " +
+        "or a rebuild swap was interrupted (appendDocs self-heals this case)")
     val in = fs.open(path)
     try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Whether the store's persisted bloom filter file exists — the probe
+    * behind [[appendDocs]]'s missing-filter self-heal. */
+  private def bloomExists(spark: SparkSession, prefix: String): Boolean = {
+    val path = bloomPath(spark, prefix)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
   /** Build the documents store: corpus + the three admission indexes,
@@ -204,27 +216,34 @@ object IndexStore {
     val deltaFp = Dedup.admissionIndex(docs, col("text"))
     Bucketing.appendBucketed(deltaFp, fpTable(prefix), Seq("fp"), cfg.buckets)
     // merge the delta into the persisted bloom: same provisioned
-    // (n, fpp) -> same bit size -> mergeInPlace compatible. Skipping this
-    // would be a CORRECTNESS bug for the next batch, not a perf trade —
-    // a bloom miss is taken as "definitively new" with no confirm join,
-    // so a re-crawl of a just-appended doc would sail through.
-    // SELF-HEAL on a provisioning mismatch (a rebuildDocs interrupted
-    // between its table renames and its bloom move leaves new-bloomN
-    // properties next to the old-provisioned filter): rather than
-    // letting mergeInPlace throw IncompatibleMergeException on every
-    // subsequent append, rebuild the filter from the just-appended fp
-    // index at the recorded provisioning — one fixed-width scan, and
-    // the rebuilt filter already covers the delta.
+    // (n, fpp) -> compatible mergeInPlace. Skipping this would be a
+    // CORRECTNESS bug for the next batch, not a perf trade — a bloom
+    // miss is taken as "definitively new" with no confirm join, so a
+    // re-crawl of a just-appended doc would sail through.
+    // SELF-HEAL covers BOTH stale-filter shapes an interrupted
+    // rebuildDocs can leave behind: a filter provisioned under the old
+    // config next to new-config properties (mergeInPlace throws
+    // IncompatibleMergeException — caught directly rather than inferred
+    // from bit size, since equal bit counts can still carry different
+    // hash counts), and a MISSING filter (crash inside the bloom
+    // directory swap). Either way the filter is rebuilt from the
+    // just-appended fp index at the recorded provisioning — one
+    // fixed-width scan, and the rebuilt filter already covers the delta.
     val delta = Dedup.admissionBloom(deltaFp, cfg.bloomN, cfg.bloomFpp)
-    val persisted = readBloom(spark, prefix)
+    def rebuilt(why: String): BloomFilter = {
+      System.err.println(
+        s"[graft] appendDocs: $why (stale state from an interrupted " +
+          "rebuild?) — rebuilding the persisted bloom from the fp index")
+      Dedup.admissionBloom(spark.table(fpTable(prefix)), cfg.bloomN, cfg.bloomFpp)
+    }
     val next =
-      if (persisted.bitSize == delta.bitSize) { persisted.mergeInPlace(delta); persisted }
+      if (!bloomExists(spark, prefix)) rebuilt("no persisted bloom filter")
       else {
-        System.err.println(
-          s"[graft] appendDocs: persisted bloom bit size ${persisted.bitSize} != " +
-            s"provisioned ${delta.bitSize} (stale filter from an interrupted " +
-            "rebuild?) — rebuilding from the fp index")
-        Dedup.admissionBloom(spark.table(fpTable(prefix)), cfg.bloomN, cfg.bloomFpp)
+        val persisted = readBloom(spark, prefix)
+        try { persisted.mergeInPlace(delta); persisted }
+        catch { case e: IncompatibleMergeException =>
+          rebuilt(s"persisted bloom incompatible with the provisioned delta (${e.getMessage})")
+        }
       }
     writeBloom(spark, prefix, next)
     Bucketing.appendBucketed(
@@ -269,14 +288,25 @@ object IndexStore {
         spark.sql(s"ALTER TABLE ${t(tmpPrefix)} RENAME TO ${t(prefix)}")
       }
     }
-    // move the rebuilt bloom into place (directory swap, no re-read)
+    // Move the rebuilt bloom into place. Rename the LIVE directory aside
+    // before renaming the temp in — never delete-then-rename: a crash in
+    // that window would leave the store with NO bloom at all, and the
+    // appendDocs missing-filter self-heal is a recovery path, not the
+    // protocol. With the aside swap every crash point leaves either the
+    // old or the new filter readable (a crash between the two renames
+    // leaves the temp dir, which the next rebuild/recovery call moves
+    // in; appendDocs heals the interim).
     val fs = bloomPath(spark, prefix)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveDir = bloomPath(spark, prefix).getParent
     val tmpDir = bloomPath(spark, tmpPrefix).getParent
+    val oldDir = new org.apache.hadoop.fs.Path(
+      liveDir.getParent, liveDir.getName + "__old")
+    if (fs.exists(oldDir)) fs.delete(oldDir, true) // prior crash leftover
     if (fs.exists(tmpDir)) {
-      if (fs.exists(liveDir)) fs.delete(liveDir, true)
+      if (fs.exists(liveDir)) fs.rename(liveDir, oldDir)
       fs.rename(tmpDir, liveDir)
+      if (fs.exists(oldDir)) fs.delete(oldDir, true)
     }
   }
 

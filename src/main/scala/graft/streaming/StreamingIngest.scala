@@ -75,7 +75,8 @@ object StreamingIngest {
                  maxSpanFrac: Double = 0.5,
                  trigger: Trigger = Trigger.AvailableNow(),
                  readerOptions: Map[String, String] = Map.empty,
-                 compactEvery: Int = 0): StreamingQuery =
+                 compactEvery: Int = 0): StreamingQuery = {
+    requireRejectsLayout(spark, outDir)
     spark.readStream.options(readerOptions).schema(docSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
@@ -87,6 +88,7 @@ object StreamingIngest {
           IndexStore.compactDocs(spark, prefix)
       }
       .start()
+  }
 
   /** Start the vectors ingest stream; same contract as [[docsStream]],
     * including the `compactEvery` cadence ([[IndexStore.compactVecs]]). */
@@ -94,7 +96,8 @@ object StreamingIngest {
                  outDir: String, threshold: Double = 0.9,
                  trigger: Trigger = Trigger.AvailableNow(),
                  readerOptions: Map[String, String] = Map.empty,
-                 compactEvery: Int = 0): StreamingQuery =
+                 compactEvery: Int = 0): StreamingQuery = {
+    requireRejectsLayout(spark, outDir)
     spark.readStream.options(readerOptions).schema(vecSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
@@ -106,6 +109,33 @@ object StreamingIngest {
           IndexStore.compactVecs(spark, prefix)
       }
       .start()
+  }
+
+  /** Refuse to resume into an `outDir` whose rejects log was written by
+    * the pre-partitioned layout (append-mode files at the `rejects/` root
+    * with `batch_id` as a DATA column). Mixing that with the current
+    * `rejects/batch_id=N` directories makes `spark.read.parquet(rejects)`
+    * fail partition discovery (root files vs partition dirs, duplicate
+    * `batch_id`), so the stream fails FAST at start with the migration
+    * story instead of corrupting the log further. Checkpoint/_spark_
+    * metadata files are not data and are ignored. */
+  private def requireRejectsLayout(spark: SparkSession, outDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/rejects")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val legacy = fs.listStatus(root).filter { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")
+      }
+      require(legacy.isEmpty,
+        s"outDir '$outDir' holds a legacy (pre-partitioned) rejects log — " +
+          s"root-level data files like ${legacy.take(3).map(_.getPath.getName).mkString(", ")}. " +
+          "The log is now hive-partitioned as rejects/batch_id=N/ and the two " +
+          "layouts cannot be read together. Migrate each legacy file's rows " +
+          "into rejects/batch_id=<its batch_id column>/ (dropping the column) " +
+          "or start the stream with a fresh outDir.")
+    }
+  }
 
   /** The shared micro-batch body: one admission execution (rejects),
     * reject-log write, admitted re-derived and appended to the store.

@@ -345,4 +345,90 @@ class IngestProvisioningSpec extends SparkSpec {
       }
     }
   }
+
+  test("appendDocs self-heals a MISSING bloom (rebuild swap interrupted mid-move)") {
+    val p = "pv_bloom_gone"
+    IndexStore.dropDocs(spark, p)
+    try {
+      IndexStore.buildDocs(allDocs.filter(col("doc_id") < 150),
+        col("doc_id"), col("text"), p, IndexStore.DocConfig(buckets = 4))
+      // simulate the worst interrupted-swap state: the live bloom
+      // directory is simply gone
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_bloom")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true)
+
+      // append must heal (rebuild from the fp index), not hard-fail on
+      // readBloom's require
+      IndexStore.appendDocs(
+        materialize(allDocs.filter(col("doc_id").between(150, 179))),
+        col("doc_id"), col("text"), p)
+
+      // healed filter covers corpus AND the appended batch
+      val probe = Seq(
+        (9730L, allDocs.filter(col("doc_id") === 5L).select("text").as[String].head()),
+        (9731L, allDocs.filter(col("doc_id") === 160L).select("text").as[String].head()),
+        (9732L, "entirely new post-heal probe document with plenty of " +
+          "novel standalone tokens")).toDF("doc_id", "text")
+      val (adm, rej) = IngestApp.admitDocs(spark, p, probe)
+      assert(rej.select("doc_id").as[Long].collect().toSet == Set(9730L, 9731L))
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9732L))
+    } finally IndexStore.dropDocs(spark, p)
+  }
+
+  test("rebuildDocs bloom swap leaves no __old leftover and a readable filter") {
+    val p = "pv_bloom_swap"
+    IndexStore.dropDocs(spark, p)
+    try {
+      IndexStore.buildDocs(allDocs.filter(col("doc_id") < 120),
+        col("doc_id"), col("text"), p, IndexStore.DocConfig(buckets = 4))
+      // plant a stale aside-dir from a hypothetical prior crash — the
+      // swap must clear it, not trip over it
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val oldDir = new org.apache.hadoop.fs.Path(wh, s"${p}_bloom__old")
+      val fs = oldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(oldDir)
+      IndexStore.rebuildDocs(spark, p,
+        IndexStore.DocConfig(buckets = 4, bands = 8))
+      assert(!fs.exists(oldDir), "aside dir must be deleted after the swap")
+      assert(IndexStore.readBloom(spark, p) != null)
+      // and the swapped filter actually admits/rejects correctly
+      val probe = Seq(
+        (9740L, allDocs.filter(col("doc_id") === 3L).select("text").as[String].head()),
+        (9741L, "post-swap probe document full of fresh unseen tokens " +
+          "standing on its own")).toDF("doc_id", "text")
+      val (adm, rej) = IngestApp.admitDocs(spark, p, probe)
+      assert(rej.select("doc_id").as[Long].collect().toSet == Set(9740L))
+      assert(adm.select("doc_id").as[Long].collect().toSet == Set(9741L))
+    } finally IndexStore.dropDocs(spark, p)
+  }
+
+  test("docsStream fails fast on a legacy (root-level) rejects log layout") {
+    val p = "pv_legacy_rej"
+    val srcDir = java.nio.file.Files.createTempDirectory("legacy-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("legacy-out").toString
+    try {
+      // a pre-r10 outDir: rejects rows live as files at the rejects/ ROOT
+      // with batch_id as a data column
+      Seq((1L, 7L, "exact_dup_of_corpus")).toDF("batch_id", "doc_id", "reason")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/rejects")
+      val e = intercept[IllegalArgumentException] {
+        StreamingIngest.docsStream(spark, srcDir, p, outDir)
+      }
+      assert(e.getMessage.contains("legacy"),
+        s"error must name the legacy layout: ${e.getMessage}")
+      // a partitioned-layout outDir starts fine (empty source, no store
+      // access before the first micro-batch arrives — none does)
+      val outDir2 = java.nio.file.Files.createTempDirectory("legacy-ok").toString
+      try {
+        Seq((7L, "r")).toDF("doc_id", "reason")
+          .write.mode("overwrite").parquet(s"$outDir2/rejects/batch_id=0")
+        StreamingIngest.docsStream(spark, srcDir, p, outDir2).stop()
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(outDir2))
+    } finally Seq(srcDir, outDir).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
 }
