@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{IngestApp, Tables}
-import graft.operators.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, IvfIndex, Similarity, TextAnalysis}
 import graft.sources.IndexStore
 import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -138,6 +138,75 @@ object PipelineQueries {
       Similarity.semDedupKeep(t.embeddings, col("vec_id"), col("embedding"),
           col("label"), threshold = 0.3)
         .orderBy(col("vec_id"))
+    },
+
+    // The PRODUCTION semantic-dedup composition: raw vectors in, no
+    // pre-existing label column — IvfIndex.build k-means assignment
+    // supplies the cluster, then Similarity.semDedupKeep prunes within
+    // cells. This is how a 100 TB corpus (which arrives unlabeled)
+    // actually runs the operator; "dedup_semdedup" above keeps the
+    // label-driven variant for corpora that do carry a semantic key.
+    //
+    // SELF-CERTIFYING under the exact-hash oracle protocol (the
+    // q_approx_distinct pattern): the k-means cell boundaries depend on
+    // float summation order, so the raw kept set is not bit-stable
+    // across engines — instead the dump is three (check_name, n, ok)
+    // rows whose values ARE invariants of the planted corpus (every
+    // 10th vector gets a +100000-id twin at cosine ≈ 0.9999; measured
+    // background cosine tops out ≈ 0.6 « the 0.8 threshold):
+    //  - originals_all_kept: an original's lower-id cluster-mates are
+    //    all background pairs, so every original survives — regardless
+    //    of where any cell boundary falls.
+    //  - twins_pruned_iff_colocated: a twin's ONLY within-threshold
+    //    lower-id neighbor is its original, so it is pruned exactly
+    //    when k-means put the two in the same cell — certifying the
+    //    pruning logic against the assignment actually produced.
+    //  - twin_colocation_floor: ≥ 90% of twins must land in their
+    //    original's cell (a 0.8°-apart pair separates only when the
+    //    original sits that close to a Voronoi boundary — rare), the
+    //    attest that the clustering is a real semantic partition and
+    //    not noise. A broken assignment, a broken pruning, or a broken
+    //    kernel each flips a boolean → hash mismatch.
+    "dedup_semdedup_ivf" -> { (s, dir) =>
+      val planted = plantedEmbeddings(Tables(s, dir))
+      val prep = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+      // Pin the assignment and the kept set (eager localCheckpoint):
+      // three report rows consume each, and the production pattern
+      // materializes the assignment anyway (IvfIndex.writeIndex persists
+      // it list-partitioned; semdedup then runs over the stored index) —
+      // re-deriving k-means lineage per aggregate would measure an
+      // anti-pattern.
+      val (assignedRaw, _) = IvfIndex.build(prep, k = 16)
+      val assigned = assignedRaw.localCheckpoint(true)
+      val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8)
+        .localCheckpoint(true)
+      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
+      val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      val twins = cells.filter(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
+          col("centroid_id").as("twin_cell"))
+        .join(cells.select(col("vec_id").as("orig_id"),
+          col("centroid_id").as("orig_cell")), Seq("orig_id"))
+        .join(keptFlag, Seq("vec_id"), "left")
+        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
+          coalesce(!col("kept"), lit(true)).as("pruned"))
+      val row1 = kept.filter(col("vec_id") < 100000)
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(cells.filter(col("vec_id") < 100000)
+          .agg(count(lit(1)).as("n_tot")))
+        .select(lit("originals_all_kept").as("check_name"), col("n"),
+          (col("n") === col("n_tot")).as("ok"))
+      val row2 = twins.agg(count(lit(1)).as("n_twins"),
+          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
+            .as("n"))
+        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
+          (col("n") === col("n_twins")).as("ok"))
+      val row3 = twins.agg(count(lit(1)).as("n"),
+          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
+        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
+          (col("n_co") >= col("n") * 0.9).as("ok"))
+      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
     },
 
     // Production path for embedding near-dup: OR-amplified hyperplane LSH
@@ -990,6 +1059,21 @@ object PipelineQueries {
          SELECT vec_id, CAST(label AS INT) AS cluster FROM v
          WHERE vec_id NOT IN (SELECT vec_id FROM d)
          ORDER BY vec_id""",
+
+    // Self-certifying (see the query comment): the DuckDB side is the
+    // deterministic expectation — every original kept, every twin's
+    // prune decision consistent with its cell, colocation ≥ 90% — with
+    // the n column anchored to corpus counts so a silently-empty Spark
+    // result can't hash-match.
+    "dedup_semdedup_ivf" ->
+      """SELECT * FROM (VALUES
+           ('originals_all_kept',
+            (SELECT count(*) FROM embeddings), true),
+           ('twin_colocation_floor',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true),
+           ('twins_pruned_iff_colocated',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true))
+         AS t(check_name, n, ok) ORDER BY check_name""",
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

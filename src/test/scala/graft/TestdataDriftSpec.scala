@@ -43,6 +43,36 @@ class TestdataDriftSpec extends SparkSpec {
       assert(ev(f._1).dataType === f._2, s"events.${f._1}: ${ev(f._1).dataType}")
   }
 
+  test("events.ts physical parquet type is a form the adaptive reader supports") {
+    // Name the physical type directly from the footer, so a driver-side
+    // regeneration flipping TIMESTAMP(MICROS) <-> TIMESTAMP(NANOS) (the
+    // round-9 drift event, in either direction) shows up as THIS test's
+    // message instead of as unexplained downstream behavior. Both forms
+    // are supported — the assertion is that it is one of the two the
+    // adaptive Tables.events path was built against, not a third shape.
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val tsType = footer.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+      .asPrimitiveType.getLogicalTypeAnnotation.toString
+    assert(tsType.startsWith("TIMESTAMP(MICROS") || tsType.startsWith("TIMESTAMP(NANOS"),
+      s"events.ts logical type drifted to an unhandled form: $tsType")
+    info(s"events.ts physical logical type: $tsType")
+  }
+
+  test("representative events query output schema is stable under ts drift") {
+    // The oracle gate hashes typed values, so the OUTPUT schema of the
+    // events readers must not move however the input's physical ts type
+    // flips. One representative per family: the declared-grain rollup
+    // reader.
+    val got = SparkEntry.queries("event_hourly_stats")(spark, sfDir)
+      .schema.map(f => (f.name, f.dataType.simpleString))
+    val want = Seq("hour" -> "string", "total" -> "bigint",
+      "success" -> "bigint", "fee" -> "double")
+    assert(got == want, s"event_hourly_stats schema drifted: $got")
+  }
+
   test("every registered query analyzes against sf0.001") {
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       try {
