@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * frame sampling) runs as partition-batched typed transforms
   * (`Dataset.mapPartitions`) behind a [[MediaDecoder]] interface.
   *
-  * The decode step itself is STUBBED: no image/audio codec libraries ship
-  * in this build, so [[FakeDecoder]] produces deterministic hash-derived
-  * "features"/"frames" with the same shapes a real codec would emit, and
-  * [[CodecDecoder]] marks exactly where a JNI/library call plugs in. The
-  * Spark-side contract — schema, encoders, partition batching, shuffle
-  * behavior — is real and tested.
+  * Decode depth: CONTAINER/HEADER-level decode is fully real — pure-JVM
+  * PNG/JPEG/GIF/WAV codecs in [[graft.functions.MediaKernels]], exposed
+  * as codegen'd Catalyst expressions (`image_header`, `wav_header`) in
+  * [[graft.functions.MediaExpressions]] and oracle-verified end-to-end
+  * (`multimodal_decode`, `multimodal_audio`). PIXEL/SAMPLE-level decode
+  * is the remaining library seam: [[FakeDecoder]] produces deterministic
+  * hash-derived "features"/"frames" with the same shapes a real codec
+  * would emit, and [[CodecDecoder]] marks exactly where a JNI/library
+  * call plugs in. The Spark-side contract — schema, encoders, partition
+  * batching, shuffle behavior — is real and tested at every level.
   *
   * Scale notes: media bytes never pass through a shuffle here — all
   * transforms are per-partition maps over the scan, so 100 TB of media
@@ -65,12 +69,15 @@ object Multimodal {
     }
   }
 
-  /** The real-codec seam. Decoding requires an image/audio library that is
-    * not available in this environment; wire one in here. */
+  /** The PIXEL-level codec seam. Header/container decode is already real
+    * (see [[graft.functions.MediaKernels]]); decoding actual pixel/sample
+    * data requires an image/audio library not available in this
+    * environment — wire one in here. */
   object CodecDecoder extends MediaDecoder {
     private def unavailable =
       throw new UnsupportedOperationException(
-        "media codec not bundled: plug a JNI/image library call here")
+        "pixel-level codec not bundled: plug a JNI/image library call here " +
+          "(header-level decode is graft.functions.MediaExpressions.imageHeader)")
     def features(rec: MediaRecord, dim: Int): Array[Double] = unavailable
     def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = unavailable
   }

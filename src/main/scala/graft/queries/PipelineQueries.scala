@@ -780,6 +780,65 @@ object PipelineQueries {
         .orderBy(col("media_type"))
     },
 
+    // Real container decode, end-to-end at scan speed: spec-conformant
+    // PNG/JPEG/GIF byte streams are synthesized per document (format and
+    // dimensions arithmetic functions of doc_id), then parsed back by the
+    // pure-JVM header decoder (MediaKernels via the codegen'd image_header
+    // expression). The oracle recomputes the expected header fields
+    // arithmetically, so a broken encoder OR parser hash-mismatches; the
+    // whole encode→decode round trip runs inside whole-stage codegen with
+    // no shuffle — the shape a metadata pass over 100 TB of media wants.
+    "multimodal_decode" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      val fid = pmod(col("doc_id"), lit(3))
+      val sel = expr("doc_id div 3")
+      val fmt = element_at(typedLit(Seq("png", "jpeg", "gif")), (fid + 1).cast("int"))
+      val w = (pmod(col("doc_id"), lit(1920)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(1080)) + 1).cast("int")
+      val ch = when(fid === 0,
+          element_at(typedLit(Seq(1, 3, 4)), (pmod(sel, lit(3)) + 1).cast("int")))
+        .when(fid === 1,
+          element_at(typedLit(Seq(1, 3)), (pmod(sel, lit(2)) + 1).cast("int")))
+        .otherwise(lit(3)).cast("int")
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.imageEncode(fmt, w, h, ch).as("content"))
+        .select(col("doc_id"),
+          MediaExpressions.imageHeader(col("content")).as("hdr"))
+        .select(col("doc_id"),
+          col("hdr.format").as("format"), col("hdr.width").as("width"),
+          col("hdr.height").as("height"), col("hdr.bit_depth").as("bit_depth"),
+          col("hdr.channels").as("channels"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Same round-trip contract for audio: canonical PCM RIFF-WAVE files
+    // (declared sizes consistent with the actual zeroed sample data) parsed
+    // back by the chunk-walking wav_header expression; duration is derived
+    // by the PARSER from data size / block align / rate, and the oracle
+    // re-derives it arithmetically.
+    "multimodal_audio" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = element_at(typedLit(Seq(8000, 16000, 44100)),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val bits = element_at(typedLit(Seq(8, 16, 24, 32)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val n = (pmod(col("doc_id"), lit(997)) + 100).cast("int")
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.wavEncode(ch, rate, bits, n).as("content"))
+        .select(col("doc_id"),
+          MediaExpressions.wavHeader(col("content")).as("hdr"))
+        .select(col("doc_id"),
+          col("hdr.channels").as("channels"),
+          col("hdr.sample_rate").as("sample_rate"),
+          col("hdr.bits_per_sample").as("bits_per_sample"),
+          col("hdr.n_frames").as("n_frames"),
+          col("hdr.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Top-5 TF-IDF terms per document: per-doc TF against the corpus-global
     // document-frequency table.
     "text_tfidf" -> { (s, dir) =>
@@ -1935,6 +1994,34 @@ object PipelineQueries {
          count(*) AS n,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // The oracle recomputes every header field ARITHMETICALLY from doc_id;
+    // the Spark side gets them by parsing the byte streams it encoded, so a
+    // defect anywhere in the encode→parse round trip hash-mismatches.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+         CAST(doc_id % 1920 + 1 AS INT) AS width,
+         CAST(doc_id % 1080 + 1 AS INT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(CASE doc_id % 3
+           WHEN 0 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+           WHEN 1 THEN CASE (doc_id // 3) % 2 WHEN 0 THEN 1 ELSE 3 END
+           ELSE 3 END AS INT) AS channels
+         FROM documents ORDER BY doc_id""",
+
+    "multimodal_audio" ->
+      """SELECT doc_id,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT)
+           AS sample_rate,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 32 END AS INT)
+           AS bits_per_sample,
+         CAST(doc_id % 997 + 100 AS BIGINT) AS n_frames,
+         CAST((doc_id % 997 + 100) * 1000
+              // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+           AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

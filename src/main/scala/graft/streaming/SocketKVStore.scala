@@ -115,12 +115,26 @@ final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
   val store: InMemoryKVStore = backing
   // SO_REUSEADDR before bind: a fixed-port restart right after a stop()
   // must not fail on the dead process's lingering TIME_WAIT sockets —
-  // restartability is the point of the fixed-port mode.
+  // restartability is the point of the fixed-port mode. Reuseaddr does
+  // not cover the port being transiently held as some unrelated outbound
+  // connection's local ephemeral port in the gap between the old server's
+  // close and this bind, so fixed-port mode also retries the bind briefly
+  // (such holders are short-lived by nature).
   private val server = {
     val s = new ServerSocket()
     s.setReuseAddress(true)
-    s.bind(new java.net.InetSocketAddress(
-      java.net.InetAddress.getByName(bind), fixedPort), 64)
+    val addr = new java.net.InetSocketAddress(
+      java.net.InetAddress.getByName(bind), fixedPort)
+    var attempt = 0
+    var bound = false
+    while (!bound) {
+      try { s.bind(addr, 64); bound = true }
+      catch {
+        case e: java.net.BindException if fixedPort != 0 && attempt < 100 =>
+          attempt += 1; Thread.sleep(100)
+        case e: Throwable => throw e
+      }
+    }
     s
   }
   private val clients = ConcurrentHashMap.newKeySet[Socket]()
