@@ -29,6 +29,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("maint")) {
       docsMaintenance(spark, n.toInt); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsmaint")) {
+      vecsMaintenance(spark, n); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("vecsstream")) {
       vecsStreamIngest(spark, n, batches); spark.stop(); return
     }
@@ -259,6 +262,50 @@ object StreamBench {
       val left = spark.table(IndexStore.docsTable(p)).count()
       println(f"""{"metric":"docs_maint_sec","corpus":$total,"docs_left":$left,"removed":$nRm,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f}""")
     } finally IndexStore.dropDocs(spark, p)
+  }
+
+  /** Maintenance-operation cost on a GROWN vectors store
+    * (`SPARK_GRAFT_STREAM=vecsmaint`) — [[docsMaintenance]]'s contract
+    * over the vecs-store rewrites: build `n` vectors, append `n/4` more
+    * (two file sets per bucket in both tables), then time
+    * [[graft.sources.IndexStore.compactVecs]],
+    * [[graft.sources.IndexStore.removeVecs]] of a 1-in-200 id sample,
+    * and [[graft.sources.IndexStore.rebuildVecs]] with auto-provisioned
+    * planes against the grown corpus (the re-provisioning case the
+    * helper exists for: build-time planes were sized for `n`, the store
+    * now holds 1.25·n). */
+  private def vecsMaintenance(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    def vecs(from: Long, nVecs: Long, salt: Int) = spark.range(from, from + nVecs)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(xxhash64(col("id"), d, lit(salt)), lit(1000)).cast("double")
+            - 500.0) / 500.0)).as("embedding"))
+    val p = "vecs_maint_store"
+    IndexStore.dropVecs(spark, p)
+    try {
+      val tb = System.nanoTime()
+      IndexStore.buildVecs(vecs(0, n, 0), col("vec_id"), col("embedding"), p)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      IndexStore.appendVecs(vecs(n, n / 4, 1), col("vec_id"), col("embedding"), p)
+      val total = n + n / 4
+      val t1 = System.nanoTime()
+      IndexStore.compactVecs(spark, p)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val rmIds = spark.range(0, total).filter(pmod(col("id"), lit(200)) === 7)
+        .select(col("id").as("vec_id"))
+      val nRm = rmIds.count()
+      val t2 = System.nanoTime()
+      IndexStore.removeVecs(spark, p, rmIds)
+      val removeSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      IndexStore.rebuildVecs(spark, p) // nPlanes=0: re-provision at 1.25·n
+      val rebuildSec = (System.nanoTime() - t3) / 1e9
+      val left = spark.table(IndexStore.vecsTable(p)).count()
+      val planes = IndexStore.vecConfig(spark, p).nPlanes
+      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f}""")
+    } finally IndexStore.dropVecs(spark, p)
   }
 
   /** The vectors admission loop as a STRUCTURED STREAM
