@@ -125,6 +125,130 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val pngStatsType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  private val wavStatsType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false)))
+
+  /** Real PNG bytes carrying [[MediaKernels.synthPixels]] pixel data for
+    * (seed, width, height, channels) — deflated IDAT, per-row filter
+    * cycle, real CRCs. */
+  case class PngEncodeSynth(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "png_encode_synth"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, c: Any): Any =
+      MediaKernels.pngEncodeSynth(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], c.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, c) => s"""
+        |${ev.value} = graft.functions.MediaKernels.pngEncodeSynth($seed, $w, $h, $c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  /** Full pixel decode + reduce: `struct<width,height,channels,px_sum>`
+    * via inflate + defilter; null when the payload isn't a decodable
+    * PNG (truncation, CRC mismatch, unsupported shape). */
+  case class PngDecodeStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = pngStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "png_decode_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      MediaKernels.pngDecodeStats(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.MediaKernels.pngDecodeStats($c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Nearest-neighbor PNG resize (decode → resample → re-encode). */
+  case class PngResize(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "png_resize"
+
+    override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+      MediaKernels.pngResize(b.asInstanceOf[Array[Byte]],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+        |${ev.value} = graft.functions.MediaKernels.pngResize($b, $w, $h);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression): Expression =
+      copy(first = a, second = b, third = c)
+  }
+
+  /** 16-bit PCM WAV with real [[MediaKernels.wavEncodePcm]] sample data
+    * for (channels, sampleRate, nFrames, seed). */
+  case class WavEncodePcm(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "wav_encode_pcm"
+
+    override def nullSafeEval(ch: Any, rate: Any, n: Any, seed: Any): Any =
+      MediaKernels.wavEncodePcm(ch.asInstanceOf[Int], rate.asInstanceOf[Int],
+        n.asInstanceOf[Int], seed.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (ch, rate, n, seed) => s"""
+        |${ev.value} = graft.functions.MediaKernels.wavEncodePcm($ch, $rate, $n, $seed);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  /** Sample decode + reduce for 16-bit PCM WAV:
+    * `struct<channels,sample_rate,n_frames,amp_sum>`. */
+  case class WavDecodeStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = wavStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "wav_decode_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      MediaKernels.wavDecodeStats(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.MediaKernels.wavDecodeStats($c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 
@@ -141,4 +265,27 @@ object MediaExpressions {
     ColumnBridge.column(WavEncode(
       ColumnBridge.expression(channels), ColumnBridge.expression(sampleRate),
       ColumnBridge.expression(bitsPerSample), ColumnBridge.expression(nFrames)))
+
+  def pngEncodeSynth(seed: Column, width: Column, height: Column,
+                     channels: Column): Column =
+    ColumnBridge.column(PngEncodeSynth(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(channels)))
+
+  def pngDecodeStats(content: Column): Column =
+    ColumnBridge.column(PngDecodeStats(ColumnBridge.expression(content)))
+
+  def pngResize(content: Column, width: Column, height: Column): Column =
+    ColumnBridge.column(PngResize(
+      ColumnBridge.expression(content), ColumnBridge.expression(width),
+      ColumnBridge.expression(height)))
+
+  def wavEncodePcm(channels: Column, sampleRate: Column, nFrames: Column,
+                   seed: Column): Column =
+    ColumnBridge.column(WavEncodePcm(
+      ColumnBridge.expression(channels), ColumnBridge.expression(sampleRate),
+      ColumnBridge.expression(nFrames), ColumnBridge.expression(seed)))
+
+  def wavDecodeStats(content: Column): Column =
+    ColumnBridge.column(WavDecodeStats(ColumnBridge.expression(content)))
 }

@@ -307,4 +307,290 @@ object MediaKernels {
       case _      => null
     }
   }
+
+  // ---------------------------------------------------------------------
+  // PIXEL-level PNG codec (full: deflate + all five scanline filters)
+  //
+  // PNG's pixel layer needs only zlib (java.util.zip) and the five
+  // per-scanline filters from the spec — no external codec library. This
+  // makes pixel decode/resize/feature-extract REAL for PNG; the encoder
+  // cycles every filter type across rows so the decoder's defiltering is
+  // genuinely exercised, and all chunk CRCs are written and VERIFIED
+  // (a real decoder rejects bit rot; so does this one).
+  // Supported subset: bit depth 8, color types 0/2/6, non-interlaced —
+  // the dominant shapes in training corpora; anything else parses as
+  // null, never throws.
+  // ---------------------------------------------------------------------
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Deterministic synthetic pixel buffer: byte j = (seed + 3j) mod 256.
+    * Arithmetic a SQL oracle can replay, covering all byte values. */
+  def synthPixels(seed: Long, n: Int): Array[Byte] = {
+    if (n < 0) return null
+    val out = new Array[Byte](n)
+    var j = 0
+    while (j < n) { out(j) = ((seed + 3L * j) % 256).toByte; j += 1 }
+    out
+  }
+
+  /** Encode raw 8-bit pixels (row-major, `width*height*channels` bytes)
+    * as a real PNG: per-row filter cycling 0..4 (None/Sub/Up/Average/
+    * Paeth), zlib-deflated IDAT, real CRCs. Null on invalid dims /
+    * channel count / buffer size. */
+  def pngEncodePixels(width: Int, height: Int, channels: Int,
+                      pixels: Array[Byte]): Array[Byte] = {
+    if (width <= 0 || height <= 0) return null
+    val colorType = channels match {
+      case 1 => 0; case 3 => 2; case 4 => 6; case _ => return null
+    }
+    if (pixels == null || pixels.length.toLong != width.toLong * height * channels)
+      return null
+    val bpp = channels
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      val base = y * (1 + stride)
+      raw(base) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pixels(y * stride + i) & 0xff
+        val left = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        raw(base + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, width); be32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    val chunks = Array(
+      pngChunk("IHDR", ihdr),
+      pngChunk("IDAT", bos.toByteArray),
+      pngChunk("IEND", Array.emptyByteArray))
+    val out = new Array[Byte](PngSig.length + chunks.map(_.length).sum)
+    System.arraycopy(PngSig, 0, out, 0, PngSig.length)
+    var off = PngSig.length
+    chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
+    out
+  }
+
+  /** Full PNG pixel decode: chunk walk with CRC verification, multi-IDAT
+    * concatenation, zlib inflate, per-row defiltering. Returns
+    * (width, height, channels, pixels) or null on anything malformed —
+    * truncation, CRC mismatch, unsupported depth/color/interlace, or an
+    * inflate stream of the wrong length. */
+  def pngDecodeRaw(b: Array[Byte]): PngImage = {
+    if (b == null || b.length < 8) return null
+    if (!((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')) return null
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = rbe32(b, p)
+      if (len < 0 || p + 12 + len > b.length) return null
+      val crc = new CRC32()
+      crc.update(b, p + 4, 4 + len)
+      if (crc.getValue.toInt != rbe32(b, p + 8 + len)) return null // bit rot
+      val name = new String(b, p + 4, 4, "US-ASCII")
+      name match {
+        case "IHDR" =>
+          if (len < 13) return null
+          w = rbe32(b, p + 8); h = rbe32(b, p + 12)
+          if (w <= 0 || h <= 0 || (b(p + 16) & 0xff) != 8) return null
+          channels = (b(p + 17) & 0xff) match {
+            case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null
+          }
+          if ((b(p + 20) & 0xff) != 0) return null // interlaced: unsupported
+          seenIhdr = true
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+      p += 12 + len
+    }
+    if (!seenIhdr || !done || idat.size() == 0) return null
+    val stride = w * channels
+    val expected = h * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expected && !infl.finished()) {
+        val k = infl.inflate(raw, got, expected - got)
+        if (k == 0 && infl.needsInput()) return null // truncated stream
+        got += k
+      }
+      if (got != expected || infl.inflate(new Array[Byte](1)) != 0) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally infl.end()
+    val bpp = channels
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return null
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        px(y * stride + i) = ((f + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    new PngImage(w, h, channels, px)
+  }
+
+  /** Decoded raw image — a plain holder so generated code can call
+    * straight through without Scala tuple boxing. */
+  final class PngImage(val width: Int, val height: Int, val channels: Int,
+                       val pixels: Array[Byte])
+
+  /** Synthesize-and-encode in one step (pixels from [[synthPixels]]):
+    * the expression-level entry for oracle-checkable pixel round trips. */
+  def pngEncodeSynth(seed: Long, width: Int, height: Int, channels: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width.toLong * height * channels > (1 << 24))
+      return null // refuse >16M-pixel-byte single records
+    pngEncodePixels(width, height, channels,
+      synthPixels(seed, width * height * channels))
+  }
+
+  /** Decode + reduce: `struct<width,height,channels,px_sum>` where
+    * px_sum is the sum of all decoded pixel bytes (unsigned) — the
+    * arithmetic a SQL oracle replays to certify the whole
+    * deflate→inflate→defilter path. Null when the payload doesn't
+    * decode. */
+  def pngDecodeStats(b: Array[Byte]): InternalRow = {
+    val img = pngDecodeRaw(b)
+    if (img == null) return null
+    var sum = 0L
+    var i = 0
+    val px = img.pixels
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    val r = new GenericInternalRow(4)
+    r.setInt(0, img.width); r.setInt(1, img.height); r.setInt(2, img.channels)
+    r.setLong(3, sum)
+    r
+  }
+
+  /** Nearest-neighbor resize: decode, resample on integer source
+    * coordinates (sx = x·wIn/wOut), re-encode. Null when the input
+    * doesn't decode or the target dims are invalid. */
+  def pngResize(b: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (outW <= 0 || outH <= 0) return null
+    val img = pngDecodeRaw(b)
+    if (img == null) return null
+    val c = img.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        var ch = 0
+        while (ch < c) {
+          out((y * outW + x) * c + ch) = img.pixels((sy * img.width + sx) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pngEncodePixels(outW, outH, c, out)
+  }
+
+  // ---------------------------------------------------------------------
+  // SAMPLE-level WAV codec (16-bit PCM)
+  // ---------------------------------------------------------------------
+
+  /** Canonical 16-bit PCM WAV with real sample data: sample j (frame
+    * order, channels interleaved) = ((seed + 5j) mod 65536) − 32768,
+    * little-endian — arithmetic a SQL oracle can replay. */
+  def wavEncodePcm(channels: Int, sampleRate: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val shell = wavEncode(channels, sampleRate, 16, nFrames)
+    if (shell == null) return null
+    val nSamples = nFrames * channels
+    var j = 0
+    while (j < nSamples) {
+      val v = ((seed + 5L * j) % 65536).toInt - 32768
+      shell(44 + 2 * j) = v.toByte
+      shell(45 + 2 * j) = (v >> 8).toByte
+      j += 1
+    }
+    shell
+  }
+
+  /** Byte offset of the first `data` chunk's payload inside a RIFF
+    * stream, or -1. Callers must have validated the container via
+    * [[wavHeader]] first. */
+  def wavDataOffset(b: Array[Byte]): Int = {
+    var p = 12
+    while (p + 8 <= b.length) {
+      val size = rle32(b, p + 4)
+      if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a')
+        return p + 8
+      p += 8 + size + (size & 1)
+    }
+    -1
+  }
+
+  /** Decode + reduce for 16-bit PCM:
+    * `struct<channels,sample_rate,n_frames,amp_sum>` where amp_sum is
+    * the sum of |sample| over every decoded sample. Walks RIFF chunks
+    * like [[wavHeader]]; null on malformed input or non-16-bit audio. */
+  def wavDecodeStats(b: Array[Byte]): InternalRow = {
+    val hdr = wavHeader(b)
+    if (hdr == null || hdr.getInt(2) != 16) return null
+    val channels = hdr.getInt(0)
+    val nFrames = hdr.getLong(3)
+    val dataOff = wavDataOffset(b)
+    if (dataOff < 0) return null
+    var sum = 0L
+    var j = 0
+    val nSamples = (nFrames * channels).toInt
+    while (j < nSamples) {
+      val v = (b(dataOff + 2 * j) & 0xff) | (b(dataOff + 2 * j + 1).toInt << 8)
+      sum += math.abs(v)
+      j += 1
+    }
+    val r = new GenericInternalRow(4)
+    r.setInt(0, channels); r.setInt(1, hdr.getInt(1))
+    r.setLong(2, nFrames); r.setLong(3, sum)
+    r
+  }
 }

@@ -9,16 +9,21 @@ import org.apache.spark.sql.functions._
   * frame sampling) runs as partition-batched typed transforms
   * (`Dataset.mapPartitions`) behind a [[MediaDecoder]] interface.
   *
-  * Decode depth: CONTAINER/HEADER-level decode is fully real — pure-JVM
-  * PNG/JPEG/GIF/WAV codecs in [[graft.functions.MediaKernels]], exposed
-  * as codegen'd Catalyst expressions (`image_header`, `wav_header`) in
-  * [[graft.functions.MediaExpressions]] and oracle-verified end-to-end
-  * (`multimodal_decode`, `multimodal_audio`). PIXEL/SAMPLE-level decode
-  * is the remaining library seam: [[FakeDecoder]] produces deterministic
-  * hash-derived "features"/"frames" with the same shapes a real codec
-  * would emit, and [[CodecDecoder]] marks exactly where a JNI/library
-  * call plugs in. The Spark-side contract — schema, encoders, partition
-  * batching, shuffle behavior — is real and tested at every level.
+  * Decode depth: CONTAINER/HEADER-level decode is fully real for
+  * PNG/JPEG/GIF/WAV (pure-JVM codecs in
+  * [[graft.functions.MediaKernels]], exposed as codegen'd Catalyst
+  * expressions in [[graft.functions.MediaExpressions]], oracle-verified
+  * by `multimodal_decode` / `multimodal_audio`), and PIXEL/SAMPLE-level
+  * decode is real for PNG (zlib inflate + all five scanline filters,
+  * CRC-verified; `multimodal_pixels` round-trips decode → nearest-
+  * neighbor resize → re-encode) and 16-bit PCM WAV (`multimodal_
+  * waveform`). The remaining library seam is formats that genuinely
+  * need external codecs — JPEG entropy decode, GIF LZW, video —
+  * marked by [[CodecDecoder]]'s final branch; [[FakeDecoder]] stays as
+  * the deterministic stand-in for pipelines that must run across ALL
+  * formats without a library. The Spark-side contract — schema,
+  * encoders, partition batching, shuffle behavior — is real and tested
+  * at every level.
   *
   * Scale notes: media bytes never pass through a shuffle here — all
   * transforms are per-partition maps over the scan, so 100 TB of media
@@ -69,16 +74,48 @@ object Multimodal {
     }
   }
 
-  /** The PIXEL-level codec seam. Header/container decode is already real
-    * (see [[graft.functions.MediaKernels]]); decoding actual pixel/sample
-    * data requires an image/audio library not available in this
-    * environment — wire one in here. */
+  /** The real-codec decoder. PNG pixel decode and 16-bit PCM WAV sample
+    * decode are FULLY IMPLEMENTED in pure JVM
+    * ([[graft.functions.MediaKernels.pngDecodeRaw]] /
+    * [[graft.functions.MediaKernels.wavDecodeStats]]): features are
+    * histograms over actual decoded pixels/samples, not payload bytes.
+    * Formats whose decode genuinely needs an external library (JPEG
+    * entropy decode, GIF LZW, video codecs) throw the named seam error —
+    * plug a JNI/library call into the final branch for those. */
   object CodecDecoder extends MediaDecoder {
+    import graft.functions.MediaKernels
     private def unavailable =
       throw new UnsupportedOperationException(
-        "pixel-level codec not bundled: plug a JNI/image library call here " +
-          "(header-level decode is graft.functions.MediaExpressions.imageHeader)")
-    def features(rec: MediaRecord, dim: Int): Array[Double] = unavailable
+        "codec not bundled for this format: PNG/WAV decode in pure JVM, " +
+          "JPEG/video need a library — plug a JNI call here")
+    def features(rec: MediaRecord, dim: Int): Array[Double] = {
+      val img = MediaKernels.pngDecodeRaw(rec.content)
+      if (img != null) {
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < img.pixels.length) {
+          out(i % dim) += (img.pixels(i) & 0xff) / 255.0
+          i += 1
+        }
+        return out
+      }
+      val wav = MediaKernels.wavDecodeStats(rec.content)
+      if (wav != null) {
+        // sample-position histogram of absolute 16-bit amplitude
+        val out = new Array[Double](dim)
+        val n = (wav.getLong(2) * wav.getInt(0)).toInt
+        val off = MediaKernels.wavDataOffset(rec.content)
+        var j = 0
+        while (j < n) {
+          val v = (rec.content(off + 2 * j) & 0xff) |
+            (rec.content(off + 2 * j + 1).toInt << 8)
+          out(j % dim) += math.abs(v) / 32768.0
+          j += 1
+        }
+        return out
+      }
+      unavailable
+    }
     def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = unavailable
   }
 

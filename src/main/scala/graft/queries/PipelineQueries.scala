@@ -839,6 +839,53 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PIXEL-level decode, end-to-end: real PNG files (deflated IDAT,
+    // per-row filter cycle over all five PNG filter types, verified
+    // CRCs) are synthesized with arithmetic pixel data, NEAREST-NEIGHBOR
+    // RESIZED to half dimensions (decode → resample → re-encode), then
+    // pixel-decoded again and reduced to a pixel-sum. The oracle replays
+    // the synth + resample arithmetic in SQL, so a defect anywhere in
+    // deflate, inflate, any filter type, the resampler, or the CRC layer
+    // hash-mismatches. Everything runs inside whole-stage codegen with
+    // no shuffle — decode-and-resize travels to the data.
+    "multimodal_pixels" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          expr("cast(doc_id % 21 + 4 as int)").as("w"),
+          expr("cast(doc_id % 17 + 4 as int)").as("h"),
+          expr("cast(element_at(array(1,3,4), cast(doc_id % 3 as int) + 1) as int)")
+            .as("c"))
+        .select(col("doc_id"),
+          MediaExpressions.pngResize(
+            MediaExpressions.pngEncodeSynth(col("doc_id"), col("w"), col("h"), col("c")),
+            expr("cast(w div 2 as int)"), expr("cast(h div 2 as int)")).as("content"))
+        .select(col("doc_id"), MediaExpressions.pngDecodeStats(col("content")).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.channels").as("channels"), col("st.px_sum").as("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SAMPLE-level audio decode: real 16-bit PCM payloads (sample j =
+    // ((doc_id + 5j) mod 65536) − 32768) decoded back and reduced to a
+    // total absolute amplitude; the oracle replays the sample arithmetic.
+    "multimodal_waveform" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.wavDecodeStats(
+            MediaExpressions.wavEncodePcm(
+              expr("cast(doc_id % 2 + 1 as int)"), lit(16000),
+              expr("cast(doc_id % 251 + 50 as int)"), col("doc_id"))).as("st"))
+        .select(col("doc_id"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.amp_sum").as("amp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Top-5 TF-IDF terms per document: per-doc TF against the corpus-global
     // document-frequency table.
     "text_tfidf" -> { (s, dir) =>
@@ -2021,6 +2068,36 @@ object PipelineQueries {
          CAST((doc_id % 997 + 100) * 1000
               // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
            AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
+
+    // Replays the synth-pixel + nearest-neighbor-resample arithmetic:
+    // output byte i maps to source byte j via (x·w/wo, y·h/ho) integer
+    // coords, and synth byte j = (doc_id + 3j) mod 256. The Spark side
+    // gets px_sum by actually deflating, inflating, and defiltering PNGs.
+    "multimodal_pixels" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(doc_id % 21 + 4 AS INT) AS w,
+             CAST(doc_id % 17 + 4 AS INT) AS h,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS c,
+             CAST((doc_id % 21 + 4) // 2 AS INT) AS wo,
+             CAST((doc_id % 17 + 4) // 2 AS INT) AS ho
+           FROM documents)
+         SELECT doc_id, wo AS width, ho AS height, c AS channels,
+           CAST(list_sum([
+             (doc_id + 3 * (((((i // c) // wo) * h // ho) * w
+                             + (((i // c) % wo) * w // wo)) * c + (i % c))) % 256
+             for i in range(0, wo * ho * c)]) AS BIGINT) AS px_sum
+         FROM d ORDER BY doc_id""",
+
+    "multimodal_waveform" ->
+      """SELECT doc_id,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(16000 AS INT) AS sample_rate,
+         CAST(doc_id % 251 + 50 AS BIGINT) AS n_frames,
+         CAST(list_sum([abs(((doc_id + 5 * j) % 65536) - 32768)
+           for j in range(0, (doc_id % 251 + 50) * (doc_id % 2 + 1))]) AS BIGINT)
+           AS amp_sum
          FROM documents ORDER BY doc_id""",
 
     "text_fingerprint" ->
