@@ -217,6 +217,59 @@ object ScaleProbe {
       println(f"""{"metric":"ivf_scale","vecs":$n,"sec_ivf_build_probe":$sec5%.2f,"sec_lsh":$sec6%.2f,"top5_overlap_ivf":${(exact intersect ivf).size},"top5_overlap_lsh":${(exact intersect lsh).size},"of":${exact.size}}""")
       }
 
+      // Product-quantization ANN at scale: parquet-backed corpus (the emb
+      // probe's lesson — nothing heap-resident), codebooks trained on a
+      // ≤100k SAMPLE (published practice; training cost must not grow
+      // with the corpus), corpus encoded ONCE to 8-byte codes and the
+      // codes table persisted. The timed comparison is the per-probe-batch
+      // cost a deployment pays: exact brute force over the float vectors
+      // vs ADC over the codes table + exact re-rank of 50 survivors.
+      // Recall is top-5 overlap vs brute force; code_bytes/vec_bytes is
+      // the parquet-measured compression the 100 TB scan win rides on.
+      if (on("pq")) {
+        val pqDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+          System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/pq_$n"
+        val sharded = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+                / 500.0).as("vec"))
+        sharded.write.mode("overwrite").parquet(s"$pqDir/vecs")
+        val corpus = Similarity.prepared(
+          spark.read.parquet(s"$pqDir/vecs"), col("vec_id"), col("vec"))
+        val queriesPq = corpus.filter(col("vec_id") < 10)
+        val sampleStep = math.max(1L, n.toLong / 100000L)
+        val sample = corpus.filter(pmod(col("vec_id"), lit(sampleStep)) === 0)
+        val tT = System.nanoTime()
+        val model = graft.operators.PqCodec.train(sample, m = 8, ks = 16)
+        val secTrain = (System.nanoTime() - tT) / 1e9
+        val tE = System.nanoTime()
+        graft.operators.PqCodec.encode(corpus, model)
+          .write.mode("overwrite").parquet(s"$pqDir/codes")
+        val secEnc = (System.nanoTime() - tE) / 1e9
+        def dirBytes(p: String): Long = {
+          def walk(f: java.io.File): Long = {
+            val cs = f.listFiles()
+            if (cs == null) f.length() else cs.map(walk).sum
+          }
+          walk(new java.io.File(p))
+        }
+        val tB = System.nanoTime()
+        val exactPq = Similarity.bruteForceTopK(corpus, queriesPq, k = 5)
+          .select(col("query_id"), col("cand_id")).collect().toSet
+        val secBrute = (System.nanoTime() - tB) / 1e9
+        // the deployment-shaped probe: codes table from disk, model reused
+        val codes = spark.read.parquet(s"$pqDir/codes")
+        val tP = System.nanoTime()
+        val pqRes = graft.operators.PqCodec
+          .topKFromCodes(codes, corpus, queriesPq, k = 5, model, rerank = 10)
+          .select(col("query_id"), col("cand_id")).collect().toSet
+        val secPq = (System.nanoTime() - tP) / 1e9
+        val overlap = (exactPq intersect pqRes).size
+        println(f"""{"metric":"pq_scale","vecs":$n,"sec_train":$secTrain%.2f,"sec_encode":$secEnc%.2f,"sec_brute":$secBrute%.2f,"sec_pq":$secPq%.2f,"top5_overlap":$overlap,"of":${exactPq.size},"vec_bytes":${dirBytes(s"$pqDir/vecs")},"code_bytes":${dirBytes(s"$pqDir/codes")}}""")
+        deleteRecursively(new java.io.File(pqDir))
+      }
+
       // Embedding near-dup PRODUCTION path (cosineNearDupPairsLsh) on a
       // gapped corpus: every 100th vector gets a planted twin
       // (v + 0.01·reverse(v), cosine ≈ 0.9999 vs a ~N(0, 1/8) random

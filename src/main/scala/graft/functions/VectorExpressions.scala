@@ -116,4 +116,178 @@ object VectorExpressions {
 
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** Product-quantization code (binary, one byte per subspace) of an
+    * `array<double>` vector against trained codebooks embedded in the plan
+    * (`codebooks(j)` = subspace j's `ks` centroids, flattened row-major).
+    * Encoding the corpus is a pure projection — no join, no shuffle — so
+    * the encoded table's lineage is scan + expression, the same property
+    * [[NearestCentroid]] gives the IVF assignment. */
+  case class PqEncode(child: Expression, codebooks: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    @transient private lazy val cbs: Array[Array[Double]] =
+      codebooks.map(_.toArray).toArray
+
+    override def nullSafeEval(input: Any): Any =
+      VectorKernels.pqEncode(input.asInstanceOf[ArrayData], cbs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCodebooks", cbs, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("pqCode")
+        s"""
+           |byte[] $tmp = graft.functions.VectorKernels.pqEncode($c, $cRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+
+  /** [[PqEncode]] with `array<int>` output — the Lloyd-iteration form,
+    * where the per-subspace code feeds an `element_at` regroup. */
+  case class PqAssign(child: Expression, codebooks: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_assign"
+
+    @transient private lazy val cbs: Array[Array[Double]] =
+      codebooks.map(_.toArray).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val r = VectorKernels.pqAssignInts(input.asInstanceOf[ArrayData], cbs)
+      if (r == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCodebooks", cbs, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("pqAssign")
+        s"""
+           |int[] $tmp = graft.functions.VectorKernels.pqAssignInts($c, $cRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def pqAssign(vec: Column, codebooks: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PqAssign(ColumnBridge.expression(vec), codebooks))
+
+  /** Per-query asymmetric-distance lookup table (`array<double>`, m×ks
+    * entries): entry `j*ks+c` = dot(query subvector j, centroid c). Built
+    * once per QUERY row, so the per-candidate work drops to the O(m)
+    * gather in [[PqAdcDot]]. */
+  case class PqLut(child: Expression, codebooks: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_lut"
+
+    @transient private lazy val cbs: Array[Array[Double]] =
+      codebooks.map(_.toArray).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val r = VectorKernels.pqLut(input.asInstanceOf[ArrayData], cbs)
+      if (r == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCodebooks", cbs, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("pqLut")
+        s"""
+           |double[] $tmp = graft.functions.VectorKernels.pqLut($c, $cRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def pqLut(vec: Column, codebooks: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(vec), codebooks))
+
+  /** `dot(query, reconstruction(code))` — the ADC scan kernel: an O(m)
+    * table gather per (query LUT, corpus code) pair. */
+  case class PqAdcDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_adc_dot"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.pqAdcDot(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val tmp = ctx.freshName("adc")
+        s"""
+           |java.lang.Double $tmp = graft.functions.VectorKernels.pqAdcDot($l, $r);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqAdcDot(lut: Column, code: Column): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(lut), ColumnBridge.expression(code)))
+
+  /** ‖reconstruction(code)‖² from the per-centroid squared-norm table
+    * (exact — subspaces partition the coordinates, so norms add). */
+  case class PqReconNorm2(child: Expression, cn2: Seq[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_recon_norm2"
+
+    @transient private lazy val cn2Arr: Array[Double] = cn2.toArray
+
+    override def nullSafeEval(input: Any): Any =
+      VectorKernels.pqReconNorm2(input.asInstanceOf[Array[Byte]], cn2Arr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val nRef = ctx.addReferenceObj("pqCn2", cn2Arr, "double[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("rn2")
+        s"""
+           |java.lang.Double $tmp = graft.functions.VectorKernels.pqReconNorm2($c, $nRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def pqReconNorm2(code: Column, cn2: Seq[Double]): Column =
+    ColumnBridge.column(PqReconNorm2(ColumnBridge.expression(code), cn2))
 }

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.functions.VectorExpressions
+import graft.functions.VectorFunctions.dot
+import graft.functions.VectorMeanAggregator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, TPAMI 2011) — the canonical
+  * billion-scale ANN compression: split each vector into `m` contiguous
+  * subvectors, k-means each subspace independently into `ks` centroids,
+  * and store one code byte per subspace. A 64-dim double vector (512 B)
+  * becomes `m` bytes — 64× at the registered m=8 — and query scoring
+  * becomes an O(m) table gather per candidate (ADC: asymmetric distance
+  * computation) instead of an O(dim) dot product.
+  *
+  * Why this matters at 100 TB: the candidate-generation scan is the cost
+  * of ANN at corpus scale, and it is BANDWIDTH-bound ([[Similarity
+  * .quantizedTopK]]'s int8 path already halves it 8×; PQ goes 64× on the
+  * same corpus). The codes table replaces the vector table in every probe;
+  * full-precision vectors are touched only by the exact re-rank join,
+  * which reads `rerank × k × |queries|` rows regardless of corpus size.
+  *
+  * Spark-first shapes, mirroring [[IvfIndex]]:
+  *  - TRAINING is per-subspace Lloyd where each iteration is ONE scan of
+  *    the (sampled) training frame: a per-row [[graft.functions
+  *    .VectorExpressions.PqAssign]] projection, a posexplode to
+  *    (subspace, code, subvector) rows, and a partial-merged
+  *    [[VectorMeanAggregator]] groupBy whose m×ks result rows (a few KB)
+  *    are collected and re-embedded in the next plan as literals. Like
+  *    published practice, codebooks train on a SAMPLE — pass one; the
+  *    codebook does not need to see the corpus.
+  *  - ENCODING is a pure projection (no join, no shuffle): scan +
+  *    [[graft.functions.VectorExpressions.PqEncode]].
+  *  - SCORING broadcasts the (small) query side carrying a per-query LUT
+  *    ([[graft.functions.VectorExpressions.PqLut]]); the corpus-side work
+  *    is one codegen'd gather per row. Cosine needs ‖reconstruction‖,
+  *    which is EXACT from the code alone (subspaces partition the
+  *    coordinates, so centroid norms² add — [[graft.functions
+  *    .VectorExpressions.PqReconNorm2]]); no per-vector float metadata is
+  *    stored at all.
+  */
+object PqCodec {
+
+  /** Trained model: `codebooks(j)` = subspace j's `ks` centroids of
+    * `dsub` components each, flattened row-major; `cn2` = the matching
+    * m×ks per-centroid squared norms (the [[graft.functions
+    * .VectorKernels.pqReconNorm2]] table). */
+  final case class PqModel(m: Int, ks: Int, dsub: Int,
+                           codebooks: Seq[Seq[Double]]) {
+    lazy val cn2: Seq[Double] = codebooks.flatMap { cb =>
+      cb.grouped(dsub).map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s
+      }
+    }
+    def codeBytes: Int = m
+  }
+
+  /** Train per-subspace codebooks on `sample` (a frame with `vec_id` and
+    * `vec: array<double>`, e.g. [[Similarity.prepared]] output or a
+    * `.sample` of it). Deterministic given a deterministic sample: init
+    * assigns subvector j of vector v to code `xxhash64(vec_id, j) % ks`,
+    * argmin ties break to the lowest code, and each Lloyd iteration is
+    * exactly one scan. Cells that lose all members keep their previous
+    * centroid (zeros before the first iteration), so the codebook shape
+    * is always m×ks. */
+  def train(sample: DataFrame, m: Int, ks: Int, iters: Int = 2): PqModel = {
+    require(m >= 1 && ks >= 2 && ks <= 256,
+      s"need 1 <= m and 2 <= ks <= 256 (one code byte), got m=$m ks=$ks")
+    val dim = sample.select(size(col("vec")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val vmean = udaf(VectorMeanAggregator)
+
+    // one Lloyd scan: regroup (subspace, code, subvector) rows under the
+    // given assignment and collect the m×ks means (≤ a few KB)
+    def regroup(codes: Column): Array[Array[Double]] = {
+      val rows = sample
+        .select(posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.cast("int").as("sub"),
+            element_at(codes, j.cast("int") + 1).as("code"),
+            slice(col("vec"), j * lit(dsub) + 1, lit(dsub)).as("sv"))))
+          .as(Seq("__p", "s")))
+        .groupBy(col("s.sub").as("sub"), col("s.code").as("code"))
+        .agg(vmean(col("s.sv")).as("c"))
+        .collect()
+      val out = Array.fill(m, ks * dsub)(0.0)
+      rows.foreach { r =>
+        val sub = r.getInt(0); val code = r.getInt(1)
+        val c = r.getSeq[Double](2)
+        if (sub >= 0 && sub < m && code >= 0 && code < ks && c.length == dsub) {
+          var i = 0
+          while (i < dsub) { out(sub)(code * dsub + i) = c(i); i += 1 }
+        }
+      }
+      out
+    }
+
+    var cbs: Array[Array[Double]] = null
+    var assign: Column = transform(sequence(lit(0), lit(m - 1)),
+      j => pmod(xxhash64(col("vec_id"), j), lit(ks)).cast("int"))
+    (0 until math.max(1, iters)).foreach { _ =>
+      val next = regroup(assign)
+      // empty cells keep the previous centroid so codes stay stable
+      if (cbs != null) {
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < ks) {
+            val base = c * dsub
+            var allZero = true
+            var i = 0
+            while (i < dsub && allZero) {
+              if (next(j)(base + i) != 0.0) allZero = false; i += 1
+            }
+            if (allZero) System.arraycopy(cbs(j), base, next(j), base, dsub)
+            c += 1
+          }
+          j += 1
+        }
+      }
+      cbs = next
+      assign = VectorExpressions.pqAssign(col("vec"),
+        cbs.map(_.toSeq).toSeq)
+    }
+    PqModel(m, ks, dsub, cbs.map(_.toSeq).toSeq)
+  }
+
+  /** Encode a prepared corpus to its codes table: `(vec_id, code)` with
+    * `code` = m bytes. A pure projection — this is the frame a deployment
+    * PERSISTS; at 100 TB it is 1/64th the vector table's bytes and serves
+    * every subsequent probe batch. */
+  def encode(corpus: DataFrame, model: PqModel): DataFrame =
+    corpus.select(col("vec_id"),
+      VectorExpressions.pqEncode(col("vec"), model.codebooks).as("code"))
+
+  /** Top-k by cosine via PQ-ADC candidate generation + exact re-rank.
+    * Candidates are scored on code bytes only (approx cosine =
+    * ADC dot / (‖recon‖ · ‖query‖), both factors derived from the code /
+    * LUT — the corpus's float vectors are NOT read); the best
+    * `rerank × k` per query re-score against the exact vectors, touching
+    * `rerank × k × |queries|` rows. With re-rank headroom the output
+    * equals exact brute force (the oracle holds it to that); the
+    * recall/cost knob at scale is `rerank`, exactly as published. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           model: PqModel, rerank: Int = 10): DataFrame =
+    topKFromCodes(encode(corpus, model), corpus, queries, k, model, rerank)
+
+  /** [[topK]] against an already-encoded codes table `(vec_id, code)` —
+    * the deployment shape: the persisted codes table (1/64th the vector
+    * bytes) drives candidate generation; `corpus` is touched only by the
+    * exact re-rank join on the `rerank × k × |queries|` survivors. */
+  def topKFromCodes(codesTable: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, k: Int, model: PqModel,
+                    rerank: Int = 10): DataFrame = {
+    val enc = codesTable
+      .select(col("vec_id").as("cand_id"), col("code"))
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("norm").as("query_norm"),
+      VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
+    val approx = enc.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos",
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
+            / (col("crn") * col("query_norm"))))
+    rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
+  }
+
+  /** IVF-PQ: the [[IvfIndex]] coarse quantizer prunes the scan to the
+    * `nProbe` nearest lists and PQ codes make the surviving scan 64×
+    * smaller — the composition behind every billion-vector ANN service.
+    * The encoded index `(cand_id, centroid_id, code)` is again a pure
+    * projection over the IVF assignment; probes broadcast
+    * (query, list, LUT) rows, so corpus-side work is a list-pruned
+    * codegen'd gather.
+    *
+    * One deliberate divergence from the IVFADC paper: codes quantize the
+    * RAW vectors with one global codebook, not per-list residuals.
+    * Residuals buy finer cells at equal ks, but cost a per-(query, list)
+    * LUT rebuild and make the codes table useless without its list
+    * assignment; a global codebook lets ONE persisted codes table serve
+    * both this and the flat [[topK]] path, and the exact re-rank absorbs
+    * the coarser quantization. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              model: PqModel, kLists: Int, nProbe: Int,
+              rerank: Int = 10): DataFrame = {
+    val (assigned, centroids) = IvfIndex.build(corpus, kLists)
+    val enc = assigned.select(col("vec_id").as("cand_id"), col("centroid_id"),
+        VectorExpressions.pqEncode(col("vec"), model.codebooks).as("code"))
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+        col("norm").as("query_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qd2",
+        col("query_norm") * col("query_norm") + col("cnorm") * col("cnorm")
+          - lit(2.0) * dot(col("query_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_norm"), col("centroid_id"),
+        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
+    val approx = enc.join(broadcast(probes), "centroid_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos",
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
+            / (col("crn") * col("query_norm"))))
+    rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
+  }
+
+  private def candidatesOf(approx: DataFrame, keep: Int): DataFrame = {
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("cand_id"))
+    approx.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= keep)
+      .select(col("query_id"), col("cand_id"))
+  }
+
+  /** Exact cosine re-rank of (query_id, cand_id) survivors — identical
+    * contract to [[Similarity.quantizedTopK]]'s second stage. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+                          candidates: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
+      col("norm").as("cand_norm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+      col("norm").as("query_norm"))
+    val rescored = candidates
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        when(col("cand_norm") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("cand_vec"), col("query_vec"))
+            / (col("cand_norm") * col("query_norm"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+  }
+}
