@@ -1,0 +1,535 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+/** Pure-JVM BASELINE JPEG codec (ITU T.81 sequential DCT): forward/inverse
+  * 8×8 DCT, uniform quantization, the Annex-K luminance Huffman tables
+  * (canonical code construction), JFIF byte stuffing, 4:4:4 interleave or
+  * grayscale, edge-replicated block padding with decode-side crop, and
+  * BT.601 RGB↔YCbCr. This closes the former "JPEG entropy decode" half of
+  * the multimodal codec seam: entropy decode — marker walk, DHT/DQT
+  * parsing, variable-length Huffman with the EOB/ZRL run-length forms,
+  * DC prediction, dequant, IDCT — is all integer/table/trig work, in
+  * reach of the bare JVM like PNG's deflate and GIF's LZW.
+  *
+  * JPEG is LOSSY, so unlike PNG/GIF the round trip is certified by a
+  * QUANTIZATION ERROR BOUND rather than bit equality: with the uniform
+  * quant step Q below, |decode(encode(px)) − px| is bounded well under
+  * [[ErrBound]] for any 8-bit input (coefficient rounding ≤ Q/2 per
+  * coefficient; the IDCT concentrates it), and the registered query
+  * certifies dims + bound + truncation rejection per document.
+  *
+  * Same defensive contract as [[MediaKernels]]: parsers return null on
+  * anything malformed — truncation, bad markers, invalid Huffman codes —
+  * never throw; at 100 TB some records WILL be garbage.
+  */
+object JpegKernels {
+
+  /** Uniform quantization step for every coefficient (emitted in DQT, so
+    * any conformant decoder agrees). */
+  final val Q = 4
+
+  /** Certified per-pixel reconstruction bound for [[Q]] (empirically ≤ ~6
+    * on synthetic sweeps; margin for the color-convert rounding). */
+  final val ErrBound = 16
+
+  private val Zig: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K luminance tables (ITU T.81); used for every component — we
+  // emit the DHT ourselves, so one table id serves all.
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman ENCODE table: code/size per symbol value. */
+  private final class HuffEnc(bits: Array[Int], vals: Array[Int]) {
+    val sizes = new Array[Int](256)
+    val codes = new Array[Int](256)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          sizes(vals(k)) = l; codes(vals(k)) = code
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  /** Canonical Huffman DECODE table (T.81 F.2.2.3 mincode/maxcode/valptr). */
+  private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k; minCode(l) = code
+          k += bits(l - 1); code += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  private val DcEnc = new HuffEnc(DcBits, DcVals)
+  private val AcEnc = new HuffEnc(AcBits, AcVals)
+  private val DcDec = new HuffDec(DcBits, DcVals)
+  private val AcDec = new HuffDec(AcBits, AcVals)
+
+  // 8×8 DCT basis: cosTab(u)(x) = cos((2x+1)uπ/16), scale Cu = 1/√2 for u=0
+  private val CosTab: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  private val C: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Forward DCT-II + uniform quantization of one level-shifted 8×8 block
+    * (`in` holds f(x,y) − 128). Output in natural (row-major) order. */
+  private def fdctQuant(in: Array[Double], out: Array[Int]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val cu = CosTab(u)(y) // note: u indexes vertical frequency
+          while (x < 8) {
+            acc += in(y * 8 + x) * cu * CosTab(v)(x)
+            x += 1
+          }
+          y += 1
+        }
+        val coef = 0.25 * C(u) * C(v) * acc
+        out(u * 8 + v) = math.round(coef / Q).toInt
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** MSB-first bit writer with JFIF 0xFF byte stuffing. */
+  private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(code: Int, size: Int): Unit = {
+      var i = size - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1); n += 1
+        if (n == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1s per T.81
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  /** MSB-first bit reader with unstuffing; `fail` latches on marker or
+    * exhaustion and every read thereafter returns 0. */
+  private final class BitReader(b: Array[Byte], var p: Int) {
+    private var acc = 0; private var n = 0
+    var fail = false
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= b.length) { fail = true; return 0 }
+        var by = b(p) & 0xff; p += 1
+        if (by == 0xff) {
+          if (p >= b.length) { fail = true; return 0 }
+          val m = b(p) & 0xff
+          if (m == 0x00) p += 1
+          else { fail = true; return 0 } // a real marker ends the scan
+          by = 0xff
+        }
+        acc = by; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(t: HuffDec): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.values(t.valPtr(l) + code - t.minCode(l))
+        code = (code << 1) | bit()
+        l += 1
+      }
+      fail = true; 0
+    }
+  }
+
+  private def extend(raw: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (raw < (1 << (size - 1))) raw - (1 << size) + 1
+    else raw
+
+  private def magSize(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  private def be16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+
+  /** Encode 8-bit pixels (row-major, `width*height*channels`, channels 1
+    * or 3 as RGB) as a baseline JFIF JPEG: DQT (uniform [[Q]]), SOF0,
+    * DHT (Annex-K tables), SOS, entropy-coded 4:4:4 MCUs with edge-
+    * replicated padding. Null on invalid dims / channels / buffer. */
+  def jpegEncodePixels(width: Int, height: Int, channels: Int,
+                       pixels: Array[Byte]): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
+    if (channels != 1 && channels != 3) return null
+    if (pixels == null || pixels.length.toLong != width.toLong * height * channels)
+      return null
+    // color convert to per-component planes (Y or Y/Cb/Cr)
+    val nc = channels
+    val planes = Array.ofDim[Double](nc, width * height)
+    var i = 0
+    while (i < width * height) {
+      if (nc == 1) planes(0)(i) = (pixels(i) & 0xff).toDouble
+      else {
+        val r = pixels(3 * i) & 0xff
+        val g = pixels(3 * i + 1) & 0xff
+        val bl = pixels(3 * i + 2) & 0xff
+        planes(0)(i) = 0.299 * r + 0.587 * g + 0.114 * bl
+        planes(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        planes(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(width * height / 2 + 1024)
+    // SOI, APP0/JFIF
+    bos.write(0xff); bos.write(0xd8)
+    bos.write(0xff); bos.write(0xe0); be16(bos, 16)
+    bos.write('J'); bos.write('F'); bos.write('I'); bos.write('F'); bos.write(0)
+    bos.write(1); bos.write(1); bos.write(0); be16(bos, 1); be16(bos, 1)
+    bos.write(0); bos.write(0)
+    // DQT: table 0, zigzag order, uniform Q
+    bos.write(0xff); bos.write(0xdb); be16(bos, 67); bos.write(0x00)
+    i = 0; while (i < 64) { bos.write(Q); i += 1 }
+    // SOF0
+    bos.write(0xff); bos.write(0xc0); be16(bos, 8 + 3 * nc)
+    bos.write(8); be16(bos, height); be16(bos, width); bos.write(nc)
+    var c = 0
+    while (c < nc) { bos.write(c + 1); bos.write(0x11); bos.write(0); c += 1 }
+    // DHT: DC table 0 then AC table 0
+    val dhtLen = 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+    bos.write(0xff); bos.write(0xc4); be16(bos, dhtLen)
+    bos.write(0x00); DcBits.foreach(bos.write); DcVals.foreach(bos.write)
+    bos.write(0x10); AcBits.foreach(bos.write); AcVals.foreach(bos.write)
+    // SOS
+    bos.write(0xff); bos.write(0xda); be16(bos, 6 + 2 * nc); bos.write(nc)
+    c = 0
+    while (c < nc) { bos.write(c + 1); bos.write(0x00); c += 1 }
+    bos.write(0); bos.write(63); bos.write(0)
+    // entropy-coded data
+    val bw = new BitWriter(bos)
+    val mcuW = (width + 7) / 8; val mcuH = (height + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val dcPred = new Array[Int](nc)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        c = 0
+        while (c < nc) {
+          // load level-shifted block with edge replication
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(my * 8 + y, height - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(mx * 8 + x, width - 1)
+              block(y * 8 + x) = planes(c)(sy * width + sx) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdctQuant(block, coef)
+          // DC
+          val diff = coef(0) - dcPred(c); dcPred(c) = coef(0)
+          val ds = magSize(diff)
+          bw.put(DcEnc.codes(ds), DcEnc.sizes(ds))
+          if (ds > 0)
+            bw.put(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
+          // AC in zigzag with run-lengths
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = coef(Zig(k))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { bw.put(AcEnc.codes(0xf0), AcEnc.sizes(0xf0)); run -= 16 }
+              val s = magSize(v)
+              val sym = (run << 4) | s
+              bw.put(AcEnc.codes(sym), AcEnc.sizes(sym))
+              bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw.put(AcEnc.codes(0x00), AcEnc.sizes(0x00)) // EOB
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Decoded baseline JPEG, same holder shape as
+    * [[MediaKernels.PngImage]]. */
+  final class JpegImage(val width: Int, val height: Int, val channels: Int,
+                        val pixels: Array[Byte])
+
+  /** Decode a baseline JFIF JPEG of the shape [[jpegEncodePixels]] emits
+    * (baseline sequential, 8-bit, 4:4:4 or grayscale, no restart
+    * intervals, one quant + one DC + one AC table): marker walk, DQT/DHT
+    * parse with canonical table reconstruction, Huffman entropy decode
+    * with DC prediction and EOB/ZRL, dequant, IDCT, color convert, crop.
+    * Null on anything malformed or outside that shape — never throws. */
+  def jpegDecodeRaw(b: Array[Byte]): JpegImage = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    var p = 2
+    var width = 0; var height = 0; var nc = 0
+    var quant: Array[Int] = null
+    var dcDec: HuffDec = null
+    var acDec: HuffDec = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (p + 4 > b.length) return null
+      if ((b(p) & 0xff) != 0xff) return null
+      val marker = b(p + 1) & 0xff
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (p + 2 + len > b.length) return null
+      marker match {
+        case 0xdb => // DQT (one 8-bit table supported)
+          if (len < 67 || (b(p + 4) & 0xf0) != 0) return null
+          quant = new Array[Int](64)
+          var i = 0
+          while (i < 64) { quant(i) = b(p + 5 + i) & 0xff; i += 1 }
+        case 0xc0 => // SOF0
+          if (len < 8) return null
+          if ((b(p + 4) & 0xff) != 8) return null
+          height = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
+          width = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
+          nc = b(p + 9) & 0xff
+          if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+          if (len < 8 + 3 * nc) return null
+          var c = 0
+          while (c < nc) {
+            if ((b(p + 11 + 3 * c) & 0xff) != 0x11) return null // 4:4:4 only
+            c += 1
+          }
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          var q = p + 4
+          val end = p + 2 + len
+          while (q < end) {
+            val tc = (b(q) & 0xf0) >> 4
+            val th = b(q) & 0x0f
+            if (th != 0 || q + 17 > end) return null
+            val bits = new Array[Int](16)
+            var total = 0
+            var i = 0
+            while (i < 16) { bits(i) = b(q + 1 + i) & 0xff; total += bits(i); i += 1 }
+            if (q + 17 + total > end) return null
+            val vals = new Array[Int](total)
+            i = 0
+            while (i < total) { vals(i) = b(q + 17 + i) & 0xff; i += 1 }
+            val t = new HuffDec(bits, vals)
+            if (tc == 0) dcDec = t else acDec = t
+            q += 17 + total
+          }
+        case 0xda => // SOS
+          if (nc == 0 || quant == null || dcDec == null || acDec == null) return null
+          sosAt = p + 2 + len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return null // non-baseline frame types unsupported
+        case _ => () // APPn / COM / others: skip
+      }
+      p += 2 + len
+    }
+    val br = new BitReader(b, sosAt)
+    val mcuW = (width + 7) / 8; val mcuH = (height + 7) / 8
+    val planes = Array.ofDim[Double](nc, mcuW * 8 * mcuH * 8)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    val dcPred = new Array[Int](nc)
+    val stride = mcuW * 8
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var c = 0
+        while (c < nc) {
+          java.util.Arrays.fill(coef, 0)
+          val ds = br.decode(dcDec)
+          if (ds > 11 || br.fail) return null
+          dcPred(c) += extend(br.bits(ds), ds)
+          coef(0) = dcPred(c)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val sym = br.decode(acDec)
+            if (br.fail) return null
+            val run = sym >> 4; val s = sym & 0x0f
+            if (s == 0) {
+              if (sym == 0x00) eob = true
+              else if (sym == 0xf0) k += 16
+              else return null
+            } else {
+              k += run
+              if (k > 63) return null
+              coef(Zig(k)) = extend(br.bits(s), s)
+              k += 1
+            }
+          }
+          if (br.fail) return null
+          idctDequantWith(coef, quant, block)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              planes(c)((my * 8 + y) * stride + mx * 8 + x) = block(y * 8 + x) + 128.0
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    // color convert + crop
+    val out = new Array[Byte](width * height * nc)
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val pi = y * stride + x
+        if (nc == 1) out(y * width + x) = clamp(planes(0)(pi)).toByte
+        else {
+          val yv = planes(0)(pi)
+          val cb = planes(1)(pi) - 128.0
+          val cr = planes(2)(pi) - 128.0
+          val o = (y * width + x) * 3
+          out(o) = clamp(yv + 1.402 * cr).toByte
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          out(o + 2) = clamp(yv + 1.772 * cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    new JpegImage(width, height, nc, out)
+  }
+
+  /** IDCT with the stream's own quant table (zigzag order). */
+  private def idctDequantWith(coefNat: Array[Int], quantZig: Array[Int],
+                              out: Array[Double]): Unit = {
+    val dq = new Array[Double](64)
+    var z = 0
+    while (z < 64) { dq(Zig(z)) = coefNat(Zig(z)).toDouble * quantZig(z); z += 1 }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          val cu = C(u) * CosTab(u)(y)
+          while (v < 8) {
+            acc += cu * C(v) * CosTab(v)(x) * dq(u * 8 + v)
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = 0.25 * acc
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Synthesize → encode → decode → certify, the self-certification
+    * kernel behind the registered query (JPEG is lossy, so the contract
+    * is dims + error bound + truncation rejection, not bit equality):
+    * `struct<width,height,channels,max_err,trunc_rejected>` where
+    * max_err is max |decoded − original| over all samples and
+    * trunc_rejected attests that decoding the first half of the stream
+    * returns null instead of fabricating pixels. Null if encode or
+    * decode fails outright. */
+  def jpegRoundTripStats(seed: Long, width: Int, height: Int,
+                         channels: Int): InternalRow = {
+    if (width <= 0 || height <= 0 ||
+        width.toLong * height * channels > (1 << 24)) return null
+    val px = MediaKernels.synthPixels(seed, width * height * channels)
+    val enc = jpegEncodePixels(width, height, channels, px)
+    if (enc == null) return null
+    val dec = jpegDecodeRaw(enc)
+    if (dec == null || dec.width != width || dec.height != height ||
+        dec.channels != channels) return null
+    var maxErr = 0
+    var i = 0
+    while (i < px.length) {
+      val e = math.abs((dec.pixels(i) & 0xff) - (px(i) & 0xff))
+      if (e > maxErr) maxErr = e
+      i += 1
+    }
+    val truncated = java.util.Arrays.copyOf(enc, enc.length / 2)
+    val r = new GenericInternalRow(5)
+    r.setInt(0, dec.width); r.setInt(1, dec.height); r.setInt(2, dec.channels)
+    r.setInt(3, maxErr)
+    r.setBoolean(4, jpegDecodeRaw(truncated) == null)
+    r
+  }
+}

@@ -137,6 +137,19 @@ object MediaExpressions {
     StructField("n_frames", LongType, nullable = false),
     StructField("amp_sum", LongType, nullable = false)))
 
+  private val gifStatsType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_colors", IntegerType, nullable = false),
+    StructField("idx_sum", LongType, nullable = false)))
+
+  private val jpegRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("max_err", IntegerType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
   /** Real PNG bytes carrying [[MediaKernels.synthPixels]] pixel data for
     * (seed, width, height, channels) — deflated IDAT, per-row filter
     * cycle, real CRCs. */
@@ -249,6 +262,78 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** Real GIF89a bytes carrying LZW-compressed [[MediaKernels
+    * .synthPixels]] palette indices for (seed, width, height). */
+  case class GifEncodeSynth(first: Expression, second: Expression,
+                            third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "gif_encode_synth"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+      MediaKernels.gifEncodeSynth(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h) => s"""
+        |${ev.value} = graft.functions.MediaKernels.gifEncodeSynth($seed, $w, $h);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression): Expression =
+      copy(first = a, second = b, third = c)
+  }
+
+  /** Full LZW pixel decode + reduce:
+    * `struct<width,height,n_colors,idx_sum>`; null when the payload
+    * isn't a decodable GIF of the supported shape. */
+  case class GifDecodeStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = gifStatsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "gif_decode_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      MediaKernels.gifDecodeStats(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.MediaKernels.gifDecodeStats($c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Full baseline-JPEG round trip (synthesize → DCT/Huffman encode →
+    * entropy decode → certify): `struct<width,height,channels,max_err,
+    * trunc_rejected>`. JPEG is lossy, so the certification contract is
+    * dims + quantization error bound + truncation rejection — see
+    * [[graft.functions.JpegKernels.jpegRoundTripStats]]. */
+  case class JpegRoundTrip(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = jpegRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jpeg_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, c: Any): Any =
+      JpegKernels.jpegRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], c.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, c) => s"""
+        |${ev.value} = graft.functions.JpegKernels.jpegRoundTripStats($seed, $w, $h, $c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 
@@ -288,4 +373,18 @@ object MediaExpressions {
 
   def wavDecodeStats(content: Column): Column =
     ColumnBridge.column(WavDecodeStats(ColumnBridge.expression(content)))
+
+  def gifEncodeSynth(seed: Column, width: Column, height: Column): Column =
+    ColumnBridge.column(GifEncodeSynth(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height)))
+
+  def gifDecodeStats(content: Column): Column =
+    ColumnBridge.column(GifDecodeStats(ColumnBridge.expression(content)))
+
+  def jpegRoundTrip(seed: Column, width: Column, height: Column,
+                    channels: Column): Column =
+    ColumnBridge.column(JpegRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(channels)))
 }

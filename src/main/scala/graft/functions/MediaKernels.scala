@@ -593,4 +593,221 @@ object MediaKernels {
     r.setLong(2, nFrames); r.setLong(3, sum)
     r
   }
+
+  // ---------------------------------------------------------------------
+  // PIXEL-level GIF codec (LZW)
+  // ---------------------------------------------------------------------
+  // GIF's only compression is LZW over palette indices — variable-width
+  // codes (9..12 bits for an 8-bit palette) packed LSB-first, a CLEAR
+  // code that resets the string table when it fills at 4096 entries, and
+  // the KwKwK corner case where a code is consumed one step before it is
+  // defined. All of it is integer/table work, so like PNG's
+  // deflate+filters it is fully in reach of the bare JVM — closing the
+  // "GIF LZW" half of the former library seam. Images use a 256-entry
+  // grayscale global color table (index i -> RGB(i,i,i)), so palette
+  // indices ARE intensities and the PNG/GIF stats reduce identically.
+
+  /** Encode 8-bit palette indices (row-major, `width*height` bytes) as a
+    * real GIF89a: 256-gray global color table, image descriptor, and an
+    * honest LZW-compressed data stream (variable code width, clear-code
+    * reset on table overflow). Null on invalid dims / buffer size. */
+  def gifEncodePixels(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
+    if (indices == null || indices.length.toLong != width.toLong * height) return null
+    val bos = new java.io.ByteArrayOutputStream(indices.length / 2 + 64)
+    val hdr = new Array[Byte](13)
+    "GIF89a".getBytes("US-ASCII").copyToArray(hdr, 0)
+    le16(hdr, 6, width); le16(hdr, 8, height)
+    hdr(10) = 0xf7.toByte // GCT present | color res 8 | GCT size 7 (256 entries)
+    bos.write(hdr)
+    var i = 0
+    while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 }
+    val desc = new Array[Byte](10)
+    desc(0) = 0x2c // image separator; left=top=0, full frame, no LCT
+    le16(desc, 5, width); le16(desc, 7, height)
+    bos.write(desc)
+    bos.write(8) // LZW minimum code size (8-bit palette)
+
+    // LZW: string table keyed (prefixCode << 8 | nextByte) -> code
+    val CLEAR = 256; val EOI = 257
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var nextCode = 258
+    var codeWidth = 9
+    // LSB-first bit packer into 255-byte sub-blocks
+    var bitBuf = 0L; var bitCnt = 0
+    val block = new Array[Byte](255); var blockLen = 0
+    def flushByte(): Unit = {
+      block(blockLen) = (bitBuf & 0xff).toByte
+      blockLen += 1; bitBuf >>>= 8; bitCnt -= 8
+      if (blockLen == 255) { bos.write(blockLen); bos.write(block, 0, blockLen); blockLen = 0 }
+    }
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) flushByte()
+    }
+    emit(CLEAR)
+    var prefix = indices(0) & 0xff
+    i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((prefix << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        dict.put(key, Integer.valueOf(nextCode))
+        // widen AFTER registering: the decoder widens when its next slot
+        // reaches 1 << width, and both sides must flip on the same code
+        if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        nextCode += 1
+        if (nextCode == 4096) {
+          emit(CLEAR); dict.clear(); nextCode = 258; codeWidth = 9
+        }
+        prefix = k
+      }
+      i += 1
+    }
+    emit(prefix); emit(EOI)
+    if (bitCnt > 0) flushByte()
+    if (blockLen > 0) { bos.write(blockLen); bos.write(block, 0, blockLen) }
+    bos.write(0)    // block terminator
+    bos.write(0x3b) // trailer
+    bos.toByteArray
+  }
+
+  /** Decoded GIF — palette indices plus the palette, a plain holder like
+    * [[PngImage]]. With the grayscale table indices are intensities. */
+  final class GifImage(val width: Int, val height: Int,
+                       val indices: Array[Byte], val palette: Array[Byte])
+
+  /** Full GIF pixel decode: LSD + global color table, extension-block
+    * skip, image descriptor, LZW decompression (variable width,
+    * clear-code reset, KwKwK). Supports the single-image, non-interlaced,
+    * no-local-table shape [[gifEncodePixels]] emits (and any conformant
+    * file of that shape); anything else — truncation, interlace, bad
+    * codes, wrong pixel count — returns null, never throws. */
+  def gifDecodeRaw(b: Array[Byte]): GifImage = {
+    if (b == null || b.length < 14) return null
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return null
+    val w = rle16(b, 6); val h = rle16(b, 8)
+    if (w <= 0 || h <= 0) return null
+    val flags = b(10) & 0xff
+    if ((flags & 0x80) == 0) return null // no global color table
+    val gctN = 1 << ((flags & 7) + 1)
+    var p = 13
+    if (p + 3 * gctN > b.length) return null
+    val palette = java.util.Arrays.copyOfRange(b, p, p + 3 * gctN)
+    p += 3 * gctN
+    // skip extensions until the image descriptor
+    while (p < b.length && (b(p) & 0xff) == 0x21) {
+      p += 2 // introducer + label
+      while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xff)
+      p += 1
+    }
+    if (p + 10 > b.length || (b(p) & 0xff) != 0x2c) return null
+    val left = rle16(b, p + 1); val top = rle16(b, p + 3)
+    val iw = rle16(b, p + 5); val ih = rle16(b, p + 7)
+    val iflags = b(p + 9) & 0xff
+    if (left != 0 || top != 0 || iw != w || ih != h) return null
+    if ((iflags & 0xc0) != 0) return null // local table / interlace
+    p += 10
+    if (p >= b.length) return null
+    val minCode = b(p) & 0xff; p += 1
+    if (minCode < 2 || minCode > 8) return null
+    // concatenate data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (p < b.length && b(p) != 0) {
+      val len = b(p) & 0xff
+      if (p + 1 + len > b.length) return null
+      data.write(b, p + 1, len); p += 1 + len
+    }
+    if (p >= b.length) return null
+    val lzw = data.toByteArray
+    val CLEAR = 1 << minCode; val EOI = CLEAR + 1
+    val out = new Array[Byte](w * h)
+    var outN = 0
+    // string table as prefix/suffix links; firstOf(c) = first byte of c's
+    // expansion (needed for the KwKwK case without walking the chain)
+    val prefixT = new Array[Int](4096)
+    val suffixT = new Array[Byte](4096)
+    val firstOf = new Array[Byte](4096)
+    var c = 0
+    while (c < CLEAR) { suffixT(c) = c.toByte; firstOf(c) = c.toByte; c += 1 }
+    var nextSlot = EOI + 1
+    var codeWidth = minCode + 1
+    var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var bp = 0
+    def writeCode(code: Int): Boolean = { // expand code into out; false on overflow
+      var n = 0
+      var cc = code
+      while (cc >= CLEAR) { n += 1; cc = prefixT(cc) } // chain length - 1
+      n += 1
+      if (outN + n > out.length) return false
+      var pos = outN + n - 1
+      cc = code
+      while (cc >= CLEAR) { out(pos) = suffixT(cc); pos -= 1; cc = prefixT(cc) }
+      out(pos) = suffixT(cc)
+      outN += n
+      true
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < codeWidth && bp < lzw.length) {
+        bitBuf |= (lzw(bp) & 0xffL) << bitCnt; bitCnt += 8; bp += 1
+      }
+      if (bitCnt < codeWidth) return null // truncated stream before EOI
+      val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+      bitBuf >>>= codeWidth; bitCnt -= codeWidth
+      if (code == CLEAR) {
+        nextSlot = EOI + 1; codeWidth = minCode + 1; prev = -1
+      } else if (code == EOI) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= CLEAR) return null // first code must be a literal
+        if (!writeCode(code)) return null
+        prev = code
+      } else {
+        if (code > nextSlot || (code == nextSlot && nextSlot >= 4096)) return null
+        val kByte =
+          if (code == nextSlot) firstOf(prev) // KwKwK: code defined by this step
+          else firstOf(code)
+        if (nextSlot < 4096) {
+          prefixT(nextSlot) = prev; suffixT(nextSlot) = kByte
+          firstOf(nextSlot) = firstOf(prev)
+          // widen when the NEXT slot no longer fits the current width —
+          // mirrors the encoder's post-register widen
+          if (nextSlot + 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          nextSlot += 1
+        }
+        if (!writeCode(code)) return null
+        prev = code
+      }
+    }
+    if (outN != w * h) return null
+    new GifImage(w, h, out, palette)
+  }
+
+  /** Synthesize-and-encode dual for GIF (indices from [[synthPixels]]) —
+    * the expression-level entry for oracle-checkable LZW round trips. */
+  def gifEncodeSynth(seed: Long, width: Int, height: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width.toLong * height > (1 << 24)) return null
+    gifEncodePixels(width, height, synthPixels(seed, width * height))
+  }
+
+  /** Decode + reduce: `struct<width,height,n_colors,idx_sum>` — idx_sum
+    * sums every decoded palette index, certifying the whole LZW
+    * compress→decompress path against SQL-replayable arithmetic. Null
+    * when the payload doesn't decode. */
+  def gifDecodeStats(b: Array[Byte]): InternalRow = {
+    val img = gifDecodeRaw(b)
+    if (img == null) return null
+    var sum = 0L
+    var i = 0
+    while (i < img.indices.length) { sum += img.indices(i) & 0xff; i += 1 }
+    val r = new GenericInternalRow(4)
+    r.setInt(0, img.width); r.setInt(1, img.height)
+    r.setInt(2, img.palette.length / 3); r.setLong(3, sum)
+    r
+  }
 }

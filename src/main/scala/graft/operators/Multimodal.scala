@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * by `multimodal_decode` / `multimodal_audio`), and PIXEL/SAMPLE-level
   * decode is real for PNG (zlib inflate + all five scanline filters,
   * CRC-verified; `multimodal_pixels` round-trips decode → nearest-
-  * neighbor resize → re-encode) and 16-bit PCM WAV (`multimodal_
-  * waveform`). The remaining library seam is formats that genuinely
-  * need external codecs — JPEG entropy decode, GIF LZW, video —
-  * marked by [[CodecDecoder]]'s final branch; [[FakeDecoder]] stays as
+  * neighbor resize → re-encode), baseline JPEG (DCT + Annex-K Huffman
+  * entropy coding; `multimodal_jpeg` certifies the lossy round trip by
+  * quantization error bound), GIF (variable-width LZW with table reset
+  * and KwKwK handling; `multimodal_gif`) and 16-bit PCM WAV
+  * (`multimodal_waveform`). The remaining library seam is formats that
+  * genuinely need external codecs — video, and JPEG's progressive/
+  * arithmetic variants — marked by [[CodecDecoder]]'s final branch;
+  * [[FakeDecoder]] stays as
   * the deterministic stand-in for pipelines that must run across ALL
   * formats without a library. The Spark-side contract — schema,
   * encoders, partition batching, shuffle behavior — is real and tested
@@ -74,20 +78,23 @@ object Multimodal {
     }
   }
 
-  /** The real-codec decoder. PNG pixel decode and 16-bit PCM WAV sample
-    * decode are FULLY IMPLEMENTED in pure JVM
+  /** The real-codec decoder. PNG pixel decode, baseline-JPEG entropy
+    * decode, GIF LZW pixel decode, and 16-bit PCM WAV sample decode are
+    * FULLY IMPLEMENTED in pure JVM
     * ([[graft.functions.MediaKernels.pngDecodeRaw]] /
+    * [[graft.functions.JpegKernels.jpegDecodeRaw]] /
+    * [[graft.functions.MediaKernels.gifDecodeRaw]] /
     * [[graft.functions.MediaKernels.wavDecodeStats]]): features are
     * histograms over actual decoded pixels/samples, not payload bytes.
-    * Formats whose decode genuinely needs an external library (JPEG
-    * entropy decode, GIF LZW, video codecs) throw the named seam error —
-    * plug a JNI/library call into the final branch for those. */
+    * Formats whose decode genuinely needs an external library (video
+    * codecs; progressive/arithmetic JPEG variants) throw the named seam
+    * error — plug a JNI/library call into the final branch for those. */
   object CodecDecoder extends MediaDecoder {
     import graft.functions.MediaKernels
     private def unavailable =
       throw new UnsupportedOperationException(
-        "codec not bundled for this format: PNG/WAV decode in pure JVM, " +
-          "JPEG/video need a library — plug a JNI call here")
+        "codec not bundled for this format: PNG/baseline-JPEG/GIF/WAV " +
+          "decode in pure JVM, video needs a library — plug a JNI call here")
     def features(rec: MediaRecord, dim: Int): Array[Double] = {
       val img = MediaKernels.pngDecodeRaw(rec.content)
       if (img != null) {
@@ -95,6 +102,30 @@ object Multimodal {
         var i = 0
         while (i < img.pixels.length) {
           out(i % dim) += (img.pixels(i) & 0xff) / 255.0
+          i += 1
+        }
+        return out
+      }
+      val jpg = graft.functions.JpegKernels.jpegDecodeRaw(rec.content)
+      if (jpg != null) {
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < jpg.pixels.length) {
+          out(i % dim) += (jpg.pixels(i) & 0xff) / 255.0
+          i += 1
+        }
+        return out
+      }
+      val gif = MediaKernels.gifDecodeRaw(rec.content)
+      if (gif != null) {
+        // palette-resolved intensity histogram (mean of RGB per pixel)
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < gif.indices.length) {
+          val pi = (gif.indices(i) & 0xff) * 3
+          val lum = ((gif.palette(pi) & 0xff) + (gif.palette(pi + 1) & 0xff) +
+            (gif.palette(pi + 2) & 0xff)) / 3.0
+          out(i % dim) += lum / 255.0
           i += 1
         }
         return out
