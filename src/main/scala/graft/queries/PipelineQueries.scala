@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{IngestApp, Tables}
-import graft.operators.{Dedup, FuzzyJoin, IvfIndex, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, IvfIndex, PqCodec, Similarity, TextAnalysis}
 import graft.sources.IndexStore
 import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -699,6 +699,58 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Product-quantization ANN (PqCodec): per-subspace k-means codebooks
+    // (m=16 subspaces x ks=16 codes over the 64 dims — 1 bit/dim;
+    // reconstruction cosine ~0.79 on this corpus, vs 0.63 at m=8's
+    // 0.5 bit/dim — the published rate/distortion trade), corpus encoded
+    // to 16 CODE BYTES per vector (32x smaller than the double vectors —
+    // at corpus scale the candidate scan reads codes, never floats), ADC
+    // scoring via a per-query LUT, exact re-rank of the top rerank*k.
+    // Oracle protocol (the sim_ivf_top1 pattern): queries are planted
+    // identical copies of corpus vectors (id + 100000), whose true
+    // nearest neighbor is the original at cosine exactly 1.0 against a
+    // <= 0.61 background — ADC noise (reconstruction cosine ~0.79 at
+    // this rate on this corpus) cannot push the original out of a
+    // rerank=32 candidate set (measured ADC rank: 1 for every planted
+    // query at every SF and every (m, ks) tried), so the DuckDB
+    // brute-force top-1 oracle holds the full train -> encode -> ADC ->
+    // re-rank pipeline to exact equality. General top-k recall at
+    // rerank=10 is measured in the spec suite — on this corpus's noisy
+    // background it is the honest statistical contract, not a hash.
+    "sim_pq_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      val model = PqCodec.train(all, m = 16, ks = 16)
+      PqCodec.topK(all, queries, k = 1, model, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
+    // IVF-PQ: the coarse quantizer prunes the scan to ONE probed list of
+    // 16 AND the surviving scan reads 16-byte codes — the composition
+    // behind every billion-vector ANN service, at its most selective
+    // config. The planted-copy queries make nProbe=1 provably exact:
+    // a query IS its twin's vector, so its nearest centroid IS the
+    // twin's assignment list (same argmin kernel, same tie-break), the
+    // twin is always scanned, and ADC ranks it first (measured rank 1
+    // everywhere; rerank=32 headroom regardless). Multi-probe top-k
+    // recall at non-degenerate params is the spec suite's contract.
+    "sim_ivfpq_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      val model = PqCodec.train(all, m = 16, ks = 16)
+      PqCodec.ivfTopK(all, queries, k = 1, model,
+          kLists = 16, nProbe = 1, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     // IVF ANN: k-means coarse quantizer (2 Lloyd iterations), probing ONE
     // of 16 lists per query — the most selective config possible. Queries
     // are planted identical copies of corpus vectors (id + 100000), so
@@ -883,6 +935,55 @@ object PipelineQueries {
           col("st.sample_rate").as("sample_rate"),
           col("st.n_frames").as("n_frames"),
           col("st.amp_sum").as("amp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LZW-level GIF decode, end-to-end: real GIF89a files (256-gray
+    // global color table, variable-width LZW with genuine dictionary
+    // growth past the 9-bit boundary at these dimensions) are
+    // synthesized with arithmetic palette indices, decoded back, and
+    // reduced to an index-sum. The oracle replays the index arithmetic,
+    // so a defect anywhere in the LZW compressor, the decompressor's
+    // table/width/KwKwK handling, or the container walk hash-mismatches.
+    // Closes the former "GIF LZW" half of the codec seam.
+    "multimodal_gif" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.gifDecodeStats(
+            MediaExpressions.gifEncodeSynth(col("doc_id"),
+              expr("cast(doc_id % 29 + 16 as int)"),
+              expr("cast(doc_id % 23 + 16 as int)"))).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_colors").as("n_colors"), col("st.idx_sum").as("idx_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BASELINE JPEG, end-to-end: real JFIF streams (forward DCT, uniform
+    // quant, Annex-K Huffman entropy coding, byte stuffing, 4:4:4 or
+    // grayscale, non-multiple-of-8 dims exercising pad+crop) are
+    // synthesized, entropy-DECODED back, and certified. JPEG is lossy,
+    // so the contract is SELF-CERTIFYING (the dedup_semdedup_ivf
+    // protocol): dims must round-trip exactly, the max pixel error must
+    // sit inside the quantization bound, and a truncated stream must be
+    // rejected — a defect in the DCT, the Huffman tables, the bit
+    // stuffing, DC prediction, or the marker walk flips a boolean and
+    // hash-mismatches. Closes the former "JPEG entropy decode" seam;
+    // only video remains a genuine library format.
+    "multimodal_jpeg" -> { (s, dir) =>
+      import graft.functions.{JpegKernels, MediaExpressions}
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.jpegRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 27 + 9 as int)"),
+            expr("cast(doc_id % 19 + 9 as int)"),
+            expr("cast(doc_id % 2 * 2 + 1 as int)")).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          (col("st.max_err") <= JpegKernels.ErrBound).as("err_in_bound"),
+          col("st.trunc_rejected").as("trunc_rejected"))
         .orderBy(col("doc_id"))
     },
 
@@ -1910,6 +2011,46 @@ object PipelineQueries {
          SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
 
+    // Planted-copy top-1 (the sim_ivf_top1 protocol): the measured ADC
+    // rank of every planted original is 1, rerank=32 is the headroom, so
+    // the full PQ pipeline is held to brute-force top-1 verbatim.
+    "sim_pq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // nProbe=1 is provably exact for planted-copy queries (the query's
+    // nearest centroid IS its twin's list), so the same top-1 oracle
+    // holds IVF-PQ at its most selective config.
+    "sim_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
     // IVF at nProbe=1 returns the exact nearest neighbor for the planted
     // twin queries (the twin's list is always the probed list), so its
     // oracle is brute-force top-1 over the same planted query set.
@@ -2098,6 +2239,28 @@ object PipelineQueries {
          CAST(list_sum([abs(((doc_id + 5 * j) % 65536) - 32768)
            for j in range(0, (doc_id % 251 + 50) * (doc_id % 2 + 1))]) AS BIGINT)
            AS amp_sum
+         FROM documents ORDER BY doc_id""",
+
+    "multimodal_gif" ->
+      """SELECT doc_id,
+         CAST(doc_id % 29 + 16 AS INT) AS width,
+         CAST(doc_id % 23 + 16 AS INT) AS height,
+         CAST(256 AS INT) AS n_colors,
+         CAST(list_sum([(doc_id + 3 * j) % 256
+           for j in range(0, (doc_id % 29 + 16) * (doc_id % 23 + 16))]) AS BIGINT)
+           AS idx_sum
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying (see the query comment): DuckDB replays the dims
+    // arithmetic and the deterministic expectation — error inside the
+    // quantization bound, truncation rejected — for every document.
+    "multimodal_jpeg" ->
+      """SELECT doc_id,
+         CAST(doc_id % 27 + 9 AS INT) AS width,
+         CAST(doc_id % 19 + 9 AS INT) AS height,
+         CAST(doc_id % 2 * 2 + 1 AS INT) AS channels,
+         true AS err_in_bound,
+         true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 
     "text_fingerprint" ->
