@@ -165,7 +165,7 @@ object ScaleProbe {
       keys.unpersist()
       }
 
-      if (on("ann") || on("ivf") || on("emb") || on("semdedup")) {
+      if (on("ann") || on("ivf") || on("emb") || on("semdedup") || on("pq")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -237,11 +237,18 @@ object ScaleProbe {
         sharded.write.mode("overwrite").parquet(s"$pqDir/vecs")
         val corpus = Similarity.prepared(
           spark.read.parquet(s"$pqDir/vecs"), col("vec_id"), col("vec"))
+        // two query sets: generic top-5 over the near-uniform background
+        // (PQ's WORST case - tiny cosine gaps vs quantization noise, the
+        // honest recall figure) and planted copies (the registered-query
+        // protocol: true neighbor at cosine 1.0, the contract a dedup /
+        // nearest-duplicate deployment relies on)
         val queriesPq = corpus.filter(col("vec_id") < 10)
+        val copies = queriesPq
+          .select((col("vec_id") + n).as("vec_id"), col("vec"), col("norm"))
         val sampleStep = math.max(1L, n.toLong / 100000L)
         val sample = corpus.filter(pmod(col("vec_id"), lit(sampleStep)) === 0)
         val tT = System.nanoTime()
-        val model = graft.operators.PqCodec.train(sample, m = 8, ks = 16)
+        val model = graft.operators.PqCodec.train(sample, m = 16, ks = 16)
         val secTrain = (System.nanoTime() - tT) / 1e9
         val tE = System.nanoTime()
         graft.operators.PqCodec.encode(corpus, model)
@@ -266,7 +273,20 @@ object ScaleProbe {
           .select(col("query_id"), col("cand_id")).collect().toSet
         val secPq = (System.nanoTime() - tP) / 1e9
         val overlap = (exactPq intersect pqRes).size
-        println(f"""{"metric":"pq_scale","vecs":$n,"sec_train":$secTrain%.2f,"sec_encode":$secEnc%.2f,"sec_brute":$secBrute%.2f,"sec_pq":$secPq%.2f,"top5_overlap":$overlap,"of":${exactPq.size},"vec_bytes":${dirBytes(s"$pqDir/vecs")},"code_bytes":${dirBytes(s"$pqDir/codes")}}""")
+        // the key-pushed re-rank fetch (candidate ids as a literal IN
+        // filter -> row-group/page skipping on the id-sorted corpus)
+        val tF = System.nanoTime()
+        val pqFetch = graft.operators.PqCodec
+          .topKFromCodesFetch(codes, corpus, queriesPq, k = 5, model, rerank = 10)
+          .select(col("query_id"), col("cand_id")).collect().toSet
+        val secPqF = (System.nanoTime() - tF) / 1e9
+        assert(pqFetch == pqRes, "fetch path must return identical results")
+        // planted-copy top-1: the known answer is the original vector
+        val t1 = graft.operators.PqCodec
+          .topKFromCodes(codes, corpus, copies, k = 1, model, rerank = 32)
+          .select(col("query_id"), col("cand_id")).collect()
+        val top1Hits = t1.count(r => r.getLong(1) == r.getLong(0) - n)
+        println(f"""{"metric":"pq_scale","vecs":$n,"sec_train":$secTrain%.2f,"sec_encode":$secEnc%.2f,"sec_brute":$secBrute%.2f,"sec_pq":$secPq%.2f,"sec_pq_fetch":$secPqF%.2f,"top5_overlap":$overlap,"of":${exactPq.size},"top1_planted":$top1Hits,"of_planted":${t1.length},"vec_bytes":${dirBytes(s"$pqDir/vecs")},"code_bytes":${dirBytes(s"$pqDir/codes")}}""")
         deleteRecursively(new java.io.File(pqDir))
       }
 

@@ -125,11 +125,6 @@ object IvfIndex {
         when(col("cand_norm") * col("query_norm") === 0.0, lit(null).cast("double"))
           .otherwise(dot(col("cand_vec"), col("query_vec"))
             / (col("cand_norm") * col("query_norm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+    Ranking.topKPerQuery(scored, k)
   }
 }

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * billion-scale ANN compression: split each vector into `m` contiguous
   * subvectors, k-means each subspace independently into `ks` centroids,
   * and store one code byte per subspace. A 64-dim double vector (512 B)
-  * becomes `m` bytes — 64× at the registered m=8 — and query scoring
-  * becomes an O(m) table gather per candidate (ADC: asymmetric distance
-  * computation) instead of an O(dim) dot product.
+  * becomes `m` bytes — 32× at the registered m=16, the 1-bit/dim rate
+  * where recall holds on this corpus — and query scoring becomes an O(m)
+  * table gather per candidate (ADC: asymmetric distance computation)
+  * instead of an O(dim) dot product.
   *
   * Why this matters at 100 TB: the candidate-generation scan is the cost
   * of ANN at corpus scale, and it is BANDWIDTH-bound ([[Similarity
@@ -172,6 +173,40 @@ object PqCodec {
     rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
+  /** [[topKFromCodes]] with a KEY-PUSHED re-rank fetch: the candidate set
+    * is materialized (it is DRIVER-BOUNDED by construction —
+    * `rerank × k × |queries|` rows, the same class of guarded collect as
+    * the repo's measured broadcast guards), its ids are pushed into the
+    * corpus scan as a literal `IN` filter, and only then does the re-rank
+    * join run. On a corpus SORTED/clustered by `vec_id` (the natural
+    * layout of an appended vector store) the pushed filter turns the
+    * re-rank from a full vector-table scan into parquet row-group/page
+    * skipping — the difference between "re-scan 100 TB to fetch 500
+    * rows" and "read ~500 pages". The probe measures both shapes; the
+    * lazy [[topKFromCodes]] stays the default for composability. */
+  def topKFromCodesFetch(codesTable: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, k: Int, model: PqModel,
+                         rerank: Int = 10): DataFrame = {
+    val enc = codesTable
+      .select(col("vec_id").as("cand_id"), col("code"))
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("norm").as("query_norm"),
+      VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
+    val approx = enc.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos",
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
+            / (col("crn") * col("query_norm"))))
+    val candidates = candidatesOf(approx, k * rerank).localCheckpoint(true)
+    val ids = candidates.select(col("cand_id")).distinct()
+      .collect().map(_.getLong(0))
+    rerankExact(corpus.filter(col("vec_id").isInCollection(ids)),
+      queries, candidates, k)
+  }
+
   /** IVF-PQ: the [[IvfIndex]] coarse quantizer prunes the scan to the
     * `nProbe` nearest lists and PQ codes make the surviving scan 64×
     * smaller — the composition behind every billion-vector ANN service.
@@ -217,13 +252,9 @@ object PqCodec {
     rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
-  private def candidatesOf(approx: DataFrame, keep: Int): DataFrame = {
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("cand_id"))
-    approx.withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= keep)
+  private def candidatesOf(approx: DataFrame, keep: Int): DataFrame =
+    Ranking.topKPerQuery(approx, keep, "acos")
       .select(col("query_id"), col("cand_id"))
-  }
 
   /** Exact cosine re-rank of (query_id, cand_id) survivors — identical
     * contract to [[Similarity.quantizedTopK]]'s second stage. */
@@ -240,11 +271,6 @@ object PqCodec {
         when(col("cand_norm") * col("query_norm") === 0.0, lit(null).cast("double"))
           .otherwise(dot(col("cand_vec"), col("query_vec"))
             / (col("cand_norm") * col("query_norm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    rescored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+    Ranking.topKPerQuery(rescored, k)
   }
 }

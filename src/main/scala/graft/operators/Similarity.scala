@@ -43,12 +43,7 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cosine", cosineFromNorms(
         dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+    Ranking.topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
@@ -517,11 +512,7 @@ object Similarity {
         dot(col("cand_codes"), col("query_codes")),
         sqrt(dot(col("cand_codes"), col("cand_codes"))),
         sqrt(dot(col("query_codes"), col("query_codes")))))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("cand_id"))
-    val candidates = approx
-      .withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= k * rerank)
+    val candidates = Ranking.topKPerQuery(approx, k * rerank, "acos")
       .select(col("query_id"), col("cand_id"))
     // exact re-score on survivors only
     val c = corpus.select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
@@ -533,12 +524,7 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .withColumn("cosine", cosineFromNorms(
         dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    rescored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+    Ranking.topKPerQuery(rescored, k)
   }
 
   /** Multi-probe, multi-table LSH-bucketed ANN. The corpus is hashed ONCE
@@ -604,11 +590,6 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id") && firstProbedBand)
       .withColumn("cosine", cosineFromNorms(
         dot(col("cand_vec"), col("query_vec")), col("cand_norm"), col("query_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+    Ranking.topKPerQuery(scored, k)
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Ranking, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The partial-aggregated top-k must be BIT-IDENTICAL to the Window
+  * formulation it replaced — including ties (lowest cand_id first) and
+  * null scores (nulls last), the cases a subtly-wrong comparator gets
+  * wrong silently. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowForm(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cosine"))
+  }
+
+  test("exact parity with the window form on ties and null scores") {
+    val scored = Seq(
+      // query 1: tie on 0.9 -> ids 3 then 7; null ranks after 0.1
+      (1L, 7L, java.lang.Double.valueOf(0.9)),
+      (1L, 3L, java.lang.Double.valueOf(0.9)),
+      (1L, 9L, java.lang.Double.valueOf(0.1)),
+      (1L, 2L, null.asInstanceOf[java.lang.Double]),
+      // query 2: all null — nulls still rank deterministically by id
+      (2L, 5L, null.asInstanceOf[java.lang.Double]),
+      (2L, 4L, null.asInstanceOf[java.lang.Double])
+    ).toDF("query_id", "cand_id", "cosine")
+    for (k <- Seq(1, 2, 3, 10)) {
+      val a = Ranking.topKPerQuery(scored, k).collect().toSet
+      val b = windowForm(scored, k).collect().toSet
+      assert(a == b, s"parity broke at k=$k:\nagg=$a\nwin=$b")
+    }
+    // explicit expectations, not just parity
+    val top2 = Ranking.topKPerQuery(scored, 2)
+      .filter(col("query_id") === 1).orderBy(col("rk"))
+      .select("cand_id").as[Long].collect().toSeq
+    assert(top2 == Seq(3L, 7L), "tie must break to the lowest cand_id")
+    val q2 = Ranking.topKPerQuery(scored, 2)
+      .filter(col("query_id") === 2).orderBy(col("rk"))
+      .select("cand_id").as[Long].collect().toSeq
+    assert(q2 == Seq(4L, 5L), "null scores rank by id, nulls last overall")
+  }
+
+  test("parity on the real corpus at several k, and across partitionings") {
+    val all = Similarity.prepared(Tables(spark, sfDir).embeddings,
+      col("vec_id"), col("embedding"))
+    val q = all.filter(col("vec_id") < 7)
+    val scored = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"),
+        col("norm").as("cn"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("vec").as("qv"), col("norm").as("qn"))))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", graft.functions.VectorFunctions.dot(col("cv"), col("qv"))
+        / (col("cn") * col("qn")))
+      .select("query_id", "cand_id", "cosine")
+    for (k <- Seq(1, 5, 40)) {
+      val a = Ranking.topKPerQuery(scored, k).collect().toSet
+      val b = windowForm(scored, k).collect().toSet
+      assert(a == b, s"parity broke at k=$k on the real corpus")
+    }
+    // partial-merge order must not matter: repartitioned input, same rows
+    val a1 = Ranking.topKPerQuery(scored.repartition(13), 5).collect().toSet
+    val a2 = Ranking.topKPerQuery(scored.repartition(2), 5).collect().toSet
+    assert(a1 == a2, "aggregation must be partitioning-invariant")
+  }
+
+  test("the ranking plan is an aggregation, not a window") {
+    val scored = Seq((1L, 2L, java.lang.Double.valueOf(0.5)))
+      .toDF("query_id", "cand_id", "cosine")
+    val plan = Ranking.topKPerQuery(scored, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not plan a window:\n$plan")
+    assert(plan.contains("Aggregate") || plan.contains("HashAggregate") ||
+      plan.contains("SortAggregate") || plan.contains("ObjectHashAggregate"),
+      s"must plan an aggregation:\n$plan")
+  }
+}
