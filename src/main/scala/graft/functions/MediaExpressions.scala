@@ -334,6 +334,40 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val aviRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("max_err", IntegerType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
+  /** Full MJPEG-AVI round trip (synthesize frames → JPEG-encode → RIFF
+    * container → container walk → per-frame entropy decode → certify):
+    * `struct<width,height,fps,n_frames,max_err,trunc_rejected>`. `fps`
+    * is a static parameter (like the LSH plane counts), not a child. */
+  case class AviRoundTrip(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression, fps: Int)
+      extends QuaternaryExpression {
+    override def dataType: DataType = aviRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "avi_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+      AviKernels.aviRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], n.asInstanceOf[Int], fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, n) => s"""
+        |${ev.value} = graft.functions.AviKernels.aviRoundTripStats($seed, $w, $h, $n, $fps);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 
@@ -387,4 +421,10 @@ object MediaExpressions {
     ColumnBridge.column(JpegRoundTrip(
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(channels)))
+
+  def aviRoundTrip(seed: Column, width: Column, height: Column,
+                   nFrames: Column, fps: Int): Column =
+    ColumnBridge.column(AviRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
 }

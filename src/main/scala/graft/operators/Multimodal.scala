@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * entropy coding; `multimodal_jpeg` certifies the lossy round trip by
   * quantization error bound), GIF (variable-width LZW with table reset
   * and KwKwK handling; `multimodal_gif`) and 16-bit PCM WAV
-  * (`multimodal_waveform`). The remaining library seam is formats that
-  * genuinely need external codecs — video, and JPEG's progressive/
+  * (`multimodal_waveform`), and VIDEO for MJPEG-in-AVI (RIFF container
+  * walk + per-frame JPEG; `multimodal_video` certifies container,
+  * every frame, and truncation rejection). The remaining library seam
+  * is inter-frame video codecs (H.264/VP9/AV1) and JPEG's progressive/
   * arithmetic variants — marked by [[CodecDecoder]]'s final branch;
   * [[FakeDecoder]] stays as
   * the deterministic stand-in for pipelines that must run across ALL
@@ -79,22 +81,25 @@ object Multimodal {
   }
 
   /** The real-codec decoder. PNG pixel decode, baseline-JPEG entropy
-    * decode, GIF LZW pixel decode, and 16-bit PCM WAV sample decode are
-    * FULLY IMPLEMENTED in pure JVM
+    * decode, GIF LZW pixel decode, MJPEG-AVI container + frame decode,
+    * and 16-bit PCM WAV sample decode are FULLY IMPLEMENTED in pure JVM
     * ([[graft.functions.MediaKernels.pngDecodeRaw]] /
     * [[graft.functions.JpegKernels.jpegDecodeRaw]] /
     * [[graft.functions.MediaKernels.gifDecodeRaw]] /
+    * [[graft.functions.AviKernels.aviDecodeMjpeg]] /
     * [[graft.functions.MediaKernels.wavDecodeStats]]): features are
-    * histograms over actual decoded pixels/samples, not payload bytes.
-    * Formats whose decode genuinely needs an external library (video
-    * codecs; progressive/arithmetic JPEG variants) throw the named seam
-    * error — plug a JNI/library call into the final branch for those. */
+    * histograms over actual decoded pixels/samples/frames, not payload
+    * bytes, and frame-sampling returns real frame payloads. Formats
+    * whose decode genuinely needs an external library (inter-frame
+    * video codecs — H.264/VP9/AV1; progressive/arithmetic JPEG) throw
+    * the named seam error — plug a JNI/library call in for those. */
   object CodecDecoder extends MediaDecoder {
     import graft.functions.MediaKernels
     private def unavailable =
       throw new UnsupportedOperationException(
-        "codec not bundled for this format: PNG/baseline-JPEG/GIF/WAV " +
-          "decode in pure JVM, video needs a library — plug a JNI call here")
+        "codec not bundled for this format: PNG/baseline-JPEG/GIF/" +
+          "MJPEG-AVI/WAV decode in pure JVM; inter-frame video codecs " +
+          "(H.264/VP9/AV1) need a library — plug a JNI call here")
     def features(rec: MediaRecord, dim: Int): Array[Double] = {
       val img = MediaKernels.pngDecodeRaw(rec.content)
       if (img != null) {
@@ -130,6 +135,26 @@ object Multimodal {
         }
         return out
       }
+      val vid = graft.functions.AviKernels.aviDecodeMjpeg(rec.content)
+      if (vid != null) {
+        // histogram over decoded pixels of up to 4 evenly-sampled frames
+        val out = new Array[Double](dim)
+        val take = math.min(4, vid.frames.length)
+        var f = 0
+        while (f < take) {
+          val img = graft.functions.JpegKernels
+            .jpegDecodeRaw(vid.frames(f * vid.frames.length / take))
+          if (img != null) {
+            var i = 0
+            while (i < img.pixels.length) {
+              out(i % dim) += (img.pixels(i) & 0xff) / 255.0
+              i += 1
+            }
+          }
+          f += 1
+        }
+        return out
+      }
       val wav = MediaKernels.wavDecodeStats(rec.content)
       if (wav != null) {
         // sample-position histogram of absolute 16-bit amplitude
@@ -147,7 +172,19 @@ object Multimodal {
       }
       unavailable
     }
-    def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = unavailable
+    /** Frame sampling: real for MJPEG-AVI — the container walk yields
+      * every frame's JPEG payload and `n` evenly-spaced ones are
+      * returned still-encoded (sampling must not pay pixel decode for
+      * unsampled frames). Inter-frame codecs hit the library seam. */
+    def frames(rec: MediaRecord, n: Int): Seq[Array[Byte]] = {
+      val vid = graft.functions.AviKernels.aviDecodeMjpeg(rec.content)
+      if (vid == null) unavailable
+      else {
+        val total = vid.frames.length
+        val take = math.min(math.max(n, 1), total)
+        (0 until take).map(i => vid.frames(i.toLong.toInt * total / take))
+      }
+    }
   }
 
   /** Synthesize a media table from `documents`: payload bytes derive

@@ -987,6 +987,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // VIDEO, end-to-end for MJPEG-in-AVI: per-document videos (2..7
+    // JPEG frames in a RIFF/AVI container with hdrl/strl headers, movi
+    // chunks, idx1 index) are synthesized, container-walked back, and
+    // EVERY frame entropy-decoded and certified against its synthesized
+    // pixels. Self-certifying like multimodal_jpeg: dims/fps/frame-count
+    // must round-trip exactly, the max pixel error across all frames
+    // must sit inside the JPEG quantization bound, and a truncated
+    // container must be rejected rather than decoded to fewer frames.
+    // With this, the library seam is inter-frame codecs (H.264/VP9/AV1)
+    // only — MJPEG is real video produced by real capture hardware.
+    "multimodal_video" -> { (s, dir) =>
+      import graft.functions.{JpegKernels, MediaExpressions}
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.aviRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 11 + 8 as int)"),
+            expr("cast(doc_id % 7 + 8 as int)"),
+            expr("cast(doc_id % 6 + 2 as int)"), fps = 12).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.fps").as("fps"), col("st.n_frames").as("n_frames"),
+          (col("st.max_err") <= JpegKernels.ErrBound).as("err_in_bound"),
+          col("st.trunc_rejected").as("trunc_rejected"))
+        .orderBy(col("doc_id"))
+    },
+
     // Top-5 TF-IDF terms per document: per-doc TF against the corpus-global
     // document-frequency table.
     "text_tfidf" -> { (s, dir) =>
@@ -2249,6 +2275,19 @@ object PipelineQueries {
          CAST(list_sum([(doc_id + 3 * j) % 256
            for j in range(0, (doc_id % 29 + 16) * (doc_id % 23 + 16))]) AS BIGINT)
            AS idx_sum
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying (see the query comment): DuckDB replays the dims/
+    // fps/frame-count arithmetic and the deterministic expectation for
+    // every document.
+    "multimodal_video" ->
+      """SELECT doc_id,
+         CAST(doc_id % 11 + 8 AS INT) AS width,
+         CAST(doc_id % 7 + 8 AS INT) AS height,
+         CAST(12 AS INT) AS fps,
+         CAST(doc_id % 6 + 2 AS INT) AS n_frames,
+         true AS err_in_bound,
+         true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 
     // Self-certifying (see the query comment): DuckDB replays the dims
