@@ -1013,6 +1013,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Frame sampling through the TYPED Dataset surface (the API a
+    // pipeline calls): documents become video MediaRecords (MJPEG-AVI,
+    // 2..7 frames), Multimodal.sampleFrames + CodecDecoder returns
+    // min(3, n) evenly-spaced still-encoded frames per video, and each
+    // sampled frame is entropy-decoded and checked against the pixels
+    // synthesized for its SOURCE position (i*total/take — certifying
+    // the sampling arithmetic, not just payload integrity). Oracle
+    // replays the dims / frame-count / position arithmetic per row.
+    "multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{AviKernels, JpegKernels, MediaKernels}
+      import graft.operators.Multimodal
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"),
+          expr("cast(doc_id % 11 + 8 as int)").as("w"),
+          expr("cast(doc_id % 7 + 8 as int)").as("h"),
+          expr("cast(doc_id % 6 + 2 as int)").as("nf"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, w, h, nf) =>
+          Multimodal.MediaRecord(id, "video",
+            AviKernels.aviEncodeSynth(id, w, h, nf, 12), w, h, nf * 1000L / 12)
+        }
+      Multimodal.sampleFrames(media, Multimodal.CodecDecoder, framesPerVideo = 3)
+        .map { fr =>
+          val id = fr.media_id
+          val w = (id % 11 + 8).toInt; val h = (id % 7 + 8).toInt
+          val total = (id % 6 + 2).toInt
+          val take = math.min(3, total)
+          val srcPos = fr.frame_idx * total / take
+          val img = JpegKernels.jpegDecodeRaw(fr.frame)
+          val px = MediaKernels.synthPixels(id + srcPos, w * h)
+          val ok = img != null && img.width == w && img.height == h &&
+            img.pixels.zip(px).forall { case (a, b) =>
+              math.abs((a & 0xff) - (b & 0xff)) <= JpegKernels.ErrBound
+            }
+          (id, fr.frame_idx, w, h, ok)
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "frame_ok")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Top-5 TF-IDF terms per document: per-doc TF against the corpus-global
     // document-frequency table.
     "text_tfidf" -> { (s, dir) =>
@@ -2276,6 +2317,19 @@ object PipelineQueries {
            for j in range(0, (doc_id % 29 + 16) * (doc_id % 23 + 16))]) AS BIGINT)
            AS idx_sum
          FROM documents ORDER BY doc_id""",
+
+    // Self-certifying (see the query comment): one row per sampled
+    // frame — frame_idx 0 until min(3, n_frames) per document — with
+    // the dims arithmetic replayed and frame_ok TRUE expected.
+    "multimodal_frames" ->
+      """SELECT doc_id,
+         CAST(i AS INT) AS frame_idx,
+         CAST(doc_id % 11 + 8 AS INT) AS width,
+         CAST(doc_id % 7 + 8 AS INT) AS height,
+         true AS frame_ok
+         FROM documents, range(3) AS t(i)
+         WHERE i < CASE WHEN doc_id % 6 + 2 < 3 THEN doc_id % 6 + 2 ELSE 3 END
+         ORDER BY doc_id, frame_idx""",
 
     // Self-certifying (see the query comment): DuckDB replays the dims/
     // fps/frame-count arithmetic and the deterministic expectation for
