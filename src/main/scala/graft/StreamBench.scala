@@ -304,7 +304,24 @@ object StreamBench {
       val rebuildSec = (System.nanoTime() - t3) / 1e9
       val left = spark.table(IndexStore.vecsTable(p)).count()
       val planes = IndexStore.vecConfig(spark, p).nPlanes
-      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f}""")
+      // PQ sidecar: provision at the surviving corpus, then probe with
+      // 10 planted copies (top-1 through the sidecar must hit each
+      // original — asserted, so the timing can't be a broken search)
+      val t4 = System.nanoTime()
+      IndexStore.buildPq(spark, p)
+      val pqBuildSec = (System.nanoTime() - t4) / 1e9
+      val copies = graft.operators.Similarity.prepared(
+        vecs(0, 1000, 0).filter(pmod(col("vec_id"), lit(100)) === 1),
+        col("vec_id"), col("embedding"))
+        .limit(10)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"), col("norm"))
+      val t5 = System.nanoTime()
+      val hits = IndexStore.searchPq(spark, p, copies, k = 1, rerank = 32)
+        .select(col("query_id"), col("cand_id")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) - 10000000L)
+      val pqSearchSec = (System.nanoTime() - t5) / 1e9
+      assert(hits == 10, s"PQ store search found $hits/10 planted originals")
+      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pq_build_sec":$pqBuildSec%.2f,"pq_search10_sec":$pqSearchSec%.2f}""")
     } finally IndexStore.dropVecs(spark, p)
   }
 

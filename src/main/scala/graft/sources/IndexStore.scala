@@ -66,6 +66,8 @@ object IndexStore {
   def spanTable(prefix: String): String = s"${prefix}_span"
   def vecsTable(prefix: String): String = s"${prefix}_vecs"
   def lshTable(prefix: String): String  = s"${prefix}_lsh"
+  def pqTable(prefix: String): String   = s"${prefix}_pq"
+  def pqModelTable(prefix: String): String = s"${prefix}_pq_model"
 
   /** Hash/bucket configuration of a documents store. `bloomN` is the
     * Bloom filter's PROVISIONED capacity — it must cover the corpus plus
@@ -105,9 +107,12 @@ object IndexStore {
     if (fs.exists(oldDir)) fs.delete(oldDir, true)
   }
 
-  /** Drop every table of a vectors store (catalog + location). */
+  /** Drop every table of a vectors store (catalog + location), including
+    * the PQ sidecar and any crash-left rebuild temp. */
   def dropVecs(spark: SparkSession, prefix: String): Unit =
-    Seq(vecsTable(prefix), lshTable(prefix)).foreach(dropTable(spark, _))
+    Seq(vecsTable(prefix), lshTable(prefix), pqTable(prefix),
+      pqModelTable(prefix), s"${pqTable(prefix)}__rebuild")
+      .foreach(dropTable(spark, _))
 
   private def setProps(spark: SparkSession, table: String,
                        props: Map[String, String]): Unit =
@@ -343,7 +348,12 @@ object IndexStore {
     val cfg = vecConfig(spark, prefix)
     Bucketing.compactTable(spark, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
     Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets)
-    // both rewrites replaced the tables holding the config; re-record
+    if (spark.catalog.tableExists(pqTable(prefix))) {
+      val ver = prop(spark, pqTable(prefix), "graft.pq.version")
+      Bucketing.compactTable(spark, pqTable(prefix), Seq("vec_id"), cfg.buckets)
+      setProps(spark, pqTable(prefix), Map("graft.pq.version" -> ver))
+    }
+    // the rewrites replaced the tables holding the config; re-record
     // (the compaction does not change what the index was hashed under)
     setProps(spark, lshTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
@@ -476,6 +486,12 @@ object IndexStore {
       transform = _.join(rm, Seq("vec_id"), "left_anti"))
     Bucketing.compactTable(spark, lshTable(prefix), Seq("band", "bucket"), cfg.buckets,
       transform = _.join(rm, Seq("vec_id"), "left_anti"))
+    if (spark.catalog.tableExists(pqTable(prefix))) {
+      val ver = prop(spark, pqTable(prefix), "graft.pq.version")
+      Bucketing.compactTable(spark, pqTable(prefix), Seq("vec_id"), cfg.buckets,
+        transform = _.join(rm, Seq("vec_id"), "left_anti"))
+      setProps(spark, pqTable(prefix), Map("graft.pq.version" -> ver))
+    }
     setProps(spark, lshTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
       "graft.nTables" -> cfg.nTables.toString))
@@ -599,5 +615,127 @@ object IndexStore {
     Bucketing.appendBucketed(
       Similarity.lshIndex(prep, cfg.nPlanes, cfg.nTables),
       lshTable(prefix), Seq("band", "bucket"), cfg.buckets)
+    // a provisioned PQ sidecar stays in lockstep: the batch is encoded
+    // with the STORED codebooks (appends never retrain — codebook drift
+    // is answered by rebuildPq, the same trade as the LSH plane rule)
+    if (spark.catalog.tableExists(pqTable(prefix))) {
+      val model = loadPqModel(spark, prefix)
+      Bucketing.appendBucketed(
+        graft.operators.PqCodec.encode(prep, model),
+        pqTable(prefix), Seq("vec_id"), cfg.buckets)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // PQ codes sidecar: the 32×-smaller probe surface of a vectors store
+  // -------------------------------------------------------------------
+  // `<prefix>_pq` (vec_id, code: binary; bucketed by vec_id like
+  // `_vecs`) plus the tiny `<prefix>_pq_model` codebook table. Once
+  // provisioned, ANN probes scan CODE BYTES instead of float vectors
+  // ([[searchPq]] → [[graft.operators.PqCodec.topKFromCodesFetch]]:
+  // ADC candidates off `_pq`, exact re-rank fetching survivors from
+  // `_vecs` by key) and every maintenance verb keeps the sidecar in
+  // lockstep: append encodes with the stored codebooks, compaction and
+  // takedown rewrite it bucket-locally with the other tables, and
+  // [[rebuildPq]] is the re-provisioning verb when the corpus drifts
+  // from the training sample. Model/codes consistency across crashes is
+  // fenced by a shared version id recorded on both tables: a crash
+  // between the two swaps leaves a version mismatch that [[loadPqModel]]
+  // rejects by name instead of silently decoding with foreign codebooks.
+
+  /** Provision the PQ sidecar from the store's own `_vecs`: codebooks
+    * train on a ≤`sampleMax` systematic sample (published practice —
+    * training must not scale with the corpus), the full corpus encodes
+    * in one projection pass. */
+  def buildPq(spark: SparkSession, prefix: String, m: Int = 16,
+              ks: Int = 16, sampleMax: Long = 100000L): Unit =
+    buildPqSwap(spark, prefix, m, ks, sampleMax)
+
+  /** Retrain + re-encode against the CURRENT corpus — the
+    * re-provisioning verb, for when appends have drifted the corpus away
+    * from the build-time training sample. `m = 0` / `ks = 0` keep the
+    * stored geometry. Swap order: new model first (new version id), then
+    * codes write-aside + drop + rename; a crash between them leaves a
+    * version mismatch that [[loadPqModel]] rejects with the re-run
+    * instruction, never a silent codebook/codes mismatch. */
+  def rebuildPq(spark: SparkSession, prefix: String, m: Int = 0,
+                ks: Int = 0, sampleMax: Long = 100000L): Unit = {
+    val stored = loadPqModelUnchecked(spark, prefix)
+    buildPqSwap(spark, prefix,
+      if (m > 0) m else stored.m, if (ks > 0) ks else stored.ks, sampleMax)
+  }
+
+  private def buildPqSwap(spark: SparkSession, prefix: String, m: Int,
+                          ks: Int, sampleMax: Long): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    val prep = spark.table(vecsTable(prefix))
+    val n = math.max(1L, prep.count())
+    val step = math.max(1L, n / sampleMax)
+    val sample = prep.filter(pmod(col("vec_id"), lit(step)) === 0)
+    val model = graft.operators.PqCodec.train(sample, m, ks)
+    val version = java.util.UUID.nameUUIDFromBytes(
+      s"$prefix:$m:$ks:$n:${model.cn2.sum}".getBytes("UTF-8")).toString
+    writePqModel(spark, pqModelTable(prefix), model, version)
+    val pq = pqTable(prefix)
+    val tmp = s"${pq}__rebuild"
+    dropTable(spark, tmp)
+    Bucketing.writeBucketed(
+      graft.operators.PqCodec.encode(prep, model)
+        .repartition(cfg.buckets, col("vec_id")),
+      tmp, Seq("vec_id"), cfg.buckets)
+    setProps(spark, tmp, Map("graft.pq.version" -> version))
+    dropTable(spark, pq)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $pq")
+  }
+
+  private def writePqModel(spark: SparkSession, table: String,
+                           model: graft.operators.PqCodec.PqModel,
+                           version: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex
+      .map { case (cb, j) => (j, cb) }
+      .toDF("sub", "cb")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    setProps(spark, table, Map(
+      "graft.pq.m" -> model.m.toString,
+      "graft.pq.ks" -> model.ks.toString,
+      "graft.pq.version" -> version))
+  }
+
+  private def loadPqModelUnchecked(spark: SparkSession,
+                                   prefix: String): graft.operators.PqCodec.PqModel = {
+    val t = pqModelTable(prefix)
+    val m = prop(spark, t, "graft.pq.m").toInt
+    val ks = prop(spark, t, "graft.pq.ks").toInt
+    val rows = spark.table(t).orderBy(col("sub")).collect()
+    require(rows.length == m, s"PQ model table $t holds ${rows.length} subspaces, expected $m")
+    val cbs = rows.map(_.getSeq[Double](1))
+    val dsub = cbs.head.length / ks
+    graft.operators.PqCodec.PqModel(m, ks, dsub, cbs.toSeq)
+  }
+
+  /** Load the stored codebooks, fencing the model/codes version pair: a
+    * mismatch (crashed [[rebuildPq]] between its two swaps) fails by
+    * name with the recovery instruction. */
+  def loadPqModel(spark: SparkSession, prefix: String): graft.operators.PqCodec.PqModel = {
+    val mv = prop(spark, pqModelTable(prefix), "graft.pq.version")
+    val cv = prop(spark, pqTable(prefix), "graft.pq.version")
+    require(mv == cv,
+      s"PQ model/codes version mismatch for store '$prefix' ($mv vs $cv) — " +
+        s"a rebuildPq crashed between its model and codes swaps; " +
+        s"re-run IndexStore.rebuildPq to restore consistency")
+    loadPqModelUnchecked(spark, prefix)
+  }
+
+  /** ANN top-k against the store through the PQ sidecar: ADC candidate
+    * generation scans `_pq` (32× fewer bytes than `_vecs`), exact
+    * re-rank fetches only the driver-bounded survivors from `_vecs` by
+    * key ([[graft.operators.PqCodec.topKFromCodesFetch]]). */
+  def searchPq(spark: SparkSession, prefix: String, queries: DataFrame,
+               k: Int, rerank: Int = 10): DataFrame = {
+    val model = loadPqModel(spark, prefix)
+    graft.operators.PqCodec.topKFromCodesFetch(
+      spark.table(pqTable(prefix)), spark.table(vecsTable(prefix)),
+      queries, k, model, rerank)
   }
 }
