@@ -223,7 +223,8 @@ object IngestApp {
         "compact-docs <prefix> | compact-vecs <prefix> | " +
         "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix> | " +
         "rebuild-vecs <prefix> [nPlanes] [nTables] | " +
-        "rebuild-docs <prefix> [bands] [spanK] [ngram] [numHashes] [buckets]")
+        "rebuild-docs <prefix> [bands] [spanK] [ngram] [numHashes] [buckets] | " +
+        "build-pq <prefix> [m] [ks] | rebuild-pq <prefix> [m] [ks]")
     val mode = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try mode match {
@@ -322,6 +323,22 @@ object IngestApp {
           nTables = args.lift(3).map(_.toInt).getOrElse(0))
         val cfg = IndexStore.vecConfig(spark, args(1))
         println(s"""{"metric":"ingest_rebuild","mode":"vecs","prefix":"${args(1)}","nPlanes":${cfg.nPlanes},"nTables":${cfg.nTables}}""")
+
+      // PQ sidecar: provision / re-provision the 32x-smaller probe
+      // surface (0 = keep the stored geometry on rebuild)
+      case "build-pq" =>
+        require(args.length >= 2, "usage: IngestApp build-pq <prefix> [m] [ks]")
+        IndexStore.buildPq(spark, args(1),
+          m = args.lift(2).map(_.toInt).getOrElse(16),
+          ks = args.lift(3).map(_.toInt).getOrElse(16))
+        println(s"""{"metric":"ingest_build","mode":"pq","prefix":"${args(1)}","rows":${spark.table(IndexStore.pqTable(args(1))).count()}}""")
+      case "rebuild-pq" =>
+        require(args.length >= 2, "usage: IngestApp rebuild-pq <prefix> [m] [ks]")
+        IndexStore.rebuildPq(spark, args(1),
+          m = args.lift(2).map(_.toInt).getOrElse(0),
+          ks = args.lift(3).map(_.toInt).getOrElse(0))
+        val pm = IndexStore.loadPqModel(spark, args(1))
+        println(s"""{"metric":"ingest_rebuild","mode":"pq","prefix":"${args(1)}","m":${pm.m},"ks":${pm.ks}}""")
 
       // re-derive the docs indexes under a new config (unspecified knobs
       // keep their recorded values; the bloom is always re-provisioned
