@@ -15,10 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   *
   * JPEG is LOSSY, so unlike PNG/GIF the round trip is certified by a
   * QUANTIZATION ERROR BOUND rather than bit equality: with the uniform
-  * quant step Q below, |decode(encode(px)) − px| is bounded well under
-  * [[ErrBound]] for any 8-bit input (coefficient rounding ≤ Q/2 per
-  * coefficient; the IDCT concentrates it), and the registered query
-  * certifies dims + bound + truncation rejection per document.
+  * quant step Q below, |decode(encode(px)) − px| stays under [[ErrBound]]
+  * on the synthetic inputs the registered query sweeps (coefficient
+  * rounding ≤ Q/2 per coefficient; the IDCT concentrates it). The bound
+  * is CERTIFIED FOR THOSE INPUTS, not proved worst-case for arbitrary
+  * pixels — adversarial 3-channel content can push chroma rounding
+  * through the ~1.4–1.8× RGB-conversion amplification past 16 — and the
+  * registered query certifies dims + bound + truncation rejection per
+  * document on exactly the swept inputs.
   *
   * Same defensive contract as [[MediaKernels]]: parsers return null on
   * anything malformed — truncation, bad markers, invalid Huffman codes —
@@ -360,6 +364,15 @@ object JpegKernels {
           width = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
           nc = b(p + 9) & 0xff
           if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+          // Cap declared dims before any allocation sized from them: a
+          // crafted SOF0 can declare up to 65535×65535, and the MCU-padded
+          // plane size (mcuW*8*mcuH*8) would overflow Int — or, just under
+          // the wrap point, demand multi-GB buffers. Budget is the encode
+          // side's 1<<24-pixel limit with 2× headroom so MCU padding never
+          // rejects a stream whose RAW pixel count was within budget;
+          // untrusted input past it is rejected, never thrown on.
+          if ((width.toLong + 7) / 8 * 8 * ((height.toLong + 7) / 8 * 8) * nc > (1 << 25))
+            return null
           if (len < 8 + 3 * nc) return null
           var c = 0
           while (c < nc) {

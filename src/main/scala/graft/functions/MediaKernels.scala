@@ -692,6 +692,11 @@ object MediaKernels {
     if (sig != "GIF89a" && sig != "GIF87a") return null
     val w = rle16(b, 6); val h = rle16(b, 8)
     if (w <= 0 || h <= 0) return null
+    // Cap header-declared dims before sizing any buffer from them: 65535
+    // ×65535 overflows Int (NegativeArraySizeException) and near-max dims
+    // demand ~4 GB — both from a ~20-byte crafted header. Mirror
+    // gifEncodeSynth's 1<<24-pixel budget; reject, never throw.
+    if (w.toLong * h > (1 << 24)) return null
     val flags = b(10) & 0xff
     if ((flags & 0x80) == 0) return null // no global color table
     val gctN = 1 << ((flags & 7) + 1)

@@ -30,11 +30,18 @@ class TopKAggregator(k: Int)
 
   override def zero: Buf = Buf(Vector.empty)
 
-  // (isNull asc, score desc, id asc) — strictly "a ranks before b"
+  // (isNull asc, score desc, id asc) — strictly "a ranks before b".
+  // Scores compare via Double.compare, which totally orders NaN (greater
+  // than every other double, matching Spark's sort semantics) — a plain
+  // `!=`/`>` comparison is not a total order when a corrupt vector yields
+  // a NaN cosine, which would make buffer contents insertion-order-
+  // dependent and break Window-form parity.
   private def before(a: Entry, b: Entry): Boolean =
     if (a.isNull != b.isNull) !a.isNull
-    else if (!a.isNull && a.score != b.score) a.score > b.score
-    else a.cand_id < b.cand_id
+    else {
+      val c = if (a.isNull) 0 else java.lang.Double.compare(a.score, b.score)
+      if (c != 0) c > 0 else a.cand_id < b.cand_id
+    }
 
   private def insert(buf: Vector[Entry], e: Entry): Vector[Entry] = {
     // fast reject: a full buffer whose worst entry outranks e is returned

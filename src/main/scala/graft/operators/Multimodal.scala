@@ -182,7 +182,7 @@ object Multimodal {
       else {
         val total = vid.frames.length
         val take = math.min(math.max(n, 1), total)
-        (0 until take).map(i => vid.frames(i.toLong.toInt * total / take))
+        (0 until take).map(i => (i.toLong * total / take).toInt).map(vid.frames)
       }
     }
   }

@@ -52,6 +52,35 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted near-max declared dims are rejected (null), not thrown or allocated") {
+    // A ~20-byte header can declare 65535×65535: the naive w*h (or the
+    // MCU-padded plane size) overflows Int, and just-under-wrap dims
+    // demand multi-GB buffers. Both high-severity ADVICE findings — the
+    // decoder must reject BEFORE sizing anything from untrusted dims.
+    def patch16le(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = (v & 0xff).toByte; b(at + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def patch16be(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = ((v >> 8) & 0xff).toByte; b(at + 1) = (v & 0xff).toByte
+    }
+    for (dim <- Seq(65535, 46341, 20000)) { // wrap-to-negative, just-past-sqrt(MaxInt), multi-GB
+      val gif = MediaKernels.gifEncodePixels(8, 8, MediaKernels.synthPixels(2L, 64))
+      patch16le(gif, 6, dim); patch16le(gif, 8, dim)
+      assert(MediaKernels.gifDecodeRaw(gif) == null, s"gif $dim x $dim")
+
+      val jpg = JpegKernels.jpegEncodePixels(8, 8, 1, MediaKernels.synthPixels(3L, 64))
+      var p = 2
+      var sof = -1
+      while (sof < 0 && p + 4 < jpg.length) {
+        if ((jpg(p) & 0xff) == 0xff && (jpg(p + 1) & 0xff) == 0xc0) sof = p
+        else p += 1
+      }
+      assert(sof > 0)
+      patch16be(jpg, sof + 5, dim); patch16be(jpg, sof + 7, dim)
+      assert(JpegKernels.jpegDecodeRaw(jpg) == null, s"jpeg $dim x $dim")
+    }
+  }
+
   test("single-bit flips of valid streams never throw, and either fail or stay in contract") {
     val rnd = new scala.util.Random(7)
     val png = MediaKernels.pngEncodePixels(8, 8, 1, MediaKernels.synthPixels(1L, 64))

@@ -46,6 +46,33 @@ class RankingSpec extends SparkSpec {
     assert(q2 == Seq(4L, 5L), "null scores rank by id, nulls last overall")
   }
 
+  test("NaN scores keep parity with the window form (total order, partitioning-invariant)") {
+    // Spark sorts NaN greater than every other double; a comparator built
+    // on `!=`/`>` is NOT a total order under NaN (both before(a,b) and
+    // before(b,a) false), which made buffer contents insertion-order-
+    // dependent. Corrupt vectors yield NaN cosines, so this case is real.
+    val nan = java.lang.Double.valueOf(Double.NaN)
+    val scored = Seq(
+      (1L, 8L, nan),
+      (1L, 3L, nan), // two NaNs: tie must break to the lowest cand_id
+      (1L, 5L, java.lang.Double.valueOf(0.9)),
+      (1L, 1L, java.lang.Double.valueOf(Double.PositiveInfinity)),
+      (1L, 2L, null.asInstanceOf[java.lang.Double])
+    ).toDF("query_id", "cand_id", "cosine")
+    for (k <- Seq(1, 2, 3, 10)) {
+      val a = Ranking.topKPerQuery(scored, k).collect().toSet
+      val b = windowForm(scored, k).collect().toSet
+      assert(a == b, s"NaN parity broke at k=$k:\nagg=$a\nwin=$b")
+    }
+    val order = Ranking.topKPerQuery(scored, 10).orderBy(col("rk"))
+      .select("cand_id").as[Long].collect().toSeq
+    assert(order == Seq(3L, 8L, 1L, 5L, 2L),
+      "expected NaN first (ids 3,8), then +Inf, 0.9, null last")
+    val a1 = Ranking.topKPerQuery(scored.repartition(7), 3).collect().toSet
+    val a2 = Ranking.topKPerQuery(scored.repartition(2), 3).collect().toSet
+    assert(a1 == a2, "NaN handling must be partitioning-invariant")
+  }
+
   test("parity on the real corpus at several k, and across partitionings") {
     val all = Similarity.prepared(Tables(spark, sfDir).embeddings,
       col("vec_id"), col("embedding"))
