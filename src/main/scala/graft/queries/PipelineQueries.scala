@@ -751,6 +751,56 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // The persisted-store PQ probe — the DEPLOYMENT shape of PQ ANN, and
+    // the number a user actually budgets: sim_pq_topk trains codebooks
+    // and encodes the corpus IN-QUERY (right for a hermetic oracle, wrong
+    // as a cost model — a production probe amortizes both into the store
+    // build), whereas this entry probes a PERSISTED `_pq` sidecar through
+    // IndexStore.searchPq: ADC candidate generation scans the 32×-smaller
+    // codes table, exact re-rank fetches only the driver-bounded
+    // survivors from `_vecs` by a key-pushed IN filter. The store (vecs +
+    // PQ sidecar, codebooks trained on the store's systematic sample) is
+    // built only if absent — Bench's untimed warm pass constructs it, the
+    // timed pass is PURE PROBE. The prefix is keyed by the data dir and
+    // the embeddings file's (mtime, length) fingerprint with a
+    // stale-sibling sweep, the ingest_admit pattern: a store from another
+    // scale factor or a regenerated testdata file can never serve a
+    // probe. Same planted-copy top-1 protocol as sim_pq_topk (query IS a
+    // corpus twin at cosine 1.0 vs ≤0.61 background; measured ADC rank 1
+    // everywhere, rerank=32 headroom), so the same DuckDB brute-force
+    // oracle holds the whole persisted pipeline — stored codes, stored
+    // codebooks, version fence, key-pushed fetch — to exact equality.
+    "sim_pq_store" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val p = "sim_pq_store_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+      if (!s.catalog.tableExists(IndexStore.pqTable(p))) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("sim_pq_store_") && !nm.startsWith(p + "_")) {
+            if (s.catalog.tableExists(nm)) IndexStore.dropTable(s, nm)
+            else fs.delete(st.getPath, true)
+          }
+        }
+        IndexStore.dropVecs(s, p) // clear any cross-JVM warehouse leftovers
+        IndexStore.buildVecs(t.embeddings,
+          belowPlantedOffset(col("vec_id"), 100000), col("embedding"), p)
+        IndexStore.buildPq(s, p, m = 16, ks = 16)
+      }
+      val queries = Similarity
+        .prepared(t.embeddings, col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      IndexStore.searchPq(s, p, queries, k = 1, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     // IVF ANN: k-means coarse quantizer (2 Lloyd iterations), probing ONE
     // of 16 lists per query — the most selective config possible. Queries
     // are planted identical copies of corpus vectors (id + 100000), so
@@ -2082,6 +2132,28 @@ object PipelineQueries {
     // rank of every planted original is 1, rerank=32 is the headroom, so
     // the full PQ pipeline is held to brute-force top-1 verbatim.
     "sim_pq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // The persisted-store probe answers the same question as the
+    // in-query form — planted-twin top-1 over the same corpus — so the
+    // identical brute-force oracle holds it; what changes is WHAT is
+    // exercised (stored codes + codebooks + version fence + key-pushed
+    // fetch), not the answer.
+    "sim_pq_store" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
             q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
