@@ -290,4 +290,43 @@ object VectorExpressions {
 
   def pqReconNorm2(code: Column, cn2: Seq[Double]): Column =
     ColumnBridge.column(PqReconNorm2(ColumnBridge.expression(code), cn2))
+
+  /** `dot(recon(codeA), recon(codeB))` via the symmetric-distance table —
+    * the CODE-PAIR scoring kernel: both operands are m-byte codes, so a
+    * pair shuffle (e.g. semantic dedup's cluster join) never has to carry
+    * float vectors to score its candidates. The m×ks×ks table lives in
+    * the plan as a reference object (a few KB at the registered m=16,
+    * ks=16), one O(m) gather per pair. */
+  case class PqSdcDot(left: Expression, right: Expression, sdc: Seq[Double])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_sdc_dot"
+
+    @transient private lazy val sdcArr: Array[Double] = sdc.toArray
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.pqSdcDot(l.asInstanceOf[Array[Byte]],
+        r.asInstanceOf[Array[Byte]], sdcArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tRef = ctx.addReferenceObj("pqSdc", sdcArr, "double[]")
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val tmp = ctx.freshName("sdc")
+        s"""
+           |java.lang.Double $tmp = graft.functions.VectorKernels.pqSdcDot($l, $r, $tRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqSdcDot(codeA: Column, codeB: Column, sdc: Seq[Double]): Column =
+    ColumnBridge.column(PqSdcDot(ColumnBridge.expression(codeA),
+      ColumnBridge.expression(codeB), sdc))
 }

@@ -187,6 +187,33 @@ object VectorKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** `dot(reconstruction(a), reconstruction(b))` from the precomputed
+    * symmetric-distance table (SDC, Jégou et al. §III-A): `sdc` holds
+    * `m × ks × ks` entries flattened, entry `j*ks*ks + ca*ks + cb` =
+    * dot(centroid ca, centroid cb) of subspace j. Subspaces partition the
+    * coordinates, so the sum over subspaces is EXACTLY the reconstructions'
+    * dot product — both sides stay 16-byte codes, no float vector and no
+    * per-query LUT is touched, which is what lets a code-only shuffle
+    * score candidate pairs. Null on geometry mismatch. */
+  def pqSdcDot(a: Array[Byte], b: Array[Byte],
+               sdc: Array[Double]): java.lang.Double = {
+    val m = a.length
+    if (m == 0 || b.length != m || sdc.length % m != 0) return null
+    val ks2 = sdc.length / m
+    val ks = Math.sqrt(ks2.toDouble).toInt
+    if (ks * ks != ks2) return null
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val ca = a(j) & 0xff
+      val cb = b(j) & 0xff
+      if (ca >= ks || cb >= ks) return null
+      acc += sdc(j * ks2 + ca * ks + cb)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Index of the squared-euclidean argmin centroid (ties to lowest index;
     * `cn2(i)` = ‖cᵢ‖², so the score is ‖c‖² − 2·v·c). Boxed null when no
     * centroid matches the vector's dimension. */

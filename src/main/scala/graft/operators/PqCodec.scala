@@ -57,6 +57,32 @@ object PqCodec {
         s
       }
     }
+
+    /** Symmetric-distance table for CODE-PAIR scoring
+      * ([[graft.functions.VectorKernels.pqSdcDot]]): `m × ks × ks`
+      * entries flattened, `[j][a][b]` = dot(centroid a, centroid b) of
+      * subspace j. A few KB at the registered geometry — built once on
+      * the driver, embedded in the plan as a reference object. */
+    lazy val sdc: Seq[Double] = {
+      val out = new Array[Double](m * ks * ks)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var a = 0
+        while (a < ks) {
+          var b = 0
+          while (b < ks) {
+            var s = 0.0; var i = 0
+            while (i < dsub) { s += cb(a * dsub + i) * cb(b * dsub + i); i += 1 }
+            out(j * ks * ks + a * ks + b) = s
+            b += 1
+          }
+          a += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
     def codeBytes: Int = m
   }
 

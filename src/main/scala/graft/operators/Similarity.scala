@@ -101,6 +101,73 @@ object Similarity {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** [[semDedupKeep]] with PQ-CODED candidate scoring — the bandwidth fix
+    * for its one scale-relevant cost. The float path carries the full
+    * vector (+norm, ~520 B at dim 64) through BOTH sides of the
+    * cluster-key shuffle; the r11 32M probe measured that shuffle as the
+    * IO-bound stage. Here each side of the cluster join carries
+    * (cluster, id, 16-byte code, 8-byte recon norm) — ~30× fewer bytes —
+    * candidate pairs score on codes alone via the symmetric-distance
+    * table ([[graft.functions.VectorExpressions.pqSdcDot]]: dot of the
+    * two RECONSTRUCTIONS, exact from the m×ks×ks table), and only pairs
+    * whose approximate cosine clears `threshold - margin` fetch float
+    * vectors — by key, joined against the corpus, a volume proportional
+    * to the near-dup density rather than the corpus — for the EXACT
+    * cosine test that decides the prune. False candidates cost a fetch
+    * and are then rejected by the exact test, so PRECISION is identical
+    * to [[semDedupKeep]] by construction.
+    *
+    * The contract that differs: RECALL of the candidate stage depends on
+    * `margin` covering the SDC approximation error on true near-dup
+    * pairs. Quantization moves each vector to its reconstruction;
+    * `margin` must absorb the worst cosine shift a within-threshold pair
+    * suffers (measured on the registered corpus/geometry: twin pairs'
+    * SDC cosine stays ≥ 0.93 for exact 0.9999 — margin 0.3 at threshold
+    * 0.8 holds recall 1.0 with the background (≤ 0.61 exact) still
+    * cheaply separable). A pair whose codes fail to score (geometry
+    * mismatch, zero recon norm) is NOT a candidate and survives — same
+    * keep-on-null direction as the float path's zero-norm guard.
+    *
+    * Scale shape: the cluster exchanges move codes, never vectors
+    * (spec-guarded); the exact-check joins shuffle only candidate ids +
+    * the fetched vectors for survivors. Σ|c|² pair cost is unchanged but
+    * each pair costs an O(m) gather instead of an O(dim) dot. */
+  def semDedupPqKeep(emb: DataFrame, id: Column, vec: Column, cluster: Column,
+                     threshold: Double, model: PqCodec.PqModel,
+                     margin: Double = 0.3): DataFrame = {
+    import graft.functions.VectorExpressions
+    val prep = emb.select(id.as("vec_id"), vec.cast("array<double>").as("vec"),
+      cluster.as("cluster"))
+    val coded = prep
+      .withColumn("code", VectorExpressions.pqEncode(col("vec"), model.codebooks))
+      .select(col("vec_id"), col("cluster"), col("code"),
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)).as("crn"))
+    val a = coded.select(col("cluster"), col("vec_id").as("id_a"),
+      col("code").as("ca"), col("crn").as("crna"))
+    val b = coded.select(col("cluster"), col("vec_id").as("id_b"),
+      col("code").as("cb"), col("crn").as("crnb"))
+    val candidates = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("acos", cosineFromNorms(
+        VectorExpressions.pqSdcDot(col("ca"), col("cb"), model.sdc),
+        col("crna"), col("crnb")))
+      .filter(col("acos") >= threshold - margin)
+      .select(col("id_a"), col("id_b"))
+    val va = prep.select(col("vec_id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val vb = prep.select(col("vec_id").as("id_b"), col("vec").as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    val dropped = candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    prep.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Layout of an `nPlanes × nTables` LSH config over however many 64-bit
     * hash columns it needs: `tablesPerHash = 63 / nPlanes` bands fit one
     * hash, so configs up to 63 total bits keep a single hash column

@@ -209,6 +209,57 @@ object PipelineQueries {
       row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
     },
 
+    // dedup_semdedup_ivf's composition with PQ-CODED candidate scoring
+    // (Similarity.semDedupPqKeep) — the bandwidth fix for semantic
+    // dedup's one scale-relevant cost: the float path's cluster-key
+    // shuffle carries full ~520 B vectors on both sides (the stage the
+    // r11 32M probe measured as IO-bound); here it carries 16-byte codes
+    // + an 8-byte recon norm (~30× fewer bytes), pairs score on the
+    // symmetric-distance table, and only pairs clearing threshold −
+    // margin fetch floats by key for the EXACT test that decides the
+    // prune. Precision is structural (exact re-check); recall rests on
+    // margin ≥ worst SDC shift on a true pair, MEASURED in SemDedupPqSpec
+    // (worst twin SDC ≈ 0.93 vs the 0.5 cutoff at the registered
+    // geometry). Same three self-certifying invariants as
+    // dedup_semdedup_ivf — a lost twin candidate, a broken SDC kernel, a
+    // broken exact re-check, or a broken assignment each flips a boolean.
+    "dedup_semdedup_pq" -> { (s, dir) =>
+      val planted = plantedEmbeddings(Tables(s, dir))
+      val prep = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+      val (assignedRaw, _) = IvfIndex.build(prep, k = 16)
+      val assigned = assignedRaw.localCheckpoint(true)
+      val model = PqCodec.train(prep, m = 16, ks = 16)
+      val kept = Similarity.semDedupPqKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8, model)
+        .localCheckpoint(true)
+      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
+      val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      val twins = cells.filter(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
+          col("centroid_id").as("twin_cell"))
+        .join(cells.select(col("vec_id").as("orig_id"),
+          col("centroid_id").as("orig_cell")), Seq("orig_id"))
+        .join(keptFlag, Seq("vec_id"), "left")
+        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
+          coalesce(!col("kept"), lit(true)).as("pruned"))
+      val row1 = kept.filter(col("vec_id") < 100000)
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(cells.filter(col("vec_id") < 100000)
+          .agg(count(lit(1)).as("n_tot")))
+        .select(lit("originals_all_kept").as("check_name"), col("n"),
+          (col("n") === col("n_tot")).as("ok"))
+      val row2 = twins.agg(count(lit(1)).as("n_twins"),
+          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
+            .as("n"))
+        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
+          (col("n") === col("n_twins")).as("ok"))
+      val row3 = twins.agg(count(lit(1)).as("n"),
+          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
+        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
+          (col("n_co") >= col("n") * 0.9).as("ok"))
+      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+    },
+
     // Production path for embedding near-dup: OR-amplified hyperplane LSH
     // on a GAPPED corpus — every 10th vector gets a planted near-duplicate
     // (v + 0.01·reverse(v), cosine ≈ 0.9999) so dups sit far above the
@@ -1390,6 +1441,18 @@ object PipelineQueries {
     // the n column anchored to corpus counts so a silently-empty Spark
     // result can't hash-match.
     "dedup_semdedup_ivf" ->
+      """SELECT * FROM (VALUES
+           ('originals_all_kept',
+            (SELECT count(*) FROM embeddings), true),
+           ('twin_colocation_floor',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true),
+           ('twins_pruned_iff_colocated',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true))
+         AS t(check_name, n, ok) ORDER BY check_name""",
+
+    // Same invariant protocol as dedup_semdedup_ivf: the PQ-coded path
+    // must reproduce exactly the same planted-corpus booleans.
+    "dedup_semdedup_pq" ->
       """SELECT * FROM (VALUES
            ('originals_all_kept',
             (SELECT count(*) FROM embeddings), true),
