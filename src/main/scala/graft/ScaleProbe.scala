@@ -165,7 +165,8 @@ object ScaleProbe {
       keys.unpersist()
       }
 
-      if (on("ann") || on("ivf") || on("emb") || on("semdedup") || on("pq")) {
+      if (on("ann") || on("ivf") || on("emb") || on("semdedup") ||
+          on("semdedup_ivf") || on("pq")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -416,18 +417,101 @@ object ScaleProbe {
               .otherwise(col("vec_id")), lit(kClusters)).cast("int"))
           .write.mode("overwrite").parquet(sdDir)
         val corpusV = spark.read.parquet(sdDir)
-        val t8 = System.nanoTime()
-        val keptN = Similarity.semDedupKeep(corpusV, col("vec_id"), col("vec"),
-          col("cluster"), threshold = 0.8).count()
-        val sec8 = (System.nanoTime() - t8) / 1e9
         val totalV = corpusV.count()
         // every planted twin must be pruned (its original shares the
         // cluster and has the lower id); background drops are possible
         // but the planted floor is exact
         val planted = (n + 99) / 100
-        println(f"""{"metric":"semdedup_scale","vecs":$totalV,"clusters":$kClusters,"cluster_size":$cSize,"sec":$sec8%.2f,"kept":$keptN,"pruned":${totalV - keptN},"planted":$planted}""")
+        // The r11 IO-weather lesson, institutionalized: at working sets
+        // that stress the page cache (>= 16M vectors here, ~16 GB of
+        // doubles), a single wall number is ambiguous — it conflates the
+        // operator with whatever cache state the machine happens to be
+        // in. Paired back-to-back runs label it: run 1 = "cold" (the
+        // corpus's cache state is whatever the write left), run 2 =
+        // "warm" (as cached as this machine gets). Small sizes stay
+        // single-run; the pair costs a full re-execution.
+        val paired = n >= 16000000
+        def timedRuns(body: => Long): (Long, Double, Double) = {
+          val t0 = System.nanoTime(); val r1 = body
+          val s1 = (System.nanoTime() - t0) / 1e9
+          if (!paired) (r1, s1, -1.0)
+          else {
+            val t1 = System.nanoTime(); val r2 = body
+            val s2 = (System.nanoTime() - t1) / 1e9
+            assert(r1 == r2, s"paired runs disagree: $r1 vs $r2")
+            (r1, s1, s2)
+          }
+        }
+        val (keptN, sec8, sec8w) = timedRuns(
+          Similarity.semDedupKeep(corpusV, col("vec_id"), col("vec"),
+            col("cluster"), threshold = 0.8).count())
+        println(f"""{"metric":"semdedup_scale","vecs":$totalV,"clusters":$kClusters,"cluster_size":$cSize,"sec":$sec8%.2f,"sec_warm":$sec8w%.2f,"kept":$keptN,"pruned":${totalV - keptN},"planted":$planted}""")
         assert(totalV - keptN >= planted,
           s"planted twins must all be pruned: pruned=${totalV - keptN} < $planted")
+
+        // The PQ-coded path on the SAME corpus and clusters: train on a
+        // systematic <=100k sample (sample-bound like the store build),
+        // then semDedupPqKeep — the cluster shuffle carries 16-byte
+        // codes instead of 520 B vectors. Keep count must MATCH the
+        // float path exactly (the SemDedupPqSpec parity contract, here
+        // asserted at probe scale), which also certifies margin
+        // coverage on this synthetic distribution.
+        val step = math.max(1L, totalV / 100000L)
+        val sampleV = Similarity.prepared(
+          corpusV.filter(pmod(col("vec_id"), lit(step)) === 0),
+          col("vec_id"), col("vec"))
+        val tTr = System.nanoTime()
+        val model = graft.operators.PqCodec.train(sampleV, m = 16, ks = 16)
+        val secTr = (System.nanoTime() - tTr) / 1e9
+        val (keptPq, sec9, sec9w) = timedRuns(
+          Similarity.semDedupPqKeep(corpusV, col("vec_id"), col("vec"),
+            col("cluster"), threshold = 0.8, model).count())
+        println(f"""{"metric":"semdedup_pq_scale","vecs":$totalV,"clusters":$kClusters,"cluster_size":$cSize,"train_sec":$secTr%.2f,"sec":$sec9%.2f,"sec_warm":$sec9w%.2f,"kept":$keptPq,"kept_float":$keptN}""")
+        assert(keptPq == keptN,
+          s"PQ path keep count $keptPq != float path $keptN — margin no " +
+            "longer covers SDC noise at this scale/distribution")
+        deleteRecursively(new java.io.File(sdDir))
+      }
+
+      // The REGISTERED dedup_semdedup_ivf composition at scale: k-means
+      // assignment (IvfIndex.build) supplies the clusters, then the
+      // within-cell prune — so the wall includes CLUSTERING + PRUNING,
+      // the number the registered query's user actually pays (the
+      // semdedup probe above uses label-arithmetic clusters and prices
+      // pruning alone). k scales with N to hold the ~cSize target cell
+      // size the cost model is stated in. Planted floor asserts skip:
+      // twins may straddle Voronoi boundaries (the registered query's
+      // own colocation floor is 90%), so the assert is >= 85% of twins.
+      if (on("semdedup_ivf")) {
+        val cSize = sys.env.get("SPARK_GRAFT_SEMDEDUP_CSIZE")
+          .map(_.toInt).getOrElse(250)
+        val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+          System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_ivf_$n"
+        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+                / 500.0).as("vec"))
+        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + n).as("vec_id"),
+            zip_with(col("vec"), reverse(col("vec")),
+              (x, y) => x + y * lit(0.01)).as("vec"))
+        baseV.unionByName(twinsV).write.mode("overwrite").parquet(sdDir)
+        val corpusV = Similarity.prepared(spark.read.parquet(sdDir),
+          col("vec_id"), col("vec"))
+        val totalV = corpusV.count()
+        val kIvf = math.max(16, (n / cSize).toInt)
+        val t0 = System.nanoTime()
+        val (assignedRaw, _) = graft.operators.IvfIndex.build(corpusV, k = kIvf)
+        val assigned = assignedRaw
+        val keptN = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val planted = (n + 99) / 100
+        val pruned = totalV - keptN
+        println(f"""{"metric":"semdedup_ivf_scale","vecs":$totalV,"k":$kIvf,"sec":$sec%.2f,"kept":$keptN,"pruned":$pruned,"planted":$planted}""")
+        assert(pruned >= (planted * 85L) / 100L,
+          s"expected >=85%% of $planted twins pruned, got $pruned")
         deleteRecursively(new java.io.File(sdDir))
       }
       if (on("ann") || on("ivf")) vecs.unpersist()
