@@ -325,6 +325,220 @@ object JpegKernels {
     bos.toByteArray
   }
 
+  /** Encode as a PROGRESSIVE JFIF JPEG (SOF2) carrying the exact same
+    * quantized coefficients as [[jpegEncodePixels]] would, re-ordered
+    * into 8 scans that exercise every Annex-G decode path: DC first at
+    * Al=1 (interleaved), per-component AC first passes over two spectral
+    * bands (1–5, 6–63) at Al=1, then DC refinement and per-component AC
+    * refinement scans down to Al=0. Because successive approximation
+    * transmits exactly the dropped bit per refinement, the decoded
+    * coefficients — and therefore the pixels — are BIT-IDENTICAL to the
+    * sequential stream's: `jpegDecodeRaw(progressive) ==
+    * jpegDecodeRaw(sequential)` byte-for-byte, which is the oracle the
+    * spec and registered query hold. Annex-K tables are reused; the
+    * refinement emitter therefore only uses EOB0 (the table carries no
+    * EOBn runs) — valid, marginally less compressed. */
+  def jpegEncodeProgressivePixels(width: Int, height: Int, channels: Int,
+                                  pixels: Array[Byte]): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
+    if (channels != 1 && channels != 3) return null
+    if (pixels == null || pixels.length.toLong != width.toLong * height * channels)
+      return null
+    val nc = channels
+    val planes = Array.ofDim[Double](nc, width * height)
+    var i = 0
+    while (i < width * height) {
+      if (nc == 1) planes(0)(i) = (pixels(i) & 0xff).toDouble
+      else {
+        val r = pixels(3 * i) & 0xff
+        val g = pixels(3 * i + 1) & 0xff
+        val bl = pixels(3 * i + 2) & 0xff
+        planes(0)(i) = 0.299 * r + 0.587 * g + 0.114 * bl
+        planes(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        planes(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+      }
+      i += 1
+    }
+    // all quantized coefficients up front (the sequential encoder's exact
+    // math), per component in block raster order, natural order in-block
+    val mcuW = (width + 7) / 8; val mcuH = (height + 7) / 8
+    val nBlocks = mcuW * mcuH
+    val coefs = Array.fill(nc)(new Array[Int](nBlocks * 64))
+    val blk = new Array[Double](64)
+    val out64 = new Array[Int](64)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var c = 0
+        while (c < nc) {
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(my * 8 + y, height - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(mx * 8 + x, width - 1)
+              blk(y * 8 + x) = planes(c)(sy * width + sx) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdctQuant(blk, out64)
+          System.arraycopy(out64, 0, coefs(c), (my * mcuW + mx) * 64, 64)
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(width * height / 2 + 2048)
+    bos.write(0xff); bos.write(0xd8)
+    bos.write(0xff); bos.write(0xe0); be16(bos, 16)
+    bos.write('J'); bos.write('F'); bos.write('I'); bos.write('F'); bos.write(0)
+    bos.write(1); bos.write(1); bos.write(0); be16(bos, 1); be16(bos, 1)
+    bos.write(0); bos.write(0)
+    bos.write(0xff); bos.write(0xdb); be16(bos, 67); bos.write(0x00)
+    i = 0; while (i < 64) { bos.write(Q); i += 1 }
+    bos.write(0xff); bos.write(0xc2); be16(bos, 8 + 3 * nc) // SOF2
+    bos.write(8); be16(bos, height); be16(bos, width); bos.write(nc)
+    var c = 0
+    while (c < nc) { bos.write(c + 1); bos.write(0x11); bos.write(0); c += 1 }
+    val dhtLen = 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+    bos.write(0xff); bos.write(0xc4); be16(bos, dhtLen)
+    bos.write(0x00); DcBits.foreach(bos.write); DcVals.foreach(bos.write)
+    bos.write(0x10); AcBits.foreach(bos.write); AcVals.foreach(bos.write)
+
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      bos.write(0xff); bos.write(0xda); be16(bos, 6 + 2 * comps.length)
+      bos.write(comps.length)
+      comps.foreach { ci =>
+        bos.write(ci + 1)
+        bos.write(0x00) // DC table 0, AC table 0
+      }
+      bos.write(ss); bos.write(se); bos.write((ah << 4) | al)
+    }
+
+    // Scan 1: DC first, all components interleaved, Al = 1 (arithmetic
+    // shift — (v>>1)<<1 | (v&1) == v in two's complement, so the later
+    // refinement restores the value exactly)
+    sosHeader(0 until nc, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(bos)
+      val pred = new Array[Int](nc)
+      var bi = 0
+      while (bi < nBlocks) {
+        var ci = 0
+        while (ci < nc) {
+          val v = coefs(ci)(bi * 64) >> 1
+          val diff = v - pred(ci); pred(ci) = v
+          val ds = magSize(diff)
+          bw.put(DcEnc.codes(ds), DcEnc.sizes(ds))
+          if (ds > 0)
+            bw.put(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
+          ci += 1
+        }
+        bi += 1
+      }
+      bw.flush()
+    }
+    // Scans 2..: AC first passes, two spectral bands per component, Al = 1
+    def acFirst(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, 0, al)
+      val bw = new BitWriter(bos)
+      val cf = coefs(ci)
+      var bi = 0
+      while (bi < nBlocks) {
+        val base = bi * 64
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val v = cf(base + Zig(k))
+          val t = if (v >= 0) v >> al else -((-v) >> al)
+          if (t == 0) run += 1
+          else {
+            while (run > 15) { bw.put(AcEnc.codes(0xf0), AcEnc.sizes(0xf0)); run -= 16 }
+            val s = magSize(t)
+            bw.put(AcEnc.codes((run << 4) | s), AcEnc.sizes((run << 4) | s))
+            bw.put(if (t < 0) t + (1 << s) - 1 else t, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(AcEnc.codes(0x00), AcEnc.sizes(0x00)) // EOB0
+        bi += 1
+      }
+      bw.flush()
+    }
+    c = 0
+    while (c < nc) { acFirst(c, 1, 5, 1); acFirst(c, 6, 63, 1); c += 1 }
+    // DC refinement: bit 0 of every DC coefficient, interleaved
+    sosHeader(0 until nc, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(bos)
+      var bi = 0
+      while (bi < nBlocks) {
+        var ci = 0
+        while (ci < nc) { bw.put(coefs(ci)(bi * 64) & 1, 1); ci += 1 }
+        bi += 1
+      }
+      bw.flush()
+    }
+    // AC refinement (G.1.2.3 encoder): r counts zero-history positions,
+    // correction bits for already-nonzero positions buffer until the next
+    // emitted symbol (the decoder reads them during that symbol's walk),
+    // ZRLs are checked at EVERY nonzero position so the buffer never
+    // holds a bit beyond the 16-zero boundary an emitted ZRL covers.
+    def acRefine(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, al + 1, al)
+      val bw = new BitWriter(bos)
+      val cf = coefs(ci)
+      val br = new Array[Int](64)
+      var bi = 0
+      while (bi < nBlocks) {
+        val base = bi * 64
+        var r = 0
+        var nBr = 0
+        var k = ss
+        while (k <= se) {
+          val v = cf(base + Zig(k))
+          val t = math.abs(v) >> al // magnitude at THIS precision
+          if (t == 0) r += 1
+          else {
+            while (r > 15) {
+              bw.put(AcEnc.codes(0xf0), AcEnc.sizes(0xf0))
+              r -= 16
+              var j = 0
+              while (j < nBr) { bw.put(br(j), 1); j += 1 }
+              nBr = 0
+            }
+            if ((t >> 1) != 0) { // nonzero at the previous precision
+              br(nBr) = t & 1; nBr += 1
+            } else { // newly nonzero: magnitude is exactly 1 at this Al
+              bw.put(AcEnc.codes((r << 4) | 1), AcEnc.sizes((r << 4) | 1))
+              bw.put(if (v < 0) 0 else 1, 1)
+              var j = 0
+              while (j < nBr) { bw.put(br(j), 1); j += 1 }
+              nBr = 0
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || nBr > 0) {
+          bw.put(AcEnc.codes(0x00), AcEnc.sizes(0x00)) // EOB0
+          var j = 0
+          while (j < nBr) { bw.put(br(j), 1); j += 1 }
+        }
+        bi += 1
+      }
+      bw.flush()
+    }
+    c = 0
+    while (c < nc) { acRefine(c, 1, 5, 0); acRefine(c, 6, 63, 0); c += 1 }
+    bos.write(0xff); bos.write(0xd9)
+    bos.toByteArray
+  }
+
   /** Decoded baseline JPEG, same holder shape as
     * [[MediaKernels.PngImage]]. */
   final class JpegImage(val width: Int, val height: Int, val channels: Int,
@@ -401,9 +615,11 @@ object JpegKernels {
         case 0xda => // SOS
           if (nc == 0 || quant == null || dcDec == null || acDec == null) return null
           sosAt = p + 2 + len
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc2 => // progressive DCT: the Annex-G decoder takes over
+          return jpegDecodeProgressive(b)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return null // non-baseline frame types unsupported
+          return null // other frame types (arithmetic, lossless) unsupported
         case _ => () // APPn / COM / others: skip
       }
       p += 2 + len
@@ -513,6 +729,372 @@ object JpegKernels {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Progressive DCT (ITU T.81 Annex G, Huffman coding)
+  // -------------------------------------------------------------------
+  // A progressive frame transmits the SAME quantized coefficients as a
+  // sequential one, re-ordered across multiple scans: spectral selection
+  // (each AC scan carries one Ss..Se zigzag band of one component) and
+  // successive approximation (Ah/Al bit-plane refinement — a first pass
+  // at reduced precision, then one correction bit per coefficient per
+  // later scan). Because the re-ordering is LOSSLESS, a progressive
+  // stream of the same coefficients decodes to BIT-IDENTICAL pixels as
+  // the sequential stream — the oracle the spec and registered query
+  // hold the codec to. Decoding accumulates coefficients per block
+  // across scans (DC first/refine, AC first with EOB-run coding, AC
+  // refinement with interleaved correction bits per G.1.2.3) and runs
+  // dequant + IDCT once, after the marker walk ends.
+  //
+  // Supported shape mirrors the baseline decoder: 8-bit, 4:4:4 or
+  // grayscale, up to 4 quant/Huffman tables (progressive scans select
+  // tables per scan), no restart intervals, no arithmetic coding. Same
+  // defensive contract: null on anything malformed, never throw.
+
+  /** One progressive scan's entropy data: decodes from `start` into
+    * `coefs` (per component, blocks×64, natural order within a block),
+    * returns the offset of the next marker's 0xFF, or −1 on any
+    * malformation. `comps` holds component INDICES in scan order. */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+                             coefs: Array[Array[Int]], nBlocks: Int,
+                             comps: Array[Int], dcSel: Array[Int],
+                             acSel: Array[Int], dcTabs: Array[HuffDec],
+                             acTabs: Array[HuffDec], ss: Int, se: Int,
+                             ah: Int, al: Int, nc: Int): Int = {
+    val br = new BitReader(b, start)
+    val ns = comps.length
+    var eobrun = 0
+    if (ss == 0) {
+      if (se != 0) return -1 // DC scans carry only coefficient 0
+      val dcPred = new Array[Int](nc)
+      var bi = 0
+      while (bi < nBlocks) {
+        var ci = 0
+        while (ci < ns) {
+          val c = comps(ci)
+          val base = bi * 64
+          if (ah == 0) {
+            val t = dcTabs(dcSel(ci)); if (t == null) return -1
+            val dsz = br.decode(t)
+            if (dsz > 11 || br.fail) return -1
+            dcPred(c) += extend(br.bits(dsz), dsz)
+            if (br.fail) return -1
+            coefs(c)(base) = dcPred(c) << al
+          } else {
+            // refinement: one bit per block; OR-ing bit Al is exact for
+            // the arithmetic-shift DC point transform in two's complement
+            if (br.bit() == 1) coefs(c)(base) |= (1 << al)
+            if (br.fail) return -1
+          }
+          ci += 1
+        }
+        bi += 1
+      }
+    } else {
+      if (ns != 1) return -1 // T.81: progressive AC scans are single-component
+      val c = comps(0)
+      val t = acTabs(acSel(0)); if (t == null) return -1
+      val cf = coefs(c)
+      val p1 = 1 << al
+      var bi = 0
+      while (bi < nBlocks) {
+        val base = bi * 64
+        if (ah == 0) {
+          // FIRST pass for this band/bit-plane (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var ended = false
+            while (k <= se && !ended) {
+              val sym = br.decode(t)
+              if (br.fail) return -1
+              val r = sym >> 4; val s = sym & 15
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) { eobrun += br.bits(r); if (br.fail) return -1 }
+                  ended = true
+                } else k += 16 // ZRL
+              } else {
+                k += r
+                if (k > se) return -1
+                val mag = br.bits(s)
+                if (br.fail) return -1
+                cf(base + Zig(k)) = extend(mag, s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // REFINEMENT pass (G.1.2.3): each Huffman symbol's "skip" walks
+          // the band consuming one correction bit per already-nonzero
+          // coefficient passed; r counts only zero-history positions.
+          var k = ss
+          if (eobrun > 0) {
+            while (k <= se) {
+              val idx = base + Zig(k)
+              if (cf(idx) != 0) {
+                if (br.bit() == 1 && (cf(idx) & p1) == 0) {
+                  if (cf(idx) >= 0) cf(idx) += p1 else cf(idx) -= p1
+                }
+                if (br.fail) return -1
+              }
+              k += 1
+            }
+            eobrun -= 1
+          } else {
+            while (k <= se) {
+              val sym = br.decode(t)
+              if (br.fail) return -1
+              var r = sym >> 4; val s = sym & 15
+              var newval = 0
+              var isEob = false
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = 1 << r
+                  if (r > 0) { eobrun += br.bits(r); if (br.fail) return -1 }
+                  isEob = true
+                }
+                // r == 15: ZRL — pass 16 zero-history positions
+              } else if (s == 1) {
+                newval = if (br.bit() == 1) p1 else -p1
+                if (br.fail) return -1
+              } else return -1 // refinement admits only s ∈ {0, 1}
+              if (isEob) {
+                // the rest of this block joins the EOB run: correction
+                // bits only
+                while (k <= se) {
+                  val idx = base + Zig(k)
+                  if (cf(idx) != 0) {
+                    if (br.bit() == 1 && (cf(idx) & p1) == 0) {
+                      if (cf(idx) >= 0) cf(idx) += p1 else cf(idx) -= p1
+                    }
+                    if (br.fail) return -1
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              } else {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + Zig(k)
+                  if (cf(idx) != 0) {
+                    if (br.bit() == 1 && (cf(idx) & p1) == 0) {
+                      if (cf(idx) >= 0) cf(idx) += p1 else cf(idx) -= p1
+                    }
+                    if (br.fail) return -1
+                  } else {
+                    if (r == 0) {
+                      if (s == 1) cf(idx) = newval
+                      placed = true // ZRL's 16th zero / the new coefficient
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (s == 1 && !placed) return -1 // ran off the band
+              }
+            }
+          }
+        }
+        bi += 1
+      }
+    }
+    if (br.fail) return -1
+    // entropy data ends at the next marker (0xFF followed by a non-stuffing,
+    // non-restart byte); restart markers are unsupported (rejected at DRI)
+    var q = br.p
+    while (q + 1 < b.length &&
+      !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00 &&
+        ((b(q + 1) & 0xff) < 0xd0 || (b(q + 1) & 0xff) > 0xd7))) q += 1
+    if (q + 1 >= b.length) return -1
+    q
+  }
+
+  /** Decode a progressive (SOF2) JFIF JPEG: full multi-scan marker walk
+    * with per-id quant/Huffman table banks, coefficient accumulation
+    * across DC/AC first and refinement scans, then one dequant + IDCT +
+    * color convert + crop. Reached via [[jpegDecodeRaw]]'s dispatch, so
+    * callers need no format switch. Null, never throw, on anything
+    * malformed or outside the supported shape (8-bit, 4:4:4/gray, no
+    * restarts, no arithmetic coding). */
+  def jpegDecodeProgressive(b: Array[Byte]): JpegImage = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    var p = 2
+    var width = 0; var height = 0; var nc = 0
+    val quantTabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    val compQ = new Array[Int](3)
+    val compId = new Array[Int](3)
+    var coefs: Array[Array[Int]] = null
+    var mcuW = 0; var mcuH = 0
+    var nScans = 0
+    var done = false
+    while (!done) {
+      if (p + 2 > b.length) return null
+      if ((b(p) & 0xff) != 0xff) return null
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd9) { done = true } // EOI
+      else {
+        if (p + 4 > b.length) return null
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length) return null
+        var advanced = false
+        marker match {
+          case 0xdb => // DQT: possibly several 8-bit tables with ids
+            var q = p + 4
+            val end = p + 2 + len
+            while (q < end) {
+              if ((b(q) & 0xf0) != 0 || (b(q) & 0x0f) > 3 || q + 65 > end)
+                return null
+              val tb = new Array[Int](64)
+              var i = 0
+              while (i < 64) { tb(i) = b(q + 1 + i) & 0xff; i += 1 }
+              quantTabs(b(q) & 0x0f) = tb
+              q += 65
+            }
+          case 0xc2 => // SOF2
+            if (coefs != null || len < 8) return null
+            if ((b(p + 4) & 0xff) != 8) return null
+            height = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
+            width = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
+            nc = b(p + 9) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            // same untrusted-dims budget as the baseline decoder; the
+            // coefficient bank is 4 B/coefficient, within the same class
+            if ((width.toLong + 7) / 8 * 8 * ((height.toLong + 7) / 8 * 8) * nc > (1 << 25))
+              return null
+            if (len < 8 + 3 * nc) return null
+            var c = 0
+            while (c < nc) {
+              compId(c) = b(p + 10 + 3 * c) & 0xff
+              if ((b(p + 11 + 3 * c) & 0xff) != 0x11) return null // 4:4:4 only
+              val tq = b(p + 12 + 3 * c) & 0xff
+              if (tq > 3) return null
+              compQ(c) = tq
+              c += 1
+            }
+            mcuW = (width + 7) / 8; mcuH = (height + 7) / 8
+            coefs = Array.fill(nc)(new Array[Int](mcuW * mcuH * 64))
+          case 0xc4 => // DHT: several tables, ids 0..3 per class
+            var q = p + 4
+            val end = p + 2 + len
+            while (q < end) {
+              val tc = (b(q) & 0xf0) >> 4
+              val th = b(q) & 0x0f
+              if (tc > 1 || th > 3 || q + 17 > end) return null
+              val bits = new Array[Int](16)
+              var total = 0
+              var i = 0
+              while (i < 16) { bits(i) = b(q + 1 + i) & 0xff; total += bits(i); i += 1 }
+              if (q + 17 + total > end) return null
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = b(q + 17 + i) & 0xff; i += 1 }
+              val t = new HuffDec(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              q += 17 + total
+            }
+          case 0xdd => // DRI: restart intervals unsupported
+            if (len != 4) return null
+            if ((((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)) != 0) return null
+          case 0xda => // SOS: decode one scan's entropy data
+            if (coefs == null) return null
+            val ns = b(p + 4) & 0xff
+            if (ns < 1 || ns > nc || len < 6 + 2 * ns) return null
+            val comps = new Array[Int](ns)
+            val dcSel = new Array[Int](ns)
+            val acSel = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = b(p + 5 + 2 * i) & 0xff
+              var ci = -1
+              var j = 0
+              while (j < nc) { if (compId(j) == cid) ci = j; j += 1 }
+              if (ci < 0) return null
+              comps(i) = ci
+              dcSel(i) = (b(p + 6 + 2 * i) & 0xf0) >> 4
+              acSel(i) = b(p + 6 + 2 * i) & 0x0f
+              if (dcSel(i) > 3 || acSel(i) > 3) return null
+              i += 1
+            }
+            val ss = b(p + 5 + 2 * ns) & 0xff
+            val se = b(p + 6 + 2 * ns) & 0xff
+            val ah = (b(p + 7 + 2 * ns) & 0xf0) >> 4
+            val al = b(p + 7 + 2 * ns) & 0x0f
+            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) return null
+            if (ah != 0 && ah != al + 1) return null // successive approx. steps by 1
+            val next = decodeProgScan(b, p + 2 + len, coefs, mcuW * mcuH,
+              comps, dcSel, acSel, dcTabs, acTabs, ss, se, ah, al, nc)
+            if (next < 0) return null
+            nScans += 1
+            p = next
+            advanced = true
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            return null // a second frame header is malformed here
+          case _ => () // APPn / COM: skip
+        }
+        if (!advanced) p += 2 + len
+      }
+    }
+    if (coefs == null || nScans == 0) return null
+    var c0 = 0
+    while (c0 < nc) { if (quantTabs(compQ(c0)) == null) return null; c0 += 1 }
+    // dequant + IDCT every block, then the baseline color convert + crop
+    val planes = Array.ofDim[Double](nc, mcuW * 8 * mcuH * 8)
+    val block = new Array[Double](64)
+    val blockCoef = new Array[Int](64)
+    val stride = mcuW * 8
+    var c = 0
+    while (c < nc) {
+      val quant = quantTabs(compQ(c))
+      var my = 0
+      while (my < mcuH) {
+        var mx = 0
+        while (mx < mcuW) {
+          val base = (my * mcuW + mx) * 64
+          System.arraycopy(coefs(c), base, blockCoef, 0, 64)
+          idctDequantWith(blockCoef, quant, block)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              planes(c)((my * 8 + y) * stride + mx * 8 + x) = block(y * 8 + x) + 128.0
+              x += 1
+            }
+            y += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      c += 1
+    }
+    val out = new Array[Byte](width * height * nc)
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val pi = y * stride + x
+        if (nc == 1) out(y * width + x) = clamp(planes(0)(pi)).toByte
+        else {
+          val yv = planes(0)(pi)
+          val cb = planes(1)(pi) - 128.0
+          val cr = planes(2)(pi) - 128.0
+          val o = (y * width + x) * 3
+          out(o) = clamp(yv + 1.402 * cr).toByte
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          out(o + 2) = clamp(yv + 1.772 * cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    new JpegImage(width, height, nc, out)
+  }
+
   /** Synthesize → encode → decode → certify, the self-certification
     * kernel behind the registered query (JPEG is lossy, so the contract
     * is dims + error bound + truncation rejection, not bit equality):
@@ -543,6 +1125,39 @@ object JpegKernels {
     r.setInt(0, dec.width); r.setInt(1, dec.height); r.setInt(2, dec.channels)
     r.setInt(3, maxErr)
     r.setBoolean(4, jpegDecodeRaw(truncated) == null)
+    r
+  }
+
+  /** Progressive self-certification: synthesize pixels, encode them BOTH
+    * ways (sequential baseline and the 8-scan progressive stream), decode
+    * both through the dispatching [[jpegDecodeRaw]], and certify what
+    * Annex G promises — progressive re-orders the SAME coefficients, so
+    * unlike the lossy [[jpegRoundTripStats]] bound this contract is BIT
+    * EQUALITY between the two decodes:
+    * `struct<width,height,channels,prog_equals_seq,trunc_rejected>`.
+    * A wrong EOB-run, a mis-interleaved correction bit, a broken point
+    * transform — anything in either the progressive encoder or decoder —
+    * lands a differing pixel and flips the boolean. trunc_rejected
+    * attests the progressive stream truncated at half returns null. */
+  def jpegProgRoundTripStats(seed: Long, width: Int, height: Int,
+                             channels: Int): InternalRow = {
+    if (width <= 0 || height <= 0 ||
+        width.toLong * height * channels > (1 << 24)) return null
+    val px = MediaKernels.synthPixels(seed, width * height * channels)
+    val seq = jpegEncodePixels(width, height, channels, px)
+    val prog = jpegEncodeProgressivePixels(width, height, channels, px)
+    if (seq == null || prog == null) return null
+    val decSeq = jpegDecodeRaw(seq)
+    val decProg = jpegDecodeRaw(prog)
+    if (decSeq == null || decProg == null ||
+        decProg.width != width || decProg.height != height ||
+        decProg.channels != channels) return null
+    val r = new GenericInternalRow(5)
+    r.setInt(0, decProg.width); r.setInt(1, decProg.height)
+    r.setInt(2, decProg.channels)
+    r.setBoolean(3, java.util.Arrays.equals(decSeq.pixels, decProg.pixels))
+    r.setBoolean(4,
+      jpegDecodeRaw(java.util.Arrays.copyOf(prog, prog.length / 2)) == null)
     r
   }
 }

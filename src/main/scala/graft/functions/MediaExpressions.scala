@@ -334,6 +334,41 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val jpegProgRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("prog_equals_seq", BooleanType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
+  /** Progressive-JPEG certification (synthesize → encode sequentially AND
+    * progressively → decode both → compare): `struct<width,height,
+    * channels,prog_equals_seq,trunc_rejected>`. Progressive re-orders the
+    * SAME coefficients, so the contract is BIT EQUALITY of the two
+    * decodes — stronger than the baseline's lossy bound. See
+    * [[graft.functions.JpegKernels.jpegProgRoundTripStats]]. */
+  case class JpegProgRoundTrip(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = jpegProgRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jpeg_prog_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, c: Any): Any =
+      JpegKernels.jpegProgRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], c.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, c) => s"""
+        |${ev.value} = graft.functions.JpegKernels.jpegProgRoundTripStats($seed, $w, $h, $c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
   private val aviRoundTripType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -419,6 +454,12 @@ object MediaExpressions {
   def jpegRoundTrip(seed: Column, width: Column, height: Column,
                     channels: Column): Column =
     ColumnBridge.column(JpegRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(channels)))
+
+  def jpegProgRoundTrip(seed: Column, width: Column, height: Column,
+                        channels: Column): Column =
+    ColumnBridge.column(JpegProgRoundTrip(
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(channels)))
 

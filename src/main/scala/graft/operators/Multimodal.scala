@@ -80,9 +80,11 @@ object Multimodal {
     }
   }
 
-  /** The real-codec decoder. PNG pixel decode, baseline-JPEG entropy
-    * decode, GIF LZW pixel decode, MJPEG-AVI container + frame decode,
-    * and 16-bit PCM WAV sample decode are FULLY IMPLEMENTED in pure JVM
+  /** The real-codec decoder. PNG pixel decode, JPEG entropy decode
+    * (baseline sequential AND progressive — `jpegDecodeRaw` dispatches
+    * on the frame marker), GIF LZW pixel decode, MJPEG-AVI container +
+    * frame decode, and 16-bit PCM WAV sample decode are FULLY
+    * IMPLEMENTED in pure JVM
     * ([[graft.functions.MediaKernels.pngDecodeRaw]] /
     * [[graft.functions.JpegKernels.jpegDecodeRaw]] /
     * [[graft.functions.MediaKernels.gifDecodeRaw]] /
@@ -91,15 +93,16 @@ object Multimodal {
     * histograms over actual decoded pixels/samples/frames, not payload
     * bytes, and frame-sampling returns real frame payloads. Formats
     * whose decode genuinely needs an external library (inter-frame
-    * video codecs — H.264/VP9/AV1; progressive/arithmetic JPEG) throw
-    * the named seam error — plug a JNI/library call in for those. */
+    * video codecs — H.264/VP9/AV1; arithmetic-coded JPEG) throw the
+    * named seam error — plug a JNI/library call in for those. */
   object CodecDecoder extends MediaDecoder {
     import graft.functions.MediaKernels
     private def unavailable =
       throw new UnsupportedOperationException(
-        "codec not bundled for this format: PNG/baseline-JPEG/GIF/" +
-          "MJPEG-AVI/WAV decode in pure JVM; inter-frame video codecs " +
-          "(H.264/VP9/AV1) need a library — plug a JNI call here")
+        "codec not bundled for this format: PNG/JPEG (sequential + " +
+          "progressive)/GIF/MJPEG-AVI/WAV decode in pure JVM; " +
+          "inter-frame video codecs (H.264/VP9/AV1) and " +
+          "arithmetic-coded JPEG need a library — plug a JNI call here")
     def features(rec: MediaRecord, dim: Int): Array[Double] = {
       val img = MediaKernels.pngDecodeRaw(rec.content)
       if (img != null) {

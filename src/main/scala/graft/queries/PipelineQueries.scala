@@ -1088,6 +1088,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PROGRESSIVE JPEG (SOF2, T.81 Annex G): per-document pixels encode
+    // BOTH ways — sequential baseline and an 8-scan progressive stream
+    // (DC first + spectral-band AC firsts at Al=1, then DC/AC refinement
+    // to Al=0) — and both decode through the same dispatching
+    // jpegDecodeRaw. Progressive re-orders the SAME quantized
+    // coefficients, so unlike multimodal_jpeg's lossy error bound this
+    // certifies BIT EQUALITY of the two decodes per document; a wrong
+    // EOB run, a mis-interleaved correction bit, or a broken point
+    // transform flips prog_equals_seq and hash-mismatches. With this,
+    // the multimodal codec seam narrows to inter-frame video +
+    // arithmetic-coded JPEG only.
+    "multimodal_jpeg_prog" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.jpegProgRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 27 + 9 as int)"),
+            expr("cast(doc_id % 19 + 9 as int)"),
+            expr("cast(doc_id % 2 * 2 + 1 as int)")).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.prog_equals_seq").as("prog_equals_seq"),
+          col("st.trunc_rejected").as("trunc_rejected"))
+        .orderBy(col("doc_id"))
+    },
+
     // VIDEO, end-to-end for MJPEG-in-AVI: per-document videos (2..7
     // JPEG frames in a RIFF/AVI container with hdrl/strl headers, movi
     // chunks, idx1 index) are synthesized, container-walked back, and
@@ -2488,6 +2515,17 @@ object PipelineQueries {
          CAST(doc_id % 19 + 9 AS INT) AS height,
          CAST(doc_id % 2 * 2 + 1 AS INT) AS channels,
          true AS err_in_bound,
+         true AS trunc_rejected
+         FROM documents ORDER BY doc_id""",
+
+    // Progressive certifies bit equality with the sequential decode —
+    // the deterministic expectation is simply "true for every document".
+    "multimodal_jpeg_prog" ->
+      """SELECT doc_id,
+         CAST(doc_id % 27 + 9 AS INT) AS width,
+         CAST(doc_id % 19 + 9 AS INT) AS height,
+         CAST(doc_id % 2 * 2 + 1 AS INT) AS channels,
+         true AS prog_equals_seq,
          true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 

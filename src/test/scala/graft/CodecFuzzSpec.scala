@@ -44,6 +44,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       MediaKernels.pngEncodePixels(9, 7, 3, MediaKernels.synthPixels(1L, 189)),
       MediaKernels.gifEncodePixels(12, 9, MediaKernels.synthPixels(2L, 108)),
       JpegKernels.jpegEncodePixels(11, 9, 1, MediaKernels.synthPixels(3L, 99)),
+      JpegKernels.jpegEncodeProgressivePixels(11, 9, 3,
+        MediaKernels.synthPixels(6L, 297)),
       AviKernels.aviEncodeSynth(4L, 8, 8, 3, 12),
       MediaKernels.wavEncodePcm(1, 16000, 64, 5L))
     samples.foreach { s =>
