@@ -166,7 +166,7 @@ object ScaleProbe {
       }
 
       if (on("ann") || on("ivf") || on("emb") || on("semdedup") ||
-          on("semdedup_ivf") || on("pq")) {
+          on("semdedup_ivf") || on("semdedup_hier") || on("pq")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -513,6 +513,66 @@ object ScaleProbe {
         assert(pruned >= (planted * 85L) / 100L,
           s"expected >=85%% of $planted twins pruned, got $pruned")
         deleteRecursively(new java.io.File(sdDir))
+      }
+      // The FULL production semantic-dedup pipeline at scale: raw
+      // unlabeled vectors → hierarchical two-level k-means assignment
+      // (k1×k2 ≈ N/250 effective cells at O((k1+k2)·dim)/row — the
+      // assignment wall the flat semdedup_ivf probe measured is gone) →
+      // within-cell prune, BOTH the float and the PQ-coded path. This is
+      // the end-to-end number a 100 TB deployment budgets: clustering
+      // included, nothing pre-labeled.
+      if (on("semdedup_hier")) {
+        val cSize = sys.env.get("SPARK_GRAFT_SEMDEDUP_CSIZE")
+          .map(_.toInt).getOrElse(250)
+        val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+          System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_hier_$n"
+        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+                / 500.0).as("vec"))
+        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + n).as("vec_id"),
+            zip_with(col("vec"), reverse(col("vec")),
+              (x, y) => x + y * lit(0.01)).as("vec"))
+        baseV.unionByName(twinsV).write.mode("overwrite").parquet(sdDir)
+        val corpusV = Similarity.prepared(spark.read.parquet(sdDir),
+          col("vec_id"), col("vec"))
+        val totalV = corpusV.count()
+        val kCells = math.max(16, (n / cSize).toInt)
+        val k1 = math.max(2, math.sqrt(kCells.toDouble).round.toInt)
+        val k2 = math.max(2, (kCells + k1 - 1) / k1)
+        val planted = (n + 99) / 100
+        val tC = System.nanoTime()
+        val (assignedRaw, _) = graft.operators.IvfIndex
+          .buildTwoLevel(corpusV, k1, k2)
+        // pin the assignment: both prune paths and the colocation floor
+        // consume it, and the production pattern persists it anyway
+        val assignDir = sdDir + "_assigned"
+        assignedRaw.write.mode("overwrite").parquet(assignDir)
+        val assigned = spark.read.parquet(assignDir)
+        val secCluster = (System.nanoTime() - tC) / 1e9
+        val t1 = System.nanoTime()
+        val keptF = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8).count()
+        val secF = (System.nanoTime() - t1) / 1e9
+        val step = math.max(1L, totalV / 100000L)
+        val model = graft.operators.PqCodec.train(
+          Similarity.prepared(
+            corpusV.filter(pmod(col("vec_id"), lit(step)) === 0),
+            col("vec_id"), col("vec")), m = 16, ks = 16)
+        val t2 = System.nanoTime()
+        val keptP = Similarity.semDedupPqKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8, model).count()
+        val secP = (System.nanoTime() - t2) / 1e9
+        val pruned = totalV - keptF
+        println(f"""{"metric":"semdedup_hier_scale","vecs":$totalV,"k1":$k1,"k2":$k2,"cells":${k1 * k2},"cluster_sec":$secCluster%.2f,"prune_float_sec":$secF%.2f,"prune_pq_sec":$secP%.2f,"kept":$keptF,"kept_pq":$keptP,"pruned":$pruned,"planted":$planted}""")
+        assert(keptF == keptP,
+          s"PQ prune $keptP != float prune $keptF over the hierarchical assignment")
+        assert(pruned >= (planted * 85L) / 100L,
+          s"expected >=85%% of $planted twins pruned, got $pruned")
+        deleteRecursively(new java.io.File(sdDir))
+        deleteRecursively(new java.io.File(assignDir))
       }
       if (on("ann") || on("ivf")) vecs.unpersist()
       }

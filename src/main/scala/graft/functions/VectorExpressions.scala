@@ -117,6 +117,58 @@ object VectorExpressions {
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
 
+  /** Nearest sub-centroid WITHIN the row's level-1 cell — the level-2
+    * assignment of a hierarchical coarse quantizer
+    * ([[graft.operators.IvfIndex.buildTwoLevel]]). The full k1×k2 bank
+    * rides the plan as one reference object (like [[NearestCentroid]]'s
+    * centroid list), but each row's argmin touches only its own cell's
+    * k2 sub-centroids: assignment stays a pure per-row projection at
+    * O(k2·dim), which is what makes tens of thousands of effective
+    * cells affordable where a flat codebook's O(k·dim) is not. */
+  case class NearestCentroidBank(left: Expression, right: Expression,
+                                 banks: Seq[Seq[Seq[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_centroid_bank"
+
+    @transient private lazy val bankArr: Array[Array[Array[Double]]] =
+      banks.map(_.map(_.toArray).toArray).toArray
+    @transient private lazy val cn2Arr: Array[Array[Double]] =
+      bankArr.map(_.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s
+      })
+
+    override def nullSafeEval(v: Any, cell: Any): Any =
+      VectorKernels.nearestCentroidBank(v.asInstanceOf[ArrayData],
+        cell.asInstanceOf[Int], bankArr, cn2Arr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("centroidBanks", bankArr, "double[][][]")
+      val nRef = ctx.addReferenceObj("bankNorm2", cn2Arr, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, cell) => {
+        val tmp = ctx.freshName("nearestBank")
+        s"""
+           |java.lang.Integer $tmp =
+           |  graft.functions.VectorKernels.nearestCentroidBank($v, $cell, $bRef, $nRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.intValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def nearestCentroidBank(vec: Column, cell: Column,
+                          banks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(NearestCentroidBank(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), banks))
+
   /** Product-quantization code (binary, one byte per subspace) of an
     * `array<double>` vector against trained codebooks embedded in the plan
     * (`codebooks(j)` = subspace j's `ks` centroids, flattened row-major).

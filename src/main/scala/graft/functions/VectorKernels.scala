@@ -214,6 +214,20 @@ object VectorKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** [[nearestCentroid]] within ONE bank of a per-cell centroid bank:
+    * the level-2 step of a hierarchical (two-level) coarse quantizer.
+    * `banks(cell)` holds that level-1 cell's sub-centroids and
+    * `cn2(cell)` their squared norms; the argmin runs over the selected
+    * bank only, so per-row cost is O(k2·dim) regardless of how many
+    * total cells k1×k2 the quantizer has. Null on an out-of-range cell
+    * or when no sub-centroid matches the dimension. */
+  def nearestCentroidBank(v: ArrayData, cell: Int,
+                          banks: Array[Array[Array[Double]]],
+                          cn2: Array[Array[Double]]): java.lang.Integer = {
+    if (cell < 0 || cell >= banks.length) return null
+    nearestCentroid(v, banks(cell), cn2(cell))
+  }
+
   /** Index of the squared-euclidean argmin centroid (ties to lowest index;
     * `cn2(i)` = ‖cᵢ‖², so the score is ‖c‖² − 2·v·c). Boxed null when no
     * centroid matches the vector's dimension. */

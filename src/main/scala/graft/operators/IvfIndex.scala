@@ -74,6 +74,115 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Hierarchical (two-level) coarse quantizer — the scale answer to the
+    * flat codebook's assignment wall. [[build]]'s per-row cost is
+    * O(k·dim) against driver-embedded centroids, which prices a flat
+    * k=64000 (the cell count a 16M-vector semantic dedup needs at the
+    * ~250-vector cell target) out of reach: the r12 probe measured the
+    * O(N·k·dim) curve directly (1M/k=4000 → 77 s, 2M/k=8000 → 237 s).
+    * Two levels factor it: k1 top-level cells, then k2 sub-cells per
+    * top cell — k1×k2 EFFECTIVE cells at O((k1+k2)·dim) per row, e.g.
+    * 256×250 = 64000 cells for 506 dot products/row instead of 64000.
+    *
+    * Spark-first shape, mirroring [[build]] and [[PqCodec.train]]:
+    *  - Both levels train on a ≤`sampleMax` systematic SAMPLE
+    *    (published practice — the quantizer must not train at corpus
+    *    scale); the full corpus is touched by ONE final assignment
+    *    projection.
+    *  - Level 2 trains ALL k1 banks in one scan per Lloyd iteration: a
+    *    (c1, c2)-keyed partial-merged mean whose k1×k2 result rows
+    *    (tens of MB at the 64000-cell config — sized for this driver,
+    *    documented) re-embed as the [[graft.functions.VectorExpressions
+    *    .NearestCentroidBank]] reference bank.
+    *  - The final assignment is a pure two-expression projection
+    *    (level-1 argmin behind a Generate, then the bank argmin), so
+    *    `assigned`'s lineage is one corpus scan — no join, no shuffle,
+    *    no window.
+    *
+    * Returns (assigned, centroids): `centroid_id = c1 * k2 + c2` (ids
+    * are NOT re-densified — empty cells simply never appear in
+    * `assigned`), centroids = one row per (c1, c2) pair including
+    * never-assigned ones. Deterministic end to end: both inits hash
+    * `vec_id`, both argmins tie-break low. */
+  def buildTwoLevel(corpus: DataFrame, k1: Int, k2: Int, iters: Int = 2,
+                    sampleMax: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(k1 >= 1 && k2 >= 1, s"need k1, k2 >= 1, got $k1, $k2")
+    val spark = corpus.sparkSession
+    val vmean = udaf(VectorMeanAggregator)
+    val n = math.max(1L, corpus.count())
+    val step = math.max(1L, n / sampleMax)
+    val sample = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+
+    // Level 1 on the sample: the flat Lloyd loop (k1 is small)
+    val (_, cents1Df) = build(sample, k1, iters)
+    val cents1: Seq[Seq[Double]] = cents1Df.orderBy(col("centroid_id"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val k1e = cents1.length // build densifies: empty initial cells drop
+    val c1OfSample = nearestCentroid(col("vec"), cents1)
+
+    // Level 2: one scan per iteration trains every bank at once
+    val dim = cents1.head.length
+    var banks: Array[Array[Array[Double]]] =
+      Array.fill(k1e, k2)(new Array[Double](dim))
+    var assign2: Column = pmod(xxhash64(col("vec_id")), lit(k2)).cast("int")
+    (0 until math.max(1, iters)).foreach { _ =>
+      val rows = sample
+        .select(col("vec"), c1OfSample.as("c1"), assign2.as("c2"))
+        .groupBy(col("c1"), col("c2")).agg(vmean(col("vec")).as("cvec"))
+        .collect()
+      val next = Array.fill(k1e, k2)(null: Array[Double])
+      rows.foreach { r =>
+        val c1 = r.getAs[Number](0).intValue()
+        val c2 = r.getAs[Number](1).intValue()
+        if (c1 >= 0 && c1 < k1e && c2 >= 0 && c2 < k2) {
+          val v = r.getSeq[Double](2)
+          if (v.length == dim) next(c1)(c2) = v.toArray
+        }
+      }
+      // empty cells keep their previous centroid (zeros before the
+      // first iteration) — the PqCodec.train convention
+      var a = 0
+      while (a < k1e) {
+        var b = 0
+        while (b < k2) {
+          if (next(a)(b) == null) next(a)(b) = banks(a)(b)
+          b += 1
+        }
+        a += 1
+      }
+      banks = next
+      assign2 = graft.functions.VectorExpressions.nearestCentroidBank(
+        col("vec"), c1OfSample, banks.map(_.map(_.toSeq).toSeq).toSeq)
+    }
+    val bankSeq: Seq[Seq[Seq[Double]]] = banks.map(_.map(_.toSeq).toSeq).toSeq
+
+    // Final corpus assignment: level-1 argmin materialized behind a
+    // Generate (the [[build]] double-eval guard), then the bank argmin
+    // and the global id, materialized behind a second Generate
+    val withC1 = corpus
+      .select(col("*"), posexplode_outer(array(nearestCentroid(col("vec"), cents1)))
+        .as(Seq("__p1", "__c1")))
+      .drop("__p1")
+    val globalId = (col("__c1") * k2 +
+      graft.functions.VectorExpressions.nearestCentroidBank(
+        col("vec"), col("__c1"), bankSeq)).cast("int")
+    val assigned = withC1
+      .select(col("*"), posexplode_outer(array(globalId)).as(Seq("__p2", "centroid_id")))
+      .drop("__p2").drop("__c1")
+
+    import spark.implicits._
+    val centroidRows = for {
+      a <- 0 until k1e
+      b <- 0 until k2
+    } yield {
+      val v = banks(a)(b).toSeq
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (a * k2 + b, v, math.sqrt(s))
+    }
+    (assigned, centroidRows.toDF("centroid_id", "cvec", "cnorm"))
+  }
+
   /** Persist the IVF index with one DIRECTORY PER LIST (a parquet table
     * partitioned by `centroid_id`) plus a tiny companion centroid table.
     * This is the PERSISTED form of ANN state — the analogue of the

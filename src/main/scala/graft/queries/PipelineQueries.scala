@@ -260,6 +260,53 @@ object PipelineQueries {
       row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
     },
 
+    // The dedup_semdedup_ivf composition with the HIERARCHICAL coarse
+    // quantizer (IvfIndex.buildTwoLevel): two-level k-means — k1 top
+    // cells then k2 sub-cells per top cell — gives k1×k2 effective cells
+    // at O((k1+k2)·dim) assignment cost per row, where the flat
+    // codebook's O(k·dim) walls out at low-millions of vectors (the r12
+    // semdedup_ivf probe measured that wall directly). 4×4 here matches
+    // the flat query's 16-cell granularity at this scale factor; at 16M
+    // the same operator runs 256×250 = 64000 cells (probe). Same three
+    // self-certifying planted invariants — they hold for ANY
+    // deterministic assignment that colocates near-identical vectors,
+    // which is exactly what both k-means levels' argmins guarantee.
+    "dedup_semdedup_hier" -> { (s, dir) =>
+      val planted = plantedEmbeddings(Tables(s, dir))
+      val prep = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+      val (assignedRaw, _) = IvfIndex.buildTwoLevel(prep, k1 = 4, k2 = 4)
+      val assigned = assignedRaw.localCheckpoint(true)
+      val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+          col("centroid_id"), threshold = 0.8)
+        .localCheckpoint(true)
+      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
+      val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      val twins = cells.filter(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
+          col("centroid_id").as("twin_cell"))
+        .join(cells.select(col("vec_id").as("orig_id"),
+          col("centroid_id").as("orig_cell")), Seq("orig_id"))
+        .join(keptFlag, Seq("vec_id"), "left")
+        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
+          coalesce(!col("kept"), lit(true)).as("pruned"))
+      val row1 = kept.filter(col("vec_id") < 100000)
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(cells.filter(col("vec_id") < 100000)
+          .agg(count(lit(1)).as("n_tot")))
+        .select(lit("originals_all_kept").as("check_name"), col("n"),
+          (col("n") === col("n_tot")).as("ok"))
+      val row2 = twins.agg(count(lit(1)).as("n_twins"),
+          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
+            .as("n"))
+        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
+          (col("n") === col("n_twins")).as("ok"))
+      val row3 = twins.agg(count(lit(1)).as("n"),
+          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
+        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
+          (col("n_co") >= col("n") * 0.9).as("ok"))
+      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+    },
+
     // Production path for embedding near-dup: OR-amplified hyperplane LSH
     // on a GAPPED corpus — every 10th vector gets a planted near-duplicate
     // (v + 0.01·reverse(v), cosine ≈ 0.9999) so dups sit far above the
@@ -1468,6 +1515,17 @@ object PipelineQueries {
     // the n column anchored to corpus counts so a silently-empty Spark
     // result can't hash-match.
     "dedup_semdedup_ivf" ->
+      """SELECT * FROM (VALUES
+           ('originals_all_kept',
+            (SELECT count(*) FROM embeddings), true),
+           ('twin_colocation_floor',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true),
+           ('twins_pruned_iff_colocated',
+            (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0), true))
+         AS t(check_name, n, ok) ORDER BY check_name""",
+
+    // Same invariant protocol for the hierarchical-quantizer composition.
+    "dedup_semdedup_hier" ->
       """SELECT * FROM (VALUES
            ('originals_all_kept',
             (SELECT count(*) FROM embeddings), true),

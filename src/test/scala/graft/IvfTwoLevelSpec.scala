@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.functions.{VectorExpressions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** The hierarchical (two-level) coarse quantizer must be a real k-means
+  * partition — every row assigned to its argmin sub-centroid within its
+  * own level-1 cell — deterministic, and it must compose with semantic
+  * dedup exactly like the flat assignment does (colocated twins pruned,
+  * originals kept). */
+class IvfTwoLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val prep =
+    Similarity.prepared(Tables(spark, sfDir).embeddings, col("vec_id"), col("embedding"))
+
+  test("level-2 assignment is the argmin within the row's own bank") {
+    val k1 = 4; val k2 = 3
+    val (assigned, centroids) = IvfIndex.buildTwoLevel(prep, k1, k2)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val rows = assigned.select(col("vec_id"), col("vec"), col("centroid_id"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vec = r.getSeq[Double](1).toArray
+      val cid = r.getInt(2)
+      val c1 = cid / k2
+      // within the assigned level-1 cell, the chosen sub-centroid must be
+      // the squared-euclidean argmin (ties to the lowest id)
+      val scores = (0 until k2).map { c2 =>
+        val c = cents(c1 * k2 + c2)
+        var dot = 0.0; var n2 = 0.0; var i = 0
+        while (i < vec.length) { dot += vec(i) * c(i); n2 += c(i) * c(i); i += 1 }
+        (c2, n2 - 2.0 * dot)
+      }
+      val best = scores.minBy { case (c2, s) => (s, c2) }._1
+      assert(cid % k2 == best,
+        s"vec ${r.getLong(0)}: assigned sub-cell ${cid % k2}, argmin $best in cell $c1")
+    }
+  }
+
+  test("deterministic: two builds produce identical assignments") {
+    val a1 = IvfIndex.buildTwoLevel(prep, 4, 4)._1
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val a2 = IvfIndex.buildTwoLevel(prep, 4, 4)._1
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(a1 == a2, "repeat builds must agree")
+  }
+
+  test("level 2 actually splits: more effective cells than k1, bounded by k1*k2") {
+    val k1 = 4; val k2 = 4
+    val (assigned, _) = IvfIndex.buildTwoLevel(prep, k1, k2)
+    val nCells = assigned.select("centroid_id").distinct().count()
+    assert(nCells > k1, s"expected more than $k1 effective cells, got $nCells")
+    assert(nCells <= k1.toLong * k2)
+  }
+
+  test("composes with semantic dedup: colocated twins pruned, originals kept") {
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + y * lit(0.01)).as("embedding")))
+    val p = Similarity.prepared(planted, col("vec_id"), col("embedding"))
+    val (assignedRaw, _) = IvfIndex.buildTwoLevel(p, 4, 4)
+    val assigned = assignedRaw.localCheckpoint(true)
+    val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
+        col("centroid_id"), threshold = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toMap
+    // every original survives (its lower-id cluster-mates are background)
+    val originals = cells.keySet.filter(_ < 100000)
+    assert(originals.subsetOf(kept), "every original must survive")
+    // a twin is pruned exactly when colocated with its original
+    val twins = cells.keySet.filter(_ >= 100000)
+    twins.foreach { t =>
+      val colocated = cells(t) == cells(t - 100000)
+      assert(!kept.contains(t) == colocated,
+        s"twin $t: colocated=$colocated but pruned=${!kept.contains(t)}")
+    }
+    // and the partition is semantic: >= 90% of twins share their
+    // original's cell (the registered-query floor)
+    val nCo = twins.count(t => cells(t) == cells(t - 100000))
+    assert(nCo >= twins.size * 0.9,
+      s"colocation $nCo/${twins.size} below the 90% floor")
+  }
+
+  test("bank kernel: out-of-range cell is null, never a throw") {
+    val banks = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val df = Seq((0, Seq(1.0, 0.0), 0), (1, Seq(1.0, 0.0), 7),
+        (2, Seq(1.0, 0.0), -1))
+      .toDF("id", "vec", "cell")
+      .select(col("id"),
+        VectorExpressions.nearestCentroidBank(col("vec"), col("cell"), banks).as("c2"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getInt(1)))
+      .toMap
+    assert(df(0) == 0)
+    assert(df(1) == null && df(2) == null)
+  }
+}
