@@ -106,8 +106,53 @@ object IvfIndex {
     * `vec_id`, both argmins tie-break low. */
   def buildTwoLevel(corpus: DataFrame, k1: Int, k2: Int, iters: Int = 2,
                     sampleMax: Long = 1000000L): (DataFrame, DataFrame) = {
+    val model = trainTwoLevel(corpus, k1, k2, iters, sampleMax)
+    (assignTwoLevel(corpus, model), model.centroids(corpus.sparkSession))
+  }
+
+  /** Trained two-level quantizer: level-1 centroids plus one sub-centroid
+    * bank per level-1 cell. Carrying the model explicitly (rather than
+    * only the assigned frame) is what lets PROBES descend the same
+    * hierarchy a build did — a hierarchical assignment is NOT the global
+    * argmin over all k1×k2 sub-centroids, so looking a query up in the
+    * index must replay the two-step argmin, not a flat nearest-centroid
+    * ([[probeTopKTwoLevel]]). */
+  final case class TwoLevelModel(cents1: Seq[Seq[Double]],
+                                 banks: Seq[Seq[Seq[Double]]]) {
+    def k1: Int = banks.length
+    def k2: Int = banks.headOption.map(_.length).getOrElse(0)
+
+    /** The hierarchical cell id (c1·k2 + c2) of a vector column. Both
+      * argmin kernels run per evaluation; callers assigning a large
+      * frame should materialize behind a Generate ([[assignTwoLevel]]),
+      * query-sized frames can use this directly. */
+    def cellOf(vec: Column): Column = {
+      val c1 = nearestCentroid(vec, cents1)
+      (c1 * k2 + graft.functions.VectorExpressions
+        .nearestCentroidBank(vec, c1, banks)).cast("int")
+    }
+
+    /** All k1×k2 (centroid_id, cvec, cnorm) rows as a local relation. */
+    def centroids(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val rows = for {
+        a <- 0 until k1
+        b <- 0 until k2
+      } yield {
+        val v = banks(a)(b)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (a * k2 + b, v, math.sqrt(s))
+      }
+      rows.toDF("centroid_id", "cvec", "cnorm")
+    }
+  }
+
+  /** Train the two-level quantizer on a ≤`sampleMax` systematic sample of
+    * `corpus` (see [[buildTwoLevel]] for the full shape discussion). */
+  def trainTwoLevel(corpus: DataFrame, k1: Int, k2: Int, iters: Int = 2,
+                    sampleMax: Long = 1000000L): TwoLevelModel = {
     require(k1 >= 1 && k2 >= 1, s"need k1, k2 >= 1, got $k1, $k2")
-    val spark = corpus.sparkSession
     val vmean = udaf(VectorMeanAggregator)
     val n = math.max(1L, corpus.count())
     val step = math.max(1L, n / sampleMax)
@@ -154,33 +199,61 @@ object IvfIndex {
       assign2 = graft.functions.VectorExpressions.nearestCentroidBank(
         col("vec"), c1OfSample, banks.map(_.map(_.toSeq).toSeq).toSeq)
     }
-    val bankSeq: Seq[Seq[Seq[Double]]] = banks.map(_.map(_.toSeq).toSeq).toSeq
+    TwoLevelModel(cents1, banks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 
-    // Final corpus assignment: level-1 argmin materialized behind a
-    // Generate (the [[build]] double-eval guard), then the bank argmin
-    // and the global id, materialized behind a second Generate
+  /** Assign a corpus under a trained [[TwoLevelModel]]: level-1 argmin
+    * materialized behind a Generate (the [[build]] double-eval guard),
+    * then the bank argmin and the global id behind a second Generate —
+    * one scan, two expressions, no join/shuffle/window. */
+  def assignTwoLevel(corpus: DataFrame, model: TwoLevelModel): DataFrame = {
     val withC1 = corpus
-      .select(col("*"), posexplode_outer(array(nearestCentroid(col("vec"), cents1)))
-        .as(Seq("__p1", "__c1")))
+      .select(col("*"),
+        posexplode_outer(array(nearestCentroid(col("vec"), model.cents1)))
+          .as(Seq("__p1", "__c1")))
       .drop("__p1")
-    val globalId = (col("__c1") * k2 +
+    val globalId = (col("__c1") * model.k2 +
       graft.functions.VectorExpressions.nearestCentroidBank(
-        col("vec"), col("__c1"), bankSeq)).cast("int")
-    val assigned = withC1
+        col("vec"), col("__c1"), model.banks)).cast("int")
+    withC1
       .select(col("*"), posexplode_outer(array(globalId)).as(Seq("__p2", "centroid_id")))
       .drop("__p2").drop("__c1")
+  }
 
-    import spark.implicits._
-    val centroidRows = for {
-      a <- 0 until k1e
-      b <- 0 until k2
-    } yield {
-      val v = banks(a)(b).toSeq
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      (a * k2 + b, v, math.sqrt(s))
-    }
-    (assigned, centroidRows.toDF("centroid_id", "cvec", "cnorm"))
+  /** Top-k lookup against a two-level-assigned index: each query DESCENDS
+    * THE SAME HIERARCHY the corpus was assigned under (level-1 argmin,
+    * then that cell's bank argmin — [[TwoLevelModel.cellOf]]) and scans
+    * exactly its own cell. This is the nProbe=1 configuration, and it is
+    * the one the planted-twin protocol makes provably exact: a query
+    * that IS a corpus vector replays the identical two argmins, so its
+    * cell IS its twin's cell. A flat nearest-centroid over all k1×k2
+    * sub-centroids would NOT guarantee that (hierarchical assignment is
+    * not the global argmin) — which is exactly why the model, not just
+    * the centroid table, is the probe input. Multi-probe over neighbor
+    * cells remains the flat [[probeTopK]]'s territory; at the cell
+    * granularities two levels buy (~250 vectors), scanning one cell is
+    * the point.
+    *
+    * Plan shape: queries (small) assign with two per-row kernels, then
+    * broadcast into an equi-join on `centroid_id` against the assigned
+    * corpus — corpus-side work is one scan with a codegen'd hash probe,
+    * candidates are cell-sized, and the ranking is the bounded partial
+    * top-k aggregator. */
+  def probeTopKTwoLevel(assigned: DataFrame, model: TwoLevelModel,
+                        queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("vec").as("query_vec"), col("norm").as("query_norm"),
+      model.cellOf(col("vec")).as("centroid_id"))
+    val scored = assigned
+      .select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
+        col("norm").as("cand_norm"), col("centroid_id"))
+      .join(broadcast(q), "centroid_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("cand_norm") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("cand_vec"), col("query_vec"))
+            / (col("cand_norm") * col("query_norm"))))
+    Ranking.topKPerQuery(scored, k)
   }
 
   /** Persist the IVF index with one DIRECTORY PER LIST (a parquet table

@@ -922,6 +922,28 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // ANN lookup against the HIERARCHICAL index: the query descends the
+    // same two-level argmin the corpus was assigned under
+    // (IvfIndex.probeTopKTwoLevel), so a planted-twin query — the
+    // query IS its twin's vector — provably lands in its twin's cell
+    // and the brute-force top-1 oracle holds exactly, the sim_ivf_top1
+    // protocol transplanted to the quantizer that scales to 64k+ cells.
+    // A flat nearest-centroid probe over the two-level centroid table
+    // would NOT carry this guarantee (hierarchical assignment ≠ global
+    // argmin), which is the design point the query pins.
+    "sim_ivf_hier" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      val model = IvfIndex.trainTwoLevel(all, k1 = 4, k2 = 4)
+      IvfIndex.probeTopKTwoLevel(IvfIndex.assignTwoLevel(all, model),
+          model, queries, k = 1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     "text_token_stats" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents.select(col("doc_id"),
@@ -2322,6 +2344,26 @@ object PipelineQueries {
     // nearest centroid IS its twin's list), so the same top-1 oracle
     // holds IVF-PQ at its most selective config.
     "sim_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // The hierarchical probe replays the assignment's own two-step
+    // argmin, so the twin guarantee — and therefore the brute-force
+    // top-1 oracle — transfers unchanged from the flat IVF.
+    "sim_ivf_hier" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
             q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm

@@ -89,6 +89,26 @@ class IvfTwoLevelSpec extends SparkSpec {
       s"colocation $nCo/${twins.size} below the 90% floor")
   }
 
+  test("hierarchical probe: twin queries return the exact nearest neighbor") {
+    // the probe must descend the SAME hierarchy as the assignment — a
+    // query that IS a corpus vector then provably lands in its twin's
+    // cell, so top-1 equals exact brute force
+    val model = IvfIndex.trainTwoLevel(prep, 4, 4)
+    val assigned = IvfIndex.assignTwoLevel(prep, model)
+    val queries = prep.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+    val got = IvfIndex.probeTopKTwoLevel(assigned, model, queries, k = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(got.size == 10)
+    got.foreach { case (q, c) =>
+      assert(c == q - 100000, s"query $q found $c, expected its twin ${q - 100000}")
+    }
+    // and the probe plan must not contain a Window (bounded top-k)
+    val plan = IvfIndex.probeTopKTwoLevel(assigned, model, queries, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "probe ranking must be the bounded aggregator")
+  }
+
   test("bank kernel: out-of-range cell is null, never a throw") {
     val banks = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
     val df = Seq((0, Seq(1.0, 0.0), 0), (1, Seq(1.0, 0.0), 7),
