@@ -34,7 +34,12 @@ object Bench {
     val untimed = if (only.isDefined) Set.empty[String] else Set("ingest_loop")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)) && !untimed.contains(n))
-    names.foreach { name =>
+    // the contention control is warmed even under SPARK_GRAFT_ONLY —
+    // otherwise control_first would absorb first-execution codegen/JIT
+    // warmup and read as start-of-run contention, inverting the signal
+    val control = "q_filter_project"
+    (names ++ (if (SparkEntry.queries.contains(control)) Seq(control) else Nil))
+      .distinct.foreach { name =>
       try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
     }
     // A failed query reports -1 (visible in the JSON) instead of a
@@ -54,7 +59,6 @@ object Bench {
     // regressed" (controls steady, one query moved) off the artifact
     // itself, without a rerun. The control's in-suite number in `queries`
     // is unchanged and stays comparable across rounds.
-    val control = "q_filter_project"
     val controlFirst =
       if (SparkEntry.queries.contains(control)) time(control) else -1.0
     val results = names.map(name => name -> time(name))

@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_PROBES=minhash,ann,ivf,emb selects a probe subset.
   */
 object ScaleProbe {
+  /** The probes' shared synthetic embedding corpus: n deterministic
+    * 64-dim vectors plus one planted near-twin (v + 0.01·reverse(v),
+    * cosine ≈ 0.9999, id + n) per 100 vectors — one definition so the
+    * semdedup / semdedup_ivf / semdedup_hier probes can never drift
+    * onto different corpora. */
+  private def synthTwinVectors(spark: SparkSession, n: Int) = {
+    val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
+            / 500.0).as("vec"))
+    val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select((col("vec_id") + n).as("vec_id"),
+        zip_with(col("vec"), reverse(col("vec")),
+          (x, y) => x + y * lit(0.01)).as("vec"))
+    baseV.unionByName(twinsV)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -402,16 +420,7 @@ object ScaleProbe {
         // in round 5; the shard dir is deleted before the next size
         val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
           System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_$n"
-        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
-          .select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(63)),
-              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
-                / 500.0).as("vec"))
-        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
-          .select((col("vec_id") + n).as("vec_id"),
-            zip_with(col("vec"), reverse(col("vec")),
-              (x, y) => x + y * lit(0.01)).as("vec"))
-        baseV.unionByName(twinsV)
+        synthTwinVectors(spark, n)
           .withColumn("cluster",
             pmod(when(col("vec_id") >= n, col("vec_id") - n)
               .otherwise(col("vec_id")), lit(kClusters)).cast("int"))
@@ -487,16 +496,7 @@ object ScaleProbe {
           .map(_.toInt).getOrElse(250)
         val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
           System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_ivf_$n"
-        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
-          .select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(63)),
-              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
-                / 500.0).as("vec"))
-        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
-          .select((col("vec_id") + n).as("vec_id"),
-            zip_with(col("vec"), reverse(col("vec")),
-              (x, y) => x + y * lit(0.01)).as("vec"))
-        baseV.unionByName(twinsV).write.mode("overwrite").parquet(sdDir)
+        synthTwinVectors(spark, n).write.mode("overwrite").parquet(sdDir)
         val corpusV = Similarity.prepared(spark.read.parquet(sdDir),
           col("vec_id"), col("vec"))
         val totalV = corpusV.count()
@@ -526,16 +526,7 @@ object ScaleProbe {
           .map(_.toInt).getOrElse(250)
         val sdDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
           System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/semdedup_hier_$n"
-        val baseV = spark.range(0L, n.toLong, 1L, math.max(32, n / 250000))
-          .select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(63)),
-              i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") - 500.0)
-                / 500.0).as("vec"))
-        val twinsV = baseV.filter(pmod(col("vec_id"), lit(100)) === 0)
-          .select((col("vec_id") + n).as("vec_id"),
-            zip_with(col("vec"), reverse(col("vec")),
-              (x, y) => x + y * lit(0.01)).as("vec"))
-        baseV.unionByName(twinsV).write.mode("overwrite").parquet(sdDir)
+        synthTwinVectors(spark, n).write.mode("overwrite").parquet(sdDir)
         val corpusV = Similarity.prepared(spark.read.parquet(sdDir),
           col("vec_id"), col("vec"))
         val totalV = corpusV.count()

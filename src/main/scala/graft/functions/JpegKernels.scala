@@ -223,6 +223,12 @@ object JpegKernels {
                        pixels: Array[Byte]): Array[Byte] = {
     if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
     if (channels != 1 && channels != 3) return null
+    // the codec's pixel budget, mirrored on BOTH sides so encode→decode
+    // stays closed: the decoder rejects padded sample counts past 1<<25
+    // (untrusted-dims guard), so the encoder must not emit streams its
+    // own decoder would refuse
+    if ((width.toLong + 7) / 8 * 8 * ((height.toLong + 7) / 8 * 8) * channels > (1 << 25))
+      return null
     if (pixels == null || pixels.length.toLong != width.toLong * height * channels)
       return null
     // color convert to per-component planes (Y or Y/Cb/Cr)
@@ -342,6 +348,9 @@ object JpegKernels {
                                   pixels: Array[Byte]): Array[Byte] = {
     if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
     if (channels != 1 && channels != 3) return null
+    // same both-sides pixel budget as [[jpegEncodePixels]]
+    if ((width.toLong + 7) / 8 * 8 * ((height.toLong + 7) / 8 * 8) * channels > (1 << 25))
+      return null
     if (pixels == null || pixels.length.toLong != width.toLong * height * channels)
       return null
     val nc = channels

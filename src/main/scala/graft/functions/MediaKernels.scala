@@ -613,6 +613,10 @@ object MediaKernels {
     * reset on table overflow). Null on invalid dims / buffer size. */
   def gifEncodePixels(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
     if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff) return null
+    // the codec's 1<<24-pixel budget, mirrored on both sides so
+    // encode→decode stays closed (the decoder rejects larger declared
+    // dims as its untrusted-input guard)
+    if (width.toLong * height > (1 << 24)) return null
     if (indices == null || indices.length.toLong != width.toLong * height) return null
     val bos = new java.io.ByteArrayOutputStream(indices.length / 2 + 64)
     val hdr = new Array[Byte](13)

@@ -31,15 +31,21 @@ class TopKAggregator(k: Int)
   override def zero: Buf = Buf(Vector.empty)
 
   // (isNull asc, score desc, id asc) — strictly "a ranks before b".
-  // Scores compare via Double.compare, which totally orders NaN (greater
-  // than every other double, matching Spark's sort semantics) — a plain
-  // `!=`/`>` comparison is not a total order when a corrupt vector yields
-  // a NaN cosine, which would make buffer contents insertion-order-
-  // dependent and break Window-form parity.
+  // Score comparison must reproduce Spark's nanSafeCompareDoubles
+  // exactly: NaN totally ordered above every double (a plain `!=`/`>` is
+  // not a total order under NaN — buffer contents would become
+  // insertion-order-dependent), AND -0.0 == 0.0 a TIE broken by cand_id
+  // (raw Double.compare ranks 0.0 above -0.0, which would diverge from
+  // the Window form when a cosine underflows to a negative zero). The
+  // `==` test first yields the tie for ±0.0 and equal values while NaN
+  // falls through (NaN != NaN) to Double.compare, which handles
+  // NaN-vs-x and NaN-vs-NaN like Spark does.
   private def before(a: Entry, b: Entry): Boolean =
     if (a.isNull != b.isNull) !a.isNull
     else {
-      val c = if (a.isNull) 0 else java.lang.Double.compare(a.score, b.score)
+      val c =
+        if (a.isNull || a.score == b.score) 0
+        else java.lang.Double.compare(a.score, b.score)
       if (c != 0) c > 0 else a.cand_id < b.cand_id
     }
 

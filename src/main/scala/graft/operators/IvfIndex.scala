@@ -30,10 +30,11 @@ object IvfIndex {
   /** corpus: (vec_id, vec, norm) as produced by [[Similarity.prepared]].
     * Returns (assigned, centroids): assigned = corpus + centroid_id;
     * centroids = (centroid_id, cvec, cnorm), a local relation of ≤ k rows.
-    * Deterministic: k-means init is vec_id % k; assignment argmin ties
-    * break to the lowest centroid_id. Centroid ids are re-numbered to the
-    * dense range 0..m-1 after the first aggregation (empty initial lists
-    * drop out). */
+    * Deterministic: k-means init is xxhash64(vec_id) % k (hashed so a
+    * systematic sample cannot alias the init onto few residues);
+    * assignment argmin ties break to the lowest centroid_id. Centroid ids
+    * are re-numbered to the dense range 0..m-1 after the first
+    * aggregation (empty initial lists drop out). */
   def build(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val vmean = udaf(VectorMeanAggregator)
@@ -42,12 +43,19 @@ object IvfIndex {
       corpus.withColumn("centroid_id", assign)
         .groupBy("centroid_id").agg(vmean(col("vec")).as("cvec"))
         .collect()
+        // a null group collects rows whose vectors failed the argmin
+        // (dim mismatch — dirty data); skip it, never dereference it
+        .filter(!_.isNullAt(0))
         .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Double](1)))
         .sortBy(_._1)
         .map(_._2)
         .toSeq
 
-    var assign: Column = pmod(col("vec_id"), lit(k)).cast("int")
+    // init hashes the id rather than taking vec_id % k: a caller may feed
+    // a SYSTEMATIC sample (vec_id % step == 0 — trainTwoLevel does), and
+    // modulo init would then populate only k/gcd(step, k) residues, which
+    // build's densification silently collapses into a smaller codebook
+    var assign: Column = pmod(xxhash64(col("vec_id")), lit(k)).cast("int")
     var cents: Seq[Seq[Double]] = Nil
     (0 until iters).foreach { _ =>
       cents = centroidsFor(assign) // one corpus scan; ≤ k rows collected
@@ -177,11 +185,15 @@ object IvfIndex {
         .collect()
       val next = Array.fill(k1e, k2)(null: Array[Double])
       rows.foreach { r =>
+        // a null c1/c2 group collects dirty rows (dim-mismatched vectors
+        // fail both argmins with boxed null) — skip, never dereference
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
         val c1 = r.getAs[Number](0).intValue()
         val c2 = r.getAs[Number](1).intValue()
         if (c1 >= 0 && c1 < k1e && c2 >= 0 && c2 < k2) {
           val v = r.getSeq[Double](2)
           if (v.length == dim) next(c1)(c2) = v.toArray
+        }
         }
       }
       // empty cells keep their previous centroid (zeros before the

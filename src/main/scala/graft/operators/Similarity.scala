@@ -128,6 +128,17 @@ object Similarity {
     * mismatch, zero recon norm) is NOT a candidate and survives — same
     * keep-on-null direction as the float path's zero-norm guard.
     *
+    * CORRUPT VECTORS (NaN/Inf components) keep parity by construction:
+    * a row whose l2 norm is non-finite carries a 1-byte flag through
+    * the cluster shuffle, and any pair touching a flagged row BYPASSES
+    * the SDC filter straight to the exact re-check — so whatever the
+    * float path's NaN-comparison semantics decide, this path decides
+    * identically (the codes of a NaN vector would otherwise score a
+    * finite SDC cosine and could silently drop the pair from
+    * candidacy). Finite-vector overflow of the dot itself (norms near
+    * 1e154) remains outside the contract, as it is for every cosine
+    * operator in this repo.
+    *
     * Scale shape: the cluster exchanges move codes, never vectors
     * (spec-guarded); the exact-check joins shuffle only candidate ids +
     * the fetched vectors for survivors. Σ|c|² pair cost is unchanged but
@@ -138,20 +149,26 @@ object Similarity {
     import graft.functions.VectorExpressions
     val prep = emb.select(id.as("vec_id"), vec.cast("array<double>").as("vec"),
       cluster.as("cluster"))
+    // `bad` flags non-finite vectors (NaN/Inf components ⇒ non-finite l2
+    // norm; x − x is NaN exactly for non-finite x) — one byte through the
+    // shuffle, so corrupt rows reach the exact re-check unconditionally
+    val nrm = l2Norm(col("vec"))
     val coded = prep
       .withColumn("code", VectorExpressions.pqEncode(col("vec"), model.codebooks))
       .select(col("vec_id"), col("cluster"), col("code"),
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)).as("crn"))
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)).as("crn"),
+        isnan(nrm - nrm).as("bad"))
     val a = coded.select(col("cluster"), col("vec_id").as("id_a"),
-      col("code").as("ca"), col("crn").as("crna"))
+      col("code").as("ca"), col("crn").as("crna"), col("bad").as("bada"))
     val b = coded.select(col("cluster"), col("vec_id").as("id_b"),
-      col("code").as("cb"), col("crn").as("crnb"))
+      col("code").as("cb"), col("crn").as("crnb"), col("bad").as("badb"))
     val candidates = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("acos", cosineFromNorms(
         VectorExpressions.pqSdcDot(col("ca"), col("cb"), model.sdc),
         col("crna"), col("crnb")))
-      .filter(col("acos") >= threshold - margin)
+      .filter(col("bada") || col("badb") ||
+        col("acos") >= threshold - margin)
       .select(col("id_a"), col("id_b"))
     val va = prep.select(col("vec_id").as("id_a"), col("vec").as("va"))
       .withColumn("na", l2Norm(col("va")))

@@ -63,6 +63,43 @@ object PipelineQueries {
           (x, y) => x + y * lit(0.01)).as("embedding")))
   }
 
+  /** The three self-certifying planted invariants shared by every
+    * semantic-dedup composition query (IVF-assigned, PQ-scored,
+    * hierarchical): one definition so the protocol — every original
+    * kept, twins pruned iff colocated, ≥90% colocation — cannot drift
+    * between registrations. `assigned` must carry (vec_id, centroid_id)
+    * and `kept` (vec_id); both should be pinned (localCheckpoint) by
+    * the caller since three report rows consume each. */
+  private def semDedupInvariantRows(assigned: DataFrame,
+                                    kept: DataFrame): DataFrame = {
+    val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
+    val cells = assigned.select(col("vec_id"), col("centroid_id"))
+    val twins = cells.filter(col("vec_id") >= 100000)
+      .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
+        col("centroid_id").as("twin_cell"))
+      .join(cells.select(col("vec_id").as("orig_id"),
+        col("centroid_id").as("orig_cell")), Seq("orig_id"))
+      .join(keptFlag, Seq("vec_id"), "left")
+      .select((col("twin_cell") === col("orig_cell")).as("colocated"),
+        coalesce(!col("kept"), lit(true)).as("pruned"))
+    val row1 = kept.filter(col("vec_id") < 100000)
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(cells.filter(col("vec_id") < 100000)
+        .agg(count(lit(1)).as("n_tot")))
+      .select(lit("originals_all_kept").as("check_name"), col("n"),
+        (col("n") === col("n_tot")).as("ok"))
+    val row2 = twins.agg(count(lit(1)).as("n_twins"),
+        sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
+          .as("n"))
+      .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
+        (col("n") === col("n_twins")).as("ok"))
+    val row3 = twins.agg(count(lit(1)).as("n"),
+        sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
+      .select(lit("twin_colocation_floor").as("check_name"), col("n"),
+        (col("n_co") >= col("n") * 0.9).as("ok"))
+    row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(dupCorpus(Tables(s, dir)), col("text"), col("doc_id"))
@@ -181,32 +218,7 @@ object PipelineQueries {
       val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
           col("centroid_id"), threshold = 0.8)
         .localCheckpoint(true)
-      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
-      val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val twins = cells.filter(col("vec_id") >= 100000)
-        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
-          col("centroid_id").as("twin_cell"))
-        .join(cells.select(col("vec_id").as("orig_id"),
-          col("centroid_id").as("orig_cell")), Seq("orig_id"))
-        .join(keptFlag, Seq("vec_id"), "left")
-        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
-          coalesce(!col("kept"), lit(true)).as("pruned"))
-      val row1 = kept.filter(col("vec_id") < 100000)
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(cells.filter(col("vec_id") < 100000)
-          .agg(count(lit(1)).as("n_tot")))
-        .select(lit("originals_all_kept").as("check_name"), col("n"),
-          (col("n") === col("n_tot")).as("ok"))
-      val row2 = twins.agg(count(lit(1)).as("n_twins"),
-          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
-            .as("n"))
-        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
-          (col("n") === col("n_twins")).as("ok"))
-      val row3 = twins.agg(count(lit(1)).as("n"),
-          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
-        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
-          (col("n_co") >= col("n") * 0.9).as("ok"))
-      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+      semDedupInvariantRows(assigned, kept)
     },
 
     // dedup_semdedup_ivf's composition with PQ-CODED candidate scoring
@@ -232,32 +244,7 @@ object PipelineQueries {
       val kept = Similarity.semDedupPqKeep(assigned, col("vec_id"), col("vec"),
           col("centroid_id"), threshold = 0.8, model)
         .localCheckpoint(true)
-      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
-      val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val twins = cells.filter(col("vec_id") >= 100000)
-        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
-          col("centroid_id").as("twin_cell"))
-        .join(cells.select(col("vec_id").as("orig_id"),
-          col("centroid_id").as("orig_cell")), Seq("orig_id"))
-        .join(keptFlag, Seq("vec_id"), "left")
-        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
-          coalesce(!col("kept"), lit(true)).as("pruned"))
-      val row1 = kept.filter(col("vec_id") < 100000)
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(cells.filter(col("vec_id") < 100000)
-          .agg(count(lit(1)).as("n_tot")))
-        .select(lit("originals_all_kept").as("check_name"), col("n"),
-          (col("n") === col("n_tot")).as("ok"))
-      val row2 = twins.agg(count(lit(1)).as("n_twins"),
-          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
-            .as("n"))
-        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
-          (col("n") === col("n_twins")).as("ok"))
-      val row3 = twins.agg(count(lit(1)).as("n"),
-          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
-        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
-          (col("n_co") >= col("n") * 0.9).as("ok"))
-      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+      semDedupInvariantRows(assigned, kept)
     },
 
     // The dedup_semdedup_ivf composition with the HIERARCHICAL coarse
@@ -279,32 +266,7 @@ object PipelineQueries {
       val kept = Similarity.semDedupKeep(assigned, col("vec_id"), col("vec"),
           col("centroid_id"), threshold = 0.8)
         .localCheckpoint(true)
-      val keptFlag = kept.select(col("vec_id"), lit(true).as("kept"))
-      val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val twins = cells.filter(col("vec_id") >= 100000)
-        .select((col("vec_id") - 100000).as("orig_id"), col("vec_id"),
-          col("centroid_id").as("twin_cell"))
-        .join(cells.select(col("vec_id").as("orig_id"),
-          col("centroid_id").as("orig_cell")), Seq("orig_id"))
-        .join(keptFlag, Seq("vec_id"), "left")
-        .select((col("twin_cell") === col("orig_cell")).as("colocated"),
-          coalesce(!col("kept"), lit(true)).as("pruned"))
-      val row1 = kept.filter(col("vec_id") < 100000)
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(cells.filter(col("vec_id") < 100000)
-          .agg(count(lit(1)).as("n_tot")))
-        .select(lit("originals_all_kept").as("check_name"), col("n"),
-          (col("n") === col("n_tot")).as("ok"))
-      val row2 = twins.agg(count(lit(1)).as("n_twins"),
-          sum(when(col("pruned") === col("colocated"), 1L).otherwise(0L))
-            .as("n"))
-        .select(lit("twins_pruned_iff_colocated").as("check_name"), col("n"),
-          (col("n") === col("n_twins")).as("ok"))
-      val row3 = twins.agg(count(lit(1)).as("n"),
-          sum(when(col("colocated"), 1L).otherwise(0L)).as("n_co"))
-        .select(lit("twin_colocation_floor").as("check_name"), col("n"),
-          (col("n_co") >= col("n") * 0.9).as("ok"))
-      row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
+      semDedupInvariantRows(assigned, kept)
     },
 
     // Production path for embedding near-dup: OR-amplified hyperplane LSH

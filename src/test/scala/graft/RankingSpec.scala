@@ -57,17 +57,27 @@ class RankingSpec extends SparkSpec {
       (1L, 3L, nan), // two NaNs: tie must break to the lowest cand_id
       (1L, 5L, java.lang.Double.valueOf(0.9)),
       (1L, 1L, java.lang.Double.valueOf(Double.PositiveInfinity)),
-      (1L, 2L, null.asInstanceOf[java.lang.Double])
+      (1L, 2L, null.asInstanceOf[java.lang.Double]),
+      // Spark treats -0.0 == 0.0 as a TIE (id order); raw Double.compare
+      // would rank +0.0 first and flip 7 before 6 — a reachable case via
+      // negative-dot underflow
+      (2L, 7L, java.lang.Double.valueOf(0.0)),
+      (2L, 6L, java.lang.Double.valueOf(-0.0))
     ).toDF("query_id", "cand_id", "cosine")
     for (k <- Seq(1, 2, 3, 10)) {
       val a = Ranking.topKPerQuery(scored, k).collect().toSet
       val b = windowForm(scored, k).collect().toSet
       assert(a == b, s"NaN parity broke at k=$k:\nagg=$a\nwin=$b")
     }
-    val order = Ranking.topKPerQuery(scored, 10).orderBy(col("rk"))
+    val order = Ranking.topKPerQuery(scored, 10)
+      .filter(col("query_id") === 1).orderBy(col("rk"))
       .select("cand_id").as[Long].collect().toSeq
     assert(order == Seq(3L, 8L, 1L, 5L, 2L),
       "expected NaN first (ids 3,8), then +Inf, 0.9, null last")
+    val zeros = Ranking.topKPerQuery(scored, 10)
+      .filter(col("query_id") === 2).orderBy(col("rk"))
+      .select("cand_id").as[Long].collect().toSeq
+    assert(zeros == Seq(6L, 7L), "-0.0 and 0.0 must tie and break by id")
     val a1 = Ranking.topKPerQuery(scored.repartition(7), 3).collect().toSet
     val a2 = Ranking.topKPerQuery(scored.repartition(2), 3).collect().toSet
     assert(a1 == a2, "NaN handling must be partitioning-invariant")

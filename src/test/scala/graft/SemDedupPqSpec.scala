@@ -113,6 +113,30 @@ class SemDedupPqSpec extends SparkSpec {
     }
   }
 
+  test("corrupt vectors (NaN/Inf) keep parity with the float path") {
+    // A NaN vector encodes to a NORMAL code (the argmin's NaN scores
+    // never win), so its pairs would score a finite SDC cosine and
+    // could fall out of candidacy while the float path's NaN cosine
+    // decides differently — the `bad` flag routes such pairs to the
+    // exact re-check unconditionally, making the two paths decide
+    // identically whatever Spark's NaN comparison semantics are.
+    val dim = planted.select(size(col("embedding"))).as[Int].head()
+    val poison = Seq(
+      (800000L, Seq.fill(dim)(Double.NaN), 1),
+      (800001L, Seq.tabulate(dim)(i => if (i == 0) Double.PositiveInfinity else 1.0), 1),
+      (800002L, Seq.tabulate(dim)(i => i.toDouble), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = planted.limit(60)
+      .select(col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(3)).cast("int").as("label"))
+      .unionByName(poison)
+    val float = Similarity.semDedupKeep(corpus, col("vec_id"), col("embedding"),
+      col("label"), threshold = 0.8).as[(Long, Int)].collect().toSet
+    val pq = Similarity.semDedupPqKeep(corpus, col("vec_id"), col("embedding"),
+      col("label"), threshold = 0.8, model).as[(Long, Int)].collect().toSet
+    assert(pq == float,
+      s"poisoned parity broke: only-float=${float -- pq}, only-pq=${pq -- float}")
+  }
+
   test("rows that fail to encode are kept, never thrown on") {
     // dim not divisible by the model geometry → pqEncode null → the row
     // can never be a candidate (keep-on-null, same direction as the
