@@ -166,6 +166,40 @@ object TextAnalysis {
         LongNumRe, "<NUM>"),
       PhoneRe, "<PHONE>")
 
+  /** HTML → text extraction, the CommonCrawl-style first stage of a web
+    * pretraining pipeline, as a REGEX-DEFINED contract (valid in both
+    * Java regex and RE2, like the PII patterns — no lookaround): drop
+    * `<script>`/`<style>` elements with their CONTENT, drop comments,
+    * strip remaining tags, decode the six ubiquitous entities
+    * (`&lt; &gt; &quot; &#39; &nbsp;` then `&amp;` LAST so `&amp;lt;`
+    * decodes to the literal `&lt;`, not `<`), and collapse whitespace
+    * runs. This is deliberately a markup STRIPPER, not a browser: no
+    * nesting-aware parsing, no CSS visibility, no charset sniffing —
+    * the documented trade every large-scale extraction pipeline's fast
+    * path makes, and what makes the operator reproducible by any
+    * engine's regexp_replace (the DuckDB oracle runs the same
+    * patterns). Pure per-row regexp chain — codegen'd, shuffle-free,
+    * embarrassingly parallel at 100 TB. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;|&apos;", "'"),
+      "&nbsp;", " ")
+    val amp = regexp_replace(ent, "&amp;", "&")
+    trim(regexp_replace(amp, "[ \\t\\n\\f\\r\\x0B]+", " "))
+  }
+
   /** Split each document into fixed-size token windows with `overlap`
     * tokens shared between consecutive chunks — the standard shaping step
     * for LLM training/context windows. Chunk i covers tokens

@@ -906,6 +906,29 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // HTML → text extraction over a per-document synthesized page: the
+    // doc's text wrapped in head/script/style/comment/entity markup
+    // (script+style CONTENT must vanish, tags strip, the six common
+    // entities decode with &amp; last, whitespace collapses). The synth
+    // and the strip are both regex/concat-expressible, so the DuckDB
+    // oracle reproduces the whole page → text pipeline exactly; every
+    // 5th doc swaps its spaces for &nbsp; to force entity-decode work
+    // through the body text itself.
+    "text_strip_html" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val body = when(pmod(col("doc_id"), lit(5)) === 0,
+        regexp_replace(col("text"), " ", "&nbsp;")).otherwise(col("text"))
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var id="),
+        col("doc_id"), lit(";</script><style>p{color:red}</style></head>"),
+        lit("<body><!-- doc --><h1>Doc &#39;"), col("doc_id"),
+        lit("&#39;</h1><p class=\"main\">"), body,
+        lit("</p><div>Tom &amp; Jerry &lt;escaped&gt;</div></body></html>"))
+      t.documents
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_token_stats" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents.select(col("doc_id"),
@@ -2711,6 +2734,49 @@ object PipelineQueries {
                '${TextAnalysis.LongNumRe}', '<NUM>', 'g'),
              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
          FROM planted ORDER BY doc_id""",
+
+    // The synth and the strip are the same regex/concat pipeline on
+    // both engines; (?is)/(?s) inline flags and 'g' are RE2-valid, and
+    // &amp; decodes LAST on both sides.
+    "text_strip_html" ->
+      """WITH pages AS (
+           SELECT doc_id,
+             '<html><head><script type="text/javascript">var id=' || doc_id
+             || ';</script><style>p{color:red}</style></head>'
+             || '<body><!-- doc --><h1>Doc &#39;' || doc_id
+             || '&#39;</h1><p class="main">'
+             || CASE WHEN doc_id % 5 = 0 THEN replace(text, ' ', '&nbsp;')
+                     ELSE text END
+             || '</p><div>Tom &amp; Jerry &lt;escaped&gt;</div></body></html>'
+             AS html
+           FROM documents),
+          stripped AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g') AS t
+           FROM pages),
+          decoded AS (
+           SELECT doc_id,
+             replace(
+               replace(
+                 regexp_replace(
+                   replace(
+                     replace(
+                       replace(t, '&lt;', '<'),
+                       '&gt;', '>'),
+                     '&quot;', '"'),
+                   '&#39;|&apos;', '''', 'g'),
+                 '&nbsp;', ' '),
+               '&amp;', '&') AS t
+           FROM stripped)
+         SELECT doc_id,
+           trim(regexp_replace(t, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text
+         FROM decoded ORDER BY doc_id""",
 
     "text_strip_boilerplate" ->
       """WITH pages AS (

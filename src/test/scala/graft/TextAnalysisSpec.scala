@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripHtml: script/style content vanishes, tags strip, entities decode, ws collapses") {
+    def strip(s: String): String = Seq(s).toDF("t")
+      .select(TextAnalysis.stripHtml(col("t")).as("o")).as[String].head()
+    // element CONTENT of script/style must vanish, not just the tags
+    assert(strip("<p>a</p><script>var x = '<b>not text</b>';</script><p>b</p>") == "a b")
+    assert(strip("x<style type=\"text/css\">p { color: red }</style>y") == "x y")
+    assert(strip("a<!-- <p>commented out</p> -->b") == "a b")
+    // case-insensitive, attribute-laden, multiline
+    assert(strip("<SCRIPT>\nalert(1)\n</SCRIPT>ok") == "ok")
+    assert(strip("<a href=\"u\" onclick=\"f()\">link</a>") == "link")
+    // the six entities; &amp; decodes LAST so a double-escaped entity
+    // yields the literal entity text, per HTML semantics
+    assert(strip("&lt;tag&gt; &quot;q&quot; &#39;a&#39; &apos;b&apos; x&nbsp;y &amp; z")
+      == "<tag> \"q\" 'a' 'b' x y & z")
+    assert(strip("&amp;lt;") == "&lt;", "double-escape must not double-decode")
+    // whitespace collapse + trim
+    assert(strip("  <p>\n a \t b \n</p>  ") == "a b")
+    // plain text is untouched
+    assert(strip("no markup here") == "no markup here")
+    // an UNCLOSED script: the element pattern cannot match (lazy .*?
+    // needs the close tag), so the generic tag strip removes just the
+    // tag and the content survives — defined, lossless-ish, no throw
+    assert(strip("a<script>orphan") == "a orphan")
+  }
+
   test("token count: empty, single, multi, extra whitespace") {
     val df = Seq("", "   ", "one", "two words", "  padded   out  ").toDF("text")
     val got = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq
