@@ -278,6 +278,54 @@ object PqCodec {
     rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
+  /** [[ivfTopK]] against PERSISTED pieces — the deployment shape of
+    * IVF-PQ: `codes` is a stored `(vec_id, centroid_id, code)` table
+    * (bucketed on `centroid_id`, so the probed-list filter below prunes
+    * BUCKETS, not just rows), `centroids` the stored coarse quantizer,
+    * `corpus` the full-precision vectors touched only by the re-rank.
+    * Each query ranks the centroid table (|queries|×k rows, broadcast,
+    * driver-bounded), its `nProbe` nearest lists are COLLECTED into a
+    * literal IN filter — static bucket/row-group pruning on the codes
+    * scan, the "read nProbe/k of the index bytes" property — ADC scores
+    * the surviving codes behind a broadcast probe join, and the exact
+    * re-rank is the [[topKFromCodesFetch]] key-pushed point fetch. */
+  def ivfTopKFromCodesFetch(codes: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, centroids: DataFrame,
+                            k: Int, model: PqModel, nProbe: Int,
+                            rerank: Int = 10): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+        col("norm").as("query_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qd2",
+        col("query_norm") * col("query_norm") + col("cnorm") * col("cnorm")
+          - lit(2.0) * dot(col("query_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_norm"), col("centroid_id"),
+        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
+      .localCheckpoint(true) // |queries| × nProbe rows — driver-bounded
+    val lists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val enc = codes.filter(col("centroid_id").isInCollection(lists))
+      .select(col("vec_id").as("cand_id"), col("centroid_id"), col("code"))
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val approx = enc.join(broadcast(probes), "centroid_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos",
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
+            / (col("crn") * col("query_norm"))))
+    val candidates = candidatesOf(approx, k * rerank).localCheckpoint(true)
+    val ids = candidates.select(col("cand_id")).distinct()
+      .collect().map(_.getLong(0))
+    rerankExact(corpus.filter(col("vec_id").isInCollection(ids)),
+      queries, candidates, k)
+  }
+
   private def candidatesOf(approx: DataFrame, keep: Int): DataFrame =
     Ranking.topKPerQuery(approx, keep, "acos")
       .select(col("query_id"), col("cand_id"))

@@ -100,6 +100,43 @@ object PipelineQueries {
     row1.unionByName(row2).unionByName(row3).orderBy(col("check_name"))
   }
 
+  /** Build-if-absent persisted vectors store + PQ sidecar for the
+    * sim_*_store probes, keyed by the embeddings file's (mtime, length)
+    * fingerprint with a stale-sibling sweep (the ingest_admit pattern:
+    * a store from another scale factor or a regenerated testdata file
+    * can never serve a probe). Returns (prefix, planted twin queries) —
+    * Bench's untimed warm pass constructs the store, so the timed pass
+    * of every store probe is PURE PROBE. */
+  private def ensurePqStore(s: SparkSession,
+                            dir: String): (String, DataFrame) = {
+    val t = Tables(s, dir)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val p = "sim_pq_store_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+    if (!s.catalog.tableExists(IndexStore.pqTable(p))) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("sim_pq_store_") && !nm.startsWith(p + "_")) {
+          if (s.catalog.tableExists(nm)) IndexStore.dropTable(s, nm)
+          else fs.delete(st.getPath, true)
+        }
+      }
+      IndexStore.dropVecs(s, p) // clear any cross-JVM warehouse leftovers
+      IndexStore.buildVecs(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"), p)
+      IndexStore.buildPq(s, p, m = 16, ks = 16)
+    }
+    val queries = Similarity
+      .prepared(t.embeddings, col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+    (p, queries)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(dupCorpus(Tables(s, dir)), col("text"), col("doc_id"))
@@ -831,32 +868,29 @@ object PipelineQueries {
     // oracle holds the whole persisted pipeline — stored codes, stored
     // codebooks, version fence, key-pushed fetch — to exact equality.
     "sim_pq_store" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val p = "sim_pq_store_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
-      if (!s.catalog.tableExists(IndexStore.pqTable(p))) {
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("sim_pq_store_") && !nm.startsWith(p + "_")) {
-            if (s.catalog.tableExists(nm)) IndexStore.dropTable(s, nm)
-            else fs.delete(st.getPath, true)
-          }
-        }
-        IndexStore.dropVecs(s, p) // clear any cross-JVM warehouse leftovers
-        IndexStore.buildVecs(t.embeddings,
-          belowPlantedOffset(col("vec_id"), 100000), col("embedding"), p)
-        IndexStore.buildPq(s, p, m = 16, ks = 16)
-      }
-      val queries = Similarity
-        .prepared(t.embeddings, col("vec_id"), col("embedding"))
-        .filter(col("vec_id") < 10)
-        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      val (p, queries) = ensurePqStore(s, dir)
       IndexStore.searchPq(s, p, queries, k = 1, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
+    // The IVF-PQ sidecar probe — [[sim_pq_store]]'s flat ADC still SCANS
+    // every code row; this entry probes the same store through the
+    // `_ivfpq` sidecar (IndexStore.searchIvfPq): the query's nearest
+    // stored-centroid list becomes a literal IN on the centroid-bucketed
+    // codes table — bucket + row-group pruning, the probe reads
+    // ~nProbe/kLists of the code bytes (spec-guarded via
+    // SelectedBucketsCount) — then ADC + the key-pushed exact re-rank.
+    // Build-if-absent on the SAME fingerprint-keyed store; the twin
+    // guarantee (query replays its twin's argmin over the same persisted
+    // centroids) makes nProbe=1 exact, so the same brute-force oracle
+    // holds stored centroids, stored list-coded codes, both version
+    // fences, and the pruned scan to exact equality.
+    "sim_ivfpq_store" -> { (s, dir) =>
+      val (p, queries) = ensurePqStore(s, dir)
+      if (!s.catalog.tableExists(IndexStore.ivfPqTable(p)))
+        IndexStore.buildIvf(s, p, kLists = 16)
+      IndexStore.searchIvfPq(s, p, queries, k = 1, nProbe = 1, rerank = 32)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("query_id"))
     },
@@ -2329,6 +2363,25 @@ object PipelineQueries {
     // nearest centroid IS its twin's list), so the same top-1 oracle
     // holds IVF-PQ at its most selective config.
     "sim_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // The persisted IVF-PQ probe answers the same planted-twin question;
+    // the brute-force oracle transfers unchanged.
+    "sim_ivfpq_store" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
             q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm

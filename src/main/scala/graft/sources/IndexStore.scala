@@ -108,10 +108,12 @@ object IndexStore {
   }
 
   /** Drop every table of a vectors store (catalog + location), including
-    * the PQ sidecar and any crash-left rebuild temp. */
+    * the PQ and IVF-PQ sidecars and any crash-left rebuild temps. */
   def dropVecs(spark: SparkSession, prefix: String): Unit =
     Seq(vecsTable(prefix), lshTable(prefix), pqTable(prefix),
-      pqModelTable(prefix), s"${pqTable(prefix)}__rebuild")
+      pqModelTable(prefix), s"${pqTable(prefix)}__rebuild",
+      ivfPqTable(prefix), ivfCentTable(prefix),
+      s"${ivfPqTable(prefix)}__rebuild")
       .foreach(dropTable(spark, _))
 
   private def setProps(spark: SparkSession, table: String,
@@ -353,6 +355,13 @@ object IndexStore {
       Bucketing.compactTable(spark, pqTable(prefix), Seq("vec_id"), cfg.buckets)
       setProps(spark, pqTable(prefix), Map("graft.pq.version" -> ver))
     }
+    if (spark.catalog.tableExists(ivfPqTable(prefix))) {
+      val iv = prop(spark, ivfPqTable(prefix), "graft.ivf.version")
+      val pv = prop(spark, ivfPqTable(prefix), "graft.pq.version")
+      Bucketing.compactTable(spark, ivfPqTable(prefix), Seq("centroid_id"), cfg.buckets)
+      setProps(spark, ivfPqTable(prefix), Map(
+        "graft.ivf.version" -> iv, "graft.pq.version" -> pv))
+    }
     // the rewrites replaced the tables holding the config; re-record
     // (the compaction does not change what the index was hashed under)
     setProps(spark, lshTable(prefix), Map(
@@ -492,6 +501,14 @@ object IndexStore {
         transform = _.join(rm, Seq("vec_id"), "left_anti"))
       setProps(spark, pqTable(prefix), Map("graft.pq.version" -> ver))
     }
+    if (spark.catalog.tableExists(ivfPqTable(prefix))) {
+      val iv = prop(spark, ivfPqTable(prefix), "graft.ivf.version")
+      val pv = prop(spark, ivfPqTable(prefix), "graft.pq.version")
+      Bucketing.compactTable(spark, ivfPqTable(prefix), Seq("centroid_id"), cfg.buckets,
+        transform = _.join(rm, Seq("vec_id"), "left_anti"))
+      setProps(spark, ivfPqTable(prefix), Map(
+        "graft.ivf.version" -> iv, "graft.pq.version" -> pv))
+    }
     setProps(spark, lshTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
       "graft.nTables" -> cfg.nTables.toString))
@@ -623,6 +640,22 @@ object IndexStore {
       Bucketing.appendBucketed(
         graft.operators.PqCodec.encode(prep, model),
         pqTable(prefix), Seq("vec_id"), cfg.buckets)
+      // and so does the IVF-PQ sidecar: the batch is ASSIGNED with the
+      // STORED centroids (a pure projection — rows and probes keep
+      // agreeing on one quantizer; drift is answered by re-running
+      // buildIvf, never by silently re-clustering under an append)
+      if (spark.catalog.tableExists(ivfPqTable(prefix))) {
+        val cents = loadIvfCentroids(spark, prefix)
+          .orderBy(col("centroid_id"))
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq
+        Bucketing.appendBucketed(
+          prep.select(col("vec_id"),
+            graft.functions.VectorExpressions
+              .nearestCentroid(col("vec"), cents).as("centroid_id"),
+            graft.functions.VectorExpressions
+              .pqEncode(col("vec"), model.codebooks).as("code")),
+          ivfPqTable(prefix), Seq("centroid_id"), cfg.buckets)
+      }
     }
   }
 
@@ -737,5 +770,105 @@ object IndexStore {
     graft.operators.PqCodec.topKFromCodesFetch(
       spark.table(pqTable(prefix)), spark.table(vecsTable(prefix)),
       queries, k, model, rerank)
+  }
+
+  // -------------------------------------------------------------------
+  // IVF-PQ sidecar: list-pruned probing over the persisted codes
+  // -------------------------------------------------------------------
+  // [[searchPq]]'s flat ADC still SCANS every code row; at corpus scale
+  // the probe cost is that scan. The IVF sidecar stores the codes AGAIN
+  // under a coarse-quantizer layout — `<prefix>_ivfpq` (vec_id,
+  // centroid_id, code), bucketed AND sorted by `centroid_id`, plus the
+  // tiny `<prefix>_ivfc` centroid table — so a probe's nProbe nearest
+  // lists become a LITERAL IN filter that prunes buckets and row groups:
+  // the probe reads ~nProbe/kLists of the code bytes instead of all of
+  // them ([[searchIvfPq]]). Duplicating the 16-byte codes (not the
+  // vectors) costs 1/64th of the vector table — the standard price of a
+  // second index layout.
+  //
+  // Consistency contract: the sidecar is fenced to BOTH its own build
+  // version (shared by `_ivfc` and `_ivfpq` — a crash between their
+  // swaps is a version mismatch, named at load) and the PQ model
+  // version it encoded under (a `rebuildPq` invalidates the sidecar by
+  // mismatch — re-run [[buildIvf]]). Appends stay in lockstep CHEAPLY:
+  // the batch is assigned with the STORED centroids (a pure projection —
+  // probes and rows keep agreeing on the same quantizer; centroid drift
+  // under heavy append is answered by re-running buildIvf, the same
+  // trade as the LSH plane rule and rebuildPq). Compaction and removal
+  // rewrite it with the other tables.
+
+  def ivfPqTable(prefix: String): String = s"${prefix}_ivfpq"
+  def ivfCentTable(prefix: String): String = s"${prefix}_ivfc"
+
+  /** Provision the IVF-PQ sidecar from the store's own `_vecs` (requires
+    * the `_pq` sidecar's model — codes are re-derived by projection with
+    * the stored codebooks, one scan). Swap order: centroid table first
+    * (carrying the new version), then codes write-aside + rename; any
+    * crash window leaves a version mismatch that [[loadIvfCentroids]]
+    * names. */
+  def buildIvf(spark: SparkSession, prefix: String, kLists: Int = 16): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    val model = loadPqModel(spark, prefix)
+    val pqVer = prop(spark, pqTable(prefix), "graft.pq.version")
+    val prep = spark.table(vecsTable(prefix))
+    val (assigned, centroids) = graft.operators.IvfIndex.build(prep, kLists)
+    // content-derived version (the buildPqSwap convention): deterministic
+    // for identical inputs, different whenever the quantizer changed
+    val version = java.util.UUID.nameUUIDFromBytes(
+      s"$prefix:ivf:$kLists:$pqVer:${
+        centroids.agg(sum(col("cnorm"))).head().getDouble(0)}"
+        .getBytes("UTF-8")).toString
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(ivfCentTable(prefix))
+    setProps(spark, ivfCentTable(prefix), Map(
+      "graft.ivf.version" -> version, "graft.pq.version" -> pqVer,
+      "graft.ivf.k" -> kLists.toString))
+    val t = ivfPqTable(prefix)
+    val tmp = s"${t}__rebuild"
+    dropTable(spark, tmp)
+    Bucketing.writeBucketed(
+      assigned.select(col("vec_id"), col("centroid_id"),
+          graft.functions.VectorExpressions
+            .pqEncode(col("vec"), model.codebooks).as("code"))
+        .repartition(cfg.buckets, col("centroid_id")),
+      tmp, Seq("centroid_id"), cfg.buckets)
+    setProps(spark, tmp, Map(
+      "graft.ivf.version" -> version, "graft.pq.version" -> pqVer))
+    dropTable(spark, t)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+  }
+
+  /** Load the stored coarse quantizer, fencing every version pair: the
+    * `_ivfc`/`_ivfpq` build versions must match (crash window), and both
+    * must reference the CURRENT PQ model version (a rebuildPq leaves the
+    * sidecar encoding with dead codebooks). */
+  def loadIvfCentroids(spark: SparkSession, prefix: String): DataFrame = {
+    val cv = prop(spark, ivfCentTable(prefix), "graft.ivf.version")
+    val pv = prop(spark, ivfPqTable(prefix), "graft.ivf.version")
+    require(cv == pv,
+      s"IVF sidecar version mismatch for store '$prefix' ($cv vs $pv) — " +
+        "a buildIvf crashed between its centroid and codes swaps; " +
+        "re-run IndexStore.buildIvf")
+    val pqNow = prop(spark, pqTable(prefix), "graft.pq.version")
+    val pqAt = prop(spark, ivfCentTable(prefix), "graft.pq.version")
+    require(pqNow == pqAt,
+      s"IVF sidecar of store '$prefix' encodes under PQ model $pqAt but " +
+        s"the store's model is now $pqNow (rebuildPq ran since) — " +
+        "re-run IndexStore.buildIvf")
+    spark.table(ivfCentTable(prefix))
+  }
+
+  /** List-pruned ANN top-k against the store: probed lists become a
+    * literal IN on the `centroid_id`-bucketed `_ivfpq` scan (bucket +
+    * row-group pruning — the probe reads ~nProbe/kLists of the code
+    * bytes), ADC scores the survivors, exact re-rank key-fetches from
+    * `_vecs` ([[graft.operators.PqCodec.ivfTopKFromCodesFetch]]). */
+  def searchIvfPq(spark: SparkSession, prefix: String, queries: DataFrame,
+                  k: Int, nProbe: Int = 1, rerank: Int = 10): DataFrame = {
+    val model = loadPqModel(spark, prefix)
+    val centroids = loadIvfCentroids(spark, prefix)
+    graft.operators.PqCodec.ivfTopKFromCodesFetch(
+      spark.table(ivfPqTable(prefix)), spark.table(vecsTable(prefix)),
+      queries, centroids, k, model, nProbe, rerank)
   }
 }
