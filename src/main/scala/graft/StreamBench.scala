@@ -321,7 +321,22 @@ object StreamBench {
         .count(r => r.getLong(1) == r.getLong(0) - 10000000L)
       val pqSearchSec = (System.nanoTime() - t5) / 1e9
       assert(hits == 10, s"PQ store search found $hits/10 planted originals")
-      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pq_build_sec":$pqBuildSec%.2f,"pq_search10_sec":$pqSearchSec%.2f}""")
+      // IVF-PQ sidecar: provision the list layout (flat k-means at a
+      // modest kLists — the coarse quantizer's own build cost scales
+      // O(corpus·kLists·dim)), then the LIST-PRUNED probe: same 10
+      // planted copies, same exactness assert, but the scan reads
+      // ~1/kLists of the code bytes
+      val t6 = System.nanoTime()
+      IndexStore.buildIvf(spark, p, kLists = 64)
+      val ivfBuildSec = (System.nanoTime() - t6) / 1e9
+      val t7 = System.nanoTime()
+      val ivfHits = IndexStore.searchIvfPq(spark, p, copies, k = 1,
+          nProbe = 1, rerank = 32)
+        .select(col("query_id"), col("cand_id")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) - 10000000L)
+      val ivfSearchSec = (System.nanoTime() - t7) / 1e9
+      assert(ivfHits == 10, s"IVF-PQ store search found $ivfHits/10 planted originals")
+      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pq_build_sec":$pqBuildSec%.2f,"pq_search10_sec":$pqSearchSec%.2f,"ivf_build_sec":$ivfBuildSec%.2f,"ivf_search10_sec":$ivfSearchSec%.2f}""")
     } finally IndexStore.dropVecs(spark, p)
   }
 
