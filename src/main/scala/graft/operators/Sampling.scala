@@ -71,6 +71,40 @@ object Sampling {
         lit(hexThreshold(defaultWeight))))
   }
 
+  /** Temperature-flattened mixture — the published multilingual/source
+    * sampling rule (target share q_g ∝ p_g^α for observed share p_g;
+    * α = 1 natural, α → 0 uniform): derive per-stratum KEEP fractions
+    * that reshape the corpus toward q, DOWNSAMPLE-ONLY (a filter cannot
+    * create rows, so the most-upweighted stratum — the smallest — keeps
+    * fraction 1.0 and everything else scales relative to it:
+    * w_g = (n_min/n_g)^(1−α), giving post-filter shares ∝ p_g^α in
+    * expectation), then apply through [[mixtureHash]]'s map-only
+    * per-row hash-threshold filter. Cost at scale: ONE stratum-keyed
+    * partial-merged count (|strata| rows collected — a mixture has few
+    * strata by construction) and a scan filter; no window, no
+    * per-stratum funnel, giant strata cost nothing extra.
+    *
+    * Cross-engine exactness: at α = 0.5 the weight is an IEEE `sqrt` of
+    * a correctly-rounded division — both bit-exact on any IEEE-754
+    * engine, so the kept ROW SET is reproducible (the registered oracle
+    * runs there). Other α use `pow` (1-ulp accuracy, not
+    * correctly-rounded) — semantics identical, bit-reproducibility of
+    * the threshold not guaranteed across engines. */
+  def temperatureMixture(df: DataFrame, stratum: Column, id: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(stratum.cast("string").as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture on an empty corpus")
+    val nMin = counts.values.min
+    val e = 1.0 - alpha
+    val weights = counts.map { case (k, n) =>
+      val r = nMin.toDouble / n
+      k -> (if (e == 0.5) math.sqrt(r) else math.pow(r, e))
+    }
+    mixtureHash(df, stratum, id, weights)
+  }
+
   /** Deterministic corpus shuffle — the standard step before training:
     * each row gets a `shard` (which output file / data-loader worker
     * consumes it) and a within-shard `pos`, both derived from

@@ -485,6 +485,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-flattened language mixture at α = 0.5 — the published
+    // multilingual sampling rule (keep fraction (n_min/n_g)^(1−α),
+    // post-filter shares ∝ p^α, downsample-only). α = 0.5 is the
+    // registered point because its weight is an IEEE sqrt of a
+    // correctly-rounded division — bit-exact on both engines — so the
+    // DuckDB oracle independently re-derives counts, weights,
+    // thresholds, AND the kept row set; a wrong count pass, weight
+    // formula, or threshold encoding all hash-mismatch.
+    "sample_temperature" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .temperatureMixture(t.documents, col("lang"), col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fill a 600-whitespace-token budget per source in deterministic
     // hash order; the first overshooting doc is kept (budget = coverage
     // floor).
@@ -1828,6 +1844,25 @@ object PipelineQueries {
              count(*) OVER (PARTITION BY event_type) AS n
            FROM events)
          WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
+
+    // Fully independent re-derivation: counts → sqrt weights →
+    // 8-hex-digit thresholds (round half-up × 2^32, 'g' = keep-all) →
+    // kept rows. sqrt and the division are IEEE-correctly-rounded on
+    // both engines, so the thresholds — and therefore the row set —
+    // agree bit-for-bit at α = 0.5.
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+            m AS (SELECT min(n) AS nmin FROM c),
+            w AS (SELECT s, sqrt(CAST(nmin AS DOUBLE) / n) AS wt FROM c, m),
+            t AS (SELECT s,
+                    CASE WHEN CAST(round(wt * 4294967296) AS BIGINT) >= 4294967296
+                         THEN 'g'
+                         ELSE printf('%08x', CAST(round(wt * 4294967296) AS BIGINT))
+                    END AS thr
+                  FROM w)
+         SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.s
+         WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+         ORDER BY d.doc_id""",
 
     "sample_hash_mixture" -> {
       import graft.operators.Sampling.hexThreshold

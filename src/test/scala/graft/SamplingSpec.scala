@@ -92,6 +92,43 @@ class SamplingSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq)
   }
 
+  test("temperatureMixture flattens shares toward p^alpha, downsample-only") {
+    import graft.operators.Sampling
+    val docs = Tables(spark, sfDir).documents
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min
+    val kept = Sampling.temperatureMixture(docs, col("lang"), col("doc_id"), 0.5)
+    val after = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest stratum is kept whole (weight exactly 1.0)
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang) == before(minLang),
+      s"smallest stratum $minLang must keep weight 1.0")
+    // every stratum only shrinks, and lands near n_g * sqrt(nmin/n_g)
+    // (hash-threshold keep is binomial around the target)
+    before.foreach { case (g, n) =>
+      val target = n * math.sqrt(nMin.toDouble / n)
+      val got = after.getOrElse(g, 0L).toDouble
+      assert(got <= n, s"$g grew")
+      assert(math.abs(got - target) <= math.max(5.0, 4 * math.sqrt(target)),
+        s"$g: kept $got, target $target")
+    }
+    // alpha = 1 is the identity (all weights 1.0)
+    val natural = Sampling
+      .temperatureMixture(docs, col("lang"), col("doc_id"), 1.0).count()
+    assert(natural == docs.count(), "alpha=1 must keep everything")
+    // deterministic + partitioning-invariant (hash filter, no window)
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMixture(docs.repartition(7), col("lang"),
+      col("doc_id"), 0.5).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // invalid alpha fails fast
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(docs, col("lang"), col("doc_id"), 0.0)
+    }
+  }
+
   test("mixtureHash keeps full 1.0-weight strata and samples the rest") {
     val got = Sampling.mixtureHash(docs, col("source"), col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5)
