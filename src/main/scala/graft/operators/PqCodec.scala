@@ -183,19 +183,8 @@ object PqCodec {
   def topKFromCodes(codesTable: DataFrame, corpus: DataFrame,
                     queries: DataFrame, k: Int, model: PqModel,
                     rerank: Int = 10): DataFrame = {
-    val enc = codesTable
-      .select(col("vec_id").as("cand_id"), col("code"))
-      .withColumn("crn",
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("norm").as("query_norm"),
-      VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
-    val approx = enc.crossJoin(broadcast(q))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("acos",
-        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
-          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
-            / (col("crn") * col("query_norm"))))
+    val approx = withAcos(withCrn(codesTable, model)
+      .crossJoin(broadcast(lutQueries(queries, model))))
     rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
@@ -213,24 +202,9 @@ object PqCodec {
   def topKFromCodesFetch(codesTable: DataFrame, corpus: DataFrame,
                          queries: DataFrame, k: Int, model: PqModel,
                          rerank: Int = 10): DataFrame = {
-    val enc = codesTable
-      .select(col("vec_id").as("cand_id"), col("code"))
-      .withColumn("crn",
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("norm").as("query_norm"),
-      VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
-    val approx = enc.crossJoin(broadcast(q))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("acos",
-        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
-          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
-            / (col("crn") * col("query_norm"))))
-    val candidates = candidatesOf(approx, k * rerank).localCheckpoint(true)
-    val ids = candidates.select(col("cand_id")).distinct()
-      .collect().map(_.getLong(0))
-    rerankExact(corpus.filter(col("vec_id").isInCollection(ids)),
-      queries, candidates, k)
+    val approx = withAcos(withCrn(codesTable, model)
+      .crossJoin(broadcast(lutQueries(queries, model))))
+    rerankFetch(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
   /** IVF-PQ: the [[IvfIndex]] coarse quantizer prunes the scan to the
@@ -252,29 +226,12 @@ object PqCodec {
               model: PqModel, kLists: Int, nProbe: Int,
               rerank: Int = 10): DataFrame = {
     val (assigned, centroids) = IvfIndex.build(corpus, kLists)
-    val enc = assigned.select(col("vec_id").as("cand_id"), col("centroid_id"),
-        VectorExpressions.pqEncode(col("vec"), model.codebooks).as("code"))
-      .withColumn("crn",
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qd2"), col("centroid_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
-        col("norm").as("query_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("qd2",
-        col("query_norm") * col("query_norm") + col("cnorm") * col("cnorm")
-          - lit(2.0) * dot(col("query_vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("query_norm"), col("centroid_id"),
-        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
-    val approx = enc.join(broadcast(probes), "centroid_id")
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("acos",
-        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
-          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
-            / (col("crn") * col("query_norm"))))
+    val enc = withCrn(
+      assigned.select(col("vec_id"), col("centroid_id"),
+        VectorExpressions.pqEncode(col("vec"), model.codebooks).as("code")),
+      model, extra = Seq("centroid_id"))
+    val probes = probesOf(queries, centroids, nProbe, model)
+    val approx = withAcos(enc.join(broadcast(probes), "centroid_id"))
     rerankExact(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
@@ -293,9 +250,38 @@ object PqCodec {
                             queries: DataFrame, centroids: DataFrame,
                             k: Int, model: PqModel, nProbe: Int,
                             rerank: Int = 10): DataFrame = {
+    val probes = probesOf(queries, centroids, nProbe, model)
+      .localCheckpoint(true) // |queries| × nProbe rows — driver-bounded
+    val lists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val enc = withCrn(codes.filter(col("centroid_id").isInCollection(lists)),
+      model, extra = Seq("centroid_id"))
+    val approx = withAcos(enc.join(broadcast(probes), "centroid_id"))
+    rerankFetch(corpus, queries, candidatesOf(approx, k * rerank), k)
+  }
+
+  /** `(cand_id, [centroid_id,] code, crn)` from a codes frame — the
+    * shared ADC scan side. */
+  private def withCrn(codes: DataFrame, model: PqModel,
+                      extra: Seq[String] = Nil): DataFrame =
+    codes.select((Seq(col("vec_id").as("cand_id")) ++
+        extra.map(col) :+ col("code")): _*)
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+
+  /** Per-query LUT side of a flat ADC scan. */
+  private def lutQueries(queries: DataFrame, model: PqModel): DataFrame =
+    queries.select(col("vec_id").as("query_id"),
+      col("norm").as("query_norm"),
+      VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
+
+  /** The `nProbe` nearest lists per query with the query's LUT — the
+    * shared probe side of both IVF paths. |queries| × nProbe rows. */
+  private def probesOf(queries: DataFrame, centroids: DataFrame,
+                       nProbe: Int, model: PqModel): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("centroid_id"))
-    val probes = queries
+    queries
       .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
         col("norm").as("query_norm"))
       .crossJoin(broadcast(centroids))
@@ -306,20 +292,24 @@ object PqCodec {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("query_norm"), col("centroid_id"),
         VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
-      .localCheckpoint(true) // |queries| × nProbe rows — driver-bounded
-    val lists = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val enc = codes.filter(col("centroid_id").isInCollection(lists))
-      .select(col("vec_id").as("cand_id"), col("centroid_id"), col("code"))
-      .withColumn("crn",
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
-    val approx = enc.join(broadcast(probes), "centroid_id")
-      .filter(col("cand_id") =!= col("query_id"))
+  }
+
+  /** The ONE approximate-cosine definition every path scores with:
+    * ADC dot / (‖recon‖·‖query‖), null-guarded on zero norms. Applied
+    * after the (cand, query) sides are joined. */
+  private def withAcos(joined: DataFrame): DataFrame =
+    joined.filter(col("cand_id") =!= col("query_id"))
       .withColumn("acos",
         when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
           .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
             / (col("crn") * col("query_norm"))))
-    val candidates = candidatesOf(approx, k * rerank).localCheckpoint(true)
+
+  /** Key-pushed exact re-rank: candidates pinned (driver-bounded by
+    * construction), their ids pushed into the corpus scan as a literal
+    * IN — a point fetch, not a re-scan. */
+  private def rerankFetch(corpus: DataFrame, queries: DataFrame,
+                          candidatesLazy: DataFrame, k: Int): DataFrame = {
+    val candidates = candidatesLazy.localCheckpoint(true)
     val ids = candidates.select(col("cand_id")).distinct()
       .collect().map(_.getLong(0))
     rerankExact(corpus.filter(col("vec_id").isInCollection(ids)),

@@ -93,9 +93,14 @@ object Sampling {
   def temperatureMixture(df: DataFrame, stratum: Column, id: Column,
                          alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    // a NULL stratum (e.g. undetected language) cannot be a weight-map
+    // key; such rows take mixtureHash's defaultWeight = 0 and are
+    // DROPPED — the defined dirty-data behavior, not a plan-build crash
     val counts = df.groupBy(stratum.cast("string").as("s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "temperatureMixture on an empty corpus")
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      "temperatureMixture on an empty corpus (or all-null strata)")
     val nMin = counts.values.min
     val e = 1.0 - alpha
     val weights = counts.map { case (k, n) =>

@@ -117,15 +117,22 @@ object Similarity {
     * and are then rejected by the exact test, so PRECISION is identical
     * to [[semDedupKeep]] by construction.
     *
-    * The contract that differs: RECALL of the candidate stage depends on
-    * `margin` covering the SDC approximation error on true near-dup
-    * pairs. Quantization moves each vector to its reconstruction;
-    * `margin` must absorb the worst cosine shift a within-threshold pair
-    * suffers (measured on the registered corpus/geometry: twin pairs'
-    * SDC cosine stays ≥ 0.93 for exact 0.9999 — margin 0.3 at threshold
-    * 0.8 holds recall 1.0 with the background (≤ 0.61 exact) still
-    * cheaply separable). A pair whose codes fail to score (geometry
-    * mismatch, zero recon norm) is NOT a candidate and survives — same
+    * The contract that differs: RECALL of the candidate stage is
+    * STATISTICAL — `margin` covers the SDC approximation error on true
+    * near-dup pairs up to a measured tail, not provably (a provable
+    * per-pair bound exists via per-row residual norms, but at the
+    * 1-bit/dim registered rate the residuals are ~0.6·‖v‖, so the bound
+    * admits nearly every pair and prunes nothing — coarse-code pruning
+    * is inherently statistical, as published). Measured: HIGH-cosine
+    * pairs — the duplicates the operator exists for — sit far inside
+    * the margin (twin pairs' SDC stays ≥ 0.93 for exact 0.9999; zero
+    * misses through 16M); the tail it can miss is pairs NEAR the
+    * threshold itself, where quantization noise is largest relative to
+    * the gap — at 32M the extreme-value background crosses 0.8 and one
+    * such pair in 310k prunes slipped the 0.3 margin (BENCH_NOTES r12).
+    * `margin` is the knob: wider buys tail recall with more exact-check
+    * fetch volume. A pair whose codes fail to score (geometry mismatch,
+    * zero recon norm) is NOT a candidate and survives — same
     * keep-on-null direction as the float path's zero-norm guard.
     *
     * CORRUPT VECTORS (NaN/Inf components) keep parity by construction:

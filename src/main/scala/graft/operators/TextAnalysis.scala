@@ -181,10 +181,16 @@ object TextAnalysis {
     * patterns). Pure per-row regexp chain — codegen'd, shuffle-free,
     * embarrassingly parallel at 100 TB. */
   def stripHtml(text: Column): Column = {
+    // the element openers must NOT match a self-closing tag
+    // (`<script src="a.js"/>`) — a plain `[^>]*>` would consume the `/`
+    // and the lazy close would then swallow every visible character up
+    // to the NEXT real close tag; `(?:>|[^>]*[^/>]>)` accepts a bare
+    // `<script>` or an attribute tail ending in a non-/ character, and
+    // the generic tag strip below handles the self-closing form
     val noScript = regexp_replace(text,
-      "(?is)<script\\b[^>]*>.*?</script>", " ")
+      "(?is)<script\\b(?:>|[^>]*[^/>]>).*?</script>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style>", " ")
+      "(?is)<style\\b(?:>|[^>]*[^/>]>).*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val ent = regexp_replace(

@@ -2843,8 +2843,8 @@ object PipelineQueries {
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   regexp_replace(html, '(?is)<script\b(?:>|[^>]*[^/>]>).*?</script>', ' ', 'g'),
+                   '(?is)<style\b(?:>|[^>]*[^/>]>).*?</style>', ' ', 'g'),
                  '(?s)<!--.*?-->', ' ', 'g'),
                '<[^>]*>', ' ', 'g') AS t
            FROM pages),

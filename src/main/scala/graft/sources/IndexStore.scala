@@ -626,6 +626,21 @@ object IndexStore {
                  prefix: String): Unit = {
     val spark = admitted.sparkSession
     val cfg = vecConfig(spark, prefix)
+    // EVERY sidecar's version fence is validated BEFORE the first write:
+    // a stale sidecar (rebuildPq without buildIvf, or a crash window)
+    // must fail the append whole, not after _vecs/_lsh/_pq already took
+    // the batch — a half-applied append makes the natural retry
+    // double-insert into the tables that did succeed
+    val model =
+      if (spark.catalog.tableExists(pqTable(prefix)))
+        Some(loadPqModel(spark, prefix))
+      else None
+    val cents =
+      if (spark.catalog.tableExists(ivfPqTable(prefix)))
+        Some(loadIvfCentroids(spark, prefix)
+          .orderBy(col("centroid_id"))
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      else None
     val prep = Similarity.prepared(admitted, id, vec)
     if (prep.isEmpty) return // all-rejected batch: nothing to append
     Bucketing.appendBucketed(prep, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
@@ -635,25 +650,21 @@ object IndexStore {
     // a provisioned PQ sidecar stays in lockstep: the batch is encoded
     // with the STORED codebooks (appends never retrain — codebook drift
     // is answered by rebuildPq, the same trade as the LSH plane rule)
-    if (spark.catalog.tableExists(pqTable(prefix))) {
-      val model = loadPqModel(spark, prefix)
+    model.foreach { m =>
       Bucketing.appendBucketed(
-        graft.operators.PqCodec.encode(prep, model),
+        graft.operators.PqCodec.encode(prep, m),
         pqTable(prefix), Seq("vec_id"), cfg.buckets)
       // and so does the IVF-PQ sidecar: the batch is ASSIGNED with the
       // STORED centroids (a pure projection — rows and probes keep
       // agreeing on one quantizer; drift is answered by re-running
       // buildIvf, never by silently re-clustering under an append)
-      if (spark.catalog.tableExists(ivfPqTable(prefix))) {
-        val cents = loadIvfCentroids(spark, prefix)
-          .orderBy(col("centroid_id"))
-          .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      cents.foreach { cs =>
         Bucketing.appendBucketed(
           prep.select(col("vec_id"),
             graft.functions.VectorExpressions
-              .nearestCentroid(col("vec"), cents).as("centroid_id"),
+              .nearestCentroid(col("vec"), cs).as("centroid_id"),
             graft.functions.VectorExpressions
-              .pqEncode(col("vec"), model.codebooks).as("code")),
+              .pqEncode(col("vec"), m.codebooks).as("code")),
           ivfPqTable(prefix), Seq("centroid_id"), cfg.buckets)
       }
     }
@@ -802,16 +813,33 @@ object IndexStore {
 
   /** Provision the IVF-PQ sidecar from the store's own `_vecs` (requires
     * the `_pq` sidecar's model — codes are re-derived by projection with
-    * the stored codebooks, one scan). Swap order: centroid table first
-    * (carrying the new version), then codes write-aside + rename; any
-    * crash window leaves a version mismatch that [[loadIvfCentroids]]
-    * names. */
-  def buildIvf(spark: SparkSession, prefix: String, kLists: Int = 16): Unit = {
+    * the stored codebooks, one scan). The coarse quantizer trains on a
+    * ≤`sampleMax` systematic sample — the repo-wide convention
+    * (buildPq, trainTwoLevel): Lloyd scans must not run at corpus
+    * scale; the full corpus is touched only by the one-projection
+    * assignment-and-encode pass that writes the sidecar. Swap order:
+    * centroid table first (carrying the new version), then codes
+    * write-aside + rename; any crash window leaves a version mismatch
+    * that [[loadIvfCentroids]] names. */
+  def buildIvf(spark: SparkSession, prefix: String, kLists: Int = 16,
+               sampleMax: Long = 1000000L): Unit = {
     val cfg = vecConfig(spark, prefix)
     val model = loadPqModel(spark, prefix)
     val pqVer = prop(spark, pqTable(prefix), "graft.pq.version")
     val prep = spark.table(vecsTable(prefix))
-    val (assigned, centroids) = graft.operators.IvfIndex.build(prep, kLists)
+    val n = math.max(1L, prep.count())
+    val step = math.max(1L, n / sampleMax)
+    val (_, centroids) = graft.operators.IvfIndex.build(
+      prep.filter(pmod(col("vec_id"), lit(step)) === 0), kLists)
+    val cents = centroids.orderBy(col("centroid_id"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // full-corpus assignment as a projection, behind a Generate (the
+    // IvfIndex.build double-eval guard)
+    val assigned = prep
+      .select(col("*"), posexplode_outer(array(
+          graft.functions.VectorExpressions.nearestCentroid(col("vec"), cents)))
+        .as(Seq("__p", "centroid_id")))
+      .drop("__p")
     // content-derived version (the buildPqSwap convention): deterministic
     // for identical inputs, different whenever the quantizer changed
     val version = java.util.UUID.nameUUIDFromBytes(

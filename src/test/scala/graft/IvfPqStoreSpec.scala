@@ -129,6 +129,42 @@ class IvfPqStoreSpec extends SparkSpec {
     } finally IndexStore.dropVecs(spark, p)
   }
 
+  test("a stale sidecar fails an append BEFORE any table takes the batch") {
+    // rebuildPq without buildIvf leaves the IVF sidecar stale by design;
+    // the next append must fail WHOLE — a fence error after _vecs/_lsh/
+    // _pq already appended would make the natural retry double-insert
+    val p = "ivfpqs_f"
+    IndexStore.dropVecs(spark, p)
+    try {
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 100),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      IndexStore.buildPq(spark, p, m = 16, ks = 16)
+      IndexStore.buildIvf(spark, p, kLists = 4)
+      // a geometry change guarantees a NEW model version (the content-
+      // derived fence rightly treats an identical rebuild as non-stale)
+      IndexStore.rebuildPq(spark, p, m = 8, ks = 16) // sidecar now stale
+      val before = Seq(IndexStore.vecsTable(p), IndexStore.lshTable(p),
+        IndexStore.pqTable(p), IndexStore.ivfPqTable(p))
+        .map(t => t -> spark.table(t).count()).toMap
+      intercept[IllegalArgumentException] {
+        IndexStore.appendVecs(
+          materialize(allVecs.filter(col("vec_id").between(100, 109))),
+          col("vec_id"), col("embedding"), p)
+      }
+      before.foreach { case (t, n) =>
+        assert(spark.table(t).count() == n,
+          s"$t took a half-applied append: ${spark.table(t).count()} != $n")
+      }
+      // healing the sidecar lets the same append through, once
+      IndexStore.buildIvf(spark, p, kLists = 4)
+      IndexStore.appendVecs(
+        materialize(allVecs.filter(col("vec_id").between(100, 109))),
+        col("vec_id"), col("embedding"), p)
+      assert(spark.table(IndexStore.vecsTable(p)).count() == 110)
+      assert(spark.table(IndexStore.ivfPqTable(p)).count() == 110)
+    } finally IndexStore.dropVecs(spark, p)
+  }
+
   test("version fences: crash window and a rebuilt PQ model are NAMED failures") {
     val p = "ivfpqs_e"
     IndexStore.dropVecs(spark, p)

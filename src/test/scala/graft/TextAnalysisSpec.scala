@@ -29,6 +29,11 @@ class TextAnalysisSpec extends SparkSpec {
     // needs the close tag), so the generic tag strip removes just the
     // tag and the content survives — defined, lossless-ish, no throw
     assert(strip("a<script>orphan") == "a orphan")
+    // a SELF-CLOSING script must not become an opener that swallows the
+    // visible text up to the next real close tag
+    assert(strip("<script src=\"a.js\"/><p>hello</p><script>x()</script>")
+      == "hello")
+    assert(strip("x<style scoped/>y") == "x y")
   }
 
   test("token count: empty, single, multi, extra whitespace") {
