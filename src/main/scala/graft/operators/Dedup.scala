@@ -641,8 +641,10 @@ object Dedup {
     * (doc_id, pos) pairs and aggregate to one small start-list per
     * affected document, which joins the corpus doc-keyed. Text is never
     * exchanged — it is read from the scan and rewritten in a final
-    * map-only projection (the exists-over-starts filter is O(tokens ×
-    * removed-spans) per row, and the start-list is span-sized). The
+    * map-only projection (a single interval-walk fold over the sorted
+    * start-list, O(tokens + removed-spans) per row — NOT the naive
+    * exists-per-token test, which goes quadratic in document length on
+    * adversarial mostly-duplicated documents where marks ≈ tokens). The
     * start-lists join the corpus by BROADCAST — their rows are a doc_id
     * plus a small int array — and the hint is GUARDED, not assumed: the
     * marked-doc count is measured first (one narrow job over fixed-width
@@ -688,7 +690,10 @@ object Dedup {
     // plan-guard specs. Callers who know their corpus can skip the extra
     // pass with maxBroadcastMarks = Long.MaxValue (always broadcast) or
     // force the planner's choice with maxBroadcastMarks = 0.
-    val broadcastSafe = marks.count() <= maxBroadcastMarks
+    val broadcastSafe =
+      if (maxBroadcastMarks == Long.MaxValue) true       // documented skip:
+      else if (maxBroadcastMarks <= 0L) false            // no counting pass
+      else marks.count() <= maxBroadcastMarks
     if (!broadcastSafe)
       System.err.println(
         s"[graft] spanExcise: marked-doc count exceeds $maxBroadcastMarks — " +
@@ -699,8 +704,26 @@ object Dedup {
       .select(col("doc_id"),
         when(col("starts").isNull, col("__text")).otherwise {
           val toks = split(col("__text"), " ")
-          val kept = filter(sequence(lit(0), size(toks) - 1),
-            i => !exists(col("starts"), s => i >= s && i < s + k))
+          val n = size(toks)
+          // Interval-walk fold: `starts` is sorted+distinct, every span is
+          // width k, so the kept indices are exactly the gaps between
+          // merged [s, s+k) intervals. One pass over starts, each gap
+          // emitted once — O(tokens + marks), vs the exists-per-token
+          // test's O(tokens × marks). `next` = smallest index not yet
+          // excised; sequence() is only called with lo <= hi (Spark's
+          // sequence counts DOWN when lo > hi, so both calls are guarded).
+          val emptyInts = array().cast("array<int>")
+          val kept = aggregate(
+            col("starts"),
+            struct(lit(0).as("next"), emptyInts.as("acc")),
+            (st, s) => struct(
+              greatest(st.getField("next"), s + k).as("next"),
+              when(s > st.getField("next"),
+                concat(st.getField("acc"), sequence(st.getField("next"), s - 1)))
+                .otherwise(st.getField("acc")).as("acc")),
+            st => concat(st.getField("acc"),
+              when(st.getField("next") <= n - 1, sequence(st.getField("next"), n - 1))
+                .otherwise(emptyInts)))
           concat_ws(" ", transform(kept, i => element_at(toks, i + 1)))
         }.as("clean_text"))
   }

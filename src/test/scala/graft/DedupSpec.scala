@@ -558,6 +558,66 @@ class DedupSpec extends SparkSpec {
     assert(hinted.nonEmpty)
   }
 
+  test("span excision adversarial: mostly-duplicated doc stays linear") {
+    // A document that is ~90% duplicated spans makes marks ≈ tokens; the
+    // pre-r13 exists-per-token filter was O(tokens × marks) per row on
+    // this shape. The interval-walk fold must (a) produce identical
+    // output to the naive filter and (b) be measurably faster on it.
+    import graft.functions.TextHashExpressions
+    val run = (0 until 1500).map(i => s"t$i").mkString(" ")     // source run
+    val adversarial = Seq(
+      (1L, run),                                                // owns firsts
+      (2L, (0 until 10).map(_ => run).mkString(" ")),           // 15000 tokens, ~all excised
+      (3L, (0 until 10).map(r => run + s" u$r").mkString(" "))  // 15010 tokens, ~90% excised
+    ).toDF("doc_id", "text")
+    val k = 6
+
+    // The naive pre-r13 rewrite, on the same marks pipeline.
+    def naive(frame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = frame.select(col("doc_id"),
+          posexplode_outer(TextHashExpressions.spanHashes(col("text"), k))
+            .as(Seq("pos", "wh")))
+        .filter(col("wh").isNotNull)
+      val firsts = w.groupBy(col("wh"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("wh"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+      val marks = w.join(firsts, Seq("wh"))
+        .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("pos"))).as("starts"))
+      frame.select(col("doc_id"), col("text").as("__text"))
+        .join(broadcast(marks), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("starts").isNull, col("__text")).otherwise {
+            val toks = split(col("__text"), " ")
+            val kept = filter(sequence(lit(0), size(toks) - 1),
+              i => !exists(col("starts"), s => i >= s && i < s + k))
+            concat_ws(" ", transform(kept, i => element_at(toks, i + 1)))
+          }.as("clean_text"))
+    }
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // Long.MaxValue skips the broadcast-guard counting pass, so both
+    // sides run the marks pipeline exactly once and the measured delta
+    // isolates the rewrite filter. naive runs FIRST: any warmup bias
+    // (JIT, codegen cache) then favors the old path, not the new one.
+    val (gotOld, tOld) = timed(
+      naive(adversarial).collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val (gotNew, tNew) = timed(
+      Dedup.spanExcise(adversarial, col("doc_id"), col("text"), k = k,
+          maxBroadcastMarks = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    info(f"adversarial 90%%-dup excision: interval-walk $tNew%.3fs vs naive $tOld%.3fs")
+    assert(gotNew == gotOld, "interval-walk fold diverged from the naive filter")
+    assert(gotNew(1L) == run)                       // firsts untouched
+    assert(gotNew(2L) == "")                        // pure repeat fully excised
+    assert(gotNew(2L).length < gotNew(3L).length)   // doc3 keeps its unique tails
+    assert(gotNew(3L).split(" ").count(_.startsWith("u")) == 10)
+  }
+
   test("plan guard: span excision never shuffles text (map-only rewrite)") {
     // Window hashes aggregate and join as 64-bit keys; the per-doc
     // start-lists broadcast back onto the corpus, so the rewrite is a
