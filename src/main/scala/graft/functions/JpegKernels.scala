@@ -571,6 +571,10 @@ object JpegKernels {
     while (sosAt < 0) {
       if (p + 4 > b.length) return null
       if ((b(p) & 0xff) != 0xff) return null
+      // T.81 B.1.1.2: any run of 0xFF fill bytes may pad before the
+      // marker code — the code is the first non-0xFF after the run
+      while (p + 2 <= b.length && (b(p + 1) & 0xff) == 0xff) p += 1
+      if (p + 4 > b.length) return null
       val marker = b(p + 1) & 0xff
       val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
       if (p + 2 + len > b.length) return null
@@ -942,6 +946,9 @@ object JpegKernels {
     while (!done) {
       if (p + 2 > b.length) return null
       if ((b(p) & 0xff) != 0xff) return null
+      // T.81 B.1.1.2 fill bytes, as in the baseline walk
+      while (p + 2 <= b.length && (b(p + 1) & 0xff) == 0xff) p += 1
+      if (p + 2 > b.length) return null
       val marker = b(p + 1) & 0xff
       if (marker == 0xd9) { done = true } // EOI
       else {

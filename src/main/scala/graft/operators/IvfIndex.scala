@@ -170,6 +170,11 @@ object IvfIndex {
     val (_, cents1Df) = build(sample, k1, iters)
     val cents1: Seq[Seq[Double]] = cents1Df.orderBy(col("centroid_id"))
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(cents1.nonEmpty,
+      "trainTwoLevel: level-1 training produced zero centroids — the " +
+        "corpus (or its systematic sample) is empty or every sampled " +
+        "vector failed assignment (dim-mismatched); a two-level model " +
+        "cannot be trained from it")
     val k1e = cents1.length // build densifies: empty initial cells drop
     val c1OfSample = nearestCentroid(col("vec"), cents1)
 
@@ -177,10 +182,19 @@ object IvfIndex {
     val dim = cents1.head.length
     var banks: Array[Array[Array[Double]]] =
       Array.fill(k1e, k2)(new Array[Double](dim))
-    var assign2: Column = pmod(xxhash64(col("vec_id")), lit(k2)).cast("int")
+    // assign2 is a function of the MATERIALIZED c1 attribute: the level-1
+    // argmin kernel is evaluated once per sample row behind a Generate
+    // (posexplode_outer of a one-element array — the same double-eval
+    // guard build and assignTwoLevel use), and both the grouping key and
+    // the bank argmin read that attribute. Inlining c1OfSample in both
+    // places would run the k1-way kernel twice per row per iteration.
+    var assign2: Column => Column =
+      _ => pmod(xxhash64(col("vec_id")), lit(k2)).cast("int")
     (0 until math.max(1, iters)).foreach { _ =>
       val rows = sample
-        .select(col("vec"), c1OfSample.as("c1"), assign2.as("c2"))
+        .select(col("vec"), col("vec_id"),
+          posexplode_outer(array(c1OfSample)).as(Seq("__p1", "c1")))
+        .select(col("vec"), col("c1"), assign2(col("c1")).as("c2"))
         .groupBy(col("c1"), col("c2")).agg(vmean(col("vec")).as("cvec"))
         .collect()
       val next = Array.fill(k1e, k2)(null: Array[Double])
@@ -208,8 +222,9 @@ object IvfIndex {
         a += 1
       }
       banks = next
-      assign2 = graft.functions.VectorExpressions.nearestCentroidBank(
-        col("vec"), c1OfSample, banks.map(_.map(_.toSeq).toSeq).toSeq)
+      val bankSeq = banks.map(_.map(_.toSeq).toSeq).toSeq
+      assign2 = c1 => graft.functions.VectorExpressions
+        .nearestCentroidBank(col("vec"), c1, bankSeq)
     }
     TwoLevelModel(cents1, banks.map(_.map(_.toSeq).toSeq).toSeq)
   }

@@ -635,8 +635,18 @@ object IndexStore {
       if (spark.catalog.tableExists(pqTable(prefix)))
         Some(loadPqModel(spark, prefix))
       else None
+    val hasIvf = spark.catalog.tableExists(ivfPqTable(prefix))
+    // the IVF-PQ sidecar encodes with the PQ codebooks, so `_ivfpq`
+    // without `_pq` (a dropped/half-removed PQ sidecar) cannot take this
+    // batch — fail the WHOLE append before any table writes, rather than
+    // appending `_vecs` while the IVF sidecar silently goes stale
+    require(!hasIvf || model.isDefined,
+      s"appendVecs: store '$prefix' has an ${ivfPqTable(prefix)} sidecar " +
+        s"but no ${pqTable(prefix)} codebook table — the IVF-PQ sidecar " +
+        "cannot encode this batch; re-provision with buildPq + buildIvf " +
+        "(or remove the stale sidecar) before appending")
     val cents =
-      if (spark.catalog.tableExists(ivfPqTable(prefix)))
+      if (hasIvf)
         Some(loadIvfCentroids(spark, prefix)
           .orderBy(col("centroid_id"))
           .collect().map(_.getSeq[Double](1).toSeq).toSeq)

@@ -70,6 +70,28 @@ class IvfPqStoreSpec extends SparkSpec {
     } finally IndexStore.dropVecs(spark, p)
   }
 
+  test("append into _ivfpq-without-_pq fails whole, before any table writes") {
+    // a dropped/half-removed PQ sidecar must not let an append land in
+    // _vecs while the IVF-PQ sidecar silently goes stale
+    val p = "ivfpqs_orphan"
+    IndexStore.dropVecs(spark, p)
+    try {
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 100),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      IndexStore.buildPq(spark, p, m = 16, ks = 16)
+      IndexStore.buildIvf(spark, p, kLists = 4)
+      spark.sql(s"DROP TABLE ${IndexStore.pqTable(p)}")
+      val before = spark.table(IndexStore.vecsTable(p)).count()
+      val batch = allVecs.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.appendVecs(batch, col("vec_id"), col("embedding"), p)
+      }
+      assert(e.getMessage.contains("sidecar"), e.getMessage)
+      assert(spark.table(IndexStore.vecsTable(p)).count() == before,
+        "append partially applied despite the orphaned-sidecar failure")
+    } finally IndexStore.dropVecs(spark, p)
+  }
+
   test("appends assign with the STORED centroids and stay searchable") {
     val p = "ivfpqs_c"
     IndexStore.dropVecs(spark, p)

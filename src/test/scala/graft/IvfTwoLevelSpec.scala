@@ -41,6 +41,14 @@ class IvfTwoLevelSpec extends SparkSpec {
     }
   }
 
+  test("empty corpus fails training with a named require, not NoSuchElement") {
+    val empty = prep.filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.trainTwoLevel(empty, 4, 4)
+    }
+    assert(e.getMessage.contains("zero centroids"), e.getMessage)
+  }
+
   test("deterministic: two builds produce identical assignments") {
     val a1 = IvfIndex.buildTwoLevel(prep, 4, 4)._1
       .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap

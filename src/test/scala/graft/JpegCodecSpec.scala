@@ -73,6 +73,24 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegKernels.jpegDecodeRaw(prog) == null, "progressive must be rejected")
   }
 
+  test("jpeg: 0xFF fill bytes before markers are T.81-legal, decode unchanged") {
+    // B.1.1.2 allows any run of 0xFF padding before a marker code;
+    // third-party encoders emit them. The walk must read the byte after
+    // the LAST 0xFF as the code, not parse the fill as marker 0xFF.
+    val px = MediaKernels.synthPixels(23L, 16 * 16 * 3)
+    val enc = JpegKernels.jpegEncodePixels(16, 16, 3, px)
+    val base = JpegKernels.jpegDecodeRaw(enc)
+    assert(base != null)
+    // SOI(2) + APP0(18) = offset 20 is the DQT marker's 0xFF — pad it
+    val padded = enc.take(20) ++ Array.fill[Byte](3)(0xff.toByte) ++ enc.drop(20)
+    val dec = JpegKernels.jpegDecodeRaw(padded)
+    assert(dec != null, "fill-padded stream rejected")
+    assert(dec.width == base.width && dec.height == base.height &&
+      dec.channels == base.channels)
+    assert(java.util.Arrays.equals(dec.pixels, base.pixels),
+      "fill bytes changed decoded pixels")
+  }
+
   test("jpeg: existing header parser reads the pixel encoder's SOF0") {
     val enc = JpegKernels.jpegEncodePixels(40, 25, 3, MediaKernels.synthPixels(1L, 3000))
     val hdr = MediaKernels.imageHeader(enc)

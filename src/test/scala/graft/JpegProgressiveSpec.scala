@@ -83,6 +83,26 @@ class JpegProgressiveSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive: 0xFF fill bytes before markers decode unchanged") {
+    // T.81 B.1.1.2 fill padding — before a header marker AND before EOI
+    // (after the last scan's entropy data, where a fill parsed as a
+    // marker-0xFF would previously mis-read the walk).
+    val px = MediaKernels.synthPixels(31L, 16 * 16 * 3)
+    val prog = JpegKernels.jpegEncodeProgressivePixels(16, 16, 3, px)
+    val base = JpegKernels.jpegDecodeRaw(prog)
+    assert(base != null)
+    // SOI(2) + APP0(18) = offset 20 is the DQT marker's 0xFF
+    val padded = prog.take(20) ++ Array.fill[Byte](2)(0xff.toByte) ++
+      prog.dropRight(2).drop(20) ++ Array.fill[Byte](2)(0xff.toByte) ++
+      prog.takeRight(2)
+    assert((padded(padded.length - 2) & 0xff) == 0xff &&
+      (padded(padded.length - 1) & 0xff) == 0xd9)
+    val dec = JpegKernels.jpegDecodeRaw(padded)
+    assert(dec != null, "fill-padded progressive stream rejected")
+    assert(java.util.Arrays.equals(dec.pixels, base.pixels),
+      "fill bytes changed progressive decode")
+  }
+
   test("crafted near-max SOF2 dims are rejected before allocation") {
     val px = MediaKernels.synthPixels(3L, 8 * 8)
     val prog = JpegKernels.jpegEncodeProgressivePixels(8, 8, 1, px)
