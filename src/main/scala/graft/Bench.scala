@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
   /** Execute the full plan with every output column evaluated. The noop
     * data source exists for exactly this: a count() would let Catalyst
@@ -59,9 +60,38 @@ object Bench {
     // regressed" (controls steady, one query moved) off the artifact
     // itself, without a rerun. The control's in-suite number in `queries`
     // is unchanged and stays comparable across rounds.
+    //
+    // TWO control classes, because r12 measured a false negative in the
+    // one-control protocol: the driver's window inflated six untouched
+    // scan-bound queries 5–23× while both q_filter_project controls sat
+    // quiet — a cheap mostly-cached plan does NOT co-vary with big-scan
+    // IO contention. The second control is from the IO-bound class: a
+    // full `events` scan (the same table the inflated class reads) into
+    // one fixed-width exchange, nothing cacheable between runs beyond
+    // the OS page cache every suite query shares. Decision rule (the
+    // machine-adjudicable form, also in BENCH_NOTES): a per-query
+    // inflation is attributable to CODE only when BOTH pairs are quiet;
+    // io_control inflated ⇒ the window was IO/CPU-contended and
+    // scan-bound movements adjudicate environmental; cheap control
+    // inflated ⇒ the whole machine was busy.
+    def ioControlDf: DataFrame =
+      Tables(spark, sfDir).events
+        .groupBy(pmod(xxhash64(col("user_id")), lit(256)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("v"),
+          min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    def timeIo(): Double = {
+      val t0 = System.nanoTime()
+      try { run(ioControlDf); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] io_control failed: ${e.getMessage}"); -1.0 }
+    }
+    timeIo() // warm untimed, same reason as the cheap control's warm pass
     val controlFirst =
       if (SparkEntry.queries.contains(control)) time(control) else -1.0
+    val ioFirst = timeIo()
     val results = names.map(name => name -> time(name))
+    val ioLast = timeIo()
     val controlLast =
       if (SparkEntry.queries.contains(control)) time(control) else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -69,7 +99,9 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""control":"$control","control_first":$controlFirst,""" +
-      s""""control_last":$controlLast,"queries":$qs,"sf":"$sfDir"}"""
+      s""""control_last":$controlLast,""" +
+      s""""io_control":"events_scan_agg","io_control_first":$ioFirst,""" +
+      s""""io_control_last":$ioLast,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver's stdout capture truncates long
     // runs (r10's BENCH artifact lost the first ~21 queries), so the file
