@@ -187,6 +187,112 @@ object IngestApp {
       threshold, cfg.nPlanes, cfg.nTables)
   }
 
+  /** Vectors admission in SEMANTIC-INDEX (PQ) mode: the near-dup check
+    * probes the persisted `_ivfpq` sidecar instead of the LSH band
+    * index — the admission-time form of the semantic-dedup family, so a
+    * store can run ingest with ONE ANN layout serving both search and
+    * admission. Per batch vector:
+    *  1. assign to its `nProbe` nearest STORED centroids (pure
+    *     projection against the broadcast `_ivfc` table — rows and
+    *     probes keep agreeing on the frozen quantizer, the
+    *     [[graft.sources.IndexStore.buildIvf]] contract);
+    *  2. ADC-score the probed cells' 16-byte codes (the scan reads
+    *     ~nProbe/kLists of the code bytes via the literal-IN bucket
+    *     prune — never the float vectors);
+    *  3. exact-re-check ONLY near-threshold candidates
+    *     (ADC ≥ threshold − margin, the [[Similarity.semDedupPqKeep]]
+    *     margin contract) against `_vecs` — bucketed on `vec_id`, so
+    *     the fetch join is exchange-free on the store side.
+    * Within-batch pairs are CELL-BLOCKED: batch rows sharing a probed
+    * top-1 cell pair up for an exact cosine check, smaller id survives —
+    * the same colocation trade the semantic-dedup family documents
+    * (cross-cell twins straddling a Voronoi edge are the accepted miss;
+    * raise nProbe to shrink the corpus-side version of it).
+    *
+    * Identity is NOT excluded: a crash-replayed vector meets its stored
+    * self at cosine 1.0 and is rejected `sem_dup_of_corpus`, which is
+    * exactly what makes the streaming loop idempotent on the store.
+    * Non-finite batch vectors produce NaN ADC/cosine scores, every
+    * `>= threshold` comparison is false, and they admit — identical to
+    * what the exact brute-force check would decide, so no special
+    * routing is needed. */
+  def admitVecsPq(spark: SparkSession, prefix: String, batch: DataFrame,
+                  threshold: Double = 0.9, nProbe: Int = 1,
+                  margin: Double = 0.3): (DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions
+    import org.apache.spark.sql.expressions.Window
+    val model = IndexStore.loadPqModel(spark, prefix)
+    val centroids = IndexStore.loadIvfCentroids(spark, prefix)
+    val b = Similarity.prepared(batch, col("vec_id"), col("embedding"))
+    // nProbe nearest stored cells per batch row, LUT computed once per
+    // row; the probes frame is delta-sized and broadcasts
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("centroid_id"))
+    val probes = b
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+        col("norm").as("query_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qd2",
+        col("cnorm") * col("cnorm")
+          - lit(2.0) * graft.functions.VectorFunctions.dot(
+            col("query_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_norm"), col("centroid_id"),
+        col("rn"),
+        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
+      .localCheckpoint(true) // batch × nProbe rows; also feeds the IN below
+    val lists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.table(IndexStore.ivfPqTable(prefix))
+      .filter(col("centroid_id").isInCollection(lists))
+      .withColumn("crn",
+        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val candidates = codes.join(broadcast(probes), "centroid_id")
+      .withColumn("acos",
+        VectorExpressions.pqAdcDot(col("lut"), col("code"))
+          / (col("crn") * col("query_norm")))
+      .filter(col("acos") >= threshold - margin)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val stored = spark.table(IndexStore.vecsTable(prefix))
+      .select(col("vec_id").as("cand_id"), col("vec").as("cvec2"),
+        col("norm").as("cnorm2"))
+    val qSide = b.select(col("vec_id").as("query_id"),
+      col("vec").as("qvec"), col("norm").as("qnorm"))
+    val vsCorpus = candidates
+      .join(stored, "cand_id")
+      .join(broadcast(qSide), "query_id")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("qvec"), col("cvec2"))
+          / (col("cnorm2") * col("qnorm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id").as("vec_id"),
+        lit("sem_dup_of_corpus").as("reason"))
+      .distinct()
+    // cell-blocked within-batch: top-1 assigned cell pairs, exact cosine
+    val cells = probes.filter(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("centroid_id"))
+    val ba = b.join(cells, "vec_id")
+      .select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("vec").as("va"), col("norm").as("na"))
+    val bb = b.join(cells, "vec_id")
+      .select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("vec").as("vb"), col("norm").as("nb"))
+    val withinBatch = ba.join(bb, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("vec_id"),
+        lit("sem_dup_within_batch").as("reason"))
+      .distinct()
+    val rejects = vsCorpus.unionByName(withinBatch)
+    val admitted = batch.join(
+      rejects.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    (admitted, rejects)
+  }
+
   /** Write admission output, print the one-line JSON report, and return
     * the RE-READ admitted frame — materialized through parquet, so a
     * subsequent index append never writes tables its own input plan is
@@ -220,6 +326,7 @@ object IngestApp {
         "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
         "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] [compactEvery] | " +
         "stream-vecs <srcDir> <prefix> <outDir> [threshold] [compactEvery] | " +
+        "stream-vecs-pq <srcDir> <prefix> <outDir> [threshold] [nProbe] [compactEvery] | " +
         "compact-docs <prefix> | compact-vecs <prefix> | " +
         "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix> | " +
         "rebuild-vecs <prefix> [nPlanes] [nTables] | " +
@@ -280,7 +387,7 @@ object IngestApp {
       // the same loop as a structured stream: drain available source
       // files as micro-batches (admit → log rejects → append), then exit;
       // rerun with the same outDir to resume from the checkpoint
-      case "stream-docs" | "stream-vecs" =>
+      case "stream-docs" | "stream-vecs" | "stream-vecs-pq" =>
         require(args.length >= 4, s"usage: IngestApp $mode <srcDir> <prefix> <outDir> [...]")
         val q =
           if (mode == "stream-docs")
@@ -288,10 +395,15 @@ object IngestApp {
               args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
               maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5),
               compactEvery = args.lift(6).map(_.toInt).getOrElse(0))
-          else
+          else if (mode == "stream-vecs")
             graft.streaming.StreamingIngest.vecsStream(spark, args(1), args(2),
               args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
               compactEvery = args.lift(5).map(_.toInt).getOrElse(0))
+          else
+            graft.streaming.StreamingIngest.vecsStreamPq(spark, args(1), args(2),
+              args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
+              nProbe = args.lift(5).map(_.toInt).getOrElse(1),
+              compactEvery = args.lift(6).map(_.toInt).getOrElse(0))
         q.awaitTermination()
         println(s"""{"metric":"ingest_stream","mode":"$mode","prefix":"${args(2)}","batches":${q.recentProgress.length}}""")
 

@@ -111,6 +111,48 @@ object StreamingIngest {
       .start()
   }
 
+  /** Start the vectors ingest stream in SEMANTIC (PQ) admission mode:
+    * each micro-batch is admitted via [[IngestApp.admitVecsPq]] — batch
+    * vectors assign to their `nProbe` nearest STORED centroids (pure
+    * projection), the probed cells' 16-byte codes ADC-score them, and
+    * only near-threshold candidates get the exact re-check — then
+    * appended with the same [[IndexStore.appendVecs]], which keeps the
+    * `_pq` and `_ivfpq` sidecars in lockstep. That lockstep is what
+    * closes the cross-batch loop: a twin arriving N batches after its
+    * original is rejected against codes the STREAM ITSELF appended,
+    * no rebuild in between. Idempotence under crash-replay is inherited
+    * unchanged — a replayed vector meets its stored self at cosine 1.0
+    * and rejects as `sem_dup_of_corpus`, so the store converges to the
+    * no-crash bytes.
+    *
+    * Fails fast at start if the store lacks the `_pq`/`_ivfpq` sidecars
+    * (provision with `IngestApp build-pq` + [[IndexStore.buildIvf]]):
+    * a stream that silently fell back to another index would change
+    * admission semantics mid-deployment. */
+  def vecsStreamPq(spark: SparkSession, srcDir: String, prefix: String,
+                   outDir: String, threshold: Double = 0.9, nProbe: Int = 1,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   readerOptions: Map[String, String] = Map.empty,
+                   compactEvery: Int = 0): StreamingQuery = {
+    requireRejectsLayout(spark, outDir)
+    require(spark.catalog.tableExists(IndexStore.pqTable(prefix)) &&
+        spark.catalog.tableExists(IndexStore.ivfPqTable(prefix)),
+      s"store '$prefix' has no PQ/IVF-PQ sidecar — semantic admission " +
+        "needs both; provision with IngestApp build-pq and " +
+        "IndexStore.buildIvf before starting the stream")
+    spark.readStream.options(readerOptions).schema(vecSchema).parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitAppend(spark, batch, batchId, "vec_id", outDir) { b =>
+          IngestApp.admitVecsPq(spark, prefix, b, threshold, nProbe)._2
+        } { adm => IndexStore.appendVecs(adm, col("vec_id"), col("embedding"), prefix) }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          IndexStore.compactVecs(spark, prefix)
+      }
+      .start()
+  }
+
   /** Refuse to resume into an `outDir` whose rejects log was written by
     * the pre-partitioned layout (append-mode files at the `rejects/` root
     * with `batch_id` as a DATA column). Mixing that with the current

@@ -226,6 +226,84 @@ class IngestMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming vecs ingest, SEMANTIC (PQ) mode: cross-batch twin rejected " +
+       "via the stream's own sidecar append; store byte-identical under replay") {
+    val p = "mt_vpq"
+    IndexStore.dropVecs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("vpq-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vpq-out").toString
+    val replayOut = java.nio.file.Files.createTempDirectory("vpq-rp").toString
+    val allVecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def twinOf(id: Long, newId: Long): DataFrame =
+      allVecs.filter(col("vec_id") === id)
+        .select(lit(newId).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01f)).as("embedding"))
+    try {
+      // a stream without the sidecars must fail FAST, not fall back
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      val e = intercept[IllegalArgumentException] {
+        StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir)
+      }
+      assert(e.getMessage.contains("sidecar"), e.getMessage)
+      IndexStore.buildPq(spark, p, m = 16, ks = 16)
+      IndexStore.buildIvf(spark, p, kLists = 8)
+
+      allVecs.filter(col("vec_id").between(200, 249))
+        .write.mode("append").parquet(srcDir)
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir).awaitTermination()
+
+      // a twin of a batch-1 ADMISSION (205 admitted in batch 1): its
+      // codes exist in _ivfpq ONLY through the stream's own appendVecs
+      // lockstep — rejecting it proves admission reads the appended
+      // sidecar, not just the built one
+      allVecs.filter(col("vec_id").between(250, 259))
+        .unionByName(twinOf(205L, 9700L))
+        .write.mode("append").parquet(srcDir)
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir).awaitTermination()
+
+      val rejects = spark.read.parquet(s"$outDir/rejects")
+        .select("vec_id", "reason").as[(Long, String)].collect().toSet
+      assert(rejects.contains((9700L, "sem_dup_of_corpus")),
+        s"cross-batch semantic twin must be rejected, got $rejects")
+      val nStore = spark.table(IndexStore.vecsTable(p)).count()
+      assert(nStore == 260, s"store must hold 200 + 60 admitted, got $nStore")
+
+      // store state snapshot BEFORE replay: vecs rows, pq codes,
+      // ivfpq codes — all three must be bit-equal after replay
+      def snap(): Seq[Set[String]] = Seq(
+        spark.table(IndexStore.vecsTable(p))
+          .select(col("vec_id"), col("vec").cast("string")),
+        spark.table(IndexStore.pqTable(p))
+          .select(col("vec_id"), hex(col("code"))),
+        spark.table(IndexStore.ivfPqTable(p))
+          .select(col("vec_id"), col("centroid_id"), hex(col("code"))))
+        .map(_.collect().map(_.toString).toSet)
+      val before = snap()
+
+      // replay all input with a fresh checkpoint: every vector meets its
+      // stored self at cosine 1.0 in its own probed cell -> rejected,
+      // nothing appended, every table byte-identical
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, replayOut).awaitTermination()
+      assert(snap() == before,
+        "replay must leave vecs, _pq, and _ivfpq byte-identical")
+      // 60 stored rows self-reject + the never-admitted twin 9700
+      // rejects again (vs stored 205) = 61 corpus-dup rows
+      val replayRejects = spark.read.parquet(s"$replayOut/rejects")
+        .filter(col("reason") === "sem_dup_of_corpus")
+        .select("vec_id").distinct().count()
+      assert(replayRejects == 61,
+        s"all 61 replayed vectors must reject vs the store, got $replayRejects")
+    } finally {
+      IndexStore.dropVecs(spark, p)
+      Seq(srcDir, outDir, replayOut).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("docs removal: forgotten docs re-admittable, shared text survives, store == rebuild") {
     val p = "mt_rm_docs"
     val pRef = "mt_rm_ref"
