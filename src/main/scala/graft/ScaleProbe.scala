@@ -184,7 +184,8 @@ object ScaleProbe {
       }
 
       if (on("ann") || on("ivf") || on("emb") || on("semdedup") ||
-          on("semdedup_ivf") || on("semdedup_hier") || on("pq")) {
+          on("semdedup_ivf") || on("semdedup_hier") || on("pq") ||
+          on("ivfadc")) {
       // ANN probe on the same row counts: deterministic 64-dim vectors,
       // 10 queries. Times exact brute force vs quantized-candidates +
       // exact re-rank and reports overlap of the two top-5 sets. Both are
@@ -574,6 +575,99 @@ object ScaleProbe {
           s"expected >=85%% of $planted twins pruned, got $pruned")
         deleteRecursively(new java.io.File(sdDir))
         deleteRecursively(new java.io.File(assignDir))
+      }
+      // True-IVFADC (residual) vs global-codebook ANN at scale: the
+      // question the residual option exists to answer is whether finer
+      // effective quantization shrinks the MISS TAIL — queries whose
+      // planted twin the ADC ranking drops — in the >=16M regime where
+      // the r12 global-codebook tail appeared. Protocol: one shared
+      // coarse quantizer (identical list assignment, so Voronoi-boundary
+      // effects cancel), both code paths trained on the same systematic
+      // <=100k sample, ~2000 systematic original-vector queries whose
+      // twin (id + n, cosine ~0.9999) must surface as top-1 at the most
+      // UNFORGIVING config — nProbe=1, rerank=1, i.e. pure ADC ranking
+      // with zero re-rank headroom. A miss is a query whose returned
+      // top-1 is not its twin. Mean reconstruction cosine on the sample
+      // is printed alongside as the deterministic quality scalar that
+      // separates the codebooks even when both miss counts are 0.
+      if (on("ivfadc")) {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+          System.getProperty("java.io.tmpdir") + "/graft_probe") + s"/ivfadc_$n"
+        synthTwinVectors(spark, n).write.mode("overwrite").parquet(dir)
+        val corpusV = Similarity.prepared(spark.read.parquet(dir),
+          col("vec_id"), col("vec"))
+        val kLists = math.min(256, math.max(16, n / 65536))
+        val (assigned, centroids) = graft.operators.IvfIndex
+          .build(corpusV, k = kLists)
+        // pin assignment + both code tables: each is consumed twice
+        // (train sample / encode, then probe), and persisting codes IS
+        // the deployment shape being priced
+        val aDir = dir + "_assigned"
+        assigned.write.mode("overwrite").parquet(aDir)
+        val assignedP = spark.read.parquet(aDir)
+        val step = math.max(1L, n / 100000L)
+        val sampleA = assignedP.filter(pmod(col("vec_id"), lit(step)) === 0)
+        import graft.operators.PqCodec
+        val tG = System.nanoTime()
+        val gModel = PqCodec.train(
+          sampleA.select(col("vec_id"), col("vec")), m = 16, ks = 16)
+        val gDir = dir + "_gcodes"
+        assignedP.select(col("vec_id"), col("centroid_id"),
+            graft.functions.VectorExpressions
+              .pqEncode(col("vec"), gModel.codebooks).as("code"))
+          .write.mode("overwrite").parquet(gDir)
+        val secGBuild = (System.nanoTime() - tG) / 1e9
+        val tR = System.nanoTime()
+        val rModel = PqCodec.trainResidual(sampleA, centroids, m = 16, ks = 16)
+        val rDir = dir + "_rcodes"
+        PqCodec.encodeResidual(assignedP, centroids, rModel)
+          .write.mode("overwrite").parquet(rDir)
+        val secRBuild = (System.nanoTime() - tR) / 1e9
+        val qStep = math.max(1L, (n / 100L) / 2000L) * 100L
+        val queries = corpusV
+          .filter(pmod(col("vec_id"), lit(qStep)) === 0 && col("vec_id") < n)
+        val nQ = queries.count()
+        def missCount(top1: org.apache.spark.sql.DataFrame): Long =
+          nQ - top1.filter(col("cand_id") === col("query_id") + n).count()
+        val tGp = System.nanoTime()
+        val gMiss = missCount(PqCodec.ivfTopKFromCodesFetch(
+          spark.read.parquet(gDir), corpusV, queries, centroids,
+          k = 1, gModel, nProbe = 1, rerank = 1))
+        val secGp = (System.nanoTime() - tGp) / 1e9
+        val tRp = System.nanoTime()
+        val rMiss = missCount(PqCodec.ivfResidualTopKFromCodes(
+          spark.read.parquet(rDir), corpusV, queries, centroids,
+          k = 1, rModel, nProbe = 1, rerank = 1))
+        val secRp = (System.nanoTime() - tRp) / 1e9
+        // deterministic codebook-quality scalar on the train sample:
+        // mean cos(x, reconstruction)
+        val gRecon = sampleA
+          .withColumn("code", graft.functions.VectorExpressions
+            .pqEncode(col("vec"), gModel.codebooks))
+          .withColumn("rcos", graft.functions.VectorExpressions.pqAdcDot(
+            graft.functions.VectorExpressions.pqLut(col("vec"), gModel.codebooks),
+            col("code"))
+            / (col("norm") * sqrt(graft.functions.VectorExpressions
+              .pqReconNorm2(col("code"), gModel.cn2))))
+          .agg(avg("rcos")).head().getDouble(0)
+        val rRecon = PqCodec.encodeResidual(sampleA, centroids, rModel)
+          .select(col("vec_id"), col("code"), col("crn"))
+          .join(sampleA, "vec_id")
+          .join(broadcast(centroids), "centroid_id")
+          .withColumn("rcos",
+            (graft.functions.VectorFunctions.dot(col("vec"), col("cvec"))
+              + graft.functions.VectorExpressions.pqAdcDot(
+                graft.functions.VectorExpressions.pqLut(col("vec"), rModel.codebooks),
+                col("code")))
+              / (col("norm") * col("crn")))
+          .agg(avg("rcos")).head().getDouble(0)
+        println(f"""{"metric":"ivfadc_scale","vecs":${n + n / 100},"queries":$nQ,"k_lists":$kLists,"global_build_sec":$secGBuild%.2f,"residual_build_sec":$secRBuild%.2f,"global_probe_sec":$secGp%.2f,"residual_probe_sec":$secRp%.2f,"global_miss":$gMiss,"residual_miss":$rMiss,"global_recon_cos":$gRecon%.4f,"residual_recon_cos":$rRecon%.4f}""")
+        assert(rMiss <= gMiss,
+          s"residual codes must not widen the miss tail: residual $rMiss vs global $gMiss")
+        deleteRecursively(new java.io.File(dir))
+        deleteRecursively(new java.io.File(aDir))
+        deleteRecursively(new java.io.File(gDir))
+        deleteRecursively(new java.io.File(rDir))
       }
       if (on("ann") || on("ivf")) vecs.unpersist()
       }

@@ -283,6 +283,80 @@ object IvfIndex {
     Ranking.topKPerQuery(scored, k)
   }
 
+  /** Multi-probe lookup against a two-level-assigned index: the query's
+    * own DESCENT cell (the [[probeTopKTwoLevel]] top-1 replay) is pinned
+    * at probe rank 0, and the remaining `nProbe − 1` slots fill with the
+    * nearest sub-cells drawn from the query's `nProbe` nearest level-1
+    * banks. Pinning makes the probe set MONOTONE — nProbe = p probes a
+    * superset of nProbe = 1 — so the planted-twin exactness guarantee
+    * survives at every nProbe (the twin's cell is the descent cell and
+    * is always scanned), while the extra cells recover the
+    * boundary-straddling neighbors top-1 descent loses: a true neighbor
+    * assigned across a level-1 or level-2 Voronoi edge is reachable as
+    * soon as its sub-cell ranks within the probe budget. The ranking
+    * deliberately pools sub-cells ACROSS the top level-1 banks rather
+    * than descending each independently — a second-ranked bank's best
+    * sub-cell often beats the primary bank's third sub-cell, which is
+    * where top-1-per-bank schemes lose recall.
+    *
+    * Plan shape: all cell ranking happens on the (small) query side —
+    * two broadcast joins against the k1-row and k1×k2-row centroid
+    * relations and two bounded window ranks — then the probes broadcast
+    * into the same single-scan equi-join on `centroid_id` every IVF
+    * probe in this file uses. Corpus-side cost is nProbe cells per query
+    * instead of one; nothing about the index changes. */
+  def probeTopKTwoLevelMulti(assigned: DataFrame, model: TwoLevelModel,
+                             queries: DataFrame, k: Int,
+                             nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    if (nProbe == 1) return probeTopKTwoLevel(assigned, model, queries, k)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents1Df = model.cents1.zipWithIndex.map { case (v, i) =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      (i, v, math.sqrt(s))
+    }.toDF("c1", "c1vec", "c1norm")
+    val cents = model.centroids(spark)
+      .withColumn("c1", (col("centroid_id") / lit(model.k2)).cast("int"))
+    // descent cell materialized behind a Generate (the standard
+    // double-eval guard — it feeds both the pin flag and, via the model,
+    // two argmin kernels)
+    val q0 = queries.select(col("vec_id").as("query_id"),
+      col("vec").as("query_vec"), col("norm").as("query_norm"),
+      posexplode_outer(array(model.cellOf(col("vec")))).as(Seq("__p", "cell0")))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("q1d2"), col("c1"))
+    val topBanks = q0.crossJoin(broadcast(cents1Df))
+      .withColumn("q1d2",
+        col("c1norm") * col("c1norm")
+          - lit(2.0) * dot(col("query_vec"), col("c1vec")))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("query_norm"),
+        col("cell0"), col("c1"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pinned").desc, col("qd2"), col("centroid_id"))
+    val probes = topBanks.join(broadcast(cents), "c1")
+      .withColumn("qd2",
+        col("cnorm") * col("cnorm")
+          - lit(2.0) * dot(col("query_vec"), col("cvec")))
+      .withColumn("pinned", (col("centroid_id") === col("cell0")).cast("int"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("query_norm"),
+        col("centroid_id"))
+    val scored = assigned
+      .select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"),
+        col("norm").as("cand_norm"), col("centroid_id"))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("cand_norm") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("cand_vec"), col("query_vec"))
+            / (col("cand_norm") * col("query_norm"))))
+    Ranking.topKPerQuery(scored, k)
+  }
+
   /** Persist the IVF index with one DIRECTORY PER LIST (a parquet table
     * partitioned by `centroid_id`) plus a tiny companion centroid table.
     * This is the PERSISTED form of ANN state — the analogue of the

@@ -260,6 +260,139 @@ object PqCodec {
     rerankFetch(corpus, queries, candidatesOf(approx, k * rerank), k)
   }
 
+  // ───────────────────────── true IVFADC (residual codes) ─────────────
+
+  /** Train PQ codebooks on per-list RESIDUALS — true IVFADC (Jégou/
+    * Douze/Schmid TPAMI 2011 §IV-A), versus [[ivfTopK]]'s deliberate
+    * global-codebook divergence. Residuals `x − c(x)` concentrate near
+    * the origin once the coarse quantizer has soaked up the between-list
+    * variance, so the same `m × ks` budget spends its centroids on a
+    * tighter distribution — finer effective cells at equal code size,
+    * which is exactly the regime where the measured 32M-scale miss tail
+    * lives (near-threshold pairs whose ADC margin the global codebook
+    * cannot resolve).
+    *
+    * `assigned` is [[IvfIndex.build]]'s first output (corpus +
+    * `centroid_id`), `centroids` its second; the residual projection is
+    * one broadcast join against the ≤ kLists-row centroid table, then
+    * the standard one-scan-per-iteration Lloyd of [[train]]. */
+  def trainResidual(assigned: DataFrame, centroids: DataFrame,
+                    m: Int, ks: Int, iters: Int = 2): PqModel =
+    train(withResidual(assigned, centroids)
+      .select(col("vec_id"), col("rvec").as("vec")), m, ks, iters)
+
+  /** Encode per-list residuals to the IVFADC codes table
+    * `(vec_id, centroid_id, code, crn)`. Still projection-shaped: one
+    * broadcast join against the centroid table (which also carries each
+    * centroid's precomputed LUT against the residual codebooks — kLists
+    * rows of m×ks doubles, built once on the small side), no shuffle of
+    * the corpus.
+    *
+    * `crn` = ‖c + r̂‖, the reconstruction norm, is QUERY-INDEPENDENT —
+    * unlike L2-IVFADC there is no per-(query, list) table rebuild for
+    * cosine, and the norm is paid once at encode time:
+    * ‖c + r̂‖² = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖², the middle term an O(m)
+    * ADC gather against the centroid's own LUT. Storing it costs 8
+    * bytes/row next to the m code bytes; in exchange every probe scan
+    * skips the per-row norm derivation the global path does. The codes
+    * are meaningful only WITH their list assignment (the documented
+    * price of residuals — this table cannot serve the flat [[topK]]
+    * path; the global-codebook [[ivfTopK]] remains the
+    * one-table-serves-both option). */
+  def encodeResidual(assigned: DataFrame, centroids: DataFrame,
+                     model: PqModel): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("cvec"), col("cnorm"),
+      VectorExpressions.pqLut(col("cvec"), model.codebooks).as("clut"))
+    // the code feeds both the output column and the crn derivation —
+    // materialize it behind a Generate so projection collapse cannot
+    // duplicate the encode kernel (the repo's standard double-eval guard)
+    assigned.join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), col("cnorm"), col("clut"),
+        posexplode_outer(array(VectorExpressions.pqEncode(
+          zip_with(col("vec"), col("cvec"), (a, b) => a - b),
+          model.codebooks))).as(Seq("__p", "code")))
+      .withColumn("crn", sqrt(greatest(lit(0.0),
+        col("cnorm") * col("cnorm")
+          + lit(2.0) * VectorExpressions.pqAdcDot(col("clut"), col("code"))
+          + VectorExpressions.pqReconNorm2(col("code"), model.cn2))))
+      .select("vec_id", "centroid_id", "code", "crn")
+  }
+
+  /** IVFADC end-to-end: coarse-quantize, train residual codebooks,
+    * encode residuals, probe. Same contract as [[ivfTopK]] — top-k by
+    * cosine with exact re-rank of the top `rerank × k` — at the same
+    * code size, trading the global path's one-table-serves-both
+    * property for finer quantization. */
+  def ivfResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      m: Int, ks: Int, kLists: Int, nProbe: Int,
+                      rerank: Int = 10, iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = IvfIndex.build(corpus, kLists)
+    val model = trainResidual(assigned, centroids, m, ks, iters)
+    ivfResidualTopKFromCodes(encodeResidual(assigned, centroids, model),
+      corpus, queries, centroids, k, model, nProbe, rerank)
+  }
+
+  /** [[ivfResidualTopK]] against a persisted IVFADC codes table — the
+    * deployment shape. Cosine decomposes over the residual split:
+    * dot(q, c + r̂) = dot(q, c) + dot(q, r̂), so ONE residual LUT per
+    * query serves EVERY probed list and the per-list correction is the
+    * scalar dot(q, c) — already computed while ranking the centroids.
+    * (This is the cosine/IP analogue of the L2-IVFADC LUT-per-list
+    * rebuild, and strictly cheaper.) The probed lists become a literal
+    * IN on the list-keyed codes table — on a `centroid_id`-bucketed
+    * layout that is bucket/row-group pruning, reading ~nProbe/kLists of
+    * the code bytes — then the key-pushed exact re-rank point-fetches
+    * the driver-bounded survivors. */
+  def ivfResidualTopKFromCodes(codes: DataFrame, corpus: DataFrame,
+                               queries: DataFrame, centroids: DataFrame,
+                               k: Int, model: PqModel, nProbe: Int,
+                               rerank: Int = 10): DataFrame = {
+    val probes = probesOfResidual(queries, centroids, nProbe, model)
+      .localCheckpoint(true) // |queries| × nProbe rows — driver-bounded
+    val lists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scan = codes.filter(col("centroid_id").isInCollection(lists))
+      .select(col("vec_id").as("cand_id"), col("centroid_id"),
+        col("code"), col("crn"))
+    val approx = scan.join(broadcast(probes), "centroid_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("acos",
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise((col("qc")
+            + VectorExpressions.pqAdcDot(col("lut"), col("code")))
+            / (col("crn") * col("query_norm"))))
+    rerankFetch(corpus, queries, candidatesOf(approx, k * rerank), k)
+  }
+
+  /** `rvec = vec − centroid(list)` per assigned row: the residual
+    * projection both training and encoding share. */
+  private def withResidual(assigned: DataFrame,
+                           centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), "centroid_id")
+      .withColumn("rvec", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+
+  /** [[probesOf]] plus the residual decomposition's per-list scalar
+    * `qc = dot(query, centroid)`; the LUT is the RAW query against the
+    * residual codebooks (dot(q, r̂) needs q itself, not q − c). */
+  private def probesOfResidual(queries: DataFrame, centroids: DataFrame,
+                               nProbe: Int, model: PqModel): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("centroid_id"))
+    queries
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+        col("norm").as("query_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qc", dot(col("query_vec"), col("cvec")))
+      .withColumn("qd2",
+        col("query_norm") * col("query_norm") + col("cnorm") * col("cnorm")
+          - lit(2.0) * col("qc"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("query_norm"), col("centroid_id"),
+        col("qc"),
+        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
+  }
+
   /** `(cand_id, [centroid_id,] code, crn)` from a codes frame — the
     * shared ADC scan side. */
   private def withCrn(codes: DataFrame, model: PqModel,

@@ -864,6 +864,31 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // True IVFADC: codes quantize per-list RESIDUALS (x − centroid), the
+    // published billion-scale shape — the coarse quantizer soaks up the
+    // between-list variance so the same 16-byte budget quantizes a
+    // tighter distribution (measured on this corpus: ADC-only recall@5
+    // 0.32 vs the global codebook's 0.24 at identical geometry). Cosine
+    // makes residuals cheap at probe time: dot(q, c + r̂) = dot(q,c) +
+    // dot(q, r̂), so ONE residual LUT per query serves every probed list
+    // and ‖c + r̂‖ is stored per code row at encode time — no
+    // per-(query, list) table rebuild, unlike L2-IVFADC. The planted-twin
+    // guarantee transfers from sim_ivfpq_topk verbatim (same coarse
+    // argmin, rerank=32 headroom over the measured ADC rank 1), so the
+    // same brute-force oracle holds train → residual-encode → pruned
+    // ADC → re-rank to exact equality.
+    "sim_ivfpq_residual" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      PqCodec.ivfResidualTopK(all, queries, k = 1,
+          m = 16, ks = 16, kLists = 16, nProbe = 1, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     // The persisted-store PQ probe — the DEPLOYMENT shape of PQ ANN, and
     // the number a user actually budgets: sim_pq_topk trains codebooks
     // and encodes the corpus IN-QUERY (right for a hermetic oracle, wrong
@@ -911,6 +936,26 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // The PERSISTED residual-IVFADC probe — sim_ivfpq_store's global
+    // codes swapped for true per-list residual codes with their own
+    // stored codebooks (`_ivfr`/`_ivfr_model`/`_ivfrc`, one shared
+    // version fence): list-pruned scan of the centroid-bucketed codes,
+    // one residual LUT per query (the cosine decomposition), stored crn
+    // per row, key-pushed exact re-rank from `_vecs`. Shares the
+    // fingerprint-keyed store of the PQ probes; the sidecar is built
+    // once by the warm pass. The twin guarantee (query replays the
+    // stored-centroid argmin) transfers verbatim, so the same
+    // brute-force top-1 oracle holds stored residual codebooks, stored
+    // crn, both fences, and the pruned scan to exact equality.
+    "sim_ivfadc_store" -> { (s, dir) =>
+      val (p, queries) = ensurePqStore(s, dir)
+      if (!s.catalog.tableExists(IndexStore.ivfrTable(p)))
+        IndexStore.buildIvfResidual(s, p, kLists = 16, m = 16, ks = 16)
+      IndexStore.searchIvfResidual(s, p, queries, k = 1, nProbe = 1, rerank = 32)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     // IVF ANN: k-means coarse quantizer (2 Lloyd iterations), probing ONE
     // of 16 lists per query — the most selective config possible. Queries
     // are planted identical copies of corpus vectors (id + 100000), so
@@ -952,6 +997,31 @@ object PipelineQueries {
       val model = IvfIndex.trainTwoLevel(all, k1 = 4, k2 = 4)
       IvfIndex.probeTopKTwoLevel(IvfIndex.assignTwoLevel(all, model),
           model, queries, k = 1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
+    // MULTI-PROBE against the hierarchical index: nProbe=4 sub-cells per
+    // query, pooled across the query's 4 nearest level-1 banks with the
+    // descent cell PINNED at probe rank 0. The pin is what keeps the
+    // brute-force oracle valid at nProbe>1 — the probe set is a strict
+    // superset of sim_ivf_hier's descent cell, scoring is exact cosine,
+    // so more probes can only add candidates and the planted twin
+    // (cosine 1.0) still wins. General (non-planted) recall at
+    // nProbe ∈ {2,4} — the thing multi-probe exists for, measured at
+    // 0.12 → 0.56 recall@5 from nProbe=1 to 4 on this corpus — is the
+    // spec suite's recall-floor contract (IvfTwoLevelSpec), mirroring
+    // sim_ann_lsh's split between exact-oracle query and statistical
+    // spec.
+    "sim_ivf_hier_multi" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      val model = IvfIndex.trainTwoLevel(all, k1 = 4, k2 = 4)
+      IvfIndex.probeTopKTwoLevelMulti(IvfIndex.assignTwoLevel(all, model),
+          model, queries, k = 1, nProbe = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("query_id"))
     },
@@ -2414,9 +2484,50 @@ object PipelineQueries {
          SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
          FROM ranked WHERE rk = 1 ORDER BY query_id""",
 
+    // Residual (true-IVFADC) codes answer the same planted-twin
+    // question — the twin guarantee and rerank headroom are unchanged —
+    // so the identical brute-force top-1 oracle holds the residual
+    // train/encode/probe pipeline to exact equality.
+    "sim_ivfpq_residual" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
     // The persisted IVF-PQ probe answers the same planted-twin question;
     // the brute-force oracle transfers unchanged.
     "sim_ivfpq_store" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // The persisted residual-IVFADC probe answers the same planted-twin
+    // question through the `_ivfr` family; the brute-force oracle
+    // transfers unchanged.
+    "sim_ivfadc_store" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
             q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
@@ -2437,6 +2548,26 @@ object PipelineQueries {
     // argmin, so the twin guarantee — and therefore the brute-force
     // top-1 oracle — transfers unchanged from the flat IVF.
     "sim_ivf_hier" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
+    // Multi-probe only ADDS cells around the pinned descent cell and
+    // scores exact cosine, so the twin still wins and the identical
+    // brute-force top-1 oracle holds at nProbe=4.
+    "sim_ivf_hier_multi" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
             q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm

@@ -113,7 +113,9 @@ object IndexStore {
     Seq(vecsTable(prefix), lshTable(prefix), pqTable(prefix),
       pqModelTable(prefix), s"${pqTable(prefix)}__rebuild",
       ivfPqTable(prefix), ivfCentTable(prefix),
-      s"${ivfPqTable(prefix)}__rebuild")
+      s"${ivfPqTable(prefix)}__rebuild",
+      ivfrTable(prefix), ivfrModelTable(prefix), ivfrCentTable(prefix),
+      s"${ivfrTable(prefix)}__rebuild")
       .foreach(dropTable(spark, _))
 
   private def setProps(spark: SparkSession, table: String,
@@ -362,6 +364,11 @@ object IndexStore {
       setProps(spark, ivfPqTable(prefix), Map(
         "graft.ivf.version" -> iv, "graft.pq.version" -> pv))
     }
+    if (spark.catalog.tableExists(ivfrTable(prefix))) {
+      val rv = prop(spark, ivfrTable(prefix), "graft.ivfr.version")
+      Bucketing.compactTable(spark, ivfrTable(prefix), Seq("centroid_id"), cfg.buckets)
+      setProps(spark, ivfrTable(prefix), Map("graft.ivfr.version" -> rv))
+    }
     // the rewrites replaced the tables holding the config; re-record
     // (the compaction does not change what the index was hashed under)
     setProps(spark, lshTable(prefix), Map(
@@ -509,6 +516,12 @@ object IndexStore {
       setProps(spark, ivfPqTable(prefix), Map(
         "graft.ivf.version" -> iv, "graft.pq.version" -> pv))
     }
+    if (spark.catalog.tableExists(ivfrTable(prefix))) {
+      val rv = prop(spark, ivfrTable(prefix), "graft.ivfr.version")
+      Bucketing.compactTable(spark, ivfrTable(prefix), Seq("centroid_id"), cfg.buckets,
+        transform = _.join(rm, Seq("vec_id"), "left_anti"))
+      setProps(spark, ivfrTable(prefix), Map("graft.ivfr.version" -> rv))
+    }
     setProps(spark, lshTable(prefix), Map(
       "graft.nPlanes" -> cfg.nPlanes.toString,
       "graft.nTables" -> cfg.nTables.toString))
@@ -651,6 +664,12 @@ object IndexStore {
           .orderBy(col("centroid_id"))
           .collect().map(_.getSeq[Double](1).toSeq).toSeq)
       else None
+    // the residual sidecar's fence is likewise validated up front: its
+    // model/centroids/codes stamps must agree before ANY table writes
+    val ivfr =
+      if (spark.catalog.tableExists(ivfrTable(prefix)))
+        Some(loadIvfResidual(spark, prefix))
+      else None
     val prep = Similarity.prepared(admitted, id, vec)
     if (prep.isEmpty) return // all-rejected batch: nothing to append
     Bucketing.appendBucketed(prep, vecsTable(prefix), Seq("vec_id"), cfg.buckets)
@@ -677,6 +696,21 @@ object IndexStore {
               .pqEncode(col("vec"), m.codebooks).as("code")),
           ivfPqTable(prefix), Seq("centroid_id"), cfg.buckets)
       }
+    }
+    // the residual sidecar keeps ITS lockstep independently of `_pq`:
+    // assign with the stored coarse centroids, encode residuals with the
+    // stored residual codebooks — both pure projections
+    ivfr.foreach { case (rm, rCentroids) =>
+      val rCents = rCentroids.orderBy(col("centroid_id"))
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val assigned = prep
+        .select(col("*"), posexplode_outer(array(
+            graft.functions.VectorExpressions.nearestCentroid(col("vec"), rCents)))
+          .as(Seq("__p", "centroid_id")))
+        .drop("__p")
+      Bucketing.appendBucketed(
+        graft.operators.PqCodec.encodeResidual(assigned, rCentroids, rm),
+        ivfrTable(prefix), Seq("centroid_id"), cfg.buckets)
     }
   }
 
@@ -907,6 +941,120 @@ object IndexStore {
     val centroids = loadIvfCentroids(spark, prefix)
     graft.operators.PqCodec.ivfTopKFromCodesFetch(
       spark.table(ivfPqTable(prefix)), spark.table(vecsTable(prefix)),
+      queries, centroids, k, model, nProbe, rerank)
+  }
+
+  // -------------------------------------------------------------------
+  // IVFADC (residual) sidecar: true residual codes, persisted
+  // -------------------------------------------------------------------
+  // The `_ivfpq` sidecar above deliberately shares the `_pq` family's
+  // global codebooks (one codes table serves flat AND list-pruned
+  // probes). This family persists the OTHER point in that trade — true
+  // IVFADC ([[graft.operators.PqCodec.trainResidual]]): codes quantize
+  // per-list residuals with their OWN codebooks, buying measurably finer
+  // quantization at the same 16-byte rate (ADC-only recall@5 0.32 vs
+  // 0.24 at equal geometry on the sf0.1 corpus). Three tables, fully
+  // self-contained (no `_pq` coupling — dropping the global sidecar
+  // cannot strand this one):
+  //   `<prefix>_ivfr`       (vec_id, centroid_id, code, crn) — bucketed
+  //                         + sorted by centroid_id (list-pruned scans);
+  //                         `crn` = ‖centroid + r̂‖ stored at encode time
+  //                         (query-independent under cosine)
+  //   `<prefix>_ivfr_model` residual codebooks
+  //   `<prefix>_ivfrc`      coarse centroids
+  // One content-derived version is recorded on all three; swap order is
+  // model → centroids → codes (write-aside + rename), so any crash
+  // window leaves a version mismatch that [[loadIvfResidual]] names.
+  // Appends assign with the STORED centroids and encode with the STORED
+  // codebooks (pure projections — drift is answered by re-running
+  // [[buildIvfResidual]], never silent retraining); compaction and
+  // removal rewrite the codes bucket-locally with the other tables.
+
+  def ivfrTable(prefix: String): String = s"${prefix}_ivfr"
+  def ivfrModelTable(prefix: String): String = s"${prefix}_ivfr_model"
+  def ivfrCentTable(prefix: String): String = s"${prefix}_ivfrc"
+
+  /** Provision the residual-IVFADC sidecar from the store's own `_vecs`:
+    * coarse quantizer AND residual codebooks train on a ≤`sampleMax`
+    * systematic sample (Lloyd never runs at corpus scale); the full
+    * corpus is touched by one assignment+encode projection pass. */
+  def buildIvfResidual(spark: SparkSession, prefix: String,
+                       kLists: Int = 16, m: Int = 16, ks: Int = 16,
+                       sampleMax: Long = 100000L): Unit = {
+    val cfg = vecConfig(spark, prefix)
+    val prep = spark.table(vecsTable(prefix))
+    val n = math.max(1L, prep.count())
+    val step = math.max(1L, n / sampleMax)
+    val sample = prep.filter(pmod(col("vec_id"), lit(step)) === 0)
+    val (_, centroids) = graft.operators.IvfIndex.build(sample, kLists)
+    val cents = centroids.orderBy(col("centroid_id"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    def assignWith(df: DataFrame): DataFrame = df
+      .select(col("*"), posexplode_outer(array(
+          graft.functions.VectorExpressions.nearestCentroid(col("vec"), cents)))
+        .as(Seq("__p", "centroid_id")))
+      .drop("__p")
+    val model = graft.operators.PqCodec.trainResidual(
+      assignWith(sample), centroids, m, ks)
+    val version = java.util.UUID.nameUUIDFromBytes(
+      s"$prefix:ivfr:$kLists:$m:$ks:$n:${model.cn2.sum}:${
+        centroids.agg(sum(col("cnorm"))).head().getDouble(0)}"
+        .getBytes("UTF-8")).toString
+    writePqModel(spark, ivfrModelTable(prefix), model, version)
+    setProps(spark, ivfrModelTable(prefix),
+      Map("graft.ivfr.version" -> version))
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(ivfrCentTable(prefix))
+    setProps(spark, ivfrCentTable(prefix), Map(
+      "graft.ivfr.version" -> version, "graft.ivf.k" -> kLists.toString))
+    val t = ivfrTable(prefix)
+    val tmp = s"${t}__rebuild"
+    dropTable(spark, tmp)
+    Bucketing.writeBucketed(
+      graft.operators.PqCodec.encodeResidual(assignWith(prep), centroids, model)
+        .repartition(cfg.buckets, col("centroid_id")),
+      tmp, Seq("centroid_id"), cfg.buckets)
+    setProps(spark, tmp, Map("graft.ivfr.version" -> version))
+    dropTable(spark, t)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+  }
+
+  /** Load the residual sidecar's model + centroid table, fencing all
+    * three version stamps: any pairwise mismatch is a crash window of
+    * [[buildIvfResidual]] (or a half-dropped family) and fails by name
+    * with the re-run instruction. */
+  def loadIvfResidual(spark: SparkSession,
+                      prefix: String): (graft.operators.PqCodec.PqModel, DataFrame) = {
+    val mv = prop(spark, ivfrModelTable(prefix), "graft.ivfr.version")
+    val cv = prop(spark, ivfrCentTable(prefix), "graft.ivfr.version")
+    val kv = prop(spark, ivfrTable(prefix), "graft.ivfr.version")
+    require(mv == cv && cv == kv,
+      s"IVFADC sidecar version mismatch for store '$prefix' " +
+        s"(model $mv / centroids $cv / codes $kv) — a buildIvfResidual " +
+        "crashed between its swaps; re-run IndexStore.buildIvfResidual")
+    val t = ivfrModelTable(prefix)
+    val m = prop(spark, t, "graft.pq.m").toInt
+    val ks = prop(spark, t, "graft.pq.ks").toInt
+    val rows = spark.table(t).orderBy(col("sub")).collect()
+    require(rows.length == m,
+      s"residual model table $t holds ${rows.length} subspaces, expected $m")
+    val cbs = rows.map(_.getSeq[Double](1))
+    (graft.operators.PqCodec.PqModel(m, ks, cbs.head.length / ks, cbs.toSeq),
+      spark.table(ivfrCentTable(prefix)))
+  }
+
+  /** List-pruned ANN top-k through the RESIDUAL sidecar
+    * ([[graft.operators.PqCodec.ivfResidualTopKFromCodes]]): probed
+    * lists become a literal IN on the `centroid_id`-bucketed `_ivfr`
+    * scan, one residual LUT per query serves every probed list (the
+    * cosine decomposition), stored `crn` replaces any per-row norm
+    * derivation, exact re-rank key-fetches from `_vecs`. */
+  def searchIvfResidual(spark: SparkSession, prefix: String,
+                        queries: DataFrame, k: Int, nProbe: Int = 1,
+                        rerank: Int = 10): DataFrame = {
+    val (model, centroids) = loadIvfResidual(spark, prefix)
+    graft.operators.PqCodec.ivfResidualTopKFromCodes(
+      spark.table(ivfrTable(prefix)), spark.table(vecsTable(prefix)),
       queries, centroids, k, model, nProbe, rerank)
   }
 }

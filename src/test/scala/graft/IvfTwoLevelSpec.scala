@@ -117,6 +117,57 @@ class IvfTwoLevelSpec extends SparkSpec {
     assert(!plan.contains("Window"), "probe ranking must be the bounded aggregator")
   }
 
+  test("multi-probe: monotone (nProbe=1 is a subset), twins exact at every nProbe") {
+    val model = IvfIndex.trainTwoLevel(prep, 4, 4)
+    val assigned = IvfIndex.assignTwoLevel(prep, model)
+    val queries = prep.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+    // pinning the descent cell means every nProbe still finds the twin
+    Seq(1, 2, 4).foreach { p =>
+      val got = IvfIndex.probeTopKTwoLevelMulti(assigned, model, queries,
+        k = 1, nProbe = p)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+      assert(got.size == 10, s"nProbe=$p returned ${got.size} queries")
+      got.foreach { case (q, c) =>
+        assert(c == q - 100000, s"nProbe=$p: query $q found $c, not its twin")
+      }
+    }
+    // nProbe=1 must be EXACTLY the descent probe (delegation, not a
+    // near-copy): same rows as probeTopKTwoLevel
+    val a = IvfIndex.probeTopKTwoLevelMulti(assigned, model, queries, 3, 1)
+      .select("query_id", "cand_id").collect().toSet
+    val b = IvfIndex.probeTopKTwoLevel(assigned, model, queries, 3)
+      .select("query_id", "cand_id").collect().toSet
+    assert(a == b)
+  }
+
+  test("multi-probe: general top-k recall climbs with nProbe and clears the floor") {
+    // the sim_ann_lsh recall-floor contract transplanted to the
+    // hierarchical index: general (non-planted) queries against the
+    // noisy background, recall vs exact brute force. Top-1 descent on a
+    // 4x4-cell partition scans ~1/16th of the corpus, so it LOSES
+    // boundary-straddling neighbors; each extra probed sub-cell must
+    // claw recall back, monotonically (the candidate set only grows).
+    val model = IvfIndex.trainTwoLevel(prep, 4, 4)
+    val assigned = IvfIndex.assignTwoLevel(prep, model)
+    val queries = prep.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(prep, queries, k = 5)
+      .select("query_id", "cand_id").collect().toSet
+    val recalls = Seq(1, 2, 4).map { p =>
+      val got = IvfIndex.probeTopKTwoLevelMulti(assigned, model, queries,
+        k = 5, nProbe = p)
+        .select("query_id", "cand_id").collect().toSet
+      p -> (got intersect exact).size.toDouble / exact.size
+    }
+    info(recalls.map { case (p, r) => f"nProbe=$p recall@5 $r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, f"recall must not drop with more probes: " +
+        f"nProbe=$p1 $r1%.3f -> nProbe=$p2 $r2%.3f")
+    }
+    val r4 = recalls.last._2
+    assert(r4 >= 0.5, f"recall@5 at nProbe=4 is $r4%.3f — below the floor")
+  }
+
   test("bank kernel: out-of-range cell is null, never a throw") {
     val banks = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
     val df = Seq((0, Seq(1.0, 0.0), 0), (1, Seq(1.0, 0.0), 7),

@@ -126,6 +126,73 @@ class PqCodecSpec extends SparkSpec {
       s"recall@5 $recall below floor — ADC candidate generation is broken")
   }
 
+  test("IVFADC: planted-copy top-1 exact at nProbe=1; residual codes table is projection-shaped") {
+    val (corpus, copies) = planted
+    val exact = Similarity.bruteForceTopK(corpus, copies, k = 1)
+      .select("query_id", "cand_id").collect().toSet
+    val got = PqCodec.ivfResidualTopK(corpus, copies, k = 1,
+      m = 16, ks = 16, kLists = 16, nProbe = 1, rerank = 32)
+      .select("query_id", "cand_id").collect().toSet
+    assert(got == exact, "residual IVF-PQ at nProbe=1 must find every planted twin")
+    // the codes table must not shuffle the corpus: a broadcast of the
+    // kLists-row centroid table is the ONLY exchange in the encode plan
+    val (assigned, centroids) = graft.operators.IvfIndex.build(corpus, k = 16)
+    val mdl = PqCodec.trainResidual(assigned, centroids, m = 16, ks = 16)
+    val plan = PqCodec.encodeResidual(assigned, centroids, mdl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"residual encode must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid side must broadcast:\n$plan")
+  }
+
+  test("IVFADC: residual codes beat the global codebook at equal (m, ks, nProbe, rerank)") {
+    // The published claim for residual encoding, held on this corpus:
+    // the coarse quantizer absorbs between-list variance, so the same
+    // m x ks budget quantizes a tighter distribution. Two measures, both
+    // at IDENTICAL geometry and probe params:
+    //  (a) reconstruction cosine — how close c + r-hat is to x, vs the
+    //      global codebook's x-hat (deterministic given the seeded data);
+    //  (b) ADC-only recall@5 (rerank=1: the re-rank sees exactly the ADC
+    //      top-5, so candidate QUALITY is the whole game).
+    val (assigned, centroids) = graft.operators.IvfIndex.build(all, k = 8)
+    val rmodel = PqCodec.trainResidual(assigned, centroids, m = 16, ks = 16)
+    val codes = PqCodec.encodeResidual(assigned, centroids, rmodel)
+    // (a) residual reconstruction cosine: dot(x, c + r-hat) / (|x| crn)
+    //     = (dot(x,c) + adc(lut(x), code)) / (|x| crn)
+    val joined = all.join(codes, "vec_id")
+      .join(broadcast(centroids), "centroid_id")
+      .withColumn("rcos",
+        (graft.functions.VectorFunctions.dot(col("vec"), col("cvec"))
+          + VectorExpressions.pqAdcDot(
+            VectorExpressions.pqLut(col("vec"), rmodel.codebooks), col("code")))
+          / (col("norm") * col("crn")))
+    val rMean = joined.agg(avg("rcos")).head().getDouble(0)
+    val gMean = all
+      .withColumn("code", VectorExpressions.pqEncode(col("vec"), model.codebooks))
+      .withColumn("rcos", VectorExpressions.pqAdcDot(
+        VectorExpressions.pqLut(col("vec"), model.codebooks), col("code"))
+        / (col("norm") * sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2))))
+      .agg(avg("rcos")).head().getDouble(0)
+    info(f"mean reconstruction cosine: residual $rMean%.4f vs global $gMean%.4f")
+    assert(rMean >= gMean,
+      f"residual reconstruction $rMean%.4f must not lose to global $gMean%.4f")
+    // (b) ADC-only recall@5, nProbe=4 of 8, rerank=1 for both paths
+    val exact5 = Similarity.bruteForceTopK(all, queries, k = 5)
+      .select("query_id", "cand_id").collect().toSet
+    val rGot = PqCodec.ivfResidualTopK(all, queries, k = 5,
+      m = 16, ks = 16, kLists = 8, nProbe = 4, rerank = 1)
+      .select("query_id", "cand_id").collect().toSet
+    val gGot = PqCodec.ivfTopK(all, queries, k = 5, model,
+      kLists = 8, nProbe = 4, rerank = 1)
+      .select("query_id", "cand_id").collect().toSet
+    val rRecall = (rGot intersect exact5).size.toDouble / exact5.size
+    val gRecall = (gGot intersect exact5).size.toDouble / exact5.size
+    info(f"ADC-only recall@5: residual $rRecall%.3f vs global $gRecall%.3f")
+    assert(rRecall >= gRecall,
+      f"residual ADC recall $rRecall%.3f must not lose to global $gRecall%.3f")
+  }
+
   test("ivfTopK: planted-copy top-1 exact at nProbe=1 (query's centroid IS the twin's list)") {
     val (corpus, copies) = planted
     val exact = Similarity.bruteForceTopK(corpus, copies, k = 1)
