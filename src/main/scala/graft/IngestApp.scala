@@ -220,40 +220,29 @@ object IngestApp {
                   threshold: Double = 0.9, nProbe: Int = 1,
                   margin: Double = 0.3): (DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PqCodec
     val model = IndexStore.loadPqModel(spark, prefix)
     val centroids = IndexStore.loadIvfCentroids(spark, prefix)
     val b = Similarity.prepared(batch, col("vec_id"), col("embedding"))
-    // nProbe nearest stored cells per batch row, LUT computed once per
-    // row; the probes frame is delta-sized and broadcasts
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qd2"), col("centroid_id"))
-    val probes = b
-      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
-        col("norm").as("query_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("qd2",
-        col("cnorm") * col("cnorm")
-          - lit(2.0) * graft.functions.VectorFunctions.dot(
-            col("query_vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("query_norm"), col("centroid_id"),
-        col("rn"),
-        VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
+    // nProbe nearest stored cells per batch row, ranked and LUT'd by the
+    // ONE probe-ranking every IVF path uses (PqCodec.probesRanked —
+    // admission must replay the same argmin the stored rows were
+    // assigned under); the probes frame is delta-sized and broadcasts
+    val probes = PqCodec.probesRanked(b, centroids, nProbe, model)
       .localCheckpoint(true) // batch × nProbe rows; also feeds the IN below
     val lists = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.table(IndexStore.ivfPqTable(prefix))
-      .filter(col("centroid_id").isInCollection(lists))
-      .withColumn("crn",
-        sqrt(VectorExpressions.pqReconNorm2(col("code"), model.cn2)))
+    val codes = PqCodec.withCrn(
+      spark.table(IndexStore.ivfPqTable(prefix))
+        .filter(col("centroid_id").isInCollection(lists)),
+      model, extra = Seq("centroid_id"))
     val candidates = codes.join(broadcast(probes), "centroid_id")
       .withColumn("acos",
-        VectorExpressions.pqAdcDot(col("lut"), col("code"))
-          / (col("crn") * col("query_norm")))
+        when(col("crn") * col("query_norm") === 0.0, lit(null).cast("double"))
+          .otherwise(VectorExpressions.pqAdcDot(col("lut"), col("code"))
+            / (col("crn") * col("query_norm"))))
       .filter(col("acos") >= threshold - margin)
-      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .select(col("query_id"), col("cand_id"))
     val stored = spark.table(IndexStore.vecsTable(prefix))
       .select(col("vec_id").as("cand_id"), col("vec").as("cvec2"),
         col("norm").as("cnorm2"))
@@ -326,7 +315,7 @@ object IngestApp {
         "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
         "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] [compactEvery] | " +
         "stream-vecs <srcDir> <prefix> <outDir> [threshold] [compactEvery] | " +
-        "stream-vecs-pq <srcDir> <prefix> <outDir> [threshold] [nProbe] [compactEvery] | " +
+        "stream-vecs-pq <srcDir> <prefix> <outDir> [threshold] [nProbe] [margin] [compactEvery] | " +
         "compact-docs <prefix> | compact-vecs <prefix> | " +
         "remove-docs <ids> <prefix> | remove-vecs <ids> <prefix> | " +
         "rebuild-vecs <prefix> [nPlanes] [nTables] | " +
@@ -403,7 +392,8 @@ object IngestApp {
             graft.streaming.StreamingIngest.vecsStreamPq(spark, args(1), args(2),
               args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.9),
               nProbe = args.lift(5).map(_.toInt).getOrElse(1),
-              compactEvery = args.lift(6).map(_.toInt).getOrElse(0))
+              margin = args.lift(6).map(_.toDouble).getOrElse(0.3),
+              compactEvery = args.lift(7).map(_.toInt).getOrElse(0))
         q.awaitTermination()
         println(s"""{"metric":"ingest_stream","mode":"$mode","prefix":"${args(2)}","batches":${q.recentProgress.length}}""")
 

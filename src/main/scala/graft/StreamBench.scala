@@ -336,7 +336,22 @@ object StreamBench {
         .count(r => r.getLong(1) == r.getLong(0) - 10000000L)
       val ivfSearchSec = (System.nanoTime() - t7) / 1e9
       assert(ivfHits == 10, s"IVF-PQ store search found $ivfHits/10 planted originals")
-      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pq_build_sec":$pqBuildSec%.2f,"pq_search10_sec":$pqSearchSec%.2f,"ivf_build_sec":$ivfBuildSec%.2f,"ivf_search10_sec":$ivfSearchSec%.2f}""")
+      // residual-IVFADC sidecar: its own coarse quantizer + residual
+      // codebooks (both sample-trained) + the one-projection
+      // assign/encode pass with stored crn — the build prices the whole
+      // self-contained family; the probe is the same list-pruned shape
+      // with the cosine-decomposition LUT reuse
+      val t8 = System.nanoTime()
+      IndexStore.buildIvfResidual(spark, p, kLists = 64)
+      val ivfrBuildSec = (System.nanoTime() - t8) / 1e9
+      val t9 = System.nanoTime()
+      val ivfrHits = IndexStore.searchIvfResidual(spark, p, copies, k = 1,
+          nProbe = 1, rerank = 32)
+        .select(col("query_id"), col("cand_id")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) - 10000000L)
+      val ivfrSearchSec = (System.nanoTime() - t9) / 1e9
+      assert(ivfrHits == 10, s"IVFADC store search found $ivfrHits/10 planted originals")
+      println(f"""{"metric":"vecs_maint_sec","corpus":$total,"vecs_left":$left,"removed":$nRm,"planes_after":$planes,"build_sec":$buildSec%.2f,"compact_sec":$compactSec%.2f,"remove_sec":$removeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pq_build_sec":$pqBuildSec%.2f,"pq_search10_sec":$pqSearchSec%.2f,"ivf_build_sec":$ivfBuildSec%.2f,"ivf_search10_sec":$ivfSearchSec%.2f,"ivfr_build_sec":$ivfrBuildSec%.2f,"ivfr_search10_sec":$ivfrSearchSec%.2f}""")
     } finally IndexStore.dropVecs(spark, p)
   }
 

@@ -694,7 +694,9 @@ object Dedup {
       if (maxBroadcastMarks == Long.MaxValue) true       // documented skip:
       else if (maxBroadcastMarks <= 0L) false            // no counting pass
       else marks.count() <= maxBroadcastMarks
-    if (!broadcastSafe)
+    // warn only on a MEASURED over-limit — the <= 0 escape hatch is a
+    // deliberate config, not a counted excess
+    if (!broadcastSafe && maxBroadcastMarks > 0L)
       System.err.println(
         s"[graft] spanExcise: marked-doc count exceeds $maxBroadcastMarks — " +
           "dropping the broadcast hint; affected documents' text will move " +
@@ -705,25 +707,37 @@ object Dedup {
         when(col("starts").isNull, col("__text")).otherwise {
           val toks = split(col("__text"), " ")
           val n = size(toks)
-          // Interval-walk fold: `starts` is sorted+distinct, every span is
-          // width k, so the kept indices are exactly the gaps between
-          // merged [s, s+k) intervals. One pass over starts, each gap
-          // emitted once — O(tokens + marks), vs the exists-per-token
-          // test's O(tokens × marks). `next` = smallest index not yet
-          // excised; sequence() is only called with lo <= hi (Spark's
-          // sequence counts DOWN when lo > hi, so both calls are guarded).
+          // Interval walk without a fold: `starts` is sorted+distinct and
+          // every span has the SAME width k, so the coverage end before
+          // starts[i] is exactly starts[i-1] + k (the running max of an
+          // ascending sequence of equal-width interval ends is the last
+          // one). The kept indices are then the per-position gaps
+          // [prev_end, start) plus the tail [last + k, n) — one indexed
+          // transform (O(marks)) and one flatten (each kept index copied
+          // ONCE): O(tokens + marks). An aggregate() fold that concat()s
+          // kept runs onto an accumulator re-copies the accumulator at
+          // every start (Spark's ArrayConcat copies both sides), which
+          // for alternating excised/kept spans is O(tokens × marks) —
+          // the very class this walk replaces; hence no fold. sequence()
+          // is guarded by `until > from` (Spark's sequence counts DOWN
+          // when lo > hi); element_at is 1-based, so element_at(starts, i)
+          // at 0-based position i is the PREVIOUS start, and the i = 0
+          // branch never evaluates it. coalesce covers an empty `starts`
+          // array (no previous element): the tail gap is then [0, n) and
+          // the whole text survives, matching the null-starts row above.
           val emptyInts = array().cast("array<int>")
-          val kept = aggregate(
-            col("starts"),
-            struct(lit(0).as("next"), emptyInts.as("acc")),
-            (st, s) => struct(
-              greatest(st.getField("next"), s + k).as("next"),
-              when(s > st.getField("next"),
-                concat(st.getField("acc"), sequence(st.getField("next"), s - 1)))
-                .otherwise(st.getField("acc")).as("acc")),
-            st => concat(st.getField("acc"),
-              when(st.getField("next") <= n - 1, sequence(st.getField("next"), n - 1))
-                .otherwise(emptyInts)))
+          val gaps = concat(
+            transform(col("starts"), (s, i) => struct(
+              when(i === lit(0), lit(0))
+                .otherwise(element_at(col("starts"), i) + lit(k)).as("from"),
+              s.as("until"))),
+            array(struct(
+              coalesce(element_at(col("starts"), lit(-1)) + lit(k), lit(0)).as("from"),
+              n.as("until"))))
+          val kept = flatten(transform(gaps, g =>
+            when(g.getField("until") > g.getField("from"),
+              sequence(g.getField("from"), g.getField("until") - 1))
+              .otherwise(emptyInts)))
           concat_ws(" ", transform(kept, i => element_at(toks, i + 1)))
         }.as("clean_text"))
   }

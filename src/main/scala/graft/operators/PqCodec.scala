@@ -394,9 +394,11 @@ object PqCodec {
   }
 
   /** `(cand_id, [centroid_id,] code, crn)` from a codes frame — the
-    * shared ADC scan side. */
-  private def withCrn(codes: DataFrame, model: PqModel,
-                      extra: Seq[String] = Nil): DataFrame =
+    * shared ADC scan side. `private[graft]`: ingest admission
+    * ([[graft.IngestApp.admitVecsPq]]) scores the same codes tables and
+    * must derive crn identically, not fork a drifting copy. */
+  private[graft] def withCrn(codes: DataFrame, model: PqModel,
+                             extra: Seq[String] = Nil): DataFrame =
     codes.select((Seq(col("vec_id").as("cand_id")) ++
         extra.map(col) :+ col("code")): _*)
       .withColumn("crn",
@@ -408,10 +410,15 @@ object PqCodec {
       col("norm").as("query_norm"),
       VectorExpressions.pqLut(col("vec"), model.codebooks).as("lut"))
 
-  /** The `nProbe` nearest lists per query with the query's LUT — the
-    * shared probe side of both IVF paths. |queries| × nProbe rows. */
-  private def probesOf(queries: DataFrame, centroids: DataFrame,
-                       nProbe: Int, model: PqModel): DataFrame = {
+  /** The `nProbe` nearest lists per query with rank and LUT —
+    * `(query_id, query_norm, centroid_id, rn, lut)`. `private[graft]`:
+    * the shared probe-ranking of every IVF path, also consumed by
+    * ingest admission ([[graft.IngestApp.admitVecsPq]]), which needs
+    * `rn` for its top-1 cell blocking — one ranking definition, so the
+    * probe side can never drift from the assignment argmin it must
+    * replay. */
+  private[graft] def probesRanked(queries: DataFrame, centroids: DataFrame,
+                                  nProbe: Int, model: PqModel): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("centroid_id"))
     queries
@@ -424,8 +431,15 @@ object PqCodec {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("query_norm"), col("centroid_id"),
+        col("rn"),
         VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
   }
+
+  /** The `nProbe` nearest lists per query with the query's LUT — the
+    * shared probe side of both IVF paths. |queries| × nProbe rows. */
+  private def probesOf(queries: DataFrame, centroids: DataFrame,
+                       nProbe: Int, model: PqModel): DataFrame =
+    probesRanked(queries, centroids, nProbe, model).drop("rn")
 
   /** The ONE approximate-cosine definition every path scores with:
     * ADC dot / (‖recon‖·‖query‖), null-guarded on zero norms. Applied

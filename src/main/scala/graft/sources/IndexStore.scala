@@ -665,9 +665,15 @@ object IndexStore {
           .collect().map(_.getSeq[Double](1).toSeq).toSeq)
       else None
     // the residual sidecar's fence is likewise validated up front: its
-    // model/centroids/codes stamps must agree before ANY table writes
+    // model/centroids/codes stamps must agree before ANY table writes.
+    // Trigger on ANY of the family's tables — checking only `_ivfr`
+    // would let a buildIvfResidual that crashed between its codes-drop
+    // and rename (model+centroids present, codes absent) take appends
+    // with no sidecar rows; after the natural rename-recovery the three
+    // stamps would AGREE and the staleness would be undetectable forever
     val ivfr =
-      if (spark.catalog.tableExists(ivfrTable(prefix)))
+      if (Seq(ivfrTable(prefix), ivfrModelTable(prefix), ivfrCentTable(prefix))
+          .exists(spark.catalog.tableExists))
         Some(loadIvfResidual(spark, prefix))
       else None
     val prep = Similarity.prepared(admitted, id, vec)
@@ -1025,6 +1031,12 @@ object IndexStore {
     * with the re-run instruction. */
   def loadIvfResidual(spark: SparkSession,
                       prefix: String): (graft.operators.PqCodec.PqModel, DataFrame) = {
+    val missing = Seq(ivfrTable(prefix), ivfrModelTable(prefix),
+      ivfrCentTable(prefix)).filterNot(spark.catalog.tableExists)
+    require(missing.isEmpty,
+      s"IVFADC sidecar of store '$prefix' is half-dropped — missing " +
+        s"${missing.mkString(", ")}; re-run IndexStore.buildIvfResidual " +
+        "(or drop the remaining tables) before probing or appending")
     val mv = prop(spark, ivfrModelTable(prefix), "graft.ivfr.version")
     val cv = prop(spark, ivfrCentTable(prefix), "graft.ivfr.version")
     val kv = prop(spark, ivfrTable(prefix), "graft.ivfr.version")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException,
   IOException, InputStream, OutputStream}
-import java.net.{ServerSocket, Socket}
+import java.net.Socket
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
@@ -219,77 +219,31 @@ final class RespState {
   * uses (HINCRBY, HGETALL, SADD, SISMEMBER, PING), so [[RespKVStore]] is
   * exercised against REAL RESP framing across a real socket — byte-level
   * compatible with what redis-cli would send for the same commands (the
-  * specs pin this with handcrafted wire bytes). Same lifecycle
-  * scaffolding as [[KVServer]]: fixed-port restart with retry, restart
-  * over a surviving [[RespState]], stop() drops live clients. */
+  * specs pin this with handcrafted wire bytes). Lifecycle (fixed-port
+  * restart with retry, restart over a surviving [[RespState]], stop()
+  * drops live clients) is [[SocketServerBase]], shared with
+  * [[KVServer]]. */
 final class RespServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
-                       backing: RespState = new RespState) {
+                       backing: RespState = new RespState)
+    extends SocketServerBase(bind, fixedPort) {
   val state: RespState = backing
 
   /** Total connections accepted — the spec hook proving per-JVM reuse. */
   @volatile var accepted: Int = 0
 
-  private val server = {
-    val s = new ServerSocket()
-    s.setReuseAddress(true)
-    val addr = new java.net.InetSocketAddress(
-      java.net.InetAddress.getByName(bind), fixedPort)
-    var attempt = 0
-    var bound = false
-    while (!bound) {
-      try { s.bind(addr, 64); bound = true }
-      catch {
-        case _: java.net.BindException if fixedPort != 0 && attempt < 100 =>
-          attempt += 1; Thread.sleep(100)
-        case e: Throwable => throw e
-      }
-    }
-    s
-  }
-  private val clients = ConcurrentHashMap.newKeySet[Socket]()
-  @volatile private var running = false
+  override protected def onAccept(): Unit = accepted += 1
 
-  def port: Int = server.getLocalPort
-
-  def start(): Unit = {
-    running = true
-    val acceptor = new Thread(() => {
-      while (running && !server.isClosed) {
-        try {
-          val sock = server.accept()
-          accepted += 1
-          val t = new Thread(() => serve(sock))
-          t.setDaemon(true)
-          t.start()
-        } catch {
-          case _: Throwable => if (running && !server.isClosed) Thread.sleep(50)
-        }
-      }
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
-  }
-
-  private def serve(sock: Socket): Unit = {
-    clients.add(sock)
-    if (!running) { // the KVServer stop-window guard, same reasoning
-      clients.remove(sock)
-      try sock.close() catch { case _: Throwable => () }
-      return
-    }
+  override protected def serveLoop(sock: Socket): Unit = {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
-    try {
-      while (true) {
-        val cmd = readCommand(in)
-        if (cmd == null) return
-        out.write(try handle(cmd) catch {
-          case e: Throwable => s"-ERR ${e.getMessage}\r\n".getBytes(UTF_8)
-        })
-        out.flush()
-      }
-    } catch { case _: IOException => () } // connection closed under us
-    finally { clients.remove(sock); sock.close() }
+    while (true) {
+      val cmd = readCommand(in)
+      if (cmd == null) return
+      out.write(try handle(cmd) catch {
+        case e: Throwable => s"-ERR ${e.getMessage}\r\n".getBytes(UTF_8)
+      })
+      out.flush()
+    }
   }
 
   /** Read one RESP command array; null on clean EOF before a command. */
@@ -346,12 +300,5 @@ final class RespServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
       case other => s"-ERR unknown command '$other'\r\n"
     }
     reply.getBytes(UTF_8)
-  }
-
-  def stop(): Unit = {
-    running = false
-    try server.close() catch { case _: Throwable => () }
-    clients.forEach(s => try s.close() catch { case _: Throwable => () })
-    clients.clear()
   }
 }

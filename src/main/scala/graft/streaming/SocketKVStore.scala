@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
-import java.net.{ServerSocket, Socket}
+import java.net.Socket
 import java.nio.charset.StandardCharsets
 import java.util.Base64
 import java.util.concurrent.ConcurrentHashMap
@@ -109,84 +109,21 @@ object SocketKVStore {
   * contents don't, which is how a persistent KV backend (Redis with AOF)
   * behaves across a crash. */
 final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
-                     backing: InMemoryKVStore = new InMemoryKVStore) {
+                     backing: InMemoryKVStore = new InMemoryKVStore)
+    extends SocketServerBase(bind, fixedPort) {
   import SocketKVStore.{b64, unb64}
 
   val store: InMemoryKVStore = backing
-  // SO_REUSEADDR before bind: a fixed-port restart right after a stop()
-  // must not fail on the dead process's lingering TIME_WAIT sockets —
-  // restartability is the point of the fixed-port mode. Reuseaddr does
-  // not cover the port being transiently held as some unrelated outbound
-  // connection's local ephemeral port in the gap between the old server's
-  // close and this bind, so fixed-port mode also retries the bind briefly
-  // (such holders are short-lived by nature).
-  private val server = {
-    val s = new ServerSocket()
-    s.setReuseAddress(true)
-    val addr = new java.net.InetSocketAddress(
-      java.net.InetAddress.getByName(bind), fixedPort)
-    var attempt = 0
-    var bound = false
-    while (!bound) {
-      try { s.bind(addr, 64); bound = true }
-      catch {
-        case e: java.net.BindException if fixedPort != 0 && attempt < 100 =>
-          attempt += 1; Thread.sleep(100)
-        case e: Throwable => throw e
-      }
-    }
-    s
-  }
-  private val clients = ConcurrentHashMap.newKeySet[Socket]()
-  @volatile private var running = false
 
-  def port: Int = server.getLocalPort
-
-  def start(): Unit = {
-    running = true
-    val acceptor = new Thread(() => {
-      while (running && !server.isClosed) {
-        try {
-          val sock = server.accept()
-          val t = new Thread(() => serve(sock))
-          t.setDaemon(true)
-          t.start()
-        } catch {
-          // closed during stop() exits via the loop condition; any other
-          // accept failure (fd exhaustion, transient socket error) must not
-          // hot-spin — back off briefly before retrying
-          case _: Throwable => if (running && !server.isClosed) Thread.sleep(50)
-        }
-      }
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
-  }
-
-  private def serve(sock: Socket): Unit = {
-    clients.add(sock)
-    // Re-check AFTER registering: a connection accepted in the window
-    // between stop()'s `running = false` and its client sweep would
-    // otherwise be served by a "stopped" server — the half-open behavior
-    // stop() exists to prevent. Register-then-check pairs with stop()'s
-    // flag-then-sweep: whichever thread runs second sees the other's
-    // write, so the socket is closed on at least one path.
-    if (!running) {
-      clients.remove(sock)
-      try sock.close() catch { case _: Throwable => () }
-      return
-    }
+  override protected def serveLoop(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
-    try {
-      var line = in.readLine()
-      while (line != null) {
-        out.println(try handle(line) catch { case e: Throwable => s"ERR ${e.getMessage}" })
-        line = in.readLine()
-      }
-    } catch { case _: java.io.IOException => () } // connection closed under us
-    finally { clients.remove(sock); sock.close() }
+    var line = in.readLine()
+    while (line != null) {
+      out.println(try handle(line) catch { case e: Throwable => s"ERR ${e.getMessage}" })
+      line = in.readLine()
+    }
   }
 
   private def handle(line: String): String = line.split(" ").toList match {
@@ -198,15 +135,5 @@ final class KVServer(bind: String = "127.0.0.1", fixedPort: Int = 0,
     case "MARK" :: id :: Nil => "OK " + (if (store.markBatch(id.toLong)) 1 else 0)
     case "SEEN" :: id :: Nil => "OK " + (if (store.batchSeen(id.toLong)) 1 else 0)
     case _ => s"ERR bad command: $line"
-  }
-
-  /** Stop accepting AND drop live client connections — a restart must
-    * look like a real server death to pooled clients, not a half-open
-    * socket that keeps serving from the old process. */
-  def stop(): Unit = {
-    running = false
-    try server.close() catch { case _: Throwable => () }
-    clients.forEach(s => try s.close() catch { case _: Throwable => () })
-    clients.clear()
   }
 }

@@ -131,6 +131,7 @@ object StreamingIngest {
     * admission semantics mid-deployment. */
   def vecsStreamPq(spark: SparkSession, srcDir: String, prefix: String,
                    outDir: String, threshold: Double = 0.9, nProbe: Int = 1,
+                   margin: Double = 0.3,
                    trigger: Trigger = Trigger.AvailableNow(),
                    readerOptions: Map[String, String] = Map.empty,
                    compactEvery: Int = 0): StreamingQuery = {
@@ -145,7 +146,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitAppend(spark, batch, batchId, "vec_id", outDir) { b =>
-          IngestApp.admitVecsPq(spark, prefix, b, threshold, nProbe)._2
+          IngestApp.admitVecsPq(spark, prefix, b, threshold, nProbe, margin)._2
         } { adm => IndexStore.appendVecs(adm, col("vec_id"), col("embedding"), prefix) }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           IndexStore.compactVecs(spark, prefix)

@@ -565,10 +565,18 @@ class DedupSpec extends SparkSpec {
     // output to the naive filter and (b) be measurably faster on it.
     import graft.functions.TextHashExpressions
     val run = (0 until 1500).map(i => s"t$i").mkString(" ")     // source run
+    val chunk = (0 until 6).map(i => s"t$i").mkString(" ")      // one k-window of it
     val adversarial = Seq(
       (1L, run),                                                // owns firsts
       (2L, (0 until 10).map(_ => run).mkString(" ")),           // 15000 tokens, ~all excised
-      (3L, (0 until 10).map(r => run + s" u$r").mkString(" "))  // 15010 tokens, ~90% excised
+      (3L, (0 until 10).map(r => run + s" u$r").mkString(" ")), // 15010 tokens, ~90% excised
+      // ALTERNATING duplicated/unique spans: ~1000 separate marks, each
+      // followed by a kept gap — the shape where an accumulator fold
+      // (concat per start re-copying the kept list) degrades to
+      // O(tokens × marks); the gap-transform walk must stay linear AND
+      // byte-identical to the naive filter on it
+      (4L, (0 until 2000).map(j =>
+        if (j % 2 == 0) chunk else s"v${j}a v${j}b v${j}c").mkString(" "))
     ).toDF("doc_id", "text")
     val k = 6
 
@@ -616,6 +624,11 @@ class DedupSpec extends SparkSpec {
     assert(gotNew(2L) == "")                        // pure repeat fully excised
     assert(gotNew(2L).length < gotNew(3L).length)   // doc3 keeps its unique tails
     assert(gotNew(3L).split(" ").count(_.startsWith("u")) == 10)
+    // the alternating doc keeps every unique filler token and drops the
+    // repeated chunks (the naive-parity assert above already pins the
+    // exact bytes; this pins the shape for the human reader)
+    assert(gotNew(4L).split(" ").count(_.startsWith("v")) == 1000 * 3)
+    assert(!gotNew(4L).contains("t0 t1 t2 t3 t4 t5"))
   }
 
   test("plan guard: span excision never shuffles text (map-only rewrite)") {

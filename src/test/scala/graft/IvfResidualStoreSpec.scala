@@ -178,6 +178,20 @@ class IvfResidualStoreSpec extends SparkSpec {
         assert(spark.table(t).count() == n,
           s"$t took a half-applied append: ${spark.table(t).count()} != $n")
       }
+      // a half-dropped family is ALSO a named failure, and blocks the
+      // append whole (before any table writes)
+      spark.sql(s"DROP TABLE ${IndexStore.ivfrModelTable(p)}")
+      val e2 = intercept[IllegalArgumentException] {
+        IndexStore.searchIvfResidual(spark, p, copiesOf(corpus, 2), k = 1)
+      }
+      assert(e2.getMessage.contains("half-dropped"), e2.getMessage)
+      intercept[IllegalArgumentException] {
+        IndexStore.appendVecs(
+          materialize(allVecs.filter(col("vec_id").between(150, 159))),
+          col("vec_id"), col("embedding"), p)
+      }
+      assert(spark.table(IndexStore.vecsTable(p)).count() == 150,
+        "_vecs took a half-applied append under a half-dropped sidecar")
       // re-provisioning heals probe and append
       IndexStore.buildIvfResidual(spark, p, kLists = 4, m = 16, ks = 16)
       IndexStore.appendVecs(

@@ -146,8 +146,11 @@ class IvfTwoLevelSpec extends SparkSpec {
     // hierarchical index: general (non-planted) queries against the
     // noisy background, recall vs exact brute force. Top-1 descent on a
     // 4x4-cell partition scans ~1/16th of the corpus, so it LOSES
-    // boundary-straddling neighbors; each extra probed sub-cell must
-    // claw recall back, monotonically (the candidate set only grows).
+    // boundary-straddling neighbors. The GUARANTEE is only vs the
+    // nProbe=1 baseline (the pinned descent cell makes every probe set
+    // a superset of it); nProbe=2 vs 4 pool sub-cells from DIFFERENT
+    // bank sets and are not nested, so their recalls are asserted
+    // against the baseline, not each other.
     val model = IvfIndex.trainTwoLevel(prep, 4, 4)
     val assigned = IvfIndex.assignTwoLevel(prep, model)
     val queries = prep.filter(col("vec_id") < 10)
@@ -160,9 +163,10 @@ class IvfTwoLevelSpec extends SparkSpec {
       p -> (got intersect exact).size.toDouble / exact.size
     }
     info(recalls.map { case (p, r) => f"nProbe=$p recall@5 $r%.3f" }.mkString(", "))
-    recalls.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
-      assert(r2 >= r1, f"recall must not drop with more probes: " +
-        f"nProbe=$p1 $r1%.3f -> nProbe=$p2 $r2%.3f")
+    val base = recalls.head._2
+    recalls.tail.foreach { case (p, r) =>
+      assert(r >= base, f"nProbe=$p recall $r%.3f fell below the " +
+        f"nProbe=1 baseline $base%.3f — the pinned descent cell is broken")
     }
     val r4 = recalls.last._2
     assert(r4 >= 0.5, f"recall@5 at nProbe=4 is $r4%.3f — below the floor")
