@@ -371,11 +371,14 @@ object PqCodec {
     assigned.join(broadcast(centroids), "centroid_id")
       .withColumn("rvec", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
 
-  /** [[probesOf]] plus the residual decomposition's per-list scalar
+  /** [[probesRanked]] plus the residual decomposition's per-list scalar
     * `qc = dot(query, centroid)`; the LUT is the RAW query against the
-    * residual codebooks (dot(q, r̂) needs q itself, not q − c). */
-  private def probesOfResidual(queries: DataFrame, centroids: DataFrame,
-                               nProbe: Int, model: PqModel): DataFrame = {
+    * residual codebooks (dot(q, r̂) needs q itself, not q − c).
+    * `private[graft]`: residual-family ingest admission shares it, the
+    * same one-ranking argument as [[probesRanked]]. */
+  private[graft] def probesRankedResidual(queries: DataFrame,
+                                          centroids: DataFrame, nProbe: Int,
+                                          model: PqModel): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("centroid_id"))
     queries
@@ -389,9 +392,13 @@ object PqCodec {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("query_norm"), col("centroid_id"),
-        col("qc"),
+        col("rn"), col("qc"),
         VectorExpressions.pqLut(col("query_vec"), model.codebooks).as("lut"))
   }
+
+  private def probesOfResidual(queries: DataFrame, centroids: DataFrame,
+                               nProbe: Int, model: PqModel): DataFrame =
+    probesRankedResidual(queries, centroids, nProbe, model).drop("rn")
 
   /** `(cand_id, [centroid_id,] code, crn)` from a codes frame — the
     * shared ADC scan side. `private[graft]`: ingest admission

@@ -125,28 +125,38 @@ object StreamingIngest {
     * and rejects as `sem_dup_of_corpus`, so the store converges to the
     * no-crash bytes.
     *
-    * Fails fast at start if the store lacks the `_pq`/`_ivfpq` sidecars
-    * (provision with `IngestApp build-pq` + [[IndexStore.buildIvf]]):
-    * a stream that silently fell back to another index would change
-    * admission semantics mid-deployment. */
+    * Fails fast at start if the store lacks the probed sidecar
+    * (`_pq` + `_ivfpq` by default; the `_ivfr` family when
+    * `residual = true` — then [[IngestApp.admitVecsIvfr]] runs the
+    * check against the finer residual codes): a stream that silently
+    * fell back to another index would change admission semantics
+    * mid-deployment. */
   def vecsStreamPq(spark: SparkSession, srcDir: String, prefix: String,
                    outDir: String, threshold: Double = 0.9, nProbe: Int = 1,
-                   margin: Double = 0.3,
+                   margin: Double = 0.3, residual: Boolean = false,
                    trigger: Trigger = Trigger.AvailableNow(),
                    readerOptions: Map[String, String] = Map.empty,
                    compactEvery: Int = 0): StreamingQuery = {
     requireRejectsLayout(spark, outDir)
-    require(spark.catalog.tableExists(IndexStore.pqTable(prefix)) &&
-        spark.catalog.tableExists(IndexStore.ivfPqTable(prefix)),
-      s"store '$prefix' has no PQ/IVF-PQ sidecar — semantic admission " +
-        "needs both; provision with IngestApp build-pq and " +
-        "IndexStore.buildIvf before starting the stream")
+    if (residual)
+      require(spark.catalog.tableExists(IndexStore.ivfrTable(prefix)),
+        s"store '$prefix' has no residual (IVFADC) sidecar — provision " +
+          "with IndexStore.buildIvfResidual before starting the stream")
+    else
+      require(spark.catalog.tableExists(IndexStore.pqTable(prefix)) &&
+          spark.catalog.tableExists(IndexStore.ivfPqTable(prefix)),
+        s"store '$prefix' has no PQ/IVF-PQ sidecar — semantic admission " +
+          "needs both; provision with IngestApp build-pq and " +
+          "IndexStore.buildIvf before starting the stream")
     spark.readStream.options(readerOptions).schema(vecSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitAppend(spark, batch, batchId, "vec_id", outDir) { b =>
-          IngestApp.admitVecsPq(spark, prefix, b, threshold, nProbe, margin)._2
+          if (residual)
+            IngestApp.admitVecsIvfr(spark, prefix, b, threshold, nProbe, margin)._2
+          else
+            IngestApp.admitVecsPq(spark, prefix, b, threshold, nProbe, margin)._2
         } { adm => IndexStore.appendVecs(adm, col("vec_id"), col("embedding"), prefix) }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           IndexStore.compactVecs(spark, prefix)

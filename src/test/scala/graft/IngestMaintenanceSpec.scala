@@ -304,6 +304,66 @@ class IngestMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming vecs ingest, RESIDUAL (IVFADC) mode: twin rejected via the " +
+       "stream's own _ivfr append; replay leaves the residual store byte-identical") {
+    val p = "mt_vivfr"
+    IndexStore.dropVecs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("vivfr-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vivfr-out").toString
+    val replayOut = java.nio.file.Files.createTempDirectory("vivfr-rp").toString
+    val allVecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def twinOf(id: Long, newId: Long): DataFrame =
+      allVecs.filter(col("vec_id") === id)
+        .select(lit(newId).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x + y * lit(0.01f)).as("embedding"))
+    try {
+      IndexStore.buildVecs(allVecs.filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), p, nTables = 4, buckets = 4)
+      // residual mode fails fast without ITS family — the _pq/_ivfpq
+      // sidecars do not satisfy it
+      val e = intercept[IllegalArgumentException] {
+        StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir, residual = true)
+      }
+      assert(e.getMessage.contains("residual"), e.getMessage)
+      IndexStore.buildIvfResidual(spark, p, kLists = 8, m = 16, ks = 16)
+
+      allVecs.filter(col("vec_id").between(200, 249))
+        .write.mode("append").parquet(srcDir)
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir, residual = true)
+        .awaitTermination()
+      // twin of a batch-1 admission: its residual codes reached _ivfr
+      // only through the stream's own appendVecs lockstep
+      allVecs.filter(col("vec_id").between(250, 259))
+        .unionByName(twinOf(205L, 9700L))
+        .write.mode("append").parquet(srcDir)
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, outDir, residual = true)
+        .awaitTermination()
+      val rejects = spark.read.parquet(s"$outDir/rejects")
+        .select("vec_id", "reason").as[(Long, String)].collect().toSet
+      assert(rejects.contains((9700L, "sem_dup_of_corpus")),
+        s"cross-batch twin must be rejected via the residual codes, got $rejects")
+      assert(spark.table(IndexStore.vecsTable(p)).count() == 260)
+      assert(spark.table(IndexStore.ivfrTable(p)).count() == 260)
+
+      def snap(): Set[String] = spark.table(IndexStore.ivfrTable(p))
+        .select(col("vec_id"), col("centroid_id"), hex(col("code")), col("crn"))
+        .collect().map(_.toString).toSet
+      val before = snap()
+      StreamingIngest.vecsStreamPq(spark, srcDir, p, replayOut, residual = true)
+        .awaitTermination()
+      assert(snap() == before, "replay must leave _ivfr byte-identical")
+      assert(spark.table(IndexStore.vecsTable(p)).count() == 260,
+        "replay must not grow the store")
+    } finally {
+      IndexStore.dropVecs(spark, p)
+      Seq(srcDir, outDir, replayOut).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("docs removal: forgotten docs re-admittable, shared text survives, store == rebuild") {
     val p = "mt_rm_docs"
     val pRef = "mt_rm_ref"
