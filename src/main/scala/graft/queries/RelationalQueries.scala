@@ -173,6 +173,48 @@ object RelationalQueries {
         .orderBy(col("day"))
     },
 
+    // Time-series gap-fill + forward-fill (operators.TimeSeries): each
+    // user's daily event stream regularized onto a dense day grid —
+    // generated days carry n_events = 0 and the last observed `value`
+    // carried forward (latest event in a bucket wins, (ts, event_id)
+    // tie-break). Buckets are INTEGER days-since-epoch, so the grid
+    // arithmetic is exact on both engines and the DuckDB oracle —
+    // generate_series grid + the portable grouping-run forward fill —
+    // holds counts, flags, and carried doubles to hash equality. The
+    // fill value is always an ORIGINAL stored double (no arithmetic),
+    // hence bit-exact.
+    "q_gapfill_ffill" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.TimeSeries.gapFillForwardFill(t.events,
+          key = col("user_id"),
+          bucket = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long"),
+          value = col("value"),
+          tieBreak = Seq(col("ts"), col("event_id")))
+        .select(col("key").as("user_id"), col("bucket"),
+          col("n_events"), col("observed"), col("value_ffill"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // Linear interpolation across the same grid (the third standard
+    // fill mode): generated buckets between two observed values lerp,
+    // trailing buckets fall back to the carried value. Bit-exact across
+    // engines — integer buckets convert to double exactly and +−×÷ are
+    // each correctly rounded, so identical expression shape gives
+    // identical bits and the oracle hash holds without a tolerance.
+    "q_gapfill_interp" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.TimeSeries.gapFillInterpolate(t.events,
+          key = col("user_id"),
+          bucket = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long"),
+          value = col("value"),
+          tieBreak = Seq(col("ts"), col("event_id")))
+        .select(col("key").as("user_id"), col("bucket"),
+          col("n_events"), col("observed"), col("value_interp"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
     // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
     "q_sort_limit" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -422,6 +464,85 @@ object RelationalQueries {
          SELECT e.event_type, count(*) AS n, CAST(sum(d.user_n) AS BIGINT) AS s
          FROM events e JOIN dim d USING (user_id)
          GROUP BY 1 ORDER BY 1""",
+
+    // Grid arithmetic is exact integer day indexes; the forward fill is
+    // re-derived portably with the grouping-run trick (count of non-null
+    // so far = fill group, max within group = the carried value), so no
+    // IGNORE NULLS support is assumed of the oracle engine.
+    "q_gapfill_ffill" ->
+      """WITH e AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS bucket,
+               ts, event_id, value
+             FROM events),
+            obs AS (SELECT user_id, bucket, count(*) AS n_events,
+                      (max(struct_pack(ts := ts, eid := event_id,
+                                       v := value))).v AS vlast
+                    FROM e GROUP BY 1, 2),
+            r AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                  FROM obs GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+                     FROM r),
+            j AS (SELECT g.user_id, g.bucket,
+                    coalesce(o.n_events, 0) AS n_events,
+                    o.n_events IS NOT NULL AS observed, o.vlast
+                  FROM grid g LEFT JOIN obs o
+                    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+            w AS (SELECT user_id, bucket, n_events, observed, vlast,
+                    count(vlast) OVER (PARTITION BY user_id ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM j)
+         SELECT user_id, bucket, n_events, observed,
+           max(vlast) OVER (PARTITION BY user_id, grp) AS value_ffill
+         FROM w ORDER BY user_id, bucket""",
+
+    // Same grid and carried values as q_gapfill_ffill; the previous
+    // observed bucket is a running max (buckets ascend, so max == last
+    // non-null without IGNORE NULLS), and the NEXT observed (bucket,
+    // value) pair rides one struct-min over the following window so the
+    // pair can never be torn. The lerp's expression shape matches the
+    // Spark side exactly — each IEEE op correctly rounded, hence
+    // hash-exact.
+    "q_gapfill_interp" ->
+      """WITH e AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS bucket,
+               ts, event_id, value
+             FROM events),
+            obs AS (SELECT user_id, bucket, count(*) AS n_events,
+                      (max(struct_pack(ts := ts, eid := event_id,
+                                       v := value))).v AS vlast
+                    FROM e GROUP BY 1, 2),
+            r AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                  FROM obs GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+                     FROM r),
+            j AS (SELECT g.user_id, g.bucket,
+                    coalesce(o.n_events, 0) AS n_events,
+                    o.n_events IS NOT NULL AS observed, o.vlast
+                  FROM grid g LEFT JOIN obs o
+                    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+            w AS (SELECT user_id, bucket, n_events, observed, vlast,
+                    count(vlast) OVER (PARTITION BY user_id ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM j),
+            f AS (SELECT user_id, bucket, n_events, observed,
+                    max(vlast) OVER (PARTITION BY user_id, grp) AS vf
+                  FROM w),
+            nn AS (SELECT user_id, bucket, n_events, observed, vf,
+                     max(CASE WHEN observed THEN bucket END)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS pb,
+                     min(CASE WHEN observed
+                              THEN struct_pack(b := bucket, v := vf) END)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS nx
+                   FROM f)
+         SELECT user_id, bucket, n_events, observed,
+           CASE WHEN observed OR nx IS NULL THEN vf
+                ELSE vf + ((nx).v - vf)
+                  * (CAST(bucket - pb AS DOUBLE)
+                     / CAST((nx).b - pb AS DOUBLE)) END AS value_interp
+         FROM nn ORDER BY user_id, bucket""",
 
     "q_rolling_7day" ->
       """WITH daily AS (
