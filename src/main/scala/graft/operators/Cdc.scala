@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) maintenance over a change
+  * stream — the warehouse-side CDC apply: turn a history of per-key
+  * attribute observations into versioned dimension rows
+  * `(key, attr, valid_from, valid_to, is_current)`, and keep such a
+  * dimension current as new change batches arrive.
+  *
+  * Consecutive observations with an UNCHANGED attribute collapse into
+  * one version (null-safely — a null attribute is a value, and a
+  * null→null succession is "no change"); each version's `valid_to` is
+  * the next version's `valid_from`, open (null) on the latest. `attr`
+  * may be a struct column to track several attributes as one versioned
+  * tuple.
+  *
+  * Shape at 100 TB: the history pass is two key-partitioned windows —
+  * the run-break detection on the raw changes and the `lead` on the
+  * collapsed runs — over the SAME partitioning, so Catalyst plans ONE
+  * exchange and the second window runs on the (far smaller) collapsed
+  * frame. The incremental [[scd2Merge]] touches the existing dimension
+  * only key-wise: closed versions stream through untouched, and the
+  * recompute unions the batch with one pseudo-row per AFFECTED current
+  * version, so its window cost is batch-sized, never history-sized.
+  */
+object Cdc {
+
+  /** Internal contract: `df` has columns `key`, `__ts`, `attr`, and
+    * `__tb0..__tbN` tie-breakers; returns the collapsed SCD2 frame. */
+  private def scd2Tagged(df: DataFrame, nTie: Int): DataFrame = {
+    val ord = col("__ts") +: (0 until nTie).map(i => col(s"__tb$i"))
+    val w = Window.partitionBy(col("key")).orderBy(ord: _*)
+    val runs = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("attr") <=> col("__prev")))
+    runs
+      .select(col("key"), col("attr"), col("__ts").as("valid_from"),
+        lead(col("__ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  private def tag(changes: DataFrame, key: Column, ts: Column, attr: Column,
+                  tieBreak: Seq[Column]): DataFrame = {
+    val cols = Seq(key.as("key"), ts.as("__ts"), attr.as("attr")) ++
+      tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
+    changes.select(cols: _*)
+  }
+
+  /** Full rebuild: SCD2 dimension from the complete change history.
+    * `tieBreak` orders observations within an equal `ts` (pass e.g. the
+    * event id for deterministic results on timestamp ties). */
+  def scd2FromHistory(changes: DataFrame, key: Column, ts: Column,
+                      attr: Column, tieBreak: Seq[Column] = Nil): DataFrame =
+    scd2Tagged(tag(changes, key, ts, attr, tieBreak), tieBreak.size)
+
+  /** Incremental apply: fold a new change batch into an existing SCD2
+    * dimension (the output schema of [[scd2FromHistory]] — same column
+    * names required). Produces EXACTLY what [[scd2FromHistory]] on the
+    * concatenated history would: closed versions pass through, current
+    * versions of keys the batch touches are re-opened as pseudo-
+    * observations (at their original `valid_from`) and re-collapsed
+    * with the batch, so a batch that repeats the current value extends
+    * the open version instead of cutting a new one.
+    *
+    * Contract: every batch observation must be strictly LATER than the
+    * key's current `valid_from` — SCD2 is an append-only version chain,
+    * and an observation at-or-before the open version's start would
+    * silently rewrite closed history. The guard is MEASURED (one
+    * key-sized aggregate of the batch joined to the current versions)
+    * and the merge fails by name with the violating key count instead
+    * of producing a plausible wrong dimension. */
+  def scd2Merge(dim: DataFrame, batch: DataFrame, key: Column, ts: Column,
+                attr: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val b = tag(batch, key, ts, attr, tieBreak)
+    val cur = dim.filter(col("is_current"))
+    val minB = b.groupBy(col("key")).agg(min(col("__ts")).as("__min_ts"))
+    val late = cur.join(minB, "key")
+      .filter(col("__min_ts") <= col("valid_from")).count()
+    require(late == 0L,
+      s"scd2Merge: $late key(s) have batch observations at or before the " +
+        "current version's valid_from — late events cannot be folded into " +
+        "an SCD2 chain incrementally; rebuild those keys with scd2FromHistory")
+    val affected = minB.select(col("key")).distinct()
+    val curAffected = cur.join(affected, Seq("key"), "left_semi")
+    val tieTypes = b.schema.fields.drop(3)
+    val pseudo = curAffected.select(
+      Seq(col("key"), col("valid_from").as("__ts"), col("attr")) ++
+        tieTypes.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val recomputed = scd2Tagged(b.unionByName(pseudo), tieBreak.size)
+    dim.filter(!col("is_current"))
+      .unionByName(cur.join(affected, Seq("key"), "left_anti"))
+      .unionByName(recomputed)
+  }
+}

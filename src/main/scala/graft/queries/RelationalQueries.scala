@@ -336,6 +336,42 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // SCD2 dimension build from the event history: per user, versions of
+    // the tracked attribute (event_type) with [valid_from, valid_to).
+    "q_scd2" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.operators.Cdc
+        .scd2FromHistory(t.events, col("user_id"), col("ts"),
+          col("event_type"), Seq(col("event_id")))
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          date_format(col("valid_from"), fmt).as("valid_from"),
+          date_format(col("valid_to"), fmt).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    // Incremental SCD2 maintenance, graded against the full rebuild: the
+    // dimension is built from the first 19 days, the remaining days are
+    // folded in with scd2Merge, and the ORACLE is the full-history SQL —
+    // the merge must be indistinguishable from a rebuild.
+    "q_scd2_merge" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      val dim = graft.operators.Cdc.scd2FromHistory(
+        t.events.filter(col("ts") < split), col("user_id"), col("ts"),
+        col("event_type"), Seq(col("event_id")))
+      graft.operators.Cdc
+        .scd2Merge(dim, t.events.filter(col("ts") >= split), col("user_id"),
+          col("ts"), col("event_type"), Seq(col("event_id")))
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          date_format(col("valid_from"), fmt).as("valid_from"),
+          date_format(col("valid_to"), fmt).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
     // As-of backward join: each event picks the latest prior order in its
     // (synthetic) customer bucket. Union-and-carry-forward plan: one shuffle.
     "q_asof_join" -> { (s, dir) =>
@@ -620,6 +656,38 @@ object RelationalQueries {
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+             row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT user_id, event_type, ts FROM o
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+            v AS (SELECT user_id, event_type, ts AS vf,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+                  FROM r)
+         SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           vt IS NULL AS is_current
+         FROM v ORDER BY user_id, vf""",
+
+    // Identical to q_scd2 on purpose: the merge path must reproduce the
+    // full-history rebuild bit for bit.
+    "q_scd2_merge" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+             row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT user_id, event_type, ts FROM o
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+            v AS (SELECT user_id, event_type, ts AS vf,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+                  FROM r)
+         SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           vt IS NULL AS is_current
+         FROM v ORDER BY user_id, vf""",
 
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey % 50 AS k, o_orderdate,

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist(rows: (Long, Long, String)*) =
+    rows.toDF("k", "ts", "v")
+
+  private def scd2(df: org.apache.spark.sql.DataFrame) =
+    Cdc.scd2FromHistory(df, col("k"), col("ts"), col("v"))
+
+  test("scd2FromHistory: runs collapse, version chain links, open tail") {
+    val got = scd2(hist(
+        (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+        (2L, 15L, "x")))
+      .orderBy("key", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 10L, Some(30L), false),   // 10 and 20 collapse
+      (1L, "b", 30L, Some(40L), false),
+      (1L, "a", 40L, None, true),         // value may recur in a later run
+      (2L, "x", 15L, None, true)))
+  }
+
+  test("scd2FromHistory: null attribute is a value; null→null is no change") {
+    val df = Seq((1L, 10L, Some("a")), (1L, 20L, None: Option[String]),
+      (1L, 30L, None: Option[String]), (1L, 40L, Some("b")))
+      .toDF("k", "ts", "v")
+    val got = scd2(df).orderBy("valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 10L, Some(20L), false),
+      (1L, None, 20L, Some(40L), false),  // the two nulls collapse
+      (1L, Some("b"), 40L, None, true)))
+  }
+
+  test("scd2FromHistory: struct attribute versions as one tuple; ties break on tieBreak") {
+    val df = Seq((1L, 10L, 5, "a", "e1"), (1L, 10L, 7, "a", "e2"),
+      (1L, 20L, 7, "a", "e3")).toDF("k", "ts", "n", "s", "eid")
+    val got = Cdc.scd2FromHistory(df, col("k"), col("ts"),
+        struct(col("n"), col("s")), Seq(col("eid")))
+      .orderBy("valid_from", "attr.n")
+      .select(col("attr.n"), col("valid_from"), col("is_current"))
+      .as[(Int, Long, Boolean)].collect().toSeq
+    // at ts=10 the tie-break orders e1 (n=5) before e2 (n=7): two versions
+    // open at ts=10; (7,"a") then survives the ts=20 repeat unchanged
+    assert(got == Seq((5, 10L, false), (7, 10L, true)))
+  }
+
+  test("scd2Merge reproduces the full rebuild across any split (keys in dim-only, batch-only, both)") {
+    // seeded pseudo-random history: 40 keys × 60 observations, 3 values
+    val full = spark.range(2400)
+      .select((col("id") % 40).as("k"),
+        (col("id") * 7 % 601 + 1).as("ts"),
+        concat(lit("v"), pmod(xxhash64(col("id")), lit(3))).as("v"))
+      // key 39 only before ts=300, key 38 only after (dim-only / batch-only)
+      .filter(!(col("k") === 39 && col("ts") >= 300) &&
+        !(col("k") === 38 && col("ts") < 300))
+      .cache()
+    val rebuilt = scd2(full.toDF("k", "ts", "v"))
+    val merged = Cdc.scd2Merge(
+      scd2(full.filter(col("ts") < 300).toDF("k", "ts", "v")),
+      full.filter(col("ts") >= 300), col("k"), col("ts"), col("v"))
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merge must equal full rebuild")
+    // a batch repeating the current value extends the open version
+    val dim = scd2(hist((1L, 10L, "a")))
+    val ext = Cdc.scd2Merge(dim, hist((1L, 20L, "a"), (1L, 30L, "b")),
+        col("k"), col("ts"), col("v"))
+      .orderBy("valid_from").as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(ext == Seq((1L, "a", 10L, Some(30L), false), (1L, "b", 30L, None, true)))
+  }
+
+  test("scd2Merge: late observation fails by name, not silently rewritten") {
+    val dim = scd2(hist((1L, 10L, "a"), (1L, 30L, "b")))
+    val e = intercept[IllegalArgumentException] {
+      Cdc.scd2Merge(dim, hist((1L, 30L, "c")), col("k"), col("ts"), col("v"))
+    }
+    assert(e.getMessage.contains("scd2Merge"), e.getMessage)
+  }
+
+  test("plan guard: both windows share ONE key exchange") {
+    val plan = scd2(Tables(spark, sfDir).events
+        .select(col("user_id").as("k"), col("ts"), col("event_type").as("v")))
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$plan")
+  }
+}
