@@ -136,6 +136,63 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Uniform in (0, 1] from the row id: the first 13 hex digits (52
+    * bits) of md5(id) plus one, over 2^52 — every intermediate is
+    * exactly representable in a double and the one division is IEEE
+    * correctly rounded, so ANY engine derives the identical u from the
+    * identical id (DuckDB re-derives it with per-digit arithmetic; same
+    * integer, same double). */
+  private def uniformFromId(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("double")
+      + lit(1.0)) / lit(4503599627370496.0)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * each row draws its deterministic uniform u = u(id) and gets
+    * priority `ln(u)/w` — distributionally equivalent to ranking by
+    * u^(1/w) — and the k highest-priority rows are the sample. A row
+    * with twice the weight has exactly twice the chance to be drawn
+    * first; the id-derived u makes the draw reproducible across
+    * engines, partitionings, and runs (the registered oracle holds the
+    * selected SET to hash equality). Priorities are rounded to 6
+    * decimals before ranking (ties then break on id) so libm's 1-ulp
+    * `ln` slack can never reorder engines.
+    *
+    * Rows with non-positive weight are EXCLUDED (a zero weight means
+    * "never sample"; a negative one is meaningless and would otherwise
+    * outrank every positive row through the negative logarithm).
+    *
+    * Scale: the priority is a per-row projection and the top-k is a
+    * rank-limited sort (TakeOrderedAndProject — map-side partial top-k,
+    * never a global sort), so the operator is one scan at any corpus
+    * size. */
+  def weightedTopK(df: DataFrame, id: Column, weight: Column,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(weight > 0)
+      .withColumn("priority",
+        round(log(uniformFromId(id)) / weight.cast("double"), 6))
+      .orderBy(col("priority").desc, id)
+      .limit(k)
+  }
+
+  /** Per-stratum [[weightedTopK]]: the k highest-priority rows of EACH
+    * stratum. One stratum-keyed window whose rank filter prunes to k
+    * rows per stratum before any downstream sort (WindowGroupLimit), so
+    * a giant stratum pays its sort but never materializes more than k
+    * survivors. */
+  def weightedStratifiedTopK(df: DataFrame, strata: Seq[Column], id: Column,
+                             weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(col("priority").desc, id)
+    df.filter(weight > 0)
+      .withColumn("priority",
+        round(log(uniformFromId(id)) / weight.cast("double"), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Token-budget sampling — the "fill each source's token budget" step
     * of training-mix construction: keep documents, in the deterministic
     * md5(id) order, while the stratum's running token total BEFORE the

@@ -290,6 +290,64 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
   }
 
+  /** BM25 keyword search over the corpus — rank documents against a
+    * bag-of-terms query with the Okapi scoring function (Lucene's
+    * non-negative IDF variant): per matched term,
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, summed over the query's
+    * terms. This is the retrieval half of a quality/contamination
+    * triage loop ("which documents talk about X") that pure TF-IDF
+    * ranking doesn't give. Corpus statistics (N, avgdl) are computed
+    * over documents with ≥ 1 token — blank documents can never match and
+    * would only dilute avgdl.
+    *
+    * Returns the top `k` as `(rk, doc_id, n_terms_hit, bm25)`; the score
+    * is the exact DECIMAL sum of per-term scores rounded to 6 decimals,
+    * so ranking and value are engine-independent (the registered DuckDB
+    * oracle holds it to hash equality); ties break on doc_id.
+    *
+    * Shape at 100 TB: one corpus pass builds (doc, token) TF partials;
+    * the QUERY-TERM filter lands on that frame before any join, so
+    * everything downstream is candidate-sized (documents containing ≥ 1
+    * query term). Per-term DF is an aggregate of the filtered frame
+    * (≤ |terms| rows, broadcast); document length joins in doc-keyed
+    * (the one corpus-sized exchange, fixed-width); N/avgdl is a 1-row
+    * broadcast. The final top-k is a rank-limited sort —
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25Search(docs: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = queryTerms.distinct
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val qtf = tf.filter(col("token").isin(terms: _*))
+    val dft = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0)
+      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    qtf.join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(idf * norm, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("s")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("rk"),
+        col("doc_id"), col("n_terms_hit"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
   /** LM-quality proxy (the CCNet-style perplexity filter, with the
     * corpus's own unigram distribution standing in for the external LM):
     * per document, the average negative log-probability of its tokens

@@ -501,6 +501,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Weighted sampling without replacement (A-Res): 50 documents drawn
+    // with probability proportional to length, deterministically.
+    "sample_weighted" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .weightedTopK(t.documents, col("doc_id"), col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+    },
+
+    // Per-stratum form: the 10 highest-priority documents of each source.
+    "sample_weighted_strata" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .weightedStratifiedTopK(t.documents, Seq(col("source")),
+          col("doc_id"), col("n_chars"), k = 10)
+        .select(col("doc_id"), col("source"), col("priority"))
+        .orderBy(col("source"), col("priority").desc, col("doc_id"))
+    },
+
     // Fill a 600-whitespace-token budget per source in deterministic
     // hash order; the first overshooting doc is kept (budget = coverage
     // floor).
@@ -1381,6 +1401,13 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // Okapi-BM25 keyword retrieval: top-20 documents for a 3-term query.
+    "text_bm25_search" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.bm25Search(t.documents, col("doc_id"), col("text"),
+        Seq("spark", "merge", "window"), k = 20)
+    },
+
     // Int8 embedding quantization; the oracle compares scale, two code
     // elements, and the whole-vector code checksum (array columns don't
     // hash-compare, scalar projections do).
@@ -1584,6 +1611,13 @@ object PipelineQueries {
   private val tokensSql =
     s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
   private val blankSql = s"""length($wsTrimSql) = 0"""
+
+  /** 52-bit integer from the 13 hex chars in column `h`, digit by digit
+    * (DuckDB has no base-16 conv): Σ digit_i · 16^(13−i), exact BIGINT. */
+  private val md5DigitSumSql = (0 until 13).map { i =>
+    val coef = 1L << (4 * (12 - i))
+    s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $coef"
+  }.mkString(" + ")
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1920,6 +1954,41 @@ object PipelineQueries {
     // kept rows. sqrt and the division are IEEE-correctly-rounded on
     // both engines, so the thresholds — and therefore the row set —
     // agree bit-for-bit at α = 0.5.
+    // Independent re-derivation of Sampling.uniformFromId's 52-bit
+    // uniform: per-hex-digit arithmetic instead of Spark's conv — the
+    // same integer, the same exactly-representable double.
+    "sample_weighted" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+            FROM documents WHERE n_chars > 0),
+            u AS (SELECT doc_id, n_chars,
+                    CAST(($md5DigitSumSql) + 1 AS DOUBLE)
+                      / 4503599627370496.0 AS u
+                  FROM h),
+            p AS (SELECT doc_id, n_chars,
+                    round(ln(u) / CAST(n_chars AS DOUBLE), 6) AS priority
+                  FROM u)
+         SELECT doc_id, n_chars, priority FROM p
+         ORDER BY priority DESC, doc_id LIMIT 50""",
+
+    "sample_weighted_strata" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+            FROM documents WHERE n_chars > 0),
+            u AS (SELECT doc_id, source, n_chars,
+                    CAST(($md5DigitSumSql) + 1 AS DOUBLE)
+                      / 4503599627370496.0 AS u
+                  FROM h),
+            p AS (SELECT doc_id, source,
+                    round(ln(u) / CAST(n_chars AS DOUBLE), 6) AS priority
+                  FROM u),
+            r AS (SELECT doc_id, source, priority,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY priority DESC, doc_id) AS rk
+                  FROM p)
+         SELECT doc_id, source, priority FROM r WHERE rk <= 10
+         ORDER BY source, priority DESC, doc_id""",
+
     "sample_temperature" ->
       """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
             m AS (SELECT min(n) AS nmin FROM c),
@@ -2854,6 +2923,34 @@ object PipelineQueries {
               FROM scored)
          SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, tfidf
          FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""",
+
+    // Same expression shape as bm25Search step for step: every +−×÷ is
+    // correctly rounded on both engines, ln's 1-ulp slack is absorbed by
+    // the round-6 before the exact DECIMAL sum.
+    "text_bm25_search" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+            qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'merge', 'window')),
+            dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+            scored AS (
+              SELECT doc_id,
+                CAST(round(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))),
+                  6) AS DECIMAL(18,6)) AS s
+              FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+                      round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+                    FROM scored GROUP BY 1),
+            top AS (SELECT * FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
+         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk,
+           doc_id, n_terms_hit, bm25
+         FROM top ORDER BY rk""",
 
     "text_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token

@@ -11,6 +11,55 @@ class SamplingSpec extends SparkSpec {
   private lazy val events = Tables(spark, sfDir).events
   private lazy val docs = Tables(spark, sfDir).documents
 
+  test("weightedTopK: exact A-Res priorities, weight dominance, determinism, guards") {
+    // the u behind the priority matches a from-first-principles md5
+    val u0 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("7".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4503599627370496.0
+    }
+    val one = Sampling.weightedTopK(
+        Seq((7L, 10L)).toDF("id", "w"), col("id"), col("w"), k = 1)
+      .select(col("priority")).as[Double].head()
+    assert(one == BigDecimal(math.log(u0) / 10.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a 1e9× weight pushes priority toward 0: all heavy rows outrank light
+    val pop = spark.range(200)
+      .select(col("id"), when(col("id") < 10, 1e9).otherwise(1e-3).as("w"))
+    val top = Sampling.weightedTopK(pop, col("id"), col("w"), k = 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(top == (0L until 10L).toSet, s"heavy rows must win: $top")
+    // partitioning-invariant
+    val a = Sampling.weightedTopK(docs, col("doc_id"), col("n_chars"), 20)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val b = Sampling.weightedTopK(docs.repartition(7), col("doc_id"),
+      col("n_chars"), 20).select(col("doc_id")).as[Long].collect().toSeq
+    assert(a == b, "selection must not depend on partitioning")
+    // non-positive weights are excluded, never ranked
+    val guarded = Sampling.weightedTopK(
+        Seq((1L, 0L), (2L, -5L), (3L, 2L)).toDF("id", "w"),
+        col("id"), col("w"), k = 3)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(guarded == Seq(3L), s"w <= 0 must be excluded: $guarded")
+  }
+
+  test("weightedTopK plans: global is rank-limited sort; stratified prunes per stratum") {
+    val g = Sampling.weightedTopK(docs, col("doc_id"), col("n_chars"), 20)
+      .queryExecution.executedPlan.toString
+    assert(g.contains("TakeOrderedAndProject"), s"global top-k plan:\n$g")
+    val s = Sampling.weightedStratifiedTopK(docs, Seq(col("source")),
+        col("doc_id"), col("n_chars"), 5)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"), s"stratified top-k plan:\n$s")
+    // stratified: exactly k per stratum (corpus has >= k docs per source)
+    val perSource = Sampling.weightedStratifiedTopK(docs, Seq(col("source")),
+        col("doc_id"), col("n_chars"), 5)
+      .groupBy(col("source")).count().select(col("count")).as[Long]
+      .collect()
+    assert(perSource.nonEmpty && perSource.forall(_ == 5L))
+  }
+
   test("stratified sample is exact per stratum and partitioning-invariant") {
     val frac = 0.2
     val got = Sampling.stratified(events, Seq(col("event_type")), col("event_id"), frac)

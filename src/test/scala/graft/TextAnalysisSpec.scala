@@ -187,6 +187,51 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected WindowGroupLimit in tfIdf plan:\n$plan")
   }
 
+  test("bm25Search: hand-computed Okapi scores, ranking, k-limit, blank docs excluded") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian"),
+      (4L, "apple cherry")).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=4 docs, total=10 tokens, avgdl=2.5; df(apple)=df(cherry)=2
+    // idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln 2 for both terms
+    val idf = math.log(2.0)
+    def norm(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    val s1 = r6(idf * norm(2, 3))               // doc 1: apple tf=2
+    val s2 = r6(idf * norm(1, 2))               // doc 2: cherry tf=1
+    val s4 = r6(r6(idf * norm(1, 2)) * 2)       // doc 4: both terms, exact sum
+    val got = TextAnalysis.bm25Search(docs, col("doc_id"), col("text"),
+        Seq("apple", "cherry"), k = 10)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 4L, 2L, s4), (2, 1L, 1L, s1), (3, 2L, 1L, s2)),
+      s"got $got, expected doc4 > doc1 > doc2 with scores ($s4, $s1, $s2)")
+    // k truncates the ranking, keeping the best
+    val k1 = TextAnalysis.bm25Search(docs, col("doc_id"), col("text"),
+      Seq("apple", "cherry"), k = 1).as[(Int, Long, Long, Double)].collect()
+    assert(k1.toSeq == Seq((1, 4L, 2L, s4)))
+    // a blank document joins neither N nor avgdl: scores are unchanged
+    val withBlank = docs.union(Seq((9L, "   ")).toDF("doc_id", "text"))
+    val gotB = TextAnalysis.bm25Search(withBlank, col("doc_id"), col("text"),
+      Seq("apple", "cherry"), k = 10).as[(Int, Long, Long, Double)].collect()
+    assert(gotB.toSeq == got, "blank doc must not perturb corpus statistics")
+    // duplicate query terms are not double-counted
+    val gotD = TextAnalysis.bm25Search(docs, col("doc_id"), col("text"),
+      Seq("apple", "apple", "cherry"), k = 10)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(gotD.toSeq == got, "duplicate query terms must collapse")
+  }
+
+  test("plan guard: bm25Search top-k is a rank-limited sort, not a global sort") {
+    val docs = Tables(spark, sfDir).documents
+    val plan = TextAnalysis.bm25Search(docs, col("doc_id"), col("text"),
+      Seq("spark", "merge"), k = 20).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in bm25 plan:\n$plan")
+  }
+
   test("tfIdf: scores, ranking, and k-limit on a hand-computed corpus") {
     val df = Seq(
       (1L, "apple banana apple"),
