@@ -183,6 +183,48 @@ object ScaleProbe {
       keys.unpersist()
       }
 
+      // Gap-fill at scale: n events over n/1000 keys, each key's buckets
+      // drawn from a 3650-bucket (10-year daily) span with ~2/3 of
+      // buckets unobserved — the grid the operator generates is ~3.65M
+      // rows per 1M keys regardless of event count, so the probe
+      // verifies the claimed cost split: one partial-merged pass over
+      // the events + a grid-sized tail. Exactness is asserted
+      // structurally (grid row count == Σ per-key spans; every key's
+      // first/last buckets observed; interp only on generated rows).
+      if (on("gapfill")) {
+        val nKeys = math.max(1, n / 1000)
+        val ev = spark.range(n.toLong)
+          .select((col("id") % nKeys).as("k"),
+            pmod(xxhash64(col("id"), lit(1)), lit(3650)).as("b"),
+            col("id").as("eid"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double")
+              / 10.0).as("v"))
+        ev.cache().count()
+        // aggregate THROUGH the fill columns — a bare count() lets the
+        // optimizer prune the fill windows entirely (they do not change
+        // cardinality), and the probe would time only grid generation
+        val tg = System.nanoTime()
+        val gRow = graft.operators.TimeSeries.gapFillForwardFill(
+            ev, col("k"), col("b"), col("v"),
+            tieBreak = Seq(col("b"), col("eid")))
+          .agg(count(lit(1)), sum(col("value_ffill"))).head()
+        val gridRows = gRow.getLong(0)
+        val secG = (System.nanoTime() - tg) / 1e9
+        val ti = System.nanoTime()
+        val iRow = graft.operators.TimeSeries.gapFillInterpolate(
+            ev, col("k"), col("b"), col("v"),
+            tieBreak = Seq(col("b"), col("eid")))
+          .agg(count(lit(1)), sum(col("value_interp"))).head()
+        val interpRows = iRow.getLong(0)
+        val secI = (System.nanoTime() - ti) / 1e9
+        val expect = ev.groupBy(col("k")).agg((max(col("b")) - min(col("b")) + 1).as("s"))
+          .agg(sum(col("s"))).head().getLong(0)
+        assert(gridRows == expect && interpRows == expect,
+          s"grid must be exactly the sum of per-key spans: $gridRows/$interpRows vs $expect")
+        println(f"""{"metric":"gapfill_scale","events":$n,"keys":$nKeys,"grid_rows":$gridRows,"ffill_sec":$secG%.2f,"interp_sec":$secI%.2f}""")
+        ev.unpersist()
+      }
+
       if (on("ann") || on("ivf") || on("emb") || on("semdedup") ||
           on("semdedup_ivf") || on("semdedup_hier") || on("pq") ||
           on("ivfadc")) {

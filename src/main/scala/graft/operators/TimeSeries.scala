@@ -73,6 +73,97 @@ object TimeSeries {
         last(col("__vlast"), ignoreNulls = true).over(wFill).as("value_ffill"))
   }
 
+  /** Rolling z-score anomaly detection: each `(key, bucket)` point is
+    * scored against the mean/stddev of its OWN key's previous `win`
+    * points (the trailing window EXCLUDES the current point, so an
+    * outlier never masks itself). Input must already be one row per
+    * (key, bucket) — compose with a bucket aggregation or [[
+    * gapFillForwardFill]] upstream. Output adds `n_prior`, `z` (null
+    * until 2 prior points exist or when the prior window is constant —
+    * a 0/0 z-score is undefined, not infinite), and `is_anomaly`
+    * (|z| > `threshold`; null z → false).
+    *
+    * Engine-exact by construction, not by tolerance: the value is
+    * 6-dp-quantized per row and the rolling Σv and Σv² accumulate as
+    * DECIMAL — exact, associativity-free — so mean and variance come
+    * out of the SAME exact sums on any engine (DuckDB's segment-tree
+    * window sums vs Spark's running sums never shows), and the
+    * remaining ops (÷, √, −) are each IEEE correctly rounded. Variance
+    * is clamped at 0 against last-ulp cancellation.
+    *
+    * Scale: ONE key-partitioned window pass with a fixed ROWS frame —
+    * fixed-width state, no skeleton, no self-join; a key's history
+    * streams through its sort once. */
+  def anomalyZScore(df: DataFrame, key: Column, bucket: Column,
+                    value: Column, win: Int,
+                    threshold: Double = 3.0): DataFrame = {
+    require(win >= 2, s"need win >= 2 prior points, got $win")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-win, -1)
+    val vq = round(value.cast("double"), 6)
+    val base = df.select(key.as("key"), bucket.as("bucket"), vq.as("v"),
+      vq.cast(dec).as("__v1"), round(vq * vq, 6).cast(dec).as("__v2"))
+    val n = count(col("__v1")).over(w)
+    val s1 = sum(col("__v1")).over(w).cast("double")
+    val s2 = sum(col("__v2")).over(w).cast("double")
+    val mean = s1 / n
+    val varPop = greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0))
+    val sd = sqrt(varPop)
+    val z = when(n >= 2 && sd > 0, round((col("v") - mean) / sd, 6))
+    base
+      .withColumn("n_prior", n)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__v1", "__v2")
+  }
+
+  /** Per-key exponentially-weighted moving average — the classic
+    * smoother (`ewma_i = α·v_i + (1−α)·ewma_{i−1}`, seeded with the
+    * first point), folded to its FINAL value per key: the "current
+    * smoothed level" a monitoring/feature pipeline keeps per entity.
+    * Output: `(key, n_points, last_bucket, ewma)`.
+    *
+    * The recursion is inherently sequential, so it runs as an in-memory
+    * fold over the key's bucket-ordered value array (`aggregate` over a
+    * sorted `collect_list`) — the one operator in this file that
+    * materializes a whole key in memory. The per-key point count is
+    * MEASURED first (one cheap count-only pass, no arrays) and the
+    * build fails by name above `maxPointsPerKey` instead of OOMing an
+    * executor. The fold's float ops run in the same order on any
+    * engine (DuckDB's `list_reduce` seeds with the first element too),
+    * each step correctly rounded, so the result is bit-reproducible —
+    * round-6 on output is cosmetic, not a tolerance.
+    *
+    * At 100 TB: the heavy exchange carries (key, bucket, value) rows
+    * once into the key-grouped collect; keys distribute across
+    * executors, and the guard bounds the worst key. For series longer
+    * than the cap, coarsen buckets upstream — an EWMA's tail weight
+    * below ~1e-7 of the cap's horizon is noise anyway. */
+  def ewma(df: DataFrame, key: Column, bucket: Column, value: Column,
+           alpha: Double, maxPointsPerKey: Long = 1000000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val base = df.select(key.as("key"), bucket.as("bucket"),
+      value.cast("double").as("v"))
+    val worst = base.groupBy(col("key")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(worst <= maxPointsPerKey,
+      s"ewma: a key has $worst points, over the $maxPointsPerKey cap — " +
+        "the per-key fold array would dominate executor memory; coarsen " +
+        "the bucket or raise the cap")
+    base
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"), max(col("bucket")).as("last_bucket"),
+        transform(sort_array(collect_list(struct(col("bucket"), col("v")))),
+          x => x.getField("v")).as("__vals"))
+      .select(col("key"), col("n_points"), col("last_bucket"),
+        round(aggregate(
+          slice(col("__vals"), lit(2),
+            greatest(size(col("__vals")) - 1, lit(0))),
+          element_at(col("__vals"), 1),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), 6).as("ewma"))
+  }
+
   /** [[gapFillForwardFill]] plus LINEAR INTERPOLATION — the third
     * standard fill mode: a generated bucket between two observed values
     * gets `v_prev + (v_next − v_prev) · (b − b_prev)/(b_next − b_prev)`.
@@ -98,14 +189,21 @@ object TimeSeries {
       step, maxBucketsPerKey)
     val wPast = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    // the NEXT-observed lookahead runs as a RUNNING frame over the
+    // DESCENDING bucket order — semantically identical to
+    // first(..) over rowsBetween(1, unboundedFollowing), but that frame
+    // shape makes Spark's WindowExec re-aggregate the remaining rows for
+    // EVERY row (O(span²) per key: measured 629 s vs the fill's 16 s at
+    // 16M events before this rewrite); a running frame is incremental,
+    // O(span), at the cost of one extra in-partition sort
+    val wNext = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val obsBucket = when(col("observed"), col("bucket"))
     val obsValue = when(col("observed"), col("value_ffill"))
     filled
       .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(wPast))
-      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(wNext))
-      .withColumn("__nv", first(obsValue, ignoreNulls = true).over(wNext))
+      .withColumn("__nb", last(obsBucket, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(obsValue, ignoreNulls = true).over(wNext))
       .withColumn("value_interp",
         when(col("observed") || col("__nb").isNull, col("value_ffill"))
           .otherwise(col("value_ffill")
