@@ -215,6 +215,44 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("bucket"))
     },
 
+    // Rolling z-score anomaly scoring of each user's daily value total
+    // against its own trailing week — exact DECIMAL rolling moments, so
+    // the score is engine-independent without a tolerance.
+    "ts_anomaly" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("v"))
+      graft.operators.TimeSeries
+        .anomalyZScore(daily, col("user_id"), col("day"), col("v"), win = 7)
+        .select(col("key").as("user_id"), col("bucket").as("day"), col("v"),
+          col("n_prior"), col("z"), col("is_anomaly"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // Final EWMA level per user over the same daily series (α = 0.25 —
+    // both α and 1−α are exactly representable, so the fold is
+    // bit-reproducible on any engine).
+    "ts_ewma" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("v"))
+      graft.operators.TimeSeries
+        .ewma(daily, col("user_id"), col("day"), col("v"), alpha = 0.25)
+        .select(col("key").as("user_id"), col("n_points"),
+          col("last_bucket"), col("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
     "q_sort_limit" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -656,6 +694,56 @@ object RelationalQueries {
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    // Mirrors anomalyZScore's exact-moment construction: round-6
+    // quantized values, DECIMAL Σv and Σv² (associativity-free — the
+    // segment-tree window sum cannot diverge from Spark's running sum),
+    // then identical correctly-rounded ÷ √ − shapes.
+    "ts_anomaly" ->
+      """WITH d AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v0
+             FROM events GROUP BY 1, 2),
+            q AS (SELECT user_id, day, round(v0, 6) AS v,
+                    CAST(round(v0, 6) AS DECIMAL(18,6)) AS v1,
+                    CAST(round(round(v0, 6) * round(v0, 6), 6)
+                      AS DECIMAL(18,6)) AS v2
+                  FROM d),
+            wnd AS (SELECT user_id, day, v,
+                      count(v1) OVER w AS n_prior,
+                      CAST(sum(v1) OVER w AS DOUBLE) AS s1,
+                      CAST(sum(v2) OVER w AS DOUBLE) AS s2
+                    FROM q
+                    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT user_id, day, v, n_prior,
+                     CASE WHEN n_prior >= 2 AND
+                         sqrt(greatest((s2 - s1 * s1 / n_prior)
+                                         / (n_prior - 1), 0.0)) > 0
+                       THEN round((v - s1 / n_prior)
+                         / sqrt(greatest((s2 - s1 * s1 / n_prior)
+                                           / (n_prior - 1), 0.0)), 6)
+                     END AS z
+                   FROM wnd)
+         SELECT user_id, day, v, n_prior, z,
+           coalesce(abs(z) > 3.0, false) AS is_anomaly
+         FROM sc ORDER BY user_id, day""",
+
+    // list_reduce seeds with the first element, exactly like the Spark
+    // fold's slice-plus-init — same per-step IEEE ops, same order.
+    "ts_ewma" ->
+      """WITH d AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2),
+            a AS (SELECT user_id, count(*) AS n_points,
+                    max(day) AS last_bucket,
+                    list(v ORDER BY day) AS vals
+                  FROM d GROUP BY 1)
+         SELECT user_id, n_points, last_bucket,
+           round(list_reduce(vals,
+             (acc, x) -> 0.25 * x + (1.0 - 0.25) * acc), 6) AS ewma
+         FROM a ORDER BY user_id""",
 
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_type,

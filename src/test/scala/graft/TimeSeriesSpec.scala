@@ -97,6 +97,64 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == Seq(7.0, 5.0, 3.0, 1.0)) // eid tie-break at b=1; exact lerp
   }
 
+  test("anomalyZScore: hand-computed rolling moments; self-exclusion; constant-window null") {
+    // key "a": values 10,10,10,10,40 — the spike scores against a
+    // constant prior window (sd=0) → z NULL, not infinite
+    // key "b": 1,3,5 then 100 — prior {1,3,5}: mean=3, var=4, sd=2
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0),
+      ("a", 5L, 40.0),
+      ("b", 1L, 1.0), ("b", 2L, 3.0), ("b", 3L, 5.0), ("b", 4L, 100.0))
+      .toDF("k", "b", "v")
+    val got = TimeSeries.anomalyZScore(df, col("k"), col("b"), col("v"),
+        win = 7)
+      .orderBy("key", "bucket")
+      .select("key", "bucket", "n_prior", "z", "is_anomaly")
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSeq
+    val z3 = BigDecimal(3.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("a", 1L, 0L, None, false),
+      ("a", 2L, 1L, None, false),          // < 2 prior points
+      ("a", 3L, 2L, None, false),          // constant prior: sd = 0
+      ("a", 4L, 3L, None, false),
+      ("a", 5L, 4L, None, false),          // spike invisible to itself
+      ("b", 1L, 0L, None, false),
+      ("b", 2L, 1L, None, false),
+      ("b", 3L, 2L, Some(z3), false),      // prior {1,3}: mean 2, sd √2
+      ("b", 4L, 3L, Some(48.5), true)))    // prior {1,3,5}: (100-3)/2
+  }
+
+  test("anomalyZScore: window slides (8th point drops the 1st); one exchange") {
+    // 9 points: at bucket 9 the window is buckets 2..8, not 1..8
+    val vals = Seq(100.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "b", "v")
+    val out = TimeSeries.anomalyZScore(df, col("k"), col("b"), col("v"), 7)
+      .filter(col("bucket") === 9L).select("n_prior", "z").collect().head
+    assert(out.getLong(0) == 7L && out.isNullAt(1),
+      s"window must have slid past the 100.0 (constant prior => null z): $out")
+    val plan = TimeSeries.anomalyZScore(df, col("k"), col("b"), col("v"), 7)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
+  test("ewma: fold matches the recursion; single point; cap fails by name") {
+    val df = Seq(("k", 3L, 4.0), ("k", 1L, 2.0), ("k", 2L, 8.0),
+      ("solo", 1L, 7.5)).toDF("k", "b", "v")
+    val got = TimeSeries.ewma(df, col("k"), col("b"), col("v"), alpha = 0.25)
+      .orderBy("key").as[(String, Long, Long, Double)].collect().toSeq
+    // hand recursion for "k" in bucket order 2.0, 8.0, 4.0:
+    //   e1=2.0; e2=.25*8+.75*2=3.5; e3=.25*4+.75*3.5=3.625
+    assert(got == Seq(("k", 3L, 3L, 3.625), ("solo", 1L, 1L, 7.5)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, col("k"), col("b"), col("v"), 0.25,
+        maxPointsPerKey = 2L)
+    }
+    assert(e.getMessage.contains("ewma"), e.getMessage)
+  }
+
   test("plan: raw events collapse at the first aggregate; exchanges are fixed-width") {
     // the only pass over the input is the (key, bucket) partial+final
     // aggregate — no exchange carries the raw event rows
