@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics on edge lists, Spark-first: each
+  * iteration is a declarative join + aggregate the planner shuffles on
+  * the graph's own keys, with eager lineage truncation between
+  * iterations — the pattern that scales an iterative algorithm to an
+  * edge list that does not fit one machine. (Connected components are
+  * already covered by [[Dedup.componentsFromPairs]]'s union-find /
+  * pointer-jumping pair; this file adds the value-propagation family.)
+  */
+object Graph {
+
+  /** PageRank with fixed iteration count and damping `d`:
+    * `pr₀ = 1/N`, then
+    * `prᵢ₊₁(v) = (1−d)/N + d·Σ_{u→v} round(prᵢ(u)/outdeg(u), scale)`.
+    * Multi-edges collapse first (one vote per distinct edge); dangling
+    * mass (nodes with no out-edges) is dropped, the standard simplified
+    * variant — feed both directions for an undirected graph and no
+    * node dangles. Returns `(node, rank)` after `iters` iterations.
+    *
+    * ENGINE-EXACT, not approximately so: per-edge contributions are
+    * quantized to `scale` decimals and summed as DECIMAL — exact and
+    * associativity-free, so Spark's partial aggregation and any other
+    * engine's sum order agree bit for bit — and every remaining op
+    * (the two divisions, the damping multiply, the add, the final
+    * round) is IEEE correctly rounded. The registered oracle replays
+    * the same recurrence in DuckDB and holds every rank to hash
+    * equality at any iteration count.
+    *
+    * Scale shape: ranks and degrees are NODE-sized, edges EDGE-sized;
+    * each iteration shuffles the rank frame to the edge src
+    * partitioning (join) and the contributions to dst (aggregate) —
+    * the two exchanges inherent to power iteration; nothing is ever
+    * all-pairs. Each iteration's rank frame is `localCheckpoint`ed
+    * EAGERLY: without truncation the lineage compounds per iteration
+    * and the final plan re-executes every round from the scan; with
+    * it, each round is one job over a node-sized cached frame. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
+               damping: Double = 0.85, scale: Int = 9): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"need 0 < damping < 1: $damping")
+    val dec = DecimalType(38, scale)
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var ranks = nodes.crossJoin(nTotal)
+      .select(col("node"), round(lit(1.0) / col("nn"), scale).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("r") / col("deg"), scale).cast(dec).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.crossJoin(nTotal)
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round((lit(1.0) - lit(damping)) / col("nn")
+            + lit(damping)
+              * coalesce(col("s"), lit(0).cast(dec)).cast("double"),
+            scale).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

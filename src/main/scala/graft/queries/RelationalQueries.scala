@@ -253,6 +253,25 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     },
 
+    // PageRank over the (sparse, undirected) supplier—part co-occurrence
+    // graph: 5 power iterations, engine-exact DECIMAL contribution sums.
+    "graph_pagerank" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Graph
+        .pageRank(graphEdges(t), col("a"), col("b"), iters = 5)
+        .orderBy(col("node"))
+    },
+
+    // Connected components of the same graph (min-id labels) via the
+    // union-find / pointer-jumping operator the dedup family uses.
+    "graph_components" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Dedup
+        .componentsFromPairs(graphEdges(t)
+          .select(col("a").as("id_a"), col("b").as("id_b")))
+        .orderBy(col("id"))
+    },
+
     // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
     "q_sort_limit" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -467,7 +486,64 @@ object RelationalQueries {
     }
   )
 
+  /** Shared sparse test graph: supplier—part pairs from high-quantity
+    * lineitems, both directions (undirected, no dangling nodes); part
+    * ids offset into a disjoint range. */
+  private def graphEdges(t: Tables): DataFrame = {
+    val f = t.lineitem.filter(col("l_quantity") >= 48)
+      .select(col("l_suppkey").cast("long").as("a"),
+        (col("l_partkey").cast("long") + 10000000L).as("b"))
+    f.unionByName(f.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** The base CTEs of both graph oracles (same edge derivation). */
+  private val graphBaseSql =
+    """f AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+              CAST(l_partkey AS BIGINT) + 10000000 AS b
+            FROM lineitem WHERE l_quantity >= 48),
+       e AS (SELECT a AS src, b AS dst FROM f UNION SELECT b, a FROM f),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+
+  /** Unrolled power iteration, expression shapes identical to
+    * [[graft.operators.Graph.pageRank]] — generated, not recursive, so
+    * every iteration's SQL is the literal recurrence. */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst, CAST(round(p.r / d.deg, 9)
+                    AS DECIMAL(38,9)) AS c
+                  FROM e JOIN pr${k - 1} p ON e.src = p.node
+                         JOIN deg d ON e.src = d.src),
+          s$k AS (SELECT dst, sum(c) AS s FROM c$k GROUP BY 1),
+          pr$k AS (SELECT node,
+                     round((1.0 - 0.85) / nn + 0.85
+                       * CAST(coalesce(s, CAST(0 AS DECIMAL(38,9)))
+                           AS DOUBLE), 9) AS r
+                   FROM nodes CROSS JOIN n LEFT JOIN s$k ON node = dst)"""
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          n AS (SELECT count(*) AS nn FROM nodes),
+          pr0 AS (SELECT node, round(1.0 / nn, 9) AS r
+                  FROM nodes CROSS JOIN n),
+          $steps
+       SELECT node, r AS rank FROM pr$iters ORDER BY node"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql(5),
+
+    // Min-label transitive closure to fixpoint: r holds (v, u) for every
+    // u that reaches v; the component label is the minimum — exactly the
+    // min-root invariant of the union-find/pointer-jumping operator.
+    "graph_components" ->
+      s"""WITH RECURSIVE $graphBaseSql,
+            r(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node)
+         SELECT node AS id, min(lab) AS label FROM r
+         GROUP BY 1 ORDER BY 1""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

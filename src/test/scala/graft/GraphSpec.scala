@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent in-memory replay of the exact recurrence (same
+    * quantization points, exact decimal sums), for bitwise parity. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    var pr = nodes.map(v => v -> r9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => BigDecimal(r9(pr(u) / deg(u))) }.sum
+      }
+      pr = nodes.map { v =>
+        v -> r9((1.0 - d) / n
+          + d * sums.getOrElse(v, BigDecimal(0)).toDouble)
+      }.toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("s", "d"), col("s"), col("d"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank matches the in-memory recurrence exactly on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val dir = edges ++ edges.map(_.swap)   // undirected: no dangling mass
+    assert(run(dir, 4) == ref(dir, 4))
+    // directed (dangling nodes drop mass): still exact parity
+    assert(run(edges, 3) == ref(edges, 3))
+  }
+
+  test("pageRank: star center outranks leaves; undirected mass is conserved") {
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val pr = run(star, 10)
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6,
+      s"undirected graph must conserve rank mass: ${pr.values.sum}")
+  }
+
+  test("pageRank: multi-edges collapse to one vote") {
+    val once = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val dup = once ++ once ++ once
+    assert(run(dup, 5) == run(once, 5))
+  }
+}
