@@ -429,6 +429,24 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("valid_from"))
     },
 
+    // Point-in-time dimension lookup — the reason an SCD2 dimension
+    // exists: enrich each event with the attribute version that was
+    // active a day earlier, via the as-of operator (union-and-carry-
+    // forward: one shuffle, no per-key version multiplication; chain
+    // continuity makes the latest valid_from <= t the active version).
+    "q_scd2_lookup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val dim = graft.operators.Cdc.scd2FromHistory(t.events, col("user_id"),
+        col("ts"), col("event_type"), Seq(col("event_id")))
+      val ev = t.events.select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 DAY")).as("at"))
+      graft.operators.AsOfJoin.backward(ev, dim,
+          col("user_id"), col("key"), col("at"), col("valid_from"),
+          Seq("event_type_1d_ago" -> col("attr")))
+        .select(col("event_id"), col("user_id"), col("event_type_1d_ago"))
+        .orderBy(col("event_id"))
+    },
+
     // As-of backward join: each event picks the latest prior order in its
     // (synthetic) customer bucket. Union-and-carry-forward plan: one shuffle.
     "q_asof_join" -> { (s, dir) =>
@@ -852,6 +870,19 @@ object RelationalQueries {
            strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            vt IS NULL AS is_current
          FROM v ORDER BY user_id, vf""",
+
+    "q_scd2_lookup" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+             row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            v AS (SELECT user_id, event_type, ts AS vf FROM o
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+            e AS (SELECT event_id, user_id, ts - INTERVAL 1 DAY AS at
+                  FROM events)
+         SELECT e.event_id, e.user_id, v.event_type AS event_type_1d_ago
+         FROM e ASOF LEFT JOIN v
+           ON e.user_id = v.user_id AND e.at >= v.vf
+         ORDER BY e.event_id""",
 
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey % 50 AS k, o_orderdate,
