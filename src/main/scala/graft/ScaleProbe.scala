@@ -183,6 +183,73 @@ object ScaleProbe {
       keys.unpersist()
       }
 
+      // SCD2 at scale: n change rows over n/1000 keys, ~1/3 of
+      // consecutive observations unchanged (they must collapse). Times
+      // the full-history build and the 80/20 incremental merge, and
+      // asserts merge == rebuild by version count and closed-version
+      // count — the operator's central contract, re-checked at volume.
+      if (on("scd2")) {
+        val nKeys = math.max(1, n / 1000)
+        val ch = spark.range(n.toLong)
+          .select((col("id") % nKeys).as("k"), (col("id") / nKeys).as("ts"),
+            col("id").as("seq"),
+            pmod(xxhash64(col("id") - pmod(xxhash64(col("id")), lit(3))),
+              lit(5)).cast("string").as("v"))
+        ch.cache().count()
+        val t0 = System.nanoTime()
+        val full = graft.operators.Cdc.scd2FromHistory(ch, col("k"),
+          col("ts"), col("v"), Seq(col("seq")))
+        val fr = full.agg(count(lit(1)),
+          sum(when(col("is_current"), 0L).otherwise(1L))).head()
+        val secB = (System.nanoTime() - t0) / 1e9
+        val split = (n.toLong / nKeys) * 4 / 5
+        val dim = graft.operators.Cdc.scd2FromHistory(
+          ch.filter(col("ts") < split), col("k"), col("ts"), col("v"),
+          Seq(col("seq"))).localCheckpoint(true)
+        val t1 = System.nanoTime()
+        val mr = graft.operators.Cdc.scd2Merge(dim,
+            ch.filter(col("ts") >= split), col("k"), col("ts"), col("v"),
+            Seq(col("seq")))
+          .agg(count(lit(1)),
+            sum(when(col("is_current"), 0L).otherwise(1L))).head()
+        val secM = (System.nanoTime() - t1) / 1e9
+        assert(mr.getLong(0) == fr.getLong(0) && mr.getLong(1) == fr.getLong(1),
+          s"merge must equal rebuild at volume: $mr vs $fr")
+        println(f"""{"metric":"scd2_scale","changes":$n,"keys":$nKeys,"versions":${fr.getLong(0)},"build_sec":$secB%.2f,"merge_sec":$secM%.2f}""")
+        ch.unpersist()
+      }
+
+      // PageRank at scale: an undirected preferential-ish multigraph of
+      // n directed edges over n/100 nodes (dst skewed toward low ids by
+      // a squared hash, so degree is hub-heavy like a real graph), 5
+      // power iterations. Undirected = no dangling mass, so the rank
+      // sum must come back to 1 within quantization slack — a built-in
+      // exactness check at volume, not just a timing.
+      if (on("pagerank")) {
+        val nNodes = math.max(2, n / 100)
+        val u = pmod(xxhash64(col("id"), lit(1)), lit(nNodes))
+        val h = pmod(xxhash64(col("id"), lit(2)), lit(nNodes))
+          .cast("double").divide(lit(nNodes))
+        val w = pmod(xxhash64(col("id"), lit(3)), lit(nNodes))
+          .cast("double").divide(lit(nNodes))
+        val fwd = spark.range(n.toLong)
+          .select(u.as("a"), floor(h * w * nNodes).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+        val edges = fwd.unionByName(
+          fwd.select(col("b").as("a"), col("a").as("b")))
+        edges.cache().count()
+        val t0 = System.nanoTime()
+        val pr = graft.operators.Graph.pageRank(edges, col("a"), col("b"),
+          iters = 5)
+        val row = pr.agg(count(lit(1)), sum(col("rank"))).head()
+        val secP = (System.nanoTime() - t0) / 1e9
+        val mass = row.getDouble(1)
+        assert(math.abs(mass - 1.0) < 1e-3,
+          s"undirected rank mass must be ~1: $mass")
+        println(f"""{"metric":"pagerank_scale","edges":$n,"nodes":${row.getLong(0)},"iters":5,"sec":$secP%.2f,"mass":$mass%.6f}""")
+        edges.unpersist()
+      }
+
       // Gap-fill at scale: n events over n/1000 keys, each key's buckets
       // drawn from a 3650-bucket (10-year daily) span with ~2/3 of
       // buckets unobserved — the grid the operator generates is ~3.65M
