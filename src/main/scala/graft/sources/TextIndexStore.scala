@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted inverted index for BM25 retrieval — the text analogue of
+  * the vector store family: pay the corpus tokenization + postings
+  * shuffle ONCE, then serve every query from token-bucketed tables.
+  *
+  *  - `<prefix>_tf`   — postings `(token, doc_id, tf)`, BUCKETED and
+  *    sorted by `token`: a query's term set becomes an `IN` filter the
+  *    scan prunes to ~|terms|/nBuckets of the postings bytes
+  *    (SelectedBucketsCount — spec-guarded, the same probe shape as the
+  *    `_ivfpq` sidecar);
+  *  - `<prefix>_dl`   — document lengths, bucketed by `doc_id` (the
+  *    candidate join key);
+  *  - `<prefix>_stats`— the 1-row corpus statistics (N, total tokens).
+  *
+  * All three carry one shared content-derived version property stamped
+  * at build (stats → dl → tf write order), so a torn build or a
+  * half-dropped family is a NAMED failure at search time, never a
+  * silently inconsistent ranking. Search replays
+  * [[TextAnalysis.bm25Search]]'s exact expression shapes over the
+  * stored frames, so the in-query operator's DuckDB oracle holds the
+  * whole persisted pipeline to hash equality. */
+object TextIndexStore {
+
+  def tfTable(prefix: String): String = s"${prefix}_tf"
+  def dlTable(prefix: String): String = s"${prefix}_dl"
+  def statsTable(prefix: String): String = s"${prefix}_stats"
+
+  private def setProps(spark: SparkSession, table: String,
+                       props: Map[String, String]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+
+  private def prop(spark: SparkSession, table: String, key: String): String = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === key).collect()
+    require(rows.nonEmpty,
+      s"table $table has no '$key' property — not built by TextIndexStore?")
+    rows(0).getString(1)
+  }
+
+  /** Build (or rebuild) the index from the corpus. One corpus pass
+    * builds the postings; `dl` and `stats` derive from the postings
+    * frame, never re-reading text. */
+  def build(spark: SparkSession, prefix: String, docs: DataFrame,
+            id: Column, text: Column, nBuckets: Int = 16): Unit = {
+    Seq(tfTable(prefix), dlTable(prefix), statsTable(prefix))
+      .foreach(t => Bucketing.dropManagedTable(spark, t))
+    val tf = docs
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens")).localCheckpoint(true)
+    val r = stats.head()
+    val version = s"${r.getLong(0)}_${r.getLong(1)}"
+    stats.write.saveAsTable(statsTable(prefix))
+    Bucketing.writeBucketed(dl, dlTable(prefix), Seq("doc_id"), nBuckets)
+    Bucketing.writeBucketed(tf, tfTable(prefix), Seq("token"), nBuckets)
+    Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix)).foreach(t =>
+      setProps(spark, t, Map("graft.text.version" -> version)))
+  }
+
+  /** BM25 top-k against the stored index — the pure-probe deployment
+    * shape: no tokenization, no corpus scan; the term filter prunes the
+    * postings scan to the terms' buckets, everything downstream is
+    * candidate-sized. Scoring is [[TextAnalysis.bm25Search]] shape for
+    * shape (round-6 per-term scores, exact DECIMAL sum, rank-limited
+    * top-k). */
+  def search(spark: SparkSession, prefix: String, queryTerms: Seq[String],
+             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "search needs at least one query term")
+    val vs = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
+      .map(t => prop(spark, t, "graft.text.version"))
+    require(vs.distinct.size == 1,
+      s"TextIndexStore $prefix version fence tripped ($vs) — torn build " +
+        "or partial drop; rebuild with TextIndexStore.build")
+    val terms = queryTerms.distinct
+    val qtf = spark.table(tfTable(prefix)).filter(col("token").isin(terms: _*))
+    val dft = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0)
+      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    qtf.join(broadcast(dft), "token")
+      .join(spark.table(dlTable(prefix)), "doc_id")
+      .crossJoin(broadcast(spark.table(statsTable(prefix))))
+      .withColumn("s", round(idf * norm, 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("s")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("rk"),
+        col("doc_id"), col("n_terms_hit"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
+  /** Drop the whole family (maintenance/test hygiene). */
+  def drop(spark: SparkSession, prefix: String): Unit =
+    Seq(tfTable(prefix), dlTable(prefix), statsTable(prefix))
+      .foreach(t => Bucketing.dropManagedTable(spark, t))
+}
