@@ -68,6 +68,41 @@ object TextIndexStore {
       setProps(spark, t, Map("graft.text.version" -> version)))
   }
 
+  /** Fold new documents into the index without a rebuild: delta
+    * postings/lengths append bucket-aligned (each touched bucket gains
+    * one file set — [[Bucketing.compactTable]] cadence applies, as in
+    * the vector stores), the 1-row stats table is recomputed from the
+    * appended `dl` (never re-reading text), and the shared version
+    * restamps all three LAST — a crash mid-append leaves a version
+    * mismatch, so the torn state is a named failure at search time,
+    * not a silently mis-ranked corpus. Caller contract: `docs` are NEW
+    * doc_ids (an id re-appended would double its postings — run exact
+    * dedup upstream, as the ingest loop does). */
+  def append(spark: SparkSession, prefix: String, docs: DataFrame,
+             id: Column, text: Column, nBuckets: Int = 16): Unit = {
+    val vs = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
+      .map(t => prop(spark, t, "graft.text.version"))
+    require(vs.distinct.size == 1,
+      s"TextIndexStore $prefix version fence tripped ($vs) before append — " +
+        "rebuild with TextIndexStore.build")
+    val tf = docs
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    Bucketing.appendBucketed(dl, dlTable(prefix), Seq("doc_id"), nBuckets)
+    Bucketing.appendBucketed(tf, tfTable(prefix), Seq("token"), nBuckets)
+    val stats = spark.table(dlTable(prefix))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .localCheckpoint(true)
+    val r = stats.head()
+    val version = s"${r.getLong(0)}_${r.getLong(1)}"
+    stats.write.mode("overwrite").saveAsTable(statsTable(prefix))
+    Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix)).foreach(t =>
+      setProps(spark, t, Map("graft.text.version" -> version)))
+  }
+
   /** BM25 top-k against the stored index — the pure-probe deployment
     * shape: no tokenization, no corpus scan; the term filter prunes the
     * postings scan to the terms' buckets, everything downstream is

@@ -33,6 +33,23 @@ class TextIndexStoreSpec extends SparkSpec {
     TextIndexStore.drop(spark, "tix2")
   }
 
+  test("appended store ranks identically to a fresh build over the union") {
+    TextIndexStore.drop(spark, "tix4")
+    TextIndexStore.drop(spark, "tix5")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1)
+    TextIndexStore.build(spark, "tix4", first, col("doc_id"), col("text"))
+    TextIndexStore.append(spark, "tix4", rest, col("doc_id"), col("text"))
+    TextIndexStore.build(spark, "tix5", docs, col("doc_id"), col("text"))
+    val a = TextIndexStore.search(spark, "tix4", Seq("spark", "merge"), 15)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val b = TextIndexStore.search(spark, "tix5", Seq("spark", "merge"), 15)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(a == b, "append must be indistinguishable from rebuild")
+    TextIndexStore.drop(spark, "tix4")
+    TextIndexStore.drop(spark, "tix5")
+  }
+
   test("version fence: a half-dropped or torn family fails by name") {
     TextIndexStore.drop(spark, "tix3")
     TextIndexStore.build(spark, "tix3", docs, col("doc_id"), col("text"))
