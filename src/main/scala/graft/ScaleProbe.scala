@@ -190,10 +190,16 @@ object ScaleProbe {
       // count — the operator's central contract, re-checked at volume.
       if (on("scd2")) {
         val nKeys = math.max(1, n / 1000)
+        // a key's consecutive observations are ids k, k+nKeys, … with
+        // ts = id div nKeys — so run grouping must key on (k, ts run),
+        // NOT on raw id arithmetic (ids of one key are nKeys apart):
+        // runs of 3 ts values share a value → ~2/3 of successions are
+        // guaranteed unchanged and MUST collapse
+        val tsCol = expr(s"id DIV $nKeys")
         val ch = spark.range(n.toLong)
-          .select((col("id") % nKeys).as("k"), (col("id") / nKeys).as("ts"),
+          .select((col("id") % nKeys).as("k"), tsCol.as("ts"),
             col("id").as("seq"),
-            pmod(xxhash64(col("id") - pmod(xxhash64(col("id")), lit(3))),
+            pmod(xxhash64(col("id") % nKeys, tsCol - pmod(tsCol, lit(3))),
               lit(5)).cast("string").as("v"))
         ch.cache().count()
         val t0 = System.nanoTime()

@@ -317,15 +317,30 @@ object TextAnalysis {
   def bm25Search(docs: DataFrame, id: Column, text: Column,
                  queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
-    val terms = queryTerms.distinct
+    // materialize TF once: the qtf and dl branches are different
+    // physical subtrees, so without this the tokenize+explode+partial
+    // aggregate over all text would execute twice (ReuseExchange cannot
+    // share them) — the "one corpus pass" contract is this checkpoint
     val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
-    val qtf = tf.filter(col("token").isin(terms: _*))
+    val qtf = tf.filter(col("token").isin(queryTerms.distinct: _*))
+    bm25Score(qtf, dl, stats, k, k1, b)
+  }
+
+  /** The one BM25 scorer (shared with the persisted
+    * [[graft.sources.TextIndexStore]], so store and in-query ranking can
+    * never diverge): score `qtf` (doc_id, token, tf) postings already
+    * filtered to the query's terms, against `dl` (doc_id, dl) and the
+    * 1-row `stats` (n_docs, total_tokens). */
+  private[graft] def bm25Score(qtf: DataFrame, dl: DataFrame,
+                               stats: DataFrame, k: Int,
+                               k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dft = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = col("total_tokens").cast("double") / col("n_docs")
     val idf = log(lit(1.0)

@@ -98,7 +98,10 @@ object TimeSeries {
                     value: Column, win: Int,
                     threshold: Double = 3.0): DataFrame = {
     require(win >= 2, s"need win >= 2 prior points, got $win")
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // 38,6 — not 18,6: v² needs twice the integer digits of v, and a
+    // 6-dp value of 1e6 (12 integer digits squared) would overflow the
+    // narrower type (ANSI: the query throws; legacy: z silently nulls)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(-win, -1)
     val vq = round(value.cast("double"), 6)
@@ -145,8 +148,11 @@ object TimeSeries {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
     val base = df.select(key.as("key"), bucket.as("bucket"),
       value.cast("double").as("v"))
-    val worst = base.groupBy(col("key")).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // max over an EMPTY frame is null — an empty input folds to an
+    // empty output, it is not a guard violation (getLong would NPE)
+    val worst = Option(base.groupBy(col("key")).count()
+      .agg(max(col("count"))).head().getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(0L)
     require(worst <= maxPointsPerKey,
       s"ewma: a key has $worst points, over the $maxPointsPerKey cap — " +
         "the per-key fold array would dominate executor memory; coarsen " +

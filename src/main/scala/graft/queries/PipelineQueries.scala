@@ -107,34 +107,6 @@ object PipelineQueries {
     * can never serve a probe). Returns (prefix, planted twin queries) —
     * Bench's untimed warm pass constructs the store, so the timed pass
     * of every store probe is PURE PROBE. */
-  /** Build-if-absent inverted-index store over the sf dir's documents,
-    * fingerprint-keyed like [[ensurePqStore]] (stale sibling stores of
-    * other sf dirs are cleared so the warehouse doesn't accumulate). */
-  private def ensureTextStore(s: SparkSession, dir: String): String = {
-    val t = Tables(s, dir)
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val p = "text_bm25_store_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
-    if (!s.catalog.tableExists(graft.sources.TextIndexStore.tfTable(p))) {
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("text_bm25_store_") && !nm.startsWith(p + "_")) {
-          if (s.catalog.tableExists(nm))
-            graft.sources.Bucketing.dropManagedTable(s, nm)
-          else fs.delete(st.getPath, true)
-        }
-      }
-      graft.sources.TextIndexStore.drop(s, p)
-      graft.sources.TextIndexStore.build(s, p, t.documents,
-        col("doc_id"), col("text"))
-    }
-    p
-  }
-
   private def ensurePqStore(s: SparkSession,
                             dir: String): (String, DataFrame) = {
     val t = Tables(s, dir)
@@ -163,6 +135,34 @@ object PipelineQueries {
       .filter(col("vec_id") < 10)
       .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
     (p, queries)
+  }
+
+  /** Build-if-absent inverted-index store over the sf dir's documents,
+    * fingerprint-keyed like [[ensurePqStore]] (stale sibling stores of
+    * other sf dirs are cleared so the warehouse doesn't accumulate). */
+  private def ensureTextStore(s: SparkSession, dir: String): String = {
+    val t = Tables(s, dir)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val p = "text_bm25_store_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+    if (!graft.sources.TextIndexStore.isComplete(s, p)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("text_bm25_store_") && !nm.startsWith(p + "_")) {
+          if (s.catalog.tableExists(nm))
+            graft.sources.Bucketing.dropManagedTable(s, nm)
+          else fs.delete(st.getPath, true)
+        }
+      }
+      graft.sources.TextIndexStore.drop(s, p)
+      graft.sources.TextIndexStore.build(s, p, t.documents,
+        col("doc_id"), col("text"))
+    }
+    p
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1651,6 +1651,33 @@ object PipelineQueries {
     s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
   private val blankSql = s"""length($wsTrimSql) = 0"""
 
+  /** One BM25 oracle for both the in-query and the stored-index probe —
+    * the store must reproduce the operator exactly, so they share the
+    * literal SQL (and a fix can never update one and strand the other). */
+  private lazy val bm25OracleSql = s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+            qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'merge', 'window')),
+            dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+            scored AS (
+              SELECT doc_id,
+                CAST(round(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))),
+                  6) AS DECIMAL(18,6)) AS s
+              FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+                      round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+                    FROM scored GROUP BY 1),
+            top AS (SELECT * FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
+         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk,
+           doc_id, n_terms_hit, bm25
+         FROM top ORDER BY rk"""
+
   /** 52-bit integer from the 13 hex chars in column `h`, digit by digit
     * (DuckDB has no base-16 conv): Σ digit_i · 16^(13−i), exact BIGINT. */
   private val md5DigitSumSql = (0 until 13).map { i =>
@@ -2966,57 +2993,11 @@ object PipelineQueries {
     // Same expression shape as bm25Search step for step: every +−×÷ is
     // correctly rounded on both engines, ln's 1-ulp slack is absorbed by
     // the round-6 before the exact DECIMAL sum.
-    "text_bm25_search" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
-            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
-            qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'merge', 'window')),
-            dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
-            scored AS (
-              SELECT doc_id,
-                CAST(round(
-                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                    * ((tf * (1.2 + 1.0))
-                       / (tf + 1.2 * (1.0 - 0.75
-                          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))),
-                  6) AS DECIMAL(18,6)) AS s
-              FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id)
-              CROSS JOIN stats),
-            agg AS (SELECT doc_id, count(*) AS n_terms_hit,
-                      round(CAST(sum(s) AS DOUBLE), 6) AS bm25
-                    FROM scored GROUP BY 1),
-            top AS (SELECT * FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
-         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk,
-           doc_id, n_terms_hit, bm25
-         FROM top ORDER BY rk""",
+    "text_bm25_search" -> bm25OracleSql,
 
     // Stored-index probe: the answer must be identical to the in-query
     // operator, so the oracle is too.
-    "text_bm25_store" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
-            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
-            qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'merge', 'window')),
-            dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
-            scored AS (
-              SELECT doc_id,
-                CAST(round(
-                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                    * ((tf * (1.2 + 1.0))
-                       / (tf + 1.2 * (1.0 - 0.75
-                          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))),
-                  6) AS DECIMAL(18,6)) AS s
-              FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id)
-              CROSS JOIN stats),
-            agg AS (SELECT doc_id, count(*) AS n_terms_hit,
-                      round(CAST(sum(s) AS DOUBLE), 6) AS bm25
-                    FROM scored GROUP BY 1),
-            top AS (SELECT * FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
-         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk,
-           doc_id, n_terms_hit, bm25
-         FROM top ORDER BY rk""",
+    "text_bm25_store" -> bm25OracleSql,
 
     "text_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token

@@ -799,9 +799,9 @@ object RelationalQueries {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v0
              FROM events GROUP BY 1, 2),
             q AS (SELECT user_id, day, round(v0, 6) AS v,
-                    CAST(round(v0, 6) AS DECIMAL(18,6)) AS v1,
+                    CAST(round(v0, 6) AS DECIMAL(38,6)) AS v1,
                     CAST(round(round(v0, 6) * round(v0, 6), 6)
-                      AS DECIMAL(18,6)) AS v2
+                      AS DECIMAL(38,6)) AS v2
                   FROM d),
             wnd AS (SELECT user_id, day, v,
                       count(v1) OVER w AS n_prior,

@@ -80,11 +80,17 @@ object TextIndexStore {
     * dedup upstream, as the ingest loop does). */
   def append(spark: SparkSession, prefix: String, docs: DataFrame,
              id: Column, text: Column, nBuckets: Int = 16): Unit = {
-    val vs = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
-      .map(t => prop(spark, t, "graft.text.version"))
-    require(vs.distinct.size == 1,
+    val tables = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
+    val vs = tables.map(t => prop(spark, t, "graft.text.version"))
+    require(vs.distinct.size == 1 && !vs.head.startsWith("torn_"),
       s"TextIndexStore $prefix version fence tripped ($vs) before append — " +
         "rebuild with TextIndexStore.build")
+    // invalidate the fence BEFORE the first data write: the appends and
+    // the stats rewrite are three non-atomic steps, and data-file
+    // appends alone would leave the old (matching!) version in place —
+    // a crash between them must trip the fence, not rank silently wrong
+    tables.foreach(t => setProps(spark, t,
+      Map("graft.text.version" -> s"torn_append_of_${vs.head}")))
     val tf = docs
       .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -111,34 +117,37 @@ object TextIndexStore {
     * top-k). */
   def search(spark: SparkSession, prefix: String, queryTerms: Seq[String],
              k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queryTerms.nonEmpty, "search needs at least one query term")
     val vs = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
       .map(t => prop(spark, t, "graft.text.version"))
-    require(vs.distinct.size == 1,
-      s"TextIndexStore $prefix version fence tripped ($vs) — torn build " +
-        "or partial drop; rebuild with TextIndexStore.build")
-    val terms = queryTerms.distinct
-    val qtf = spark.table(tfTable(prefix)).filter(col("token").isin(terms: _*))
-    val dft = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val avgdl = col("total_tokens").cast("double") / col("n_docs")
-    val idf = log(lit(1.0)
-      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val norm = col("tf") * (lit(k1) + lit(1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    qtf.join(broadcast(dft), "token")
-      .join(spark.table(dlTable(prefix)), "doc_id")
-      .crossJoin(broadcast(spark.table(statsTable(prefix))))
-      .withColumn("s", round(idf * norm, 6).cast(DecimalType(18, 6)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_hit"),
-        round(sum(col("s")).cast("double"), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
-      .select(row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
-          .as("rk"),
-        col("doc_id"), col("n_terms_hit"), col("bm25"))
-      .orderBy(col("rk"))
+    require(vs.distinct.size == 1 && !vs.head.startsWith("torn_"),
+      s"TextIndexStore $prefix version fence tripped ($vs) — torn build, " +
+        "interrupted append, or partial drop; rebuild with " +
+        "TextIndexStore.build")
+    val qtf = spark.table(tfTable(prefix))
+      .filter(col("token").isin(queryTerms.distinct: _*))
+    // the ONE scorer, shared with TextAnalysis.bm25Search — store and
+    // in-query ranking cannot diverge
+    TextAnalysis.bm25Score(qtf, spark.table(dlTable(prefix)),
+      spark.table(statsTable(prefix)), k, k1, b)
+  }
+
+  /** True iff all three tables exist AND carry one consistent, non-torn
+    * version — the build-if-absent predicate: a crash between build's
+    * table writes and the version stamp leaves tables that EXIST but
+    * can never serve, and a bare tableExists check would skip the
+    * rebuild forever. */
+  def isComplete(spark: SparkSession, prefix: String): Boolean = {
+    val tables = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
+    tables.forall(spark.catalog.tableExists) && {
+      val vs = tables.map { t =>
+        spark.sql(s"SHOW TBLPROPERTIES $t")
+          .filter(col("key") === "graft.text.version").collect()
+          .headOption.map(_.getString(1))
+      }
+      vs.forall(_.isDefined) && vs.distinct.size == 1 &&
+        !vs.head.get.startsWith("torn_")
+    }
   }
 
   /** Drop the whole family (maintenance/test hygiene). */
