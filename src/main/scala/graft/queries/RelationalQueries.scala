@@ -339,6 +339,39 @@ object RelationalQueries {
             <= col("exact_users") * 0.10).as("within_bound"))
     },
 
+    // MERGEABLE sketch rollup — the warehouse pattern the one-shot
+    // q_approx_distinct can't show: materialize one DataSketches HLL
+    // sketch per day (the pre-aggregated sketch table), then answer
+    // arbitrary date-range distinct-count questions by UNIONING stored
+    // sketches — never rescanning events. Self-certifying like the
+    // other sketch queries: each range row carries the exact distinct
+    // (report-sized at sf; the thing the sketch replaces at 100 TB) and
+    // a boolean attesting the union estimate landed within 10% (default
+    // lgConfigK=12 → ~1.6% expected error, so the bound has headroom).
+    "q_sketch_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val daily = t.events.groupBy(day.as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(true) // the materialized per-day sketch table
+      def range(name: String, lo: Int, hi: Int) = {
+        val est = daily.filter(col("day").between(lo, hi))
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = t.events.filter(day.between(lo, hi))
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        est.crossJoin(exact).select(lit(name).as("range_name"),
+          col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= col("exact_users") * 0.10).as("within_bound"))
+      }
+      // the events corpus spans 2024-01-01 (epoch day 19723) … 01-30
+      range("week1", 19723, 19729)
+        .unionByName(range("weeks2_3", 19730, 19743))
+        .unionByName(range("month", 19723, 19752))
+        .orderBy(col("range_name"))
+    },
+
     // Count-min-sketch frequency estimation (the third sketch family
     // next to HLL++ distinct and the percentile sketch), SELF-CERTIFYING
     // like q_approx_distinct: the CMS guarantee is one-sided —
@@ -753,6 +786,24 @@ object RelationalQueries {
     "q_approx_distinct" ->
       """SELECT count(*) AS n, count(DISTINCT user_id) AS exact_users,
            true AS within_bound FROM events""",
+
+    // Self-certifying (see the query comment): the oracle is the exact
+    // per-range distinct + `true`; the union-estimate bound is attested
+    // Spark-side.
+    "q_sketch_rollup" ->
+      """WITH d AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+             FROM events)
+         SELECT 'month' AS range_name, count(DISTINCT day) AS n_days,
+           count(DISTINCT user_id) AS exact_users, true AS within_bound
+         FROM d WHERE day BETWEEN 19723 AND 19752
+         UNION ALL
+         SELECT 'week1', count(DISTINCT day), count(DISTINCT user_id), true
+         FROM d WHERE day BETWEEN 19723 AND 19729
+         UNION ALL
+         SELECT 'weeks2_3', count(DISTINCT day), count(DISTINCT user_id), true
+         FROM d WHERE day BETWEEN 19730 AND 19743
+         ORDER BY range_name""",
 
     // Self-certifying sketch (see the query comment): oracle is the
     // deterministic remainder — exact per-key counts + `true`.
