@@ -256,6 +256,38 @@ object ScaleProbe {
         edges.unpersist()
       }
 
+      // BM25 at scale: n 30-token synthetic docs. Times the in-query
+      // operator (tokenize + score per query), the one-time index build,
+      // and the stored-index probe — the claimed cost split: the probe
+      // must not pay tokenization, so probe ≪ in-query at any n.
+      if (on("bm25")) {
+        val docsB = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (1 to 30).map(i => element_at(vocabCol,
+              (pmod(xxhash64(col("id"), lit(i)), lit(vocab.size)) + 1)
+                .cast("int"))): _*).as("text"))
+        docsB.cache().count()
+        val terms = Seq("spark", "merge", "window")
+        val tq = System.nanoTime()
+        val inq = graft.operators.TextAnalysis.bm25Search(docsB,
+          col("doc_id"), col("text"), terms, k = 20).collect()
+        val secQ = (System.nanoTime() - tq) / 1e9
+        graft.sources.TextIndexStore.drop(spark, "probe_bm25")
+        val tb = System.nanoTime()
+        graft.sources.TextIndexStore.build(spark, "probe_bm25", docsB,
+          col("doc_id"), col("text"))
+        val secB = (System.nanoTime() - tb) / 1e9
+        val tp = System.nanoTime()
+        val probed = graft.sources.TextIndexStore.search(spark, "probe_bm25",
+          terms, k = 20).collect()
+        val secP = (System.nanoTime() - tp) / 1e9
+        assert(probed.toSeq == inq.toSeq,
+          "stored-index probe must rank identically to the in-query form")
+        println(f"""{"metric":"bm25_scale","docs":$n,"inquery_sec":$secQ%.2f,"build_sec":$secB%.2f,"probe_sec":$secP%.2f}""")
+        graft.sources.TextIndexStore.drop(spark, "probe_bm25")
+        docsB.unpersist()
+      }
+
       // Gap-fill at scale: n events over n/1000 keys, each key's buckets
       // drawn from a 3650-bucket (10-year daily) span with ~2/3 of
       // buckets unobserved — the grid the operator generates is ~3.65M

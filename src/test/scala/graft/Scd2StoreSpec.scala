@@ -81,8 +81,8 @@ class Scd2StoreSpec extends SparkSpec {
     assert(Scd2Store.applyBatch(spark, "t3", changes(wave1: _*), 0L))
     // simulate a batch-1 attempt that died after writing the inactive
     // side but before the property flip: garbage on the inactive side
-    val active = spark.sql("SHOW TBLPROPERTIES t3_scd2")
-      .filter(col("key") === "graft.scd2.active").head().getString(1)
+    val active = spark.sql("SHOW TBLPROPERTIES t3_scd2_meta")
+      .filter(col("key") === "graft.fence.active").head().getString(1)
     val other = if (active == "a") "b" else "a"
     changes((99L, "2024-01-01 00:00:00", "junk", 0L))
       .select(col("key"), col("attr"), col("ts").as("valid_from"),
