@@ -132,6 +132,49 @@ object TextIndexStore {
       spark.table(statsTable(prefix)), k, k1, b)
   }
 
+  /** Drive the index from parquet document files arriving in `srcDir`
+    * (`doc_id` LONG, `text` STRING rows) — the text-side ingest loop:
+    * per micro-batch, documents whose `doc_id` the index already holds
+    * are dropped by an anti-join against the doc-bucketed `_dl` (the
+    * cheap membership side), and only the fresh remainder appends. That
+    * admission step is what makes at-least-once delivery exactly-once
+    * STORE state: a crash-replayed, already-appended document is its
+    * own duplicate and self-rejects, so the replay appends nothing and
+    * the tables stay byte-identical (spec'd). A crash in the MIDDLE of
+    * an append is the documented torn window — the version fence trips
+    * and the next batch fails by name (`rebuild`, always possible: the
+    * index is derived data), never ranks silently wrong. */
+  def stream(spark: SparkSession, srcDir: String, prefix: String,
+             ckptDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+             nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh =
+          if (!isComplete(spark, prefix)) batch.dropDuplicates("doc_id")
+          else batch.dropDuplicates("doc_id")
+            .join(spark.table(dlTable(prefix)).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+        val f = fresh.localCheckpoint(true)
+        if (!f.isEmpty) {
+          if (isComplete(spark, prefix))
+            append(spark, prefix, f, col("doc_id"), col("text"), nBuckets)
+          else
+            build(spark, prefix, f, col("doc_id"), col("text"), nBuckets)
+        }
+      }
+      .start()
+  }
+
   /** True iff all three tables exist AND carry one consistent, non-torn
     * version — the build-if-absent predicate: a crash between build's
     * table writes and the version stamp leaves tables that EXIST but

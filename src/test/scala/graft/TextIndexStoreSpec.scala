@@ -50,6 +50,50 @@ class TextIndexStoreSpec extends SparkSpec {
     TextIndexStore.drop(spark, "tix5")
   }
 
+  test("streamed ingest: cross-batch append, replay leaves the store byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("tixs").toString
+    TextIndexStore.drop(spark, "tix6")
+    TextIndexStore.drop(spark, "tix7")
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/src"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/src/$name.parquet"))
+    }
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    // wave 2 re-ships some wave-1 docs: admission must drop them
+    val w2 = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .union(w1.limit(5))
+    land("w1", w1)
+    var q = TextIndexStore.stream(spark, s"$root/src", "tix6", s"$root/ckpt")
+    q.awaitTermination()
+    land("w2", w2)
+    q = TextIndexStore.stream(spark, s"$root/src", "tix6", s"$root/ckpt")
+    q.awaitTermination()
+    TextIndexStore.build(spark, "tix7", docs, col("doc_id"), col("text"))
+    val streamed = TextIndexStore.search(spark, "tix6", Seq("spark", "merge"),
+      15).as[(Int, Long, Long, Double)].collect().toSeq
+    val built = TextIndexStore.search(spark, "tix7", Seq("spark", "merge"),
+      15).as[(Int, Long, Long, Double)].collect().toSeq
+    assert(streamed == built, "streamed store must rank like a fresh build")
+    // full replay, fresh checkpoint: every doc self-rejects at admission
+    val tfBefore = spark.table("tix6_tf").groupBy("doc_id", "token")
+      .agg(sum("tf")).collect().toSet
+    q = TextIndexStore.stream(spark, s"$root/src", "tix6", s"$root/ckpt2")
+    q.awaitTermination()
+    val tfAfter = spark.table("tix6_tf").groupBy("doc_id", "token")
+      .agg(sum("tf")).collect().toSet
+    assert(tfAfter == tfBefore, "replay must append nothing")
+    TextIndexStore.drop(spark, "tix6")
+    TextIndexStore.drop(spark, "tix7")
+  }
+
   test("version fence: a half-dropped or torn family fails by name") {
     TextIndexStore.drop(spark, "tix3")
     TextIndexStore.build(spark, "tix3", docs, col("doc_id"), col("text"))
