@@ -145,4 +145,82 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  private val histGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(80, for {
+      k <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(1L, 40L)
+      v <- Gen.oneOf("a", "b", "c")
+    } yield (k, ts, v))
+
+  test("property: SCD2 chain invariants + merge == rebuild at any split") {
+    check(Prop.forAll(histGen, Gen.choose(5L, 35L)) { (recs, split) =>
+      // dedupe (k, ts): equal-ts duplicates make run content order-
+      // dependent without a tie-break column, which this prop omits
+      val hist = recs.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = hist.toDF("k", "ts", "v")
+      val dim = graft.operators.Cdc
+        .scd2FromHistory(df, col("k"), col("ts"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      val byKey = dim.groupBy(_._1)
+      val chainOk = byKey.values.forall { vs =>
+        val s = vs.sortBy(_._3).toList
+        // exactly one open version; each valid_to links to the next
+        s.count(_._5) == 1 && s.last._5 &&
+          s.sliding(2).filter(_.size == 2).forall {
+            case Seq(a, b) => a._4.contains(b._3) && !a._5
+          } &&
+          // consecutive versions never carry the same value (runs
+          // collapsed), and version count matches a fold of the history
+          s.sliding(2).filter(_.size == 2).forall {
+            case Seq(a, b) => a._2 != b._2
+          }
+      }
+      val expectedRuns = hist.groupBy(_._1).map { case (_, rs) =>
+        val vals = rs.sortBy(_._2).map(_._3)
+        1 + vals.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      }.sum
+      val mergeEqRebuild = {
+        val lo = df.filter(col("ts") < split)
+        val hi = df.filter(col("ts") >= split)
+        val merged =
+          if (lo.isEmpty || hi.isEmpty) dim.toSet
+          else graft.operators.Cdc.scd2Merge(
+            graft.operators.Cdc.scd2FromHistory(lo, col("k"), col("ts"),
+              col("v")), hi, col("k"), col("ts"), col("v"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getBoolean(4))).toSet
+        merged == dim.toSet
+      }
+      chainOk && dim.length == expectedRuns && mergeEqRebuild
+    }, n = 12)
+  }
+
+  test("property: gap-fill grid is the exact per-key span; interp is bounded by its endpoints") {
+    val ptsGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 3L)
+      b <- Gen.choose(0L, 30L)
+      v <- Gen.choose(-50, 50)
+    } yield (k, b, v.toDouble))
+    check(Prop.forAll(ptsGen) { recs =>
+      val hist = recs.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = hist.toDF("k", "b", "v")
+      val out = graft.operators.TimeSeries.gapFillInterpolate(df,
+          col("k"), col("b"), col("v"), tieBreak = Seq(col("b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+          r.getDouble(4), r.getDouble(5)))
+      val spans = hist.groupBy(_._1).map { case (_, rs) =>
+        rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
+      val gridOk = out.length == spans
+      // every interpolated value lies within [min, max] of the key's
+      // observed values (convexity of the lerp)
+      val boundsOk = out.groupBy(_._1).forall { case (k, rows) =>
+        val obs = hist.filter(_._1 == k).map(_._3)
+        rows.forall(r => r._5 >= obs.min - 1e-9 && r._5 <= obs.max + 1e-9)
+      }
+      gridOk && boundsOk
+    }, n = 12)
+  }
 }
