@@ -75,8 +75,13 @@ object Cdc {
     * of producing a plausible wrong dimension. */
   def scd2Merge(dim: DataFrame, batch: DataFrame, key: Column, ts: Column,
                 attr: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
-    val b = tag(batch, key, ts, attr, tieBreak)
-    val cur = dim.filter(col("is_current"))
+    // both inputs are referenced by several branches (guard, closed
+    // pass-through, anti join, pseudo rows) — materialize once so a
+    // derived dim (e.g. an scd2FromHistory pipeline) is not re-executed
+    // per branch; both frames are dimension/batch-sized
+    val d = dim.localCheckpoint(true)
+    val b = tag(batch, key, ts, attr, tieBreak).localCheckpoint(true)
+    val cur = d.filter(col("is_current"))
     val minB = b.groupBy(col("key")).agg(min(col("__ts")).as("__min_ts"))
     val late = cur.join(minB, "key")
       .filter(col("__min_ts") <= col("valid_from")).count()
@@ -91,7 +96,7 @@ object Cdc {
       Seq(col("key"), col("valid_from").as("__ts"), col("attr")) ++
         tieTypes.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     val recomputed = scd2Tagged(b.unionByName(pseudo), tieBreak.size)
-    dim.filter(!col("is_current"))
+    d.filter(!col("is_current"))
       .unionByName(cur.join(affected, Seq("key"), "left_anti"))
       .unionByName(recomputed)
   }
