@@ -330,6 +330,46 @@ object ScaleProbe {
         ev.unpersist()
       }
 
+      // KLL rollup at scale: per-day sketch table over n skewed values
+      // (log-normal-ish via squared hash), then a 7-day-range p50/p99
+      // answered from the STORED sketches vs the exact percentile over
+      // the same range — the cost the sketch table amortizes away. The
+      // probe asserts rank parity (exact rank of each estimate within
+      // 2·eps), so the speedup is of a CORRECT answer.
+      if (on("kllrollup")) {
+        import graft.functions.SketchAggregators
+        val ev = spark.range(n.toLong)
+          .select(pmod(col("id"), lit(30)).as("day"),
+            (pmod(xxhash64(col("id"), lit(3)), lit(10000)).cast("double")
+              * pmod(xxhash64(col("id"), lit(4)), lit(100)).cast("double")).as("v"))
+        ev.cache().count()
+        val tB = System.nanoTime()
+        val daily = ev.groupBy(col("day"))
+          .agg(SketchAggregators.kllAgg(col("v"), 200).as("sk"))
+          .localCheckpoint(true)
+        val secB = (System.nanoTime() - tB) / 1e9
+        val tQ = System.nanoTime()
+        val qe = daily.filter(col("day").between(10, 16))
+          .agg(SketchAggregators.kllUnionQuantiles(col("sk"),
+            Seq(0.5, 0.99), 200).as("q"))
+          .head().getSeq[Double](0)
+        val secQ = (System.nanoTime() - tQ) / 1e9
+        val tX = System.nanoTime()
+        val range = ev.filter(col("day").between(10, 16))
+        val exact = range.agg(
+          expr("percentile(v, array(0.5, 0.99))")).head().getSeq[Double](0)
+        val secX = (System.nanoTime() - tX) / 1e9
+        val nR = range.count().toDouble
+        val eps = qe.last
+        Seq(0.5, 0.99).zipWithIndex.foreach { case (r, i) =>
+          val rank = range.filter(col("v") <= qe(i)).count() / nR
+          assert(math.abs(rank - r) <= 2 * eps,
+            s"p$r estimate ${qe(i)} has exact rank $rank, off target")
+        }
+        println(f"""{"metric":"kll_rollup_scale","values":$n,"build_sec":$secB%.2f,"range_query_sec":$secQ%.2f,"exact_percentile_sec":$secX%.2f,"p50_est":${qe(0)}%.1f,"p50_exact":${exact(0)}%.1f}""")
+        ev.unpersist()
+      }
+
       if (on("ann") || on("ivf") || on("emb") || on("semdedup") ||
           on("semdedup_ivf") || on("semdedup_hier") || on("pq") ||
           on("ivfadc")) {

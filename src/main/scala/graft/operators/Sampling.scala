@@ -71,6 +71,39 @@ object Sampling {
         lit(hexThreshold(defaultWeight))))
   }
 
+  /** LEAKAGE-SAFE split assignment: every row of a GROUP lands in the
+    * same split, so near-duplicates (or any other unit that must not
+    * straddle train/eval — a dedup cluster, a domain, a user) can never
+    * leak evaluation content into training. Pass the group column (e.g.
+    * `cluster_id` from [[Dedup.minhashClusters]]) and ordered
+    * `(name, fraction)` splits summing to ≤ 1 (any remainder falls to
+    * the LAST split — fractions over groups are approximate, binomial
+    * around the target, exactly like [[hashSample]]).
+    *
+    * Map-only: the split is a pure expression of the group key (md5
+    * threshold ladder), no shuffle, no state — on 100 TB the split
+    * column costs the same as any projection, and re-running on a grown
+    * corpus never reassigns an existing group (assignment depends only
+    * on the group key), which is what makes the split stable across
+    * corpus versions. Output: input columns + `split`. */
+  def splitByGroup(df: DataFrame, group: Column,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0.0), s"split fractions must be > 0: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum over 1: $splits")
+    val h = hashKey(group)
+    // cumulative thresholds: [f1, f1+f2, ...); the last split is the
+    // unconditional remainder, so the ladder never drops a row
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val ladder = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = h < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    df.withColumn("split", ladder.get.otherwise(lit(splits.last._1)))
+  }
+
   /** Temperature-flattened mixture — the published multilingual/source
     * sampling rule (target share q_g ∝ p_g^α for observed share p_g;
     * α = 1 natural, α → 0 uniform): derive per-stratum KEEP fractions

@@ -449,4 +449,73 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("pos"), col("para")))),
         x => x.getField("para")), sep).as("clean_text"))
   }
+
+  /** Distributed BPE MERGE TRAINING — learn the first `nMerges` byte-pair
+    * merge rules from the corpus (the classic Sennrich et al. algorithm;
+    * [[bpeTokens]] only counts pre-tokenizer segments, this learns the
+    * merges themselves).
+    *
+    * The published scaling trick makes this tractable: the corpus is
+    * scanned ONCE into a word-frequency table, and every merge iteration
+    * runs on that vocabulary-sized table (≤ a few million distinct words
+    * at 100 TB, vs the corpus's trillions of tokens). Per iteration: one
+    * adjacent-pair aggregate weighted by word frequency (partial+final,
+    * map-side combine), a 1-row argmax collect (freq DESC, then pair
+    * lexicographic — deterministic), and a map-only merge application.
+    * `nMerges` sequential rounds is the EXACT classical algorithm; the
+    * word table is re-materialized every `checkpointEvery` rounds so the
+    * replace-chain lineage stays bounded.
+    *
+    * Word sequences are carried as `||`-double-separated symbol strings
+    * (`"low" → "||l||o||w||"`) and a merge (a,b)→ab is
+    * `replace(s, "|a||b|", "|ab|")`: each match consumes one of the two
+    * separator bars on each side, so replace-all's left-to-right
+    * non-overlapping scan applies the merge GREEDILY and chained
+    * occurrences (`[a,b,a,b]`) all merge in one pass — and because this
+    * is a plain literal string replace, the DuckDB oracle replays the
+    * identical operation character for character. Training is restricted
+    * to lowercase-letter words of length ≥ 2 (symbols can therefore
+    * never contain `|`; standard letters-only BPE demo corpus contract).
+    *
+    * Stops early if every word has collapsed to one symbol. Output:
+    * `(rank, left, right, freq)` — freq is the classical sliding pair
+    * count at selection time. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int,
+               checkpointEvery: Int = 8): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    val words0 = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("||"),
+        regexp_replace(col("w"), "(.)", "$1||")).as("s"), col("freq"))
+      .localCheckpoint(true) // one corpus scan; iterations never rescan
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val top = words
+        .select(split(trim(col("s"), "|"), "\\|\\|").as("syms"), col("freq"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, f))
+        words = words.select(
+          replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"),
+          col("freq"))
+        if (k % checkpointEvery == 0) words = words.localCheckpoint(true)
+        k += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
 }

@@ -170,6 +170,66 @@ object TimeSeries {
           (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), 6).as("ewma"))
   }
 
+  /** Holt's LINEAR-TREND double exponential smoothing, folded to its
+    * final state per key — [[ewma]] plus a trend component, the
+    * standard one-step forecaster for trending series:
+    * `l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})`,
+    * `b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}`, seeded `l_1 = v_1`,
+    * `b_1 = 0` (the zero-trend seed keeps the single-point case exact
+    * and the fold's accumulator type uniform — documented contract).
+    * Output: `(key, n_points, last_bucket, level, trend, forecast_1)`
+    * with `forecast_1 = level + trend`.
+    *
+    * Same execution and guard story as [[ewma]] (measured per-key count
+    * before the fold; fails by name over the cap). The accumulator is a
+    * two-field struct folded with `aggregate`; with α and β whose
+    * complements are exactly representable (e.g. 0.5 / 0.25) every step
+    * is a correctly-rounded IEEE op in a fixed order, so the result is
+    * bit-reproducible across engines — the DuckDB oracle folds the same
+    * recurrence over a struct list and hash-matches without a
+    * tolerance. */
+  def holt(df: DataFrame, key: Column, bucket: Column, value: Column,
+           alpha: Double, beta: Double,
+           maxPointsPerKey: Long = 1000000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"need 0 < beta <= 1, got $beta")
+    val base = df.select(key.as("key"), bucket.as("bucket"),
+      value.cast("double").as("v"))
+    val worst = Option(base.groupBy(col("key")).count()
+      .agg(max(col("count"))).head().getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(0L)
+    require(worst <= maxPointsPerKey,
+      s"holt: a key has $worst points, over the $maxPointsPerKey cap — " +
+        "the per-key fold array would dominate executor memory; coarsen " +
+        "the bucket or raise the cap")
+    // l_new appears twice textually (once for `l`, once inside `b`) —
+    // same expression, same operand order, same IEEE bits; Spark's
+    // subexpression elimination may or may not merge them, the VALUE is
+    // identical either way.
+    def lNew(acc: Column, x: Column): Column =
+      lit(alpha) * x +
+        lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+    base
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"), max(col("bucket")).as("last_bucket"),
+        transform(sort_array(collect_list(struct(col("bucket"), col("v")))),
+          x => x.getField("v")).as("__vals"))
+      .select(col("key"), col("n_points"), col("last_bucket"),
+        aggregate(
+          slice(col("__vals"), lit(2),
+            greatest(size(col("__vals")) - 1, lit(0))),
+          struct(element_at(col("__vals"), 1).as("l"), lit(0.0).as("b")),
+          (acc, x) => struct(
+            lNew(acc, x).as("l"),
+            (lit(beta) * (lNew(acc, x) - acc.getField("l"))
+              + lit(1.0 - beta) * acc.getField("b")).as("b"))).as("__hb"))
+      .select(col("key"), col("n_points"), col("last_bucket"),
+        round(col("__hb").getField("l"), 6).as("level"),
+        round(col("__hb").getField("b"), 6).as("trend"),
+        round(col("__hb").getField("l") + col("__hb").getField("b"), 6)
+          .as("forecast_1"))
+  }
+
   /** [[gapFillForwardFill]] plus LINEAR INTERPOLATION — the third
     * standard fill mode: a generated bucket between two observed values
     * gets `v_prev + (v_next − v_prev) · (b − b_prev)/(b_next − b_prev)`.

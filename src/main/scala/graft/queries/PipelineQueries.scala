@@ -529,6 +529,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Leakage-safe train/val/test split: the assignment unit is the
+    // NEAR-DUP CLUSTER (minhashClusters — the dedup_canonical lineage),
+    // not the document, so a near-duplicate of an eval document can
+    // never sit in train. The split itself is a map-only md5-threshold
+    // ladder on cluster_id — deterministic, partition-invariant, and
+    // stable under corpus growth (an existing group's split never
+    // changes when new docs arrive).
+    "split_leakage_safe" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val clusters = Dedup.minhashClusters(t.documents, col("doc_id"), col("text"))
+      graft.operators.Sampling.splitByGroup(clusters, col("cluster_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted sampling without replacement (A-Res): 50 documents drawn
     // with probability proportional to length, deterministically.
     "sample_weighted" -> { (s, dir) =>
@@ -1113,6 +1129,18 @@ object PipelineQueries {
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
         .orderBy(col("doc_id"))
+    },
+
+    // BPE merge TRAINING (not just segment counting): the first 8 merge
+    // rules learned from the corpus's word-frequency table. The oracle
+    // replays all 8 rounds — pair counts, deterministic argmax, greedy
+    // merge application — as chained CTEs over the identical
+    // double-separator string encoding, so a wrong count, tie-break, or
+    // merge semantics diverges by round 2.
+    "text_bpe_train" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.bpeTrain(t.documents, col("text"), nMerges = 8)
+        .orderBy(col("rank"))
     },
 
     "text_quality" -> { (s, dir) =>
@@ -2196,6 +2224,39 @@ object PipelineQueries {
          SELECT cluster_id, doc_id AS keep_id, n_members, keep_quality
          FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
 
+    // Same cluster derivation as dedup_canonical, then the md5-threshold
+    // split ladder on cluster_id (thresholds interpolated from the same
+    // hexThreshold the Spark side uses).
+    "split_leakage_safe" -> {
+      import graft.operators.Sampling.hexThreshold
+      s"""WITH RECURSIVE
+           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           d AS (SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS sh
+                 FROM t WHERE len(toks) >= 3),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+           e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+           c AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                  < '${hexThreshold(0.8)}' THEN 'train'
+                WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                  < '${hexThreshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+         FROM c ORDER BY doc_id"""
+    },
+
     // Exact brute force old x new over the same planted construction —
     // the incremental LSH path returns exactly this set on the gapped
     // corpus (recall 1 at 8x4, anchored like dedup_embedding_lsh).
@@ -2793,6 +2854,41 @@ object PipelineQueries {
          CAST(CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END
            AS BIGINT) AS n_ws
          FROM documents ORDER BY doc_id""",
+
+    // All 8 training rounds replayed as chained CTEs: pair counts from
+    // the double-separator symbol strings, the (freq DESC, l, r) argmax,
+    // and the SAME literal replace the Spark side applies (the
+    // double-bar encoding makes replace-all's non-overlapping scan a
+    // correct greedy merge — see TextAnalysis.bpeTrain).
+    "text_bpe_train" -> {
+      val rounds = 8
+      val head =
+        """WITH w0 AS (SELECT w, count(*) AS freq
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w),
+           s0 AS (SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s,
+                    freq FROM w0)"""
+      val loops = (1 to rounds).map { k =>
+        s""",
+           p$k AS (SELECT struct_extract(u, 'l') AS l,
+                     struct_extract(u, 'r') AS r, sum(freq) AS freq
+                   FROM (SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+                                        for i in range(1, len(syms))]) AS u,
+                           freq
+                         FROM (SELECT string_split(trim(s, '|'), '||') AS syms,
+                                 freq FROM s${k - 1}))
+                   GROUP BY 1, 2),
+           m$k AS (SELECT l, r, CAST(freq AS BIGINT) AS freq FROM p$k
+                   ORDER BY freq DESC, l, r LIMIT 1),
+           s$k AS (SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+                     '|' || m.l || m.r || '|') AS s, w.freq
+                   FROM s${k - 1} w, m$k m)"""
+      }.mkString
+      val tail = (1 to rounds)
+        .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", freq FROM m$k""")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+      head + loops + tail
+    },
 
     "text_quality" ->
       s"""WITH f AS (

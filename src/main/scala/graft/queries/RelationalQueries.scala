@@ -253,6 +253,27 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     },
 
+    // Holt double exponential smoothing (level + trend) over the same
+    // daily series — α = 0.5, β = 0.25: both factors AND their
+    // complements are exactly representable, so the two-field fold is
+    // bit-reproducible and the oracle replays it without a tolerance.
+    "ts_holt" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("v"))
+      graft.operators.TimeSeries
+        .holt(daily, col("user_id"), col("day"), col("v"),
+          alpha = 0.5, beta = 0.25)
+        .select(col("key").as("user_id"), col("n_points"),
+          col("last_bucket"), col("level"), col("trend"), col("forecast_1"))
+        .orderBy(col("user_id"))
+    },
+
     // PageRank over the (sparse, undirected) supplier—part co-occurrence
     // graph: 5 power iterations, engine-exact DECIMAL contribution sums.
     "graph_pagerank" -> { (s, dir) =>
@@ -370,6 +391,116 @@ object RelationalQueries {
         .unionByName(range("weeks2_3", 19730, 19743))
         .unionByName(range("month", 19723, 19752))
         .orderBy(col("range_name"))
+    },
+
+    // KLL quantile rollup — q_sketch_rollup's pattern extended from
+    // distinct counts to QUANTILES: one mergeable KLL sketch per day
+    // (DataSketches, k=200 → normalized rank error ~1.3%), arbitrary
+    // date-range p50/p90/p99 answered by UNIONING stored sketches,
+    // never rescanning events. Self-certifying: for each range the
+    // EXACT rank of every estimated quantile is computed from the
+    // range's rows (one pass; the thing the sketch replaces at 100 TB)
+    // and a boolean attests |rank − q| ≤ 2·eps, eps read from the
+    // sketch itself. Oracle side is the deterministic remainder: exact
+    // n_days/n + `true`.
+    "q_quantile_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      import graft.functions.SketchAggregators
+      val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val daily = t.events.groupBy(day.as("day"))
+        .agg(SketchAggregators.kllAgg(col("value"), 200).as("sk"))
+        .localCheckpoint(true) // the materialized per-day sketch table
+      def range(name: String, lo: Int, hi: Int) = {
+        val est = daily.filter(col("day").between(lo, hi))
+          .agg(count(lit(1)).as("n_days"),
+            SketchAggregators.kllUnionQuantiles(col("sk"),
+              Seq(0.5, 0.9, 0.99), 200).as("qe"))
+        val ev = t.events.filter(day.between(lo, hi))
+          .select(col("value").as("v"))
+        def rankOk(i: Int, q: Double) =
+          (abs(sum(when(col("v") <= element_at(col("qe"), i + 1), 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)) - q)
+            <= first(element_at(col("qe"), 4)) * 2).as(s"p${(q * 100).toInt}_ok")
+        ev.crossJoin(broadcast(est))
+          .agg(first(col("n_days")).as("n_days"), count(lit(1)).as("n"),
+            rankOk(0, 0.5), rankOk(1, 0.9), rankOk(2, 0.99))
+          .select(lit(name).as("range_name"), col("n_days"), col("n"),
+            col("p50_ok"), col("p90_ok"), col("p99_ok"))
+      }
+      range("week1", 19723, 19729)
+        .unionByName(range("weeks2_3", 19730, 19743))
+        .unionByName(range("month", 19723, 19752))
+        .orderBy(col("range_name"))
+    },
+
+    // Theta-sketch set algebra — the operation HLL can NOT do:
+    // INTERSECT stored sketches. Per-day theta sketches over user_id,
+    // range unions, then "users active in BOTH ranges" estimated by
+    // sketch intersection. Self-certifying with the sketch's OWN
+    // 2-standard-deviation confidence interval: the exact intersection
+    // count (report-sized at sf; a full re-scan at 100 TB) must land in
+    // [lower, upper]. At test SFs the per-range distincts sit below
+    // nominalEntries=16384, the sketches stay in exact mode and the
+    // interval is a point — the bound is tight, not vacuous.
+    "q_sketch_intersect" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      import graft.functions.SketchAggregators
+      val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val daily = t.events.groupBy(day.as("day"))
+        .agg(SketchAggregators.thetaAggLong(col("user_id"), 16384).as("sk"))
+        .localCheckpoint(true) // the materialized per-day sketch table
+      def pair(name: String, a: (Int, Int), b: (Int, Int)) = {
+        def rangeSketch(r: (Int, Int)) =
+          daily.filter(col("day").between(r._1, r._2))
+            .agg(SketchAggregators.thetaUnion(col("sk"), 16384).as("sk"))
+        val est = rangeSketch(a).unionByName(rangeSketch(b))
+          .agg(SketchAggregators.thetaIntersect(col("sk")).as("i"))
+        def users(r: (Int, Int)) = t.events.filter(day.between(r._1, r._2))
+          .select(col("user_id")).distinct()
+        val exact = users(a).intersect(users(b))
+          .agg(count(lit(1)).as("exact_both"))
+        est.crossJoin(exact).select(lit(name).as("pair_name"),
+          col("exact_both"),
+          (col("i").getField("_2") <= col("exact_both").cast("double") &&
+            col("exact_both").cast("double") <= col("i").getField("_3"))
+            .as("within_bound"))
+      }
+      pair("w1_w2", (19723, 19729), (19730, 19736))
+        .unionByName(pair("w1_w4", (19723, 19729), (19744, 19752)))
+        .unionByName(pair("h1_h2", (19723, 19737), (19738, 19752)))
+        .orderBy(col("pair_name"))
+    },
+
+    // Source/sink format coverage: the same projection written as ORC,
+    // gzip-CSV, and gzip-JSON-lines through graft.sources.Formats, read
+    // back (CSV/JSON with the explicit PERMISSIVE schema — no inference
+    // pass), and aggregated with DECIMAL sums so float order can't
+    // differ by format. All three rows must equal the parquet-direct
+    // oracle — a format that drops precision, mangles a header, or
+    // nulls a row breaks the hash.
+    "fmt_roundtrip" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val proj = t.lineitem.select(col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      graft.sources.Formats.writeOrc(proj, s"$tmp/orc")
+      graft.sources.Formats.writeCsv(proj, s"$tmp/csv")
+      graft.sources.Formats.writeJsonLines(proj, s"$tmp/json")
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      def agg(df: DataFrame, fmt: String) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .select(lit(fmt).as("fmt"), col("l_returnflag"), col("n"),
+          col("sum_qty"), col("sum_price"))
+      agg(graft.sources.Formats.readOrc(s, s"$tmp/orc"), "orc")
+        .unionByName(agg(graft.sources.Formats.readCsv(s, s"$tmp/csv", schema), "csv"))
+        .unionByName(agg(graft.sources.Formats.readJsonLines(s, s"$tmp/json", schema), "json"))
+        .orderBy(col("fmt"), col("l_returnflag"))
     },
 
     // Count-min-sketch frequency estimation (the third sketch family
@@ -805,6 +936,58 @@ object RelationalQueries {
          FROM d WHERE day BETWEEN 19730 AND 19743
          ORDER BY range_name""",
 
+    // Self-certifying (see the query comment): the oracle is the exact
+    // per-range day/row counts + `true`; the quantile rank bound is
+    // attested Spark-side from the range's own rows.
+    "q_quantile_rollup" ->
+      """WITH d AS (SELECT value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+             FROM events)
+         SELECT 'month' AS range_name, count(DISTINCT day) AS n_days,
+           count(*) AS n, true AS p50_ok, true AS p90_ok, true AS p99_ok
+         FROM d WHERE day BETWEEN 19723 AND 19752
+         UNION ALL
+         SELECT 'week1', count(DISTINCT day), count(*), true, true, true
+         FROM d WHERE day BETWEEN 19723 AND 19729
+         UNION ALL
+         SELECT 'weeks2_3', count(DISTINCT day), count(*), true, true, true
+         FROM d WHERE day BETWEEN 19730 AND 19743
+         ORDER BY range_name""",
+
+    // Self-certifying (see the query comment): the oracle is the exact
+    // distinct-user intersection per range pair + `true`; the
+    // [lower, upper] containment is attested Spark-side.
+    "q_sketch_intersect" ->
+      """WITH d AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+             FROM events)
+         SELECT 'h1_h2' AS pair_name, count(*) AS exact_both,
+           true AS within_bound
+         FROM (SELECT user_id FROM d WHERE day BETWEEN 19723 AND 19737
+               INTERSECT
+               SELECT user_id FROM d WHERE day BETWEEN 19738 AND 19752)
+         UNION ALL
+         SELECT 'w1_w2', count(*), true
+         FROM (SELECT user_id FROM d WHERE day BETWEEN 19723 AND 19729
+               INTERSECT
+               SELECT user_id FROM d WHERE day BETWEEN 19730 AND 19736)
+         UNION ALL
+         SELECT 'w1_w4', count(*), true
+         FROM (SELECT user_id FROM d WHERE day BETWEEN 19723 AND 19729
+               INTERSECT
+               SELECT user_id FROM d WHERE day BETWEEN 19744 AND 19752)
+         ORDER BY pair_name""",
+
+    // Every format must reproduce the parquet-direct aggregate.
+    "fmt_roundtrip" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem GROUP BY 1)
+         SELECT f.fmt, a.l_returnflag, a.n, a.sum_qty, a.sum_price
+         FROM a CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) AS f(fmt)
+         ORDER BY fmt, l_returnflag""",
+
     // Self-certifying sketch (see the query comment): oracle is the
     // deterministic remainder — exact per-key counts + `true`.
     "q_approx_freq" ->
@@ -889,6 +1072,35 @@ object RelationalQueries {
            round(list_reduce(vals,
              (acc, x) -> 0.25 * x + (1.0 - 0.25) * acc), 6) AS ewma
          FROM a ORDER BY user_id""",
+
+    // The Holt recurrence unrolled as a recursive CTE, one step per
+    // (user, observation) — same IEEE ops in the same order as the
+    // Spark fold, so the hash holds without a tolerance. (A DuckDB
+    // struct-accumulator list_reduce was tried first and mis-evaluates
+    // the second field — the recursion is the explicit, engine-stable
+    // form.)
+    "ts_holt" ->
+      """WITH RECURSIVE d0 AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2),
+            d AS (SELECT user_id, day, v,
+                    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+                  FROM d0),
+            n AS (SELECT user_id, count(*) AS n_points,
+                    max(day) AS last_bucket FROM d GROUP BY 1),
+            rec(user_id, i, l, b) AS (
+              SELECT user_id, 1, v, CAST(0.0 AS DOUBLE) FROM d WHERE rn = 1
+              UNION ALL
+              SELECT r.user_id, r.i + 1,
+                0.5 * d.v + 0.5 * (r.l + r.b),
+                0.25 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+              FROM rec r JOIN d ON d.user_id = r.user_id AND d.rn = r.i + 1)
+         SELECT rec.user_id, n.n_points, n.last_bucket,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_1
+         FROM rec JOIN n ON n.user_id = rec.user_id AND rec.i = n.n_points
+         ORDER BY rec.user_id""",
 
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_type,

@@ -39,6 +39,15 @@ object Formats {
       .option("columnNameOfCorruptRecord", CorruptColumn)
       .json(path)
 
+  /** ORC: the other columnar format with vectorized reads + pushdown —
+    * same scan contract as parquet (PushedFilters/ReadSchema visible in
+    * the plan), no schema argument needed (self-describing). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

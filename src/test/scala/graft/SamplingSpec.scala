@@ -342,4 +342,46 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)), s"got $got")
   }
+
+  test("splitByGroup: groups never straddle, fractions near target, stable under growth") {
+    // many rows per group: every member must land where its group lands
+    val rows = spark.range(30000)
+      .select(col("id"), (col("id") % 3000).as("grp"))
+    val split = Sampling.splitByGroup(rows, col("grp"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val straddlers = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddlers == 0, "a group must map to exactly one split")
+    // fractions over GROUPS are binomial around the target
+    val byName = split.select("grp", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"), byName.toString)
+    assert(math.abs(byName("train") - 2400L) < 150, byName.toString)
+    assert(math.abs(byName("val") - 300L) < 80, byName.toString)
+    // stability: a grown corpus never reassigns an existing group
+    val grown = Sampling.splitByGroup(
+      spark.range(60000).select(col("id"), (col("id") % 6000).as("grp")),
+      col("grp"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val moved = split.select("grp", "split").distinct()
+      .join(grown.select(col("grp"), col("split").as("s2")).distinct(), "grp")
+      .filter(col("split") =!= col("s2")).count()
+    assert(moved == 0, "existing groups must keep their split as the corpus grows")
+    // the remainder falls to the LAST split when fractions sum under 1
+    val partial = Sampling.splitByGroup(rows, col("grp"),
+      Seq("train" -> 0.5, "rest" -> 0.1))
+    val names = partial.select("split").distinct().as[String].collect().toSet
+    assert(names == Set("train", "rest"))
+    val nRest = partial.select("grp", "split").distinct()
+      .filter(col("split") === "rest").count()
+    assert(math.abs(nRest - 1500L) < 150, s"remainder must fall to last: $nRest")
+    // misuse fails by name
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(rows, col("grp"), Seq("only" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(rows, col("grp"),
+        Seq("a" -> 0.8, "b" -> 0.4))
+    }
+  }
 }

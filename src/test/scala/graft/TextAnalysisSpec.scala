@@ -333,4 +333,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fallback == got)
   }
+
+  test("bpeTrain: hand merges, chained adjacency, tie-break, early stop, filters") {
+    def train(texts: Seq[String], n: Int) =
+      TextAnalysis.bpeTrain(texts.zipWithIndex.map(_.swap).toDF("id", "text"),
+          col("text"), nMerges = n)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // frequencies drive selection; exhaustion stops early (2 of 4 asked)
+    assert(train(Seq("ab ab ab", "cd"), 4) ==
+      Seq((1, "a", "b", 3L), (2, "c", "d", 1L)))
+    // chained adjacency: greedy left-to-right merge inside one pass —
+    // "aaaa" must become [aa, aa] after merge 1, then [aaaa] after 2
+    // (the property the double-separator replace encoding must deliver)
+    assert(train(Seq("aaaa aaaa"), 3) ==
+      Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+    // equal-frequency tie breaks lexicographically on (left, right)
+    assert(train(Seq("xz xy"), 1) == Seq((1, "x", "y", 1L)))
+    // non-letter / single-char words never train; sub-symbol merges chain
+    val lw = train(Seq("low low lower Upper x1 a"), 6)
+    assert(lw.take(2) == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L)), lw.toString)
+    assert(lw.forall(m => !m._2.contains("U") && !m._3.contains("1")), lw.toString)
+  }
 }

@@ -155,6 +155,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("ewma"), e.getMessage)
   }
 
+  test("holt: fold matches the hand recursion; single point; cap fails by name") {
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 12.0), ("k", 3L, 11.0),
+      ("k", 4L, 15.0), ("solo", 1L, 7.5)).toDF("k", "b", "v")
+    val got = TimeSeries.holt(df, col("k"), col("b"), col("v"),
+        alpha = 0.5, beta = 0.25)
+      .orderBy("key")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    // hand recursion, l1=10 b1=0:
+    //   v=12: l=.5*12+.5*10=11,       b=.25*1+0=.25
+    //   v=11: l=.5*11+.5*11.25=11.125, b=.25*.125+.75*.25=.21875
+    //   v=15: l=.5*15+.5*11.34375=13.171875
+    //         b=.25*2.046875+.75*.21875=.675781 (round 6)
+    assert(got == Seq(
+      ("k", 4L, 4L, 13.171875, 0.675781, 13.847656),
+      ("solo", 1L, 1L, 7.5, 0.0, 7.5)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.holt(df, col("k"), col("b"), col("v"), 0.5, 0.25,
+        maxPointsPerKey = 2L)
+    }
+    assert(e.getMessage.contains("holt"), e.getMessage)
+    // a downward-trending series forecasts BELOW its last level — the
+    // property ewma cannot have (its forecast is a lagging average)
+    val down = Seq.tabulate(10)(i => ("d", i.toLong, 100.0 - 10.0 * i))
+      .toDF("k", "b", "v")
+    val (lvl, trend, fc) = TimeSeries.holt(down, col("k"), col("b"),
+        col("v"), 0.5, 0.25)
+      .select(col("level"), col("trend"), col("forecast_1"))
+      .as[(Double, Double, Double)].head()
+    assert(trend < 0 && fc < lvl, s"trend $trend, forecast $fc, level $lvl")
+  }
+
   test("plan: raw events collapse at the first aggregate; exchanges are fixed-width") {
     // the only pass over the input is the (key, bucket) partial+final
     // aggregate — no exchange carries the raw event rows
