@@ -295,6 +295,93 @@ object SketchAggregators {
       Encoders.product[(Double, Double, Double)]
   }
 
+  // ──────────────────── frequent items (heavy hitters) ────────────────────
+
+  private def stringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  /** Serializable wrapper for a frequent-items sketch over strings. */
+  final class FreqHolder(private var maxMapSize: Int) extends Serializable {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    @transient private var sk: ItemsSketch[String] = _
+
+    def sketch: ItemsSketch[String] = {
+      if (sk == null) sk = new ItemsSketch[String](maxMapSize)
+      sk
+    }
+    def mergeFrom(other: FreqHolder): Unit =
+      if (other.sk != null && !other.sk.isEmpty) sketch.merge(other.sk)
+    def mergeBytes(bytes: Array[Byte]): Unit =
+      if (bytes != null && bytes.nonEmpty)
+        sketch.merge(ItemsSketch.getInstance[String](
+          Memory.wrap(bytes), stringSerDe))
+    def toBytes: Array[Byte] = sketch.toByteArray(stringSerDe)
+
+    @throws[IOException]
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.writeInt(maxMapSize)
+      val bytes = if (sk == null) Array.empty[Byte] else toBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    @throws[IOException]
+    private def readObject(in: ObjectInputStream): Unit = {
+      maxMapSize = in.readInt()
+      val n = in.readInt()
+      if (n > 0) {
+        val bytes = new Array[Byte](n)
+        in.readFully(bytes)
+        sk = org.apache.datasketches.frequencies.ItemsSketch.getInstance[String](
+          Memory.wrap(bytes), stringSerDe)
+      }
+    }
+  }
+
+  /** Build one frequent-items sketch per group over STRING items. */
+  final class FreqBuildAggregator(maxMapSize: Int)
+      extends Aggregator[String, FreqHolder, Array[Byte]] {
+    override def zero: FreqHolder = new FreqHolder(maxMapSize)
+    override def reduce(b: FreqHolder, v: String): FreqHolder = {
+      if (v != null) b.sketch.update(v)
+      b
+    }
+    override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
+      x.mergeFrom(y); x
+    }
+    override def finish(b: FreqHolder): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[FreqHolder] =
+      Encoders.javaSerialization[FreqHolder]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union stored frequent-items sketches and finish to
+    * `(maxError, [(item, estimate, lower, upper)…])` — every item the
+    * NO_FALSE_NEGATIVES guarantee can surface (any item whose true
+    * count exceeds maxError IS in the list; below nominal capacity the
+    * sketch is exact, maxError is 0 and every interval is a point). */
+  final class FreqTopAggregator(maxMapSize: Int)
+      extends Aggregator[Array[Byte], FreqHolder,
+        (Long, Seq[(String, Long, Long, Long)])] {
+    override def zero: FreqHolder = new FreqHolder(maxMapSize)
+    override def reduce(b: FreqHolder, bytes: Array[Byte]): FreqHolder = {
+      b.mergeBytes(bytes); b
+    }
+    override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
+      x.mergeFrom(y); x
+    }
+    override def finish(b: FreqHolder): (Long, Seq[(String, Long, Long, Long)]) = {
+      val sk = b.sketch
+      val rows = sk.getFrequentItems(
+        org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      (sk.getMaximumError,
+        rows.toSeq.map(r => (r.getItem, r.getEstimate, r.getLowerBound,
+          r.getUpperBound)))
+    }
+    override def bufferEncoder: Encoder[FreqHolder] =
+      Encoders.javaSerialization[FreqHolder]
+    override def outputEncoder: Encoder[(Long, Seq[(String, Long, Long, Long)])] =
+      Encoders.product[(Long, Seq[(String, Long, Long, Long)])]
+  }
+
   // ──────────────────────── Column surface ────────────────────────
 
   /** KLL sketch of a double column (compact bytes per group). */
@@ -322,4 +409,14 @@ object SketchAggregators {
     * struct(estimate, lower, upper) at 2 standard deviations. */
   def thetaIntersect(sk: Column): Column =
     functions.udaf(new ThetaIntersectAggregator, Encoders.BINARY).apply(sk)
+
+  /** Frequent-items sketch of a string column (compact bytes per group).
+    * `maxMapSize` must be a power of 2; below it the sketch is exact. */
+  def freqAgg(v: Column, maxMapSize: Int = 2048): Column =
+    functions.udaf(new FreqBuildAggregator(maxMapSize), Encoders.STRING).apply(v)
+
+  /** Union of stored frequent-items sketches →
+    * struct(maxError, rows[(item, estimate, lower, upper)]). */
+  def freqTop(sk: Column, maxMapSize: Int = 2048): Column =
+    functions.udaf(new FreqTopAggregator(maxMapSize), Encoders.BINARY).apply(sk)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass declarative data-quality checking (the Deequ-shaped
+  * capability a production table pipeline runs before publishing): a
+  * list of constraints compiles into ONE aggregate over the table plus
+  * one anti-join per referential constraint — never a pass per
+  * constraint. The output is a REPORT (constraint, n_rows, violations,
+  * pass), not an exception: pipelines route on it, specs assert on it.
+  *
+  * Scale shape: all row-level constraints (not-null, range, regex) are
+  * conditional sums inside a single partial+final aggregate — adding a
+  * constraint adds an expression, not a scan. Uniqueness rides the same
+  * aggregate as a count-distinct. Referential integrity is a left-anti
+  * join against the (deduplicated) dimension key — broadcast when the
+  * dimension is small, shuffle otherwise; the planner decides.
+  */
+object Quality {
+
+  sealed trait Constraint { def label: String }
+
+  /** Violated by NULL values. */
+  final case class NotNull(column: String) extends Constraint {
+    def label = s"not_null($column)"
+  }
+
+  /** Violated when the key tuple occurs more than once. NULL keys
+    * collapse into one distinct tuple (count-distinct semantics), so a
+    * second NULL-keyed row counts as a duplicate — the conservative
+    * reading for a key constraint. */
+  final case class Unique(columns: Seq[String]) extends Constraint {
+    require(columns.nonEmpty, "unique constraint needs at least one column")
+    def label = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Violated by NULL or a value outside [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Constraint {
+    require(lo <= hi, s"in_range: lo $lo > hi $hi")
+    def label = s"in_range($column)"
+  }
+
+  /** Violated by NULL or a value the (partial-match) regex misses. */
+  final case class Matches(column: String, regex: String) extends Constraint {
+    def label = s"matches($column)"
+  }
+
+  /** Violated by a non-NULL foreign key absent from the dimension's key
+    * column (NULL foreign keys are NotNull's business, not RI's — the
+    * SQL convention). */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+                                dimColumn: String) extends Constraint {
+    def label = s"ref($column->$dimColumn)"
+  }
+
+  /** Evaluate all constraints; returns
+    * `(constraint, n_rows, violations, pass)` sorted by constraint. */
+  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    require(constraints.map(_.label).distinct.size == constraints.size,
+      s"duplicate constraint labels: ${constraints.map(_.label)}")
+    val rowLevel = constraints.collect {
+      case c @ NotNull(col0) =>
+        c.label -> sum(when(col(col0).isNull, 1L).otherwise(0L))
+      case c @ InRange(col0, lo, hi) =>
+        c.label -> sum(when(col(col0).isNull
+          || col(col0) < lit(lo) || col(col0) > lit(hi), 1L).otherwise(0L))
+      case c @ Matches(col0, re) =>
+        c.label -> sum(when(col(col0).isNull
+          || !col(col0).rlike(re), 1L).otherwise(0L))
+      case c @ Unique(cols0) =>
+        c.label -> (count(lit(1)) -
+          count_distinct(col(cols0.head), cols0.tail.map(col): _*))
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rowLevel.map { case (label, e) => e.as(label) }
+    val oneRow = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
+    val nRows = oneRow.select(col("n_rows"))
+    val rowReport =
+      if (rowLevel.isEmpty) None
+      else Some(oneRow.selectExpr(
+        "n_rows",
+        s"stack(${rowLevel.size}, " + rowLevel.map { case (label, _) =>
+          s"'${label}', `${label}`"
+        }.mkString(", ") + ") AS (constraint, violations)")
+        .select(col("constraint"), col("n_rows"), col("violations")))
+    val refReports = constraints.collect {
+      case c @ RefIntegrity(fk, dim, pk) =>
+        df.filter(col(fk).isNotNull)
+          .join(dim.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .crossJoin(broadcast(nRows))
+          .select(lit(c.label).as("constraint"), col("n_rows"),
+            col("violations"))
+    }
+    (rowReport.toSeq ++ refReports)
+      .reduce(_ unionByName _)
+      .select(col("constraint"), col("n_rows"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy(col("constraint"))
+  }
+}

@@ -92,6 +92,14 @@ object Sampling {
     require(splits.forall(_._2 > 0.0), s"split fractions must be > 0: $splits")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions sum over 1: $splits")
+    // a NULL group key would fall through every threshold rung into the
+    // LAST split — silently flooding the eval split is the one failure a
+    // leakage-safety API must not have, so it fails by name (measured,
+    // like every other guard; one cheap filter probe)
+    require(df.filter(group.isNull).isEmpty,
+      "splitByGroup: the group column contains nulls — every null-keyed " +
+        "row would land in the last split; fix the upstream join or " +
+        "coalesce the key first")
     val h = hashKey(group)
     // cumulative thresholds: [f1, f1+f2, ...); the last split is the
     // unconditional remainder, so the ladder never drops a row

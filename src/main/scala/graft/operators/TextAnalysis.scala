@@ -511,7 +511,9 @@ object TextAnalysis {
         words = words.select(
           replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"),
           col("freq"))
-        if (k % checkpointEvery == 0) words = words.localCheckpoint(true)
+        // never on the final round — that table is never read again
+        if (k % checkpointEvery == 0 && k < nMerges)
+          words = words.localCheckpoint(true)
         k += 1
       }
     }

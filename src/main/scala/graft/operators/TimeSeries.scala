@@ -185,9 +185,10 @@ object TimeSeries {
     * two-field struct folded with `aggregate`; with α and β whose
     * complements are exactly representable (e.g. 0.5 / 0.25) every step
     * is a correctly-rounded IEEE op in a fixed order, so the result is
-    * bit-reproducible across engines — the DuckDB oracle folds the same
-    * recurrence over a struct list and hash-matches without a
-    * tolerance. */
+    * bit-reproducible across engines — the DuckDB oracle replays the
+    * same recurrence (as a recursive CTE: DuckDB's struct-accumulator
+    * `list_reduce` mis-evaluates the second field, so don't use it) and
+    * hash-matches without a tolerance. */
   def holt(df: DataFrame, key: Column, bucket: Column, value: Column,
            alpha: Double, beta: Double,
            maxPointsPerKey: Long = 1000000L): DataFrame = {

@@ -482,10 +482,24 @@ object RelationalQueries {
       val t = Tables(s, dir)
       val proj = t.lineitem.select(col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
-      graft.sources.Formats.writeOrc(proj, s"$tmp/orc")
-      graft.sources.Formats.writeCsv(proj, s"$tmp/csv")
-      graft.sources.Formats.writeJsonLines(proj, s"$tmp/json")
+      // build-if-absent into a CONTENT-KEYED stable dir (the
+      // ensureTextStore idiom): repeated constructions — bench warmup,
+      // Explain, Verify — reuse one written copy instead of leaking a
+      // fresh temp dir and three write jobs per call; a changed source
+      // file changes the key, and stale keys are overwritten by the
+      // fixed prefix, not accumulated
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(
+            s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+      val done = new java.io.File(s"$tmp/_done")
+      if (!done.exists) {
+        graft.sources.Formats.writeOrc(proj, s"$tmp/orc")
+        graft.sources.Formats.writeCsv(proj, s"$tmp/csv")
+        graft.sources.Formats.writeJsonLines(proj, s"$tmp/json")
+        done.createNewFile()
+      }
       val schema = StructType(Seq(
         StructField("l_returnflag", StringType),
         StructField("l_quantity", DoubleType),
@@ -501,6 +515,70 @@ object RelationalQueries {
         .unionByName(agg(graft.sources.Formats.readCsv(s, s"$tmp/csv", schema), "csv"))
         .unionByName(agg(graft.sources.Formats.readJsonLines(s, s"$tmp/json", schema), "json"))
         .orderBy(col("fmt"), col("l_returnflag"))
+    },
+
+    // Frequent-items (heavy hitters) rollup — the fourth mergeable
+    // sketch family (distinct=HLL, quantiles=KLL, set algebra=theta,
+    // frequencies=this): per-day ItemsSketch over user activity,
+    // range top-5 answered from stored sketches. Self-certifying: the
+    // EXACT top-5 (deterministic (count DESC, item) tie-break) is the
+    // deterministic output; a boolean attests each item's sketch
+    // interval [lower, upper] brackets its exact count, with the
+    // n ≤ maxError escape the NO_FALSE_NEGATIVES guarantee allows. At
+    // test SFs the per-range distinct users sit below maxMapSize=2048,
+    // the sketch is exact, maxError is 0 and the intervals are points —
+    // tight, not vacuous.
+    "q_topk_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      import graft.functions.SketchAggregators
+      val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val daily = t.events.groupBy(day.as("day"))
+        .agg(SketchAggregators.freqAgg(col("user_id").cast("string"), 2048)
+          .as("sk"))
+        .localCheckpoint(true) // the materialized per-day sketch table
+      def range(name: String, lo: Int, hi: Int) = {
+        val fr = daily.filter(col("day").between(lo, hi))
+          .agg(SketchAggregators.freqTop(col("sk"), 2048).as("fr"))
+        val skRows = fr.select(explode(col("fr._2")).as("r"))
+          .select(col("r._1").as("item"), col("r._3").as("lb"),
+            col("r._4").as("ub"))
+        val maxErr = fr.select(col("fr._1").as("max_err"))
+        import org.apache.spark.sql.expressions.Window
+        val exact = t.events.filter(day.between(lo, hi))
+          .groupBy(col("user_id").cast("string").as("item"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("item"))))
+          .filter(col("rk") <= 5)
+        exact.join(skRows, Seq("item"), "left")
+          .crossJoin(broadcast(maxErr))
+          .select(lit(name).as("range_name"), col("rk"), col("item"),
+            col("n"),
+            ((col("lb").isNotNull && col("lb") <= col("n")
+              && col("n") <= col("ub"))
+              || col("n") <= col("max_err")).as("within_bound"))
+      }
+      range("week1", 19723, 19729)
+        .unionByName(range("month", 19723, 19752))
+        .orderBy(col("range_name"), col("rk"))
+    },
+
+    // One-pass declarative data-quality report (the pre-publish gate a
+    // table pipeline runs): five passing constraints plus one that
+    // FAILS on purpose (o_orderkey capped at 1000) so the report's
+    // violation counting is exercised, not just its happy path. All
+    // row-level constraints ride ONE aggregate; the referential check
+    // is one anti-join against the customer dimension.
+    "dq_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      import graft.operators.Quality
+      Quality.report(t.orders, Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.InRange("o_totalprice", 0.0, 1e9),
+        Quality.InRange("o_orderkey", 0.0, 1000.0),
+        Quality.Matches("o_orderpriority", "^[1-5]-"),
+        Quality.RefIntegrity("o_custkey", t.customer, "c_custkey")))
     },
 
     // Count-min-sketch frequency estimation (the third sketch family
@@ -977,6 +1055,58 @@ object RelationalQueries {
                INTERSECT
                SELECT user_id FROM d WHERE day BETWEEN 19744 AND 19752)
          ORDER BY pair_name""",
+
+    // Self-certifying (see the query comment): the oracle is the exact
+    // top-5 per range + `true`; the interval bracketing is attested
+    // Spark-side.
+    "q_topk_rollup" ->
+      """WITH d AS (SELECT CAST(user_id AS VARCHAR) AS item,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+             FROM events)
+         SELECT * FROM (
+           SELECT 'week1' AS range_name, rk, item, n, true AS within_bound
+           FROM (SELECT item, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, item) AS rk
+                 FROM d WHERE day BETWEEN 19723 AND 19729 GROUP BY item)
+           WHERE rk <= 5
+           UNION ALL
+           SELECT 'month', rk, item, n, true
+           FROM (SELECT item, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, item) AS rk
+                 FROM d WHERE day BETWEEN 19723 AND 19752 GROUP BY item)
+           WHERE rk <= 5)
+         ORDER BY range_name, rk""",
+
+    // Each constraint's exact violation count, recomputed from scratch.
+    "dq_report" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+         SELECT "constraint", n_rows, violations, violations = 0 AS pass
+         FROM (
+           SELECT 'not_null(o_custkey)' AS "constraint", n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               AS violations FROM n
+           UNION ALL
+           SELECT 'unique(o_orderkey)', n.n_rows,
+             n.n_rows - (SELECT count(DISTINCT o_orderkey) FROM orders)
+           FROM n
+           UNION ALL
+           SELECT 'in_range(o_totalprice)', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+                OR o_totalprice < 0.0 OR o_totalprice > 1e9) FROM n
+           UNION ALL
+           SELECT 'in_range(o_orderkey)', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderkey IS NULL
+                OR o_orderkey < 0.0 OR o_orderkey > 1000.0) FROM n
+           UNION ALL
+           SELECT 'matches(o_orderpriority)', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+                OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM n
+           UNION ALL
+           SELECT 'ref(o_custkey->c_custkey)', n.n_rows,
+             (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) FROM n)
+         ORDER BY "constraint"""",
 
     // Every format must reproduce the parquet-direct aggregate.
     "fmt_roundtrip" ->

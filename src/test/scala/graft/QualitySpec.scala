@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Quality
+import graft.operators.Quality._
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).toSeq
+
+  test("report: each constraint counts its own violations in one pass") {
+    val df = Seq(
+      (1L, Some("a"), 10.0, "1-URGENT"),
+      (2L, None, 150.0, "2-HIGH"),      // null name; range violation
+      (2L, Some("c"), -5.0, "bad"),     // dup key; range + regex violations
+      (3L, Some("d"), 50.0, "5-LOW")
+    ).toDF("k", "name", "v", "pri")
+    val dim = Seq(1L, 2L).toDF("id")     // 3L dangles
+    val got = rows(Quality.report(df, Seq(
+      NotNull("name"),
+      Unique(Seq("k")),
+      InRange("v", 0.0, 100.0),
+      Matches("pri", "^[1-5]-"),
+      RefIntegrity("k", dim, "id"))))
+    assert(got == Seq(
+      ("in_range(v)", 4L, 2L, false),
+      ("matches(pri)", 4L, 1L, false),
+      ("not_null(name)", 4L, 1L, false),
+      ("ref(k->id)", 4L, 1L, false),
+      ("unique(k)", 4L, 1L, false)), got.toString)
+    // a clean table passes everything
+    val clean = rows(Quality.report(df.filter(col("k") === 1L), Seq(
+      NotNull("name"), Unique(Seq("k")), InRange("v", 0.0, 100.0))))
+    assert(clean.forall(_._4), clean.toString)
+  }
+
+  test("report: null FKs belong to not_null, not ref; multi-column unique; guards") {
+    val df = Seq((Some(1L), "x", "y"), (None, "x", "y"), (Some(9L), "x", "z"))
+      .toDF("fk", "a", "b")
+    val dim = Seq(1L).toDF("id")
+    val got = rows(Quality.report(df, Seq(
+      RefIntegrity("fk", dim, "id"),    // only the non-null 9 dangles
+      NotNull("fk"),
+      Unique(Seq("a", "b")))))          // (x,y) twice -> 1 violation
+    assert(got == Seq(
+      ("not_null(fk)", 3L, 1L, false),
+      ("ref(fk->id)", 3L, 1L, false),
+      ("unique(a,b)", 3L, 1L, false)), got.toString)
+    intercept[IllegalArgumentException] { Quality.report(df, Nil) }
+    intercept[IllegalArgumentException] {
+      Quality.report(df, Seq(NotNull("fk"), NotNull("fk")))
+    }
+    intercept[IllegalArgumentException] { InRange("v", 5.0, 1.0) }
+  }
+
+  test("plan: row-level constraints share ONE aggregate over the table") {
+    val df = Tables(spark, sfDir).orders
+    val rep = Quality.report(df, Seq(
+      NotNull("o_custkey"), Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 1e9), Matches("o_orderstatus", "^[A-Z]$")))
+    rep.collect()
+    // the report's lineage starts from the 1-row checkpointed aggregate:
+    // the orders scan appears in the CHECKPOINT, not per constraint —
+    // the executed plan here must contain no parquet scan at all
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"report must not rescan per constraint:\n$plan")
+  }
+}

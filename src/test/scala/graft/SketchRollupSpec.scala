@@ -64,6 +64,41 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("freq: merged daily sketches recover exact heavy hitters below capacity; bounds hold above") {
+    import graft.functions.SketchAggregators._
+    // planted skew: item "hot" 500x, "warm" 200x, 100 cold singletons,
+    // spread over 4 buckets
+    val rows = (Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 100).map(i => s"cold$i")).zipWithIndex
+      .map { case (it, i) => (i % 4L, it) }
+    val df = rows.toDF("bucket", "item")
+    val daily = df.groupBy(col("bucket")).agg(freqAgg(col("item")).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("freq").toString
+    daily.write.parquet(s"$dir/daily")
+    val (maxErr, items) = spark.read.parquet(s"$dir/daily")
+      .agg(freqTop(col("sk")).as("fr"))
+      .select(col("fr._1"), col("fr._2"))
+      .as[(Long, Seq[(String, Long, Long, Long)])].head()
+    // 102 distinct items < maxMapSize: exact mode — zero error, exact
+    // estimates, point intervals
+    assert(maxErr == 0L, s"sub-capacity sketch must be exact: $maxErr")
+    val m = items.map(r => r._1 -> r).toMap
+    assert(m("hot")._2 == 500L && m("hot")._3 == 500L && m("hot")._4 == 500L)
+    assert(m("warm")._2 == 200L)
+    // above capacity (maxMapSize 64 < 102 items): error appears but the
+    // NO_FALSE_NEGATIVES guarantee keeps the true heavy hitters listed
+    // with bracketing bounds
+    val (me2, items2) = df.groupBy(col("bucket"))
+      .agg(freqAgg(col("item"), 64).as("sk"))
+      .agg(freqTop(col("sk"), 64).as("fr"))
+      .select(col("fr._1"), col("fr._2"))
+      .as[(Long, Seq[(String, Long, Long, Long)])].head()
+    assert(me2 > 0L)
+    val m2 = items2.map(r => r._1 -> r).toMap
+    assert(m2.contains("hot") && m2("hot")._3 <= 500L && 500L <= m2("hot")._4,
+      s"hot must stay listed with bracketing bounds: ${m2.get("hot")}")
+  }
+
   test("plan: KLL daily build runs partial+final with map-side sketch merge") {
     import graft.functions.SketchAggregators._
     val ev = Tables(spark, sfDir).events
