@@ -71,8 +71,13 @@ object Quality {
         c.label -> sum(when(col(col0).isNull
           || !col(col0).rlike(re), 1L).otherwise(0L))
       case c @ Unique(cols0) =>
+        // count_distinct over the bare columns SKIPS null inputs, which
+        // would flag every null-keyed row as a duplicate; wrapping the
+        // tuple in a struct keeps null components inside a non-null
+        // struct, so null tuples collapse to ONE distinct value and only
+        // the second null-keyed row counts — the documented semantics
         c.label -> (count(lit(1)) -
-          count_distinct(col(cols0.head), cols0.tail.map(col): _*))
+          count_distinct(struct(cols0.map(col): _*)))
     }
     val aggCols = count(lit(1)).as("n_rows") +:
       rowLevel.map { case (label, e) => e.as(label) }

@@ -318,19 +318,28 @@ object TextAnalysis {
                  queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
-    // materialize TF once: the qtf and dl branches are different
-    // physical subtrees, so without this the tokenize+explode+partial
-    // aggregate over all text would execute twice (ReuseExchange cannot
-    // share them) — the "one corpus pass" contract is this checkpoint
-    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = bm25Postings(docs, id, text)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
     val qtf = tf.filter(col("token").isin(queryTerms.distinct: _*))
     bm25Score(qtf, dl, stats, k, k1, b)
   }
+
+  /** The one postings derivation (shared with the persisted
+    * [[graft.sources.TextIndexStore]]'s build AND append, so the
+    * tokenization/TF half of the pipeline can no more diverge between
+    * store and in-query than the scorer can): `(doc_id, token, tf)`,
+    * checkpointed — the qtf and dl consumers are different physical
+    * subtrees, so without the materialization the tokenize + explode +
+    * partial aggregate over all text would execute twice (ReuseExchange
+    * cannot share them); the "one corpus pass" contract is this
+    * checkpoint. */
+  private[graft] def bm25Postings(docs: DataFrame, id: Column,
+                                  text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
 
   /** The one BM25 scorer (shared with the persisted
     * [[graft.sources.TextIndexStore]], so store and in-query ranking can

@@ -54,9 +54,12 @@ object TimeSeries {
     val ranges = observed.groupBy(col("key"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .localCheckpoint(true) // one row per key; reused by guard + skeleton
-    val worst = ranges
+    // max over an EMPTY frame is null — an empty input yields an empty
+    // grid, it is not a guard violation (getLong would NPE), same as
+    // the ewma/holt guards below
+    val worst = Option(ranges
       .agg(max(floor((col("b1") - col("b0")) / lit(step)) + 1).as("m"))
-      .head().getLong(0)
+      .head().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     require(worst <= maxBucketsPerKey,
       s"gapFillForwardFill: a key spans $worst buckets at step=$step, " +
         s"over the $maxBucketsPerKey cap — the generated grid would " +

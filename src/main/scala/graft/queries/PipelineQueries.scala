@@ -110,10 +110,8 @@ object PipelineQueries {
   private def ensurePqStore(s: SparkSession,
                             dir: String): (String, DataFrame) = {
     val t = Tables(s, dir)
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val p = "sim_pq_store_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+    val p = "sim_pq_store_" +
+      graft.sources.CatalogProps.contentKey(dir, "embeddings.parquet")
     if (!s.catalog.tableExists(IndexStore.pqTable(p))) {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
@@ -142,10 +140,8 @@ object PipelineQueries {
     * other sf dirs are cleared so the warehouse doesn't accumulate). */
   private def ensureTextStore(s: SparkSession, dir: String): String = {
     val t = Tables(s, dir)
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val p = "text_bm25_store_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+    val p = "text_bm25_store_" +
+      graft.sources.CatalogProps.contentKey(dir, "documents.parquet")
     if (!graft.sources.TextIndexStore.isComplete(s, p)) {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
@@ -1634,10 +1630,8 @@ object PipelineQueries {
       val docs = t.documents.select(col("doc_id"), col("text"))
       val corpus = docs.filter(pmod(col("doc_id"), lit(4)) >= 2)
       val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val p = "ingest_admit_store_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+      val p = "ingest_admit_store_" +
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet")
       if (!s.catalog.tableExists(IndexStore.docsTable(p))) {
         // Only ONE probe store may exist at a time: the prefix is keyed
         // by the testdata fingerprint, so every regeneration mints a new

@@ -488,11 +488,8 @@ object RelationalQueries {
       // fresh temp dir and three write jobs per call; a changed source
       // file changes the key, and stale keys are overwritten by the
       // fixed prefix, not accumulated
-      val src = new java.io.File(s"$dir/lineitem.parquet")
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(
-            s"$dir:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
+        graft.sources.CatalogProps.contentKey(dir, "lineitem.parquet")
       val done = new java.io.File(s"$tmp/_done")
       if (!done.exists) {
         graft.sources.Formats.writeOrc(proj, s"$tmp/orc")

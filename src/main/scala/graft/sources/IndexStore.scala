@@ -120,16 +120,10 @@ object IndexStore {
 
   private def setProps(spark: SparkSession, table: String,
                        props: Map[String, String]): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    CatalogProps.setProps(spark, table, props)
 
-  private def prop(spark: SparkSession, table: String, key: String): String = {
-    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .filter(col("key") === key).collect()
-    require(rows.nonEmpty,
-      s"table $table has no '$key' property — not built by IndexStore?")
-    rows(0).getString(1)
-  }
+  private def prop(spark: SparkSession, table: String, key: String): String =
+    CatalogProps.prop(spark, table, key, "IndexStore")
 
   private def bloomPath(spark: SparkSession, prefix: String) =
     new org.apache.hadoop.fs.Path(

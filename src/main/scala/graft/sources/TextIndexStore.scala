@@ -33,16 +33,10 @@ object TextIndexStore {
 
   private def setProps(spark: SparkSession, table: String,
                        props: Map[String, String]): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    CatalogProps.setProps(spark, table, props)
 
-  private def prop(spark: SparkSession, table: String, key: String): String = {
-    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .filter(col("key") === key).collect()
-    require(rows.nonEmpty,
-      s"table $table has no '$key' property — not built by TextIndexStore?")
-    rows(0).getString(1)
-  }
+  private def prop(spark: SparkSession, table: String, key: String): String =
+    CatalogProps.prop(spark, table, key, "TextIndexStore")
 
   /** Build (or rebuild) the index from the corpus. One corpus pass
     * builds the postings; `dl` and `stats` derive from the postings
@@ -51,10 +45,7 @@ object TextIndexStore {
             id: Column, text: Column, nBuckets: Int = 16): Unit = {
     Seq(tfTable(prefix), dlTable(prefix), statsTable(prefix))
       .foreach(t => Bucketing.dropManagedTable(spark, t))
-    val tf = docs
-      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = TextAnalysis.bm25Postings(docs, id, text)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -91,10 +82,7 @@ object TextIndexStore {
     // a crash between them must trip the fence, not rank silently wrong
     tables.foreach(t => setProps(spark, t,
       Map("graft.text.version" -> s"torn_append_of_${vs.head}")))
-    val tf = docs
-      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = TextAnalysis.bm25Postings(docs, id, text)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(true)
     Bucketing.appendBucketed(dl, dlTable(prefix), Seq("doc_id"), nBuckets)
@@ -159,14 +147,31 @@ object TextIndexStore {
       .writeStream.trigger(trigger)
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // A TORN APPEND must fail by name, never route to build():
+        // the replayed batch is the only data the checkpoint will ever
+        // re-deliver, so "rebuild" here would silently shrink the index
+        // to one batch's documents. Only an absent or crashed-BUILD
+        // store (whose sole data batch is exactly the one being
+        // replayed) may build from the batch.
+        val tornAppend = Seq(statsTable(prefix), dlTable(prefix),
+            tfTable(prefix))
+          .filter(spark.catalog.tableExists)
+          .exists(t => CatalogProps.propOption(spark, t, "graft.text.version")
+            .exists(_.startsWith("torn_append_of_")))
+        if (tornAppend) throw new IllegalStateException(
+          s"TextIndexStore $prefix: a prior append crashed mid-write " +
+            "(torn version fence); the stream cannot recover it from one " +
+            "replayed batch — rebuild with TextIndexStore.build over the " +
+            "full corpus, then restart the stream")
+        val complete = isComplete(spark, prefix)
         val fresh =
-          if (!isComplete(spark, prefix)) batch.dropDuplicates("doc_id")
+          if (!complete) batch.dropDuplicates("doc_id")
           else batch.dropDuplicates("doc_id")
             .join(spark.table(dlTable(prefix)).select(col("doc_id")),
               Seq("doc_id"), "left_anti")
         val f = fresh.localCheckpoint(true)
         if (!f.isEmpty) {
-          if (isComplete(spark, prefix))
+          if (complete)
             append(spark, prefix, f, col("doc_id"), col("text"), nBuckets)
           else
             build(spark, prefix, f, col("doc_id"), col("text"), nBuckets)
@@ -183,11 +188,8 @@ object TextIndexStore {
   def isComplete(spark: SparkSession, prefix: String): Boolean = {
     val tables = Seq(statsTable(prefix), dlTable(prefix), tfTable(prefix))
     tables.forall(spark.catalog.tableExists) && {
-      val vs = tables.map { t =>
-        spark.sql(s"SHOW TBLPROPERTIES $t")
-          .filter(col("key") === "graft.text.version").collect()
-          .headOption.map(_.getString(1))
-      }
+      val vs = tables.map(t =>
+        CatalogProps.propOption(spark, t, "graft.text.version"))
       vs.forall(_.isDefined) && vs.distinct.size == 1 &&
         !vs.head.get.startsWith("torn_")
     }

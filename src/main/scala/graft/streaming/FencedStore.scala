@@ -25,16 +25,10 @@ object FencedStore {
 
   private def setProps(spark: SparkSession, table: String,
                        props: Map[String, String]): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    graft.sources.CatalogProps.setProps(spark, table, props)
 
-  private def prop(spark: SparkSession, table: String, key: String): String = {
-    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .filter(col("key") === key).collect()
-    require(rows.nonEmpty,
-      s"table $table has no '$key' property — not a FencedStore meta table?")
-    rows(0).getString(1)
-  }
+  private def prop(spark: SparkSession, table: String, key: String): String =
+    graft.sources.CatalogProps.prop(spark, table, key, "FencedStore")
 
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(

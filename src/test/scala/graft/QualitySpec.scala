@@ -49,6 +49,14 @@ class QualitySpec extends SparkSpec {
       ("not_null(fk)", 3L, 1L, false),
       ("ref(fk->id)", 3L, 1L, false),
       ("unique(a,b)", 3L, 1L, false)), got.toString)
+    // ONE null-keyed row is not a duplicate (null tuples collapse to
+    // one distinct value — the documented semantics); a SECOND one is
+    val oneNull = Seq(Some(1L), Some(2L), None).toDF("k")
+    assert(rows(Quality.report(oneNull, Seq(Unique(Seq("k")), NotNull("k"))))
+      == Seq(("not_null(k)", 3L, 1L, false), ("unique(k)", 3L, 0L, true)))
+    val twoNulls = oneNull.unionByName(Seq(Option.empty[Long]).toDF("k"))
+    assert(rows(Quality.report(twoNulls, Seq(Unique(Seq("k")))))
+      == Seq(("unique(k)", 4L, 1L, false)))
     intercept[IllegalArgumentException] { Quality.report(df, Nil) }
     intercept[IllegalArgumentException] {
       Quality.report(df, Seq(NotNull("fk"), NotNull("fk")))

@@ -94,6 +94,44 @@ class TextIndexStoreSpec extends SparkSpec {
     TextIndexStore.drop(spark, "tix7")
   }
 
+  test("stream: a torn APPEND fails the stream by name, never rebuilds from one batch") {
+    val root = java.nio.file.Files.createTempDirectory("tixt").toString
+    TextIndexStore.drop(spark, "tix8")
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/src"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/src/$name.parquet"))
+    }
+    land("w1", docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")))
+    var q = TextIndexStore.stream(spark, s"$root/src", "tix8", s"$root/ckpt")
+    q.awaitTermination()
+    val nDocs = spark.table("tix8_dl").count()
+    assert(nDocs > 0)
+    // simulate an append that crashed mid-write: the fence is torn
+    Seq("tix8_stats", "tix8_dl", "tix8_tf").foreach(t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('graft.text.version'='torn_append_of_x')"))
+    land("w2", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .select(col("doc_id"), col("text")))
+    // the stream must FAIL BY NAME — before this guard it routed to
+    // build() and silently shrank the index to the replayed batch
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      TextIndexStore.stream(spark, s"$root/src", "tix8", s"$root/ckpt")
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("torn") || Option(e.getCause).exists(
+      _.getMessage.contains("torn")), e.getMessage)
+    assert(spark.table("tix8_dl").count() == nDocs,
+      "the torn store's data must be untouched, not shrunk to one batch")
+    TextIndexStore.drop(spark, "tix8")
+  }
+
   test("version fence: a half-dropped or torn family fails by name") {
     TextIndexStore.drop(spark, "tix3")
     TextIndexStore.build(spark, "tix3", docs, col("doc_id"), col("text"))

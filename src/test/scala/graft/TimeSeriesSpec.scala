@@ -57,6 +57,14 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 40L, 1L, true, 3.0)))
   }
 
+  test("empty input yields an empty grid, not a guard NPE") {
+    val empty = Seq.empty[(String, Long, Long, Double)].toDF("k", "b", "e", "v")
+    assert(TimeSeries.gapFillForwardFill(empty, col("k"), col("b"),
+      col("v"), tieBreak = Seq(col("e"))).isEmpty)
+    assert(TimeSeries.gapFillInterpolate(empty, col("k"), col("b"),
+      col("v"), tieBreak = Seq(col("e"))).isEmpty)
+  }
+
   test("a key spanning more buckets than the cap fails by name, not by OOM") {
     val e = intercept[IllegalArgumentException] {
       run(Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0)), cap = 1000L)
