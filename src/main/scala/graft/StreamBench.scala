@@ -44,6 +44,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("neardup")) {
       nearDupStream(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("kll")) {
+      kllStream(spark, n, batches); spark.stop(); return
+    }
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")
@@ -58,6 +61,35 @@ object StreamBench {
     val total = n * batches
     println(f"""{"metric":"stream_records_per_sec","value":${total / sec}%.0f,"records":$total,"sec":$sec%.2f}""")
     spark.stop()
+  }
+
+  /** Price the fenced streaming KLL table: per-batch fold throughput
+    * (one bucket-keyed sketch aggregate of the delta + the
+    * bucket-table-sized union-reaggregate behind the fence) and the
+    * stored-table range-query latency that is the feature's entire
+    * point. */
+  private def kllStream(spark: SparkSession, n: Long, batches: Int): Unit = {
+    import graft.streaming.StreamingQuantiles
+    import org.apache.spark.sql.functions._
+    StreamingQuantiles.drop(spark, "kbench")
+    StreamingQuantiles.provision(spark, "kbench")
+    def batchOf(b: Int) = spark.range(n)
+      .select(pmod(col("id") + b, lit(30)).as("bucket"),
+        pmod(xxhash64(col("id"), lit(b)), lit(100000)).cast("double")
+          .as("value"))
+      .localCheckpoint(true) // materialize so generation isn't timed
+    val bs = (0 until batches).map(batchOf)
+    val t0 = System.nanoTime()
+    bs.zipWithIndex.foreach { case (df, i) =>
+      StreamingQuantiles.applyBatch(spark, "kbench", df, i.toLong)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val tq = System.nanoTime()
+    val q = StreamingQuantiles.quantiles(spark, "kbench", 10L, 16L,
+      Seq(0.5, 0.99))
+    val qsec = (System.nanoTime() - tq) / 1e9
+    println(f"""{"metric":"kll_stream_rows_per_sec","value":${(n * batches / sec)}%.0f,"rows":${n * batches},"batches":$batches,"apply_sec":$sec%.2f,"range_query_sec":$qsec%.3f,"p50":${q.head}%.1f}""")
+    StreamingQuantiles.drop(spark, "kbench")
   }
 
   /** Synthetic 60-token documents over a small vocabulary, text a pure

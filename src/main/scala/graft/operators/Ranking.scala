@@ -32,4 +32,42 @@ object Ranking {
       .select(col("query_id"), col("__s.rk").as("rk"),
         col("__s.cand_id").as("cand_id"), col("__s.score").as(scoreCol))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of already-ranked result
+    * lists — the standard way to combine retrieval signals whose scores
+    * are not comparable (BM25 vs cosine): each list contributes
+    * `1/(c + rank)` for the items it ranked, fused score is the fixed
+    * left-to-right sum over lists, missing-from-list contributes 0 (and
+    * its rank column reads 0 = "absent"). Inputs are top-k-SIZED frames
+    * (the expensive ranking already happened), so the full-outer joins
+    * here broadcast — RRF itself costs nothing at any corpus scale.
+    * Output: `(rk, id, <rankCol per list…>, rrf)`, top `k` by
+    * (rrf DESC, id). Every arithmetic step is a correctly-rounded IEEE
+    * op in a fixed order, so the fused ranking is engine-exact. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"fusion needs >= 2 lists, got ${lists.size}")
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"duplicate list names: ${lists.map(_._1)}")
+    val renamed = lists.map { case (name, df) =>
+      name -> df.select(col(idCol).as("id"),
+        col(rankCol).cast("long").as(s"rk_$name"))
+    }
+    val joined = renamed.map(_._2)
+      .reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = renamed.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(c.toDouble) + col(s"rk_$name")), lit(0.0))
+    }.reduce(_ + _)
+    val rankCols = renamed.map { case (name, _) =>
+      coalesce(col(s"rk_$name"), lit(0L)).as(s"rk_$name")
+    }
+    import org.apache.spark.sql.expressions.Window
+    joined.select((col("id") +: rankCols :+ round(score, 6).as("rrf")): _*)
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .select((row_number().over(Window.orderBy(col("rrf").desc, col("id")))
+        .as("rk") +: (col("id") +: renamed.map(p => col(s"rk_${p._1}")))
+        :+ col("rrf")): _*)
+      .orderBy(col("rk"))
+  }
 }

@@ -1460,6 +1460,27 @@ object PipelineQueries {
         Seq("spark", "merge", "window"), k = 20)
     },
 
+    // Hybrid retrieval: the BM25 term ranking and the embedding cosine
+    // ranking fused by reciprocal-rank fusion — the standard combiner
+    // for signals whose scores are not comparable. Both input rankings
+    // are already oracle-checked queries (text_bm25_search,
+    // sim_topk_bruteforce); the fusion is fixed-order IEEE arithmetic
+    // over top-k-sized frames, so the WHOLE hybrid pipeline is
+    // engine-exact and hash-oracle'd end to end.
+    "retrieval_hybrid" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val txt = TextAnalysis.bm25Search(t.documents, col("doc_id"),
+          col("text"), Seq("spark", "merge", "window"), k = 20)
+        .select(col("doc_id").as("id"), col("rk"))
+      val emb = Similarity.prepared(t.embeddings, col("vec_id"),
+        col("embedding"))
+      val ann = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 7), k = 20)
+        .select(col("cand_id").as("id"), col("rk"))
+      graft.operators.Ranking.rrfFuse(
+        Seq("txt" -> txt, "vec" -> ann), "id", "rk", k = 10)
+    },
+
     // The same ranking served from the PERSISTED inverted index — the
     // deployment shape: build-if-absent token-bucketed postings, then a
     // pure probe (no tokenization, bucket-pruned postings scan). Same
@@ -3084,6 +3105,57 @@ object PipelineQueries {
     // correctly rounded on both engines, ln's 1-ulp slack is absorbed by
     // the round-6 before the exact DECIMAL sum.
     "text_bm25_search" -> bm25OracleSql,
+
+    // The two input rankings' oracle CTEs verbatim, then the same
+    // fixed-order RRF arithmetic (txt term first, vec term second).
+    "retrieval_hybrid" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+            qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'merge', 'window')),
+            dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+            bscored AS (
+              SELECT doc_id,
+                CAST(round(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))),
+                  6) AS DECIMAL(18,6)) AS s
+              FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            bagg AS (SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+                     FROM bscored GROUP BY 1),
+            btop AS (SELECT * FROM bagg ORDER BY bm25 DESC, doc_id LIMIT 20),
+            txt AS (SELECT doc_id AS id,
+                      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS rk_txt
+                    FROM btop),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            nn AS (SELECT vec_id, vec,
+                     sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            qv AS (SELECT vec, nrm FROM nn WHERE vec_id = 7),
+            ascored AS (
+              SELECT c.vec_id AS id,
+                list_inner_product(c.vec, qv.vec) / (c.nrm * qv.nrm) AS cosine
+              FROM nn c, qv WHERE c.vec_id <> 7),
+            aranked AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id)
+                AS BIGINT) AS rk_vec
+              FROM ascored),
+            vec AS (SELECT id, rk_vec FROM aranked WHERE rk_vec <= 20),
+            fused AS (
+              SELECT coalesce(t.id, a.id) AS id,
+                coalesce(t.rk_txt, 0) AS rk_txt,
+                coalesce(a.rk_vec, 0) AS rk_vec,
+                round(coalesce(1.0 / (60.0 + t.rk_txt), 0.0)
+                    + coalesce(1.0 / (60.0 + a.rk_vec), 0.0), 6) AS rrf
+              FROM txt t FULL OUTER JOIN vec a ON t.id = a.id),
+            ftop AS (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 10)
+         SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rk,
+           id, rk_txt, rk_vec, rrf
+         FROM ftop ORDER BY rk""",
 
     // Stored-index probe: the answer must be identical to the in-query
     // operator, so the oracle is too.

@@ -116,4 +116,31 @@ class RankingSpec extends SparkSpec {
       plan.contains("SortAggregate") || plan.contains("ObjectHashAggregate"),
       s"must plan an aggregation:\n$plan")
   }
+
+  test("rrfFuse: hand-computed fusion, absent-from-list items, guards") {
+    import spark.implicits._
+    // list A ranks 1,2,3 ; list B ranks 2,9 — doc 2 is in both
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rk")
+    val b = Seq((20L, 1), (90L, 2)).toDF("id", "rk")
+    val got = Ranking.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rk", k = 10)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: 1/62 + 1/61; doc 10: 1/61; doc 90: 1/62; doc 30: 1/63
+    val expected = Seq(
+      (1, 20L, 2L, 1L, r6(1.0 / 62 + 1.0 / 61)),
+      (2, 10L, 1L, 0L, r6(1.0 / 61)),
+      (3, 90L, 0L, 2L, r6(1.0 / 62)),
+      (4, 30L, 3L, 0L, r6(1.0 / 63)))
+    assert(got == expected, s"got $got")
+    // k truncates after fusion, not per list
+    assert(Ranking.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rk", k = 2)
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq("a" -> a), "id", "rk", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq("a" -> a, "a" -> b), "id", "rk", 5)
+    }
+  }
 }
