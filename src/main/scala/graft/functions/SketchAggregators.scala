@@ -353,6 +353,23 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Union stored frequent-items sketches; finishes to the merged
+    * compact bytes (the row of a rolled-up sketch table). */
+  final class FreqUnionAggregator(maxMapSize: Int)
+      extends Aggregator[Array[Byte], FreqHolder, Array[Byte]] {
+    override def zero: FreqHolder = new FreqHolder(maxMapSize)
+    override def reduce(b: FreqHolder, bytes: Array[Byte]): FreqHolder = {
+      b.mergeBytes(bytes); b
+    }
+    override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
+      x.mergeFrom(y); x
+    }
+    override def finish(b: FreqHolder): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[FreqHolder] =
+      Encoders.javaSerialization[FreqHolder]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Union stored frequent-items sketches and finish to
     * `(maxError, [(item, estimate, lower, upper)…])` — every item the
     * NO_FALSE_NEGATIVES guarantee can surface (any item whose true
@@ -419,4 +436,8 @@ object SketchAggregators {
     * struct(maxError, rows[(item, estimate, lower, upper)]). */
   def freqTop(sk: Column, maxMapSize: Int = 2048): Column =
     functions.udaf(new FreqTopAggregator(maxMapSize), Encoders.BINARY).apply(sk)
+
+  /** Union of stored frequent-items sketches → merged compact bytes. */
+  def freqUnion(sk: Column, maxMapSize: Int = 2048): Column =
+    functions.udaf(new FreqUnionAggregator(maxMapSize), Encoders.BINARY).apply(sk)
 }

@@ -8,57 +8,39 @@ import org.apache.spark.sql.types._
 
 /** A per-bucket KLL quantile-sketch table maintained from a value
   * stream — [[StreamingSketch]]'s pattern with quantiles instead of
-  * distinct counts: each micro-batch builds its own per-bucket KLL
-  * sketches ([[SketchAggregators.kllAgg]]) and folds them into the
-  * stored ones by UNION-THEN-REAGGREGATE (stored rows and delta rows
-  * union, then one `kllUnion` per bucket), behind [[FencedStore]]'s
-  * batch-id fence; any date-range quantile question is answered from
-  * the table alone ([[quantiles]]).
+  * distinct counts, on the shared [[FencedSketchTable]] implementation;
+  * any date-range quantile question is answered from the table alone
+  * ([[quantiles]]).
   *
   * Exactly-once honesty: unlike HLL (where re-observing an item cannot
   * move a register), KLL item inserts are NOT idempotent — a replayed
   * batch that escaped the fence would double-weight its values. The
   * batch-id fence is therefore the SINGLE line of defense here, exactly
   * as in [[Scd2Store]]; the spec replays a batch against the fence and
-  * asserts the table bytes do not move.
-  *
-  * Scale: per batch, one bucket-keyed partial+final sketch aggregate of
-  * the delta (map-side merge, fixed ~3 KB state per group at k=200),
-  * then a (stored ∪ delta) re-aggregate that is bucket-table-sized —
-  * never event-history-sized. */
+  * asserts the table does not move, then pushes data PAST the fence and
+  * asserts it does. */
 object StreamingQuantiles {
+
+  private def impl(k: Int) = new FencedSketchTable("kll",
+    StructField("value", DoubleType),
+    v => SketchAggregators.kllAgg(v, k),
+    sk => SketchAggregators.kllUnion(sk, k))
 
   /** Event schema for [[stream]]: the bucket (e.g. epoch day) and the
     * double value whose per-bucket distribution the table maintains. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("bucket", LongType), StructField("value", DoubleType)))
-
-  private val tableSchema = StructType(Seq(
-    StructField("bucket", LongType), StructField("sk", BinaryType)))
-
-  private def fencePrefix(prefix: String) = s"${prefix}_kll"
+  val eventSchema: StructType = impl(200).eventSchema
 
   def provision(spark: SparkSession, prefix: String): Unit =
-    FencedStore.provision(spark, fencePrefix(prefix), tableSchema)
+    impl(200).provision(spark, prefix)
 
   /** The sketch table as of the last applied batch. */
   def current(spark: SparkSession, prefix: String): DataFrame =
-    FencedStore.current(spark, fencePrefix(prefix))
+    impl(200).current(spark, prefix)
 
   /** Fold one micro-batch of (bucket, value) rows in. */
   def applyBatch(spark: SparkSession, prefix: String, batch: DataFrame,
                  batchId: Long, k: Int = 200): Boolean =
-    FencedStore.applyBatch(spark, fencePrefix(prefix), tableSchema, batchId) {
-      cur =>
-        if (batch.isEmpty) None
-        else {
-          val delta = batch.groupBy(col("bucket"))
-            .agg(SketchAggregators.kllAgg(col("value"), k).as("sk"))
-          Some(cur.select(col("bucket"), col("sk")).unionByName(delta)
-            .groupBy(col("bucket"))
-            .agg(SketchAggregators.kllUnion(col("sk"), k).as("sk")))
-        }
-    }
+    impl(k).applyBatch(spark, prefix, batch, batchId)
 
   /** Quantile estimates over `[lo, hi]` buckets from the stored
     * sketches alone: `[q(r) for r in ranks] ++ [eps]`, empty when the
@@ -73,16 +55,10 @@ object StreamingQuantiles {
   def stream(spark: SparkSession, srcDir: String, prefix: String,
              ckptDir: String, k: Int = 200,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    provision(spark, prefix)
-    spark.readStream.schema(eventSchema).parquet(srcDir)
-      .writeStream.trigger(trigger)
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, prefix, batch, batchId, k); ()
-      }
-      .start()
+    val i = impl(k)
+    i.stream(spark, srcDir, prefix, ckptDir, trigger)
   }
 
   def drop(spark: SparkSession, prefix: String): Unit =
-    FencedStore.drop(spark, fencePrefix(prefix))
+    impl(200).drop(spark, prefix)
 }
