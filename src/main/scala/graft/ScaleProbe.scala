@@ -391,6 +391,35 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Parquet bloom filters at volume: a time-sorted table whose
+      // user_id min/max spans every row group (min/max pruning useless),
+      // point-looked-up with and without per-column bloom filters —
+      // measuring the row-group skipping the layout buys.
+      if (on("bloom")) {
+        val base = "/tmp/graft_bloom_probe"
+        val tbl = spark.range(n.toLong)
+          .select(col("id").as("ts"),
+            pmod(xxhash64(col("id")), lit(n.toLong)).as("user_id"),
+            (col("id") % 1000).cast("double").as("v"))
+          .sortWithinPartitions("ts")
+        tbl.write.mode("overwrite").parquet(s"$base/plain")
+        graft.sources.Formats.writeParquetBloom(tbl, s"$base/bloom",
+          Seq("user_id"), expectedNdv = math.max(100000L, n.toLong / 12))
+        val target = spark.range(12345L, 12346L)
+          .select(pmod(xxhash64(col("id")), lit(n.toLong))).head().getLong(0)
+        def timeLookup(path: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val c = spark.read.parquet(path)
+            .filter(col("user_id") === target).count()
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        timeLookup(s"$base/plain"); timeLookup(s"$base/bloom") // warm
+        val (secP, cP) = timeLookup(s"$base/plain")
+        val (secB, cB) = timeLookup(s"$base/bloom")
+        assert(cP == cB && cP >= 1, s"lookup results must agree: $cP vs $cB")
+        println(f"""{"metric":"bloom_scale","rows":$n,"plain_lookup_sec":$secP%.2f,"bloom_lookup_sec":$secB%.2f,"hits":$cP}""")
+      }
+
       // Data-quality report at volume: the one-pass claim measured —
       // the 5-constraint report vs the same 5 checks as separate scans.
       if (on("dq")) {

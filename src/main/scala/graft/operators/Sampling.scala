@@ -112,6 +112,34 @@ object Sampling {
     df.withColumn("split", ladder.get.otherwise(lit(splits.last._1)))
   }
 
+  /** CURRICULUM BINNING: assign each row a difficulty bin (1 = easiest
+    * … nBins = hardest by ascending `score`) by comparing against the
+    * corpus's exact interpolated quantile boundaries — the data-side
+    * half of curriculum learning (order/stage training data by a
+    * difficulty proxy).
+    *
+    * Deliberately NOT an ntile window: a global rank window needs a
+    * total order (single-partition sort at corpus scale); threshold
+    * binning is ONE boundary aggregate (nBins−1 values, broadcast) plus
+    * a map-only comparison, so it scales like a projection. The
+    * difference to ntile is the documented tie behavior: equal scores
+    * always land in the same bin (bins are value intervals, not
+    * equal-count slices). Exact `percentile` holds a value histogram
+    * per aggregate — at extreme value cardinality swap the boundary
+    * expression for `approx_percentile` (same plan shape).
+    * Output: input columns + `bin`. */
+  def curriculumBins(df: DataFrame, score: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = df.select(score.as("__s"))
+      .agg(expr(s"percentile(__s, array(${qs.mkString(", ")}))").as("__b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        (lit(1) + aggregate(col("__b"), lit(0),
+          (acc, b) => acc + when(score > b, 1).otherwise(0))).cast("int"))
+      .drop("__b")
+  }
+
   /** Temperature-flattened mixture — the published multilingual/source
     * sampling rule (target share q_g ∝ p_g^α for observed share p_g;
     * α = 1 natural, α → 0 uniform): derive per-stratum KEEP fractions

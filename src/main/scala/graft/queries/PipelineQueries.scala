@@ -525,6 +525,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum binning: quartile difficulty bins over document length
+    // — exact interpolated boundaries (one aggregate, broadcast) + a
+    // map-only comparison; ties share a bin by construction.
+    "sample_curriculum" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling
+        .curriculumBins(t.documents.select(col("doc_id"), col("n_chars")),
+          col("n_chars"), nBins = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // Leakage-safe train/val/test split: the assignment unit is the
     // NEAR-DUP CLUSTER (minhashClusters — the dedup_canonical lineage),
     // not the document, so a near-duplicate of an eval document can
@@ -2238,6 +2249,18 @@ object PipelineQueries {
                    FROM m)
          SELECT cluster_id, doc_id AS keep_id, n_members, keep_quality
          FROM rnk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // quantile_cont == Spark's percentile (the q_percentile-established
+    // mapping); bin = 1 + Σ indicator(score > boundary), same ints.
+    "sample_curriculum" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+               quantile_cont(n_chars, 0.5) AS b2,
+               quantile_cont(n_chars, 0.75) AS b3
+             FROM documents)
+         SELECT doc_id, n_chars,
+           CAST(1 + (n_chars > b1)::INT + (n_chars > b2)::INT
+              + (n_chars > b3)::INT AS INT) AS bin
+         FROM documents, b ORDER BY doc_id""",
 
     // Same cluster derivation as dedup_canonical, then the md5-threshold
     // split ladder on cluster_id (thresholds interpolated from the same

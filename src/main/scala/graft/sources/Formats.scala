@@ -54,6 +54,27 @@ object Formats {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Parquet with per-column BLOOM FILTERS — the layout lever for
+    * point lookups on columns the sort order does NOT serve: min/max
+    * statistics prune row groups only for clustered columns (see
+    * [[Bucketing.writeZOrdered]]); a bloom filter prunes them for an
+    * equality predicate on any enabled column, sorted or not, at the
+    * cost of ~1.2 bytes/NDV of footer. Spark's parquet reader applies
+    * them during row-group filtering whenever filter pushdown is on, so
+    * `WHERE user_id = x` on a time-sorted 100 TB table skips every row
+    * group the key never touched — the difference between a point
+    * lookup reading kilobytes and scanning the corpus. `expectedNdv`
+    * sizes each filter (per ROW GROUP, not per file). */
+  def writeParquetBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                        expectedNdv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    val w = df.write.mode(SaveMode.Overwrite)
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).option("compression", "gzip").csv(path)

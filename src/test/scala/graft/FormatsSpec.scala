@@ -54,4 +54,36 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(new java.io.File(dir).list().exists(_.startsWith("part=")))
   }
+
+  test("parquet bloom filters are written per enabled column and preserve reads") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("blm").toString
+    val df = spark.range(10000)
+      .select(col("id").as("ts"),
+        pmod(xxhash64(col("id")), lit(10000L)).as("user_id"),
+        (col("id") % 7).as("v"))
+    Formats.writeParquetBloom(df, s"$dir/t", Seq("user_id"), expectedNdv = 10000)
+    // equality-filtered read agrees with the unfiltered truth
+    val target = df.select(col("user_id")).head().getLong(0)
+    val expect = df.filter(col("user_id") === target).count()
+    val got = Formats.readParquet(spark, s"$dir/t")
+      .filter(col("user_id") === target).count()
+    assert(got == expect && got >= 1)
+    // the footer actually carries a bloom filter for user_id and ONLY
+    // for user_id (the option is per-column, not blanket)
+    val part = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0))
+        .toMap
+      assert(byName("user_id"), s"user_id must carry a bloom: $byName")
+      assert(!byName("v"), s"v must not: $byName")
+    } finally reader.close()
+  }
 }

@@ -384,4 +384,28 @@ class SamplingSpec extends SparkSpec {
         Seq("a" -> 0.8, "b" -> 0.4))
     }
   }
+
+  test("curriculumBins: interval bins on exact boundaries; ties share a bin; map-only plan") {
+    // scores 1..8: quartile boundaries 2.75 / 4.5 / 6.25 → bins 1,1,2,2,3,3,4,4
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val got = Sampling.curriculumBins(df, col("s"), 4)
+      .orderBy("id").select("bin").as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 2, 2, 3, 3, 4, 4), got.toString)
+    // ties: equal scores land in the SAME bin (value intervals, not
+    // equal-count slices — the documented difference to ntile)
+    val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 1.0))
+      .toDF("id", "s")
+    val bins = Sampling.curriculumBins(tied, col("s"), 2)
+      .filter(col("s") === 5.0).select("bin").distinct().as[Int].collect()
+    assert(bins.length == 1, s"equal scores must share a bin: ${bins.toSeq}")
+    // the assignment side is map-only: no exchange above the scan except
+    // the 1-row boundary broadcast
+    val plan = Sampling.curriculumBins(df, col("s"), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"binning must be broadcast + projection:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBins(df, col("s"), 1)
+    }
+  }
 }
