@@ -376,10 +376,9 @@ object ScaleProbe {
       if (on("bpe")) {
         docs.cache().count()
         val t0 = System.nanoTime()
-        val wf = docs.select(explode(
-            graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
-          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        // the SAME derivation bpeTrain runs internally (shared helper),
+        // so the timed scan cannot drift from the trainer's
+        val wf = graft.operators.TextAnalysis.bpeWordCounts(docs, col("text"))
         val vocab = wf.count()
         val secScan = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()

@@ -93,20 +93,25 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Union stored KLL sketches (byte rows of the sketch table);
-    * finishes to the merged compact bytes. */
-  final class KllUnionAggregator(k: Int)
-      extends Aggregator[Array[Byte], KllHolder, Array[Byte]] {
-    override def zero: KllHolder = new KllHolder(k)
-    override def reduce(b: KllHolder, bytes: Array[Byte]): KllHolder = {
+  /** Shared byte-merging half of every KLL rollup aggregator — ONE
+    * copy of zero/reduce/merge, subclasses differ only in `finish`. */
+  sealed abstract class KllMergeBase[OUT](k: Int)
+      extends Aggregator[Array[Byte], KllHolder, OUT] {
+    final override def zero: KllHolder = new KllHolder(k)
+    final override def reduce(b: KllHolder, bytes: Array[Byte]): KllHolder = {
       b.mergeBytes(bytes); b
     }
-    override def merge(x: KllHolder, y: KllHolder): KllHolder = {
+    final override def merge(x: KllHolder, y: KllHolder): KllHolder = {
       x.mergeFrom(y); x
     }
-    override def finish(b: KllHolder): Array[Byte] = b.toBytes
-    override def bufferEncoder: Encoder[KllHolder] =
+    final override def bufferEncoder: Encoder[KllHolder] =
       Encoders.javaSerialization[KllHolder]
+  }
+
+  /** Union stored KLL sketches (byte rows of the sketch table);
+    * finishes to the merged compact bytes. */
+  final class KllUnionAggregator(k: Int) extends KllMergeBase[Array[Byte]](k) {
+    override def finish(b: KllHolder): Array[Byte] = b.toBytes
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -116,22 +121,13 @@ object SketchAggregators {
     * query needs no second pass over the sketch bytes. Empty union
     * (no rows in the range) finishes to an empty array. */
   final class KllQuantilesAggregator(k: Int, ranks: Seq[Double])
-      extends Aggregator[Array[Byte], KllHolder, Seq[Double]] {
+      extends KllMergeBase[Seq[Double]](k) {
     require(ranks.nonEmpty && ranks.forall(r => r > 0.0 && r < 1.0),
       s"quantile ranks must lie in (0,1), got $ranks")
-    override def zero: KllHolder = new KllHolder(k)
-    override def reduce(b: KllHolder, bytes: Array[Byte]): KllHolder = {
-      b.mergeBytes(bytes); b
-    }
-    override def merge(x: KllHolder, y: KllHolder): KllHolder = {
-      x.mergeFrom(y); x
-    }
     override def finish(b: KllHolder): Seq[Double] =
       if (b.isEmpty) Seq.empty
       else ranks.map(r => b.raw.getQuantile(r)) :+
         b.raw.getNormalizedRankError(false)
-    override def bufferEncoder: Encoder[KllHolder] =
-      Encoders.javaSerialization[KllHolder]
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
@@ -353,20 +349,27 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Shared byte-merging half of the frequent-items rollup aggregators
+    * — ONE copy of zero/reduce/merge, subclasses differ only in
+    * `finish`. */
+  sealed abstract class FreqMergeBase[OUT](maxMapSize: Int)
+      extends Aggregator[Array[Byte], FreqHolder, OUT] {
+    final override def zero: FreqHolder = new FreqHolder(maxMapSize)
+    final override def reduce(b: FreqHolder, bytes: Array[Byte]): FreqHolder = {
+      b.mergeBytes(bytes); b
+    }
+    final override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
+      x.mergeFrom(y); x
+    }
+    final override def bufferEncoder: Encoder[FreqHolder] =
+      Encoders.javaSerialization[FreqHolder]
+  }
+
   /** Union stored frequent-items sketches; finishes to the merged
     * compact bytes (the row of a rolled-up sketch table). */
   final class FreqUnionAggregator(maxMapSize: Int)
-      extends Aggregator[Array[Byte], FreqHolder, Array[Byte]] {
-    override def zero: FreqHolder = new FreqHolder(maxMapSize)
-    override def reduce(b: FreqHolder, bytes: Array[Byte]): FreqHolder = {
-      b.mergeBytes(bytes); b
-    }
-    override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
-      x.mergeFrom(y); x
-    }
+      extends FreqMergeBase[Array[Byte]](maxMapSize) {
     override def finish(b: FreqHolder): Array[Byte] = b.toBytes
-    override def bufferEncoder: Encoder[FreqHolder] =
-      Encoders.javaSerialization[FreqHolder]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -376,15 +379,7 @@ object SketchAggregators {
     * count exceeds maxError IS in the list; below nominal capacity the
     * sketch is exact, maxError is 0 and every interval is a point). */
   final class FreqTopAggregator(maxMapSize: Int)
-      extends Aggregator[Array[Byte], FreqHolder,
-        (Long, Seq[(String, Long, Long, Long)])] {
-    override def zero: FreqHolder = new FreqHolder(maxMapSize)
-    override def reduce(b: FreqHolder, bytes: Array[Byte]): FreqHolder = {
-      b.mergeBytes(bytes); b
-    }
-    override def merge(x: FreqHolder, y: FreqHolder): FreqHolder = {
-      x.mergeFrom(y); x
-    }
+      extends FreqMergeBase[(Long, Seq[(String, Long, Long, Long)])](maxMapSize) {
     override def finish(b: FreqHolder): (Long, Seq[(String, Long, Long, Long)]) = {
       val sk = b.sketch
       val rows = sk.getFrequentItems(
@@ -393,8 +388,6 @@ object SketchAggregators {
         rows.toSeq.map(r => (r.getItem, r.getEstimate, r.getLowerBound,
           r.getUpperBound)))
     }
-    override def bufferEncoder: Encoder[FreqHolder] =
-      Encoders.javaSerialization[FreqHolder]
     override def outputEncoder: Encoder[(Long, Seq[(String, Long, Long, Long)])] =
       Encoders.product[(Long, Seq[(String, Long, Long, Long)])]
   }

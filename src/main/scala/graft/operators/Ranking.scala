@@ -49,7 +49,27 @@ object Ranking {
     require(lists.size >= 2, s"fusion needs >= 2 lists, got ${lists.size}")
     require(lists.map(_._1).distinct.size == lists.size,
       s"duplicate list names: ${lists.map(_._1)}")
-    val renamed = lists.map { case (name, df) =>
+    // materialize each (top-k-sized) list once: the guard below is an
+    // action, and without this it would re-execute the full ranking
+    // lineage (a corpus-scale BM25/ANN job) a second time for the join
+    val mats = lists.map { case (name, df) => name -> df.localCheckpoint(true) }
+    // the arithmetic assumes each list ranks an id ONCE with 1-based
+    // ranks (0 is the output's "absent" sentinel); both are cheap to
+    // check on top-k-sized inputs and silently wrong otherwise (a
+    // duplicated id fans the join out, a 0-based rank inflates the top
+    // hit AND collides with the sentinel) — measured guards, by name
+    mats.foreach { case (name, df) =>
+      val r = df.agg(count(lit(1)), count_distinct(col(idCol)),
+        min(col(rankCol))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"rrfFuse: list '$name' ranks an id more than once " +
+          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct ids) — " +
+          "dedup or re-rank it first")
+      require(r.isNullAt(2) || Seq(r.get(2).toString.toDouble).head >= 1.0,
+        s"rrfFuse: list '$name' has rank ${r.get(2)} < 1 — ranks must be " +
+          "1-based (0 is the output's absent sentinel)")
+    }
+    val renamed = mats.map { case (name, df) =>
       name -> df.select(col(idCol).as("id"),
         col(rankCol).cast("long").as(s"rk_$name"))
     }

@@ -130,6 +130,14 @@ object Sampling {
     * Output: input columns + `bin`. */
   def curriculumBins(df: DataFrame, score: Column, nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    // a NULL score compares false against every boundary and would land
+    // silently in bin 1 — training on unknown-difficulty rows first, as
+    // if verified-easiest. Fail by name instead (measured, one cheap
+    // filter probe), matching splitByGroup's null-key guard.
+    require(df.filter(score.isNull).isEmpty,
+      "curriculumBins: the score column contains nulls — every null row " +
+        "would silently land in bin 1 (easiest); filter them out or fix " +
+        "the upstream difficulty proxy first")
     val qs = (1 until nBins).map(i => i.toDouble / nBins)
     val bounds = df.select(score.as("__s"))
       .agg(expr(s"percentile(__s, array(${qs.mkString(", ")}))").as("__b"))

@@ -489,13 +489,20 @@ object TextAnalysis {
     * Stops early if every word has collapsed to one symbol. Output:
     * `(rank, left, right, freq)` — freq is the classical sliding pair
     * count at selection time. */
+  /** The word-frequency table BPE training runs on — ONE corpus scan
+    * (whitespace tokens, lowercase-letter words of length ≥ 2).
+    * Shared with the `bpe` ScaleProbe so what the probe times IS the
+    * scan [[bpeTrain]] performs, by construction. */
+  private[graft] def bpeWordCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
   def bpeTrain(docs: DataFrame, text: Column, nMerges: Int,
                checkpointEvery: Int = 8): DataFrame = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     val spark = docs.sparkSession
-    val words0 = docs.select(explode(tokens(text)).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val words0 = bpeWordCounts(docs, text)
       .select(concat(lit("||"),
         regexp_replace(col("w"), "(.)", "$1||")).as("s"), col("freq"))
       .localCheckpoint(true) // one corpus scan; iterations never rescan

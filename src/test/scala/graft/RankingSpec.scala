@@ -142,5 +142,17 @@ class RankingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ranking.rrfFuse(Seq("a" -> a, "a" -> b), "id", "rk", 5)
     }
+    // a list ranking an id twice would fan the join out — fails by name
+    val dup = Seq((10L, 3), (10L, 7)).toDF("id", "rk")
+    val e1 = intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq("a" -> dup, "b" -> b), "id", "rk", 5)
+    }
+    assert(e1.getMessage.contains("more than once"), e1.getMessage)
+    // 0-based ranks collide with the output's absent sentinel — by name
+    val zero = Seq((10L, 0), (20L, 1)).toDF("id", "rk")
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq("a" -> zero, "b" -> b), "id", "rk", 5)
+    }
+    assert(e2.getMessage.contains("1-based"), e2.getMessage)
   }
 }

@@ -407,5 +407,12 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.curriculumBins(df, col("s"), 1)
     }
+    // null scores would silently land in bin 1 — fails by name instead
+    val withNull = Seq((1L, Some(2.0)), (2L, Option.empty[Double]))
+      .toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumBins(withNull, col("s"), 2)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
   }
 }
