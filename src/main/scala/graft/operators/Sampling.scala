@@ -94,13 +94,19 @@ object Sampling {
       s"split fractions sum over 1: $splits")
     // a NULL group key would fall through every threshold rung into the
     // LAST split — silently flooding the eval split is the one failure a
-    // leakage-safety API must not have, so it fails by name (measured,
-    // like every other guard; one cheap filter probe)
-    require(df.filter(group.isNull).isEmpty,
-      "splitByGroup: the group column contains nulls — every null-keyed " +
-        "row would land in the last split; fix the upstream join or " +
-        "coalesce the key first")
-    val h = hashKey(group)
+    // leakage-safety API must not have. The guard is a per-row
+    // raise_error poison on the null branch (NOT a pre-pass filter
+    // probe: the input here is typically an expensive clustering
+    // lineage, and a construction-time scan would execute it twice) —
+    // zero cost unless violated, fails by name at first null. It lives
+    // IN the split column, so it fires exactly when that column is
+    // consumed — a query that prunes the column away never reads the
+    // corrupt value either.
+    val h = hashKey(when(group.isNull,
+      raise_error(lit("splitByGroup: the group column contains nulls — " +
+        "every null-keyed row would land in the last split; fix the " +
+        "upstream join or coalesce the key first")).cast("string"))
+      .otherwise(group.cast("string")))
     // cumulative thresholds: [f1, f1+f2, ...); the last split is the
     // unconditional remainder, so the ladder never drops a row
     val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
@@ -130,21 +136,23 @@ object Sampling {
     * Output: input columns + `bin`. */
   def curriculumBins(df: DataFrame, score: Column, nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
-    // a NULL score compares false against every boundary and would land
-    // silently in bin 1 — training on unknown-difficulty rows first, as
-    // if verified-easiest. Fail by name instead (measured, one cheap
-    // filter probe), matching splitByGroup's null-key guard.
-    require(df.filter(score.isNull).isEmpty,
-      "curriculumBins: the score column contains nulls — every null row " +
-        "would silently land in bin 1 (easiest); filter them out or fix " +
-        "the upstream difficulty proxy first")
     val qs = (1 until nBins).map(i => i.toDouble / nBins)
     val bounds = df.select(score.as("__s"))
       .agg(expr(s"percentile(__s, array(${qs.mkString(", ")}))").as("__b"))
+    // a NULL score compares false against every boundary and would land
+    // silently in bin 1 — training on unknown-difficulty rows first, as
+    // if verified-easiest. A per-row raise_error poison on the null
+    // branch fails by name at first null with zero cost otherwise (a
+    // construction-time filter probe would re-execute the input lineage).
     df.crossJoin(broadcast(bounds))
       .withColumn("bin",
-        (lit(1) + aggregate(col("__b"), lit(0),
-          (acc, b) => acc + when(score > b, 1).otherwise(0))).cast("int"))
+        when(score.isNull,
+          raise_error(lit("curriculumBins: the score column contains " +
+            "nulls — every null row would silently land in bin 1 " +
+            "(easiest); filter them out or fix the upstream difficulty " +
+            "proxy first")).cast("int"))
+          .otherwise((lit(1) + aggregate(col("__b"), lit(0),
+            (acc, b) => acc + when(score > b, 1).otherwise(0))).cast("int")))
       .drop("__b")
   }
 

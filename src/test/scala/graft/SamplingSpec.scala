@@ -407,12 +407,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.curriculumBins(df, col("s"), 1)
     }
-    // null scores would silently land in bin 1 — fails by name instead
+    // null scores would silently land in bin 1 — the per-row poison
+    // fails by name at first null (zero cost on clean data: no
+    // construction-time re-execution of the input lineage)
     val withNull = Seq((1L, Some(2.0)), (2L, Option.empty[Double]))
       .toDF("id", "s")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
+      // the poison lives in the bin column: consuming IT trips the
+      // guard (a count() that prunes the column never corrupts anything)
       Sampling.curriculumBins(withNull, col("s"), 2)
+        .select("bin").collect()
     }
-    assert(e.getMessage.contains("null"), e.getMessage)
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")), e.toString)
+    // …and a null GROUP key fails splitByGroup the same way
+    val nullGrp = Seq((1L, Some(1L)), (2L, Option.empty[Long]))
+      .toDF("id", "grp")
+    val e2 = intercept[Exception] {
+      Sampling.splitByGroup(nullGrp, col("grp"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("split").collect()
+    }
+    assert(e2.getMessage.contains("null") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null")), e2.toString)
   }
 }
