@@ -390,6 +390,37 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // N-gram LM at scale: train the stupid-backoff trigram tables on
+      // the full n-doc corpus (one scan; minCount=2 prunes the singleton
+      // tail), then score a FIXED 20k-doc slice against the checkpointed
+      // model — that time should stay flat as the training corpus grows
+      // (the "per-doc cost is model-size-independent" claim), while the
+      // full self-score grows linearly with n.
+      if (on("ngram")) {
+        docs.cache().count()
+        val t0 = System.nanoTime()
+        val model = graft.operators.TextAnalysis
+          .ngramTrain(docs, col("text"), minCount = 2)
+        val mc = graft.operators.TextAnalysis.NgramModel(
+          model.uni.localCheckpoint(true), model.bi.localCheckpoint(true),
+          model.tri.localCheckpoint(true), model.total.localCheckpoint(true))
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        val (cu, cb, ct) = (mc.uni.count(), mc.bi.count(), mc.tri.count())
+        val fixed = docs.filter(col("doc_id") < 20000)
+        val t1 = System.nanoTime()
+        graft.operators.TextAnalysis.ngramScore(fixed,
+          col("doc_id"), col("text"), mc)
+          .agg(sum(col("avg_neg_logp"))).collect()
+        val secFixed = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        graft.operators.TextAnalysis.ngramScore(docs,
+          col("doc_id"), col("text"), mc)
+          .agg(sum(col("avg_neg_logp"))).collect()
+        val secFull = (System.nanoTime() - t2) / 1e9
+        println(f"""{"metric":"ngram_scale","docs":$n,"uni":$cu,"bi":$cb,"tri":$ct,"train_sec":$secTrain%.2f,"score20k_sec":$secFixed%.2f,"scorefull_sec":$secFull%.2f}""")
+        docs.unpersist()
+      }
+
       // Parquet bloom filters at volume: a time-sorted table whose
       // user_id min/max spans every row group (min/max pruning useless),
       // point-looked-up with and without per-column bloom filters —

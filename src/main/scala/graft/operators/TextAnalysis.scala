@@ -536,4 +536,117 @@ object TextAnalysis {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
+
+  /** Trained n-gram LM frequency tables: unigram / bigram / trigram
+    * counts plus the 1-row corpus-token total. All vocabulary-shaped
+    * (never corpus-row-shaped once pruned), derived from ONE logical
+    * corpus scan — the planner may replay that scan per table, but no
+    * table is ever wider than its n-gram type count. */
+  final case class NgramModel(uni: DataFrame, bi: DataFrame,
+                              tri: DataFrame, total: DataFrame)
+
+  /** Per-document token/context grams, extracted map-side from the token
+    * array (no per-doc window shuffle): one output row per token with its
+    * one- and two-back predecessors (null at document start). */
+  private def ngramGrams(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), tokens(text).as("ts"))
+      // blank docs MUST drop before sequence(): sequence(1, 0) counts
+      // DOWN ([1, 0]), which would fabricate out-of-range element_at
+      // calls rather than an empty gram list
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts"))), i => struct(
+          element_at(col("ts"), i).as("cur"),
+          when(i > lit(1), element_at(col("ts"), i - 1)).as("p1"),
+          when(i > lit(2), element_at(col("ts"), i - 2)).as("p2")))).as("g"))
+      .select(col("doc_id"), col("g.cur"), col("g.p1"), col("g.p2"))
+
+  /** Train the stupid-backoff trigram LM ([[ngramScore]]): unigram,
+    * bigram and trigram frequency tables from one corpus scan.
+    * `minCount` prunes bigram/trigram types below the threshold (the
+    * KenLM-style singleton prune — at corpus scale the singleton tail IS
+    * most of the trigram type mass, and backoff absorbs pruned entries
+    * by construction); unigrams are never pruned, so every in-vocabulary
+    * context keeps its denominator count. */
+  def ngramTrain(corpus: DataFrame, text: Column, minCount: Int = 1): NgramModel = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val g = ngramGrams(corpus, lit(0L), text)
+    val uni = g.groupBy(col("cur")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("total"))
+    val bi = g.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("cur")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val tri = g.filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+    NgramModel(uni, bi, tri, total)
+  }
+
+  /** N-gram LM quality score (the KenLM/CCNet-style perplexity gate):
+    * per document, the average negative log-probability of its tokens
+    * under a STUPID-BACKOFF trigram model (Brants et al. 2007 — scores,
+    * not normalized probabilities, which is what the corpus-quality
+    * filter needs):
+    *
+    *   S(w | p2 p1) = c3(p2,p1,w)/c2(p2,p1)   if the trigram survives
+    *                = α · S(w | p1)            otherwise
+    *   S(w | p1)    = c2(p1,w)/c1(p1)          if the bigram survives
+    *                = α · S(w)                 otherwise
+    *   S(w)         = c1(w)/total, or 1/total for OOV (one pseudo-count)
+    *
+    * Document position 1 scores S(w), position 2 scores S(w|p1), the
+    * rest score S(w|p2 p1) — so a doc's first tokens never fabricate
+    * context. Per-token −ln S is rounded to 6 decimals and summed as
+    * DECIMAL (fixed-order, engine-exact); divisions are exact-integer
+    * IEEE divisions, identical in any engine.
+    *
+    * Shape at 100 TB: gram extraction is map-side; the five model joins
+    * are each against a type-count-sized table the planner broadcasts
+    * when it fits and shuffle-joins when it does not — `minCount` is the
+    * lever that keeps the trigram table vocabulary-shaped rather than
+    * corpus-shaped (singleton pruning typically drops the majority of
+    * trigram TYPES while backoff keeps every token scoreable); the
+    * per-doc rollup is one id-keyed aggregation. Per-doc cost is
+    * model-size-independent once the model tables are built. */
+  def ngramScore(docs: DataFrame, id: Column, text: Column,
+                 model: NgramModel, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val g = ngramGrams(docs, id, text)
+    val uniP = model.uni.select(col("cur").as("p1"), col("c1").as("c1p"))
+    val biCtx = model.bi.select(col("p1").as("p2"), col("cur").as("p1"),
+      col("c2").as("c2ctx"))
+    val scored = g
+      .join(model.uni, Seq("cur"), "left")
+      .crossJoin(broadcast(model.total))
+      .join(uniP, Seq("p1"), "left")
+      .join(model.bi, Seq("p1", "cur"), "left")
+      .join(biCtx, Seq("p2", "p1"), "left")
+      .join(model.tri, Seq("p2", "p1", "cur"), "left")
+    val pUni = when(col("c1").isNotNull,
+        col("c1").cast("double") / col("total"))
+      .otherwise(lit(1.0) / col("total")) // OOV floor: one pseudo-count
+    // context survives whenever the bigram does (c2 >= minCount implies
+    // c1(p1) >= minCount and unigrams are unpruned), so c1p/c2ctx are
+    // never null where the branch that divides by them is taken
+    val sb = when(col("c2").isNotNull, col("c2").cast("double") / col("c1p"))
+      .otherwise(lit(alpha) * pUni)
+    val p = when(col("p2").isNotNull,
+        when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+          .otherwise(lit(alpha) * sb))
+      .when(col("p1").isNotNull, sb)
+      .otherwise(pUni)
+    scored
+      .withColumn("nl", round(-log(p), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nl")).cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logp"))
+  }
+
+  /** Self-scored convenience form: train on `docs`, score `docs` — the
+    * corpus-quality-report shape ([[unigramLogProb]] with real context). */
+  def ngramLogProb(docs: DataFrame, id: Column, text: Column,
+                   minCount: Int = 1, alpha: Double = 0.4): DataFrame =
+    ngramScore(docs, id, text, ngramTrain(docs, text, minCount), alpha)
 }

@@ -1454,6 +1454,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Stupid-backoff trigram LM quality score (the KenLM/CCNet-style
+    // perplexity gate): minCount=2 exercises the singleton prune, so the
+    // oracle replays training, pruning, backoff and scoring end to end.
+    "text_ngram_logprob" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.ngramLogProb(t.documents, col("doc_id"), col("text"),
+          minCount = 2)
+        .orderBy(col("doc_id"))
+    },
+
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents
@@ -3196,6 +3206,58 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_tokens,
            round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // Stupid-backoff trigram LM: grams extracted per doc by 1-based list
+    // index (p1/p2 null at document start), bigram/trigram types pruned
+    // at minCount=2, scored S(w|p2,p1)=c3/c2ctx with α=0.4 backoff —
+    // the CASE nesting and 0.4*(0.4*(...)) association mirror the Spark
+    // expression exactly so the IEEE doubles match bit for bit.
+    "text_ngram_logprob" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+            g0 AS (SELECT doc_id,
+                     [struct_pack(cur := ts[i],
+                        p1 := CASE WHEN i >= 2 THEN ts[i-1] END,
+                        p2 := CASE WHEN i >= 3 THEN ts[i-2] END)
+                      for i in range(1, len(ts) + 1)] AS gs
+                   FROM d),
+            g AS (SELECT doc_id, u.cur AS cur, u.p1 AS p1, u.p2 AS p2
+                  FROM (SELECT doc_id, unnest(gs) AS u FROM g0)),
+            uni AS (SELECT cur, count(*) AS c1 FROM g GROUP BY 1),
+            tot AS (SELECT sum(c1) AS total FROM uni),
+            bi AS (SELECT p1, cur, count(*) AS c2 FROM g
+                   WHERE p1 IS NOT NULL GROUP BY 1, 2
+                   HAVING count(*) >= 2),
+            tri AS (SELECT p2, p1, cur, count(*) AS c3 FROM g
+                    WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+                    HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id,
+                    CASE WHEN g.p2 IS NOT NULL THEN
+                           CASE WHEN t3.c3 IS NOT NULL
+                                THEN CAST(t3.c3 AS DOUBLE) / b2.c2ctx
+                                ELSE 0.4 * (CASE WHEN b.c2 IS NOT NULL
+                                  THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                  ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END)
+                           END
+                         WHEN g.p1 IS NOT NULL THEN
+                           CASE WHEN b.c2 IS NOT NULL
+                                THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.total END AS p
+                  FROM g JOIN uni u ON g.cur = u.cur
+                    CROSS JOIN tot
+                    LEFT JOIN (SELECT cur AS tok, c1 AS c1p FROM uni) u1
+                      ON g.p1 = u1.tok
+                    LEFT JOIN bi b ON g.p1 = b.p1 AND g.cur = b.cur
+                    LEFT JOIN (SELECT p1 AS ctx2, cur AS ctx1, c2 AS c2ctx
+                               FROM bi) b2
+                      ON g.p2 = b2.ctx2 AND g.p1 = b2.ctx1
+                    LEFT JOIN tri t3
+                      ON g.p2 = t3.p2 AND g.p1 = t3.p1 AND g.cur = t3.cur),
+            nl AS (SELECT doc_id,
+                     CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nl FROM s)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
+         FROM nl GROUP BY doc_id ORDER BY doc_id""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n

@@ -286,6 +286,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ngram logprob: hand-computed stupid backoff, OOV floor, singleton prune") {
+    // corpus: a:4 b:4 c:3 d:1 (total 12); bigrams (a,b):4 (b,c):3 (c,a):2
+    // (b,d):1; trigrams (a,b,c):3 (b,c,a):2 (c,a,b):2 (a,b,d):1
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b d")
+    ).toDF("doc_id", "text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // self-scored, no pruning: every position hand-traced
+    val self = TextAnalysis.ngramLogProb(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc1: -ln(4/12), then S(b|a)=4/4, then trigram MLEs 3/4, 2/3, 1, ...
+    val d1 = Seq(4.0 / 12, 1.0, 3.0 / 4, 2.0 / 3, 1.0, 3.0 / 4, 2.0 / 3, 1.0, 3.0 / 4)
+    assert(self(1L)._1 == 9L)
+    assert(math.abs(self(1L)._2 - r6(d1.map(p => r6(-math.log(p))).sum / 9)) < 1e-9)
+    // doc2: unigram, bigram MLE 1.0, trigram MLE 1/4
+    val d2 = Seq(4.0 / 12, 1.0, 1.0 / 4)
+    assert(math.abs(self(2L)._2 - r6(d2.map(p => r6(-math.log(p))).sum / 3)) < 1e-9)
+
+    // scoring fresh docs against the trained model: backoff chain + OOV
+    val model = TextAnalysis.ngramTrain(corpus, col("text"))
+    val y = Seq((10L, "b a zzz d")).toDF("doc_id", "text")
+    val gotY = TextAnalysis.ngramScore(y, col("doc_id"), col("text"), model)
+      .head()
+    // pos1 unigram b: 4/12; pos2 bigram (b,a) missing -> 0.4*(4/12);
+    // pos3 trigram+bigram missing, zzz OOV -> 0.4*(0.4*(1/12));
+    // pos4 trigram missing, bigram (zzz,d) missing -> 0.4*(0.4*(1/12))
+    val py = Seq(4.0 / 12, 0.4 * (4.0 / 12), 0.4 * (0.4 * (1.0 / 12)),
+      0.4 * (0.4 * (1.0 / 12)))
+    assert(gotY.getLong(1) == 4L)
+    assert(math.abs(gotY.getDouble(2) - r6(py.map(p => r6(-math.log(p))).sum / 4)) < 1e-9)
+
+    // minCount=2 prunes (b,d) and (a,b,d): doc2's "d" now backs all the
+    // way off to the alpha^2 unigram path even though it is in-vocabulary
+    val pruned = TextAnalysis.ngramLogProb(corpus, col("doc_id"), col("text"),
+        minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val d2p = Seq(4.0 / 12, 1.0, 0.4 * (0.4 * (1.0 / 12)))
+    assert(math.abs(pruned(2L) - r6(d2p.map(p => r6(-math.log(p))).sum / 3)) < 1e-9)
+    // doc1's trigrams all survive minCount=2 -> unchanged
+    assert(math.abs(pruned(1L) - self(1L)._2) < 1e-9)
+
+    // blank docs vanish (no phantom grams from the descending sequence)
+    val blank = Seq((20L, "  "), (21L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.ngramScore(blank, col("doc_id"), col("text"), model)
+      .count() == 0)
+
+    // decimal sum: partitioning-invariant on the real corpus
+    val docs = Tables(spark, sfDir).documents
+    val a = TextAnalysis.ngramLogProb(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    val b = TextAnalysis.ngramLogProb(docs.repartition(13, col("source")),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    assert(a == b)
+  }
+
   test("plan guard: boilerplate filter is a broadcast anti join; only reassembly shuffles text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
