@@ -87,18 +87,21 @@ object Quality {
         c.label -> (count(lit(1)) -
           count_distinct(struct(cols0.map(col): _*)))
     }
+    // positional __c$i aliases, not the labels: labels surface only as
+    // lit() VALUES, never rendered into an identifier or SQL string, so
+    // a column name carrying quotes/backticks can't break the unpivot
     val aggCols = count(lit(1)).as("n_rows") +:
-      rowLevel.map { case (label, e) => e.as(label) }
+      rowLevel.zipWithIndex.map { case ((_, e), i) => e.as(s"__c$i") }
     val oneRow = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
     val nRows = oneRow.select(col("n_rows"))
     val rowReport =
       if (rowLevel.isEmpty) None
-      else Some(oneRow.selectExpr(
-        "n_rows",
-        s"stack(${rowLevel.size}, " + rowLevel.map { case (label, _) =>
-          s"'${label}', `${label}`"
-        }.mkString(", ") + ") AS (constraint, violations)")
-        .select(col("constraint"), col("n_rows"), col("violations")))
+      else Some(oneRow.select(col("n_rows"),
+        explode(array(rowLevel.zipWithIndex.map { case ((label, _), i) =>
+          struct(lit(label).as("constraint"),
+            col(s"__c$i").cast("long").as("violations"))
+        }: _*)).as("kv"))
+        .select(col("kv.constraint"), col("n_rows"), col("kv.violations")))
     val refReports = constraints.collect {
       case c @ RefIntegrity(fk, dim, pk) =>
         df.filter(col(fk).isNotNull)

@@ -49,29 +49,31 @@ object Ranking {
     require(lists.size >= 2, s"fusion needs >= 2 lists, got ${lists.size}")
     require(lists.map(_._1).distinct.size == lists.size,
       s"duplicate list names: ${lists.map(_._1)}")
-    // materialize each (top-k-sized) list once: the guard below is an
-    // action, and without this it would re-execute the full ranking
-    // lineage (a corpus-scale BM25/ANN job) a second time for the join
-    val mats = lists.map { case (name, df) => name -> df.localCheckpoint(true) }
+    import org.apache.spark.sql.expressions.Window
     // the arithmetic assumes each list ranks an id ONCE with 1-based
-    // ranks (0 is the output's "absent" sentinel); both are cheap to
-    // check on top-k-sized inputs and silently wrong otherwise (a
-    // duplicated id fans the join out, a 0-based rank inflates the top
-    // hit AND collides with the sentinel) — measured guards, by name
-    mats.foreach { case (name, df) =>
-      val r = df.agg(count(lit(1)), count_distinct(col(idCol)),
-        min(col(rankCol))).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"rrfFuse: list '$name' ranks an id more than once " +
-          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct ids) — " +
-          "dedup or re-rank it first")
-      require(r.isNullAt(2) || Seq(r.get(2).toString.toDouble).head >= 1.0,
-        s"rrfFuse: list '$name' has rank ${r.get(2)} < 1 — ranks must be " +
-          "1-based (0 is the output's absent sentinel)")
-    }
-    val renamed = mats.map { case (name, df) =>
-      name -> df.select(col(idCol).as("id"),
-        col(rankCol).cast("long").as(s"rk_$name"))
+    // INTEGRAL ranks (0 is the output's "absent" sentinel) and is
+    // silently wrong otherwise (a duplicated id fans the join out, a
+    // 0-based rank inflates the top hit AND collides with the sentinel,
+    // a fractional rank would truncate). The guards are per-row
+    // raise_error poisons INSIDE the rank column — one composed plan, no
+    // pre-pass action re-executing the (corpus-scale BM25/ANN) ranking
+    // lineage, zero cost on clean data; the id-count window runs on a
+    // top-k-sized frame. A null rank still reads "absent", unpoisoned.
+    val renamed = lists.map { case (name, df) =>
+      val dupes = count(lit(1)).over(Window.partitionBy(col(idCol)))
+      val rkRaw = col(rankCol)
+      val rkL = rkRaw.cast("long")
+      val guarded = when(dupes > 1, raise_error(lit(
+          s"rrfFuse: list '$name' ranks an id more than once — dedup or " +
+            "re-rank it first")).cast("long"))
+        .when(rkRaw < 1, raise_error(lit(
+          s"rrfFuse: list '$name' has a rank < 1 — ranks must be 1-based " +
+            "(0 is the output's absent sentinel)")).cast("long"))
+        .when(rkL.cast("double") =!= rkRaw.cast("double"), raise_error(lit(
+          s"rrfFuse: list '$name' has a non-integral rank — 1/(c+rank) " +
+            "assumes integer positions")).cast("long"))
+        .otherwise(rkL)
+      name -> df.select(col(idCol).as("id"), guarded.as(s"rk_$name"))
     }
     val joined = renamed.map(_._2)
       .reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
@@ -81,7 +83,6 @@ object Ranking {
     val rankCols = renamed.map { case (name, _) =>
       coalesce(col(s"rk_$name"), lit(0L)).as(s"rk_$name")
     }
-    import org.apache.spark.sql.expressions.Window
     joined.select((col("id") +: rankCols :+ round(score, 6).as("rrf")): _*)
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)

@@ -146,11 +146,26 @@ object TimeSeries {
     * executors, and the guard bounds the worst key. For series longer
     * than the cap, coarsen buckets upstream — an EWMA's tail weight
     * below ~1e-7 of the cap's horizon is noise anyway. */
+  /** Null-value poison for the smoothing folds: `collect_list` silently
+    * SKIPS nulls while `count(lit(1))` counts every row, so a null value
+    * would desynchronize `n_points` from the folded series (and an
+    * all-null key would fold to null level/trend). Same in-column
+    * `raise_error` convention as the sampling guards: zero cost on clean
+    * data, fails by name at the first null when the value column is
+    * consumed; the per-key count pre-pass prunes the column and is
+    * unaffected. */
+  private def guardedValue(op: String, value: Column): Column =
+    when(value.isNull, raise_error(lit(
+        s"$op: the value column contains nulls — the fold would silently " +
+          "skip them (n_points would exceed the series length); filter " +
+          "or impute them first")).cast("double"))
+      .otherwise(value.cast("double"))
+
   def ewma(df: DataFrame, key: Column, bucket: Column, value: Column,
            alpha: Double, maxPointsPerKey: Long = 1000000L): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
     val base = df.select(key.as("key"), bucket.as("bucket"),
-      value.cast("double").as("v"))
+      guardedValue("ewma", value).as("v"))
     // max over an EMPTY frame is null — an empty input folds to an
     // empty output, it is not a guard violation (getLong would NPE)
     val worst = Option(base.groupBy(col("key")).count()
@@ -198,7 +213,7 @@ object TimeSeries {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
     require(beta > 0.0 && beta <= 1.0, s"need 0 < beta <= 1, got $beta")
     val base = df.select(key.as("key"), bucket.as("bucket"),
-      value.cast("double").as("v"))
+      guardedValue("holt", value).as("v"))
     val worst = Option(base.groupBy(col("key")).count()
       .agg(max(col("count"))).head().getAs[java.lang.Long](0))
       .map(_.longValue).getOrElse(0L)

@@ -142,17 +142,35 @@ class RankingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ranking.rrfFuse(Seq("a" -> a, "a" -> b), "id", "rk", 5)
     }
-    // a list ranking an id twice would fan the join out — fails by name
+    // a list ranking an id twice would fan the join out — the in-column
+    // poison fails by name when the fused result is consumed (no
+    // construction-time action re-running the ranking lineage)
+    def poisonMsg(e: Throwable): String =
+      (Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator(e.toString)).mkString(" | ")
     val dup = Seq((10L, 3), (10L, 7)).toDF("id", "rk")
-    val e1 = intercept[IllegalArgumentException] {
-      Ranking.rrfFuse(Seq("a" -> dup, "b" -> b), "id", "rk", 5)
+    val e1 = intercept[Exception] {
+      Ranking.rrfFuse(Seq("a" -> dup, "b" -> b), "id", "rk", 5).collect()
     }
-    assert(e1.getMessage.contains("more than once"), e1.getMessage)
+    assert(poisonMsg(e1).contains("more than once"), poisonMsg(e1))
     // 0-based ranks collide with the output's absent sentinel — by name
     val zero = Seq((10L, 0), (20L, 1)).toDF("id", "rk")
-    val e2 = intercept[IllegalArgumentException] {
-      Ranking.rrfFuse(Seq("a" -> zero, "b" -> b), "id", "rk", 5)
+    val e2 = intercept[Exception] {
+      Ranking.rrfFuse(Seq("a" -> zero, "b" -> b), "id", "rk", 5).collect()
     }
-    assert(e2.getMessage.contains("1-based"), e2.getMessage)
+    assert(poisonMsg(e2).contains("1-based"), poisonMsg(e2))
+    // fractional ranks would silently truncate through the long cast
+    val frac = Seq((10L, 1.5), (20L, 2.0)).toDF("id", "rk")
+    val e3 = intercept[Exception] {
+      Ranking.rrfFuse(Seq("a" -> frac, "b" -> b.withColumn("rk",
+        col("rk").cast("double"))), "id", "rk", 5).collect()
+    }
+    assert(poisonMsg(e3).contains("non-integral"), poisonMsg(e3))
+    // null ranks still read "absent" (rank 0), unpoisoned
+    val withNull = Seq((10L, Some(1)), (20L, Option.empty[Int]))
+      .toDF("id", "rk")
+    val fused = Ranking.rrfFuse(Seq("a" -> withNull, "b" -> b), "id", "rk", 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fused(20L) == 0L, s"null rank must read absent: $fused")
   }
 }

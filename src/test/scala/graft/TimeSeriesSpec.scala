@@ -163,6 +163,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("ewma"), e.getMessage)
   }
 
+  test("ewma/holt: null values poison by name instead of silently skipping the fold") {
+    // collect_list would drop the null -> n_points 2 but a 1-long series;
+    // the in-column poison fires when the fold consumes the value
+    val withNull = Seq(("k", 1L, Some(2.0)), ("k", 2L, Option.empty[Double]))
+      .toDF("k", "b", "v")
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator(t.toString)).mkString(" | ")
+    val e1 = intercept[Exception] {
+      TimeSeries.ewma(withNull, col("k"), col("b"), col("v"), 0.25).collect()
+    }
+    assert(msg(e1).contains("nulls"), msg(e1))
+    val e2 = intercept[Exception] {
+      TimeSeries.holt(withNull, col("k"), col("b"), col("v"), 0.5, 0.25)
+        .collect()
+    }
+    assert(msg(e2).contains("nulls"), msg(e2))
+  }
+
   test("holt: fold matches the hand recursion; single point; cap fails by name") {
     val df = Seq(("k", 1L, 10.0), ("k", 2L, 12.0), ("k", 3L, 11.0),
       ("k", 4L, 15.0), ("solo", 1L, 7.5)).toDF("k", "b", "v")
