@@ -467,9 +467,18 @@ object ScaleProbe {
           Quality.InRange("v", 0.0, 20000.0),
           Quality.Matches("name", "^u[0-9]+$"),
           Quality.Unique(Seq("name", "v")))
+        // one-pass FORCED (the cold-table shape, measured on cached
+        // input to price the Expand cost) vs the adaptive default
+        // (storageLevel is non-NONE here -> per-Unique scans)
         val t0 = System.nanoTime()
-        val rep = Quality.report(tbl, constraints).collect()
+        val rep = Quality.report(tbl, constraints,
+          splitUnique = Some(false)).collect()
         val secOne = (System.nanoTime() - t0) / 1e9
+        val tA = System.nanoTime()
+        val repA = Quality.report(tbl, constraints).collect()
+        val secAdaptive = (System.nanoTime() - tA) / 1e9
+        assert(rep.map(_.toString).sorted.sameElements(
+          repA.map(_.toString).sorted), "adaptive report must match one-pass")
         val t1 = System.nanoTime()
         tbl.agg(sum(when(col("name").isNull, 1L).otherwise(0L))).head()
         tbl.agg(count(lit(1)) - count_distinct(struct(col("k")))).head()
@@ -481,7 +490,7 @@ object ScaleProbe {
           - count_distinct(struct(col("name"), col("v")))).head()
         val secFive = (System.nanoTime() - t1) / 1e9
         val viol = rep.map(r => r.getString(0) -> r.getLong(2)).toMap
-        println(f"""{"metric":"dq_scale","rows":$n,"one_pass_sec":$secOne%.2f,"five_scans_sec":$secFive%.2f,"null_names":${viol("not_null(name)")}}""")
+        println(f"""{"metric":"dq_scale","rows":$n,"one_pass_sec":$secOne%.2f,"adaptive_sec":$secAdaptive%.2f,"five_scans_sec":$secFive%.2f,"null_names":${viol("not_null(name)")}}""")
         tbl.unpersist()
       }
 

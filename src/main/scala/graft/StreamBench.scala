@@ -47,6 +47,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("kll")) {
       kllStream(spark, n, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("resp")) {
+      respIngest(spark, n, batches); spark.stop(); return
+    }
 
     KVStoreRegistry.register("bench", new InMemoryKVStore)
     val pipeline = new OrderStreamPipeline("bench")
@@ -61,6 +64,52 @@ object StreamBench {
     val total = n * batches
     println(f"""{"metric":"stream_records_per_sec","value":${total / sec}%.0f,"records":$total,"sec":$sec%.2f}""")
     spark.stop()
+  }
+
+  /** The reference's ACTUAL deployment shape end-to-end
+    * (`SPARK_GRAFT_STREAM=resp`): parse → conditional aggregate →
+    * HINCRBY over a real socket speaking real RESP wire, against the
+    * in-process [[graft.streaming.RespServer]] — the number that sits
+    * next to the in-memory sink's records/sec. The sink traffic is one
+    * row per distinct day per batch (3 HINCRBYs each) regardless of
+    * batch size, so the socket round-trips amortize to nothing as
+    * batches grow — this mode MEASURES that claim rather than assuming
+    * it, and certifies the accumulated hash equals the in-memory sink's
+    * on the same batches. */
+  private def respIngest(spark: SparkSession, n: Long, batches: Int): Unit = {
+    import graft.streaming.{InMemoryKVStore, RespKVStore, RespServer}
+    val server = new RespServer()
+    server.start()
+    try {
+      val resp = new RespKVStore("127.0.0.1", server.port)
+      val respPipe = new OrderStreamPipeline(resp, "n-ko-", false)
+      val batch = MockOrderGenerator.wireJson(
+        MockOrderGenerator.orders(spark, n)).cache()
+      batch.count() // materialize input so generation isn't timed
+      respPipe.applyBatch(batch.limit(10000), -1L) // warmup
+      server.state.hashes.clear()
+      val t0 = System.nanoTime()
+      (0 until batches).foreach(i => respPipe.applyBatch(batch, i.toLong))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = n * batches
+      // same batches through the in-memory sink: the RESP hash must be
+      // byte-identical state — the socket is transport, not semantics.
+      // (Registry-addressed: a bare InMemoryKVStore handle would be
+      // SERIALIZED into task closures and increment throwaway copies.)
+      val mem = new InMemoryKVStore
+      KVStoreRegistry.register("respcmp", mem)
+      val memPipe = new OrderStreamPipeline("respcmp")
+      (0 until batches).foreach(i => memPipe.applyBatch(batch, i.toLong))
+      import scala.jdk.CollectionConverters._
+      val days = server.state.hashes.keySet.asScala.toSeq.sorted
+      require(days.nonEmpty, "resp bench: sink received no day keys")
+      days.foreach { day =>
+        require(resp.hgetAll(day) == mem.hgetAll(day),
+          s"RESP sink state diverged from in-memory sink at $day: " +
+            s"resp=${resp.hgetAll(day)} mem=${mem.hgetAll(day)}")
+      }
+      println(f"""{"metric":"resp_stream_records_per_sec","value":${total / sec}%.0f,"records":$total,"sec":$sec%.2f,"day_keys":${days.size},"hincrby_calls":${3 * days.size * batches},"conns":${server.accepted}}""")
+    } finally { server.stop(); RespKVStore.resetConnections() }
   }
 
   /** Price the fenced streaming KLL table: per-batch fold throughput

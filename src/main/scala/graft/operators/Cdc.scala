@@ -88,7 +88,9 @@ object Cdc {
     require(late == 0L,
       s"scd2Merge: $late key(s) have batch observations at or before the " +
         "current version's valid_from — late events cannot be folded into " +
-        "an SCD2 chain incrementally; rebuild those keys with scd2FromHistory")
+        "an SCD2 chain incrementally. Recover with Cdc.lateKeys(dim, batch) " +
+        "to name the violating keys, merge the rest, then " +
+        "Cdc.rebuildKeys(dim, fullHistory, keys) for exactly those keys")
     val affected = minB.select(col("key")).distinct()
     val curAffected = cur.join(affected, Seq("key"), "left_semi")
     val tieTypes = b.schema.fields.drop(3)
@@ -99,5 +101,54 @@ object Cdc {
     d.filter(!col("is_current"))
       .unionByName(cur.join(affected, Seq("key"), "left_anti"))
       .unionByName(recomputed)
+  }
+
+  /** The keys a change batch CANNOT be merged into `dim` for: those with
+    * a batch observation at or before the key's current `valid_from` —
+    * exactly the set the [[scd2Merge]] guard counts. One key-sized
+    * aggregate of the batch joined to the current versions; feed the
+    * result to [[rebuildKeys]] and merge the remainder normally. */
+  def lateKeys(dim: DataFrame, batch: DataFrame, key: Column,
+               ts: Column): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+      .select(col("key"), col("valid_from"))
+    batch.select(key.as("key"), ts.as("__ts"))
+      .groupBy(col("key")).agg(min(col("__ts")).as("__min_ts"))
+      .join(cur, "key")
+      .filter(col("__min_ts") <= col("valid_from"))
+      .select(col("key"))
+  }
+
+  /** Targeted late-event repair: recompute EXACTLY the named keys'
+    * version chains from the full change history and pass every other
+    * key's versions through untouched — the operation the [[scd2Merge]]
+    * guard routes to, so late data is a bounded repair, not a dead end.
+    *
+    * `keys` is a single-column frame of dimension keys (e.g. the
+    * [[lateKeys]] output); `history` must be the COMPLETE observation
+    * history for those keys (late rows included — for the others it is
+    * never read). Produces exactly what [[scd2FromHistory]] on the full
+    * corrected history would.
+    *
+    * Shape at 100 TB: the pass-through is one anti join with no window;
+    * the recompute's window cost is (affected keys' history)-sized — the
+    * semi join prunes the history scan to the violating keys before any
+    * exchange, so repairing a handful of keys never re-windows the
+    * dimension or the history at large. */
+  def rebuildKeys(dim: DataFrame, history: DataFrame, key: Column,
+                  ts: Column, attr: Column, keys: DataFrame,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keys.columns.length == 1,
+      s"rebuildKeys: keys must be a single-column frame of dimension " +
+        s"keys, got columns ${keys.columns.toSeq}")
+    // referenced by both the anti join and the semi join — materialize
+    // once (violating-key-sized) so a derived keys frame (lateKeys is a
+    // dim-join pipeline) is not re-executed per branch
+    val k = keys.select(col(keys.columns.head).as("key")).distinct()
+      .localCheckpoint(true)
+    val affectedHist = tag(history, key, ts, attr, tieBreak)
+      .join(k, Seq("key"), "left_semi")
+    dim.join(k, Seq("key"), "left_anti")
+      .unionByName(scd2Tagged(affectedHist, tieBreak.size))
   }
 }

@@ -12,18 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: all row-level constraints (not-null, range, regex) are
   * conditional sums inside a single partial+final aggregate — adding
-  * one adds an expression, not a scan. Uniqueness rides the same
-  * aggregate as a count-distinct; each distinct adds an Expand branch
-  * (Spark's multi-distinct rewrite), so a Unique constraint adds CPU
-  * and a tuple-keyed shuffle, NOT a table re-read. The `dq` ScaleProbe
-  * measures the trade honestly: on an already-cached 64M-row frame the
-  * expanded single pass (48 s) loses to five separate scans (20 s) —
-  * cached scans are nearly free, expansion is not — but on the cold
-  * 100 TB table this exists for, k separate checks re-read the corpus
-  * k times while the report reads it ONCE, and IO dominates. Choose
-  * accordingly; both shapes are three lines of this API. Referential
-  * integrity is a left-anti join against the (deduplicated) dimension
-  * key — broadcast when the dimension is small; the planner decides.
+  * one adds an expression, not a scan. Uniqueness is where the shapes
+  * diverge: riding the same aggregate as a count-distinct adds an
+  * Expand branch (Spark's multi-distinct rewrite) — CPU and a
+  * tuple-keyed shuffle, NOT a table re-read — which wins on the cold
+  * 100 TB table this exists for (k separate checks re-read the corpus
+  * k times, IO dominates) but LOSES on an already-cached frame, where
+  * re-scans are nearly free and expansion is not (the `dq` ScaleProbe
+  * prices it: 64M cached rows, one-pass 48 s vs five scans 20 s). So
+  * `report` chooses by `df.storageLevel` — cold input rides one
+  * aggregate, cached input runs each Unique as its own count-distinct
+  * scan — overridable via `splitUnique`. Referential integrity is a
+  * left-anti join against the (deduplicated) dimension key — broadcast
+  * when the dimension is small; the planner decides.
   */
 object Quality {
 
@@ -64,11 +65,29 @@ object Quality {
   }
 
   /** Evaluate all constraints; returns
-    * `(constraint, n_rows, violations, pass)` sorted by constraint. */
-  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    * `(constraint, n_rows, violations, pass)` sorted by constraint.
+    *
+    * `splitUnique` picks the Unique plan shape: `Some(false)` rides the
+    * single aggregate (Expand branches — one corpus READ, the cold-table
+    * default), `Some(true)` runs each Unique as its own count-distinct
+    * scan (cheap re-reads — the cached-table shape), and `None` (default)
+    * chooses by `df.storageLevel`: the measured 64M trade (one-pass 48 s
+    * vs five cached scans 20 s) says the shape should follow where the
+    * bytes live, not be hardwired. */
+  def report(df: DataFrame, constraints: Seq[Constraint],
+             splitUnique: Option[Boolean] = None): DataFrame = {
     require(constraints.nonEmpty, "need at least one constraint")
     require(constraints.map(_.label).distinct.size == constraints.size,
       s"duplicate constraint labels: ${constraints.map(_.label)}")
+    val split = splitUnique.getOrElse(
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // count_distinct over the bare columns SKIPS null inputs, which
+    // would flag every null-keyed row as a duplicate; wrapping the
+    // tuple in a struct keeps null components inside a non-null
+    // struct, so null tuples collapse to ONE distinct value and only
+    // the second null-keyed row counts — the documented semantics
+    def distinctViolations(cols0: Seq[String]): Column =
+      count(lit(1)) - count_distinct(struct(cols0.map(col): _*))
     val rowLevel = constraints.collect {
       case c @ NotNull(col0) =>
         c.label -> sum(when(col(col0).isNull, 1L).otherwise(0L))
@@ -78,14 +97,8 @@ object Quality {
       case c @ Matches(col0, re) =>
         c.label -> sum(when(col(col0).isNull
           || !col(col0).rlike(re), 1L).otherwise(0L))
-      case c @ Unique(cols0) =>
-        // count_distinct over the bare columns SKIPS null inputs, which
-        // would flag every null-keyed row as a duplicate; wrapping the
-        // tuple in a struct keeps null components inside a non-null
-        // struct, so null tuples collapse to ONE distinct value and only
-        // the second null-keyed row counts — the documented semantics
-        c.label -> (count(lit(1)) -
-          count_distinct(struct(cols0.map(col): _*)))
+      case c @ Unique(cols0) if !split =>
+        c.label -> distinctViolations(cols0)
     }
     // positional __c$i aliases, not the labels: labels surface only as
     // lit() VALUES, never rendered into an identifier or SQL string, so
@@ -102,6 +115,15 @@ object Quality {
             col(s"__c$i").cast("long").as("violations"))
         }: _*)).as("kv"))
         .select(col("kv.constraint"), col("n_rows"), col("kv.violations")))
+    // cached-input shape: each Unique is its own scan — a cached re-read
+    // is nearly free while an Expand branch multiplies aggregate input
+    val uniqueReports = if (!split) Nil else constraints.collect {
+      case c @ Unique(cols0) =>
+        df.agg(distinctViolations(cols0).cast("long").as("violations"))
+          .crossJoin(broadcast(nRows))
+          .select(lit(c.label).as("constraint"), col("n_rows"),
+            col("violations"))
+    }
     val refReports = constraints.collect {
       case c @ RefIntegrity(fk, dim, pk) =>
         df.filter(col(fk).isNotNull)
@@ -111,7 +133,7 @@ object Quality {
           .select(lit(c.label).as("constraint"), col("n_rows"),
             col("violations"))
     }
-    (rowReport.toSeq ++ refReports)
+    (rowReport.toSeq ++ uniqueReports ++ refReports)
       .reduce(_ unionByName _)
       .select(col("constraint"), col("n_rows"), col("violations"),
         (col("violations") === 0L).as("pass"))

@@ -487,15 +487,31 @@ object RelationalQueries {
       // Explain, Verify — reuse one written copy instead of leaking a
       // fresh temp dir and three write jobs per call; a changed source
       // file changes the key, and stale keys are overwritten by the
-      // fixed prefix, not accumulated
+      // fixed prefix, not accumulated. Build into a UNIQUE staging dir
+      // and atomically rename into the keyed path so a concurrent
+      // session can never read a half-written store: readers only ever
+      // see the keyed dir complete-with-marker or absent, and a lost
+      // rename race defers to the winner's complete copy.
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt_" +
         graft.sources.CatalogProps.contentKey(dir, "lineitem.parquet")
       val done = new java.io.File(s"$tmp/_done")
       if (!done.exists) {
-        graft.sources.Formats.writeOrc(proj, s"$tmp/orc")
-        graft.sources.Formats.writeCsv(proj, s"$tmp/csv")
-        graft.sources.Formats.writeJsonLines(proj, s"$tmp/json")
-        done.createNewFile()
+        val stage = tmp + ".build_" + java.util.UUID.randomUUID
+        graft.sources.Formats.writeOrc(proj, s"$stage/orc")
+        graft.sources.Formats.writeCsv(proj, s"$stage/csv")
+        graft.sources.Formats.writeJsonLines(proj, s"$stage/json")
+        new java.io.File(s"$stage/_done").createNewFile()
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(stage), java.nio.file.Paths.get(tmp),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // another session renamed its build first; ours is redundant
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(stage))
+        }
+        require(done.exists,
+          s"fmt_roundtrip: keyed store $tmp exists without its _done " +
+            "marker — a non-atomic writer left a partial copy; delete it")
       }
       val schema = StructType(Seq(
         StructField("l_returnflag", StringType),
@@ -593,8 +609,19 @@ object RelationalQueries {
       val ev = t.events
       val cms = ev.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
       val slack = math.ceil(1e-3 * cms.totalCount).toLong
-      ev.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
-        .map { r =>
+      // the exact per-key side is driver-sided by design (the sketch
+      // lookup is a JVM call) — so the collect is BOUNDED by
+      // construction: take(cap+1) pulls at most cap+1 rows whatever the
+      // true cardinality, and over-cardinality fails by name instead of
+      // materializing an unbounded group list on the driver
+      val capGroups = 10000
+      val rows = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .take(capGroups + 1)
+      require(rows.length <= capGroups,
+        s"q_approx_freq: event_type has > $capGroups distinct values — " +
+          "the exact verification side is driver-sided and report-sized " +
+          "by assumption; verify a lower-cardinality column or raise the cap")
+      rows.map { r =>
           val (k, n) = (r.getString(0), r.getLong(1))
           val est = cms.estimateCount(k)
           (k, n, est >= n && est <= n + slack)
@@ -661,6 +688,40 @@ object RelationalQueries {
       graft.operators.Cdc
         .scd2Merge(dim, t.events.filter(col("ts") >= split), col("user_id"),
           col("ts"), col("event_type"), Seq(col("event_id")))
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          date_format(col("valid_from"), fmt).as("valid_from"),
+          date_format(col("valid_to"), fmt).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    // Late-event repair — the operational path the scd2Merge guard
+    // routes to. A slice of EARLY history for ~10% of keys is withheld
+    // from the initial build (so their chains start too late), then
+    // arrives mixed into the next batch: lateKeys names exactly those
+    // keys, the clean remainder merges incrementally, and rebuildKeys
+    // recomputes only the violating keys from the full history. The
+    // oracle is the full-rebuild SQL — merge-plus-repair must be
+    // indistinguishable from never having lost the rows.
+    "q_scd2_rebuild" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      val early = lit("2024-01-08 00:00:00").cast("timestamp")
+      val withheld = col("user_id") % 10 === 3 && col("ts") < early
+      val dim = graft.operators.Cdc.scd2FromHistory(
+        t.events.filter(col("ts") < split && !withheld), col("user_id"),
+        col("ts"), col("event_type"), Seq(col("event_id")))
+      val batch = t.events.filter(col("ts") >= split || withheld)
+      val lk = graft.operators.Cdc
+        .lateKeys(dim, batch, col("user_id"), col("ts"))
+        .localCheckpoint(true)
+      val clean = batch.join(lk, batch("user_id") === lk("key"), "left_anti")
+      val merged = graft.operators.Cdc.scd2Merge(dim, clean, col("user_id"),
+        col("ts"), col("event_type"), Seq(col("event_id")))
+      graft.operators.Cdc
+        .rebuildKeys(merged, t.events, col("user_id"), col("ts"),
+          col("event_type"), lk, Seq(col("event_id")))
         .select(col("key").as("user_id"), col("attr").as("event_type"),
           date_format(col("valid_from"), fmt).as("valid_from"),
           date_format(col("valid_to"), fmt).as("valid_to"),
@@ -1247,6 +1308,24 @@ object RelationalQueries {
     // Identical to q_scd2 on purpose: the merge path must reproduce the
     // full-history rebuild bit for bit.
     "q_scd2_merge" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+             row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT user_id, event_type, ts FROM o
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+            v AS (SELECT user_id, event_type, ts AS vf,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+                  FROM r)
+         SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           vt IS NULL AS is_current
+         FROM v ORDER BY user_id, vf""",
+
+    // Identical full-rebuild SQL again, on purpose: merge-the-clean-rest
+    // plus rebuildKeys-for-the-late-keys must reproduce exactly what a
+    // rebuild over the never-lost history produces.
+    "q_scd2_rebuild" ->
       """WITH o AS (SELECT user_id, ts, event_type,
              row_number() OVER w AS rn, lag(event_type) OVER w AS prev
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

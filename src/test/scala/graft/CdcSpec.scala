@@ -81,6 +81,46 @@ class CdcSpec extends SparkSpec {
       Cdc.scd2Merge(dim, hist((1L, 30L, "c")), col("k"), col("ts"), col("v"))
     }
     assert(e.getMessage.contains("scd2Merge"), e.getMessage)
+    // the guard routes the caller to the repair helpers by name
+    assert(e.getMessage.contains("rebuildKeys"), e.getMessage)
+    assert(e.getMessage.contains("lateKeys"), e.getMessage)
+  }
+
+  test("lateKeys + rebuildKeys: merge-with-late-batch repair equals the full rebuild") {
+    // 40 keys × 60 observations; keys k%10==3 have their EARLY slice
+    // (ts<150) withheld from the initial build — their chains start too
+    // late — and it arrives mixed into the next batch
+    val full = spark.range(2400)
+      .select((col("id") % 40).as("k"),
+        (col("id") * 7 % 601 + 1).as("ts"),
+        concat(lit("v"), pmod(xxhash64(col("id")), lit(3))).as("v"))
+      .cache()
+    val withheld = col("k") % 10 === 3 && col("ts") < 150
+    val dim = scd2(full.filter(col("ts") < 300 && !withheld).toDF("k", "ts", "v"))
+    val batch = full.filter(col("ts") >= 300 || withheld)
+    // the whole mixed batch is rejected by name...
+    val eAll = intercept[IllegalArgumentException] {
+      Cdc.scd2Merge(dim, batch, col("k"), col("ts"), col("v"))
+    }
+    assert(eAll.getMessage.contains("rebuildKeys"), eAll.getMessage)
+    // ...lateKeys names exactly the withheld keys...
+    val lk = Cdc.lateKeys(dim, batch, col("k"), col("ts")).localCheckpoint(true)
+    assert(lk.as[Long].collect().toSet == Set(3L, 13L, 23L, 33L), "late set")
+    // ...the clean remainder merges, the late keys rebuild from history
+    val clean = batch.join(lk, batch("k") === lk("key"), "left_anti")
+    val merged = Cdc.scd2Merge(dim, clean, col("k"), col("ts"), col("v"))
+    val repaired = Cdc.rebuildKeys(merged, full.toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v"), lk)
+    val rebuilt = scd2(full.toDF("k", "ts", "v"))
+    assert(repaired.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(repaired).isEmpty,
+      "merge-plus-repair must equal the full rebuild")
+    // multi-column keys frame fails by name, not positionally misread
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.rebuildKeys(merged, full.toDF("k", "ts", "v"), col("k"), col("ts"),
+        col("v"), lk.select(col("key"), col("key").as("k2")))
+    }
+    assert(e2.getMessage.contains("single-column"), e2.getMessage)
   }
 
   test("plan guard: both windows share ONE key exchange") {

@@ -76,4 +76,42 @@ class QualitySpec extends SparkSpec {
     val plan = rep.queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan"), s"report must not rescan per constraint:\n$plan")
   }
+
+  test("report: cached input splits Unique into separate scans, same numbers") {
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, None, 150.0),
+      (2L, Some("c"), -5.0), (3L, Some("d"), 50.0)
+    ).toDF("k", "name", "v")
+    val constraints = Seq(NotNull("name"), Unique(Seq("k")),
+      InRange("v", 0.0, 100.0), Unique(Seq("k", "name")))
+    val onePass = rows(Quality.report(df, constraints))
+    val cached = df.cache()
+    try {
+      cached.count()
+      // auto: storageLevel != NONE -> split; identical report either way
+      assert(rows(Quality.report(cached, constraints)) == onePass)
+      // the split shape's per-Unique count-distinct scans ride the
+      // returned plan (cached re-reads), with no Expand anywhere...
+      val splitPlan = Quality.report(cached, constraints,
+        splitUnique = Some(true)).queryExecution.executedPlan.toString
+      assert(splitPlan.contains("InMemoryTableScan"),
+        s"split shape must re-scan the cached table per Unique:\n$splitPlan")
+      assert(!splitPlan.contains("Expand"),
+        s"split shape must not Expand:\n$splitPlan")
+      // ...while the fused shape folds EVERYTHING (Expand included) into
+      // the checkpointed one-row aggregate: its returned plan reads no
+      // table at all — the same no-rescan observable the cold-path
+      // plan-guard test asserts with FileScan
+      val fusedPlan = Quality.report(cached, constraints,
+        splitUnique = Some(false)).queryExecution.executedPlan.toString
+      assert(!fusedPlan.contains("InMemoryTableScan"),
+        s"one-pass shape must not rescan per constraint:\n$fusedPlan")
+      // override produces the same numbers too
+      assert(rows(Quality.report(cached, constraints,
+        splitUnique = Some(false))) == onePass)
+      // all-Unique cached report still works (empty fused row-level side)
+      assert(rows(Quality.report(cached, Seq(Unique(Seq("k")))))
+        == Seq(("unique(k)", 4L, 1L, false)))
+    } finally cached.unpersist()
+  }
 }
