@@ -38,7 +38,7 @@ object JpegKernels {
     * on synthetic sweeps; margin for the color-convert rounding). */
   final val ErrBound = 16
 
-  private val Zig: Array[Int] = Array(
+  private[functions] val Zig: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -114,7 +114,7 @@ object JpegKernels {
 
   /** Forward DCT-II + uniform quantization of one level-shifted 8×8 block
     * (`in` holds f(x,y) − 128). Output in natural (row-major) order. */
-  private def fdctQuant(in: Array[Double], out: Array[Int]): Unit = {
+  private[functions] def fdctQuant(in: Array[Double], out: Array[Int]): Unit = {
     var u = 0
     while (u < 8) {
       var v = 0
@@ -211,7 +211,7 @@ object JpegKernels {
     s
   }
 
-  private def be16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private[functions] def be16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write((v >>> 8) & 0xff); out.write(v & 0xff)
   }
 
@@ -630,9 +630,11 @@ object JpegKernels {
           sosAt = p + 2 + len
         case 0xc2 => // progressive DCT: the Annex-G decoder takes over
           return jpegDecodeProgressive(b)
-        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc9 => // arithmetic sequential: the Annex-E decoder takes over
+          return JpegArith.jpegDecodeArith(b)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return null // other frame types (arithmetic, lossless) unsupported
+          return null // other frame types (arith-progressive, lossless) unsupported
         case _ => () // APPn / COM / others: skip
       }
       p += 2 + len
@@ -715,7 +717,7 @@ object JpegKernels {
   }
 
   /** IDCT with the stream's own quant table (zigzag order). */
-  private def idctDequantWith(coefNat: Array[Int], quantZig: Array[Int],
+  private[functions] def idctDequantWith(coefNat: Array[Int], quantZig: Array[Int],
                               out: Array[Double]): Unit = {
     val dq = new Array[Double](64)
     var z = 0

@@ -369,6 +369,42 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val jpegArithRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("arith_equals_seq", BooleanType, nullable = false),
+    StructField("arith_smaller", BooleanType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
+  /** Arithmetic-JPEG certification (synthesize → encode with Huffman AND
+    * the T.81 QM arithmetic coder → decode both → compare): entropy
+    * coding is lossless over the same quantized coefficients, so the
+    * contract is BIT EQUALITY of the decoded pixels, plus the adaptive
+    * coder beating the fixed Annex-K tables on stream size. See
+    * [[graft.functions.JpegArith.jpegArithRoundTripStats]]. */
+  case class JpegArithRoundTrip(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+      extends QuaternaryExpression {
+    override def dataType: DataType = jpegArithRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jpeg_arith_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, c: Any): Any =
+      JpegArith.jpegArithRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], c.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, c) => s"""
+        |${ev.value} = graft.functions.JpegArith.jpegArithRoundTripStats($seed, $w, $h, $c);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
   private val aviRoundTripType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -460,6 +496,12 @@ object MediaExpressions {
   def jpegProgRoundTrip(seed: Column, width: Column, height: Column,
                         channels: Column): Column =
     ColumnBridge.column(JpegProgRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(channels)))
+
+  def jpegArithRoundTrip(seed: Column, width: Column, height: Column,
+                         channels: Column): Column =
+    ColumnBridge.column(JpegArithRoundTrip(
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(channels)))
 

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * and KwKwK handling; `multimodal_gif`) and 16-bit PCM WAV
   * (`multimodal_waveform`), and VIDEO for MJPEG-in-AVI (RIFF container
   * walk + per-frame JPEG; `multimodal_video` certifies container,
-  * every frame, and truncation rejection). The remaining library seam
-  * is inter-frame video codecs (H.264/VP9/AV1) and JPEG's progressive/
-  * arithmetic variants — marked by [[CodecDecoder]]'s final branch;
+  * every frame, and truncation rejection). JPEG's progressive (Annex G)
+  * and arithmetic (Annex E) variants decode through the same dispatch.
+  * The remaining library seam is inter-frame video codecs (H.264/VP9/
+  * AV1) — marked by [[CodecDecoder]]'s final branch;
   * [[FakeDecoder]] stays as
   * the deterministic stand-in for pipelines that must run across ALL
   * formats without a library. The Spark-side contract — schema,
@@ -93,16 +94,16 @@ object Multimodal {
     * histograms over actual decoded pixels/samples/frames, not payload
     * bytes, and frame-sampling returns real frame payloads. Formats
     * whose decode genuinely needs an external library (inter-frame
-    * video codecs — H.264/VP9/AV1; arithmetic-coded JPEG) throw the
-    * named seam error — plug a JNI/library call in for those. */
+    * video codecs — H.264/VP9/AV1) throw the named seam error — plug a
+    * JNI/library call in for those. */
   object CodecDecoder extends MediaDecoder {
     import graft.functions.MediaKernels
     private def unavailable =
       throw new UnsupportedOperationException(
         "codec not bundled for this format: PNG/JPEG (sequential + " +
-          "progressive)/GIF/MJPEG-AVI/WAV decode in pure JVM; " +
-          "inter-frame video codecs (H.264/VP9/AV1) and " +
-          "arithmetic-coded JPEG need a library — plug a JNI call here")
+          "progressive + arithmetic)/GIF/MJPEG-AVI/WAV decode in pure " +
+          "JVM; inter-frame video codecs (H.264/VP9/AV1) need a " +
+          "library — plug a JNI call here")
     def features(rec: MediaRecord, dim: Int): Array[Double] = {
       val img = MediaKernels.pngDecodeRaw(rec.content)
       if (img != null) {

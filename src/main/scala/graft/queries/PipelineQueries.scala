@@ -1353,9 +1353,7 @@ object PipelineQueries {
     // coefficients, so unlike multimodal_jpeg's lossy error bound this
     // certifies BIT EQUALITY of the two decodes per document; a wrong
     // EOB run, a mis-interleaved correction bit, or a broken point
-    // transform flips prog_equals_seq and hash-mismatches. With this,
-    // the multimodal codec seam narrows to inter-frame video +
-    // arithmetic-coded JPEG only.
+    // transform flips prog_equals_seq and hash-mismatches.
     "multimodal_jpeg_prog" -> { (s, dir) =>
       import graft.functions.MediaExpressions
       Tables(s, dir).documents
@@ -1368,6 +1366,34 @@ object PipelineQueries {
           col("st.width").as("width"), col("st.height").as("height"),
           col("st.channels").as("channels"),
           col("st.prog_equals_seq").as("prog_equals_seq"),
+          col("st.trunc_rejected").as("trunc_rejected"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ARITHMETIC-coded JPEG (SOF9, T.81 Annexes D/E/F): per-document
+    // pixels encode BOTH ways — Huffman baseline and the QM arithmetic
+    // coder (Table D.3's 113-state estimator, carry-stacked byte-out,
+    // the §F.1.4.4 DC conditioning / AC per-position context models) —
+    // and both decode. Entropy coding is lossless over the same
+    // quantized coefficients, so this certifies BIT EQUALITY of the two
+    // decodes per document, plus arith_smaller (the adaptive coder must
+    // not lose to the fixed Annex-K tables) and truncation rejection.
+    // A single wrong Qe transition, renorm, or context index corrupts
+    // every later decision and hash-mismatches. With this, the
+    // multimodal codec seam narrows to inter-frame video only.
+    "multimodal_jpeg_arith" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.jpegArithRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 27 + 9 as int)"),
+            expr("cast(doc_id % 19 + 9 as int)"),
+            expr("cast(doc_id % 2 * 2 + 1 as int)")).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.arith_equals_seq").as("arith_equals_seq"),
+          col("st.arith_smaller").as("arith_smaller"),
           col("st.trunc_rejected").as("trunc_rejected"))
         .orderBy(col("doc_id"))
     },
@@ -3109,6 +3135,19 @@ object PipelineQueries {
          CAST(doc_id % 19 + 9 AS INT) AS height,
          CAST(doc_id % 2 * 2 + 1 AS INT) AS channels,
          true AS prog_equals_seq,
+         true AS trunc_rejected
+         FROM documents ORDER BY doc_id""",
+
+    // Arithmetic certifies bit equality with the sequential decode plus
+    // the QM coder beating the fixed Huffman tables on size — the
+    // deterministic expectation is "true for every document".
+    "multimodal_jpeg_arith" ->
+      """SELECT doc_id,
+         CAST(doc_id % 27 + 9 AS INT) AS width,
+         CAST(doc_id % 19 + 9 AS INT) AS height,
+         CAST(doc_id % 2 * 2 + 1 AS INT) AS channels,
+         true AS arith_equals_seq,
+         true AS arith_smaller,
          true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 
