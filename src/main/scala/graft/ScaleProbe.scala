@@ -221,7 +221,21 @@ object ScaleProbe {
         val secM = (System.nanoTime() - t1) / 1e9
         assert(mr.getLong(0) == fr.getLong(0) && mr.getLong(1) == fr.getLong(1),
           s"merge must equal rebuild at volume: $mr vs $fr")
-        println(f"""{"metric":"scd2_scale","changes":$n,"keys":$nKeys,"versions":${fr.getLong(0)},"build_sec":$secB%.2f,"merge_sec":$secM%.2f}""")
+        // targeted late-event repair: 1% of keys rebuilt from the full
+        // history must cost a small fraction of the full build — the
+        // claim that makes the scd2Merge guard an operation, not a wall
+        val fullDim = full.localCheckpoint(true)
+        val lateKeys = spark.range(math.max(1, nKeys / 100))
+          .select((col("id") * 100 % nKeys).as("key")).localCheckpoint(true)
+        val t2 = System.nanoTime()
+        val rb = graft.operators.Cdc.rebuildKeys(fullDim, ch, col("k"),
+            col("ts"), col("v"), lateKeys, Seq(col("seq")))
+          .agg(count(lit(1)),
+            sum(when(col("is_current"), 0L).otherwise(1L))).head()
+        val secR = (System.nanoTime() - t2) / 1e9
+        assert(rb.getLong(0) == fr.getLong(0) && rb.getLong(1) == fr.getLong(1),
+          s"rebuildKeys of already-correct keys must be identity: $rb vs $fr")
+        println(f"""{"metric":"scd2_scale","changes":$n,"keys":$nKeys,"versions":${fr.getLong(0)},"build_sec":$secB%.2f,"merge_sec":$secM%.2f,"rebuild1pct_sec":$secR%.2f}""")
         ch.unpersist()
       }
 

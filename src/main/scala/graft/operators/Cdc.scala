@@ -132,9 +132,12 @@ object Cdc {
     *
     * Shape at 100 TB: the pass-through is one anti join with no window;
     * the recompute's window cost is (affected keys' history)-sized — the
-    * semi join prunes the history scan to the violating keys before any
+    * broadcast semi join drops non-affected rows map-side before any
     * exchange, so repairing a handful of keys never re-windows the
-    * dimension or the history at large. */
+    * history at large. What remains is one READ of the history (16M-row
+    * probe: 1%-of-keys repair 2.6 s vs 4.2 s full rebuild — the window
+    * shuffle is gone, the scan floor is not); store the history
+    * partitioned/bucketed by key and that scan prunes too. */
   def rebuildKeys(dim: DataFrame, history: DataFrame, key: Column,
                   ts: Column, attr: Column, keys: DataFrame,
                   tieBreak: Seq[Column] = Nil): DataFrame = {

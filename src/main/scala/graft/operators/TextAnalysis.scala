@@ -649,4 +649,86 @@ object TextAnalysis {
   def ngramLogProb(docs: DataFrame, id: Column, text: Column,
                    minCount: Int = 1, alpha: Double = 0.4): DataFrame =
     ngramScore(docs, id, text, ngramTrain(docs, text, minCount), alpha)
+
+  /** Trained naive-Bayes quality model ([[nbTrain]]/[[nbScore]]): one
+    * vocabulary-shaped token table with per-class counts and a one-row
+    * totals frame (class token totals, vocabulary size, class document
+    * priors). Both stay DataFrames so the planner broadcasts them when
+    * they fit and shuffle-joins when they do not. */
+  final case class NbModel(tok: DataFrame, totals: DataFrame)
+
+  /** Train the model-based quality classifier — the "classifier filter"
+    * stage of GPT-3/LLaMA/FineWeb-style corpus pipelines, where a model
+    * trained on curated-vs-crawl labels gates what enters the training
+    * set. Multinomial naive Bayes over the canonical whitespace tokens:
+    * ONE token-keyed aggregate produces per-class token counts, one
+    * doc-level aggregate the class priors — nothing iterative, nothing
+    * driver-sided, so training cost is one corpus scan at any size.
+    * A null label poisons by name in-column (a document must be on one
+    * side of the classifier), the same convention as the sampling
+    * guards. */
+  def nbTrain(corpus: DataFrame, label: Column, text: Column): NbModel = {
+    val lab = when(label.isNull, raise_error(lit(
+        "nbTrain: the label column contains nulls — every training " +
+          "document must be on one side of the classifier; filter or " +
+          "impute labels first")).cast("boolean"))
+      .otherwise(label.cast("boolean"))
+    val docs = corpus.select(lab.as("y"), tokens(text).as("ts"))
+    val tok = docs.select(col("y"), explode(col("ts")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = tok
+      .agg(sum(col("c_pos")).as("tot_pos"), sum(col("c_neg")).as("tot_neg"),
+        count(lit(1)).as("vocab"))
+      .crossJoin(docs.agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg")))
+    NbModel(tok, totals)
+  }
+
+  /** Score documents under an [[nbTrain]] model: per token the Laplace-1
+    * log-likelihood ratio
+    *
+    *   llr(w) = ln( ((c_pos(w)+1)/(tot_pos+V)) / ((c_neg(w)+1)/(tot_neg+V)) )
+    *
+    * (an out-of-vocabulary token gets the pure-smoothing ratio), rounded
+    * to 6 decimals and summed as DECIMAL — the [[ngramScore]] fixed-order
+    * idiom, so the result is engine-exact; divisions are exact-integer
+    * IEEE divisions. The document score adds the (identically rounded)
+    * class-prior log ratio; `predict_pos` is its sign.
+    *
+    * Shape at 100 TB: token extraction is map-side, the model join is
+    * against the vocabulary-shaped count table (broadcast when it fits),
+    * and the rollup is one id-keyed aggregation — per-doc cost is
+    * model-size-independent, the same scaling story as [[ngramScore]].
+    * Documents with no tokens have no evidence and are dropped (the
+    * [[ngramScore]] convention). */
+  def nbScore(docs: DataFrame, id: Column, text: Column,
+              model: NbModel): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val g = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val scored = g.join(model.tok, Seq("token"), "left")
+      .crossJoin(broadcast(model.totals))
+    val pPos = (coalesce(col("c_pos"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tot_pos") + col("vocab")).cast("double")
+    val pNeg = (coalesce(col("c_neg"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tot_neg") + col("vocab")).cast("double")
+    val prior = round(log((col("n_pos") + lit(1L)).cast("double") /
+      (col("n_neg") + lit(1L)).cast("double")), 6).cast(dec)
+    scored
+      .withColumn("llr", round(log(pPos / pNeg), 6).cast(dec))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("s"))
+      .crossJoin(broadcast(model.totals.select(col("n_pos"), col("n_neg"))))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("s") + prior).cast("double"), 6).as("score"),
+        (col("s") + prior > lit(0).cast(dec)).as("predict_pos"))
+  }
+
+  /** Self-trained convenience form: train on the labeled corpus, score
+    * the same corpus — the calibration-report shape. */
+  def nbQuality(docs: DataFrame, id: Column, label: Column,
+                text: Column): DataFrame =
+    nbScore(docs, id, text, nbTrain(docs, label, text))
 }

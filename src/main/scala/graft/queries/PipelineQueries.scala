@@ -1490,6 +1490,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Model-based quality filtering (the classifier gate of GPT-3/
+    // LLaMA/FineWeb-style pipelines): a multinomial naive-Bayes model
+    // trained in ONE corpus scan on a deterministic curated-vs-crawl
+    // label proxy (source number parity), then every document scored
+    // with the Laplace-1 log-likelihood ratio plus the class prior. The
+    // oracle replays training counts, smoothing, the per-token rounded
+    // llr sum and the prior from scratch in SQL — training AND scoring
+    // certified end to end, not just the score arithmetic.
+    "text_quality_model" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.nbQuality(t.documents, col("doc_id"),
+          expr("cast(substring(source, 4, 8) as int) % 2 = 0"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents
@@ -3297,6 +3313,45 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_tokens,
            round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
          FROM nl GROUP BY doc_id ORDER BY doc_id""",
+
+    // Naive-Bayes quality gate: the oracle retrains the model from
+    // scratch (per-class token counts, Laplace-1 smoothing, priors) and
+    // replays the scoring — exact-integer IEEE divisions, ln of the
+    // ratio rounded to 6dp per token, DECIMAL(18,6) fixed-order sum,
+    // the prior added at the same precision — so training and scoring
+    // must BOTH match bit for bit.
+    "text_quality_model" ->
+      s"""WITH lab AS (SELECT doc_id,
+              (CAST(substring(source, 4, 8) AS INT) % 2 = 0) AS y, text
+            FROM documents),
+            tok AS (SELECT doc_id, y, unnest($tokensSql) AS token FROM lab),
+            cnt AS (SELECT token,
+                      sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+                    FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+                      count(*) AS vocab FROM cnt),
+            pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+                    FROM lab),
+            s AS (SELECT t.doc_id,
+                    CAST(round(ln(
+                      (CAST(coalesce(c.c_pos, 0) + 1 AS DOUBLE)
+                         / CAST(tot.tot_pos + tot.vocab AS DOUBLE))
+                      / (CAST(coalesce(c.c_neg, 0) + 1 AS DOUBLE)
+                         / CAST(tot.tot_neg + tot.vocab AS DOUBLE))), 6)
+                      AS DECIMAL(18,6)) AS llr
+                  FROM tok t LEFT JOIN cnt c ON t.token = c.token
+                    CROSS JOIN tot),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, sum(llr) AS sd
+                    FROM s GROUP BY 1),
+            pr AS (SELECT CAST(round(ln(CAST(n_pos + 1 AS DOUBLE)
+                      / CAST(n_neg + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                      AS prior FROM pri)
+         SELECT doc_id, n_tokens,
+           round(CAST(sd + prior AS DOUBLE), 6) AS score,
+           (sd + prior > CAST(0 AS DECIMAL(18,6))) AS predict_pos
+         FROM agg CROSS JOIN pr ORDER BY doc_id""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n

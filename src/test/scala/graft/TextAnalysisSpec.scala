@@ -414,4 +414,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lw.take(2) == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L)), lw.toString)
     assert(lw.forall(m => !m._2.contains("U") && !m._3.contains("1")), lw.toString)
   }
+
+  test("nbQuality: hand-computed Laplace llr, OOV, priors, null poison") {
+    // pos: d1 "apple banana apple", d2 "banana cherry"
+    // neg: d3 "spam spam", d4 "spam junk cherry"
+    // counts: pos {apple 2, banana 2, cherry 1} tot 5;
+    //         neg {spam 3, junk 1, cherry 1} tot 5; vocab 5; priors 2/2
+    // llr: apple/banana ln3=1.098612, cherry 0, spam ln(1/4)=-1.386294,
+    //      junk ln(1/2)=-0.693147, OOV ln(1/1)=0; prior ln(3/3)=0
+    val corpus = Seq(
+      (1L, true, "apple banana apple"), (2L, true, "banana cherry"),
+      (3L, false, "spam spam"), (4L, false, "spam junk cherry"))
+      .toDF("id", "y", "text")
+    val got = TextAnalysis.nbQuality(corpus, col("id"), col("y"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3.295836, true)),   // 3 * ln 3
+      2L -> ((2L, 1.098612, true)),   // ln 3 + 0
+      3L -> ((2L, -2.772588, false)), // 2 * ln(1/4)
+      4L -> ((3L, -2.079441, false))  // ln(1/4) + ln(1/2) + 0
+    ), got.toString)
+    // scoring a FRESH doc against the trained model: OOV contributes the
+    // pure-smoothing ratio (0 here, symmetric totals)
+    val model = TextAnalysis.nbTrain(corpus, col("y"), col("text"))
+    val fresh = TextAnalysis.nbScore(
+        Seq((9L, "apple spam zzz")).toDF("id", "text"),
+        col("id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(fresh == Seq((9L, 3L, -0.287682, false)), fresh.toString)
+    // unbalanced priors enter the score: drop d2 -> priors 1/2,
+    // prior term ln(2/3) = -0.405465; "cherry" llr = ln((1/8)/(2/10))
+    // = -0.470004 -> score -0.875469
+    val m2 = TextAnalysis.nbTrain(corpus.filter(col("id") =!= 2L),
+      col("y"), col("text"))
+    val ch = TextAnalysis.nbScore(Seq((9L, "cherry")).toDF("id", "text"),
+        col("id"), col("text"), m2)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(ch == Seq((-0.875469, false)), ch.toString)
+    // a null label poisons by name when the training aggregate runs
+    val withNull = Seq((1L, Some(true), "a b"), (2L, Option.empty[Boolean], "c"))
+      .toDF("id", "y", "text")
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator(t.toString)).mkString(" | ")
+    val e = intercept[Exception] {
+      TextAnalysis.nbQuality(withNull, col("id"), col("y"), col("text"))
+        .collect()
+    }
+    assert(msg(e).contains("nbTrain"), msg(e))
+    // an empty-token doc has no evidence and is dropped, not scored
+    val empty = TextAnalysis.nbScore(
+        Seq((7L, "   ")).toDF("id", "text"), col("id"), col("text"), model)
+      .collect()
+    assert(empty.isEmpty)
+  }
 }
