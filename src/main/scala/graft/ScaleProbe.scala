@@ -464,6 +464,33 @@ object ScaleProbe {
         println(f"""{"metric":"bloom_scale","rows":$n,"plain_lookup_sec":$secP%.2f,"bloom_lookup_sec":$secB%.2f,"hits":$cP}""")
       }
 
+      // PCA at volume: the d²-state one-pass training claim measured —
+      // train cost vs corpus size (the aggregate state is constant), and
+      // map-side projection throughput. Vectors carry 8 planted strong
+      // directions over hash noise so the spectrum is non-trivial.
+      if (on("pca")) {
+        import graft.operators.Pca
+        val dim = 64
+        val vecs = spark.range(n.toLong).select(col("id").as("vid"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (pmod(xxhash64(col("id"), j), lit(2001)).cast("double") - 1000.0)
+              / 1000.0 +
+              when(j % 8 === pmod(col("id"), lit(8)).cast("int"), 5.0)
+                .otherwise(0.0)).as("vec"))
+        vecs.cache().count()
+        val t0 = System.nanoTime()
+        val m = Pca.train(vecs, col("vec"), 16)
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Pca.project(vecs, col("vid"), col("vec"), m)
+          .agg(sum(col("z0")), sum(col("z15"))).head()
+        val secProj = (System.nanoTime() - t1) / 1e9
+        assert(m.gramMaxDeviation <= 1e-9, "orthonormality at volume")
+        val explained = m.eigenvalues.sum / m.totalVariance
+        println(f"""{"metric":"pca_scale","vectors":$n,"dim":$dim,"train_sec":$secTrain%.2f,"project_sec":$secProj%.2f,"explained_at_16":$explained%.4f}""")
+        vecs.unpersist()
+      }
+
       // Data-quality report at volume: the one-pass claim measured —
       // the 5-constraint report vs the same 5 checks as separate scans.
       if (on("dq")) {

@@ -1555,6 +1555,22 @@ object PipelineQueries {
         Seq("spark", "merge", "window"), k = 20)
     },
 
+    // PCA dimensionality reduction over the embedding corpus — train is
+    // ONE pass (d²-sized moment aggregate, constant in rows), eigen on
+    // the driver (report-sized), projection map-side via codegen'd dot
+    // products. Self-certifying like the multimodal queries (DuckDB
+    // cannot eigendecompose): per k the booleans a correct PCA cannot
+    // violate — driver-exact component orthonormality, eigenvalue
+    // sanity incl. trace preservation, and mean reconstruction error
+    // non-increasing in k (all ks measured in one corpus aggregate).
+    // A wrong rotation, an unsorted spectrum, or a broken projection
+    // flips a boolean and hash-mismatches.
+    "embed_pca" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Pca.certify(s, t.embeddings, col("embedding"),
+        Seq(4, 8, 16))
+    },
+
     // Int8 embedding quantization; the oracle compares scale, two code
     // elements, and the whole-vector code checksum (array columns don't
     // hash-compare, scalar projections do).
@@ -3358,6 +3374,14 @@ object PipelineQueries {
          FROM (SELECT unnest($tokensSql) AS token FROM documents
                WHERE NOT $blankSql)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    // Self-certifying (see the query comment): the oracle pins shape,
+    // count and the all-true property booleans.
+    "embed_pca" ->
+      """SELECT k, (SELECT count(*) FROM embeddings) AS n_vectors,
+         64 AS dim, true AS orthonormal, true AS eigen_ok,
+         true AS err_improves
+         FROM (VALUES (4), (8), (16)) t(k) ORDER BY k""",
 
     "embed_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
