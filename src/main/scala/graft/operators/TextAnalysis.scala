@@ -674,16 +674,24 @@ object TextAnalysis {
           "impute labels first")).cast("boolean"))
       .otherwise(label.cast("boolean"))
     val docs = corpus.select(lab.as("y"), tokens(text).as("ts"))
+    // materialize the model ONCE (the scd2Merge idiom): both tables are
+    // referenced by several scoring branches, and lazy frames would
+    // replay the corpus scan per reference (~6 scans in the composed
+    // self-train query). The checkpoint is vocabulary-sized / one row —
+    // model-sized, never corpus-sized — so train is exactly two corpus
+    // passes (token counts + doc priors) at any scale.
     val tok = docs.select(col("y"), explode(col("ts")).as("token"))
       .groupBy(col("token"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("c_neg"))
+      .localCheckpoint(true)
     val totals = tok
       .agg(sum(col("c_pos")).as("tot_pos"), sum(col("c_neg")).as("tot_neg"),
         count(lit(1)).as("vocab"))
       .crossJoin(docs.agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg")))
+      .localCheckpoint(true)
     NbModel(tok, totals)
   }
 
