@@ -578,6 +578,60 @@ object Similarity {
             x => round(x * 127.0 / col("maxabs"), 0).cast("tinyint")))
           .as("codes"))
 
+  /** Top-k via a PCA-REDUCED candidate scan with exact re-ranking — the
+    * dimension-axis sibling of [[quantizedTopK]]'s precision axis: the
+    * model trains on the L2-NORMALIZED corpus (one [[Pca]] moments pass),
+    * candidates are ranked by reduced-space L2 (for unit vectors L2
+    * order IS cosine order, and the top-variance subspace preserves L2
+    * up to the discarded variance), the best `rerank × k` per query
+    * survive, and only those re-score against the exact vectors. The
+    * reduced score drops the per-query-constant ‖z_q‖²: rank by
+    * 2·z_q·z_c − ‖z_c‖².
+    *
+    * WHEN THIS PAYS — measured honestly: the win is proportional to how
+    * fast the spectrum decays. On a corpus with planted structure
+    * (`pca_scale` probe: explained@16 of 64 dims = 0.92) 16 dims carry
+    * nearly everything; on the ISOTROPIC synthetic test embeddings
+    * (explained@16 ≈ 0.25 — hash noise has a flat spectrum) recall@5
+    * at kDims=16/rerank=4 is only 0.40, and exact-parity needs
+    * kDims=32/rerank=16 (spec-pinned). Real embedding models produce
+    * decaying spectra; verify YOUR corpus's explained fraction (the
+    * `embed_pca` certify output) before choosing kDims — which is why
+    * this ships as an operator with a measured-recall spec rather than
+    * a hash-gated registered query on data PCA cannot compress. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              rerank: Int = 4, kDims: Int = 16): DataFrame = {
+    import graft.operators.Pca
+    import graft.functions.VectorExpressions.dotProduct
+    require(rerank >= 1, s"need rerank >= 1, got $rerank")
+    val unitV = transform(col("vec"), x => x / col("norm"))
+    val model = Pca.train(corpus.select(unitV.as("uv")), col("uv"), kDims)
+    def zArray: Column = array(model.components.map { comp =>
+      dotProduct(col("vec"), typedLit(comp.toSeq)) / col("norm") -
+        lit(comp.zip(model.mean).map { case (a, b) => a * b }.sum)
+    }: _*)
+    val cz = corpus.select(col("vec_id").as("cand_id"), zArray.as("cz"))
+      .withColumn("cn2", dotProduct(col("cz"), col("cz")))
+    val qz = queries.select(col("vec_id").as("query_id"), zArray.as("qz"))
+    val approx = cz.crossJoin(broadcast(qz))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rs",
+        lit(2.0) * dotProduct(col("cz"), col("qz")) - col("cn2"))
+    val candidates = Ranking.topKPerQuery(approx, k * rerank, "rs")
+      .select(col("query_id"), col("cand_id"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("vec").as("cand_vec"), col("norm").as("cand_norm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("vec").as("query_vec"), col("norm").as("query_norm"))
+    val rescored = candidates
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", cosineFromNorms(
+        dot(col("cand_vec"), col("query_vec")),
+        col("cand_norm"), col("query_norm")))
+    Ranking.topKPerQuery(rescored, k)
+  }
+
   /** Top-k via the quantized corpus with exact re-ranking: candidates are
     * scored on int8 codes (8× less scan/shuffle bandwidth than the double
     * vectors — at 100 TB the scan IS the cost), the best `rerank × k` per

@@ -76,6 +76,34 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("pcaTopK: exact parity at conservative params; recall degrades honestly on a flat spectrum") {
+    // this corpus is hash-isotropic (explained@16 ~ 0.25), the WORST
+    // case for PCA candidates — measured recall@5 ladder:
+    //   kd=16 rr=4: 0.40   kd=24 rr=8: 0.78   kd=32 rr=8: 0.98
+    //   kd=32 rr=16: 1.00  (the parity point pinned below)
+    import graft.operators.Similarity
+    val t = Tables(spark, sfDir)
+    val all = Similarity.prepared(t.embeddings, col("vec_id"), col("embedding"))
+    val queries = all.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(all, queries, k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+    val reduced = Similarity.pcaTopK(all, queries, k = 5, rerank = 16,
+        kDims = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+    assert(reduced.exceptAll(exact).isEmpty && exact.exceptAll(reduced).isEmpty,
+      "PCA-candidate top-k must equal exact brute force at kd=32, rr=16")
+    // the cheap setting keeps a usable fraction even here — the floor of
+    // the spectrum-dependence story, not a target
+    val cheap = Similarity.pcaTopK(all, queries, k = 5, rerank = 4,
+        kDims = 16)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (cheap & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"flat-spectrum floor: recall $recall")
+  }
+
   test("certify on real embeddings: all properties hold, variance concentrates") {
     val t = Tables(spark, sfDir)
     val got = Pca.certify(spark, t.embeddings, col("embedding"), Seq(4, 16))
