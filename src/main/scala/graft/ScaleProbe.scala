@@ -435,6 +435,41 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Naive-Bayes quality classifier at scale: same fixed-slice claim
+      // as the ngram probe — nbTrain is two corpus passes into a
+      // checkpointed vocabulary-sized model, and scoring a FIXED 20k
+      // slice must stay flat as the training corpus (and so the model's
+      // counts) grows.
+      if (on("nbq")) {
+        import graft.operators.TextAnalysis
+        // 50k hash-derived token types (not the 20-word shared vocab) so
+        // the model is realistically vocabulary-sized, with a planted
+        // class signal: even docs draw from a shifted token range
+        val labeled = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(59)),
+              i => concat(lit("tok"),
+                pmod(xxhash64(col("id"), i), lit(45000)) +
+                  pmod(col("id"), lit(2)) * 5000))).as("text"))
+          .withColumn("y", pmod(col("doc_id"), lit(2)) === 0)
+        labeled.cache().count()
+        val t0 = System.nanoTime()
+        val model = TextAnalysis.nbTrain(labeled, col("y"), col("text"))
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        val vocab = model.tok.count()
+        val fixed = labeled.filter(col("doc_id") < 20000)
+        val t1 = System.nanoTime()
+        TextAnalysis.nbScore(fixed, col("doc_id"), col("text"), model)
+          .agg(sum(col("score"))).collect()
+        val secFixed = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        TextAnalysis.nbScore(labeled, col("doc_id"), col("text"), model)
+          .agg(sum(col("score"))).collect()
+        val secFull = (System.nanoTime() - t2) / 1e9
+        println(f"""{"metric":"nbq_scale","docs":$n,"vocab":$vocab,"train_sec":$secTrain%.2f,"score20k_sec":$secFixed%.2f,"scorefull_sec":$secFull%.2f}""")
+        labeled.unpersist()
+      }
+
       // Parquet bloom filters at volume: a time-sorted table whose
       // user_id min/max spans every row group (min/max pruning useless),
       // point-looked-up with and without per-column bloom filters —
