@@ -74,6 +74,21 @@ object Quality {
     * chooses by `df.storageLevel`: the measured 64M trade (one-pass 48 s
     * vs five cached scans 20 s) says the shape should follow where the
     * bytes live, not be hardwired. */
+  /** The row-level constraints as conditional-sum aggregate expressions
+    * — the shared core of [[report]]'s one-pass aggregate and
+    * [[observe]]'s zero-pass CollectMetrics. */
+  private def rowLevelAgg(c: Constraint): Option[(String, Column)] = c match {
+    case c @ NotNull(col0) =>
+      Some(c.label -> sum(when(col(col0).isNull, 1L).otherwise(0L)))
+    case c @ InRange(col0, lo, hi) =>
+      Some(c.label -> sum(when(col(col0).isNull
+        || col(col0) < lit(lo) || col(col0) > lit(hi), 1L).otherwise(0L)))
+    case c @ Matches(col0, re) =>
+      Some(c.label -> sum(when(col(col0).isNull
+        || !col(col0).rlike(re), 1L).otherwise(0L)))
+    case _ => None
+  }
+
   def report(df: DataFrame, constraints: Seq[Constraint],
              splitUnique: Option[Boolean] = None): DataFrame = {
     require(constraints.nonEmpty, "need at least one constraint")
@@ -88,18 +103,11 @@ object Quality {
     // the second null-keyed row counts — the documented semantics
     def distinctViolations(cols0: Seq[String]): Column =
       count(lit(1)) - count_distinct(struct(cols0.map(col): _*))
-    val rowLevel = constraints.collect {
-      case c @ NotNull(col0) =>
-        c.label -> sum(when(col(col0).isNull, 1L).otherwise(0L))
-      case c @ InRange(col0, lo, hi) =>
-        c.label -> sum(when(col(col0).isNull
-          || col(col0) < lit(lo) || col(col0) > lit(hi), 1L).otherwise(0L))
-      case c @ Matches(col0, re) =>
-        c.label -> sum(when(col(col0).isNull
-          || !col(col0).rlike(re), 1L).otherwise(0L))
-      case c @ Unique(cols0) if !split =>
-        c.label -> distinctViolations(cols0)
-    }
+    val rowLevel = constraints.flatMap(rowLevelAgg) ++
+      constraints.collect {
+        case c @ Unique(cols0) if !split =>
+          c.label -> distinctViolations(cols0)
+      }
     // positional __c$i aliases, not the labels: labels surface only as
     // lit() VALUES, never rendered into an identifier or SQL string, so
     // a column name carrying quotes/backticks can't break the unpivot
@@ -137,6 +145,54 @@ object Quality {
       .reduce(_ unionByName _)
       .select(col("constraint"), col("n_rows"), col("violations"),
         (col("violations") === 0L).as("pass"))
+      .orderBy(col("constraint"))
+  }
+
+  /** In-flight constraint counting at ZERO extra passes: attach the
+    * row-level constraints as a `CollectMetrics` observation to `df`, so
+    * violation counts ride whatever job the pipeline was going to run
+    * anyway — the true 100 TB shape for always-on data quality, where
+    * even [[report]]'s one dedicated scan is a scan too many. Returns
+    * the instrumented frame (use IT downstream) and the `Observation`;
+    * after any action that consumes every row, [[observedReport]] turns
+    * the observation into the same `(constraint, n_rows, violations,
+    * pass)` frame `report` produces.
+    *
+    * Row-level constraints only, enforced by name: `Unique` needs a
+    * distinct (not allowed inside CollectMetrics) and `RefIntegrity` a
+    * join — both genuinely need their own plan, which is what [[report]]
+    * is for. */
+  def observe(df: DataFrame, constraints: Seq[Constraint],
+              name: String = "dq"): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    require(constraints.map(_.label).distinct.size == constraints.size,
+      s"duplicate constraint labels: ${constraints.map(_.label)}")
+    val rowLevel = constraints.map { c =>
+      rowLevelAgg(c).getOrElse(throw new IllegalArgumentException(
+        s"Quality.observe: '${c.label}' cannot ride an observation — " +
+          "Unique needs a distinct and RefIntegrity a join; use " +
+          "Quality.report for those"))
+    }
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rowLevel.zipWithIndex.map { case ((_, e), i) => e.as(s"__c$i") }
+    (df.observe(obs, aggCols.head, aggCols.tail: _*), obs)
+  }
+
+  /** The [[report]]-shaped frame from a completed [[observe]] run. Call
+    * only after an action has consumed the instrumented frame ([[
+    * org.apache.spark.sql.Observation.get]] blocks until then). */
+  def observedReport(spark: org.apache.spark.sql.SparkSession,
+                     obs: org.apache.spark.sql.Observation,
+                     constraints: Seq[Constraint]): DataFrame = {
+    val m = obs.get
+    val nRows = m("n_rows").asInstanceOf[Long]
+    val rows = constraints.zipWithIndex.map { case (c, i) =>
+      val v = m(s"__c$i").asInstanceOf[Long]
+      (c.label, nRows, v, v == 0L)
+    }
+    import spark.implicits._
+    rows.toDF("constraint", "n_rows", "violations", "pass")
       .orderBy(col("constraint"))
   }
 }

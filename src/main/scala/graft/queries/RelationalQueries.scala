@@ -594,6 +594,28 @@ object RelationalQueries {
         Quality.RefIntegrity("o_custkey", t.customer, "c_custkey")))
     },
 
+    // In-flight data quality at ZERO extra passes: the constraints ride
+    // the hourly-stats job as a CollectMetrics observation — no
+    // dedicated DQ scan at all, the shape always-on quality wants at
+    // 100 TB (even dq_report's ONE scan is a scan too many when the
+    // pipeline reads the table anyway). The returned frame is the
+    // observation rendered report-shaped; InRange(value <= 100) is a
+    // REAL violation (values reach ~490) so the counting is exercised.
+    "dq_observe" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      import graft.operators.Quality
+      val constraints = Seq(
+        Quality.NotNull("user_id"),
+        Quality.InRange("value", 0.0, 100.0),
+        Quality.Matches("event_type", "^[a-z_]+$"))
+      val (ev, obs) = Quality.observe(t.events, constraints)
+      // the pipeline's own job — the observation piggybacks on it
+      val mainRows = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd-HH"))
+        .agg(count(lit(1))).count()
+      Quality.observedReport(s, obs, constraints)
+        .withColumn("main_job_groups", lit(mainRows))
+    },
+
     // Count-min-sketch frequency estimation (the third sketch family
     // next to HLL++ distinct and the percentile sketch), SELF-CERTIFYING
     // like q_approx_distinct: the CMS guarantee is one-sided —
@@ -1165,6 +1187,30 @@ object RelationalQueries {
                 AND NOT EXISTS (SELECT 1 FROM customer c
                                 WHERE c.c_custkey = o.o_custkey)) FROM n)
          ORDER BY "constraint"""",
+
+    // The observed counts recomputed from scratch, plus the piggyback
+    // job's own group count — the observation must equal a dedicated
+    // scan's answer.
+    "dq_observe" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM events),
+            g AS (SELECT count(*) AS main_job_groups FROM
+                    (SELECT strftime(ts, '%Y-%m-%d-%H') AS h FROM events
+                     GROUP BY 1))
+         SELECT "constraint", n_rows, violations, violations = 0 AS pass,
+           g.main_job_groups
+         FROM (
+           SELECT 'not_null(user_id)' AS "constraint", n.n_rows,
+             (SELECT count(*) FROM events WHERE user_id IS NULL)
+               AS violations FROM n
+           UNION ALL
+           SELECT 'in_range(value)', n.n_rows,
+             (SELECT count(*) FROM events WHERE value IS NULL
+                OR value < 0.0 OR value > 100.0) FROM n
+           UNION ALL
+           SELECT 'matches(event_type)', n.n_rows,
+             (SELECT count(*) FROM events WHERE event_type IS NULL
+                OR NOT regexp_matches(event_type, '^[a-z_]+$')) FROM n)
+         CROSS JOIN g ORDER BY "constraint"""",
 
     // Every format must reproduce the parquet-direct aggregate.
     "fmt_roundtrip" ->

@@ -77,6 +77,38 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("FileScan"), s"report must not rescan per constraint:\n$plan")
   }
 
+  test("observe: counts ride the main job, equal the dedicated report, reject non-row-level") {
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, None, 150.0),
+      (2L, Some("c"), -5.0), (3L, Some("d"), 50.0)
+    ).toDF("k", "name", "v")
+    val constraints = Seq(NotNull("name"), InRange("v", 0.0, 100.0),
+      Matches("name", "^[a-d]$"))
+    val (inst, obs) = Quality.observe(df, constraints)
+    // the pipeline's own action — ONE scan total, no dedicated DQ pass
+    val mainPlan = {
+      val main = inst.groupBy(col("k")).agg(sum(col("v")))
+      main.collect()
+      // AQE's toString prints the final AND the initial plan — count
+      // scans in the executed (final) section only
+      main.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(mainPlan).size <= 1,
+      s"observation must not add a scan:\n$mainPlan")
+    assert(mainPlan.contains("CollectMetrics"),
+      s"constraints must ride the main job's plan:\n$mainPlan")
+    val viaObserve = rows(Quality.observedReport(spark, obs, constraints))
+    val viaReport = rows(Quality.report(df, constraints))
+    assert(viaObserve == viaReport, s"$viaObserve vs $viaReport")
+    assert(viaObserve.exists(r => r._3 > 0), "violations must be exercised")
+    // Unique / RefIntegrity genuinely need their own plan — by name
+    val e = intercept[IllegalArgumentException] {
+      Quality.observe(df, Seq(Unique(Seq("k"))))
+    }
+    assert(e.getMessage.contains("observe"), e.getMessage)
+    assert(e.getMessage.contains("Quality.report"), e.getMessage)
+  }
+
   test("report: cached input splits Unique into separate scans, same numbers") {
     val df = Seq(
       (1L, Some("a"), 10.0), (2L, None, 150.0),
