@@ -179,6 +179,41 @@ object Quality {
     (df.observe(obs, aggCols.head, aggCols.tail: _*), obs)
   }
 
+  /** Streaming form of [[observe]]: the same row-level constraint
+    * aggregates attached through the string-named streaming `observe`,
+    * so every micro-batch surfaces its own violation counts in
+    * `StreamingQueryProgress.observedMetrics(name)` — per-batch data
+    * quality at zero extra passes and zero state store, the always-on
+    * gate for an ingest stream. Render a batch's row with
+    * [[observedBatchReport]]. Same row-level-only contract as
+    * [[observe]], rejected by name. */
+  def observeStream(df: DataFrame, constraints: Seq[Constraint],
+                    name: String = "dq"): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    require(constraints.map(_.label).distinct.size == constraints.size,
+      s"duplicate constraint labels: ${constraints.map(_.label)}")
+    val rowLevel = constraints.map { c =>
+      rowLevelAgg(c).getOrElse(throw new IllegalArgumentException(
+        s"Quality.observe: '${c.label}' cannot ride an observation — " +
+          "Unique needs a distinct and RefIntegrity a join; use " +
+          "Quality.report for those"))
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rowLevel.zipWithIndex.map { case ((_, e), i) => e.as(s"__c$i") }
+    df.observe(name, aggCols.head, aggCols.tail: _*)
+  }
+
+  /** One micro-batch's `(constraint, n_rows, violations, pass)` rows
+    * from its `observedMetrics` entry. */
+  def observedBatchReport(metrics: org.apache.spark.sql.Row,
+                          constraints: Seq[Constraint]): Seq[(String, Long, Long, Boolean)] = {
+    val n = metrics.getAs[Long]("n_rows")
+    constraints.zipWithIndex.map { case (c, i) =>
+      val v = metrics.getAs[Long](s"__c$i")
+      (c.label, n, v, v == 0L)
+    }.sortBy(_._1)
+  }
+
   /** The [[report]]-shaped frame from a completed [[observe]] run. Call
     * only after an action has consumed the instrumented frame ([[
     * org.apache.spark.sql.Observation.get]] blocks until then). */

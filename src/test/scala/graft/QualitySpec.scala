@@ -109,6 +109,31 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("Quality.report"), e.getMessage)
   }
 
+  test("observeStream: every micro-batch surfaces its own violation counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val constraints = Seq(NotNull("name"), InRange("v", 0.0, 100.0))
+    val input = MemoryStream[(Long, Option[String], Double)]
+    val observed = Quality.observeStream(
+      input.toDF().toDF("k", "name", "v"), constraints)
+    val q = observed.writeStream.outputMode("append")
+      .format("memory").queryName("dq_stream_out").start()
+    try {
+      input.addData((1L, Some("a"), 10.0), (2L, None, 150.0))
+      q.processAllAvailable()
+      input.addData((3L, Some("b"), 20.0))
+      q.processAllAvailable()
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("dq")))
+        .filter(_ != null)
+        .map(Quality.observedBatchReport(_, constraints))
+      assert(perBatch == Seq(
+        Seq(("in_range(v)", 2L, 1L, false), ("not_null(name)", 2L, 1L, false)),
+        Seq(("in_range(v)", 1L, 0L, true), ("not_null(name)", 1L, 0L, true))
+      ), perBatch.toString)
+    } finally q.stop()
+  }
+
   test("report: cached input splits Unique into separate scans, same numbers") {
     val df = Seq(
       (1L, Some("a"), 10.0), (2L, None, 150.0),
