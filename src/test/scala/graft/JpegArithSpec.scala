@@ -45,6 +45,40 @@ class JpegArithSpec extends SparkSpec {
     roundTrip(Array.tabulate(4096)(_ % 2), Array.fill(4096)(0), 1)
   }
 
+  test("QM coder fuzz: 150 random (length, bias, context-count) configs invert exactly") {
+    val r = rng(0xD1B54A32D192ED03L)
+    for (trial <- 1 to 150) {
+      val n = (math.floorMod(r(), 3000) + 1).toInt
+      val biasNum = math.floorMod(r(), 11).toInt // 0..10 of 10 → incl. degenerate
+      val nBins = (math.floorMod(r(), 32) + 1).toInt
+      val bits = Array.tabulate(n)(_ =>
+        if (math.floorMod(r(), 10) < biasNum) 1 else 0)
+      val ctxs = Array.tabulate(n)(_ => math.floorMod(r(), nBins).toInt)
+      val (_, decoded) = JpegArith.coderProbe(bits, ctxs, nBins)
+      assert(decoded.sameElements(bits), s"fuzz trial $trial diverged " +
+        s"(n=$n bias=$biasNum/10 bins=$nBins)")
+    }
+  }
+
+  test("SOF9 fuzz: random dims and seeds all bit-equal the Huffman path") {
+    val r = rng(0xA0761D6478BD642FL)
+    for (trial <- 1 to 25) {
+      val w = (math.floorMod(r(), 48) + 1).toInt
+      val h = (math.floorMod(r(), 48) + 1).toInt
+      val c = if (math.floorMod(r(), 2) == 0L) 1 else 3
+      val seed = r()
+      val px = graft.functions.MediaKernels.synthPixels(seed, w * h * c)
+      val seq = JpegKernels.jpegEncodePixels(w, h, c, px)
+      val ari = JpegArith.jpegEncodeArithPixels(w, h, c, px)
+      assert(seq != null && ari != null, s"trial $trial ${w}x$h c=$c")
+      val dSeq = JpegKernels.jpegDecodeRaw(seq)
+      val dAri = JpegArith.jpegDecodeArith(ari)
+      assert(dSeq != null && dAri != null, s"trial $trial decode")
+      assert(java.util.Arrays.equals(dSeq.pixels, dAri.pixels),
+        s"fuzz divergence at trial $trial: ${w}x$h c=$c seed=$seed")
+    }
+  }
+
   test("QM coder wire: every 0xFF data byte is zero-stuffed") {
     val r = rng(42L)
     // all-1s from a fresh state codes LPS-heavy and walks Qe toward 0.5
