@@ -122,6 +122,46 @@ class JpegArithSpec extends SparkSpec {
     }
   }
 
+  test("DAC conditioning segment: explicit defaults decode identically, bad bounds null") {
+    // our encoder relies on the T.81 defaults (DC L=0 U=1, AC Kx=5); a
+    // conformant stream may carry them explicitly in a DAC segment —
+    // splice one in before SOS and the decode must be byte-identical
+    val px = graft.functions.MediaKernels.synthPixels(11L, 24 * 16 * 3)
+    val ari = JpegArith.jpegEncodeArithPixels(24, 16, 3, px)
+    assert(ari != null)
+    val base = JpegArith.jpegDecodeArith(ari)
+    assert(base != null)
+    // locate SOS (FF DA) in the header region
+    var sos = 2
+    while (!((ari(sos) & 0xff) == 0xff && (ari(sos + 1) & 0xff) == 0xda)) sos += 1
+    def splice(entries: Array[Byte]): Array[Byte] = {
+      val dac = Array[Byte](0xff.toByte, 0xcc.toByte,
+        0, (2 + entries.length).toByte) ++ entries
+      ari.take(sos) ++ dac ++ ari.drop(sos)
+    }
+    // Tc=0 table 0, Cs = (U=1)<<4 | (L=0); Tc=1 table 0, Cs = Kx=5
+    val explicit = splice(Array[Byte](0x00, 0x10, 0x10, 0x05))
+    val dec = JpegArith.jpegDecodeArith(explicit)
+    assert(dec != null, "explicit-defaults DAC must decode")
+    assert(java.util.Arrays.equals(dec.pixels, base.pixels),
+      "explicit defaults must decode identically")
+    // NON-default conditioning changes the statistical model: the scan
+    // bytes no longer parse under it the same way — output differs (or
+    // nulls); it must never match silently NOR throw
+    val shifted = splice(Array[Byte](0x00, 0x21, 0x10, 0x05)) // L=1,U=2
+    val decShifted = JpegArith.jpegDecodeArith(shifted)
+    assert(decShifted == null ||
+      !java.util.Arrays.equals(decShifted.pixels, base.pixels),
+      "different conditioning cannot decode to the same pixels")
+    // invalid bounds reject by the marker walk
+    assert(JpegArith.jpegDecodeArith(
+      splice(Array[Byte](0x00, 0x01.toByte, 0x10, 0x05))) == null) // U=0 < L=1
+    assert(JpegArith.jpegDecodeArith(
+      splice(Array[Byte](0x10, 0x00, 0x00, 0x00))) == null) // Kx=0
+    assert(JpegArith.jpegDecodeArith(
+      splice(Array[Byte](0x21, 0x05))) == null) // table class 2
+  }
+
   test("malformed inputs return null, never throw") {
     val px = graft.functions.MediaKernels.synthPixels(7L, 16 * 16 * 3)
     val ari = JpegArith.jpegEncodeArithPixels(16, 16, 3, px)
