@@ -71,6 +71,13 @@ class PcaSpec extends SparkSpec {
       Pca.train(df, col("v"), k = 100000)
     }
     assert(e2.getMessage.contains("exceeds dimension"), e2.getMessage)
+    // a mistakenly-passed wide column (d > MaxDim) fails by name before
+    // any d^2 allocation reaches the driver
+    val wide = Seq(Seq.tabulate(Pca.MaxDim + 1)(_.toDouble)).toDF("v")
+    val e3 = intercept[IllegalArgumentException] {
+      Pca.train(wide, col("v"), k = 2)
+    }
+    assert(e3.getMessage.contains("MaxDim"), e3.getMessage)
     intercept[IllegalArgumentException] {
       Pca.certify(spark, df, col("v"), Seq(8, 4)) // not ascending
     }
