@@ -256,8 +256,39 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** BPE merge application ([[TextKernels.bpeEncode]]): the flat subword
+    * sequence of one document under a trained merge list (rank order =
+    * sequence order). The pair→rank table builds once per expression
+    * instance (`@transient lazy`, rebuilt per executor after plan
+    * serialization — the broadcast-model shape), and per-row cost is
+    * independent of table size. Null text → null. */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "bpe_encode"
+
+    @transient private lazy val table: java.util.HashMap[String, Integer] =
+      TextKernels.bpeTable(merges)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.bpeEncode(input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("bpeTable", table, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.bpeEncode($c, $tableRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text), langs))
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))

@@ -193,6 +193,70 @@ object TextKernels {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
+  /** PROFILE language id in one pass — char-trigram profile hits weighted
+    * 1000 plus stopword token hits as the built-in tie-break, argmax with
+    * first-declared-wins ties, "und" when nothing scores. `norm` is the
+    * ALREADY-NORMALIZED text (lowercased, whitespace collapsed to single
+    * spaces, trimmed — the caller builds that declaratively so the SQL
+    * oracle can replay it with the same regexes the fingerprint op uses).
+    *
+    * Trigram windows are every 3 consecutive chars of `norm` including
+    * the single spaces, so boundary grams ("he ", " th") carry word-edge
+    * signal without padding. Windows run over UTF-16 units (BMP text —
+    * same caveat as [[deletionNeighborhood]]); profile grams are 3
+    * codepoints, so counts match a codepoint-windowed replay on BMP
+    * input. Scores are Long: a trigram-dense giant document must not
+    * wrap Int. */
+  def langIdProfile(norm: UTF8String,
+                    tgSets: Array[java.util.HashSet[String]],
+                    swSets: Array[java.util.HashSet[UTF8String]],
+                    names: Array[UTF8String], und: UTF8String): UTF8String = {
+    val nLangs = names.length
+    val scores = new Array[Long](nLangs)
+    // stopword token hits over the single-space-separated norm bytes
+    val bytes = norm.getBytes
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s) {
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        var l = 0
+        while (l < nLangs) {
+          if (swSets(l).contains(tok)) scores(l) += 1L
+          l += 1
+        }
+      }
+    }
+    // char-trigram profile hits, weight 1000
+    val str = norm.toString
+    var p = 0
+    val end = str.length - 2
+    while (p < end) {
+      val g = str.substring(p, p + 3)
+      var l = 0
+      while (l < nLangs) {
+        if (tgSets(l).contains(g)) scores(l) += 1000L
+        l += 1
+      }
+      p += 1
+    }
+    var best = 0L
+    var l = 0
+    while (l < nLangs) {
+      if (scores(l) > best) best = scores(l)
+      l += 1
+    }
+    if (best == 0L) und
+    else {
+      var w = 0
+      while (scores(w) != best) w += 1
+      names(w)
+    }
+  }
+
   /** Repetition statistics in one pass: (n_tokens, n_distinct,
     * top_token_count, top_bigram_count) as an InternalRow. Tokens split on
     * ASCII-whitespace runs (same scan as [[langId]]); bigrams are adjacent
@@ -297,5 +361,103 @@ object TextKernels {
     var i = 0
     while (it2.hasNext) { arr(i) = UTF8String.fromString(it2.next()); i += 1 }
     new GenericArrayData(arr)
+  }
+
+  /** Build the pair→rank lookup a [[bpeEncode]] expression holds: key is
+    * `left + ' ' + right`, value the 1-based merge rank (sequence
+    * order). Validates the letters-only training contract by name — a
+    * merge symbol outside `[a-z]+` could collide with the passthrough
+    * tokens and silently re-segment them. */
+  def bpeTable(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.nonEmpty && r.nonEmpty && (l + r).forall(c => c >= 'a' && c <= 'z'),
+        s"bpeTable: merge symbols must be nonempty lowercase letters " +
+          s"(the bpeTrain contract), got ('$l','$r') at rank ${i + 1}")
+      val prev = m.put(l + " " + r, Integer.valueOf(i + 1))
+      require(prev == null,
+        s"bpeTable: duplicate merge pair ('$l','$r') — ranks would be ambiguous")
+    }
+    m
+  }
+
+  /** BPE MERGE APPLICATION (tokenizer encode) — apply a trained merge
+    * table ([[graft.operators.TextAnalysis.bpeTrain]] output) to one
+    * document, emitting the flat subword-symbol sequence.
+    *
+    * Tokens split on ASCII-whitespace runs (same scan as [[langId]]).
+    * Lowercase-letter words take the classical encoder loop: start from
+    * single characters, repeatedly find the LOWEST-RANK adjacent pair
+    * present (one O(len) scan with O(1) hash lookups) and merge all its
+    * left-to-right non-overlapping occurrences, until no trained pair
+    * remains. Any other token (mixed case, digits, punctuation, non-ASCII
+    * bytes) passes through unchanged as a single OOV symbol — the same
+    * tokens training skipped.
+    *
+    * This is provably identical to applying the merges SEQUENTIALLY in
+    * rank order with greedy replace-all (the bpeTrain/DuckDB-oracle
+    * formulation): a pair's two symbols are each produced by strictly
+    * lower-ranked merges, so later merges can only CONSUME existing
+    * adjacencies, never create an occurrence of an earlier pair — the
+    * min-rank-present loop therefore fires the same merges in the same
+    * order, restricted to ranks that still apply. Per-word cost is
+    * O(len²) hash probes — INDEPENDENT of merge-table size, unlike the
+    * chained-replace formulation's O(nMerges · len) (the `bpe_encode`
+    * ScaleProbe pins this). */
+  def bpeEncode(text: UTF8String,
+                ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val bytes = text.getBytes   // one copy; OOV token views share it
+    val len = bytes.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      var lower = true
+      while (i < len && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if (b < 'a' || b > 'z') lower = false
+        i += 1
+      }
+      val n = i - s
+      if (n > 0) {
+        if (!lower || n < 2) out.add(UTF8String.fromBytes(bytes, s, n))
+        else {
+          val syms = new Array[String](n)
+          var t = 0
+          while (t < n) { syms(t) = String.valueOf(bytes(s + t).toChar); t += 1 }
+          var count = n
+          var done = false
+          while (!done && count >= 2) {
+            var bestRank = Integer.MAX_VALUE
+            var bl: String = null
+            var br: String = null
+            var j = 0
+            while (j < count - 1) {
+              val r = ranks.get(syms(j) + " " + syms(j + 1))
+              if (r != null && r.intValue < bestRank) {
+                bestRank = r.intValue; bl = syms(j); br = syms(j + 1)
+              }
+              j += 1
+            }
+            if (bl == null) done = true
+            else {
+              var w = 0
+              var rd = 0
+              while (rd < count) {
+                if (rd < count - 1 && syms(rd) == bl && syms(rd + 1) == br) {
+                  syms(w) = bl + br; rd += 2
+                } else { syms(w) = syms(rd); rd += 1 }
+                w += 1
+              }
+              count = w
+            }
+          }
+          var k = 0
+          while (k < count) { out.add(UTF8String.fromString(syms(k))); k += 1 }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 }

@@ -9,9 +9,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * finish packs `[n, d, sum…, outerSum…]` into one flat array; the
   * caller derives mean and covariance on the driver (report-sized).
   * Null/empty vectors are ignored ([[VectorMeanAggregator]] convention);
-  * vectors of differing lengths throw. */
+  * vectors of differing lengths, vectors containing null ELEMENTS, and
+  * vectors wider than [[MaxDim]] all throw BY NAME inside reduce —
+  * before any d²-sized buffer is allocated — so a mistakenly-passed
+  * wide or dirty column fails with a message, not an executor OOM or
+  * an unboxing NullPointerException mid-corpus. */
 object VectorMomentsAggregator
     extends Aggregator[Seq[Double], (Array[Double], Array[Double], Long), Seq[Double]] {
+
+  /** Largest supported dimensionality, enforced in `reduce` BEFORE the
+    * d² allocation: past this the per-task buffer is multi-MB and past
+    * d≈46341 `d*d` overflows Int. [[graft.operators.Pca.MaxDim]] aliases
+    * this value so the operator-level contract and the executor-side
+    * guard cannot drift apart. */
+  val MaxDim = 1024
 
   override def zero: (Array[Double], Array[Double], Long) =
     (Array.empty[Double], Array.empty[Double], 0L)
@@ -20,6 +31,14 @@ object VectorMomentsAggregator
                       v: Seq[Double]): (Array[Double], Array[Double], Long) = {
     if (v == null || v.isEmpty) return b
     val d = v.length
+    require(d <= MaxDim,
+      s"VectorMomentsAggregator: vector dimension $d exceeds MaxDim=$MaxDim — " +
+        "the moment state is d² doubles; is this really an embedding column?")
+    // inspect as Seq[Any]: touching elements AS Double would unbox and
+    // NPE on the very null we are trying to report by name
+    require(!v.asInstanceOf[Seq[Any]].exists(_ == null),
+      "VectorMomentsAggregator: vector contains null elements — clean or " +
+        "filter the embedding column before computing moments")
     val (s, o, n) =
       if (b._3 == 0L) (new Array[Double](d), new Array[Double](d * d), 0L)
       else b match { case (s0, o0, n0) =>

@@ -46,7 +46,10 @@ object Pca {
           var t = 0
           while (t < dim) { dot += components(i)(t) * components(j)(t); t += 1 }
           val dev = math.abs(dot - (if (i == j) 1.0 else 0.0))
-          if (dev > worst) worst = dev
+          // NaN-aware: a NaN deviation (NaN/Inf in the moments poisoning
+          // a component) must FAIL the certificate, and `dev > worst` is
+          // false for NaN — so test the negation
+          if (!(dev <= worst)) worst = dev
           j += 1
         }
         i += 1
@@ -58,15 +61,29 @@ object Pca {
   /** Largest supported dimensionality: the aggregation state is d²
     * doubles and the driver eigensolve is O(d³) — 1024 keeps both
     * trivially cheap (8 MB state, ~1 s solve) while catching a
-    * mistakenly-passed row id or token array by name. */
-  val MaxDim = 1024
+    * mistakenly-passed row id or token array by name. Aliases the
+    * executor-side guard ([[graft.functions.VectorMomentsAggregator
+    * .MaxDim]], enforced inside `reduce` BEFORE any d² allocation) so
+    * oversized vectors fail by name without running the corpus pass. */
+  val MaxDim: Int = graft.functions.VectorMomentsAggregator.MaxDim
 
   /** Train on `vec` (array<float|double>): one corpus pass → moments →
     * driver Jacobi eigensolve → top-`k` sign-normalized components. */
   def train(vecs: DataFrame, vec: Column, k: Int): PcaModel = {
     require(k >= 1, s"need k >= 1, got $k")
     val agg = udaf(graft.functions.VectorMomentsAggregator)
-    val packed = vecs.select(vec.cast("array<double>").as("v"))
+    // null ELEMENTS inside a vector must fail by name, not silently
+    // default-to-0.0 through the primitive-Seq encoder (null/empty
+    // VECTORS stay ignored per the aggregator convention). Same
+    // in-column raise_error poison as the sampling guards: zero cost on
+    // clean data, fires at the first dirty row.
+    val v0 = vec.cast("array<double>")
+    val guarded = when(v0.isNotNull && exists(v0, x => x.isNull),
+      raise_error(lit("Pca.train: a vector contains null elements — clean " +
+        "or filter the embedding column before computing moments"))
+        .cast("array<double>"))
+      .otherwise(v0)
+    val packed = vecs.select(guarded.as("v"))
       .agg(agg(col("v")).as("m")).head().getSeq[Double](0)
     require(packed.nonEmpty,
       "Pca.train: no non-empty vectors — cannot fit a model to nothing")

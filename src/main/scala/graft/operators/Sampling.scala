@@ -317,9 +317,20 @@ object Sampling {
     * identically on any cluster — reproducible training order. */
   def packSequences(docs: DataFrame, id: Column, text: Column,
                     nShards: Int, seqLen: Int,
-                    salt: String = ""): DataFrame = {
+                    salt: String = ""): DataFrame =
+    packSequencesBy(docs, id, TextAnalysis.tokenCount(text).cast("long"),
+      nShards, seqLen, salt)
+
+  /** [[packSequences]] with an EXPLICIT per-document token count — the
+    * real-tokenizer form: pass [[TextAnalysis.bpeEncodeCount]] (or any
+    * trained tokenizer's length) so sequences are cut on the token
+    * budget the training loader will actually see, not the whitespace
+    * proxy. Same packing map contract and determinism. */
+  def packSequencesBy(docs: DataFrame, id: Column, nTokens: Column,
+                      nShards: Int, seqLen: Int,
+                      salt: String = ""): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val n = TextAnalysis.tokenCount(text).cast("long")
+    val n = nTokens.cast("long")
     val sharded = shuffleShards(
       docs.select(id.as("doc_id"), n.as("__n")).filter(col("__n") > 0),
       col("doc_id"), nShards, salt)

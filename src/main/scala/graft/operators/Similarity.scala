@@ -605,7 +605,13 @@ object Similarity {
     import graft.functions.VectorExpressions.dotProduct
     require(rerank >= 1, s"need rerank >= 1, got $rerank")
     val unitV = transform(col("vec"), x => x / col("norm"))
-    val model = Pca.train(corpus.select(unitV.as("uv")), col("uv"), kDims)
+    // zero-norm corpus vectors would train NaN/Inf unit components and
+    // poison the ENTIRE moments aggregate (every trained component NaN,
+    // all reduced-space rankings garbage) — exclude them from training;
+    // they still appear as candidates, where cosineFromNorms handles them
+    val model = Pca.train(
+      corpus.filter(col("norm") > lit(0.0)).select(unitV.as("uv")),
+      col("uv"), kDims)
     def zArray: Column = array(model.components.map { comp =>
       dotProduct(col("vec"), typedLit(comp.toSeq)) / col("norm") -
         lit(comp.zip(model.mean).map { case (a, b) => a * b }.sum)

@@ -537,6 +537,54 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** Collect a trained merge table ([[bpeTrain]] output) to the driver in
+    * rank order — the model hand-off between training and [[bpeEncode]].
+    * Model-sized by construction (bpeTrain emits ≤ nMerges rows), but
+    * capped by name anyway so a mistakenly-passed corpus frame fails with
+    * a message, not a driver OOM. */
+  def bpeMerges(model: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = model.select(col("rank").cast("int"), col("left"), col("right"))
+      .orderBy(col("rank")).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"bpeMerges: more than $maxMerges merge rows — is this really a " +
+        "trained merge table?")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** BPE MERGE APPLICATION (tokenizer encode): the flat subword-symbol
+    * array of each document under a trained merge list — what turns a
+    * corpus into actual tokenizer output for packing/counting, map-side
+    * with per-doc cost independent of merge-table size
+    * ([[graft.functions.TextKernels.bpeEncode]] has the algorithm and the
+    * equivalence argument vs sequential replace-all). Whitespace tokens
+    * outside the `[a-z]{2,}` training contract pass through unchanged as
+    * single OOV symbols. Null text → null. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncode(text, merges)
+
+  /** Trained-tokenizer token count per document — [[bpeEncode]] length,
+    * the real-tokenizer replacement for the whitespace [[tokenCount]] in
+    * packing/budgeting. */
+  def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
+  /** The SEQUENTIAL-REPLACE formulation of merge application — the
+    * bpeTrain double-separator encoding with one greedy literal
+    * `replace` per rank, exactly what the DuckDB oracle replays. Kept as
+    * the cross-check for the kernel ([[bpeEncode]]'s min-rank loop must
+    * agree on every document; the BpeSpec pins this on the corpus) — NOT
+    * the production path, since its per-doc cost grows with nMerges. */
+  private[graft] def bpeEncodeViaReplace(text: Column,
+                                         merges: Seq[(String, String)]): Column =
+    flatten(transform(tokens(text), t => {
+      val sep = concat(lit("||"), regexp_replace(t, "(.)", "$1||"))
+      val merged = merges.foldLeft(sep) { case (c, (l, r)) =>
+        replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      when(t.rlike("^[a-z]+$"), split(trim(merged, "|"), "\\|\\|"))
+        .otherwise(array(t))
+    }))
+
   /** Trained n-gram LM frequency tables: unigram / bigram / trigram
     * counts plus the 1-row corpus-token total. All vocabulary-shaped
     * (never corpus-row-shaped once pruned), derived from ONE logical

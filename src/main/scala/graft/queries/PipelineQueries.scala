@@ -606,6 +606,22 @@ object PipelineQueries {
         .orderBy(col("shard"), col("seq_id"), col("doc_id"))
     },
 
+    // Sequence packing over REAL tokenizer output: train 8 BPE merges,
+    // count each document's encoded subwords, and cut 256-token training
+    // sequences on THAT budget — the tokenize-then-pack step a training
+    // pipeline actually ships (pack_sequences keeps the whitespace-proxy
+    // form for comparison).
+    "pack_bpe_sequences" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = TextAnalysis.bpeMerges(
+        TextAnalysis.bpeTrain(t.documents, col("text"), nMerges = 8))
+      graft.operators.Sampling
+        .packSequencesBy(t.documents, col("doc_id"),
+          TextAnalysis.bpeEncodeCount(col("text"), merges),
+          nShards = 4, seqLen = 256, salt = "r5b")
+        .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+    },
+
     // Data mixing by source weights; unlisted sources keep 5%.
     "sample_mixture" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -883,6 +899,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // PCA-reduced ANN — candidates scored in the kDims=16 reduced space
+    // (the scan reads 16 doubles instead of 64 — the point of the
+    // operator), exact re-rank of the survivors. Planted-twin top-1
+    // protocol (the sim_pq_topk pattern), with a guarantee that is
+    // STRUCTURAL here, not measured: the reduced-space score is
+    // rs = 2·⟨cz,qz⟩ − ‖cz‖² = ‖qz‖² − ‖qz − cz‖², maximized exactly
+    // when cz = qz — and a planted twin's projection IS the query's
+    // projection (same vector, same deterministic components), so the
+    // twin is the reduced-space argmax at ANY kDims, survives any
+    // rerank ≥ 1, and exact re-rank returns it at cosine 1.0 vs the
+    // ≤ 0.61 background. The isotropic-spectrum recall ladder (general
+    // top-k, the config-dependent part) stays the spec's contract;
+    // embed_pca certifies the trained model itself.
+    "sim_pca_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val all = Similarity.prepared(t.embeddings,
+        belowPlantedOffset(col("vec_id"), 100000), col("embedding"))
+      val queries = all.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("vec"), col("norm"))
+      Similarity.pcaTopK(all, queries, k = 1, rerank = 4, kDims = 16)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"))
+    },
+
     // Product-quantization ANN (PqCodec): per-subspace k-means codebooks
     // (m=16 subspaces x ks=16 codes over the 64 dims — 1 bit/dim;
     // reconstruction cosine ~0.79 on this corpus, vs 0.63 at m=8's
@@ -1148,6 +1188,25 @@ object PipelineQueries {
       val t = Tables(s, dir)
       TextAnalysis.bpeTrain(t.documents, col("text"), nMerges = 8)
         .orderBy(col("rank"))
+    },
+
+    // Merge APPLICATION — train 8 merges, then encode every document
+    // map-side with the min-rank kernel (per-doc cost independent of
+    // merge-table size); per doc the full subword sequence as one
+    // space-joined string plus its length, so the hash pins every symbol
+    // boundary. The oracle replays training AND the rank-sequential
+    // replace formulation — a hash match certifies the two encoder
+    // algorithms agree on the whole corpus.
+    "text_bpe_encode" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = TextAnalysis.bpeMerges(
+        TextAnalysis.bpeTrain(t.documents, col("text"), nMerges = 8))
+      t.documents.select(col("doc_id"),
+          TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe"),
+          array_join(col("toks"), " ").as("bpe_text"))
+        .orderBy(col("doc_id"))
     },
 
     "text_quality" -> { (s, dir) =>
@@ -1772,6 +1831,38 @@ object PipelineQueries {
   private val tokensSql =
     s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
   private val blankSql = s"""length($wsTrimSql) = 0"""
+
+  /** BPE training replayed as chained DuckDB CTEs — the WITH-body shared
+    * by every bpe oracle (train, encode, packing), so the replayed
+    * algorithm can never drift between them: per round k, pair counts
+    * from the double-separator symbol strings (p$k), the (freq DESC, l,
+    * r) argmax (m$k), and the SAME greedy literal replace the Spark side
+    * applies (s$k). See [[graft.operators.TextAnalysis.bpeTrain]]. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT w, count(*) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w),
+         s0 AS (SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s,
+                  freq FROM w0)"""
+    val loops = (1 to rounds).map { k =>
+      s""",
+         p$k AS (SELECT struct_extract(u, 'l') AS l,
+                   struct_extract(u, 'r') AS r, sum(freq) AS freq
+                 FROM (SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+                                      for i in range(1, len(syms))]) AS u,
+                         freq
+                       FROM (SELECT string_split(trim(s, '|'), '||') AS syms,
+                               freq FROM s${k - 1}))
+                 GROUP BY 1, 2),
+         m$k AS (SELECT l, r, CAST(freq AS BIGINT) AS freq FROM p$k
+                 ORDER BY freq DESC, l, r LIMIT 1),
+         s$k AS (SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+                   '|' || m.l || m.r || '|') AS s, w.freq
+                 FROM s${k - 1} w, m$k m)"""
+    }.mkString
+    head + loops
+  }
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -2724,6 +2815,27 @@ object PipelineQueries {
          SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
 
+    // Planted-twin top-1 where the twin's survival is STRUCTURAL (the
+    // reduced-space score is maximized exactly at cz = qz — see the
+    // query comment), so brute-force top-1 holds train → project →
+    // reduced scan → re-rank to exact equality.
+    "sim_pca_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v),
+            q AS (SELECT vec_id + 100000 AS query_id, vec AS qvec, nrm AS qnrm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS cand_id,
+                list_inner_product(c.vec, q.qvec) / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, cand_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rk
+              FROM scored)
+         SELECT query_id, rk, cand_id, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk = 1 ORDER BY query_id""",
+
     // Planted-copy top-1 (the sim_ivf_top1 protocol): the measured ADC
     // rank of every planted original is 1, rerank=32 is the headroom, so
     // the full PQ pipeline is held to brute-force top-1 verbatim.
@@ -2968,32 +3080,83 @@ object PipelineQueries {
     // correct greedy merge — see TextAnalysis.bpeTrain).
     "text_bpe_train" -> {
       val rounds = 8
-      val head =
-        """WITH w0 AS (SELECT w, count(*) AS freq
-             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-             WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w),
-           s0 AS (SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s,
-                    freq FROM w0)"""
-      val loops = (1 to rounds).map { k =>
-        s""",
-           p$k AS (SELECT struct_extract(u, 'l') AS l,
-                     struct_extract(u, 'r') AS r, sum(freq) AS freq
-                   FROM (SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
-                                        for i in range(1, len(syms))]) AS u,
-                           freq
-                         FROM (SELECT string_split(trim(s, '|'), '||') AS syms,
-                                 freq FROM s${k - 1}))
-                   GROUP BY 1, 2),
-           m$k AS (SELECT l, r, CAST(freq AS BIGINT) AS freq FROM p$k
-                   ORDER BY freq DESC, l, r LIMIT 1),
-           s$k AS (SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
-                     '|' || m.l || m.r || '|') AS s, w.freq
-                   FROM s${k - 1} w, m$k m)"""
-      }.mkString
       val tail = (1 to rounds)
         .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", freq FROM m$k""")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
-      head + loops + tail
+      bpeTrainCtes(rounds) + tail
+    },
+
+    // Merge APPLICATION replayed end-to-end: training (the shared CTEs
+    // above) then, per document token, the identical chained literal
+    // replaces in rank order over the double-separator encoding —
+    // lowercase words re-segment, everything else passes through as one
+    // OOV symbol. The Spark side runs the min-rank-present kernel
+    // (TextKernels.bpeEncode), so a hash match here certifies the
+    // classical equivalence of the two algorithms on the whole corpus.
+    "text_bpe_encode" -> {
+      val rounds = 8
+      val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM documents),
+           encw AS (SELECT doc_id, i,
+                      CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                           THEN string_split(trim($chained, '|'), '||')
+                           ELSE [t] END AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS allsyms
+                   FROM encw GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(len(e.allsyms), 0) AS BIGINT) AS n_bpe,
+           coalesce(array_to_string(e.allsyms, ' '), '') AS bpe_text
+         FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+         ORDER BY d.doc_id"""
+    },
+
+    // BPE-token packing: the pack_sequences map recomputed over REAL
+    // trained-tokenizer counts — training CTEs + per-token encoded
+    // lengths + the identical md5-shard/window/bin-explode chain.
+    "pack_bpe_sequences" -> {
+      val rounds = 8
+      val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+           encw AS (SELECT doc_id,
+                      CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                           THEN len(string_split(trim($chained, '|'), '||'))
+                           ELSE 1 END AS ntok
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           d AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n
+                 FROM encw GROUP BY doc_id),
+           nz AS (SELECT doc_id, n FROM d WHERE n > 0),
+           h AS (SELECT doc_id, n,
+                   md5(CAST(doc_id AS VARCHAR) || 'r5b') AS hh
+                 FROM nz),
+           sh AS (SELECT doc_id, n, hh,
+                    CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+                  FROM h),
+           p AS (SELECT doc_id, n, shard,
+                   CAST(coalesce(sum(n) OVER (PARTITION BY shard
+                     ORDER BY hh, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS strt
+                 FROM sh),
+           e AS (SELECT shard, doc_id, n, strt, b AS seq_id
+                 FROM p, unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS u(b))
+         SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           greatest(0, seq_id * 256 - strt) AS tok_start,
+           least(n, (seq_id + 1) * 256 - strt)
+             - greatest(0, seq_id * 256 - strt) AS n_toks
+         FROM e ORDER BY shard, seq_id, doc_id"""
     },
 
     "text_quality" ->

@@ -501,17 +501,30 @@ object RelationalQueries {
         graft.sources.Formats.writeCsv(proj, s"$stage/csv")
         graft.sources.Formats.writeJsonLines(proj, s"$stage/json")
         new java.io.File(s"$stage/_done").createNewFile()
-        try java.nio.file.Files.move(
+        def move(): Unit = java.nio.file.Files.move(
           java.nio.file.Paths.get(stage), java.nio.file.Paths.get(tmp),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try move()
         catch { case _: java.nio.file.FileSystemException =>
-          // another session renamed its build first; ours is redundant
-          org.apache.commons.io.FileUtils
-            .deleteDirectory(new java.io.File(stage))
+          // the keyed dir already exists: either another session just
+          // renamed its COMPLETE build first (done marker present — ours
+          // is redundant), or a killed build / pre-atomic writer left a
+          // PARTIAL copy (no marker). Self-heal the latter: delete the
+          // stale dir and retry the rename once, so the store never
+          // demands manual cleanup.
+          if (!done.exists) {
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(tmp))
+            try move()
+            catch { case _: java.nio.file.FileSystemException => () }
+          }
+          if (done.exists) // a complete copy won; drop our staging
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(stage))
         }
         require(done.exists,
-          s"fmt_roundtrip: keyed store $tmp exists without its _done " +
-            "marker — a non-atomic writer left a partial copy; delete it")
+          s"fmt_roundtrip: keyed store $tmp still lacks its _done marker " +
+            "after a self-heal retry — concurrent partial writers; delete it")
       }
       val schema = StructType(Seq(
         StructField("l_returnflag", StringType),

@@ -71,13 +71,19 @@ class PcaSpec extends SparkSpec {
       Pca.train(df, col("v"), k = 100000)
     }
     assert(e2.getMessage.contains("exceeds dimension"), e2.getMessage)
-    // a mistakenly-passed wide column (d > MaxDim) fails by name before
-    // any d^2 allocation reaches the driver
+    // a mistakenly-passed wide column (d > MaxDim) fails by name INSIDE
+    // the aggregator's reduce, before the d^2 buffer is even allocated —
+    // so the guard is a named message, not an executor OOM; Spark wraps
+    // the task failure, so match the message through the wrapper
     val wide = Seq(Seq.tabulate(Pca.MaxDim + 1)(_.toDouble)).toDF("v")
-    val e3 = intercept[IllegalArgumentException] {
-      Pca.train(wide, col("v"), k = 2)
+    val e3 = intercept[Exception] { Pca.train(wide, col("v"), k = 2) }
+    assert(messageChain(e3).contains("MaxDim"), messageChain(e3))
+    // null ELEMENTS inside a vector fail by name, not with an unboxing NPE
+    val dirty = Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
+    val e4 = intercept[Exception] {
+      Pca.train(dirty.select(col("v").cast("array<double>").as("v")), col("v"), k = 1)
     }
-    assert(e3.getMessage.contains("MaxDim"), e3.getMessage)
+    assert(messageChain(e4).contains("null elements"), messageChain(e4))
     intercept[IllegalArgumentException] {
       Pca.certify(spark, df, col("v"), Seq(8, 4)) // not ascending
     }

@@ -121,11 +121,20 @@ class RespKVStoreSpec extends SparkSpec {
       assert(store.hincrBy("k", "f", 1L) == 1L)
       server.stop()
       intercept[Exception](store.hincrBy("k", "f", 1L))
+      // At-least-once window: stop() may kill the socket after the
+      // handler already applied the in-flight HINCRBY — the client sees
+      // a dead connection (the intercept above) while the write landed.
+      // That is exactly the applied-but-unacknowledged semantics the
+      // sink's idempotent-batch protocol exists to absorb, so the spec
+      // asserts against the SURVIVING server state, not a fixed count.
+      val observed = server.state.hgetAll("k").getOrElse("f", 0L)
+      assert(observed == 1L || observed == 2L,
+        s"surviving count must be 1 (lost) or 2 (applied-unacked), got $observed")
       // new server, same endpoint: the failed call evicted the dead
       // connection, so this reconnects — over the surviving state
       val server2 = new RespServer(fixedPort = port, backing = server.state)
       server2.start()
-      try assert(store.hincrBy("k", "f", 5L) == 6L)
+      try assert(store.hincrBy("k", "f", 5L) == observed + 5L)
       finally server2.stop()
     } finally { server.stop(); RespKVStore.resetConnections() }
   }

@@ -16,4 +16,18 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+
+  /** All messages down the cause chain — executor-side named guards
+    * arrive wrapped in SparkException layers; match through them. */
+  def messageChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      sb.append(cur.getMessage).append(" | ")
+      cur = cur.getCause
+      depth += 1
+    }
+    sb.toString
+  }
 }

@@ -415,6 +415,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lw.forall(m => !m._2.contains("U") && !m._3.contains("1")), lw.toString)
   }
 
+  test("bpeEncode: hand merges, rank order, OOV passthrough, null, bad table by name") {
+    def enc(texts: Seq[String], merges: Seq[(String, String)]): Seq[Seq[String]] =
+      texts.zipWithIndex.map(_.swap).toDF("id", "text").orderBy(col("id"))
+        .select(TextAnalysis.bpeEncode(col("text"), merges))
+        .collect().map(_.getSeq[String](0)).toSeq
+    // hand-tokenized merges: lowest gets low+e+s+t, lower gets low+er
+    assert(enc(Seq("low lower lowest"), Seq("l" -> "o", "lo" -> "w", "e" -> "r")) ==
+      Seq(Seq("low", "low", "er", "low", "e", "s", "t")))
+    // rank order decides conflicts: (a,b) first eats the b that (b,c) wanted
+    assert(enc(Seq("abc"), Seq("a" -> "b", "b" -> "c")) == Seq(Seq("ab", "c")))
+    assert(enc(Seq("abc"), Seq("b" -> "c", "a" -> "b")) == Seq(Seq("a", "bc")))
+    // chained occurrences merge greedily left-to-right within one rank
+    assert(enc(Seq("aaaa aaa"), Seq("a" -> "a", "aa" -> "aa")) ==
+      Seq(Seq("aaaa", "aa", "a")))
+    // OOV passthrough: mixed case, digits, apostrophes, non-ASCII bytes —
+    // exactly the tokens training skipped stay single opaque symbols
+    assert(enc(Seq("Low lo9w l'ow héllo low"), Seq("l" -> "o", "lo" -> "w")) ==
+      Seq(Seq("Low", "lo9w", "l'ow", "héllo", "low")))
+    // empty and blank docs encode to empty arrays
+    assert(enc(Seq("", " \t "), Seq("a" -> "b")) == Seq(Seq(), Seq()))
+    // null text stays null
+    assert(Seq((0, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextAnalysis.bpeEncode(col("text"), Seq("a" -> "b")))
+      .head().isNullAt(0))
+    // a merge symbol outside the letters-only contract fails by name
+    val e = intercept[Exception](enc(Seq("x"), Seq("A" -> "b")))
+    assert(messageChain(e).contains("bpeTable"), messageChain(e))
+    val e2 = intercept[Exception](enc(Seq("x"), Seq("a" -> "b", "a" -> "b")))
+    assert(messageChain(e2).contains("duplicate merge pair"), messageChain(e2))
+  }
+
+  test("bpeEncode on the corpus: kernel == sequential-replace reference; " +
+       "detokenize round trip; count feeds packSequencesBy") {
+    val docs = Tables(spark, sfDir).documents
+    val merges = TextAnalysis.bpeMerges(
+      TextAnalysis.bpeTrain(docs, col("text"), nMerges = 12))
+    assert(merges.size == 12)
+    val both = docs.select(col("doc_id"),
+      TextAnalysis.bpeEncode(col("text"), merges).as("fast"),
+      TextAnalysis.bpeEncodeViaReplace(col("text"), merges).as("ref"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    // (1) the min-rank kernel and the rank-sequential replace-all
+    // formulation (the one the DuckDB oracle replays) agree exactly;
+    // (2) concatenating a doc's symbols reconstructs its tokens — no
+    // byte is ever lost or invented by the encoder
+    val bad = both.filter(
+      col("fast") =!= col("ref") ||
+        array_join(col("fast"), "") =!= array_join(col("toks"), "")).count()
+    assert(bad == 0, "kernel / reference / round-trip disagreement")
+    // the encoded count is a valid packing budget: every sequence from
+    // packSequencesBy is exactly seqLen except each shard's last
+    val packed = graft.operators.Sampling.packSequencesBy(
+      docs, col("doc_id"), TextAnalysis.bpeEncodeCount(col("text"), merges),
+      nShards = 2, seqLen = 64, salt = "spec")
+    val seqTotals = packed.groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_toks")).as("n"))
+    val maxSeq = seqTotals.groupBy(col("shard"))
+      .agg(max(col("seq_id")).as("last"))
+    val short = seqTotals.join(maxSeq, "shard")
+      .filter(col("seq_id") < col("last") && col("n") =!= 64).count()
+    assert(short == 0, "a non-final sequence is not exactly seqLen")
+  }
+
   test("nbQuality: hand-computed Laplace llr, OOV, priors, null poison") {
     // pos: d1 "apple banana apple", d2 "banana cherry"
     // neg: d3 "spam spam", d4 "spam junk cherry"
