@@ -9,9 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   * MJPEG is a real, widely-produced video format (capture cards, older
   * cameras, lab equipment) whose container layer is plain chunk walking
   * and whose frames are exactly the baseline JPEG this library already
-  * decodes — so video FRAME-SAMPLING and frame decode now run for real,
-  * and the multimodal library seam shrinks to inter-frame codecs
-  * (H.264/VP9/AV1 and friends), which genuinely need external libraries.
+  * decodes — so video FRAME-SAMPLING and frame decode run for real.
+  * INTER-FRAME (delta) decode is covered by the MS-RLE8 twin
+  * ([[RleVideoKernels]], 'MRLE' streams through the same container
+  * walk); the remaining library seam is motion-compensated transform
+  * codecs (H.264/VP9/AV1 and friends), which genuinely need external
+  * libraries.
   *
   * Same defensive contract as the other codecs: decoders return null on
   * malformed input, never throw. Encoders emit spec-consistent sizes
@@ -34,7 +37,33 @@ object AviKernels {
     * hdrl with avih + one 'vids'/'MJPG' stream, movi of '00dc' chunks,
     * idx1). Null on invalid dims/fps or empty/null frames. */
   def aviEncodeMjpeg(width: Int, height: Int, fps: Int,
-                     frames: Array[Array[Byte]]): Array[Byte] = {
+                     frames: Array[Array[Byte]]): Array[Byte] =
+    aviEncode(width, height, fps, frames, "MJPG", 24, None,
+      keyframeOnly0 = false)
+
+  /** Wrap MS-RLE8 frame streams ([[RleVideoKernels]]) in the same AVI
+    * shell: 'MRLE' stream fourcc, 8-bit BITMAPINFOHEADER with
+    * biCompression=1 (BI_RLE8) and a 256-entry grayscale palette (8bpp
+    * DIBs are palette-indexed; identity grayscale keeps index == sample),
+    * and idx1 flags marking ONLY frame 0 as a keyframe — the delta
+    * frames are not independently decodable, and the index must say so
+    * or a seeking player would corrupt the canvas. */
+  def aviEncodeRle8(width: Int, height: Int, fps: Int,
+                    frames: Array[Array[Byte]]): Array[Byte] = {
+    val pal = new Array[Byte](1024)
+    var i = 0
+    while (i < 256) {
+      pal(i * 4) = i.toByte; pal(i * 4 + 1) = i.toByte; pal(i * 4 + 2) = i.toByte
+      i += 1
+    }
+    aviEncode(width, height, fps, frames, "MRLE", 8, Some(pal),
+      keyframeOnly0 = true)
+  }
+
+  private def aviEncode(width: Int, height: Int, fps: Int,
+                        frames: Array[Array[Byte]], codec: String,
+                        bitCount: Int, palette: Option[Array[Byte]],
+                        keyframeOnly0: Boolean): Array[Byte] = {
     if (width <= 0 || height <= 0 || fps <= 0) return null
     if (frames == null || frames.length == 0 || frames.exists(f => f == null || f.isEmpty))
       return null
@@ -54,21 +83,30 @@ object AviKernels {
     le32(avih, 32, width); le32(avih, 36, height)
     val strh = new Array[Byte](56)
     "vids".getBytes("US-ASCII").copyToArray(strh, 0)
-    "MJPG".getBytes("US-ASCII").copyToArray(strh, 4)
+    codec.getBytes("US-ASCII").copyToArray(strh, 4)
     le32(strh, 20, 1)                 // scale
     le32(strh, 24, fps)               // rate (fps = rate/scale)
     le32(strh, 32, n)                 // length in frames
     le32(strh, 36, maxFrame)
-    val strf = new Array[Byte](40)    // BITMAPINFOHEADER
+    val palLen = palette.map(_.length).getOrElse(0)
+    val strf = new Array[Byte](40 + palLen) // BITMAPINFOHEADER [+ palette]
     le32(strf, 0, 40)
     le32(strf, 4, width); le32(strf, 8, height)
     strf(12) = 1                      // planes
-    strf(14) = 24                     // bit count
-    "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
-    le32(strf, 20, width * height * 3)
+    strf(14) = bitCount.toByte
+    codec match {
+      case "MJPG" => "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+      case "MRLE" => le32(strf, 16, 1) // biCompression = BI_RLE8
+      case other => throw new IllegalArgumentException(s"aviEncode: $other")
+    }
+    le32(strf, 20, width * height * (bitCount / 8))
+    palette.foreach { p =>
+      le32(strf, 32, p.length / 4)    // biClrUsed
+      p.copyToArray(strf, 40)
+    }
 
-    // sizes: LIST strl = 4 + (8+56) + (8+40); LIST hdrl = 4 + (8+56) + (8+strl)
-    val strlSize = 4 + 8 + 56 + 8 + 40
+    // sizes: LIST strl = 4 + (8+56) + (8+strf); LIST hdrl = 4 + (8+56) + (8+strl)
+    val strlSize = 4 + 8 + 56 + 8 + strf.length
     val hdrlSize = 4 + 8 + 56 + 8 + strlSize
     val moviPayload = frames.map(f => 8 + f.length + (f.length & 1)).sum
     val moviSize = 4 + moviPayload
@@ -80,7 +118,7 @@ object AviKernels {
     asc("avih"); w32(56); bos.write(avih)
     asc("LIST"); w32(strlSize); asc("strl")
     asc("strh"); w32(56); bos.write(strh)
-    asc("strf"); w32(40); bos.write(strf)
+    asc("strf"); w32(strf.length); bos.write(strf)
     asc("LIST"); w32(moviSize); asc("movi")
     val offsets = new Array[Int](n)
     var rel = 4 // offsets in idx1 are relative to the 'movi' fourcc
@@ -95,7 +133,8 @@ object AviKernels {
     asc("idx1"); w32(idx1Size)
     i = 0
     while (i < n) {
-      asc("00dc"); w32(0x10); w32(offsets(i)); w32(frames(i).length)
+      asc("00dc"); w32(if (keyframeOnly0 && i > 0) 0 else 0x10)
+      w32(offsets(i)); w32(frames(i).length)
       i += 1
     }
     bos.toByteArray
@@ -110,7 +149,15 @@ object AviKernels {
     * from the movi LIST's '00dc'/'00db' chunks. Tolerant of unknown
     * chunks; null on truncation, wrong magic, a non-MJPG video stream,
     * or a declared size running past the buffer. */
-  def aviDecodeMjpeg(b: Array[Byte]): AviVideo = {
+  def aviDecodeMjpeg(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "MJPG")
+
+  /** [[aviDecodeMjpeg]]'s MS-RLE8 twin: same container walk, 'MRLE'
+    * stream required; frames come back as raw RLE8 streams for
+    * [[RleVideoKernels.rle8DecodeFrame]] to chain (frame f needs frame
+    * f-1's canvas — the inter-frame contract). */
+  def aviDecodeRle8(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "MRLE")
+
+  private def aviDecodeCodec(b: Array[Byte], codec: String): AviVideo = {
     if (b == null || b.length < 24) return null
     if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return null
     // the declared RIFF size must fit — a truncated container is
@@ -118,7 +165,7 @@ object AviKernels {
     if (8L + rle32(b, 4) > b.length) return null
     val riffEnd = (8 + rle32(b, 4)).toInt
     var width = 0; var height = 0; var fps = 0
-    var sawMjpg = false
+    var sawCodec = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
     def walk(from: Int, to: Int): Boolean = { // false => malformed
@@ -143,8 +190,8 @@ object AviKernels {
           case "strh" =>
             if (size < 28) return false
             if (fourcc(b, p + 8) == "vids") {
-              if (fourcc(b, p + 12) != "MJPG") return false // other codecs: library
-              sawMjpg = true
+              if (fourcc(b, p + 12) != codec) return false // other codecs: library
+              sawCodec = true
               val scale = rle32(b, p + 8 + 20); val rate = rle32(b, p + 8 + 24)
               if (scale > 0 && rate > 0) fps = rate / scale
             }
@@ -157,7 +204,7 @@ object AviKernels {
       true
     }
     if (!walk(12, riffEnd)) return null
-    if (!sawMjpg || width <= 0 || height <= 0 || frames.isEmpty) return null
+    if (!sawCodec || width <= 0 || height <= 0 || frames.isEmpty) return null
     new AviVideo(width, height, math.max(fps, 1), frames.toArray)
   }
 

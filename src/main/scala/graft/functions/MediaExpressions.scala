@@ -439,6 +439,44 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val rleRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("exact", BooleanType, nullable = false),
+    StructField("inter_saves", BooleanType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
+  /** Full MS-RLE8 AVI round trip with PLANTED MOTION (synthesize frames
+    * where only a moving rectangle changes → delta-encode → 'MRLE'
+    * container → walk → chain-decode over the carried canvas → certify):
+    * `struct<width,height,fps,n_frames,exact,inter_saves,trunc_rejected>`.
+    * RLE8 is lossless so `exact` demands bit equality, and `inter_saves`
+    * attests the delta frames beat re-keyframing — the inter-frame
+    * machinery demonstrably does its job per row. */
+  case class RleVideoRoundTrip(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression, fps: Int)
+      extends QuaternaryExpression {
+    override def dataType: DataType = rleRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "rle_video_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+      RleVideoKernels.rleRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], n.asInstanceOf[Int], fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, n) => s"""
+        |${ev.value} = graft.functions.RleVideoKernels.rleRoundTripStats($seed, $w, $h, $n, $fps);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 
@@ -508,6 +546,12 @@ object MediaExpressions {
   def aviRoundTrip(seed: Column, width: Column, height: Column,
                    nFrames: Column, fps: Int): Column =
     ColumnBridge.column(AviRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
+
+  def rleVideoRoundTrip(seed: Column, width: Column, height: Column,
+                        nFrames: Column, fps: Int): Column =
+    ColumnBridge.column(RleVideoRoundTrip(
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
 }

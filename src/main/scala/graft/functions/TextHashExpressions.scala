@@ -169,52 +169,6 @@ object TextHashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Language id by stopword-hit argmax (ties broken by `langs` order,
-    * "und" when nothing scores) in ONE pass over the text — the
-    * higher-order-function formulation runs five interpreted array
-    * filters per row (HOF lambdas get no codegen). Never null: null text
-    * is "und", matching the when-cascade semantics it replaces. */
-  case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
-      extends UnaryExpression {
-    override def dataType: DataType = StringType
-    override def nullable: Boolean = false
-    override def prettyName: String = "lang_id"
-
-    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
-      langs.map { case (_, ws) =>
-        val s = new java.util.HashSet[UTF8String]()
-        ws.foreach(w => s.add(UTF8String.fromString(w)))
-        s
-      }.toArray
-    @transient private lazy val names: Array[UTF8String] =
-      langs.map(l => UTF8String.fromString(l._1)).toArray
-    @transient private lazy val undS: UTF8String = UTF8String.fromString("und")
-
-    override def eval(input: InternalRow): Any = {
-      val v = child.eval(input)
-      if (v == null) undS
-      else TextKernels.langId(v.asInstanceOf[UTF8String], sets, names, undS)
-    }
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
-      val namesRef = ctx.addReferenceObj("langNames", names,
-        "org.apache.spark.unsafe.types.UTF8String[]")
-      val undRef = ctx.addReferenceObj("langUnd", undS,
-        "org.apache.spark.unsafe.types.UTF8String")
-      val c = child.genCode(ctx)
-      ev.copy(code = code"""
-        ${c.code}
-        org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${c.isNull} ?
-          $undRef :
-          graft.functions.TextKernels.langId(${c.value}, $setsRef, $namesRef, $undRef);
-      """, isNull = FalseLiteral)
-    }
-
-    override protected def withNewChildInternal(newChild: Expression): Expression =
-      copy(child = newChild)
-  }
-
   /** One-pass repetition statistics:
     * `struct<n_tokens:int, n_distinct:int, top_token:int, top_bigram:int>`.
     * The Gopher-style corpus repetition signals (duplicate-token ratio,
@@ -256,6 +210,67 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Profile language id ([[TextKernels.langIdProfile]]): char-trigram
+    * profile hits (weight 1000) + stopword token hits (the built-in
+    * tie-break), argmax with first-declared-wins ties, "und" when
+    * nothing scores. The child is the NORMALIZED text column (lowered,
+    * ws-collapsed, trimmed — built declaratively by the caller so the
+    * SQL oracle replays the identical normalization). Never null: null
+    * text is "und". */
+  case class LangIdProfile(child: Expression,
+                           langs: Seq[(String, Seq[String], Seq[String])])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "lang_id_profile"
+
+    @transient private lazy val tgSets: Array[java.util.HashSet[String]] =
+      langs.map { case (_, tgs, _) =>
+        val s = new java.util.HashSet[String]()
+        tgs.foreach { g =>
+          require(g.length == 3,
+            s"LangIdProfile: profile grams must be exactly 3 chars, got '$g'")
+          s.add(g)
+        }
+        s
+      }.toArray
+    @transient private lazy val swSets: Array[java.util.HashSet[UTF8String]] =
+      langs.map { case (_, _, ws) =>
+        val s = new java.util.HashSet[UTF8String]()
+        ws.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+    @transient private lazy val names: Array[UTF8String] =
+      langs.map(l => UTF8String.fromString(l._1)).toArray
+    @transient private lazy val undS: UTF8String = UTF8String.fromString("und")
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) undS
+      else TextKernels.langIdProfile(
+        v.asInstanceOf[UTF8String], tgSets, swSets, names, undS)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tgRef = ctx.addReferenceObj("langTgSets", tgSets, "java.util.HashSet[]")
+      val swRef = ctx.addReferenceObj("langSwSets", swSets, "java.util.HashSet[]")
+      val namesRef = ctx.addReferenceObj("langNames", names,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val undRef = ctx.addReferenceObj("langUnd", undS,
+        "org.apache.spark.unsafe.types.UTF8String")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${c.isNull} ?
+          $undRef :
+          graft.functions.TextKernels.langIdProfile(${c.value}, $tgRef, $swRef, $namesRef, $undRef);
+      """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** BPE merge application ([[TextKernels.bpeEncode]]): the flat subword
     * sequence of one document under a trained merge list (rank order =
     * sequence order). The pair→rank table builds once per expression
@@ -284,11 +299,12 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
-  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
-    ColumnBridge.column(LangId(ColumnBridge.expression(text), langs))
-
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
+  def langIdProfile(norm: Column,
+                    langs: Seq[(String, Seq[String], Seq[String])]): Column =
+    ColumnBridge.column(LangIdProfile(ColumnBridge.expression(norm), langs))
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))

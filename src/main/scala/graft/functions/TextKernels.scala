@@ -148,48 +148,6 @@ object TextKernels {
     else new GenericArrayData(java.util.Arrays.copyOf(arr, n))
   }
 
-  /** Language id in ONE pass over the text: tokens are split on ASCII
-    * whitespace runs (the byte scan is exact for Java's `\s` class, which
-    * is ASCII-only, and UTF-8 multibyte sequences cannot contain these
-    * bytes), each token is looked up in every language's stopword set,
-    * and the winner is the first list (declaration order) achieving the
-    * max positive score — identical semantics to the five-filter
-    * higher-order-function formulation, which Spark interprets per row
-    * per language. */
-  def langId(text: UTF8String, sets: Array[java.util.HashSet[UTF8String]],
-             names: Array[UTF8String], und: UTF8String): UTF8String = {
-    val bytes = text.getBytes   // one copy; token views share it
-    val counts = new Array[Int](sets.length)
-    val len = bytes.length
-    var i = 0
-    while (i < len) {
-      // skip whitespace run
-      while (i < len && isWs(bytes(i))) i += 1
-      val s = i
-      while (i < len && !isWs(bytes(i))) i += 1
-      if (i > s) {
-        val tok = UTF8String.fromBytes(bytes, s, i - s)
-        var l = 0
-        while (l < sets.length) {
-          if (sets(l).contains(tok)) counts(l) += 1
-          l += 1
-        }
-      }
-    }
-    var best = 0
-    var l = 0
-    while (l < counts.length) {
-      if (counts(l) > best) best = counts(l)
-      l += 1
-    }
-    if (best == 0) und
-    else {
-      var w = 0
-      while (counts(w) != best) w += 1
-      names(w)
-    }
-  }
-
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
@@ -259,7 +217,7 @@ object TextKernels {
 
   /** Repetition statistics in one pass: (n_tokens, n_distinct,
     * top_token_count, top_bigram_count) as an InternalRow. Tokens split on
-    * ASCII-whitespace runs (same scan as [[langId]]); bigrams are adjacent
+    * ASCII-whitespace runs (same scan as [[langIdProfile]]); bigrams are adjacent
     * token pairs. The standard corpus-quality repetition signals
     * (duplicate-token ratio, top-n-gram fraction) derive from these counts
     * declaratively. Empty/blank text → all zeros, never null. */
@@ -385,7 +343,7 @@ object TextKernels {
     * table ([[graft.operators.TextAnalysis.bpeTrain]] output) to one
     * document, emitting the flat subword-symbol sequence.
     *
-    * Tokens split on ASCII-whitespace runs (same scan as [[langId]]).
+    * Tokens split on ASCII-whitespace runs (same scan as [[langIdProfile]]).
     * Lowercase-letter words take the classical encoder loop: start from
     * single characters, repeatedly find the LOWEST-RANK adjacent pair
     * present (one O(len) scan with O(1) hash lookups) and merge all its

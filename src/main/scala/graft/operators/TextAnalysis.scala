@@ -59,13 +59,47 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和")
   )
 
-  /** Predicted language: argmax of stopword hits, ties broken by list
-    * order above, "und" (undetermined) when no list scores > 0. One
-    * custom-expression pass ([[graft.functions.TextHashExpressions.LangId]])
-    * — the equivalent when-cascade over [[vocabHits]] ran five interpreted
-    * array filters per row. */
-  def langId(text: Column): Column =
-    graft.functions.TextHashExpressions.langId(text, langStopwords)
+  /** Character-trigram profiles per language — the Cavnar–Trenkle-style
+    * signal that, unlike whole-token stopwords, still fires on SHORT and
+    * MIXED documents (a single word like "hund" carries "und"; "Der" is
+    * caught after case folding). Grams are exactly 3 chars over the
+    * normalized text INCLUDING its single spaces, so word-boundary grams
+    * ("he ", " th") count without padding. zh keeps an empty trigram
+    * profile (its function words are single CJK chars the whitespace
+    * tokenizer handles no worse than before) — zh scoring stays
+    * stopword-only, the documented limitation. */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", " of", "and", " is", " to", "ed ", " in"),
+    "de" -> Seq("der", "die", "und", "ich", "sch", "ein", "cht", " ge", "das", " zu"),
+    "fr" -> Seq(" le", "les", " la", "est", "une", "que", " et", "ent", " du", "au "),
+    "es" -> Seq(" el", "los", " y ", "una", "ado", " un", "nte", "ión", " co", "es "),
+    "zh" -> Seq()
+  )
+
+  /** Per-language (name, trigram profile, stopwords) — the profile
+    * scorer's model, zipped by declaration order. */
+  private lazy val langProfiles: Seq[(String, Seq[String], Seq[String])] = {
+    val sw = langStopwords.toMap
+    langTrigrams.map { case (l, tgs) => (l, tgs, sw(l)) }
+  }
+
+  /** Predicted language — N-GRAM PROFILE scoring with the old stopword
+    * heuristic folded in as the tie-break: per language,
+    * `score = 1000 · (char-trigram profile hits) + (stopword token hits)`
+    * over the NORMALIZED text (lowercased, whitespace collapsed, trimmed
+    * — the [[fingerprint]] normalization, so the SQL oracle replays it
+    * with the same regexes); winner is the first declared language at
+    * the max positive score, "und" when nothing scores. One
+    * custom-expression pass ([[graft.functions.TextHashExpressions
+    * .LangIdProfile]]) after a codegen'd normalization — still a single
+    * map-side operator. Compared to the stopword-only heuristic this
+    * classifies short/capitalized/inflected documents the token matcher
+    * missed, and case folding means "The" finally counts. */
+  def langId(text: Column): Column = {
+    val norm = regexp_replace(
+      lower(regexp_replace(text, "^\\s+|\\s+$", "")), "\\s+", " ")
+    graft.functions.TextHashExpressions.langIdProfile(norm, langProfiles)
+  }
 
   /** Quality features + a composite score in [0,1]: rewards mid-length
     * documents and word-like content, penalizes punctuation soup. The

@@ -1483,6 +1483,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INTER-FRAME (delta) video decode — MS-RLE8 'MRLE' streams through
+    // the same AVI walk: per document, planted-motion frames (only a
+    // moving rectangle changes between frames) are delta-encoded,
+    // containerized, walked back, and chain-decoded over the carried
+    // canvas. RLE8 is lossless so `exact` is bit equality across every
+    // frame; `inter_saves` attests the delta frames are strictly smaller
+    // than re-keyframing (the inter-frame machinery provably engaged);
+    // truncation of either the container or a frame stream must reject.
+    // nFrames ≥ 2 always, so every document exercises a real delta.
+    "multimodal_video_delta" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.rleVideoRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 9 + 6 as int)"),
+            expr("cast(doc_id % 5 + 6 as int)"),
+            expr("cast(doc_id % 5 + 2 as int)"), fps = 12).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.fps").as("fps"), col("st.n_frames").as("n_frames"),
+          col("st.exact").as("exact"),
+          col("st.inter_saves").as("inter_saves"),
+          col("st.trunc_rejected").as("trunc_rejected"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame sampling through the TYPED Dataset surface (the API a
     // pipeline calls): documents become video MediaRecords (MJPEG-AVI,
     // 2..7 frames), Multimodal.sampleFrames + CodecDecoder returns
@@ -1832,6 +1858,41 @@ object PipelineQueries {
     s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
   private val blankSql = s"""length($wsTrimSql) = 0"""
 
+  /** Per-language composite language-id scores (`s_<lang>` SELECT items)
+    * over a `text` column in scope — the SQL replay of the PROFILE
+    * scorer ([[graft.operators.TextAnalysis.langId]]): 1000 × char-
+    * trigram profile hits (3-char windows over the fingerprint-
+    * normalized text, spaces included) + stopword token hits. Shared by
+    * every oracle that predicts a language, so the replayed model can
+    * never drift between them. */
+  private lazy val langHitsSql: String = {
+    val normSql =
+      s"regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')"
+    val sw = TextAnalysis.langStopwords.toMap
+    TextAnalysis.langTrigrams.map { case (lang, tgs) =>
+      val swLst = sw(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      val swCnt = s"len(list_filter(string_split($normSql, ' '), " +
+        s"t -> t <> '' AND list_contains($swLst, t)))"
+      val tgCnt =
+        if (tgs.isEmpty) "0"
+        else {
+          val tgLst = tgs.map(g => s"'$g'").mkString("[", ", ", "]")
+          s"len(list_filter([substr($normSql, i, 3) " +
+            s"for i in range(1, greatest(length($normSql) - 1, 1))], " +
+            s"g -> list_contains($tgLst, g)))"
+        }
+      s"1000 * $tgCnt + $swCnt AS s_$lang"
+    }.mkString(",\n             ")
+  }
+
+  /** The first-declared-at-max CASE arms over [[langHitsSql]]'s
+    * `s_<lang>` columns ("und" is the caller's ELSE). */
+  private lazy val langCaseSql: String = {
+    val langs = TextAnalysis.langTrigrams.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'").mkString(" ")
+  }
+
   /** BPE training replayed as chained DuckDB CTEs — the WITH-body shared
     * by every bpe oracle (train, encode, packing), so the replayed
     * algorithm can never drift between them: per round k, pair counts
@@ -2085,14 +2146,8 @@ object PipelineQueries {
          GROUP BY 1 ORDER BY 1""",
 
     "pipeline_funnel" -> {
-      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
-      }.mkString(",\n             ")
-      val langs = TextAnalysis.langStopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
-        .mkString(" ")
+      val hits = langHitsSql
+      val cases = langCaseSql
       s"""WITH RECURSIVE
            q AS (
              SELECT doc_id, text, source,
@@ -3178,22 +3233,13 @@ object PipelineQueries {
              * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
          FROM g ORDER BY doc_id""",
 
-    "text_langid" -> {
-      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
-      }.mkString(",\n             ")
-      val langs = TextAnalysis.langStopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
-        .mkString(" ")
+    "text_langid" ->
       s"""WITH f AS (
            SELECT doc_id,
-             $hits
+             $langHitsSql
            FROM documents)
-         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-         FROM f ORDER BY doc_id"""
-    },
+         SELECT doc_id, CASE $langCaseSql ELSE 'und' END AS lang_pred
+         FROM f ORDER BY doc_id""",
 
     // FakeDecoder's byte histogram is deterministic, so the whole decode
     // path is oracle-checkable: f0 = sum of payload bytes at offsets
@@ -3307,6 +3353,20 @@ object PipelineQueries {
          CAST(12 AS INT) AS fps,
          CAST(doc_id % 6 + 2 AS INT) AS n_frames,
          true AS err_in_bound,
+         true AS trunc_rejected
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying: DuckDB replays the dims/frame-count arithmetic;
+    // the deterministic expectation is lossless equality, delta-beats-
+    // keyframe, and truncation rejection for every document.
+    "multimodal_video_delta" ->
+      """SELECT doc_id,
+         CAST(doc_id % 9 + 6 AS INT) AS width,
+         CAST(doc_id % 5 + 6 AS INT) AS height,
+         CAST(12 AS INT) AS fps,
+         CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+         true AS exact,
+         true AS inter_saves,
          true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 
@@ -3693,14 +3753,8 @@ object PipelineQueries {
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
 
     "corpus_report" -> {
-      val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter($tokensSql, t -> list_contains($lst, t))) AS s_$lang"
-      }.mkString(",\n             ")
-      val langs = TextAnalysis.langStopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
-        .mkString(" ")
+      val hits = langHitsSql
+      val cases = langCaseSql
       s"""WITH f AS (
            SELECT doc_id, text, length(text) AS n_chars,
              CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,

@@ -60,14 +60,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks.forall(_.forall(_.nonEmpty)))
   }
 
-  test("langId picks the language with most stopword hits") {
-    val df = Seq(
+  test("langId: trigram profiles beat stopwords on short/mixed/capitalized docs") {
+    def lang(texts: String*): Seq[String] =
+      texts.toDF("text").select(TextAnalysis.langId(col("text")))
+        .as[String].collect().toSeq
+    // the old stopword fixtures still classify identically
+    assert(lang(
       "the cat and the dog is in a house",
       "der hund und die katze ist ein tier",
       "le chat et la maison est une idee",
-      "xyzzy qwerty plugh").toDF("text")
-    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
-    assert(got == Seq("en", "de", "fr", "und"))
+      "xyzzy qwerty plugh") == Seq("en", "de", "fr", "und"))
+    // SHORT docs with zero exact stopword tokens — the trigram signal:
+    // "hund" carries "und", "singing" carries "ing", "quelque" carries "que"
+    assert(lang("hund", "singing", "quelque chose") == Seq("de", "en", "fr"))
+    // CAPITALIZED text now case-folds before matching (the stopword-only
+    // heuristic returned "und" for all of these)
+    assert(lang("Der Hund.", "THE CAT", "Les Maisons") == Seq("de", "en", "fr"))
+    // MIXED doc: the language with more trigram mass wins, not und
+    assert(lang("das ist ein schönes the haus und garten") == Seq("de"))
+    // head-to-head: en's boundary grams ("the", "he ") outweigh de's "der"
+    assert(lang("the der") == Seq("en"))
+    // zh stays stopword-scored (empty trigram profile, documented)
+    assert(lang("的 是 了") == Seq("zh"))
+    // null → und, blank → und
+    assert(Seq((0, null.asInstanceOf[String]), (1, "  ")).toDF("id", "text")
+      .orderBy(col("id"))
+      .select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq ==
+      Seq("und", "und"))
   }
 
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
