@@ -470,6 +470,79 @@ object ScaleProbe {
         labeled.unpersist()
       }
 
+      // BPE merge APPLICATION at scale: encode the full corpus with the
+      // trained 16-merge table, then with the same table padded by 5000
+      // entries that can never fire (their 'z'-prefixed symbols cannot
+      // form — the vocab has no 'z'). The min-rank kernel probes pairs
+      // by hash, so per-doc cost must be INDEPENDENT of table size —
+      // the property that makes a 50k-merge production tokenizer the
+      // same scan as this 16-merge one. Token totals must match exactly
+      // (padding that changed the output would mean the guard vocab
+      // leaked into the corpus).
+      if (on("bpe_encode")) {
+        import graft.operators.TextAnalysis
+        docs.cache().count()
+        val merges = TextAnalysis.bpeMerges(
+          TextAnalysis.bpeTrain(docs, col("text"), nMerges = 16))
+        def letters(i: Int): String =
+          i.toString.map(c => ('a' + (c - '0')).toChar)
+        val padded = merges ++
+          (0 until 5000).map(i => ("zzz" + letters(i), "zz"))
+        def encodeAll(m: Seq[(String, String)]): (Long, Double) = {
+          val t = System.nanoTime()
+          val total = docs
+            .select(sum(size(TextAnalysis.bpeEncode(col("text"), m)))
+              .cast("long")).collect()(0).getLong(0)
+          (total, (System.nanoTime() - t) / 1e9)
+        }
+        val (tok16, sec16) = encodeAll(merges)
+        val (tokPad, secPad) = encodeAll(padded)
+        println(f"""{"metric":"bpe_encode_scale","docs":$n,"merges":${merges.size},"merges_padded":${padded.size},"enc_sec":$sec16%.2f,"enc_padded_sec":$secPad%.2f,"tokens":$tok16,"tokens_padded":$tokPad}""")
+        docs.unpersist()
+      }
+
+      // The ngramScore JOIN-REGIME price (the "minCount is the lever"
+      // claim, measured): on a wide-vocab corpus (the nbq derivation —
+      // hash-random trigrams, so the singleton tail IS the table),
+      // minCount=2 prunes bi/tri to near-empty broadcastable tables,
+      // while minCount=1 keeps a corpus-sized trigram table that cannot
+      // broadcast — the five model joins become shuffles of the gram
+      // stream. Both score the same FIXED 20k slice, so the delta is
+      // purely the join regime; bhj counts how many of the five joins
+      // the planner still broadcast.
+      if (on("ngramjoin")) {
+        import graft.operators.TextAnalysis
+        val wide = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(59)),
+              i => concat(lit("tok"),
+                pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
+        wide.cache().count()
+        val fixed = wide.filter(col("doc_id") < 20000)
+        def regime(minCount: Int): (Long, Long, Double, Long) = {
+          val m0 = TextAnalysis.ngramTrain(wide, col("text"), minCount)
+          val m = TextAnalysis.NgramModel(
+            m0.uni.localCheckpoint(true), m0.bi.localCheckpoint(true),
+            m0.tri.localCheckpoint(true), m0.total.localCheckpoint(true))
+          val (cb, ct) = (m.bi.count(), m.tri.count())
+          val scored = TextAnalysis.ngramScore(fixed,
+              col("doc_id"), col("text"), m)
+            .agg(sum(col("avg_neg_logp")))
+          val t = System.nanoTime()
+          scored.collect()
+          val sec = (System.nanoTime() - t) / 1e9
+          // read the FINAL adaptive plan (post-execution), not the AQE
+          // placeholder — that is where the join strategy is decided
+          val bhj = "BroadcastHashJoin".r
+            .findAllIn(scored.queryExecution.executedPlan.toString).size
+          (cb, ct, sec, bhj.toLong)
+        }
+        val (b2, t2c, sec2c, bhj2) = regime(2)
+        val (b1, t1c, sec1c, bhj1) = regime(1)
+        println(f"""{"metric":"ngram_join_regime","docs":$n,"bi_pruned":$b2,"tri_pruned":$t2c,"score20k_pruned_sec":$sec2c%.2f,"bhj_pruned":$bhj2,"bi_full":$b1,"tri_full":$t1c,"score20k_full_sec":$sec1c%.2f,"bhj_full":$bhj1}""")
+        wide.unpersist()
+      }
+
       // Parquet bloom filters at volume: a time-sorted table whose
       // user_id min/max spans every row group (min/max pruning useless),
       // point-looked-up with and without per-column bloom filters —
