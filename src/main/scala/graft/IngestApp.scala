@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.IndexStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -64,6 +64,47 @@ object IngestApp {
     val spanIdx = Dedup.spanIndex(corpus, col("doc_id"), col("text"))
     runDocsWith(fpIdx, nearIdx, spanIdx, corpus, batch,
       IndexStore.DocConfig(), threshold, maxSpanFrac)
+  }
+
+  /** QUALITY GATE for admission — the filter stage a production pipeline
+    * runs BEFORE paying dedup-index joins for junk: rejects
+    * `(doc_id, reason)` rows for documents whose composite
+    * [[graft.operators.TextAnalysis.qualityFeatures]] score falls below
+    * `minQuality` (`"low_quality"`) or whose predicted language is
+    * outside the `langs` allowlist (`"lang_not_allowed"`; empty set =
+    * no language gating). Map-side only — two codegen'd expression
+    * passes, no joins, no shuffle — so gating N documents costs one
+    * scan regardless of corpus/index size. A document failing both
+    * checks carries both reasons (the audit contract: every refusal
+    * explains itself). */
+  def qualityRejects(batch: DataFrame, minQuality: Double,
+                     langs: Set[String] = Set.empty): DataFrame = {
+    val q = TextAnalysis.qualityFeatures(batch, col("doc_id"), col("text"))
+      .filter(col("quality_score") < minQuality)
+      .select(col("doc_id"), lit("low_quality").as("reason"))
+    if (langs.isEmpty) q
+    else q.unionByName(
+      batch.filter(!TextAnalysis.langId(col("text"))
+          .isin(langs.toSeq.sorted.map(lit(_)): _*))
+        .select(col("doc_id"), lit("lang_not_allowed").as("reason")))
+  }
+
+  /** [[runDocs]] with the quality gate composed IN FRONT: gated-out
+    * documents never enter the bloom/LSH/span stages (junk should not
+    * cost index joins), so a document rejected for quality is never
+    * also labeled a duplicate — gate reasons take precedence by
+    * construction. Returns (admitted, rejects) like [[runDocs]], with
+    * gate and dedup reasons unioned in one audit frame. */
+  def runDocsGated(corpus: DataFrame, batch: DataFrame,
+                   minQuality: Double, langs: Set[String] = Set.empty,
+                   threshold: Double = 0.8,
+                   maxSpanFrac: Double = 0.5): (DataFrame, DataFrame) = {
+    val gate = qualityRejects(batch, minQuality, langs).localCheckpoint(true)
+    val surviving = batch.join(
+      gate.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val (admitted, dupRejects) =
+      runDocs(corpus, surviving, threshold, maxSpanFrac)
+    (admitted, gate.unionByName(dupRejects))
   }
 
   /** The documents-admission core against EXTERNALLY-SUPPLIED indexes —

@@ -85,6 +85,18 @@ object Pca {
       .otherwise(v0)
     val packed = vecs.select(guarded.as("v"))
       .agg(agg(col("v")).as("m")).head().getSeq[Double](0)
+    fromMoments(packed, k)
+  }
+
+  /** Fit the model from a PACKED moment state ([[graft.functions
+    * .VectorMomentsAggregator]] output: `[n, d, sums…, outer-sums…]`).
+    * Moments are MERGEABLE (element-wise addable across corpus slices or
+    * micro-batches), so this is the training endpoint for any
+    * pre-aggregated or streamed state — [[graft.streaming.StreamingPca]]
+    * folds per-batch moments behind its fence and derives models from
+    * the stored state alone, never rescanning history. */
+  def fromMoments(packed: Seq[Double], k: Int): PcaModel = {
+    require(k >= 1, s"need k >= 1, got $k")
     require(packed.nonEmpty,
       "Pca.train: no non-empty vectors — cannot fit a model to nothing")
     val n = packed(0).toLong

@@ -602,6 +602,34 @@ object TextAnalysis {
   def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** Token-id vocabulary of a trained merge list: the 26 base letters at
+    * ids 0–25, then each merge's OUTPUT symbol in rank order at
+    * id 25 + rank — the training-deterministic id space a loader embeds
+    * against. Two different merges can in principle produce the same
+    * output string ((a,bc) and (ab,c) both yield "abc"); the symbol
+    * keeps its FIRST (lowest-rank) id, so the mapping is a function. */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val base = ('a' to 'z').map(c => (c.toString, c - 'a'))
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int](base: _*)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val sym = l + r
+      if (!seen.contains(sym)) seen(sym) = 26 + i
+    }
+    seen.toSeq
+  }
+
+  /** [[bpeEncode]] to token IDS (`array<int>`): each subword symbol maps
+    * through the [[bpeVocab]] literal map (plan-embedded, codegen'd
+    * `element_at` — no extra kernel); OOV passthrough tokens map to -1,
+    * surfacing the out-of-vocabulary positions for the caller's fallback
+    * policy (byte-fallback vs skip is a tokenizer-design choice the
+    * engine does not make silently). */
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)]): Column = {
+    val vocab = typedLit(bpeVocab(merges).toMap)
+    transform(bpeEncode(text, merges),
+      s => coalesce(element_at(vocab, s), lit(-1)))
+  }
+
   /** The SEQUENTIAL-REPLACE formulation of merge application — the
     * bpeTrain double-separator encoding with one greedy literal
     * `replace` per rank, exactly what the DuckDB oracle replays. Kept as

@@ -37,6 +37,44 @@ class IngestAppSpec extends SparkSpec {
     assert(!reasonsById.contains(112L))
   }
 
+  test("quality-gated docs: junk and off-language rejected BEFORE dedup, gate precedence") {
+    val rnd = new scala.util.Random(17)
+    val vocabA = Vector("alpha", "beam", "cache", "delta", "eddy", "flume",
+      "grain", "helix", "ivory", "joule", "karst", "lumen", "mason", "night",
+      "ocean", "pivot", "quark", "ridge", "sigma", "totem")
+    def doc(vocab: Vector[String]) =
+      ("the of and is " +
+        Seq.fill(56)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpus = (0L until 20L).map(i => (i, doc(vocabA))).toDF("doc_id", "text")
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))" // punctuation soup
+    val german = "der hund und die katze ist ein schönes tier und " +
+      Seq.fill(51)(vocabA(rnd.nextInt(vocabA.size))).mkString(" ")
+    val batch = Seq(
+      (200L, doc(vocabA)),        // clean + english -> admitted
+      (201L, junk),               // low_quality
+      (202L, german),             // lang_not_allowed (en-only gate)
+      (203L, junk)                // junk twin of 201: gate catches it FIRST,
+                                  // so no near_dup_within_batch label
+    ).toDF("doc_id", "text")
+    val (admitted, rejects) = IngestApp.runDocsGated(
+      corpus, batch, minQuality = 0.1, langs = Set("en"))
+    val admittedIds = admitted.select("doc_id").as[Long].collect().toSet
+    val reasonsById = rejects.as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(admittedIds == Set(200L), reasonsById.toString)
+    assert(reasonsById(201L) == Set("low_quality", "lang_not_allowed"))
+    assert(reasonsById(202L) == Set("lang_not_allowed"))
+    // gate precedence: the junk twin never reached the LSH stage
+    assert(reasonsById(203L) == Set("low_quality", "lang_not_allowed"))
+    // no language gate: the german doc passes (its quality is fine)
+    val (admitted2, rejects2) =
+      IngestApp.runDocsGated(corpus, batch, minQuality = 0.1)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet ==
+      Set(200L, 202L))
+    assert(rejects2.as[(Long, String)].collect().toMap ==
+      Map(201L -> "low_quality", 203L -> "low_quality"))
+  }
+
   test("vecs mode: corpus twins and within-batch copies rejected, fresh vectors admitted") {
     val base = Tables(spark, sfDir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

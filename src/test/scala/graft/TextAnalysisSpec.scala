@@ -458,6 +458,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Seq((0, null.asInstanceOf[String])).toDF("id", "text")
       .select(TextAnalysis.bpeEncode(col("text"), Seq("a" -> "b")))
       .head().isNullAt(0))
+    // token ids: letters 0-25, merge outputs 25+rank, OOV -> -1
+    val m = Seq("l" -> "o", "lo" -> "w")
+    assert(TextAnalysis.bpeVocab(m).takeRight(2) == Seq("lo" -> 26, "low" -> 27))
+    // colliding outputs keep the lowest-rank id (the mapping stays a function)
+    assert(TextAnalysis.bpeVocab(Seq("a" -> "bc", "ab" -> "c"))
+      .count(_._1 == "abc") == 1)
+    assert(Seq((0, "low lower x9")).toDF("id", "text")
+      .select(TextAnalysis.bpeEncodeIds(col("text"), m))
+      .head().getSeq[Int](0) == Seq(27, 27, 4, 17, -1))
     // a merge symbol outside the letters-only contract fails by name
     val e = intercept[Exception](enc(Seq("x"), Seq("A" -> "b")))
     assert(messageChain(e).contains("bpeTable"), messageChain(e))
