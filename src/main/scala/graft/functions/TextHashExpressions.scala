@@ -277,7 +277,8 @@ object TextHashExpressions {
     * instance (`@transient lazy`, rebuilt per executor after plan
     * serialization — the broadcast-model shape), and per-row cost is
     * independent of table size. Null text → null. */
-  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                       marked: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
@@ -287,20 +288,22 @@ object TextHashExpressions {
       TextKernels.bpeTable(merges)
 
     override def nullSafeEval(input: Any): Any =
-      TextKernels.bpeEncode(input.asInstanceOf[UTF8String], table)
+      TextKernels.bpeEncode(input.asInstanceOf[UTF8String], table, marked)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tableRef = ctx.addReferenceObj("bpeTable", table, "java.util.HashMap")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.TextKernels.bpeEncode($c, $tableRef);")
+        s"${ev.value} = graft.functions.TextKernels.bpeEncode($c, $tableRef, $marked);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+  def bpeEncode(text: Column, merges: Seq[(String, String)],
+                marked: Boolean = false): Column =
+    ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(text), merges, marked))
 
   def langIdProfile(norm: Column,
                     langs: Seq[(String, Seq[String], Seq[String])]): Column =

@@ -363,10 +363,24 @@ object TextKernels {
     * chained-replace formulation's O(nMerges · len) (the `bpe_encode`
     * ScaleProbe pins this). */
   def bpeEncode(text: UTF8String,
-                ranks: java.util.HashMap[String, Integer]): ArrayData = {
+                ranks: java.util.HashMap[String, Integer]): ArrayData =
+    bpeEncode(text, ranks, marked = false)
+
+  /** [[bpeEncode]] with SentencePiece-style word-start marking: the
+    * FIRST symbol of every whitespace token is prefixed with U+2581
+    * ("\u2581", the visible low line), so the flat symbol sequence keeps
+    * word boundaries and [[graft.operators.TextAnalysis.bpeDetokenize]]
+    * can reconstruct the (whitespace-normalized) text exactly. The
+    * marker only annotates OUTPUT — merging is unaffected. Contract:
+    * input text containing a literal U+2581 detokenizes imperfectly
+    * (the marker reads as a word break), the same collision every
+    * SentencePiece pipeline documents. */
+  def bpeEncode(text: UTF8String, ranks: java.util.HashMap[String, Integer],
+                marked: Boolean): ArrayData = {
     val bytes = text.getBytes   // one copy; OOV token views share it
     val len = bytes.length
     val out = new java.util.ArrayList[AnyRef]()
+    val mark = "\u2581"
     var i = 0
     while (i < len) {
       while (i < len && isWs(bytes(i))) i += 1
@@ -379,7 +393,10 @@ object TextKernels {
       }
       val n = i - s
       if (n > 0) {
-        if (!lower || n < 2) out.add(UTF8String.fromBytes(bytes, s, n))
+        if (!lower || n < 2) {
+          val tok = UTF8String.fromBytes(bytes, s, n)
+          out.add(if (marked) UTF8String.fromString(mark + tok.toString) else tok)
+        }
         else {
           val syms = new Array[String](n)
           var t = 0
@@ -412,7 +429,11 @@ object TextKernels {
             }
           }
           var k = 0
-          while (k < count) { out.add(UTF8String.fromString(syms(k))); k += 1 }
+          while (k < count) {
+            out.add(UTF8String.fromString(
+              if (marked && k == 0) mark + syms(0) else syms(k)))
+            k += 1
+          }
         }
       }
     }

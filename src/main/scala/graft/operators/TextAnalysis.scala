@@ -602,6 +602,25 @@ object TextAnalysis {
   def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** [[bpeEncode]] with SentencePiece-style word-start marking: each
+    * whitespace token's FIRST symbol is prefixed with U+2581, so the
+    * flat subword sequence carries word boundaries and
+    * [[bpeDetokenize]] reconstructs the whitespace-normalized text
+    * exactly — the loader-facing encode/decode pair. Input containing a
+    * literal U+2581 detokenizes imperfectly (the standard SentencePiece
+    * marker-collision caveat, documented in the kernel). */
+  def bpeEncodeMarked(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncode(text, merges, marked = true)
+
+  /** Inverse of [[bpeEncodeMarked]]: concatenate the subwords, turn each
+    * word-start marker back into a space, drop the leading one — yields
+    * the WHITESPACE-NORMALIZED text (single spaces; original whitespace
+    * runs are not preserved, the same normalization [[tokens]] applies).
+    * `detok(encodeMarked(t)) == array_join(tokens(t), ' ')` is the
+    * certified round trip. */
+  def bpeDetokenize(tokens: Column): Column =
+    ltrim(translate(array_join(tokens, ""), "▁", " "), " ")
+
   /** Token-id vocabulary of a trained merge list: the 26 base letters at
     * ids 0–25, then each merge's OUTPUT symbol in rank order at
     * id 25 + rank — the training-deterministic id space a loader embeds

@@ -1224,6 +1224,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Marked encode + DETOKENIZE — the loader-facing decode contract:
+    // SentencePiece-style word-start markers make the flat subword
+    // sequence invertible, and the query asserts the round trip per
+    // document (detok(encodeMarked(text)) == whitespace-normalized
+    // text) while the dumped marked sequence pins every boundary.
+    "text_bpe_detok" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = trainedMerges(s, dir)
+      t.documents.select(col("doc_id"), col("text"),
+          TextAnalysis.bpeEncodeMarked(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), " ").as("marked_text"),
+          (TextAnalysis.bpeDetokenize(col("toks")) ===
+            array_join(TextAnalysis.tokens(col("text")), " ")).as("detok_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Tokenizer IDS — the loader-facing form: every subword maps through
     // the training-deterministic vocab (letters 0-25, merge outputs
     // 25+rank, first-wins on colliding outputs), OOV passthrough tokens
@@ -3202,6 +3219,40 @@ object PipelineQueries {
            CAST(coalesce(len(e.allsyms), 0) AS BIGINT) AS n_bpe,
            coalesce(array_to_string(e.allsyms, ' '), '') AS bpe_text
          FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+         ORDER BY d.doc_id"""
+    },
+
+    // Marked encode + detokenize replayed end-to-end: per token the
+    // first symbol takes the U+2581 prefix, and detok_ok re-derives the
+    // round trip in SQL (concat -> marker->space -> ltrim vs the
+    // whitespace-normalized tokens).
+    "text_bpe_detok" -> {
+      val rounds = 8
+      val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM documents),
+           encw AS (SELECT doc_id, i,
+                      CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                           THEN string_split(trim($chained, '|'), '||')
+                           ELSE [t] END AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           mk AS (SELECT doc_id, i,
+                    [CASE WHEN r = 1 THEN '▁' || syms[r] ELSE syms[r] END
+                     for r in range(1, len(syms) + 1)] AS msyms
+                  FROM encw),
+           enc AS (SELECT doc_id, flatten(list(msyms ORDER BY i)) AS allsyms
+                   FROM mk GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           coalesce(array_to_string(e.allsyms, ' '), '') AS marked_text,
+           coalesce(ltrim(replace(array_to_string(e.allsyms, ''), '▁', ' '), ' '), '')
+             = array_to_string($tokensSql, ' ') AS detok_ok
+         FROM documents d LEFT JOIN enc e USING (doc_id)
          ORDER BY d.doc_id"""
     },
 

@@ -458,6 +458,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Seq((0, null.asInstanceOf[String])).toDF("id", "text")
       .select(TextAnalysis.bpeEncode(col("text"), Seq("a" -> "b")))
       .head().isNullAt(0))
+    // marked encode: first symbol of each word carries U+2581; detok
+    // reconstructs the whitespace-NORMALIZED text exactly
+    val mm = Seq("l" -> "o", "lo" -> "w")
+    val markedDf = Seq((0, " low\t lower  x9 ")).toDF("id", "text")
+      .select(TextAnalysis.bpeEncodeMarked(col("text"), mm).as("toks"))
+    assert(markedDf.head().getSeq[String](0) ==
+      Seq("▁low", "▁low", "e", "r", "▁x9"))
+    assert(markedDf.select(TextAnalysis.bpeDetokenize(col("toks")))
+      .head().getString(0) == "low lower x9")
+    // the documented marker-collision caveat: a literal U+2581 in the
+    // input reads as a word break after detok (imperfect, never wrong-silent)
+    assert(Seq((0, "a▁b")).toDF("id", "text")
+      .select(TextAnalysis.bpeDetokenize(
+        TextAnalysis.bpeEncodeMarked(col("text"), mm)))
+      .head().getString(0) == "a b")
     // token ids: letters 0-25, merge outputs 25+rank, OOV -> -1
     val m = Seq("l" -> "o", "lo" -> "w")
     assert(TextAnalysis.bpeVocab(m).takeRight(2) == Seq("lo" -> 26, "low" -> 27))
