@@ -309,6 +309,47 @@ object TextHashExpressions {
                     langs: Seq[(String, Seq[String], Seq[String])]): Column =
     ColumnBridge.column(LangIdProfile(ColumnBridge.expression(norm), langs))
 
+  /** One-pass codepoint-distribution statistics:
+    * `struct<n_cp:bigint, n_distinct_cp:bigint, entropy:double>` —
+    * Shannon entropy of the codepoint histogram ([[TextKernels
+    * .charEntropy]]): the two-tailed corpus-quality signal (degenerate
+    * repetition vs random junk). Null text → zeros, never null. */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_cp", LongType, nullable = false),
+      StructField("n_distinct_cp", LongType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "char_entropy"
+
+    @transient private lazy val zeros: InternalRow =
+      TextKernels.charEntropy(UTF8String.fromString(""))
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) zeros
+      else TextKernels.charEntropy(v.asInstanceOf[UTF8String])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val zerosRef = ctx.addReferenceObj("entZeros", zeros,
+        "org.apache.spark.sql.catalyst.InternalRow")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${c.isNull} ?
+          $zerosRef :
+          graft.functions.TextKernels.charEntropy(${c.value});
+      """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 

@@ -321,6 +321,47 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Codepoint-distribution statistics in one pass:
+    * `(n_cp, n_distinct_cp, entropy)` as an InternalRow — Shannon
+    * entropy in nats of the text's codepoint histogram, the classic
+    * two-tailed corpus-quality signal (≈0 flags repetitive/degenerate
+    * boilerplate, ≈ln(alphabet) flags random/encoded junk; prose sits in
+    * between). Per-codepoint terms `−p·ln p` are rounded to 6 decimals
+    * (BigDecimal.valueOf — the shortest-decimal rounding Spark's own
+    * `round` uses) and summed EXACTLY in ascending-codepoint order, so
+    * any engine replays the identical arithmetic (the ngram-logprob
+    * convention: DECIMAL fixed-order sums, never float accumulation).
+    * Empty/blank text → all zeros, never null. */
+  def charEntropy(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts(cp) = counts.getOrElse(cp, 0L) + 1L
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sum = java.math.BigDecimal.ZERO
+    if (n > 0L) {
+      val keys = counts.keys.toArray
+      java.util.Arrays.sort(keys)
+      var k = 0
+      while (k < keys.length) {
+        val p = counts(keys(k)).toDouble / n
+        sum = sum.add(java.math.BigDecimal.valueOf(-p * math.log(p))
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+        k += 1
+      }
+    }
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    r.setLong(0, n)
+    r.setLong(1, counts.size.toLong)
+    r.setDouble(2, sum.doubleValue)
+    r
+  }
+
   /** Build the pair→rank lookup a [[bpeEncode]] expression holds: key is
     * `left + ' ' + right`, value the 1-based merge rank (sequence
     * order). Validates the letters-only training contract by name — a

@@ -124,6 +124,21 @@ object TextAnalysis {
           * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))), 6))
   }
 
+  /** Codepoint-entropy quality features — the two-tailed signal the
+    * length/punct heuristics miss: Shannon entropy (nats) of each
+    * document's codepoint histogram, ≈0 for degenerate repetition
+    * ("aaaa…"), ≈ln(alphabet) for random/encoded junk, prose in
+    * between. One kernel pass per row ([[graft.functions
+    * .TextHashExpressions.CharEntropy]]), no shuffle; per-codepoint
+    * terms are 6-decimal-rounded and summed exactly in codepoint order,
+    * so the SQL oracle replays the identical arithmetic. */
+  def entropyFeatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.TextHashExpressions.charEntropy(text).as("e"))
+      .select(col("doc_id"), col("e.n_cp").as("n_cp"),
+        col("e.n_distinct_cp").as("n_distinct_cp"),
+        round(col("e.entropy"), 6).as("char_entropy"))
+
   /** Content fingerprint: md5 hex of whitespace-normalized lowercase text.
     * Identical-content detection that survives case/whitespace noise.
     * Full-whitespace trim (not `trim`, which strips only ' ') so leading

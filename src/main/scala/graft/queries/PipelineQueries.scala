@@ -1278,6 +1278,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Codepoint-entropy quality signal: one kernel pass per document,
+    // 6-decimal terms summed exactly in codepoint order so the DuckDB
+    // replay (histogram -> term -> DECIMAL sum) hash-matches bit for bit.
+    "text_entropy" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.entropyFeatures(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "multimodal_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val media = graft.operators.Multimodal.synthesize(Tables(s, dir).documents)
@@ -3539,6 +3548,31 @@ object PipelineQueries {
       s"""SELECT doc_id,
          md5(regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    // Histogram -> per-codepoint 6-decimal term -> exact DECIMAL sum,
+    // replaying the kernel's fixed-order arithmetic.
+    "text_entropy" ->
+      """WITH cps AS (
+           SELECT doc_id,
+             unnest([unicode(substr(text, i, 1))
+                     for i in range(1, length(text) + 1)]) AS cp
+           FROM documents),
+          hist AS (SELECT doc_id, cp, count(*) AS c FROM cps GROUP BY 1, 2),
+          tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1),
+          terms AS (
+           SELECT h.doc_id,
+             CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6)
+               AS DECIMAL(18,6)) AS term
+           FROM hist h JOIN tot USING (doc_id)),
+          agg AS (SELECT doc_id, count(*) AS nd, CAST(sum(term) AS DOUBLE) AS ent
+                  FROM terms GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(t.n, 0) AS BIGINT) AS n_cp,
+           CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct_cp,
+           round(coalesce(a.ent, 0.0), 6) AS char_entropy
+         FROM documents d
+         LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),

@@ -223,4 +223,35 @@ class PropertySpec extends SparkSpec {
       gridOk && boundsOk
     }, n = 12)
   }
+  test("property: BPE encode — kernel == replace-reference, lossless, merges apply") {
+    // random lowercase-ish docs with punctuation/caps/digits mixed in,
+    // random-but-valid merge tables TRAINED on the doc itself (so the
+    // merges actually fire), checked three ways per sample
+    val wordGen = Gen.frequency(
+      (8, Gen.listOfN(5, Gen.choose('a', 'f')).map(_.mkString)),
+      (1, Gen.oneOf("Xy9", "don't", "1234", "a", "zz")))
+    val docGen = Gen.chooseNum(1, 40)
+      .flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    check(Prop.forAll(docGen, Gen.chooseNum(1, 6)) { (doc, nM) =>
+      val df = Seq((0L, doc)).toDF("doc_id", "text")
+      val merges = TextAnalysis.bpeMerges(
+        TextAnalysis.bpeTrain(df, col("text"), nMerges = nM))
+      merges.isEmpty || {
+        val r = df.select(
+          TextAnalysis.bpeEncode(col("text"), merges).as("fast"),
+          TextAnalysis.bpeEncodeViaReplace(col("text"), merges).as("ref"),
+          TextAnalysis.bpeDetokenize(
+            TextAnalysis.bpeEncodeMarked(col("text"), merges)).as("detok"),
+          array_join(TextAnalysis.tokens(col("text")), " ").as("norm")).head()
+        val fast = r.getSeq[String](0)
+        // (1) the two classical algorithms agree; (2) no byte invented
+        // or lost; (3) the marked pair inverts; (4) some merge APPLIED
+        // (trained on this very doc, rank 1 must fire somewhere)
+        fast == r.getSeq[String](1) &&
+          fast.mkString("") == r.getString(3).replace(" ", "") &&
+          r.getString(2) == r.getString(3) &&
+          fast.exists(_.length >= 2)
+      }
+    }, n = 12)
+  }
 }

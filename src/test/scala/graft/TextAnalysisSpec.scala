@@ -89,6 +89,28 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("und", "und"))
   }
 
+  test("charEntropy: hand-computed distributions, zeros, unicode, null") {
+    def ent(texts: String*): Seq[(Long, Long, Double)] =
+      TextAnalysis.entropyFeatures(
+          texts.zipWithIndex.map(_.swap).toDF("id", "text"),
+          col("id"), col("text"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // uniform over 2 symbols = ln 2 (quantized: 2 x round6(0.5·ln2) = .693148)
+    assert(ent("", "aaaa", "ab", "abab", "aab") == Seq(
+      (0L, 0L, 0.0),          // empty
+      (4L, 1L, 0.0),          // degenerate repetition: zero entropy
+      (2L, 2L, 0.693148),
+      (4L, 2L, 0.693148),     // same distribution, more mass
+      (3L, 2L, 0.636514)))    // 2/3,1/3 mix
+    // codepoints, not bytes: two-byte é counts once
+    assert(ent("héé") == Seq((3L, 2L, 0.636514)))
+    // null text -> zeros, never null
+    assert(Seq((0, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.TextHashExpressions.charEntropy(col("text")))
+      .head().getStruct(0).getLong(0) == 0L)
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val df = Seq(
       ("a", "Hello  World"),
