@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Persisted trained tokenizer (the BPE merge table) — the deployment
+  * shape the in-query training deliberately avoids: train ONCE
+  * ([[graft.operators.TextAnalysis.bpeTrain]]'s corpus passes), persist,
+  * and APPLY from any later session, stream, or cluster without
+  * retraining — the same train/store/probe split as the ANN sidecars
+  * and the BM25 index, at the tokenizer's (model-sized) scale.
+  *
+  * One catalog table `<prefix>_bpe` `(rank, left, right, freq)`, stamped
+  * with the merge count and a completeness marker written LAST: a torn
+  * build or a mistakenly-pointed prefix is a NAMED failure at load time,
+  * never a silently-truncated merge list — a missing tail of merges
+  * would re-segment every downstream document differently, the worst
+  * kind of quiet corruption for a training corpus. */
+object TokenizerStore {
+
+  def bpeTable(prefix: String): String = s"${prefix}_bpe"
+
+  /** Train `nMerges` rules on the corpus and persist them. Drops any
+    * previous store under the prefix first (rebuild semantics). */
+  def build(spark: SparkSession, prefix: String, docs: DataFrame,
+            text: Column, nMerges: Int): Unit = {
+    Bucketing.dropManagedTable(spark, bpeTable(prefix))
+    val model = TextAnalysis.bpeTrain(docs, text, nMerges)
+      .localCheckpoint(true) // model-sized; pin before count + write
+    val n = model.count()
+    model.write.saveAsTable(bpeTable(prefix))
+    // marker LAST: a crash before this line leaves a table without its
+    // completeness stamp, which load rejects by name
+    CatalogProps.setProps(spark, bpeTable(prefix), Map(
+      "graft.tok.nmerges" -> n.toString,
+      "graft.tok.complete" -> "true"))
+  }
+
+  def isComplete(spark: SparkSession, prefix: String): Boolean =
+    spark.catalog.tableExists(bpeTable(prefix)) &&
+      CatalogProps.propOption(spark, bpeTable(prefix), "graft.tok.complete")
+        .contains("true")
+
+  /** Rank-ordered merges from the store — the argument every
+    * [[graft.operators.TextAnalysis.bpeEncode]]-family call takes. Fails
+    * by name on a missing table, an unstamped (torn) store, or a row
+    * count disagreeing with the stamped merge count. */
+  def load(spark: SparkSession, prefix: String): Seq[(String, String)] = {
+    require(spark.catalog.tableExists(bpeTable(prefix)),
+      s"TokenizerStore: no table ${bpeTable(prefix)} — build with " +
+        "TokenizerStore.build")
+    require(isComplete(spark, prefix),
+      s"TokenizerStore ${bpeTable(prefix)} lacks its completeness stamp — " +
+        "torn build; rebuild with TokenizerStore.build")
+    val declared = CatalogProps.prop(spark, bpeTable(prefix),
+      "graft.tok.nmerges", "TokenizerStore").toLong
+    val merges = TextAnalysis.bpeMerges(spark.table(bpeTable(prefix)))
+    require(merges.size.toLong == declared,
+      s"TokenizerStore ${bpeTable(prefix)}: stamped $declared merges but " +
+        s"read ${merges.size} — partial data; rebuild with TokenizerStore.build")
+    merges
+  }
+
+  def drop(spark: SparkSession, prefix: String): Unit =
+    Bucketing.dropManagedTable(spark, bpeTable(prefix))
+}

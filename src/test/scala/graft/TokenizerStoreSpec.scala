@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.sources.{CatalogProps, TokenizerStore}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer: stored merges == freshly trained ones, encode
+  * parity through the store, and every torn-state fence fires by name. */
+class TokenizerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build -> load round trip, encode parity, rebuild semantics, fences") {
+    val docs = Tables(spark, sfDir).documents
+    TokenizerStore.drop(spark, "tokx")
+    assert(!TokenizerStore.isComplete(spark, "tokx"))
+    TokenizerStore.build(spark, "tokx", docs, col("text"), nMerges = 8)
+    assert(TokenizerStore.isComplete(spark, "tokx"))
+    val stored = TokenizerStore.load(spark, "tokx")
+    val fresh = TextAnalysis.bpeMerges(
+      TextAnalysis.bpeTrain(docs, col("text"), nMerges = 8))
+    assert(stored == fresh, "stored merges differ from a fresh training")
+    // applying the LOADED model reproduces the in-session encode exactly
+    val diff = docs.limit(100).select(
+        TextAnalysis.bpeEncode(col("text"), stored).as("a"),
+        TextAnalysis.bpeEncode(col("text"), fresh).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // rebuild with a different size replaces, not appends
+    TokenizerStore.build(spark, "tokx", docs, col("text"), nMerges = 3)
+    assert(TokenizerStore.load(spark, "tokx").size == 3)
+    // a store missing its completeness stamp (torn build) loads by name
+    CatalogProps.setProps(spark, TokenizerStore.bpeTable("tokx"),
+      Map("graft.tok.complete" -> "torn"))
+    val e1 = intercept[IllegalArgumentException](
+      TokenizerStore.load(spark, "tokx"))
+    assert(e1.getMessage.contains("completeness stamp"), e1.getMessage)
+    // a stamped count disagreeing with the rows read fails by name
+    CatalogProps.setProps(spark, TokenizerStore.bpeTable("tokx"),
+      Map("graft.tok.complete" -> "true", "graft.tok.nmerges" -> "7"))
+    val e2 = intercept[IllegalArgumentException](
+      TokenizerStore.load(spark, "tokx"))
+    assert(e2.getMessage.contains("partial data"), e2.getMessage)
+    // a missing table fails by name
+    TokenizerStore.drop(spark, "tokx")
+    val e3 = intercept[IllegalArgumentException](
+      TokenizerStore.load(spark, "tokx"))
+    assert(e3.getMessage.contains("no table"), e3.getMessage)
+  }
+}
