@@ -387,6 +387,7 @@ object IngestApp {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: IngestApp docs|vecs <corpus> <batch> <outDir> [...] | " +
+        "docs-gated <corpus> <batch> <outDir> [minQuality] [langs-csv] [threshold] [maxSpanFrac] | " +
         "build-docs <corpus> <prefix> [buckets] | " +
         "admit-docs <batch> <prefix> <outDir> [threshold] [maxSpanFrac] | " +
         "build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables] | " +
@@ -418,6 +419,21 @@ object IngestApp {
             nTables = args.lift(6).map(_.toInt).getOrElse(4))
         writeAndReport(spark, mode, if (mode == "docs") "doc_id" else "vec_id",
           batch, rejects, args(3))
+
+      // one-shot admission with the quality/language gate in front
+      case "docs-gated" =>
+        require(args.length >= 4,
+          "usage: IngestApp docs-gated <corpus> <batch> <outDir> " +
+            "[minQuality] [langs-csv] [threshold] [maxSpanFrac]")
+        val corpus = spark.read.parquet(args(1))
+        val batch = spark.read.parquet(args(2))
+        val (_, rejects) = runDocsGated(corpus, batch,
+          minQuality = args.lift(4).map(_.toDouble).getOrElse(0.1),
+          langs = args.lift(5).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+          threshold = args.lift(6).map(_.toDouble).getOrElse(0.8),
+          maxSpanFrac = args.lift(7).map(_.toDouble).getOrElse(0.5))
+        writeAndReport(spark, mode, "doc_id", batch, rejects, args(3))
 
       // the continuous loop: build once ...
       case "build-docs" =>
