@@ -393,6 +393,7 @@ object IngestApp {
         "build-vecs <corpus> <prefix> [buckets] [nPlanes] [nTables] | " +
         "admit-vecs <batch> <prefix> <outDir> [threshold] | " +
         "stream-docs <srcDir> <prefix> <outDir> [threshold] [maxSpanFrac] [compactEvery] | " +
+        "stream-docs-gated <srcDir> <prefix> <outDir> [minQuality] [langs-csv] [threshold] [maxSpanFrac] [compactEvery] | " +
         "stream-vecs <srcDir> <prefix> <outDir> [threshold] [compactEvery] | " +
         "stream-vecs-pq <srcDir> <prefix> <outDir> [threshold] [nProbe] [margin] [compactEvery] | " +
         "stream-vecs-ivfr <srcDir> <prefix> <outDir> [threshold] [nProbe] [margin] [compactEvery] | " +
@@ -471,10 +472,20 @@ object IngestApp {
       // the same loop as a structured stream: drain available source
       // files as micro-batches (admit → log rejects → append), then exit;
       // rerun with the same outDir to resume from the checkpoint
-      case "stream-docs" | "stream-vecs" | "stream-vecs-pq" | "stream-vecs-ivfr" =>
+      case "stream-docs" | "stream-docs-gated" | "stream-vecs" |
+           "stream-vecs-pq" | "stream-vecs-ivfr" =>
         require(args.length >= 4, s"usage: IngestApp $mode <srcDir> <prefix> <outDir> [...]")
         val q =
-          if (mode == "stream-docs")
+          if (mode == "stream-docs-gated")
+            graft.streaming.StreamingIngest.docsStreamGated(spark, args(1),
+              args(2), args(3),
+              minQuality = args.lift(4).map(_.toDouble).getOrElse(0.1),
+              langs = args.lift(5).map(_.split(",").map(_.trim)
+                .filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+              threshold = args.lift(6).map(_.toDouble).getOrElse(0.8),
+              maxSpanFrac = args.lift(7).map(_.toDouble).getOrElse(0.5),
+              compactEvery = args.lift(8).map(_.toInt).getOrElse(0))
+          else if (mode == "stream-docs")
             graft.streaming.StreamingIngest.docsStream(spark, args(1), args(2),
               args(3), threshold = args.lift(4).map(_.toDouble).getOrElse(0.8),
               maxSpanFrac = args.lift(5).map(_.toDouble).getOrElse(0.5),

@@ -92,6 +92,41 @@ object StreamingIngest {
 
   /** Start the vectors ingest stream; same contract as [[docsStream]],
     * including the `compactEvery` cadence ([[IndexStore.compactVecs]]). */
+  /** [[docsStream]] with the quality/language gate composed in front of
+    * every micro-batch's admission ([[IngestApp.runDocsGated]]
+    * semantics): gated documents never pay the index joins and never
+    * append; their audit reasons land in the same per-batch rejects log
+    * as the dedup reasons. Crash-replay stays idempotent THROUGH the
+    * gate — gating is a deterministic per-document function, so a
+    * replayed batch re-gates identically and the dedup stages re-reject
+    * the already-appended survivors as their own exact duplicates. */
+  def docsStreamGated(spark: SparkSession, srcDir: String, prefix: String,
+                      outDir: String, minQuality: Double,
+                      langs: Set[String] = Set.empty,
+                      threshold: Double = 0.8,
+                      maxSpanFrac: Double = 0.5,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      readerOptions: Map[String, String] = Map.empty,
+                      compactEvery: Int = 0): StreamingQuery = {
+    requireRejectsLayout(spark, outDir)
+    spark.readStream.options(readerOptions).schema(docSchema).parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitAppend(spark, batch, batchId, "doc_id", outDir) { b =>
+          val gate = IngestApp.qualityRejects(b, minQuality, langs)
+            .localCheckpoint(true)
+          val surviving = b.join(gate.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          gate.unionByName(IngestApp
+            .admitDocs(spark, prefix, surviving, threshold, maxSpanFrac)._2)
+        } { adm => IndexStore.appendDocs(adm, col("doc_id"), col("text"), prefix) }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          IndexStore.compactDocs(spark, prefix)
+      }
+      .start()
+  }
+
   def vecsStream(spark: SparkSession, srcDir: String, prefix: String,
                  outDir: String, threshold: Double = 0.9,
                  trigger: Trigger = Trigger.AvailableNow(),

@@ -120,6 +120,50 @@ class IngestMaintenanceSpec extends SparkSpec {
     } finally IndexStore.dropVecs(spark, p)
   }
 
+  test("gated streaming ingest: junk/off-language gated per batch, never appended; replay idempotent") {
+    val p = "mt_gated"
+    IndexStore.dropDocs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("gate-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gate-out").toString
+    val replayOut = java.nio.file.Files.createTempDirectory("gate-rp").toString
+    try {
+      IndexStore.buildDocs(corpusDocs, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      // fresh docs + planted junk + an exact corpus re-crawl
+      allDocs.filter(col("doc_id").between(200, 209))
+        .unionByName(Seq(
+          (9600L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+          (9601L, textOf(5))).toDF("doc_id", "text"))
+        .write.mode("append").parquet(srcDir)
+      StreamingIngest.docsStreamGated(spark, srcDir, p, outDir,
+        minQuality = 0.1).awaitTermination()
+      val rejects = spark.read.parquet(s"$outDir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(rejects.contains((9600L, "low_quality")), rejects.toString)
+      assert(rejects.contains((9601L, "exact_dup_of_corpus")), rejects.toString)
+      val storeIds = spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet
+      assert(!storeIds.contains(9600L), "gated junk must never append")
+      assert(storeIds.contains(205L), "clean batch docs must append")
+      // fresh-checkpoint replay: the gate re-fires deterministically and
+      // the appended survivors self-reject as exact dups — store unchanged
+      StreamingIngest.docsStreamGated(spark, srcDir, p, replayOut,
+        minQuality = 0.1).awaitTermination()
+      val afterReplay = spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterReplay == storeIds, "replay must not grow the store")
+      val replayRejects = spark.read.parquet(s"$replayOut/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(replayRejects.contains((9600L, "low_quality")),
+        "the gate reason must be stable across replay")
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      Seq(srcDir, outDir, replayOut).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("streaming ingest: checkpointed micro-batches admit+append; replay is idempotent") {
     val p = "mt_stream"
     IndexStore.dropDocs(spark, p)
