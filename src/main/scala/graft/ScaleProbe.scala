@@ -501,6 +501,40 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Streaming PCA at scale: fold three n-vector micro-batches into
+      // the fenced moment table — per batch the cost is ONE d²-state
+      // aggregate of the batch (constant in the stored history), and
+      // fitting a model from the stored state is a driver eigensolve
+      // with zero scans. The per-batch fold times should be flat across
+      // batches (no history rescan), and the final model must agree
+      // with a single batch train over the union to 1e-9.
+      if (on("spca")) {
+        import graft.streaming.StreamingPca
+        import graft.operators.Pca
+        val dim = 64
+        def wave(lo: Long, hi: Long) = spark.range(lo, hi)
+          .select(transform(sequence(lit(0), lit(dim - 1)),
+            j => pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 100.0
+          ).as("vec"))
+        StreamingPca.drop(spark, "spca_probe")
+        StreamingPca.provision(spark, "spca_probe")
+        val times = (0 until 3).map { b =>
+          val t = System.nanoTime()
+          StreamingPca.applyBatch(spark, "spca_probe",
+            wave(b.toLong * n, (b + 1).toLong * n), b.toLong)
+          (System.nanoTime() - t) / 1e9
+        }
+        val t3 = System.nanoTime()
+        val streamed = StreamingPca.model(spark, "spca_probe", k = 8)
+        val secFit = (System.nanoTime() - t3) / 1e9
+        val batch = Pca.train(wave(0L, 3L * n), col("vec"), k = 8)
+        val drift = streamed.eigenvalues.zip(batch.eigenvalues)
+          .map { case (a, b2) => math.abs(a - b2) / math.max(1.0, math.abs(b2)) }
+          .max
+        StreamingPca.drop(spark, "spca_probe")
+        println(f"""{"metric":"spca_scale","vecs_per_batch":$n,"batches":3,"dim":$dim,"fold_secs":[${times.map(t => f"$t%.2f").mkString(",")}],"fit_sec":$secFit%.2f,"eig_drift":$drift%.2e}""")
+      }
+
       // The ngramScore JOIN-REGIME price (the "minCount is the lever"
       // claim, measured): on a wide-vocab corpus (the nbq derivation —
       // hash-random trigrams, so the singleton tail IS the table),
