@@ -347,6 +347,31 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization to `form` ([[TextKernels.normalize]]) — the
+    * UAX #15 canonical/compatibility forms; unknown forms fail at
+    * construction, not per row. Null text → null. */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"UnicodeNormalize: unknown Unicode form '$form' (NFC|NFD|NFKC|NFKD)")
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "unicode_normalize"
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.normalize(input.asInstanceOf[UTF8String], form)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.TextKernels.normalize($c, "$form");""")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unicodeNormalize(text: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 

@@ -321,6 +321,28 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Unicode normalization (java.text.Normalizer — the JDK implements
+    * the standard UAX #15 algorithm, so any compliant engine produces
+    * identical output; DuckDB's `nfc_normalize` replays the NFC form in
+    * the oracle). The canonical pre-dedup/fingerprint step: visually
+    * identical strings with different codepoint sequences (composed é
+    * vs e + COMBINING ACUTE) must collapse BEFORE hashing, or every
+    * downstream exact/near-dup key silently misses them. */
+  def normalize(text: UTF8String, form: String): UTF8String = {
+    val f = form match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other => throw new IllegalArgumentException(
+        s"normalize: unknown Unicode form '$other' (NFC|NFD|NFKC|NFKD)")
+    }
+    val s = text.toString
+    // fast path: already-normalized text (ASCII always is) copies nothing
+    if (java.text.Normalizer.isNormalized(s, f)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
   /** Codepoint-distribution statistics in one pass:
     * `(n_cp, n_distinct_cp, entropy)` as an InternalRow — Shannon
     * entropy in nats of the text's codepoint histogram, the classic

@@ -139,6 +139,15 @@ object TextAnalysis {
         col("e.n_distinct_cp").as("n_distinct_cp"),
         round(col("e.entropy"), 6).as("char_entropy"))
 
+  /** Unicode normalization (UAX #15; default NFC) — run BEFORE any
+    * hashing/dedup key derivation: composed é and e + COMBINING ACUTE
+    * are byte-different but canonically identical, and an un-normalized
+    * corpus silently splits such duplicates across every exact and
+    * near-dup key downstream. One codegen'd kernel pass with an
+    * isNormalized fast path (ASCII text copies nothing). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextHashExpressions.unicodeNormalize(text, form)
+
   /** Content fingerprint: md5 hex of whitespace-normalized lowercase text.
     * Identical-content detection that survives case/whitespace noise.
     * Full-whitespace trim (not `trim`, which strips only ' ') so leading

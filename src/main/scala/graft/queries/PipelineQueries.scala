@@ -1278,6 +1278,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization — certified on PLANTED decomposed text
+    // (the ASCII corpus is NFC-stable, so each doc gets a decomposed
+    // " e+COMBINING ACUTE clair" suffix): the normalized form must
+    // differ from the dirty input, collapse to the composed codepoint
+    // (length shrinks by exactly the combining mark), hash identically
+    // to DuckDB's own nfc_normalize, and leave the pure-ASCII original
+    // untouched.
+    "text_nfc" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // the suffix is DECOMPOSED on purpose: 'e' + U+0301 COMBINING
+      // ACUTE, built via codepoint so no editor/tool can silently
+      // re-compose the source literal - NFC must fuse it to one codepoint
+      val dirty = concat(col("text"),
+        lit(" e" + new String(Character.toChars(0x0301)) + "clair"))
+      t.documents.select(col("doc_id"), col("text"),
+          dirty.as("dirty"),
+          TextAnalysis.normalizeUnicode(dirty).as("norm"))
+        .select(col("doc_id"),
+          (col("norm") =!= col("dirty")).as("changed"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          md5(col("norm").cast("binary")).as("fp_norm"),
+          (TextAnalysis.normalizeUnicode(col("text")) === col("text"))
+            .as("ascii_stable"))
+        .orderBy(col("doc_id"))
+    },
+
     // Codepoint-entropy quality signal: one kernel pass per document,
     // 6-decimal terms summed exactly in codepoint order so the DuckDB
     // replay (histogram -> term -> DECIMAL sum) hash-matches bit for bit.
@@ -3548,6 +3574,22 @@ object PipelineQueries {
       s"""SELECT doc_id,
          md5(regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    // DuckDB's nfc_normalize implements the same UAX #15 algorithm, so
+    // the normalized hashes must agree byte for byte.
+    "text_nfc" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             text || ' e' || chr(769) || 'clair' AS dirty
+           FROM documents),
+          n AS (SELECT doc_id, text, dirty,
+                  nfc_normalize(dirty) AS norm FROM d)
+         SELECT doc_id,
+           norm <> dirty AS changed,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS fp_norm,
+           nfc_normalize(text) = text AS ascii_stable
+         FROM n ORDER BY doc_id""",
 
     // Histogram -> per-codepoint 6-decimal term -> exact DECIMAL sum,
     // replaying the kernel's fixed-order arithmetic.

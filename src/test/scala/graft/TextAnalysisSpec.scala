@@ -89,6 +89,31 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("und", "und"))
   }
 
+  test("normalizeUnicode: NFC composes, NFD decomposes, NFKC folds compatibility") {
+    val acute = new String(Character.toChars(0x0301)) // COMBINING ACUTE
+    def norm(s: String, form: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.normalizeUnicode(col("t"), form)).as[String].head()
+    // canonical composition: e + combining acute fuses to one codepoint
+    assert(norm("caf" + "e" + acute, "NFC") == "café")
+    assert(norm("caf" + "e" + acute, "NFC").length == 4)
+    // already-composed text is unchanged (the isNormalized fast path)
+    assert(norm("café", "NFC") == "café")
+    assert(norm("plain ascii", "NFC") == "plain ascii")
+    // NFD is the inverse direction
+    assert(norm("café", "NFD") == "caf" + "e" + acute)
+    // compatibility folding: the fi LIGATURE survives NFC, splits under NFKC
+    assert(norm("ﬁne", "NFC") == "ﬁne")
+    assert(norm("ﬁne", "NFKC") == "fine")
+    // unknown form fails at CONSTRUCTION, by name
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.normalizeUnicode(col("t"), "NFX"))
+    assert(e.getMessage.contains("unknown Unicode form"), e.getMessage)
+    // null stays null
+    assert(Seq((0, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextAnalysis.normalizeUnicode(col("t"))).head().isNullAt(0))
+  }
+
   test("charEntropy: hand-computed distributions, zeros, unicode, null") {
     def ent(texts: String*): Seq[(Long, Long, Double)] =
       TextAnalysis.entropyFeatures(
