@@ -148,13 +148,18 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.functions.TextHashExpressions.unicodeNormalize(text, form)
 
-  /** Content fingerprint: md5 hex of whitespace-normalized lowercase text.
-    * Identical-content detection that survives case/whitespace noise.
-    * Full-whitespace trim (not `trim`, which strips only ' ') so leading
-    * tabs/newlines don't leak a space into the normalized form. */
+  /** Content fingerprint: md5 hex of NFC-normalized, whitespace-collapsed
+    * lowercase text. Identical-content detection that survives case,
+    * whitespace, AND codepoint-composition noise — two crawls of one page
+    * that differ only in composed-vs-decomposed accents must fingerprint
+    * identically ([[normalizeUnicode]] runs FIRST; on ASCII text its
+    * isNormalized fast path costs nothing). Full-whitespace trim (not
+    * `trim`, which strips only ' ') so leading tabs/newlines don't leak a
+    * space into the normalized form. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(
-      lower(regexp_replace(text, "^\\s+|\\s+$", "")), "\\s+", " ").cast("binary"))
+      lower(regexp_replace(normalizeUnicode(text), "^\\s+|\\s+$", "")),
+      "\\s+", " ").cast("binary"))
 
   /** Canonicalized URL for crawl-scale dedup: two fetches of the same page
     * that differ only in scheme, `www.`, host case, a trailing slash,

@@ -3570,9 +3570,14 @@ object PipelineQueries {
          true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
 
+    // NFC runs first on the Spark side too — on this ASCII corpus it is
+    // an identity, but the oracle replays it anyway so the composed
+    // pipeline stays pinned if the corpus ever grows non-ASCII text.
     "text_fingerprint" ->
       s"""SELECT doc_id,
-         md5(regexp_replace(lower($wsTrimSql), '$wsClassSql+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(
+           regexp_replace(nfc_normalize(text), '^$wsClassSql+|$wsClassSql+$$', '', 'g')),
+           '$wsClassSql+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
 
     // DuckDB's nfc_normalize implements the same UAX #15 algorithm, so

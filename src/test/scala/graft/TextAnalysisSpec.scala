@@ -146,6 +146,14 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(fps("a") == fps("b") && fps("b") == fps("c"))
     assert(fps("d") != fps("a"))
+    // codepoint-composition noise collapses too: composed vs decomposed
+    // accents fingerprint identically (NFC runs first)
+    val acute = new String(Character.toChars(0x0301))
+    val ufps = Seq(("x", "Café du Monde"), ("y", "cafe" + acute + " du monde"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")))
+      .as[(String, String)].collect().toMap
+    assert(ufps("x") == ufps("y"), "NFC must collapse composition variants")
   }
 
   test("repetition features: counts, ratios, edge cases") {
