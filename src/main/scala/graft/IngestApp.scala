@@ -561,7 +561,10 @@ object IngestApp {
         // passed config anyway (it only finishes the renames)
         val cfg =
           if (spark.catalog.tableExists(IndexStore.docsTable(args(1)))) {
-            val cur = IndexStore.docConfig(spark, args(1))
+            // unfenced read: rebuild IS the migration path for a store
+            // built under an old fingerprint algorithm — the fenced
+            // docConfig would reject exactly the store we are fixing
+            val cur = IndexStore.docConfigUnfenced(spark, args(1))
             cur.copy(
               bands = args.lift(2).map(_.toInt).getOrElse(cur.bands),
               spanK = args.lift(3).map(_.toInt).getOrElse(cur.spanK),

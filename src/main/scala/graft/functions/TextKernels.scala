@@ -391,10 +391,27 @@ object TextKernels {
     * tokens and silently re-segment them. */
   def bpeTable(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    // Derivability fence: the min-rank kernel is provably equivalent to
+    // sequential replace-all ONLY when each merge member is a single
+    // base symbol or the OUTPUT of a strictly lower-ranked merge (the
+    // invariant bpeTrain's counting necessarily produces). A
+    // hand-authored table violating it — e.g. [("bc","d"),("b","c")] —
+    // would make the two formulations silently diverge, so reject it by
+    // name here instead.
+    val derivable = new java.util.HashSet[String]()
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       require(l.nonEmpty && r.nonEmpty && (l + r).forall(c => c >= 'a' && c <= 'z'),
         s"bpeTable: merge symbols must be nonempty lowercase letters " +
           s"(the bpeTrain contract), got ('$l','$r') at rank ${i + 1}")
+      Seq(l, r).foreach { s =>
+        require(s.length == 1 || derivable.contains(s),
+          s"bpeTable: merge member '$s' at rank ${i + 1} is neither a " +
+            "single letter nor the output of a lower-ranked merge — such " +
+            "a table breaks the min-rank/sequential-replace equivalence " +
+            "(bpeTrain never produces one; re-derive the table from " +
+            "training instead of hand-authoring it)")
+      }
+      derivable.add(l + r)
       val prev = m.put(l + " " + r, Integer.valueOf(i + 1))
       require(prev == null,
         s"bpeTable: duplicate merge pair ('$l','$r') — ranks would be ambiguous")

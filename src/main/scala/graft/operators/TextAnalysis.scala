@@ -148,6 +148,15 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.functions.TextHashExpressions.unicodeNormalize(text, form)
 
+  /** Version of the [[fingerprint]] ALGORITHM, stamped into every
+    * persisted docs-index store ([[graft.sources.IndexStore.buildDocs]])
+    * and checked at load: v1 was lowercase+whitespace-collapse only, v2
+    * added the NFC-first normalization — fingerprints of non-ASCII text
+    * differ between the two, so a store built under one version silently
+    * stops matching composition-variant re-crawls under the other. Bump
+    * this on ANY change to the fingerprint transform chain. */
+  val fingerprintAlgoVersion: Int = 2
+
   /** Content fingerprint: md5 hex of NFC-normalized, whitespace-collapsed
     * lowercase text. Identical-content detection that survives case,
     * whitespace, AND codepoint-composition noise — two crawls of one page

@@ -114,8 +114,20 @@ object PipelineQueries {
   private def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
-      _ => TextAnalysis.bpeMerges(
-        TextAnalysis.bpeTrain(Tables(s, dir).documents, col("text"), nMerges = 8)))
+      _ => {
+        val m = TextAnalysis.bpeMerges(
+          TextAnalysis.bpeTrain(Tables(s, dir).documents, col("text"),
+            nMerges = 8))
+        // The DuckDB oracles replay all 8 rounds as chained CTEs and
+        // cross-join `FROM tok, m1..m8` — a corpus degenerate enough to
+        // train FEWER than 8 merges would leave some m$k empty and
+        // silently collapse every oracle row. Fail by name instead.
+        require(m.size == 8,
+          s"trainedMerges: corpus trained only ${m.size}/8 BPE merges — " +
+            "too little lowercase text for the 8-round oracle replay; " +
+            "the bpe application queries need a non-degenerate corpus")
+        m
+      })
 
   /** Build-if-absent persisted vectors store + PQ sidecar for the
     * sim_*_store probes, keyed by the embeddings file's (mtime, length)

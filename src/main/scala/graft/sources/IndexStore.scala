@@ -182,18 +182,50 @@ object IndexStore {
       else math.max(spark.table(fpTable(prefix)).count() * 4, 1000L * 1000)
     writeBloom(spark, prefix, Dedup.admissionBloom(
       spark.table(fpTable(prefix)), bloomN, cfg.bloomFpp))
-    setProps(spark, docsTable(prefix), Map(
-      "graft.ngram" -> cfg.ngram.toString,
-      "graft.numHashes" -> cfg.numHashes.toString,
-      "graft.bands" -> cfg.bands.toString,
-      "graft.spanK" -> cfg.spanK.toString,
-      "graft.buckets" -> cfg.buckets.toString,
-      "graft.bloomN" -> bloomN.toString,
-      "graft.bloomFpp" -> cfg.bloomFpp.toString))
+    setProps(spark, docsTable(prefix), docProps(cfg.copy(bloomN = bloomN)))
   }
 
-  /** The build-time configuration of a documents store, from the catalog. */
+  /** The full docs-store property map — ONE derivation for every site
+    * that (re)writes the `_docs` table (build, compaction, removal): a
+    * rewrite that re-recorded a hand-copied subset would silently drop
+    * the fingerprint-version stamp and trip the [[docConfig]] fence. The
+    * `graft.fpAlgo` stamp is always the CURRENT algorithm version —
+    * rewrite paths run behind the fence, so the store's fingerprints are
+    * already known to be current. */
+  private def docProps(cfg: DocConfig): Map[String, String] = Map(
+    "graft.ngram" -> cfg.ngram.toString,
+    "graft.numHashes" -> cfg.numHashes.toString,
+    "graft.bands" -> cfg.bands.toString,
+    "graft.spanK" -> cfg.spanK.toString,
+    "graft.buckets" -> cfg.buckets.toString,
+    "graft.bloomN" -> cfg.bloomN.toString,
+    "graft.bloomFpp" -> cfg.bloomFpp.toString,
+    "graft.fpAlgo" -> graft.operators.TextAnalysis.fingerprintAlgoVersion.toString)
+
+  /** The build-time configuration of a documents store, from the catalog.
+    * Also the fingerprint-ALGORITHM fence: every admit/append path reads
+    * config through here, so a store whose `_fp` rows were hashed under a
+    * different (or pre-versioning) fingerprint algorithm is rejected by
+    * name before it can silently stop matching re-crawls. */
   def docConfig(spark: SparkSession, prefix: String): DocConfig = {
+    val t = docsTable(prefix)
+    val want = graft.operators.TextAnalysis.fingerprintAlgoVersion
+    val got = CatalogProps.propOption(spark, t, "graft.fpAlgo")
+    require(got.contains(want.toString),
+      s"IndexStore: docs store '$prefix' was built with fingerprint " +
+        s"algorithm version ${got.getOrElse("<unstamped, pre-v" + want + ">")} " +
+        s"but this build computes version $want (NFC-first) — its _fp/" +
+        "bloom rows would silently stop matching composition-variant " +
+        "re-crawls. Rebuild the store (rebuildDocs) to re-fingerprint.")
+    docConfigUnfenced(spark, prefix)
+  }
+
+  /** Raw config read WITHOUT the fingerprint-version fence — for the
+    * rebuild path only, which exists precisely to migrate a store built
+    * under an old fingerprint algorithm (rebuildDocs re-fingerprints the
+    * corpus, so the fence would deadlock the one operation that fixes
+    * the mismatch it rejects). */
+  def docConfigUnfenced(spark: SparkSession, prefix: String): DocConfig = {
     val t = docsTable(prefix)
     DocConfig(prop(spark, t, "graft.ngram").toInt,
       prop(spark, t, "graft.numHashes").toInt,
@@ -330,14 +362,7 @@ object IndexStore {
     Bucketing.compactTable(spark, spanTable(prefix), Seq("wh"), cfg.buckets,
       transform = _.groupBy("wh").agg(sum("n").as("n")))
     // the rewrite replaced the docs table wholesale; re-record its config
-    setProps(spark, docsTable(prefix), Map(
-      "graft.ngram" -> cfg.ngram.toString,
-      "graft.numHashes" -> cfg.numHashes.toString,
-      "graft.bands" -> cfg.bands.toString,
-      "graft.spanK" -> cfg.spanK.toString,
-      "graft.buckets" -> cfg.buckets.toString,
-      "graft.bloomN" -> cfg.bloomN.toString,
-      "graft.bloomFpp" -> cfg.bloomFpp.toString))
+    setProps(spark, docsTable(prefix), docProps(cfg))
   }
 
   /** Compact both tables of a vectors store; same contract as
@@ -460,14 +485,7 @@ object IndexStore {
           (col("n") - coalesce(col("n_rm"), lit(0L))).as("n"))
         .filter(col("n") > 0))
     // the docs-table rewrite replaced the table holding the config
-    setProps(spark, docsTable(prefix), Map(
-      "graft.ngram" -> cfg.ngram.toString,
-      "graft.numHashes" -> cfg.numHashes.toString,
-      "graft.bands" -> cfg.bands.toString,
-      "graft.spanK" -> cfg.spanK.toString,
-      "graft.buckets" -> cfg.buckets.toString,
-      "graft.bloomN" -> cfg.bloomN.toString,
-      "graft.bloomFpp" -> cfg.bloomFpp.toString))
+    setProps(spark, docsTable(prefix), docProps(cfg))
     writeBloom(spark, prefix, Dedup.admissionBloom(
       spark.table(fpTable(prefix)), cfg.bloomN, cfg.bloomFpp))
   }

@@ -69,8 +69,18 @@ object StreamingPca {
         if (batch.isEmpty) None
         else {
           val agg = udaf(graft.functions.VectorMomentsAggregator)
+          // Same in-column null-element poison as Pca.train: a vector with
+          // null ELEMENTS must fail by name here, not as an opaque encoder
+          // NPE (or a silent 0.0 fill) — the aggregator's own Seq-level
+          // check sits after deserialization and may never see the null.
+          val v0 = col("vec").cast("array<double>")
+          val guarded = when(v0.isNotNull && exists(v0, x => x.isNull),
+            raise_error(lit("StreamingPca.applyBatch: a vector contains " +
+              "null elements — clean or filter the embedding column " +
+              "before folding moments")).cast("array<double>"))
+            .otherwise(v0)
           val delta = batch
-            .select(col("vec").cast("array<double>").as("v"))
+            .select(guarded.as("v"))
             .agg(agg(col("v"))).head().getSeq[Double](0)
           if (delta.isEmpty) None // all-null/empty batch: nothing to fold
           else {

@@ -539,4 +539,33 @@ class IngestMaintenanceSpec extends SparkSpec {
       IndexStore.dropVecs(spark, pRef)
     }
   }
+
+  test("fingerprint-algorithm fence: a docs store stamped under another " +
+       "version (or pre-versioning) is rejected by name; rebuild migrates") {
+    val p = "mt_fpver"
+    IndexStore.dropDocs(spark, p)
+    try {
+      IndexStore.buildDocs(corpusDocs, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      // a fresh build is stamped with the current version and loads fine
+      val cfg = IndexStore.docConfig(spark, p)
+      // simulate a store built under the pre-NFC fingerprint (v1)
+      spark.sql(s"ALTER TABLE ${IndexStore.docsTable(p)} " +
+        "SET TBLPROPERTIES ('graft.fpAlgo'='1')")
+      val e = intercept[Exception](IndexStore.docConfig(spark, p))
+      assert(messageChain(e).contains("fingerprint") &&
+        messageChain(e).contains("algorithm version 1"), messageChain(e))
+      // an UNSTAMPED store (built before versioning existed) also fails
+      spark.sql(s"ALTER TABLE ${IndexStore.docsTable(p)} " +
+        "UNSET TBLPROPERTIES ('graft.fpAlgo')")
+      val e2 = intercept[Exception](IndexStore.docConfig(spark, p))
+      assert(messageChain(e2).contains("unstamped"), messageChain(e2))
+      // the migration path reads config UNFENCED and the rebuild
+      // re-fingerprints + re-stamps, after which the fenced read works
+      val cur = IndexStore.docConfigUnfenced(spark, p)
+      IndexStore.rebuildDocs(spark, p, cur)
+      assert(IndexStore.docConfig(spark, p) == cfg,
+        "rebuilt store must load through the fence with its config intact")
+    } finally IndexStore.dropDocs(spark, p)
+  }
 }

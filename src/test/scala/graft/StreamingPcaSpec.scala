@@ -69,6 +69,14 @@ class StreamingPcaSpec extends SparkSpec {
         Seq(Seq(1.0, 2.0)).toDF("vec"), 100L)
     }
     assert(messageChain(e).contains("dimension changed"), messageChain(e))
+    // a vector with null ELEMENTS fails by the applyBatch name, not an
+    // opaque encoder NPE (the same in-column poison Pca.train carries)
+    val eNull = intercept[Exception] {
+      StreamingPca.applyBatch(spark, "px",
+        Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("vec"), 101L)
+    }
+    assert(messageChain(eNull).contains("StreamingPca.applyBatch") &&
+      messageChain(eNull).contains("null elements"), messageChain(eNull))
     // empty store fails by name
     StreamingPca.drop(spark, "px")
     StreamingPca.provision(spark, "px")

@@ -542,6 +542,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(messageChain(e).contains("bpeTable"), messageChain(e))
     val e2 = intercept[Exception](enc(Seq("x"), Seq("a" -> "b", "a" -> "b")))
     assert(messageChain(e2).contains("duplicate merge pair"), messageChain(e2))
+    // a hand-authored table whose member is not derivable from earlier
+    // merges breaks the min-rank/sequential-replace equivalence — the
+    // table builder rejects it by name instead of silently diverging
+    val e3 = intercept[Exception](enc(Seq("x"), Seq("bc" -> "d", "b" -> "c")))
+    assert(messageChain(e3).contains("lower-ranked merge"), messageChain(e3))
+    // while a properly-derived multi-letter member is accepted
+    enc(Seq("bcd"), Seq("b" -> "c", "bc" -> "d"))
   }
 
   test("bpeEncode on the corpus: kernel == sequential-replace reference; " +
