@@ -415,9 +415,11 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val model = graft.operators.TextAnalysis
           .ngramTrain(docs, col("text"), minCount = 2)
-        val mc = graft.operators.TextAnalysis.NgramModel(
-          model.uni.localCheckpoint(true), model.bi.localCheckpoint(true),
-          model.tri.localCheckpoint(true), model.total.localCheckpoint(true))
+        val mc = model.copy(
+          uni = model.uni.localCheckpoint(true),
+          bi = model.bi.localCheckpoint(true),
+          tri = model.tri.localCheckpoint(true),
+          total = model.total.localCheckpoint(true))
         val secTrain = (System.nanoTime() - t0) / 1e9
         val (cu, cb, ct) = (mc.uni.count(), mc.bi.count(), mc.tri.count())
         val fixed = docs.filter(col("doc_id") < 20000)
@@ -554,10 +556,16 @@ object ScaleProbe {
         wide.cache().count()
         val fixed = wide.filter(col("doc_id") < 20000)
         def regime(minCount: Int): (Long, Long, Double, Long) = {
-          val m0 = TextAnalysis.ngramTrain(wide, col("text"), minCount)
-          val m = TextAnalysis.NgramModel(
-            m0.uni.localCheckpoint(true), m0.bi.localCheckpoint(true),
-            m0.tri.localCheckpoint(true), m0.total.localCheckpoint(true))
+          // minCount=1 trains the over-threshold model DELIBERATELY
+          // (allowShuffle) — the regime this probe exists to price; the
+          // guard path itself is spec-covered in TextAnalysisSpec
+          val m0 = TextAnalysis.ngramTrain(wide, col("text"), minCount,
+            allowShuffle = minCount == 1)
+          val m = m0.copy(
+            uni = m0.uni.localCheckpoint(true),
+            bi = m0.bi.localCheckpoint(true),
+            tri = m0.tri.localCheckpoint(true),
+            total = m0.total.localCheckpoint(true))
           val (cb, ct) = (m.bi.count(), m.tri.count())
           val scored = TextAnalysis.ngramScore(fixed,
               col("doc_id"), col("text"), m)

@@ -706,11 +706,18 @@ object TextAnalysis {
 
   /** Trained n-gram LM frequency tables: unigram / bigram / trigram
     * counts plus the 1-row corpus-token total. All vocabulary-shaped
-    * (never corpus-row-shaped once pruned), derived from ONE logical
-    * corpus scan — the planner may replay that scan per table, but no
-    * table is ever wider than its n-gram type count. */
+    * (never corpus-row-shaped once pruned), lazily derived — a caller
+    * scoring MANY batches against one model should pin the tables
+    * (localCheckpoint) so the corpus scan is not replayed per batch (the
+    * `ngram` ScaleProbe's shape). `broadcastHint=true` records
+    * [[ngramTrain]]'s measured verdict that every table fits the
+    * broadcast threshold; [[ngramScore]] then pins the five model joins
+    * as explicit broadcasts (a pinned/checkpointed table loses its size
+    * estimate, so the hint — not the planner's guess — carries the
+    * measurement). `false` = the deliberate `allowShuffle` regime. */
   final case class NgramModel(uni: DataFrame, bi: DataFrame,
-                              tri: DataFrame, total: DataFrame)
+                              tri: DataFrame, total: DataFrame,
+                              broadcastHint: Boolean = true)
 
   /** Per-document token/context grams, extracted map-side from the token
     * array (no per-doc window shuffle): one output row per token with its
@@ -729,13 +736,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("g.cur"), col("g.p1"), col("g.p2"))
 
   /** Train the stupid-backoff trigram LM ([[ngramScore]]): unigram,
-    * bigram and trigram frequency tables from one corpus scan.
-    * `minCount` prunes bigram/trigram types below the threshold (the
-    * KenLM-style singleton prune — at corpus scale the singleton tail IS
-    * most of the trigram type mass, and backoff absorbs pruned entries
-    * by construction); unigrams are never pruned, so every in-vocabulary
-    * context keeps its denominator count. */
-  def ngramTrain(corpus: DataFrame, text: Column, minCount: Int = 1): NgramModel = {
+    * bigram and trigram frequency tables. `minCount` prunes bi/trigram
+    * types below the threshold (the KenLM-style singleton prune — at
+    * corpus scale the singleton tail IS most of the trigram type mass,
+    * and backoff absorbs pruned entries by construction); unigrams are
+    * never pruned, so every in-vocabulary context keeps its denominator
+    * count.
+    *
+    * The SHUFFLE-REGIME GUARD (the `ngram_join_regime` ScaleProbe priced
+    * this cliff: an unpruned wide-vocab trigram table turns the five
+    * [[ngramScore]] model joins from broadcasts into shuffles of the
+    * gram stream — 3.4–7.3× slower at 200–500k docs and an OOM cliff if
+    * the corpus-shaped table is ever materialized). Two phases, neither
+    * of which materializes a table:
+    *
+    *  1. PRE-SCREEN — one MAP-SIDE pass over the gram stream
+    *     (approx_count_distinct of the bi/tri keys + average token
+    *     length; partial aggregation, no shuffle, one small result row).
+    *     Estimated UNPRUNED footprints under the session's
+    *     `spark.sql.autoBroadcastJoinThreshold` prove the model safe at
+    *     ANY minCount (pruning only shrinks); with `minCount == 1` the
+    *     unpruned estimate IS the pruned size, so an over-threshold
+    *     estimate fails by name directly.
+    *  2. EXACT CHECK — only when the pre-screen is suspicious AND
+    *     pruning could still save the model (`minCount > 1`): one union
+    *     job aggregates the pruned bi/tri type tables' exact row counts
+    *     and character mass (aggregation spills where materialization
+    *     would OOM) and decides by measurement.
+    *
+    * Past the threshold the failure is BY NAME with the `minCount` lever
+    * in the message; pass `allowShuffle = true` to deliberately train an
+    * over-threshold model, which [[ngramScore]] then joins WITHOUT
+    * broadcast hints — the priced shuffle regime, entered loudly. On the
+    * common pruned path the guard's whole cost is the one map-side
+    * pre-screen scan. */
+  def ngramTrain(corpus: DataFrame, text: Column, minCount: Int = 1,
+                 allowShuffle: Boolean = false): NgramModel = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     val g = ngramGrams(corpus, lit(0L), text)
     val uni = g.groupBy(col("cur")).agg(count(lit(1)).as("c1"))
@@ -746,7 +782,73 @@ object TextAnalysis {
     val tri = g.filter(col("p2").isNotNull)
       .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c3"))
       .filter(col("c3") >= minCount)
-    NgramModel(uni, bi, tri, total)
+
+    val threshold = {
+      val conf = corpus.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val parsed = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(conf)
+      if (parsed > 0) parsed else 10L * 1024 * 1024
+    }
+    // UnsafeRow-ish: ~48 B/row fixed + 2 B/char, deliberately heavy — a
+    // broadcast HashedRelation costs more than its serialized rows
+    def estBytes(types: Long, chars: Long) = types * 48L + chars * 2L
+
+    def fail(which: Seq[(String, Long, Long)], exact: Boolean): Unit =
+      throw new IllegalArgumentException(
+        s"ngramTrain: model table(s) ${which.map(_._1).mkString("/")} " +
+          s"exceed the broadcast threshold ($threshold B): " +
+          which.map { case (t, n, b) =>
+            s"$t ~$b B ($n ${if (exact) "types" else "estimated types"})"
+          }.mkString(", ") +
+          " — the ngramScore joins would silently enter the measured " +
+          "shuffle regime (3.4–7.3× slower, OOM cliff; see the " +
+          s"ngram_join_regime probe). Raise minCount (currently $minCount) " +
+          "to prune the singleton tail, or pass allowShuffle = true to " +
+          "deliberately train an over-threshold model")
+
+    var hinted = true
+    if (!allowShuffle) {
+      // phase 1: map-side approx pre-screen (no shuffle, nothing built)
+      val pre = g.agg(
+        approx_count_distinct(col("cur")).as("u"),
+        approx_count_distinct(struct(col("p1"), col("cur"))).as("b"),
+        approx_count_distinct(struct(col("p2"), col("p1"), col("cur"))).as("t"),
+        coalesce(avg(length(col("cur"))), lit(0.0)).as("len")).head()
+      val avgLen = pre.getDouble(3)
+      def approx(types: Long, toks: Int) =
+        estBytes(types, (types * toks * avgLen).toLong)
+      val est = Seq(("uni", pre.getLong(0), approx(pre.getLong(0), 1)),
+        ("bi", pre.getLong(1), approx(pre.getLong(1), 2)),
+        ("tri", pre.getLong(2), approx(pre.getLong(2), 3)))
+      val overApprox = est.filter(_._3 > threshold)
+      if (overApprox.nonEmpty) {
+        // uni is never pruned and the minCount=1 tables cannot shrink:
+        // for those the estimate is already the verdict
+        val hopeless = overApprox.filter { case (t, _, _) =>
+          t == "uni" || minCount == 1 }
+        if (hopeless.nonEmpty) fail(hopeless, exact = false)
+        // phase 2: pruning might still save bi/tri — measure exactly
+        // (one union job over the pruned type aggregates)
+        def footprint(df: DataFrame, name: String, strCols: Seq[String]) =
+          df.agg(count(lit(1)).as("rows"),
+            coalesce(sum(strCols.map(c => length(col(c))).reduce(_ + _)),
+              lit(0L)).as("chars"))
+            .select(lit(name).as("t"), col("rows"), col("chars"))
+        val exact = footprint(bi, "bi", Seq("p1", "cur"))
+          .unionByName(footprint(tri, "tri", Seq("p2", "p1", "cur")))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            estBytes(r.getLong(1), r.getLong(2))))
+        val overExact = exact.filter(_._3 > threshold)
+        if (overExact.nonEmpty) fail(overExact.toSeq, exact = true)
+      }
+    } else {
+      // deliberate mode: no measurement, no hints — the planner decides
+      // from its own estimates and large tables shuffle-join
+      hinted = false
+    }
+    NgramModel(uni, bi, tri, total, broadcastHint = hinted)
   }
 
   /** N-gram LM quality score (the KenLM/CCNet-style perplexity gate):
@@ -768,27 +870,38 @@ object TextAnalysis {
     * IEEE divisions, identical in any engine.
     *
     * Shape at 100 TB: gram extraction is map-side; the five model joins
-    * are each against a type-count-sized table the planner broadcasts
-    * when it fits and shuffle-joins when it does not — `minCount` is the
-    * lever that keeps the trigram table vocabulary-shaped rather than
-    * corpus-shaped (singleton pruning typically drops the majority of
-    * trigram TYPES while backoff keeps every token scoreable); the
-    * per-doc rollup is one id-keyed aggregation. Per-doc cost is
-    * model-size-independent once the model tables are built. */
+    * are each against a type-count-sized table BROADCAST BY MEASURED
+    * VERDICT — [[ngramTrain]] measured every table under the session
+    * threshold before materializing it, or failed by name citing the
+    * `minCount` lever (the knob that keeps the trigram table
+    * vocabulary-shaped rather than corpus-shaped: singleton pruning
+    * typically drops the majority of trigram TYPES while backoff keeps
+    * every token scoreable). An `allowShuffle`-trained model enters the
+    * shuffle regime deliberately and unhinted. The per-doc rollup is
+    * one id-keyed aggregation; per-doc cost is model-size-independent
+    * once the model tables are built. */
   def ngramScore(docs: DataFrame, id: Column, text: Column,
                  model: NgramModel, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
     val g = ngramGrams(docs, id, text)
-    val uniP = model.uni.select(col("cur").as("p1"), col("c1").as("c1p"))
-    val biCtx = model.bi.select(col("p1").as("p2"), col("cur").as("p1"),
-      col("c2").as("c2ctx"))
+    // A trained model is checkpointed (size estimate lost), so the
+    // measured under-threshold verdict from ngramTrain is pinned here as
+    // explicit broadcast hints — the plan the measurement proved safe,
+    // not whatever the estimate-blind planner would pick. An
+    // allowShuffle-trained over-threshold model joins unhinted: the
+    // deliberate, loudly-entered shuffle regime.
+    val hint: DataFrame => DataFrame =
+      if (model.broadcastHint) broadcast else identity
+    val uniP = hint(model.uni.select(col("cur").as("p1"), col("c1").as("c1p")))
+    val biCtx = hint(model.bi.select(col("p1").as("p2"), col("cur").as("p1"),
+      col("c2").as("c2ctx")))
     val scored = g
-      .join(model.uni, Seq("cur"), "left")
+      .join(hint(model.uni), Seq("cur"), "left")
       .crossJoin(broadcast(model.total))
       .join(uniP, Seq("p1"), "left")
-      .join(model.bi, Seq("p1", "cur"), "left")
+      .join(hint(model.bi), Seq("p1", "cur"), "left")
       .join(biCtx, Seq("p2", "p1"), "left")
-      .join(model.tri, Seq("p2", "p1", "cur"), "left")
+      .join(hint(model.tri), Seq("p2", "p1", "cur"), "left")
     val pUni = when(col("c1").isNotNull,
         col("c1").cast("double") / col("total"))
       .otherwise(lit(1.0) / col("total")) // OOV floor: one pseudo-count
@@ -814,8 +927,10 @@ object TextAnalysis {
   /** Self-scored convenience form: train on `docs`, score `docs` — the
     * corpus-quality-report shape ([[unigramLogProb]] with real context). */
   def ngramLogProb(docs: DataFrame, id: Column, text: Column,
-                   minCount: Int = 1, alpha: Double = 0.4): DataFrame =
-    ngramScore(docs, id, text, ngramTrain(docs, text, minCount), alpha)
+                   minCount: Int = 1, alpha: Double = 0.4,
+                   allowShuffle: Boolean = false): DataFrame =
+    ngramScore(docs, id, text,
+      ngramTrain(docs, text, minCount, allowShuffle), alpha)
 
   /** Trained naive-Bayes quality model ([[nbTrain]]/[[nbScore]]): one
     * vocabulary-shaped token table with per-class counts and a one-row

@@ -419,6 +419,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ngramTrain shuffle-regime guard: over-threshold model fails by " +
+       "name citing minCount; allowShuffle enters deliberately unhinted") {
+    // wide-vocab fixture (the ngram_join_regime derivation): hash-random
+    // trigrams, so unpruned bi/tri tables are corpus-shaped
+    val wide = spark.range(3000L)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("tok"),
+            pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100KB")
+    try {
+      val e = intercept[Exception] {
+        TextAnalysis.ngramTrain(wide, col("text"), minCount = 1)
+      }
+      assert(messageChain(e).contains("ngramTrain") &&
+        messageChain(e).contains("minCount (currently 1)") &&
+        messageChain(e).contains("allowShuffle"), messageChain(e))
+      // the deliberate path trains, marks the model unhinted, and scores
+      val m = TextAnalysis.ngramTrain(wide, col("text"), minCount = 1,
+        allowShuffle = true)
+      assert(!m.broadcastHint)
+      val scored = TextAnalysis.ngramScore(
+        wide.filter(col("doc_id") < 50), col("doc_id"), col("text"), m)
+      assert(scored.count() == 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // an under-threshold model keeps the hinted broadcast plan: all five
+    // model joins are BroadcastHashJoins in the executed plan
+    val small = TextAnalysis.ngramTrain(wide.limit(100), col("text"),
+      minCount = 2)
+    assert(small.broadcastHint)
+    val sc = TextAnalysis.ngramScore(wide.filter(col("doc_id") < 20),
+      col("doc_id"), col("text"), small)
+    sc.collect() // finalize the adaptive plan before counting joins
+    val bhj = sc.queryExecution.executedPlan.toString
+      .split("BroadcastHashJoin").length - 1
+    assert(bhj >= 5, s"expected >= 5 broadcast joins, got $bhj:\n" +
+      sc.queryExecution.executedPlan)
+  }
+
   test("plan guard: boilerplate filter is a broadcast anti join; only reassembly shuffles text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
