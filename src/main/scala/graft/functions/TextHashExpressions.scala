@@ -278,22 +278,28 @@ object TextHashExpressions {
     * serialization — the broadcast-model shape), and per-row cost is
     * independent of table size. Null text → null. */
   case class BpeEncode(child: Expression, merges: Seq[(String, String)],
-                       marked: Boolean = false)
+                       marked: Boolean = false, byteLevel: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
-    override def prettyName: String = "bpe_encode"
+    override def prettyName: String =
+      if (byteLevel) "bpe_encode_bytes" else "bpe_encode"
 
     @transient private lazy val table: java.util.HashMap[String, Integer] =
-      TextKernels.bpeTable(merges)
+      if (byteLevel) TextKernels.bpeTableBytes(merges)
+      else TextKernels.bpeTable(merges)
 
     override def nullSafeEval(input: Any): Any =
-      TextKernels.bpeEncode(input.asInstanceOf[UTF8String], table, marked)
+      if (byteLevel)
+        TextKernels.bpeEncodeBytes(input.asInstanceOf[UTF8String], table, marked)
+      else
+        TextKernels.bpeEncode(input.asInstanceOf[UTF8String], table, marked)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tableRef = ctx.addReferenceObj("bpeTable", table, "java.util.HashMap")
+      val kernel = if (byteLevel) "bpeEncodeBytes" else "bpeEncode"
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.TextKernels.bpeEncode($c, $tableRef, $marked);")
+        s"${ev.value} = graft.functions.TextKernels.$kernel($c, $tableRef, $marked);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -304,6 +310,12 @@ object TextHashExpressions {
                 marked: Boolean = false): Column =
     ColumnBridge.column(
       BpeEncode(ColumnBridge.expression(text), merges, marked))
+
+  def bpeEncodeBytes(text: Column, merges: Seq[(String, String)],
+                     marked: Boolean = false): Column =
+    ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(text), merges, marked,
+        byteLevel = true))
 
   def langIdProfile(norm: Column,
                     langs: Seq[(String, Seq[String], Seq[String])]): Column =

@@ -481,39 +481,129 @@ object TextKernels {
           val syms = new Array[String](n)
           var t = 0
           while (t < n) { syms(t) = String.valueOf(bytes(s + t).toChar); t += 1 }
-          var count = n
-          var done = false
-          while (!done && count >= 2) {
-            var bestRank = Integer.MAX_VALUE
-            var bl: String = null
-            var br: String = null
-            var j = 0
-            while (j < count - 1) {
-              val r = ranks.get(syms(j) + " " + syms(j + 1))
-              if (r != null && r.intValue < bestRank) {
-                bestRank = r.intValue; bl = syms(j); br = syms(j + 1)
-              }
-              j += 1
-            }
-            if (bl == null) done = true
-            else {
-              var w = 0
-              var rd = 0
-              while (rd < count) {
-                if (rd < count - 1 && syms(rd) == bl && syms(rd + 1) == br) {
-                  syms(w) = bl + br; rd += 2
-                } else { syms(w) = syms(rd); rd += 1 }
-                w += 1
-              }
-              count = w
-            }
-          }
+          val count = mergeLoop(syms, n, ranks)
           var k = 0
           while (k < count) {
             out.add(UTF8String.fromString(
               if (marked && k == 0) mark + syms(0) else syms(k)))
             k += 1
           }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The shared min-rank merge loop of both encoders: repeatedly find
+    * the LOWEST-RANK adjacent pair present (one O(count) scan with O(1)
+    * hash lookups) and merge all its left-to-right non-overlapping
+    * occurrences in place, until no trained pair remains. Returns the
+    * surviving symbol count; `syms(0 until result)` is the encoding.
+    * Per-word cost is O(len²) hash probes — INDEPENDENT of merge-table
+    * size (the `bpe_encode` ScaleProbe pins this). */
+  private def mergeLoop(syms: Array[String], n: Int,
+                        ranks: java.util.HashMap[String, Integer]): Int = {
+    var count = n
+    var done = false
+    while (!done && count >= 2) {
+      var bestRank = Integer.MAX_VALUE
+      var bl: String = null
+      var br: String = null
+      var j = 0
+      while (j < count - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r.intValue < bestRank) {
+          bestRank = r.intValue; bl = syms(j); br = syms(j + 1)
+        }
+        j += 1
+      }
+      if (bl == null) done = true
+      else {
+        var w = 0
+        var rd = 0
+        while (rd < count) {
+          if (rd < count - 1 && syms(rd) == bl && syms(rd + 1) == br) {
+            syms(w) = bl + br; rd += 2
+          } else { syms(w) = syms(rd); rd += 1 }
+          w += 1
+        }
+        count = w
+      }
+    }
+    count
+  }
+
+  /** Per-byte lowercase-hex symbols — the byte-level BPE base alphabet
+    * (256 two-char strings). Hex keeps every symbol printable, '|'-free
+    * (the training separator encoding stays valid) and replayable in any
+    * SQL engine (`lower(hex(...))`), which a raw-byte or GPT-2
+    * byte-to-unicode alphabet would not be. */
+  private val HexSym: Array[String] =
+    Array.tabulate(256)(b => f"$b%02x")
+
+  /** Pair→rank table for BYTE-LEVEL merges: symbols are nonempty
+    * even-length lowercase-hex strings (whole bytes), and each member
+    * must be a single byte or the output of a strictly lower-ranked
+    * merge — the same derivability fence as [[bpeTable]], which is what
+    * makes the min-rank kernel provably equal to sequential
+    * replace-all. */
+  def bpeTableBytes(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    val derivable = new java.util.HashSet[String]()
+    def hexOk(s: String) = s.nonEmpty && s.length % 2 == 0 &&
+      s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(hexOk(l) && hexOk(r),
+        s"bpeTableBytes: merge symbols must be nonempty even-length " +
+          s"lowercase-hex byte strings (the bpeTrainBytes contract), got " +
+          s"('$l','$r') at rank ${i + 1}")
+      Seq(l, r).foreach { s =>
+        require(s.length == 2 || derivable.contains(s),
+          s"bpeTableBytes: merge member '$s' at rank ${i + 1} is neither " +
+            "a single byte nor the output of a lower-ranked merge — such " +
+            "a table breaks the min-rank/sequential-replace equivalence")
+      }
+      derivable.add(l + r)
+      val prev = m.put(l + " " + r, Integer.valueOf(i + 1))
+      require(prev == null,
+        s"bpeTableBytes: duplicate merge pair ('$l','$r') — ranks would " +
+          "be ambiguous")
+    }
+    m
+  }
+
+  /** BYTE-LEVEL BPE merge application: every whitespace token — emoji,
+    * CJK, digits, binary-ish junk, anything — is decomposed into its
+    * UTF-8 bytes as lowercase-hex base symbols and merged with the SAME
+    * min-rank loop as the char-level [[bpeEncode]]; there is NO OOV
+    * passthrough, because a 256-symbol base alphabet encodes any input
+    * (the GPT-2 byte-fallback property). `marked` prefixes each token's
+    * first symbol with U+2581; unlike the char-level marker this CANNOT
+    * collide with input (output symbols are pure hex), so the marked
+    * round trip is exact on every input, non-BMP included. */
+  def bpeEncodeBytes(text: UTF8String,
+                     ranks: java.util.HashMap[String, Integer],
+                     marked: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[AnyRef]()
+    val mark = "\u2581"
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      val n = i - s
+      if (n > 0) {
+        val syms = new Array[String](n)
+        var t = 0
+        while (t < n) { syms(t) = HexSym(bytes(s + t) & 0xff); t += 1 }
+        val count = mergeLoop(syms, n, ranks)
+        var k = 0
+        while (k < count) {
+          out.add(UTF8String.fromString(
+            if (marked && k == 0) mark + syms(0) else syms(k)))
+          k += 1
         }
       }
     }

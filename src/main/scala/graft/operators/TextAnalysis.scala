@@ -571,12 +571,44 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   def bpeTrain(docs: DataFrame, text: Column, nMerges: Int,
-               checkpointEvery: Int = 8): DataFrame = {
+               checkpointEvery: Int = 8): DataFrame =
+    bpeTrainLoop(
+      bpeWordCounts(docs, text)
+        .select(concat(lit("||"),
+          regexp_replace(col("w"), "(.)", "$1||")).as("s"), col("freq")),
+      nMerges, checkpointEvery)
+
+  /** The word-frequency table BYTE-LEVEL training runs on: EVERY
+    * whitespace token (no letters-only filter, no length floor — the
+    * byte alphabet has no out-of-contract input), its UTF-8 bytes as
+    * two-char lowercase-hex base symbols. */
+  private[graft] def bpeWordCountsBytes(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** BYTE-LEVEL BPE training: identical pair-count/argmax/merge loop as
+    * [[bpeTrain]], over the 256-symbol lowercase-hex byte alphabet — so
+    * every token of any script participates and the trained tokenizer
+    * has NO OOV path (the GPT-2 byte-fallback property). Output schema
+    * matches [[bpeTrain]]; symbols are even-length hex strings. */
+  def bpeTrainBytes(docs: DataFrame, text: Column, nMerges: Int,
+                    checkpointEvery: Int = 8): DataFrame =
+    bpeTrainLoop(
+      bpeWordCountsBytes(docs, text)
+        .select(concat(lit("||"), regexp_replace(
+          lower(hex(col("w").cast("binary"))), "(..)", "$1||")).as("s"),
+          col("freq")),
+      nMerges, checkpointEvery)
+
+  /** The shared training loop: `words0` is the (s, freq) word table in
+    * the double-separator symbol encoding (`||sym1||sym2||…||`), any
+    * '|'-free symbol alphabet. One localCheckpoint up front — iterations
+    * never rescan the corpus. */
+  private def bpeTrainLoop(words0Raw: DataFrame, nMerges: Int,
+                           checkpointEvery: Int): DataFrame = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
-    val spark = docs.sparkSession
-    val words0 = bpeWordCounts(docs, text)
-      .select(concat(lit("||"),
-        regexp_replace(col("w"), "(.)", "$1||")).as("s"), col("freq"))
+    val spark = words0Raw.sparkSession
+    val words0 = words0Raw
       .localCheckpoint(true) // one corpus scan; iterations never rescan
     var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -702,6 +734,80 @@ object TextAnalysis {
       }
       when(t.rlike("^[a-z]+$"), split(trim(merged, "|"), "\\|\\|"))
         .otherwise(array(t))
+    }))
+
+  // ---- byte-level tokenizer family (GPT-2-style byte fallback) ----
+
+  /** BYTE-LEVEL merge application: the flat hex-symbol array of each
+    * document under a [[bpeTrainBytes]] merge list. EVERY whitespace
+    * token is encoded — emoji, CJK-B, digits, binary-ish junk — because
+    * the 256-symbol byte alphabet has no out-of-vocabulary input; the
+    * char-level [[bpeEncode]]'s OOV passthrough (and its BMP caveat)
+    * does not exist here. Map-side, per-doc cost independent of
+    * merge-table size (same kernel loop). Null text → null. */
+  def bpeEncodeBytes(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncodeBytes(text, merges)
+
+  /** Trained byte-level-tokenizer token count per document. */
+  def bpeEncodeBytesCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncodeBytes(text, merges))
+
+  /** [[bpeEncodeBytes]] with the word-start marker on each token's first
+    * symbol. Unlike the char-level marker, U+2581 CANNOT collide with
+    * input here (output symbols are pure hex), so
+    * `bpeDetokenizeBytes(bpeEncodeBytesMarked(t)) ==
+    * array_join(tokens(t), ' ')` holds for EVERY input, non-BMP
+    * included — no caveat. */
+  def bpeEncodeBytesMarked(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncodeBytes(text, merges,
+      marked = true)
+
+  /** Inverse of [[bpeEncodeBytesMarked]]: concatenate the hex symbols,
+    * split words at the markers, UTF-8-decode each word's byte string,
+    * join with single spaces — the whitespace-normalized text, exactly. */
+  def bpeDetokenizeBytes(toks: Column): Column = {
+    val hexWords = ltrim(translate(array_join(toks, ""), "▁", " "), " ")
+    array_join(
+      transform(split(hexWords, " "), w => unhex(w).cast("string")), " ")
+  }
+
+  /** Token-id vocabulary of a byte-level merge list: the 256 base byte
+    * symbols at ids 0–255 (hex "00" → 0 … "ff" → 255, the GPT-2 base
+    * layout), then each merge's output symbol at id 255 + rank;
+    * colliding outputs keep their first (lowest-rank) id. */
+  def bpeVocabBytes(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val base = (0 until 256).map(b => (f"$b%02x", b))
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int](base: _*)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val sym = l + r
+      if (!seen.contains(sym)) seen(sym) = 256 + i
+    }
+    seen.toSeq
+  }
+
+  /** [[bpeEncodeBytes]] to token IDS: every symbol is in
+    * [[bpeVocabBytes]] by construction (base bytes + merge outputs), so
+    * unlike the char-level [[bpeEncodeIds]] there is NO -1/OOV id — the
+    * whole point of the byte alphabet. The coalesce(-1) stays as a
+    * defensive contract marker only. */
+  def bpeEncodeIdsBytes(text: Column, merges: Seq[(String, String)]): Column = {
+    val vocab = typedLit(bpeVocabBytes(merges).toMap)
+    transform(bpeEncodeBytes(text, merges),
+      s => coalesce(element_at(vocab, s), lit(-1)))
+  }
+
+  /** Sequential-replace cross-check for the byte-level kernel — the
+    * [[bpeEncodeViaReplace]] construction over hex symbols, every token
+    * encoded (no OOV branch). Spec-only, cost grows with nMerges. */
+  private[graft] def bpeEncodeBytesViaReplace(text: Column,
+                                              merges: Seq[(String, String)]): Column =
+    flatten(transform(tokens(text), t => {
+      val sep = concat(lit("||"), regexp_replace(
+        lower(hex(t.cast("binary"))), "(..)", "$1||"))
+      val merged = merges.foldLeft(sep) { case (c, (l, r)) =>
+        replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      split(trim(merged, "|"), "\\|\\|")
     }))
 
   /** Trained n-gram LM frequency tables: unigram / bigram / trigram

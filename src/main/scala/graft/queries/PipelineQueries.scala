@@ -129,6 +129,25 @@ object PipelineQueries {
         m
       })
 
+  /** The byte-level twin of [[trainedMerges]] — 8 byte-alphabet merges,
+    * same content-keyed memo and the same 8-round degeneracy fence (the
+    * byte oracles replay m1..m8 identically). */
+  private val bpeByteMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def trainedByteMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeByteMergeMemo.computeIfAbsent(
+      graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => {
+        val m = TextAnalysis.bpeMerges(
+          TextAnalysis.bpeTrainBytes(Tables(s, dir).documents, col("text"),
+            nMerges = 8))
+        require(m.size == 8,
+          s"trainedByteMerges: corpus trained only ${m.size}/8 byte-level " +
+            "BPE merges — too few repeated byte pairs for the 8-round " +
+            "oracle replay")
+        m
+      })
+
   /** Build-if-absent persisted vectors store + PQ sidecar for the
     * sim_*_store probes, keyed by the embeddings file's (mtime, length)
     * fingerprint with a stale-sibling sweep (the ingest_admit pattern:
@@ -1270,6 +1289,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BYTE-LEVEL merge application (GPT-2-style byte fallback): 8 merges
+    // trained over the hex byte alphabet, then EVERY token of every
+    // document encoded — no OOV passthrough exists. The oracle replays
+    // training and the rank-sequential replace over the identical
+    // lower-hex encoding, so a hash match certifies byte decomposition,
+    // training and both encoder algorithms at once.
+    "text_bpe_bytes" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = trainedByteMerges(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.bpeEncodeBytes(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe"),
+          array_join(col("toks"), " ").as("bpe_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Byte-level marked encode + detokenize, with PLANTED non-BMP rows
+    // (emoji, CJK Ext-B, a literal marker char) unioned into the scored
+    // set — the inputs the char-level tokenizer cannot round-trip. The
+    // byte round trip is EXACT on all of them: output symbols are pure
+    // hex, so the marker cannot collide with input. Training stays on
+    // the real corpus only.
+    "text_bpe_bytes_detok" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val merges = trainedByteMerges(s, dir)
+      val planted = Seq(
+        (-3L, "😀 emoji 🤖🤖 mix"),
+        (-2L, "𠀀𠀁 cjk-b ▁ marker"),
+        (-1L, "tabs\tand\nnewlines")).toDF("doc_id", "text")
+      t.documents.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.bpeEncodeBytesMarked(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), " ").as("marked_text"),
+          (TextAnalysis.bpeDetokenizeBytes(col("toks")) ===
+            array_join(TextAnalysis.tokens(col("text")), " ")).as("detok_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
       TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
@@ -2002,7 +2062,29 @@ object PipelineQueries {
            WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w),
          s0 AS (SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s,
                   freq FROM w0)"""
-    val loops = (1 to rounds).map { k =>
+    head + bpeTrainLoopCtes(rounds)
+  }
+
+  /** The byte-level head: EVERY whitespace token (no filter), its UTF-8
+    * bytes as lowercase-hex pair symbols — then the same per-round loops.
+    * See [[graft.operators.TextAnalysis.bpeTrainBytes]]. */
+  private def bpeTrainBytesCtes(rounds: Int): String = {
+    val head =
+      s"""WITH w0 AS (SELECT w, count(*) AS freq
+           FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+         s0 AS (SELECT '||' || regexp_replace(lower(hex(encode(w))),
+                  '(..)', '\\1||', 'g') AS s,
+                  freq FROM w0)"""
+    head + bpeTrainLoopCtes(rounds)
+  }
+
+  /** The per-round training loops shared by the char and byte heads:
+    * pair counts from the double-separator strings (p$$k), the
+    * (freq DESC, l, r) argmax (m$$k), the greedy literal replace
+    * (s$$k) — alphabet-agnostic, exactly like the Spark-side shared
+    * bpeTrainLoop. */
+  private def bpeTrainLoopCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
       s""",
          p$k AS (SELECT struct_extract(u, 'l') AS l,
                    struct_extract(u, 'r') AS r, sum(freq) AS freq
@@ -2018,8 +2100,6 @@ object PipelineQueries {
                    '|' || m.l || m.r || '|') AS s, w.freq
                  FROM s${k - 1} w, m$k m)"""
     }.mkString
-    head + loops
-  }
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -3346,6 +3426,76 @@ object PipelineQueries {
            CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
            coalesce(a.ids_text, '') AS ids_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""
+    },
+
+    // BYTE-LEVEL training + encode replayed end-to-end: the byte head
+    // (every token, lower-hex UTF-8 bytes) into the SAME 8 training
+    // rounds, then per token the chained literal replaces — no OOV
+    // branch exists. A hash match certifies byte decomposition, the
+    // byte-alphabet training AND the min-rank/sequential equivalence.
+    "text_bpe_bytes" -> {
+      val rounds = 8
+      val sep =
+        """'||' || regexp_replace(lower(hex(encode(t))), '(..)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainBytesCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM documents),
+           encw AS (SELECT doc_id, i,
+                      string_split(trim($chained, '|'), '||') AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS allsyms
+                   FROM encw GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(len(e.allsyms), 0) AS BIGINT) AS n_bpe,
+           coalesce(array_to_string(e.allsyms, ' '), '') AS bpe_text
+         FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+         ORDER BY d.doc_id"""
+    },
+
+    // Byte-level marked encode + detokenize with the SAME planted
+    // non-BMP rows as the Spark side (training stays on the corpus):
+    // the oracle re-derives the marked hex stream AND independently
+    // reconstructs each document by unhex+decode, so detok_ok is a
+    // genuine second implementation of the round trip, not an echo.
+    "text_bpe_bytes_detok" -> {
+      val rounds = 8
+      val sep =
+        """'||' || regexp_replace(lower(hex(encode(t))), '(..)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainBytesCtes(rounds) +
+        s""",
+           docsrc AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT CAST(-3 AS BIGINT), '😀 emoji 🤖🤖 mix'
+                      UNION ALL SELECT CAST(-2 AS BIGINT), '𠀀𠀁 cjk-b ▁ marker'
+                      UNION ALL SELECT CAST(-1 AS BIGINT),
+                        'tabs' || chr(9) || 'and' || chr(10) || 'newlines'),
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM docsrc),
+           encw AS (SELECT doc_id, i,
+                      string_split(trim($chained, '|'), '||') AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           mk AS (SELECT doc_id, i,
+                    [CASE WHEN r = 1 THEN '▁' || syms[r] ELSE syms[r] END
+                     for r in range(1, len(syms) + 1)] AS msyms,
+                    decode(unhex(array_to_string(syms, ''))) AS word
+                  FROM encw),
+           enc AS (SELECT doc_id,
+                     flatten(list(msyms ORDER BY i)) AS allsyms,
+                     string_agg(word, ' ' ORDER BY i) AS detok
+                   FROM mk GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           coalesce(array_to_string(e.allsyms, ' '), '') AS marked_text,
+           coalesce(e.detok, '') = array_to_string($tokensSql, ' ') AS detok_ok
+         FROM docsrc d LEFT JOIN enc e USING (doc_id)
          ORDER BY d.doc_id"""
     },
 

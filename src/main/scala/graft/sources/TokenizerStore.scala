@@ -21,37 +21,68 @@ object TokenizerStore {
   def bpeTable(prefix: String): String = s"${prefix}_bpe"
 
   /** Train `nMerges` rules on the corpus and persist them. Drops any
-    * previous store under the prefix first (rebuild semantics). */
+    * previous store under the prefix first (rebuild semantics).
+    * `byteLevel = true` trains the byte-alphabet tokenizer
+    * ([[TextAnalysis.bpeTrainBytes]]); the MODE is stamped into the
+    * catalog and fenced at load — applying a byte-level table with the
+    * char-level encoder (or vice versa) would re-segment every document
+    * silently, so the two load paths reject each other by name. */
   def build(spark: SparkSession, prefix: String, docs: DataFrame,
-            text: Column, nMerges: Int): Unit = {
+            text: Column, nMerges: Int, byteLevel: Boolean = false): Unit = {
     Bucketing.dropManagedTable(spark, bpeTable(prefix))
-    val model = TextAnalysis.bpeTrain(docs, text, nMerges)
-      .localCheckpoint(true) // model-sized; pin before count + write
+    val model =
+      (if (byteLevel) TextAnalysis.bpeTrainBytes(docs, text, nMerges)
+       else TextAnalysis.bpeTrain(docs, text, nMerges))
+        .localCheckpoint(true) // model-sized; pin before count + write
     val n = model.count()
     model.write.saveAsTable(bpeTable(prefix))
     // marker LAST: a crash before this line leaves a table without its
     // completeness stamp, which load rejects by name
     CatalogProps.setProps(spark, bpeTable(prefix), Map(
       "graft.tok.nmerges" -> n.toString,
+      "graft.tok.mode" -> (if (byteLevel) "bytes" else "chars"),
       "graft.tok.complete" -> "true"))
   }
+
+  /** The stamped mode of a store; pre-mode stores (no stamp) were all
+    * char-trained, so absence reads as "chars". */
+  def mode(spark: SparkSession, prefix: String): String =
+    CatalogProps.propOption(spark, bpeTable(prefix), "graft.tok.mode")
+      .getOrElse("chars")
 
   def isComplete(spark: SparkSession, prefix: String): Boolean =
     spark.catalog.tableExists(bpeTable(prefix)) &&
       CatalogProps.propOption(spark, bpeTable(prefix), "graft.tok.complete")
         .contains("true")
 
-  /** Rank-ordered merges from the store — the argument every
+  /** Rank-ordered CHAR-LEVEL merges from the store — the argument every
     * [[graft.operators.TextAnalysis.bpeEncode]]-family call takes. Fails
-    * by name on a missing table, an unstamped (torn) store, or a row
-    * count disagreeing with the stamped merge count. */
-  def load(spark: SparkSession, prefix: String): Seq[(String, String)] = {
+    * by name on a missing table, an unstamped (torn) store, a row count
+    * disagreeing with the stamped merge count, or a store trained in
+    * byte-level mode (use [[loadBytes]]). */
+  def load(spark: SparkSession, prefix: String): Seq[(String, String)] =
+    loadMode(spark, prefix, "chars")
+
+  /** Rank-ordered BYTE-LEVEL merges — the argument the
+    * [[graft.operators.TextAnalysis.bpeEncodeBytes]] family takes. Same
+    * fences as [[load]], rejecting a char-level store by name. */
+  def loadBytes(spark: SparkSession, prefix: String): Seq[(String, String)] =
+    loadMode(spark, prefix, "bytes")
+
+  private def loadMode(spark: SparkSession, prefix: String,
+                       want: String): Seq[(String, String)] = {
     require(spark.catalog.tableExists(bpeTable(prefix)),
       s"TokenizerStore: no table ${bpeTable(prefix)} — build with " +
         "TokenizerStore.build")
     require(isComplete(spark, prefix),
       s"TokenizerStore ${bpeTable(prefix)} lacks its completeness stamp — " +
         "torn build; rebuild with TokenizerStore.build")
+    val got = mode(spark, prefix)
+    require(got == want,
+      s"TokenizerStore ${bpeTable(prefix)} was trained in '$got' mode but " +
+        s"was loaded for the '$want' encoder — the two alphabets would " +
+        "re-segment every document silently; load with " +
+        (if (got == "bytes") "loadBytes" else "load") + " instead")
     val declared = CatalogProps.prop(spark, bpeTable(prefix),
       "graft.tok.nmerges", "TokenizerStore").toLong
     val merges = TextAnalysis.bpeMerges(spark.table(bpeTable(prefix)))
