@@ -224,16 +224,9 @@ object TextHashExpressions {
     override def nullable: Boolean = false
     override def prettyName: String = "lang_id_profile"
 
-    @transient private lazy val tgSets: Array[java.util.HashSet[String]] =
-      langs.map { case (_, tgs, _) =>
-        val s = new java.util.HashSet[String]()
-        tgs.foreach { g =>
-          require(g.length == 3,
-            s"LangIdProfile: profile grams must be exactly 3 chars, got '$g'")
-          s.add(g)
-        }
-        s
-      }.toArray
+    @transient private lazy val tgTable: TrigramTable =
+      TrigramTable.build(
+        langs.map { case (_, tgs, _) => tgs.toArray }.toArray)
     @transient private lazy val swSets: Array[java.util.HashSet[UTF8String]] =
       langs.map { case (_, _, ws) =>
         val s = new java.util.HashSet[UTF8String]()
@@ -248,11 +241,12 @@ object TextHashExpressions {
       val v = child.eval(input)
       if (v == null) undS
       else TextKernels.langIdProfile(
-        v.asInstanceOf[UTF8String], tgSets, swSets, names, undS)
+        v.asInstanceOf[UTF8String], tgTable, swSets, names, undS)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val tgRef = ctx.addReferenceObj("langTgSets", tgSets, "java.util.HashSet[]")
+      val tgRef = ctx.addReferenceObj("langTgTable", tgTable,
+        "graft.functions.TrigramTable")
       val swRef = ctx.addReferenceObj("langSwSets", swSets, "java.util.HashSet[]")
       val namesRef = ctx.addReferenceObj("langNames", names,
         "org.apache.spark.unsafe.types.UTF8String[]")

@@ -632,6 +632,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The same budget fill on REAL trained-tokenizer counts — the form a
+    // training-mix builder actually ships (sample_token_budget keeps the
+    // whitespace proxy for comparison): each source's 600-token budget
+    // fills against bpeEncodeCount, so documents that compress well
+    // under the tokenizer stretch the budget further.
+    "sample_token_budget_bpe" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = trainedMerges(s, dir)
+      graft.operators.Sampling
+        .tokenBudget(t.documents, Seq(col("source")), col("doc_id"),
+          TextAnalysis.bpeEncodeCount(col("text"), merges).cast("long"),
+          budget = 600L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic corpus shuffle: shard + pseudo-random training order
     // from md5(id || salt) — one shard-keyed window, no global sort.
     "corpus_shuffle" -> { (s, dir) =>
@@ -2535,6 +2551,35 @@ object PipelineQueries {
                         ELSE len($tokensSql) END AS n_tok
                  FROM documents))
          WHERE cum < 600 ORDER BY doc_id""",
+
+    // Training replayed, every document's ENCODED length re-derived, and
+    // the identical budget window run over those counts.
+    "sample_token_budget_bpe" -> {
+      val rounds = 8
+      val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+           encw AS (SELECT doc_id,
+                      CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                           THEN len(string_split(trim($chained, '|'), '||'))
+                           ELSE 1 END AS ntok
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           d AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n
+                 FROM encw GROUP BY doc_id),
+           wd AS (SELECT dd.doc_id, dd.source, coalesce(d.n, 0) AS n_tok
+                  FROM documents dd LEFT JOIN d USING (doc_id))
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM wd)
+         WHERE cum < 600 ORDER BY doc_id"""
+    },
 
     "corpus_shuffle" ->
       """WITH h AS (
