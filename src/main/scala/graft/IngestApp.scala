@@ -77,16 +77,49 @@ object IngestApp {
     * scan regardless of corpus/index size. A document failing both
     * checks carries both reasons (the audit contract: every refusal
     * explains itself). */
+  /** TRAINED model signals for the admission gate — the CCNet/FineWeb
+    * production shape, where heuristics are only the first pass and the
+    * real gate is a trained LM and/or classifier:
+    *  - `lm`: a stupid-backoff trigram model
+    *    ([[TextAnalysis.ngramTrain]], typically trained on the trusted
+    *    corpus) plus the max average negative log-probability — a batch
+    *    document scoring ABOVE the cutoff (high perplexity under the
+    *    trusted distribution) is rejected as `lm_perplexity`.
+    *  - `nb`: a naive-Bayes quality classifier
+    *    ([[TextAnalysis.nbTrain]], curated-vs-crawl labels) — a document
+    *    it predicts NEGATIVE is rejected as `classifier_rejected`.
+    * Both apply map-side against broadcast/vocabulary-shaped model
+    * tables; per-document cost is model-size-independent. Blank
+    * documents carry no model evidence and pass both model gates (the
+    * heuristic quality gate is what rejects them). */
+  final case class ModelGate(
+      lm: Option[(TextAnalysis.NgramModel, Double)] = None,
+      nb: Option[TextAnalysis.NbModel] = None)
+
   def qualityRejects(batch: DataFrame, minQuality: Double,
-                     langs: Set[String] = Set.empty): DataFrame = {
+                     langs: Set[String] = Set.empty,
+                     models: ModelGate = ModelGate()): DataFrame = {
     val q = TextAnalysis.qualityFeatures(batch, col("doc_id"), col("text"))
       .filter(col("quality_score") < minQuality)
       .select(col("doc_id"), lit("low_quality").as("reason"))
-    if (langs.isEmpty) q
-    else q.unionByName(
-      batch.filter(!TextAnalysis.langId(col("text"))
-          .isin(langs.toSeq.sorted.map(lit(_)): _*))
-        .select(col("doc_id"), lit("lang_not_allowed").as("reason")))
+    val withLang =
+      if (langs.isEmpty) q
+      else q.unionByName(
+        batch.filter(!TextAnalysis.langId(col("text"))
+            .isin(langs.toSeq.sorted.map(lit(_)): _*))
+          .select(col("doc_id"), lit("lang_not_allowed").as("reason")))
+    val withLm = models.lm.fold(withLang) { case (model, maxNegLogP) =>
+      withLang.unionByName(
+        TextAnalysis.ngramScore(batch, col("doc_id"), col("text"), model)
+          .filter(col("avg_neg_logp") > maxNegLogP)
+          .select(col("doc_id"), lit("lm_perplexity").as("reason")))
+    }
+    models.nb.fold(withLm) { model =>
+      withLm.unionByName(
+        TextAnalysis.nbScore(batch, col("doc_id"), col("text"), model)
+          .filter(!col("predict_pos"))
+          .select(col("doc_id"), lit("classifier_rejected").as("reason")))
+    }
   }
 
   /** [[runDocs]] with the quality gate composed IN FRONT: gated-out
@@ -98,8 +131,10 @@ object IngestApp {
   def runDocsGated(corpus: DataFrame, batch: DataFrame,
                    minQuality: Double, langs: Set[String] = Set.empty,
                    threshold: Double = 0.8,
-                   maxSpanFrac: Double = 0.5): (DataFrame, DataFrame) = {
-    val gate = qualityRejects(batch, minQuality, langs).localCheckpoint(true)
+                   maxSpanFrac: Double = 0.5,
+                   models: ModelGate = ModelGate()): (DataFrame, DataFrame) = {
+    val gate = qualityRejects(batch, minQuality, langs, models)
+      .localCheckpoint(true)
     val surviving = batch.join(
       gate.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val (admitted, dupRejects) =

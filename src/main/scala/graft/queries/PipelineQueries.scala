@@ -1982,6 +1982,28 @@ object PipelineQueries {
     // in-place testdata regeneration mid-session, the round-9 drift
     // event — can never serve a probe. Rejects-only output = the
     // batch-1 slice of the `ingest_loop` oracle.
+    // MODEL-DRIVEN admission gate (the CCNet/FineWeb shape): the trusted
+    // slice trains the stupid-backoff LM and the NB classifier; the
+    // incoming batch is gated on heuristic quality, language, LM
+    // perplexity (avg -ln p above cutoff under the trusted distribution)
+    // and the classifier's verdict — per-document audit reasons out. The
+    // oracle retrains BOTH models from scratch on the same split and
+    // replays every gate, so a drifted score, smoothing constant, OOV
+    // floor or threshold comparison diverges.
+    "ingest_gate_model" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val lm = TextAnalysis.ngramTrain(corpus, col("text"), minCount = 2)
+      val nb = TextAnalysis.nbTrain(corpus,
+        expr("cast(substring(source, 4, 8) as int) % 2 = 0"), col("text"))
+      IngestApp.qualityRejects(batch, minQuality = 0.3,
+          langs = Set("en", "de", "es", "fr"),
+          models = IngestApp.ModelGate(lm = Some((lm, 4.2)), nb = Some(nb)))
+        .orderBy(col("doc_id"), col("reason"))
+    },
+
     "ingest_admit" -> { (s, dir) =>
       val t = Tables(s, dir)
       val docs = t.documents.select(col("doc_id"), col("text"))
@@ -2970,6 +2992,128 @@ object PipelineQueries {
 
     // The batch-1 slice of the `ingest_loop` oracle: one admission pass
     // against the static build corpus (no append, no second batch).
+    // Both models retrained from scratch on the trusted slice, every
+    // gate replayed over the batch slice: heuristic quality arithmetic,
+    // the language argmax, the full stupid-backoff chain WITH the OOV
+    // floor (cross-scoring makes it reachable, unlike the self-scored
+    // text_ngram_logprob), NB Laplace smoothing + prior, and the exact
+    // threshold comparisons.
+    "ingest_gate_model" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 >= 2),
+            batch AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+            qf AS (SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct
+                   FROM batch),
+            qg AS (SELECT doc_id,
+                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                       * (1.0 - least((CASE WHEN n_chars > 0
+                            THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+                            ELSE 0.0 END) * 5.0, 1.0)), 6) AS q
+                   FROM qf),
+            lf AS (SELECT doc_id,
+                     $langHitsSql
+                   FROM batch),
+            langp AS (SELECT doc_id, CASE $langCaseSql ELSE 'und' END AS lang_pred
+                      FROM lf),
+            cd AS (SELECT doc_id, $tokensSql AS ts FROM corpus),
+            cg0 AS (SELECT doc_id,
+                      [struct_pack(cur := ts[i],
+                         p1 := CASE WHEN i >= 2 THEN ts[i-1] END,
+                         p2 := CASE WHEN i >= 3 THEN ts[i-2] END)
+                       for i in range(1, len(ts) + 1)] AS gs
+                    FROM cd),
+            cg AS (SELECT u.cur AS cur, u.p1 AS p1, u.p2 AS p2
+                   FROM (SELECT unnest(gs) AS u FROM cg0)),
+            uni AS (SELECT cur, count(*) AS c1 FROM cg GROUP BY 1),
+            tot AS (SELECT sum(c1) AS total FROM uni),
+            bi AS (SELECT p1, cur, count(*) AS c2 FROM cg
+                   WHERE p1 IS NOT NULL GROUP BY 1, 2
+                   HAVING count(*) >= 2),
+            tri AS (SELECT p2, p1, cur, count(*) AS c3 FROM cg
+                    WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+                    HAVING count(*) >= 2),
+            bd AS (SELECT doc_id, $tokensSql AS ts FROM batch),
+            bg0 AS (SELECT doc_id,
+                      [struct_pack(cur := ts[i],
+                         p1 := CASE WHEN i >= 2 THEN ts[i-1] END,
+                         p2 := CASE WHEN i >= 3 THEN ts[i-2] END)
+                       for i in range(1, len(ts) + 1)] AS gs
+                    FROM bd),
+            g AS (SELECT doc_id, u.cur AS cur, u.p1 AS p1, u.p2 AS p2
+                  FROM (SELECT doc_id, unnest(gs) AS u FROM bg0)),
+            sp AS (SELECT g.doc_id,
+                     CASE WHEN g.p2 IS NOT NULL THEN
+                            CASE WHEN t3.c3 IS NOT NULL
+                                 THEN CAST(t3.c3 AS DOUBLE) / b2.c2ctx
+                                 ELSE 0.4 * (CASE WHEN b.c2 IS NOT NULL
+                                   THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                   ELSE 0.4 * (coalesce(CAST(u.c1 AS DOUBLE), 1.0)
+                                     / tot.total) END)
+                            END
+                          WHEN g.p1 IS NOT NULL THEN
+                            CASE WHEN b.c2 IS NOT NULL
+                                 THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                 ELSE 0.4 * (coalesce(CAST(u.c1 AS DOUBLE), 1.0)
+                                   / tot.total) END
+                          ELSE coalesce(CAST(u.c1 AS DOUBLE), 1.0) / tot.total
+                     END AS p
+                   FROM g LEFT JOIN uni u ON g.cur = u.cur
+                     CROSS JOIN tot
+                     LEFT JOIN (SELECT cur AS tok, c1 AS c1p FROM uni) u1
+                       ON g.p1 = u1.tok
+                     LEFT JOIN bi b ON g.p1 = b.p1 AND g.cur = b.cur
+                     LEFT JOIN (SELECT p1 AS ctx2, cur AS ctx1, c2 AS c2ctx
+                                FROM bi) b2
+                       ON g.p2 = b2.ctx2 AND g.p1 = b2.ctx1
+                     LEFT JOIN tri t3
+                       ON g.p2 = t3.p2 AND g.p1 = t3.p1 AND g.cur = t3.cur),
+            nlr AS (SELECT doc_id,
+                      CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nl FROM sp),
+            lms AS (SELECT doc_id,
+                      round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS anlp
+                    FROM nlr GROUP BY doc_id),
+            clab AS (SELECT doc_id,
+                       (CAST(substring(source, 4, 8) AS INT) % 2 = 0) AS y, text
+                     FROM corpus),
+            ctok AS (SELECT doc_id, y, unnest($tokensSql) AS token FROM clab),
+            cnt AS (SELECT token,
+                      sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+                    FROM ctok GROUP BY 1),
+            ntot AS (SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+                       count(*) AS vocab FROM cnt),
+            pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+                    FROM clab),
+            btok AS (SELECT doc_id, unnest($tokensSql) AS token FROM batch),
+            nbl AS (SELECT t.doc_id,
+                      CAST(round(ln(
+                        (CAST(coalesce(c.c_pos, 0) + 1 AS DOUBLE)
+                           / CAST(ntot.tot_pos + ntot.vocab AS DOUBLE))
+                        / (CAST(coalesce(c.c_neg, 0) + 1 AS DOUBLE)
+                           / CAST(ntot.tot_neg + ntot.vocab AS DOUBLE))), 6)
+                        AS DECIMAL(18,6)) AS llr
+                    FROM btok t LEFT JOIN cnt c ON t.token = c.token
+                      CROSS JOIN ntot),
+            nba AS (SELECT doc_id, sum(llr) AS sd FROM nbl GROUP BY 1),
+            npr AS (SELECT CAST(round(ln(CAST(n_pos + 1 AS DOUBLE)
+                      / CAST(n_neg + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                      AS prior FROM pri),
+            nbs AS (SELECT doc_id,
+                      (sd + prior > CAST(0 AS DECIMAL(18,6))) AS predict_pos
+                    FROM nba CROSS JOIN npr)
+         SELECT doc_id, reason FROM (
+           SELECT doc_id, 'low_quality' AS reason FROM qg WHERE q < 0.3
+           UNION ALL
+           SELECT doc_id, 'lang_not_allowed' FROM langp
+           WHERE lang_pred NOT IN ('de', 'en', 'es', 'fr')
+           UNION ALL
+           SELECT doc_id, 'lm_perplexity' FROM lms WHERE anlp > 4.2
+           UNION ALL
+           SELECT doc_id, 'classifier_rejected' FROM nbs WHERE NOT predict_pos)
+         ORDER BY doc_id, reason""",
+
     "ingest_admit" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

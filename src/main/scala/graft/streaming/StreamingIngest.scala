@@ -99,7 +99,15 @@ object StreamingIngest {
     * as the dedup reasons. Crash-replay stays idempotent THROUGH the
     * gate — gating is a deterministic per-document function, so a
     * replayed batch re-gates identically and the dedup stages re-reject
-    * the already-appended survivors as their own exact duplicates. */
+    * the already-appended survivors as their own exact duplicates.
+    *
+    * `models` adds the TRAINED gate signals ([[IngestApp.ModelGate]]:
+    * LM perplexity cutoff and/or NB classifier) in the same position —
+    * model scoring is a deterministic map-side function of the batch
+    * against fixed model tables, so replay idempotence is unchanged.
+    * Train (or load) the models ONCE before starting the stream and pin
+    * their tables (localCheckpoint); a lazily-derived model would replay
+    * its training scan every micro-batch. */
   def docsStreamGated(spark: SparkSession, srcDir: String, prefix: String,
                       outDir: String, minQuality: Double,
                       langs: Set[String] = Set.empty,
@@ -107,14 +115,16 @@ object StreamingIngest {
                       maxSpanFrac: Double = 0.5,
                       trigger: Trigger = Trigger.AvailableNow(),
                       readerOptions: Map[String, String] = Map.empty,
-                      compactEvery: Int = 0): StreamingQuery = {
+                      compactEvery: Int = 0,
+                      models: IngestApp.ModelGate = IngestApp.ModelGate())
+      : StreamingQuery = {
     requireRejectsLayout(spark, outDir)
     spark.readStream.options(readerOptions).schema(docSchema).parquet(srcDir)
       .writeStream.trigger(trigger)
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitAppend(spark, batch, batchId, "doc_id", outDir) { b =>
-          val gate = IngestApp.qualityRejects(b, minQuality, langs)
+          val gate = IngestApp.qualityRejects(b, minQuality, langs, models)
             .localCheckpoint(true)
           val surviving = b.join(gate.select("doc_id").distinct(),
             Seq("doc_id"), "left_anti")

@@ -164,6 +164,73 @@ class IngestMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("model-gated streaming ingest: LM-perplexity and classifier gates " +
+       "fire per batch with audit reasons; replay idempotent") {
+    import graft.operators.TextAnalysis
+    val p = "mt_mgated"
+    IndexStore.dropDocs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("mgate-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mgate-out").toString
+    val replayOut = java.nio.file.Files.createTempDirectory("mgate-rp").toString
+    try {
+      IndexStore.buildDocs(corpusDocs, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      // LM trained on the trusted corpus, tables PINNED (the documented
+      // streaming shape: a lazy model would replay training per batch)
+      val lm0 = TextAnalysis.ngramTrain(corpusDocs, col("text"), minCount = 2)
+      val lm = lm0.copy(uni = lm0.uni.localCheckpoint(true),
+        bi = lm0.bi.localCheckpoint(true),
+        tri = lm0.tri.localCheckpoint(true),
+        total = lm0.total.localCheckpoint(true))
+      // NB classifier on a tiny labeled curated-vs-spam fixture. The
+      // positive side speaks the corpus vocabulary (query/data/window…)
+      // so clean documents accumulate positive evidence; token totals
+      // are BALANCED (8 vs 8) so out-of-vocabulary tokens score an
+      // exactly-zero llr and only real evidence decides.
+      val nb = TextAnalysis.nbTrain(Seq(
+          (true, "query data window table join part"),
+          (true, "spark filter"),
+          (false, "casino spam bonus click jackpot win"),
+          (false, "casino spam")).toDF("y", "text"),
+        col("y"), col("text"))
+      allDocs.filter(col("doc_id").between(210, 219))
+        .unionByName(Seq(
+          (9700L, "zxqv jkwpt vvxzq qqzzk wplm zzkrw xqvnp kkwzz"),
+          (9701L, "casino spam click casino bonus casino spam"))
+          .toDF("doc_id", "text"))
+        .write.mode("append").parquet(srcDir)
+      val models = graft.IngestApp.ModelGate(
+        lm = Some((lm, 8.0)), nb = Some(nb))
+      StreamingIngest.docsStreamGated(spark, srcDir, p, outDir,
+        minQuality = 0.0, models = models).awaitTermination()
+      val rejects = spark.read.parquet(s"$outDir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(rejects.contains((9700L, "lm_perplexity")), rejects.toString)
+      assert(rejects.contains((9701L, "classifier_rejected")), rejects.toString)
+      val storeIds = spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet
+      assert(!storeIds.contains(9700L) && !storeIds.contains(9701L),
+        "model-gated docs must never append")
+      assert(storeIds.contains(215L), "clean batch docs must append")
+      // fresh-checkpoint replay: model gating is deterministic, so the
+      // reasons re-fire identically and the store does not grow
+      StreamingIngest.docsStreamGated(spark, srcDir, p, replayOut,
+        minQuality = 0.0, models = models).awaitTermination()
+      assert(spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet == storeIds)
+      val replayRejects = spark.read.parquet(s"$replayOut/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(replayRejects.contains((9700L, "lm_perplexity")) &&
+        replayRejects.contains((9701L, "classifier_rejected")),
+        replayRejects.toString)
+    } finally {
+      IndexStore.dropDocs(spark, p)
+      Seq(srcDir, outDir, replayOut).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("streaming ingest: checkpointed micro-batches admit+append; replay is idempotent") {
     val p = "mt_stream"
     IndexStore.dropDocs(spark, p)
