@@ -60,6 +60,24 @@ object AviKernels {
       keyframeOnly0 = true)
   }
 
+  /** Wrap motion-compensated transform streams ([[McVideoKernels]]) in
+    * the same AVI shell: self-specified 'GMC1' stream fourcc (also in
+    * strf biCompression, the custom-codec convention), 8-bit frames
+    * with the grayscale palette, idx1 keyframe flag on frame 0 only —
+    * the P-frames predict from the reconstruction chain and are not
+    * independently decodable. */
+  def aviEncodeGmc(width: Int, height: Int, fps: Int,
+                   frames: Array[Array[Byte]]): Array[Byte] = {
+    val pal = new Array[Byte](1024)
+    var i = 0
+    while (i < 256) {
+      pal(i * 4) = i.toByte; pal(i * 4 + 1) = i.toByte; pal(i * 4 + 2) = i.toByte
+      i += 1
+    }
+    aviEncode(width, height, fps, frames, "GMC1", 8, Some(pal),
+      keyframeOnly0 = true)
+  }
+
   private def aviEncode(width: Int, height: Int, fps: Int,
                         frames: Array[Array[Byte]], codec: String,
                         bitCount: Int, palette: Option[Array[Byte]],
@@ -97,6 +115,7 @@ object AviKernels {
     codec match {
       case "MJPG" => "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
       case "MRLE" => le32(strf, 16, 1) // biCompression = BI_RLE8
+      case "GMC1" => "GMC1".getBytes("US-ASCII").copyToArray(strf, 16)
       case other => throw new IllegalArgumentException(s"aviEncode: $other")
     }
     le32(strf, 20, width * height * (bitCount / 8))
@@ -156,6 +175,11 @@ object AviKernels {
     * [[RleVideoKernels.rle8DecodeFrame]] to chain (frame f needs frame
     * f-1's canvas — the inter-frame contract). */
   def aviDecodeRle8(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "MRLE")
+
+  /** [[aviDecodeRle8]]'s motion-compensated twin: 'GMC1' stream
+    * required; frames come back as raw I/P bitstreams for
+    * [[McVideoKernels.mcDecodeFrame]] to chain over the recon canvas. */
+  def aviDecodeGmc(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "GMC1")
 
   private def aviDecodeCodec(b: Array[Byte], codec: String): AviVideo = {
     if (b == null || b.length < 24) return null

@@ -477,6 +477,54 @@ object MediaExpressions {
       copy(first = a, second = b, third = c, fourth = d)
   }
 
+  private val mcRoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("err_in_bound", BooleanType, nullable = false),
+    StructField("recon_exact", BooleanType, nullable = false),
+    StructField("mv_engaged", BooleanType, nullable = false),
+    StructField("inter_saves", BooleanType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false)))
+
+  /** Motion-compensated transform codec round trip with PLANTED GLOBAL
+    * MOTION (translate the whole scene per frame → I/P encode with
+    * motion search → 'GMC1' container → walk → chain-decode → certify):
+    * `struct<width,height,fps,n_frames,err_in_bound,recon_exact,
+    * mv_engaged,inter_saves,trunc_rejected>`. The decode must be
+    * bit-equal to the encoder's own reconstruction (exact arithmetic),
+    * within the quantization bound of the source (lossy path), with
+    * nonzero motion vectors demonstrably chosen and P-frames
+    * demonstrably beating intra coding. */
+  case class McVideoRoundTrip(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression, fps: Int)
+      extends QuaternaryExpression {
+    override def dataType: DataType = mcRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mc_video_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+      McVideoKernels.mcRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], n.asInstanceOf[Int], fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, n) => s"""
+        |${ev.value} = graft.functions.McVideoKernels.mcRoundTripStats($seed, $w, $h, $n, $fps);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  def mcVideoRoundTrip(seed: Column, width: Column, height: Column,
+                       nFrames: Column, fps: Int): Column =
+    ColumnBridge.column(McVideoRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 

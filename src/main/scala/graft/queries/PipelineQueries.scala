@@ -1681,6 +1681,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // MOTION-COMPENSATED transform video (MPEG-1-style I/P frames: 8×8
+    // DCT + quantization + integer-pel forward motion search against the
+    // reconstruction chain) through the same AVI walk. Planted GLOBAL
+    // motion (the scene translates (2,1) per frame) makes nonzero motion
+    // vectors the only correct answer: `mv_engaged` attests the search
+    // found them, `inter_saves` that P-frames beat intra-coding,
+    // `recon_exact` that the decoder is bit-equal to the encoder's own
+    // reconstruction (the closed-loop contract), `err_in_bound` the
+    // source-side quantization bound, and truncation of container or
+    // frame stream must reject. nFrames ≥ 2, so every document exercises
+    // real motion compensation.
+    "multimodal_video_mc" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.mcVideoRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 11 + 10 as int)"),
+            expr("cast(doc_id % 9 + 10 as int)"),
+            expr("cast(doc_id % 4 + 2 as int)"), fps = 12).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.fps").as("fps"), col("st.n_frames").as("n_frames"),
+          col("st.err_in_bound").as("err_in_bound"),
+          col("st.recon_exact").as("recon_exact"),
+          col("st.mv_engaged").as("mv_engaged"),
+          col("st.inter_saves").as("inter_saves"),
+          col("st.trunc_rejected").as("trunc_rejected"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame sampling through the TYPED Dataset surface (the API a
     // pipeline calls): documents become video MediaRecords (MJPEG-AVI,
     // 2..7 frames), Multimodal.sampleFrames + CodecDecoder returns
@@ -3881,6 +3911,23 @@ object PipelineQueries {
          CAST(12 AS INT) AS fps,
          CAST(doc_id % 5 + 2 AS INT) AS n_frames,
          true AS exact,
+         true AS inter_saves,
+         true AS trunc_rejected
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying: DuckDB replays the dims/frame-count arithmetic;
+    // the deterministic expectation is recon-exact closed-loop decode,
+    // error in bound vs source, motion vectors engaged, inter beating
+    // intra, and truncation rejection for every document.
+    "multimodal_video_mc" ->
+      """SELECT doc_id,
+         CAST(doc_id % 11 + 10 AS INT) AS width,
+         CAST(doc_id % 9 + 10 AS INT) AS height,
+         CAST(12 AS INT) AS fps,
+         CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+         true AS err_in_bound,
+         true AS recon_exact,
+         true AS mv_engaged,
          true AS inter_saves,
          true AS trunc_rejected
          FROM documents ORDER BY doc_id""",
