@@ -152,13 +152,18 @@ object McVideoKernels {
     * (bitstream, reconstruction) — the reconstruction feeds the next
     * frame's prediction on the encoder side, mirroring the decoder.
     * `mvUsed` (length ≥ 1) reports whether any nonzero motion vector was
-    * chosen (index 0, OR-ed). */
+    * chosen (index 0, OR-ed). The third result is the byte size an
+    * ALL-INTRA coding of this frame would have cost — the mode decision
+    * intra-codes every P block anyway, so the comparison baseline for
+    * `inter_saves` falls out of the same pass free (for an I-frame it
+    * simply equals the bitstream length). */
   private[graft] def mcEncodeFrame(cur: Array[Byte], prevRecon: Array[Byte],
-                                       W: Int, H: Int,
-                                       mvUsed: Array[Boolean]): (Array[Byte], Array[Byte]) = {
+                                   W: Int, H: Int, mvUsed: Array[Boolean])
+      : (Array[Byte], Array[Byte], Long) = {
     val out = new java.io.ByteArrayOutputStream(W * H / 2 + 16)
     val recon = new Array[Byte](W * H)
     val isI = prevRecon == null
+    var intraAlt = 1L
     out.write(if (isI) 'I' else 'P')
     val blockIn = new Array[Double](64)
     val coef = new Array[Int](64)
@@ -210,6 +215,7 @@ object McVideoKernels {
             if (interZero) (if (bmx == 0 && bmy == 0) 1 else 3)
             else 3 + interBody.size
           val intraCost = 1 + intraBody.size
+          intraAlt += intraBody.size // the I-frame coding of this block
           if (interCost <= intraCost) {
             if (bmx != 0 || bmy != 0) mvUsed(0) = true
             if (interZero && bmx == 0 && bmy == 0) out.write(0) // skip
@@ -233,7 +239,8 @@ object McVideoKernels {
       }
       by += 8
     }
-    (out.toByteArray, recon)
+    val bits = out.toByteArray
+    (bits, recon, if (isI) bits.length.toLong else intraAlt)
   }
 
   private val zeroCoef = new Array[Int](64)
@@ -403,14 +410,13 @@ object McVideoKernels {
     var prevRecon: Array[Byte] = null
     var f = 0
     while (f < nFrames) {
-      val (bits, recon) = mcEncodeFrame(padded(f), prevRecon, W, H, mvUsed)
+      val (bits, recon, intraAlt) =
+        mcEncodeFrame(padded(f), prevRecon, W, H, mvUsed)
       enc(f) = bits
       encRecons(f) = recon
       if (f > 0) {
         interBytes += bits.length
-        // the MVs of the intra-comparison pass must not count as engaged
-        intraBytes += mcEncodeFrame(padded(f), null, W, H,
-          new Array[Boolean](1))._1.length
+        intraBytes += intraAlt // the same pass already intra-coded every block
       }
       prevRecon = recon
       f += 1

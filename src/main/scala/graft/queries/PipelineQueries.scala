@@ -1346,6 +1346,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Byte-level tokenizer IDS: bytes 0-255 at their own values, merge
+    // outputs at 255+rank — and NO OOV id is reachable (the byte
+    // alphabet's defining property; n_oov is asserted zero by both
+    // sides rather than assumed).
+    "text_bpe_bytes_ids" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = trainedByteMerges(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.bpeEncodeIdsBytes(col("text"), merges).as("ids"))
+        .select(col("doc_id"),
+          size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
+          array_join(transform(col("ids"), _.cast("string")), " ").as("ids_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source tokenizer fertility report — the metric a tokenizer
+    // team actually tracks when choosing vocab size and corpus mix:
+    // UTF-8 bytes per produced token (and tokens per whitespace word)
+    // under the trained byte-level tokenizer, aggregated per source.
+    "tokenizer_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = trainedByteMerges(s, dir)
+      t.documents.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          TextAnalysis.bpeEncodeBytesCount(col("text"), merges)
+            .cast("long").as("bpe"),
+          octet_length(col("text")).cast("long").as("nbytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("n_ws_tokens"),
+          sum(col("bpe")).as("n_bpe_tokens"),
+          sum(col("nbytes")).as("n_text_bytes"))
+        .select(col("source"), col("n_docs"), col("n_ws_tokens"),
+          col("n_bpe_tokens"), col("n_text_bytes"),
+          when(col("n_bpe_tokens") > 0,
+            round(col("n_text_bytes").cast("double") / col("n_bpe_tokens"), 6))
+            .as("bytes_per_token"))
+        .orderBy(col("source"))
+    },
+
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
       TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
@@ -3716,6 +3756,85 @@ object PipelineQueries {
            coalesce(e.detok, '') = array_to_string($tokensSql, ' ') AS detok_ok
          FROM docsrc d LEFT JOIN enc e USING (doc_id)
          ORDER BY d.doc_id"""
+    },
+
+    // Byte vocab rebuilt from the replayed byte training (bytes 0-255
+    // at their values, merge outputs 255+rank, first-wins), every
+    // symbol re-derived and id-mapped; n_oov must come out zero.
+    "text_bpe_bytes_ids" -> {
+      val rounds = 8
+      val sep =
+        """'||' || regexp_replace(lower(hex(encode(t))), '(..)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      val vocabRows = (1 to rounds)
+        .map(k => s"SELECT l || r AS sym, ${255 + k} AS id FROM m$k")
+        .mkString("\nUNION ALL\n")
+      bpeTrainBytesCtes(rounds) +
+        s""",
+           basev AS (SELECT printf('%02x', i) AS sym, CAST(i AS INT) AS id
+                     FROM range(0, 256) t(i)),
+           vraw AS (SELECT sym, id FROM basev
+                    UNION ALL
+                    $vocabRows),
+           vocab AS (SELECT sym, min(id) AS id FROM vraw GROUP BY sym),
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM documents),
+           encw AS (SELECT doc_id, i,
+                      string_split(trim($chained, '|'), '||') AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           symrows AS (SELECT doc_id, i, unnest(syms) AS sym,
+                         unnest(range(1, len(syms) + 1)) AS j
+                       FROM encw),
+           withid AS (SELECT s.doc_id, s.i, s.j, coalesce(v.id, -1) AS id
+                      FROM symrows s LEFT JOIN vocab v USING (sym)),
+           agg AS (SELECT doc_id,
+                     count(CASE WHEN id = -1 THEN 1 END) AS n_oov,
+                     string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i, j) AS ids_text
+                   FROM withid GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+           coalesce(a.ids_text, '') AS ids_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""
+    },
+
+    // The byte training replayed, every document's encoded length and
+    // byte count re-derived, the per-source rollup and the fertility
+    // division recomputed.
+    "tokenizer_report" -> {
+      val rounds = 8
+      val sep =
+        """'||' || regexp_replace(lower(hex(encode(t))), '(..)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      bpeTrainBytesCtes(rounds) +
+        s""",
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+           encw AS (SELECT doc_id,
+                      len(string_split(trim($chained, '|'), '||')) AS ntok
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           d AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n
+                 FROM encw GROUP BY doc_id),
+           base AS (SELECT dd.doc_id, dd.source,
+                      CAST(CASE WHEN $blankSql THEN 0
+                           ELSE len($tokensSql) END AS BIGINT) AS ws,
+                      coalesce(d.n, 0) AS bpe,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+                    FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id),
+           agg AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                     CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                     CAST(sum(nbytes) AS BIGINT) AS n_text_bytes
+                   FROM base GROUP BY source)
+         SELECT source, n_docs, n_ws_tokens, n_bpe_tokens, n_text_bytes,
+           CASE WHEN n_bpe_tokens > 0
+                THEN round(CAST(n_text_bytes AS DOUBLE) / n_bpe_tokens, 6)
+           END AS bytes_per_token
+         FROM agg ORDER BY source"""
     },
 
     // BPE-token packing: the pack_sequences map recomputed over REAL

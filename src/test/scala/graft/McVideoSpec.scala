@@ -10,23 +10,25 @@ class McVideoSpec extends SparkSpec {
 
   private def encodeChain(frames: Array[Array[Byte]], w: Int, h: Int,
                           mv: Array[Boolean] = new Array[Boolean](1))
-      : (Array[Array[Byte]], Array[Array[Byte]]) = {
+      : (Array[Array[Byte]], Array[Array[Byte]], Array[Long]) = {
     val W = (w + 7) & ~7; val H = (h + 7) & ~7
     val bits = new Array[Array[Byte]](frames.length)
     val recons = new Array[Array[Byte]](frames.length)
+    val intraAlts = new Array[Long](frames.length)
     var prev: Array[Byte] = null
     for (f <- frames.indices) {
-      val (b, r) = K.mcEncodeFrame(K.padCanvas(frames(f), w, h), prev, W, H, mv)
-      bits(f) = b; recons(f) = r; prev = r
+      val (b, r, ia) =
+        K.mcEncodeFrame(K.padCanvas(frames(f), w, h), prev, W, H, mv)
+      bits(f) = b; recons(f) = r; intraAlts(f) = ia; prev = r
     }
-    (bits, recons)
+    (bits, recons, intraAlts)
   }
 
   test("decode == encoder reconstruction bit-exact; source within bound") {
     for (seed <- Seq(1L, 7L, 42L); (w, h, n) <- Seq((10, 10, 3), (16, 16, 2), (20, 13, 4))) {
       val W = (w + 7) & ~7; val H = (h + 7) & ~7
       val src = K.synthGlobalMotion(seed, w, h, n)
-      val (bits, recons) = encodeChain(src, w, h)
+      val (bits, recons, _) = encodeChain(src, w, h)
       var prev: Array[Byte] = null
       for (f <- 0 until n) {
         val dec = K.mcDecodeFrame(bits(f), prev, W, H)
@@ -47,13 +49,17 @@ class McVideoSpec extends SparkSpec {
     val (w, h, n) = (16, 16, 4)
     val src = K.synthGlobalMotion(5L, w, h, n)
     val mv = new Array[Boolean](1)
-    val (bits, _) = encodeChain(src, w, h, mv)
+    val (bits, _, intraAlts) = encodeChain(src, w, h, mv)
     assert(mv(0), "motion search never chose a nonzero vector on a translating scene")
     var interBytes = 0L; var intraBytes = 0L
     for (f <- 1 until n) {
       interBytes += bits(f).length
-      intraBytes += K.mcEncodeFrame(K.padCanvas(src(f), w, h), null, w, h,
-        new Array[Boolean](1))._1.length
+      // the returned baseline must equal a genuine all-intra encode
+      val sep = K.mcEncodeFrame(K.padCanvas(src(f), w, h), null, w, h,
+        new Array[Boolean](1))._1.length.toLong
+      assert(intraAlts(f) == sep,
+        s"intraAlt ${intraAlts(f)} != separate intra encode $sep at frame $f")
+      intraBytes += intraAlts(f)
     }
     assert(interBytes < intraBytes,
       s"P-frames ($interBytes B) must beat intra coding ($intraBytes B)")
@@ -62,7 +68,7 @@ class McVideoSpec extends SparkSpec {
   test("malformation rejection: every bad stream decodes to null, never throws") {
     val (w, h) = (16, 16)
     val src = K.synthGlobalMotion(9L, w, h, 2)
-    val (bits, recons) = encodeChain(src, w, h)
+    val (bits, recons, _) = encodeChain(src, w, h)
     // truncations at every prefix length of both frames
     for (cut <- 0 until bits(0).length)
       assert(K.mcDecodeFrame(java.util.Arrays.copyOf(bits(0), cut), null, w, h) == null)
@@ -94,7 +100,7 @@ class McVideoSpec extends SparkSpec {
   test("'GMC1' AVI container: round trip, dims, truncation rejected") {
     val (w, h, n) = (18, 12, 3)
     val src = K.synthGlobalMotion(3L, w, h, n)
-    val (bits, recons) = encodeChain(src, w, h)
+    val (bits, recons, _) = encodeChain(src, w, h)
     val avi = AviKernels.aviEncodeGmc(w, h, 12, bits)
     assert(avi != null)
     val vid = AviKernels.aviDecodeGmc(avi)
