@@ -156,6 +156,41 @@ object Sampling {
       .drop("__b")
   }
 
+  /** [[curriculumBins]] with PER-STRATUM boundaries — the CCNet shape:
+    * head/middle/tail perplexity buckets are computed per language, not
+    * globally, because perplexity scales differ across languages and a
+    * global split would put whole languages in one bucket. One
+    * stratum-keyed exact-percentile aggregate (|strata| rows, broadcast
+    * back), then the same map-only indicator-sum bin — no window, no
+    * per-stratum sort funnel. Null scores poison by name like the
+    * global form; a null stratum key (which the equality join cannot
+    * match) poisons by name too. */
+  def curriculumBinsBy(df: DataFrame, strata: Seq[String], score: Column,
+                       nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    require(strata.nonEmpty, "curriculumBinsBy: need at least one stratum " +
+      "column (use curriculumBins for a global split)")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val scored = df.withColumn("__s", score)
+    val bounds = scored.groupBy(strata.map(col): _*)
+      .agg(expr(s"percentile(__s, array(${qs.mkString(", ")}))").as("__b"))
+    scored.join(broadcast(bounds), strata, "left")
+      .withColumn("bin",
+        when(col("__s").isNull,
+          raise_error(lit("curriculumBinsBy: the score column contains " +
+            "nulls — every null row would silently land in bin 1 " +
+            "(easiest); filter them out or fix the upstream difficulty " +
+            "proxy first")).cast("int"))
+          .when(col("__b").isNull,
+            raise_error(lit("curriculumBinsBy: a stratum key is null — " +
+              "its rows cannot join their boundaries and would bin " +
+              "arbitrarily; fill or filter the stratum column first"))
+              .cast("int"))
+          .otherwise((lit(1) + aggregate(col("__b"), lit(0),
+            (acc, b) => acc + when(col("__s") > b, 1).otherwise(0))).cast("int")))
+      .drop("__b").drop("__s")
+  }
+
   /** Temperature-flattened mixture — the published multilingual/source
     * sampling rule (target share q_g ∝ p_g^α for observed share p_g;
     * α = 1 natural, α → 0 uniform): derive per-stratum KEEP fractions

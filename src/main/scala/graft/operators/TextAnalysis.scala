@@ -470,8 +470,11 @@ object TextAnalysis {
       .withColumn("nl", round(-log(col("c").cast("double") / col("total")), 6)
         .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
     scored.groupBy(col("doc_id"))
+      // average UNROUNDED — the ngramScore knife-edge rationale: the
+      // DECIMAL sum is engine-exact and the quotient correctly rounded,
+      // while a display round can flip on half-boundary doubles
       .agg(count(lit(1)).as("n_tokens"),
-        round((sum(col("nl")).cast("double") / count(lit(1))), 6).as("avg_neg_logp"))
+        (sum(col("nl")).cast("double") / count(lit(1))).as("avg_neg_logp"))
   }
 
   /** Cross-corpus boilerplate removal (the CCNet/RefinedWeb paragraph
@@ -788,12 +791,19 @@ object TextAnalysis {
   /** [[bpeEncodeBytes]] to token IDS: every symbol is in
     * [[bpeVocabBytes]] by construction (base bytes + merge outputs), so
     * unlike the char-level [[bpeEncodeIds]] there is NO -1/OOV id — the
-    * whole point of the byte alphabet. The coalesce(-1) stays as a
-    * defensive contract marker only. */
+    * whole point of the byte alphabet. A base symbol's id IS its byte
+    * value, so only the merge OUTPUTS (nMerges entries, not 256+nMerges)
+    * go through the literal map — `element_at` on a map literal is a
+    * linear scan per lookup, and byte-level docs carry more symbols than
+    * char-level ones, so keeping the map merge-only is a measured win
+    * (text_bpe_bytes_ids 3.6 → see BENCH_NOTES). The coalesce(-1) stays
+    * as a defensive contract marker only. */
   def bpeEncodeIdsBytes(text: Column, merges: Seq[(String, String)]): Column = {
-    val vocab = typedLit(bpeVocabBytes(merges).toMap)
-    transform(bpeEncodeBytes(text, merges),
-      s => coalesce(element_at(vocab, s), lit(-1)))
+    val mergeIds = bpeVocabBytes(merges).drop(256)
+    val vocab = typedLit(mergeIds.toMap)
+    transform(bpeEncodeBytes(text, merges), s =>
+      when(length(s) === 2, conv(s, 16, 10).cast("int"))
+        .otherwise(coalesce(element_at(vocab, s), lit(-1))))
   }
 
   /** Sequential-replace cross-check for the byte-level kernel — the
@@ -1025,8 +1035,15 @@ object TextAnalysis {
       .withColumn("nl", round(-log(p), 6)
         .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .groupBy(col("doc_id"))
+      // the average stays UNROUNDED: the DECIMAL sum is engine-exact and
+      // cast + division are correctly-rounded IEEE ops, so the raw
+      // quotient is bit-identical in any engine — while a 6-dp display
+      // round sits on knife edges where engines legitimately disagree
+      // (Spark rounds the exact binary double, DuckDB its shortest
+      // decimal repr; sf0.1 doc 3444's 3.4255714999999998 flipped
+      // between 3.425571 and 3.425572)
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nl")).cast("double") / count(lit(1)), 6)
+        (sum(col("nl")).cast("double") / count(lit(1)))
           .as("avg_neg_logp"))
   }
 

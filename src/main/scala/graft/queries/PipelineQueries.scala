@@ -1386,6 +1386,27 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // CCNet's head/middle/tail split: per-LANGUAGE perplexity terciles
+    // under the self-trained trigram LM (the published shape — buckets
+    // are computed within each language, because perplexity scales are
+    // not comparable across languages). One stratum-keyed exact
+    // percentile + a map-only indicator bin; blank docs carry no LM
+    // evidence and are out of scope (the quality gate owns them).
+    "ccnet_buckets" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val lm = TextAnalysis.ngramLogProb(t.documents, col("doc_id"),
+        col("text"), minCount = 2)
+      val lang = t.documents.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      graft.operators.Sampling
+        .curriculumBinsBy(lm.join(lang, Seq("doc_id")), Seq("lang"),
+          col("avg_neg_logp"), nBins = 3)
+        .select(col("doc_id"), col("lang"), col("avg_neg_logp"),
+          when(col("bin") === 1, "head").when(col("bin") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
       TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
@@ -2156,6 +2177,58 @@ object PipelineQueries {
     val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     langs.map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'").mkString(" ")
   }
+
+  /** The self-trained (minCount=2) stupid-backoff score as shared CTEs
+    * ending in `lmscore(doc_id, n_tokens, avg_neg_logp)` — used by both
+    * the text_ngram_logprob oracle and the ccnet_buckets oracle, so the
+    * replayed LM can never drift between them. */
+  private lazy val ngramSelfScoreCtes: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+            g0 AS (SELECT doc_id,
+                     [struct_pack(cur := ts[i],
+                        p1 := CASE WHEN i >= 2 THEN ts[i-1] END,
+                        p2 := CASE WHEN i >= 3 THEN ts[i-2] END)
+                      for i in range(1, len(ts) + 1)] AS gs
+                   FROM d),
+            g AS (SELECT doc_id, u.cur AS cur, u.p1 AS p1, u.p2 AS p2
+                  FROM (SELECT doc_id, unnest(gs) AS u FROM g0)),
+            uni AS (SELECT cur, count(*) AS c1 FROM g GROUP BY 1),
+            tot AS (SELECT sum(c1) AS total FROM uni),
+            bi AS (SELECT p1, cur, count(*) AS c2 FROM g
+                   WHERE p1 IS NOT NULL GROUP BY 1, 2
+                   HAVING count(*) >= 2),
+            tri AS (SELECT p2, p1, cur, count(*) AS c3 FROM g
+                    WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+                    HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id,
+                    CASE WHEN g.p2 IS NOT NULL THEN
+                           CASE WHEN t3.c3 IS NOT NULL
+                                THEN CAST(t3.c3 AS DOUBLE) / b2.c2ctx
+                                ELSE 0.4 * (CASE WHEN b.c2 IS NOT NULL
+                                  THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                  ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END)
+                           END
+                         WHEN g.p1 IS NOT NULL THEN
+                           CASE WHEN b.c2 IS NOT NULL
+                                THEN CAST(b.c2 AS DOUBLE) / u1.c1p
+                                ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.total END AS p
+                  FROM g JOIN uni u ON g.cur = u.cur
+                    CROSS JOIN tot
+                    LEFT JOIN (SELECT cur AS tok, c1 AS c1p FROM uni) u1
+                      ON g.p1 = u1.tok
+                    LEFT JOIN bi b ON g.p1 = b.p1 AND g.cur = b.cur
+                    LEFT JOIN (SELECT p1 AS ctx2, cur AS ctx1, c2 AS c2ctx
+                               FROM bi) b2
+                      ON g.p2 = b2.ctx2 AND g.p1 = b2.ctx1
+                    LEFT JOIN tri t3
+                      ON g.p2 = t3.p2 AND g.p1 = t3.p1 AND g.cur = t3.cur),
+            nl AS (SELECT doc_id,
+                     CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nl FROM s),
+            lmscore AS (SELECT doc_id, count(*) AS n_tokens,
+                          CAST(sum(nl) AS DOUBLE) / count(*)
+                            AS avg_neg_logp
+                        FROM nl GROUP BY doc_id)"""
 
   /** BPE training replayed as chained DuckDB CTEs — the WITH-body shared
     * by every bpe oracle (train, encode, packing), so the replayed
@@ -3141,7 +3214,7 @@ object PipelineQueries {
             nlr AS (SELECT doc_id,
                       CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nl FROM sp),
             lms AS (SELECT doc_id,
-                      round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS anlp
+                      CAST(sum(nl) AS DOUBLE) / count(*) AS anlp
                     FROM nlr GROUP BY doc_id),
             clab AS (SELECT doc_id,
                        (CAST(substring(source, 4, 8) AS INT) % 2 = 0) AS y, text
@@ -4225,7 +4298,7 @@ object PipelineQueries {
                       AS DECIMAL(18,6)) AS nl
                   FROM tok JOIN f USING (token) CROSS JOIN t)
          SELECT doc_id, count(*) AS n_tokens,
-           round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
+           CAST(sum(nl) AS DOUBLE) / count(*) AS avg_neg_logp
          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     // Stupid-backoff trigram LM: grams extracted per doc by 1-based list
@@ -4234,51 +4307,33 @@ object PipelineQueries {
     // the CASE nesting and 0.4*(0.4*(...)) association mirror the Spark
     // expression exactly so the IEEE doubles match bit for bit.
     "text_ngram_logprob" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-            g0 AS (SELECT doc_id,
-                     [struct_pack(cur := ts[i],
-                        p1 := CASE WHEN i >= 2 THEN ts[i-1] END,
-                        p2 := CASE WHEN i >= 3 THEN ts[i-2] END)
-                      for i in range(1, len(ts) + 1)] AS gs
-                   FROM d),
-            g AS (SELECT doc_id, u.cur AS cur, u.p1 AS p1, u.p2 AS p2
-                  FROM (SELECT doc_id, unnest(gs) AS u FROM g0)),
-            uni AS (SELECT cur, count(*) AS c1 FROM g GROUP BY 1),
-            tot AS (SELECT sum(c1) AS total FROM uni),
-            bi AS (SELECT p1, cur, count(*) AS c2 FROM g
-                   WHERE p1 IS NOT NULL GROUP BY 1, 2
-                   HAVING count(*) >= 2),
-            tri AS (SELECT p2, p1, cur, count(*) AS c3 FROM g
-                    WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
-                    HAVING count(*) >= 2),
-            s AS (SELECT g.doc_id,
-                    CASE WHEN g.p2 IS NOT NULL THEN
-                           CASE WHEN t3.c3 IS NOT NULL
-                                THEN CAST(t3.c3 AS DOUBLE) / b2.c2ctx
-                                ELSE 0.4 * (CASE WHEN b.c2 IS NOT NULL
-                                  THEN CAST(b.c2 AS DOUBLE) / u1.c1p
-                                  ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END)
-                           END
-                         WHEN g.p1 IS NOT NULL THEN
-                           CASE WHEN b.c2 IS NOT NULL
-                                THEN CAST(b.c2 AS DOUBLE) / u1.c1p
-                                ELSE 0.4 * (CAST(u.c1 AS DOUBLE) / tot.total) END
-                         ELSE CAST(u.c1 AS DOUBLE) / tot.total END AS p
-                  FROM g JOIN uni u ON g.cur = u.cur
-                    CROSS JOIN tot
-                    LEFT JOIN (SELECT cur AS tok, c1 AS c1p FROM uni) u1
-                      ON g.p1 = u1.tok
-                    LEFT JOIN bi b ON g.p1 = b.p1 AND g.cur = b.cur
-                    LEFT JOIN (SELECT p1 AS ctx2, cur AS ctx1, c2 AS c2ctx
-                               FROM bi) b2
-                      ON g.p2 = b2.ctx2 AND g.p1 = b2.ctx1
-                    LEFT JOIN tri t3
-                      ON g.p2 = t3.p2 AND g.p1 = t3.p1 AND g.cur = t3.cur),
-            nl AS (SELECT doc_id,
-                     CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nl FROM s)
-         SELECT doc_id, count(*) AS n_tokens,
-           round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logp
-         FROM nl GROUP BY doc_id ORDER BY doc_id""",
+      (ngramSelfScoreCtes +
+        """
+         SELECT doc_id, n_tokens, avg_neg_logp
+         FROM lmscore ORDER BY doc_id"""),
+
+    // The same replayed LM joined with the replayed language argmax,
+    // per-language tercile boundaries via quantile_cont (the
+    // sample_curriculum-established exact-percentile mapping), the same
+    // indicator-sum bin, and the head/middle/tail labels.
+    "ccnet_buckets" ->
+      (ngramSelfScoreCtes +
+        s""",
+            lng AS (SELECT doc_id, CASE $langCaseSql ELSE 'und' END AS lang
+                    FROM (SELECT doc_id,
+                            $langHitsSql
+                          FROM documents)),
+            j AS (SELECT l.doc_id, lng.lang, l.avg_neg_logp
+                  FROM lmscore l JOIN lng USING (doc_id)),
+            bnd AS (SELECT lang,
+                      quantile_cont(avg_neg_logp, 1.0/3) AS b1,
+                      quantile_cont(avg_neg_logp, 2.0/3) AS b2
+                    FROM j GROUP BY lang)
+         SELECT doc_id, lang, avg_neg_logp,
+           CASE 1 + (avg_neg_logp > b1)::INT + (avg_neg_logp > b2)::INT
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+         FROM j JOIN bnd USING (lang) ORDER BY doc_id"""),
 
     // Naive-Bayes quality gate: the oracle retrains the model from
     // scratch (per-class token counts, Laplace-1 smoothing, priors) and

@@ -385,6 +385,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("curriculumBinsBy: per-stratum boundaries; null score/stratum poison; no window") {
+    // two strata with DIFFERENT scales: a global split would put all of
+    // 'b' in the top bin; per-stratum terciles split each 1..6 run the
+    // same way
+    val df = (1 to 6).map(i => ("a", i.toLong, i.toDouble))
+      .++((1 to 6).map(i => ("b", 10L + i, 100.0 + i)))
+      .toDF("grp", "id", "s")
+    val got = Sampling.curriculumBinsBy(df, Seq("grp"), col("s"), 3)
+      .orderBy("id").select("bin").as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 2, 2, 3, 3, 1, 1, 2, 2, 3, 3), got.toString)
+    // no window, no sort-merge join: one grouped aggregate broadcast back
+    val plan = Sampling.curriculumBinsBy(df, Seq("grp"), col("s"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"per-stratum binning must be broadcast + projection:\n$plan")
+    // null score poisons by name
+    val withNull = Seq(("a", 1L, Some(2.0)), ("a", 2L, Option.empty[Double]))
+      .toDF("grp", "id", "s")
+    val e = intercept[Exception] {
+      Sampling.curriculumBinsBy(withNull, Seq("grp"), col("s"), 2)
+        .select("bin").collect()
+    }
+    assert(messageChain(e).contains("curriculumBinsBy"), messageChain(e))
+    // null stratum key poisons by name (its boundaries cannot join)
+    val nullGrp = Seq((Some("a"), 1L, 1.0), (Option.empty[String], 2L, 2.0))
+      .toDF("grp", "id", "s")
+    val e2 = intercept[Exception] {
+      Sampling.curriculumBinsBy(nullGrp, Seq("grp"), col("s"), 2)
+        .select("bin").collect()
+    }
+    assert(messageChain(e2).contains("stratum key is null"), messageChain(e2))
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBinsBy(df, Seq.empty, col("s"), 3)
+    }
+  }
+
   test("curriculumBins: interval bins on exact boundaries; ties share a bin; map-only plan") {
     // scores 1..8: quartile boundaries 2.75 / 4.5 / 6.25 → bins 1,1,2,2,3,3,4,4
     val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "s")

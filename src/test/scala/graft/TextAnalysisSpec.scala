@@ -376,10 +376,10 @@ class TextAnalysisSpec extends SparkSpec {
     // doc1: -ln(4/12), then S(b|a)=4/4, then trigram MLEs 3/4, 2/3, 1, ...
     val d1 = Seq(4.0 / 12, 1.0, 3.0 / 4, 2.0 / 3, 1.0, 3.0 / 4, 2.0 / 3, 1.0, 3.0 / 4)
     assert(self(1L)._1 == 9L)
-    assert(math.abs(self(1L)._2 - r6(d1.map(p => r6(-math.log(p))).sum / 9)) < 1e-9)
+    assert(math.abs(self(1L)._2 - d1.map(p => r6(-math.log(p))).sum / 9) < 1e-9)
     // doc2: unigram, bigram MLE 1.0, trigram MLE 1/4
     val d2 = Seq(4.0 / 12, 1.0, 1.0 / 4)
-    assert(math.abs(self(2L)._2 - r6(d2.map(p => r6(-math.log(p))).sum / 3)) < 1e-9)
+    assert(math.abs(self(2L)._2 - d2.map(p => r6(-math.log(p))).sum / 3) < 1e-9)
 
     // scoring fresh docs against the trained model: backoff chain + OOV
     val model = TextAnalysis.ngramTrain(corpus, col("text"))
@@ -392,7 +392,7 @@ class TextAnalysisSpec extends SparkSpec {
     val py = Seq(4.0 / 12, 0.4 * (4.0 / 12), 0.4 * (0.4 * (1.0 / 12)),
       0.4 * (0.4 * (1.0 / 12)))
     assert(gotY.getLong(1) == 4L)
-    assert(math.abs(gotY.getDouble(2) - r6(py.map(p => r6(-math.log(p))).sum / 4)) < 1e-9)
+    assert(math.abs(gotY.getDouble(2) - py.map(p => r6(-math.log(p))).sum / 4) < 1e-9)
 
     // minCount=2 prunes (b,d) and (a,b,d): doc2's "d" now backs all the
     // way off to the alpha^2 unigram path even though it is in-vocabulary
@@ -400,7 +400,7 @@ class TextAnalysisSpec extends SparkSpec {
         minCount = 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val d2p = Seq(4.0 / 12, 1.0, 0.4 * (0.4 * (1.0 / 12)))
-    assert(math.abs(pruned(2L) - r6(d2p.map(p => r6(-math.log(p))).sum / 3)) < 1e-9)
+    assert(math.abs(pruned(2L) - d2p.map(p => r6(-math.log(p))).sum / 3) < 1e-9)
     // doc1's trigrams all survive minCount=2 -> unchanged
     assert(math.abs(pruned(1L) - self(1L)._2) < 1e-9)
 
