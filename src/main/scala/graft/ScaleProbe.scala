@@ -503,6 +503,28 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Motion-compensated codec throughput: the full certification
+      // round trip (synth + I/P encode with ±4 full search + container +
+      // chain decode + recon-equality) per document at a realistic frame
+      // size — map-only and embarrassingly parallel, so the published
+      // number is per-core pixel throughput, the figure that transfers
+      // to any cluster size.
+      if (on("mc")) {
+        import graft.functions.MediaExpressions
+        val (w, h, nf) = (64, 48, 8)
+        val t0 = System.nanoTime()
+        val ok = spark.range(n.toLong)
+          .select(MediaExpressions.mcVideoRoundTrip(col("id"),
+            lit(w), lit(h), lit(nf), fps = 12).as("st"))
+          .agg(sum(when(col("st.recon_exact") && col("st.err_in_bound") &&
+              col("st.mv_engaged") && col("st.inter_saves") &&
+              col("st.trunc_rejected"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mpix = n.toLong * w * h * nf / sec / 1e6
+        println(f"""{"metric":"mc_video_scale","docs":$n,"w":$w,"h":$h,"frames":$nf,"all_green":$ok,"sec":$sec%.2f,"mpix_per_sec":$mpix%.1f}""")
+      }
+
       // Streaming PCA at scale: fold three n-vector micro-batches into
       // the fenced moment table — per batch the cost is ONE d²-state
       // aggregate of the batch (constant in the stored history), and
