@@ -503,6 +503,26 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Byte-level BPE encode at scale: same min-rank kernel as the
+      // char probe (table-size independence transfers), but every token
+      // decomposes into UTF-8 bytes — ~4-5x the symbol count per doc —
+      // so this prices the byte path's own throughput.
+      if (on("bpe_bytes")) {
+        import graft.operators.TextAnalysis
+        docs.cache().count()
+        val t0 = System.nanoTime()
+        val merges = TextAnalysis.bpeMerges(
+          TextAnalysis.bpeTrainBytes(docs, col("text"), nMerges = 16))
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val total = docs
+          .select(sum(size(TextAnalysis.bpeEncodeBytes(col("text"), merges)))
+            .cast("long")).collect()(0).getLong(0)
+        val secEnc = (System.nanoTime() - t1) / 1e9
+        println(f"""{"metric":"bpe_bytes_scale","docs":$n,"merges":${merges.size},"train_sec":$secTrain%.2f,"enc_sec":$secEnc%.2f,"tokens":$total,"mtok_per_sec":${total / secEnc / 1e6}%.1f}""")
+        docs.unpersist()
+      }
+
       // Motion-compensated codec throughput: the full certification
       // round trip (synth + I/P encode with ±4 full search + container +
       // chain decode + recon-equality) per document at a realistic frame
