@@ -105,6 +105,19 @@ object TextAnalysis {
     * documents and word-like content, penalizes punctuation soup. The
     * formula is arbitrary but fixed — the operator contract is the feature
     * extraction, which is what the oracle verifies. */
+  /** Engine-exact 6-dp quantizer for NON-NEGATIVE doubles:
+    * `floor(x·10⁶ + 0.5)/10⁶`. Every step is a correctly-rounded IEEE
+    * op (multiply, add, floor-exact, divide), so ANY engine computes the
+    * bit-identical result — unlike `round(x, 6)`, whose half-up
+    * semantics sit on knife edges where engines legitimately disagree
+    * (Spark rounds the exact binary value, DuckDB's scale-multiply can
+    * cross the halfway double within 1 ulp — the ngramScore sf0.1
+    * incident). Integer-ratio quotients TERMINATE at exact halfway
+    * decimals often enough to matter, so every quantized quotient in
+    * the quality family goes through this. */
+  private[graft] def quant6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   def qualityFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = tokens(text)
     df.select(
@@ -114,14 +127,14 @@ object TextAnalysis {
         punctCount(text).as("n_punct"))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0,
-          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 6))
+          quant6((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens")))
           .otherwise(lit(0.0)))
       .withColumn("punct_ratio",
         when(col("n_chars") > 0,
-          round(col("n_punct").cast("double") / col("n_chars"), 6)).otherwise(lit(0.0)))
+          quant6(col("n_punct").cast("double") / col("n_chars"))).otherwise(lit(0.0)))
       .withColumn("quality_score",
-        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0))
-          * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))), 6))
+        quant6(least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))))
   }
 
   /** Codepoint-entropy quality features — the two-tailed signal the

@@ -2001,9 +2001,9 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"),
           sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
-          round(sum(col("quality_score")
+          TextAnalysis.quant6(sum(col("quality_score")
               .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-            / count(lit(1)), 6).as("avg_quality"),
+            / count(lit(1))).as("avg_quality"),
           sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("n_span_dup_docs"),
           count_distinct(col("fp")).as("n_distinct_texts"))
     },
@@ -2517,7 +2517,7 @@ object PipelineQueries {
              SELECT doc_id, text, source FROM q
              WHERE n_tokens >= 10
                AND (CASE WHEN n_chars > 0
-                         THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+                         THEN floor((CAST(n_punct AS DOUBLE) / n_chars) * 1000000 + 0.5) / 1000000
                          ELSE 0.0 END) < 0.2
                AND (CASE $cases ELSE 'und' END) = 'en'),
            t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM f),
@@ -3149,10 +3149,10 @@ object PipelineQueries {
                      length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{'||chr(45)||'}~]', '', 'g')) AS n_punct
                    FROM batch),
             qg AS (SELECT doc_id,
-                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                        * (1.0 - least((CASE WHEN n_chars > 0
-                            THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
-                            ELSE 0.0 END) * 5.0, 1.0)), 6) AS q
+                            THEN floor((CAST(n_punct AS DOUBLE) / n_chars) * 1000000 + 0.5) / 1000000
+                            ELSE 0.0 END) * 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS q
                    FROM qf),
             lf AS (SELECT doc_id,
                      $langHitsSql
@@ -3960,14 +3960,14 @@ object PipelineQueries {
             g AS (
            SELECT doc_id, n_chars, n_tokens, n_punct,
              CASE WHEN n_tokens > 0
-                  THEN round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                  THEN floor((CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000
                   ELSE 0.0 END AS avg_token_len,
              CASE WHEN n_chars > 0
-                  THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio
+                  THEN floor((CAST(n_punct AS DOUBLE) / n_chars) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS punct_ratio
            FROM f)
          SELECT doc_id, n_chars, n_tokens, n_punct, avg_token_len, punct_ratio,
-           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-             * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
+           floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             * (1.0 - least(punct_ratio * 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality_score
          FROM g ORDER BY doc_id""",
 
     "text_langid" ->
@@ -4546,10 +4546,10 @@ object PipelineQueries {
           q AS (
            SELECT doc_id, text, n_tokens,
              CASE $cases ELSE 'und' END AS lang_pred,
-             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                * (1.0 - least(CASE WHEN n_chars > 0
-                    THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
-                    ELSE 0.0 END * 5.0, 1.0)), 6) AS quality_score
+                    THEN floor((CAST(n_punct AS DOUBLE) / n_chars) * 1000000 + 0.5) / 1000000
+                    ELSE 0.0 END * 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality_score
            FROM f),
           t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           w AS (SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS win
@@ -4562,8 +4562,8 @@ object PipelineQueries {
          SELECT count(*) AS n_docs,
            CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(CASE WHEN q.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-           round(CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS avg_quality,
+           floor((CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*)) * 1000000 + 0.5) / 1000000 AS avg_quality,
            CAST(sum(CASE WHEN coalesce(sp.has_dup, 0) = 1 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_span_dup_docs,
            count(DISTINCT q.text) AS n_distinct_texts
