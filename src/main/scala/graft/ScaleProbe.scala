@@ -523,6 +523,53 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // PRODUCTION-DEPTH BPE TRAINING: the delta-updated trainer
+      // (bpeTrainBytesFast — bit-identical to the classic loop, pinned
+      // by BpeFastTrainSpec + the text_bpe_train_fast oracle) must reach
+      // real vocabulary sizes at a wall SUB-LINEAR in merges. The classic
+      // loop is one vocabulary-sized Spark job PER MERGE — linear by
+      // construction, timed at 64 merges for the per-merge contrast. The
+      // shared 20-word corpus can't support 1024 merges, so this probe
+      // uses hash-derived words (~50k distinct types). The trained table
+      // round-trips through TokenizerStore and encodes the corpus green
+      // (table-size independence of encode is pinned by bpe_encode_scale).
+      if (on("bpe_train")) {
+        import graft.operators.TextAnalysis
+        val rich = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(59)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
+        rich.cache().count()
+        val t0 = System.nanoTime()
+        val nClassic = TextAnalysis.bpeTrainBytes(rich, col("text"), 64).count()
+        val secClassic = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n256 = TextAnalysis.bpeTrainBytesFast(rich, col("text"), 256).count()
+        val sec256 = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val big = TextAnalysis.bpeTrainBytesFast(rich, col("text"), 1024)
+        val n1024 = big.count()
+        val sec1024 = (System.nanoTime() - t2) / 1e9
+        assert(nClassic == 64 && n256 == 256 && n1024 == 1024,
+          s"corpus must support every depth: $nClassic/$n256/$n1024")
+        // the 1024-merge table round-trips the store and encodes green
+        graft.sources.TokenizerStore.buildFrom(spark, "bpe_train_probe",
+          big, byteLevel = true)
+        val loaded = graft.sources.TokenizerStore
+          .loadBytes(spark, "bpe_train_probe")
+        assert(loaded == TextAnalysis.bpeMerges(big),
+          "store round trip must preserve the merge list exactly")
+        val t3 = System.nanoTime()
+        val tok = rich.select(
+          sum(size(TextAnalysis.bpeEncodeBytes(col("text"), loaded)))
+            .cast("long")).head().getLong(0)
+        val secEnc = (System.nanoTime() - t3) / 1e9
+        graft.sources.TokenizerStore.drop(spark, "bpe_train_probe")
+        println(f"""{"metric":"bpe_train_scale","docs":$n,"classic64_sec":$secClassic%.2f,"fast256_sec":$sec256%.2f,"fast1024_sec":$sec1024%.2f,"classic_sec_per_merge":${secClassic / 64}%.4f,"fast_sec_per_merge":${sec1024 / 1024}%.4f,"store_roundtrip":true,"enc_sec":$secEnc%.2f,"tokens":$tok,"mtok_per_sec":${tok / secEnc / 1e6}%.1f}""")
+        rich.unpersist()
+      }
+
       // Motion-compensated codec throughput: the full certification
       // round trip (synth + I/P encode with ±4 full search + container +
       // chain decode + recon-equality) per document at a realistic frame

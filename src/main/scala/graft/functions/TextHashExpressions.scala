@@ -300,6 +300,45 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** [[TextKernels.bpeEncodeIds]]: merge application straight to token
+    * ids — the merge table AND the symbol→id vocabulary both build once
+    * per expression instance as O(1) hash tables (the loader-path
+    * replacement for transforming the symbol array through a plan-
+    * literal map, whose `element_at` scans linearly per symbol). */
+  case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+                          byteLevel: Boolean) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String =
+      if (byteLevel) "bpe_encode_ids_bytes" else "bpe_encode_ids"
+
+    @transient private lazy val table: java.util.HashMap[String, Integer] =
+      if (byteLevel) TextKernels.bpeTableBytes(merges)
+      else TextKernels.bpeTable(merges)
+    @transient private lazy val ids: java.util.HashMap[String, Integer] =
+      TextKernels.bpeIdTable(merges, byteLevel)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.bpeEncodeIds(input.asInstanceOf[UTF8String], table, ids,
+        byteLevel)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("bpeTable", table, "java.util.HashMap")
+      val idsRef = ctx.addReferenceObj("bpeIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.bpeEncodeIds(" +
+          s"$c, $tableRef, $idsRef, $byteLevel);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)],
+                   byteLevel: Boolean): Column =
+    ColumnBridge.column(
+      BpeEncodeIds(ColumnBridge.expression(text), merges, byteLevel))
+
   def bpeEncode(text: Column, merges: Seq[(String, String)],
                 marked: Boolean = false): Column =
     ColumnBridge.column(

@@ -158,13 +158,13 @@ object TextKernels {
     * spaces, trimmed — the caller builds that declaratively so the SQL
     * oracle can replay it with the same regexes the fingerprint op uses).
     *
-    * Trigram windows are every 3 consecutive chars of `norm` including
-    * the single spaces, so boundary grams ("he ", " th") carry word-edge
-    * signal without padding. Windows run over UTF-16 units (BMP text —
-    * same caveat as [[deletionNeighborhood]]); profile grams are 3
-    * codepoints, so counts match a codepoint-windowed replay on BMP
-    * input. Scores are Long: a trigram-dense giant document must not
-    * wrap Int. */
+    * Trigram windows are every 3 consecutive CODEPOINTS of `norm`
+    * including the single spaces, so boundary grams ("he ", " th") carry
+    * word-edge signal without padding. Codepoints — not UTF-16 units —
+    * are the window unit, so emoji/CJK-Ext-B text scores exactly like a
+    * codepoint replay (the SQL oracle's unit) and astral profile grams
+    * are legal. Scores are Long: a trigram-dense giant document must
+    * not wrap Int. */
   def langIdProfile(norm: UTF8String,
                     tg: TrigramTable,
                     swSets: Array[java.util.HashSet[UTF8String]],
@@ -189,15 +189,20 @@ object TextKernels {
       }
     }
     // char-trigram profile hits, weight 1000: a rolling packed-long
-    // window probed once per position against the single combined table
-    // — no per-position substring, no per-language probe
+    // CODEPOINT window (21-bit fields — astral chars are one position,
+    // not a surrogate pair) probed once per position against the single
+    // combined table — no per-position substring, no per-language probe
     val str = norm.toString
     val n = str.length
-    if (n >= 3) {
-      var packed = (str.charAt(0).toLong << 16) | str.charAt(1).toLong
-      var p = 2
-      while (p < n) {
-        packed = ((packed << 16) | str.charAt(p).toLong) & 0xFFFFFFFFFFFFL
+    var packed = 0L
+    var seen = 0
+    var p = 0
+    while (p < n) {
+      val cp = str.codePointAt(p)
+      p += Character.charCount(cp)
+      packed = TrigramTable.roll(packed, cp)
+      seen += 1
+      if (seen >= 3) {
         var m = tg.lookup(packed)
         if (m != 0) {
           var l = 0
@@ -207,7 +212,6 @@ object TextKernels {
             l += 1
           }
         }
-        p += 1
       }
     }
     var best = 0L
@@ -302,8 +306,10 @@ object TextKernels {
     * ([[graft.operators.FuzzyJoin]]). Size is O(L^maxDist), so this is for
     * KEYS (names, titles, normalized URLs), not documents.
     *
-    * Deletions operate on UTF-16 units (astral-plane characters would
-    * split); key columns are expected to be BMP text. */
+    * Deletions operate on CODEPOINTS — an astral-plane character
+    * (emoji, CJK Ext-B) is one deletable unit, never a split surrogate
+    * pair — so neighborhoods agree with any engine's codepoint-level
+    * replay on every input. */
   def deletionNeighborhood(key: UTF8String, maxDist: Int): ArrayData = {
     val s = key.toString
     val seen = new java.util.LinkedHashSet[String]()
@@ -315,9 +321,10 @@ object TextKernels {
       frontier.foreach { t =>
         var i = 0
         while (i < t.length) {
-          val v = t.substring(0, i) + t.substring(i + 1)
+          val cc = Character.charCount(t.codePointAt(i))
+          val v = t.substring(0, i) + t.substring(i + cc)
           if (seen.add(v)) next = v :: next
-          i += 1
+          i += cc
         }
       }
       frontier = next
@@ -618,14 +625,93 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Symbol→token-id table for the ids kernels: the whole vocabulary —
+    * base alphabet at its fixed ids (bytes 0–255 as hex, or letters
+    * 'a'–'z' at 0–25) plus each merge's OUTPUT symbol at base + rank,
+    * first (lowest) rank winning a collision — as ONE O(1) hash lookup
+    * per symbol. Replaces the plan-literal map the previous ids path
+    * walked LINEARLY per symbol (`element_at` on a map literal scans;
+    * measured at 1.3–1.7 s/query on the bench — BENCH_NOTES r16/r17). */
+  def bpeIdTable(merges: Seq[(String, String)],
+                 byteLevel: Boolean): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2 + 512)
+    if (byteLevel) {
+      var b = 0
+      while (b < 256) { m.put(HexSym(b), Integer.valueOf(b)); b += 1 }
+    } else {
+      var c = 'a'
+      while (c <= 'z') { m.put(c.toString, Integer.valueOf(c - 'a')); c = (c + 1).toChar }
+    }
+    val base = if (byteLevel) 256 else 26
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + r, Integer.valueOf(base + i))
+    }
+    m
+  }
+
+  /** Merge application straight to TOKEN IDS: the same tokenize+mergeLoop
+    * as [[bpeEncode]]/[[bpeEncodeBytes]] (per `byteLevel`), with each
+    * surviving symbol resolved through ONE [[bpeIdTable]] hash probe —
+    * no intermediate string array crosses the expression boundary and no
+    * per-symbol linear scan. Symbols outside the table (char-level OOV
+    * passthrough tokens only; the byte alphabet has no such symbol) map
+    * to -1, the documented OOV id. */
+  def bpeEncodeIds(text: UTF8String,
+                   ranks: java.util.HashMap[String, Integer],
+                   ids: java.util.HashMap[String, Integer],
+                   byteLevel: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      var lower = true
+      while (i < len && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if (b < 'a' || b > 'z') lower = false
+        i += 1
+      }
+      val n = i - s
+      if (n > 0) {
+        if (!byteLevel && (!lower || n < 2)) {
+          // char-level OOV passthrough: one symbol, one lookup
+          val v = ids.get(UTF8String.fromBytes(bytes, s, n).toString)
+          out.add(if (v == null) Integer.valueOf(-1) else v)
+        } else {
+          val syms = new Array[String](n)
+          var t = 0
+          while (t < n) {
+            syms(t) = if (byteLevel) HexSym(bytes(s + t) & 0xff)
+                      else String.valueOf(bytes(s + t).toChar)
+            t += 1
+          }
+          val count = mergeLoop(syms, n, ranks)
+          var k = 0
+          while (k < count) {
+            val v = ids.get(syms(k))
+            out.add(if (v == null) Integer.valueOf(-1) else v)
+            k += 1
+          }
+        }
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue; k += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** All language trigram profiles as ONE open-addressed primitive map:
-  * 3 UTF-16 units packed into a 48-bit long key → bitmask of the
-  * languages whose profile contains the gram. One allocation-free
-  * probe per text position replaces nLangs boxed `String.substring` +
-  * HashSet probes (the r15 verdict's flagged hot loop). Sentinel key
-  * -1 is unreachable (packed keys have zero top bits). */
+  * 3 CODEPOINTS packed into a 63-bit long key (21 bits each — every
+  * Unicode plane, not just the BMP) → bitmask of the languages whose
+  * profile contains the gram. One allocation-free probe per text
+  * position replaces nLangs boxed `String.substring` + HashSet probes
+  * (the r15 verdict's flagged hot loop). Sentinel key -1 is
+  * unreachable (packed keys have a zero top bit). */
 final class TrigramTable private (keys: Array[Long], masks: Array[Int],
                                   capMask: Int) extends Serializable {
   def lookup(key: Long): Int = {
@@ -646,11 +732,20 @@ object TrigramTable {
     ((h ^ (h >>> 32)).toInt) & capMask
   }
 
-  @inline def pack(c0: Char, c1: Char, c2: Char): Long =
-    (c0.toLong << 32) | (c1.toLong << 16) | c2.toLong
+  @inline def pack(cp0: Int, cp1: Int, cp2: Int): Long =
+    (cp0.toLong << 42) | (cp1.toLong << 21) | cp2.toLong
 
-  /** Build from per-language 3-char gram profiles (≤ 32 languages —
-    * the hit mask is an Int). */
+  /** The rolling-window update [[graft.functions.TextKernels
+    * .langIdProfile]] uses: shift one 21-bit codepoint field in, keep
+    * the low 63 bits (exactly three fields) — after three updates the
+    * window equals [[pack]] of the last three codepoints. */
+  @inline def roll(packed: Long, cp: Int): Long =
+    ((packed << 21) | cp.toLong) & 0x7FFFFFFFFFFFFFFFL
+
+  /** Build from per-language 3-CODEPOINT gram profiles (≤ 32
+    * languages — the hit mask is an Int). Grams may contain astral
+    * characters (emoji, CJK Ext-B): codepoints, not UTF-16 units, are
+    * the gram unit. */
   def build(profiles: Array[Array[String]]): TrigramTable = {
     require(profiles.length <= 32,
       s"TrigramTable: at most 32 languages per table, got ${profiles.length}")
@@ -663,9 +758,13 @@ object TrigramTable {
     var l = 0
     while (l < profiles.length) {
       profiles(l).foreach { g =>
-        require(g.length == 3,
-          s"TrigramTable: profile grams must be exactly 3 chars, got '$g'")
-        val key = pack(g.charAt(0), g.charAt(1), g.charAt(2))
+        require(g.codePointCount(0, g.length) == 3,
+          s"TrigramTable: profile grams must be exactly 3 codepoints, got '$g'")
+        val cp0 = g.codePointAt(0)
+        val i1 = Character.charCount(cp0)
+        val cp1 = g.codePointAt(i1)
+        val i2 = i1 + Character.charCount(cp1)
+        val key = pack(cp0, cp1, g.codePointAt(i2))
         var i = slot(key, capMask)
         while (keys(i) != -1L && keys(i) != key) i = (i + 1) & capMask
         keys(i) = key

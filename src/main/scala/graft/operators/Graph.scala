@@ -17,10 +17,17 @@ object Graph {
   /** PageRank with fixed iteration count and damping `d`:
     * `pr₀ = 1/N`, then
     * `prᵢ₊₁(v) = (1−d)/N + d·Σ_{u→v} round(prᵢ(u)/outdeg(u), scale)`.
-    * Multi-edges collapse first (one vote per distinct edge); dangling
-    * mass (nodes with no out-edges) is dropped, the standard simplified
-    * variant — feed both directions for an undirected graph and no
-    * node dangles. Returns `(node, rank)` after `iters` iterations.
+    * Multi-edges collapse first (one vote per distinct edge). By
+    * default dangling mass (nodes with no out-edges) is DROPPED — the
+    * standard simplified variant; feed both directions for an
+    * undirected graph and no node dangles. With
+    * `danglingRedistribution = true` the STANDARD definition applies:
+    * each iteration adds one node-sized semi-join scalar aggregate
+    * `Dᵢ = Σ_{u dangling} prᵢ(u)` (exact DECIMAL sum) and every node
+    * receives `d · round(Dᵢ/N, scale)` — total mass is conserved at 1
+    * up to quantization, and ranks match the textbook recurrence on
+    * graphs with sinks. Returns `(node, rank)` after `iters`
+    * iterations.
     *
     * ENGINE-EXACT, not approximately so: per-edge contributions are
     * quantized to `scale` decimals and summed as DECIMAL — exact and
@@ -40,7 +47,8 @@ object Graph {
     * and the final plan re-executes every round from the scan; with
     * it, each round is one job over a node-sized cached frame. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
-               damping: Double = 0.85, scale: Int = 9): DataFrame = {
+               damping: Double = 0.85, scale: Int = 9,
+               danglingRedistribution: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"need 0 < damping < 1: $damping")
     val dec = DecimalType(38, scale)
@@ -51,6 +59,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nTotal = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    // the (static) sink set — node-sized, computed once
+    val dangNodes =
+      if (danglingRedistribution)
+        nodes.join(e.select(col("src")).distinct(),
+            col("node") === col("src"), "left_anti")
+          .select(col("node")).localCheckpoint(true)
+      else null
     var ranks = nodes.crossJoin(nTotal)
       .select(col("node"), round(lit(1.0) / col("nn"), scale).as("r"))
       .localCheckpoint(true)
@@ -61,13 +76,29 @@ object Graph {
         .select(col("dst"),
           round(col("r") / col("deg"), scale).cast(dec).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.crossJoin(nTotal)
+      // redistributed per-node share: d · round(Dᵢ/N, scale); Dᵢ is an
+      // exact DECIMAL sum of already-quantized ranks, the division and
+      // the round are IEEE correctly rounded — engine-exact like the
+      // contribution path
+      val recv = coalesce(col("s"), lit(0).cast(dec)).cast("double")
+      val inflow =
+        if (danglingRedistribution)
+          recv + round(col("ds").cast("double") / col("nn"), scale)
+        else recv
+      val base = nodes.crossJoin(nTotal)
+      val withDang =
+        if (danglingRedistribution) {
+          val dsum = broadcast(ranks
+            .join(dangNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r").cast(dec)),
+              lit(0).cast(dec)).as("ds")))
+          base.crossJoin(dsum)
+        } else base
+      ranks = withDang
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           round((lit(1.0) - lit(damping)) / col("nn")
-            + lit(damping)
-              * coalesce(col("s"), lit(0).cast(dec)).cast("double"),
-            scale).as("r"))
+            + lit(damping) * inflow, scale).as("r"))
         .localCheckpoint(true)
     }
     ranks.select(col("node"), col("r").as("rank"))

@@ -657,6 +657,223 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** PRODUCTION-DEPTH BPE training — the same merges as [[bpeTrain]],
+    * bit-identical, at a wall cost that does NOT grow one-Spark-job-per-
+    * merge. The classic loop re-aggregates the whole word table every
+    * round (fine for 8–16 merges; a 32k-merge production vocabulary would
+    * be ~32k vocabulary-sized jobs). This trainer runs the corpus-sized
+    * work ONCE — the distributed word-frequency aggregation — then trains
+    * on the collected vocabulary-shaped table with DELTA-UPDATED pair
+    * counts (Sennrich et al.'s priority-queue formulation: a merge only
+    * touches the words that contain its pair, and only their pair counts
+    * change), so per-merge cost shrinks as merges get rarer instead of
+    * re-scanning the vocabulary. This is how production tokenizer
+    * trainers (SentencePiece, the GPT-2 reference) are actually shaped:
+    * distributed counting, vocabulary-local training.
+    *
+    * EXACTNESS: selection order (pair freq DESC, then (left,right)
+    * lexicographic — all symbols are ASCII, so driver string compare ==
+    * engine binary compare), sliding pair counting, and greedy
+    * left-to-right non-overlapping merge application all replicate
+    * [[bpeTrainLoop]] operation for operation; BpeFastTrainSpec pins
+    * merge-list equality (ranks, symbols, AND selection-time freqs)
+    * against the classic loop, and the `text_bpe_train_fast` oracle
+    * replays the classic loop in DuckDB at a depth beyond the other
+    * training queries.
+    *
+    * 100 TB shape: the one corpus scan is map-side partial agg + one
+    * shuffle on the word; the collected table is VOCABULARY-shaped, and
+    * its driver footprint is MEASURED before collecting — over
+    * `maxTableBytes` the call fails by name citing the `minWordFreq`
+    * lever (frequency-pruning the word table is the standard production
+    * move; with the default `minWordFreq = 1` the result is exactly the
+    * classic loop's). */
+  def bpeTrainFast(docs: DataFrame, text: Column, nMerges: Int,
+                   minWordFreq: Long = 1L,
+                   maxTableBytes: Long = 2L << 30): DataFrame =
+    bpeTrainFastFrom(bpeWordCounts(docs, text), byteLevel = false,
+      nMerges, minWordFreq, maxTableBytes)
+
+  /** Byte-level twin of [[bpeTrainFast]] — bit-identical to
+    * [[bpeTrainBytes]] (hex byte alphabet, every whitespace token). */
+  def bpeTrainBytesFast(docs: DataFrame, text: Column, nMerges: Int,
+                        minWordFreq: Long = 1L,
+                        maxTableBytes: Long = 2L << 30): DataFrame =
+    bpeTrainFastFrom(bpeWordCountsBytes(docs, text), byteLevel = true,
+      nMerges, minWordFreq, maxTableBytes)
+
+  private def bpeTrainFastFrom(wc: DataFrame, byteLevel: Boolean,
+                               nMerges: Int, minWordFreq: Long,
+                               maxTableBytes: Long): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    require(minWordFreq >= 1, s"need minWordFreq >= 1, got $minWordFreq")
+    val spark = wc.sparkSession
+    val pruned =
+      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
+    // Measured driver-footprint guard (the ngramTrain pattern): count +
+    // symbol mass in ONE aggregate before anything is collected. The
+    // per-row/per-symbol constants are deliberately heavy — each word
+    // carries a String, a symbol array, and pair-map entries.
+    val m = pruned.agg(count(lit(1)).as("rows"),
+      coalesce(sum(if (byteLevel) octet_length(col("w"))
+                   else length(col("w"))), lit(0L)).as("syms")).head()
+    val (rows, syms) = (m.getLong(0), m.getLong(1))
+    val est = rows * 160L + syms * 200L
+    if (est > maxTableBytes)
+      throw new IllegalArgumentException(
+        s"bpeTrainFast: the word-frequency table ($rows words, $syms " +
+          s"symbols, ~$est B on the driver) exceeds maxTableBytes " +
+          s"($maxTableBytes B). Raise minWordFreq (currently " +
+          s"$minWordFreq) to frequency-prune the long tail — the " +
+          "standard production-tokenizer move — or raise maxTableBytes " +
+          "if the driver heap genuinely has room")
+    val collected = pruned.select(col("w"), col("freq").cast("long")).collect()
+    val words = new Array[Array[String]](collected.length)
+    val freqs = new Array[Long](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      val w = collected(i).getString(0)
+      words(i) =
+        if (byteLevel) {
+          val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Array.tabulate(b.length)(j => HexSyms(b(j) & 0xff))
+        } else Array.tabulate(w.length)(j => CharSyms(w.charAt(j) - 'a'))
+      freqs(i) = collected(i).getLong(1)
+      i += 1
+    }
+    import spark.implicits._
+    bpeTrainLocalLoop(words, freqs, nMerges)
+      .toDF("rank", "left", "right", "freq")
+  }
+
+  private val HexSyms: Array[String] = Array.tabulate(256)(b => f"$b%02x")
+  private val CharSyms: Array[String] =
+    Array.tabulate(26)(c => ('a' + c).toChar.toString)
+
+  /** The driver-side exact Sennrich loop with delta-updated pair counts
+    * and a lazy-deletion priority queue. Invariants that make it
+    * bit-identical to [[bpeTrainLoop]]:
+    *
+    *  - pair counts are SLIDING (overlapping) adjacent counts weighted
+    *    by word frequency — exactly the explode-and-sum aggregate;
+    *  - selection is (count DESC, left ASC, right ASC); symbols are
+    *    ASCII so Java and engine orderings coincide;
+    *  - application is greedy left-to-right non-overlapping, the
+    *    literal-replace semantics (`rd += 2` on a match);
+    *  - the heap always holds an entry carrying each live pair's
+    *    CURRENT count (every changed pair is re-pushed once per round),
+    *    so a popped entry is valid iff it matches the live count —
+    *    stale entries drain harmlessly. */
+  private[graft] def bpeTrainLocalLoop(words: Array[Array[String]],
+                                       freqs: Array[Long],
+                                       nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val wlen = Array.tabulate(words.length)(i => words(i).length)
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap: higher count first; ties — LOWER (l, r) first
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val cl = y._2.compareTo(x._2)
+          if (cl != 0) cl else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    var i = 0
+    while (i < words.length) {
+      val ws = words(i)
+      var j = 0
+      while (j < wlen(i) - 1) {
+        val p = (ws(j), ws(j + 1))
+        cnt.update(p, cnt.getOrElse(p, 0L) + freqs(i))
+        occ.getOrElseUpdate(p, mutable.HashSet.empty[Int]).add(i)
+        j += 1
+      }
+      i += 1
+    }
+    cnt.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      var sel: (String, String, Long) = null
+      while (sel == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (cnt.getOrElse((l, r), 0L) == c) sel = (l, r, c)
+      }
+      if (sel == null) exhausted = true
+      else {
+        val (l, r, f) = sel
+        merges += ((k, l, r, f))
+        val touched = occ((l, r)).toArray // copy — sets mutate below
+        val changed = mutable.HashSet.empty[(String, String)]
+        val oldMult = mutable.HashMap.empty[(String, String), Int]
+        val newMult = mutable.HashMap.empty[(String, String), Int]
+        var t = 0
+        while (t < touched.length) {
+          val wi = touched(t)
+          val ws = words(wi)
+          val n = wlen(wi)
+          val fw = freqs(wi)
+          oldMult.clear(); newMult.clear()
+          var j = 0
+          while (j < n - 1) {
+            val p = (ws(j), ws(j + 1))
+            oldMult.update(p, oldMult.getOrElse(p, 0) + 1)
+            j += 1
+          }
+          // greedy left-to-right non-overlapping merge, in place
+          var w = 0
+          var rd = 0
+          while (rd < n) {
+            if (rd < n - 1 && ws(rd) == l && ws(rd + 1) == r) {
+              ws(w) = l + r; rd += 2
+            } else { ws(w) = ws(rd); rd += 1 }
+            w += 1
+          }
+          wlen(wi) = w
+          j = 0
+          while (j < w - 1) {
+            val p = (ws(j), ws(j + 1))
+            newMult.update(p, newMult.getOrElse(p, 0) + 1)
+            j += 1
+          }
+          oldMult.foreach { case (p, om) =>
+            val nm = newMult.getOrElse(p, 0)
+            if (nm != om) {
+              cnt.update(p, cnt.getOrElse(p, 0L) + (nm - om) * fw)
+              changed.add(p)
+              if (nm == 0) occ.get(p).foreach(_.remove(wi))
+            }
+          }
+          newMult.foreach { case (p, nm) =>
+            val om = oldMult.getOrElse(p, 0)
+            if (om != nm) {
+              if (om == 0) {
+                cnt.update(p, cnt.getOrElse(p, 0L) + nm * fw)
+                changed.add(p)
+              }
+              occ.getOrElseUpdate(p, mutable.HashSet.empty[Int]).add(wi)
+            }
+          }
+          t += 1
+        }
+        changed.foreach { p =>
+          val c = cnt.getOrElse(p, 0L)
+          if (c <= 0L) { cnt.remove(p); occ.remove(p) }
+          else heap.enqueue((c, p._1, p._2))
+        }
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Collect a trained merge table ([[bpeTrain]] output) to the driver in
     * rank order — the model hand-off between training and [[bpeEncode]].
     * Model-sized by construction (bpeTrain emits ≤ nMerges rows), but
@@ -723,17 +940,17 @@ object TextAnalysis {
     seen.toSeq
   }
 
-  /** [[bpeEncode]] to token IDS (`array<int>`): each subword symbol maps
-    * through the [[bpeVocab]] literal map (plan-embedded, codegen'd
-    * `element_at` — no extra kernel); OOV passthrough tokens map to -1,
-    * surfacing the out-of-vocabulary positions for the caller's fallback
-    * policy (byte-fallback vs skip is a tokenizer-design choice the
-    * engine does not make silently). */
-  def bpeEncodeIds(text: Column, merges: Seq[(String, String)]): Column = {
-    val vocab = typedLit(bpeVocab(merges).toMap)
-    transform(bpeEncode(text, merges),
-      s => coalesce(element_at(vocab, s), lit(-1)))
-  }
+  /** [[bpeEncode]] to token IDS (`array<int>`): one kernel pass
+    * (tokenize → merge loop → O(1) hashed [[bpeVocab]]-identical id
+    * probe per symbol — [[graft.functions.TextKernels.bpeEncodeIds]];
+    * the previous plan-literal `element_at` map scanned linearly per
+    * symbol). OOV passthrough tokens map to -1, surfacing the
+    * out-of-vocabulary positions for the caller's fallback policy
+    * (byte-fallback vs skip is a tokenizer-design choice the engine
+    * does not make silently). */
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncodeIds(text, merges,
+      byteLevel = false)
 
   /** The SEQUENTIAL-REPLACE formulation of merge application — the
     * bpeTrain double-separator encoding with one greedy literal
@@ -804,20 +1021,15 @@ object TextAnalysis {
   /** [[bpeEncodeBytes]] to token IDS: every symbol is in
     * [[bpeVocabBytes]] by construction (base bytes + merge outputs), so
     * unlike the char-level [[bpeEncodeIds]] there is NO -1/OOV id — the
-    * whole point of the byte alphabet. A base symbol's id IS its byte
-    * value, so only the merge OUTPUTS (nMerges entries, not 256+nMerges)
-    * go through the literal map — `element_at` on a map literal is a
-    * linear scan per lookup, and byte-level docs carry more symbols than
-    * char-level ones, so keeping the map merge-only is a measured win
-    * (text_bpe_bytes_ids 3.6 → see BENCH_NOTES). The coalesce(-1) stays
-    * as a defensive contract marker only. */
-  def bpeEncodeIdsBytes(text: Column, merges: Seq[(String, String)]): Column = {
-    val mergeIds = bpeVocabBytes(merges).drop(256)
-    val vocab = typedLit(mergeIds.toMap)
-    transform(bpeEncodeBytes(text, merges), s =>
-      when(length(s) === 2, conv(s, 16, 10).cast("int"))
-        .otherwise(coalesce(element_at(vocab, s), lit(-1))))
-  }
+    * whole point of the byte alphabet. One kernel pass with an O(1)
+    * open-hashed symbol→id probe per surviving symbol
+    * ([[graft.functions.TextKernels.bpeEncodeIds]]); this replaced the
+    * r15 literal CASE walk (3.62 s) and the r16 merge-only literal map
+    * (1.74 s) — the map literal's `element_at` scans linearly per
+    * lookup (deltas in BENCH_NOTES). */
+  def bpeEncodeIdsBytes(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextHashExpressions.bpeEncodeIds(text, merges,
+      byteLevel = true)
 
   /** Sequential-replace cross-check for the byte-level kernel — the
     * [[bpeEncodeViaReplace]] construction over hex symbols, every token
@@ -912,12 +1124,16 @@ object TextAnalysis {
       .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c3"))
       .filter(col("c3") >= minCount)
 
+    // Spark's own ConfigHelpers.byteFromString semantics: a leading '-'
+    // negates (JavaUtils.byteStringAsBytes alone throws on "-1", the
+    // standard broadcast-DISABLE value). A non-positive threshold means
+    // the user disabled auto-broadcast — honored below, never defaulted.
     val threshold = {
       val conf = corpus.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      val parsed = org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(conf)
-      if (parsed > 0) parsed else 10L * 1024 * 1024
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      if (conf.startsWith("-"))
+        -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf.substring(1))
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
     }
     // UnsafeRow-ish: ~48 B/row fixed + 2 B/char, deliberately heavy — a
     // broadcast HashedRelation costs more than its serialized rows
@@ -937,7 +1153,12 @@ object TextAnalysis {
           "deliberately train an over-threshold model")
 
     var hinted = true
-    if (!allowShuffle) {
+    if (threshold <= 0) {
+      // the session disabled auto-broadcast: honor it — no hints, no
+      // broadcast-sized guard; the joins run in the planner's shuffle
+      // regime, which is what a user who set "-1" asked for
+      hinted = false
+    } else if (!allowShuffle) {
       // phase 1: map-side approx pre-screen (no shuffle, nothing built)
       val pre = g.agg(
         approx_count_distinct(col("cur")).as("u"),

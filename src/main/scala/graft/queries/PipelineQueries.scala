@@ -1253,6 +1253,20 @@ object PipelineQueries {
         .orderBy(col("rank"))
     },
 
+    // The PRODUCTION-DEPTH trainer certified cross-engine: byte-level,
+    // delta-updated pair counts on the collected vocabulary-shaped word
+    // table (one distributed corpus scan; per-merge cost does not rescan
+    // the vocabulary — the Sennrich priority-queue formulation). The
+    // oracle replays the CLASSIC one-aggregate-per-round loop in DuckDB
+    // at 12 rounds — deeper than every other training query — so a hash
+    // match certifies the delta trainer IS the classic algorithm, merge
+    // for merge, selection-time freqs included.
+    "text_bpe_train_fast" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.bpeTrainBytesFast(t.documents, col("text"), nMerges = 12)
+        .orderBy(col("rank"))
+    },
+
     // Merge APPLICATION — train 8 merges, then encode every document
     // map-side with the min-rank kernel (per-doc cost independent of
     // merge-table size); per doc the full subword sequence as one
@@ -1381,7 +1395,8 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("n_ws_tokens"),
           col("n_bpe_tokens"), col("n_text_bytes"),
           when(col("n_bpe_tokens") > 0,
-            round(col("n_text_bytes").cast("double") / col("n_bpe_tokens"), 6))
+            TextAnalysis.quant6(
+              col("n_text_bytes").cast("double") / col("n_bpe_tokens")))
             .as("bytes_per_token"))
         .orderBy(col("source"))
     },
@@ -3649,6 +3664,18 @@ object PipelineQueries {
       bpeTrainCtes(rounds) + tail
     },
 
+    // The fast trainer's oracle is the CLASSIC loop — byte head, 12
+    // chained per-round argmax/replace rounds — so the delta-updated
+    // formulation is certified against the published algorithm, not
+    // against itself.
+    "text_bpe_train_fast" -> {
+      val rounds = 12
+      val tail = (1 to rounds)
+        .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", freq FROM m$k""")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+      bpeTrainBytesCtes(rounds) + tail
+    },
+
     // Merge APPLICATION replayed end-to-end: training (the shared CTEs
     // above) then, per document token, the identical chained literal
     // replaces in rank order over the double-separator encoding —
@@ -3905,7 +3932,8 @@ object PipelineQueries {
                    FROM base GROUP BY source)
          SELECT source, n_docs, n_ws_tokens, n_bpe_tokens, n_text_bytes,
            CASE WHEN n_bpe_tokens > 0
-                THEN round(CAST(n_text_bytes AS DOUBLE) / n_bpe_tokens, 6)
+                THEN floor((CAST(n_text_bytes AS DOUBLE) / n_bpe_tokens)
+                           * 1000000 + 0.5) / 1000000
            END AS bytes_per_token
          FROM agg ORDER BY source"""
     },

@@ -283,6 +283,20 @@ object RelationalQueries {
         .orderBy(col("node"))
     },
 
+    // STANDARD-definition PageRank on a graph WITH sinks: the DIRECTED
+    // supplier→part edges (parts have no out-edges, so ~half the nodes
+    // dangle) with per-iteration dangling-mass redistribution — the
+    // mode that closes the documented dropped-mass trade. The oracle
+    // unrolls the recurrence including each iteration's exact DECIMAL
+    // dangling sum.
+    "graph_pagerank_dangling" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Graph
+        .pageRank(directedGraphEdges(t), col("a"), col("b"), iters = 5,
+          danglingRedistribution = true)
+        .orderBy(col("node"))
+    },
+
     // Connected components of the same graph (min-id labels) via the
     // union-find / pointer-jumping operator the dedup family uses.
     "graph_components" -> { (s, dir) =>
@@ -843,11 +857,16 @@ object RelationalQueries {
     * lineitems, both directions (undirected, no dangling nodes); part
     * ids offset into a disjoint range. */
   private def graphEdges(t: Tables): DataFrame = {
-    val f = t.lineitem.filter(col("l_quantity") >= 48)
-      .select(col("l_suppkey").cast("long").as("a"),
-        (col("l_partkey").cast("long") + 10000000L).as("b"))
+    val f = directedGraphEdges(t)
     f.unionByName(f.select(col("b").as("a"), col("a").as("b")))
   }
+
+  /** The DIRECTED form (supplier → part only): every part node is a
+    * sink, so this is the dangling-redistribution fixture. */
+  private def directedGraphEdges(t: Tables): DataFrame =
+    t.lineitem.filter(col("l_quantity") >= 48)
+      .select(col("l_suppkey").cast("long").as("a"),
+        (col("l_partkey").cast("long") + 10000000L).as("b"))
 
   /** The base CTEs of both graph oracles (same edge derivation). */
   private val graphBaseSql =
@@ -882,8 +901,46 @@ object RelationalQueries {
        SELECT node, r AS rank FROM pr$iters ORDER BY node"""
   }
 
+  /** Unrolled STANDARD PageRank on the directed graph: each iteration
+    * re-derives the exact DECIMAL dangling sum ds$k over the sinks and
+    * every node receives `d · round(ds/nn, 9)` — shapes identical to
+    * the `danglingRedistribution = true` operator path. */
+  private def pageRankDanglingSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ds$k AS (SELECT coalesce(sum(CAST(p.r AS DECIMAL(38,9))),
+                     CAST(0 AS DECIMAL(38,9))) AS ds
+                   FROM pr${k - 1} p JOIN dang g ON p.node = g.node),
+          c$k AS (SELECT e.dst, CAST(round(p.r / d.deg, 9)
+                    AS DECIMAL(38,9)) AS c
+                  FROM e JOIN pr${k - 1} p ON e.src = p.node
+                         JOIN deg d ON e.src = d.src),
+          s$k AS (SELECT dst, sum(c) AS s FROM c$k GROUP BY 1),
+          pr$k AS (SELECT node,
+                     round((1.0 - 0.85) / nn + 0.85
+                       * (CAST(coalesce(s, CAST(0 AS DECIMAL(38,9)))
+                            AS DOUBLE)
+                          + round(CAST(ds AS DOUBLE) / nn, 9)), 9) AS r
+                   FROM nodes CROSS JOIN n CROSS JOIN ds$k
+                        LEFT JOIN s$k ON node = dst)"""
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+                     CAST(l_partkey AS BIGINT) + 10000000 AS b
+                   FROM lineitem WHERE l_quantity >= 48),
+          e AS (SELECT DISTINCT a AS src, b AS dst FROM f),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          dang AS (SELECT node FROM nodes
+                   WHERE node NOT IN (SELECT src FROM e)),
+          n AS (SELECT count(*) AS nn FROM nodes),
+          pr0 AS (SELECT node, round(1.0 / nn, 9) AS r
+                  FROM nodes CROSS JOIN n),
+          $steps
+       SELECT node, r AS rank FROM pr$iters ORDER BY node"""
+  }
+
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(5),
+    "graph_pagerank_dangling" -> pageRankDanglingSql(5),
 
     // Min-label transitive closure to fixpoint: r holds (v, u) for every
     // u that reaches v; the component label is the minimum — exactly the

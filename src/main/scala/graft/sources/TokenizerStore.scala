@@ -28,12 +28,24 @@ object TokenizerStore {
     * char-level encoder (or vice versa) would re-segment every document
     * silently, so the two load paths reject each other by name. */
   def build(spark: SparkSession, prefix: String, docs: DataFrame,
-            text: Column, nMerges: Int, byteLevel: Boolean = false): Unit = {
+            text: Column, nMerges: Int, byteLevel: Boolean = false): Unit =
+    // the delta-updated trainer: bit-identical merges
+    // (BpeFastTrainSpec + the text_bpe_train_fast oracle), one corpus
+    // scan regardless of nMerges — production vocabulary depths train
+    // at the same job count as 8 merges
+    buildFrom(spark, prefix,
+      if (byteLevel) TextAnalysis.bpeTrainBytesFast(docs, text, nMerges)
+      else TextAnalysis.bpeTrainFast(docs, text, nMerges),
+      byteLevel)
+
+  /** Persist an ALREADY-TRAINED merge model (any [[TextAnalysis]]
+    * trainer's output frame) under the prefix — the hand-off for callers
+    * that train once and store, e.g. the production-depth scale probe. */
+  def buildFrom(spark: SparkSession, prefix: String, trained: DataFrame,
+                byteLevel: Boolean): Unit = {
     Bucketing.dropManagedTable(spark, bpeTable(prefix))
-    val model =
-      (if (byteLevel) TextAnalysis.bpeTrainBytes(docs, text, nMerges)
-       else TextAnalysis.bpeTrain(docs, text, nMerges))
-        .localCheckpoint(true) // model-sized; pin before count + write
+    val model = trained
+      .localCheckpoint(true) // model-sized; pin before count + write
     val n = model.count()
     model.write.saveAsTable(bpeTable(prefix))
     // marker LAST: a crash before this line leaves a table without its

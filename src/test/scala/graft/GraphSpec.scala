@@ -57,4 +57,55 @@ class GraphSpec extends SparkSpec {
     val dup = once ++ once ++ once
     assert(run(dup, 5) == run(once, 5))
   }
+
+  /** In-memory replay of the STANDARD recurrence with dangling-mass
+    * redistribution — same quantization points as the operator. */
+  private def refDangling(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val dang = nodes.filterNot(deg.contains)
+    val n = nodes.size.toLong
+    var pr = nodes.map(v => v -> r9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val ds = dang.map(v => BigDecimal(pr(v))).sum
+      val share = r9(ds.toDouble / n)
+      val sums = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => BigDecimal(r9(pr(u) / deg(u))) }.sum
+      }
+      pr = nodes.map { v =>
+        v -> r9((1.0 - d) / n
+          + d * (sums.getOrElse(v, BigDecimal(0)).toDouble + share))
+      }.toMap
+    }
+    pr
+  }
+
+  private def runDangling(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("s", "d"), col("s"), col("d"), iters,
+        danglingRedistribution = true)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank dangling mode: exact recurrence parity, mass conserved " +
+       "on sink graphs, identical to default when nothing dangles") {
+    val rnd = new scala.util.Random(7)
+    val directed = Seq.fill(120)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }   // dst range 30-39 = pure sinks
+    // bit parity with the in-memory standard recurrence
+    assert(runDangling(directed, 4) == refDangling(directed, 4))
+    // the standard definition conserves mass even with sinks...
+    val pr = runDangling(directed, 8)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6,
+      s"dangling redistribution must conserve rank mass: ${pr.values.sum}")
+    // ...where the dropped-mass variant loses it
+    val dropped = run(directed, 8)
+    assert(dropped.values.sum < 0.95,
+      s"fixture must actually lose mass in the default mode: " +
+        s"${dropped.values.sum}")
+    // no sinks -> both modes identical (the extra agg sums zero)
+    val undirected = directed ++ directed.map(_.swap)
+    assert(runDangling(undirected, 4) == run(undirected, 4))
+  }
 }

@@ -89,6 +89,43 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("und", "und"))
   }
 
+  test("langId windows are CODEPOINT-correct: astral chars are one " +
+       "position, astral profile grams are legal, neighborhoods never " +
+       "split surrogates") {
+    import graft.functions.{TextKernels, TrigramTable}
+    import org.apache.spark.unsafe.types.UTF8String
+    def lang(texts: String*): Seq[String] =
+      texts.toDF("text").select(TextAnalysis.langId(col("text")))
+        .as[String].collect().toSeq
+    // emoji / CJK-Ext-B interleaved English still scores en — the
+    // trigram window walks codepoints, so BMP grams land exactly as a
+    // codepoint replay would place them
+    assert(lang("the 😀 cat and 𠀀 the dog is here",
+      "singing 🤖🤖 loudly") == Seq("en", "en"))
+    // an ASTRAL profile gram (4 UTF-16 units, 3 codepoints) builds and
+    // fires on matching text — impossible under UTF-16-unit windows
+    val tg = TrigramTable.build(Array(Array("😀🤖x")))
+    val hit = TextKernels.langIdProfile(UTF8String.fromString("aa 😀🤖x bb"),
+      tg, Array(new java.util.HashSet[UTF8String]()),
+      Array(UTF8String.fromString("emo")), UTF8String.fromString("und"))
+    assert(hit.toString == "emo")
+    // a 4-codepoint string is rejected by name
+    val e = intercept[IllegalArgumentException](
+      TrigramTable.build(Array(Array("abcd"))))
+    assert(e.getMessage.contains("3 codepoints"))
+    // deletion neighborhood: astral chars delete as ONE unit — every
+    // member is a well-formed string (no lone surrogates), and the
+    // 1-neighborhood of a😀b has exactly the 4 codepoint deletions
+    val nbh = Seq("a😀b").toDF("k")
+      .select(graft.functions.TextHashExpressions
+        .deletionNeighborhood(col("k"), 1))
+      .as[Seq[String]].head().toSet
+    assert(nbh == Set("a😀b", "😀b", "ab", "a😀"), nbh.toString)
+    // a lone surrogate surfaces as a codepoint in the D800–DFFF gap
+    assert(nbh.forall(s => s.codePoints().toArray.forall(
+      cp => cp < 0xD800 || cp > 0xDFFF)))
+  }
+
   test("normalizeUnicode: NFC composes, NFD decomposes, NFKC folds compatibility") {
     val acute = new String(Character.toChars(0x0301)) // COMBINING ACUTE
     def norm(s: String, form: String): String =
@@ -457,6 +494,31 @@ class TextAnalysisSpec extends SparkSpec {
       .split("BroadcastHashJoin").length - 1
     assert(bhj >= 5, s"expected >= 5 broadcast joins, got $bhj:\n" +
       sc.queryExecution.executedPlan)
+  }
+
+  test("ngramTrain honors a disabled broadcast threshold (-1): trains " +
+       "unhinted instead of crashing or defaulting to 10MB") {
+    val docs = spark.range(40L)
+      .select(col("id").as("doc_id"),
+        concat(lit("the quick fox jumps over dog "), col("id")).as("text"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // "-1" is the standard broadcast-DISABLE value; bare byteStringAsBytes
+    // throws NumberFormatException on it — this test pins the negation fix
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val m = TextAnalysis.ngramTrain(docs, col("text"))
+      assert(!m.broadcastHint,
+        "a broadcast-disabled session must not produce a hinted model")
+      val scored = TextAnalysis.ngramScore(docs, col("doc_id"),
+        col("text"), m)
+      assert(scored.count() == 40)
+      scored.collect()
+      // and the executed plan must respect the disable: no broadcast joins
+      val bhj = scored.queryExecution.executedPlan.toString
+        .split("BroadcastHashJoin").length - 1
+      assert(bhj == 0, s"user disabled broadcasting but plan has $bhj " +
+        s"broadcast joins:\n${scored.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("plan guard: boilerplate filter is a broadcast anti join; only reassembly shuffles text") {
