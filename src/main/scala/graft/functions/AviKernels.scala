@@ -78,6 +78,22 @@ object AviKernels {
       keyframeOnly0 = true)
   }
 
+  /** [[aviEncodeGmc]]'s VLC-coded sibling: 'GMV1' stream fourcc for
+    * [[McVlcKernels]] frame streams (Annex-B-shaped entropy coding of
+    * the same plans). A distinct fourcc keeps the two bitstreams from
+    * ever crossing decoders silently. */
+  def aviEncodeGmv(width: Int, height: Int, fps: Int,
+                   frames: Array[Array[Byte]]): Array[Byte] = {
+    val pal = new Array[Byte](1024)
+    var i = 0
+    while (i < 256) {
+      pal(i * 4) = i.toByte; pal(i * 4 + 1) = i.toByte; pal(i * 4 + 2) = i.toByte
+      i += 1
+    }
+    aviEncode(width, height, fps, frames, "GMV1", 8, Some(pal),
+      keyframeOnly0 = true)
+  }
+
   private def aviEncode(width: Int, height: Int, fps: Int,
                         frames: Array[Array[Byte]], codec: String,
                         bitCount: Int, palette: Option[Array[Byte]],
@@ -116,6 +132,7 @@ object AviKernels {
       case "MJPG" => "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
       case "MRLE" => le32(strf, 16, 1) // biCompression = BI_RLE8
       case "GMC1" => "GMC1".getBytes("US-ASCII").copyToArray(strf, 16)
+      case "GMV1" => "GMV1".getBytes("US-ASCII").copyToArray(strf, 16)
       case other => throw new IllegalArgumentException(s"aviEncode: $other")
     }
     le32(strf, 20, width * height * (bitCount / 8))
@@ -180,6 +197,10 @@ object AviKernels {
     * required; frames come back as raw I/P bitstreams for
     * [[McVideoKernels.mcDecodeFrame]] to chain over the recon canvas. */
   def aviDecodeGmc(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "GMC1")
+
+  /** 'GMV1' (VLC-coded MC) twin — frames for
+    * [[McVlcKernels.mcVlcDecodeFrame]]. */
+  def aviDecodeGmv(b: Array[Byte]): AviVideo = aviDecodeCodec(b, "GMV1")
 
   private def aviDecodeCodec(b: Array[Byte], codec: String): AviVideo = {
     if (b == null || b.length < 24) return null

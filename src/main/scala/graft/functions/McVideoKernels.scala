@@ -53,7 +53,7 @@ object McVideoKernels {
   /** Motion search range (integer pel, full search, ±). */
   final val SearchRange = 4
 
-  @inline private def pad8(v: Int): Int = (v + 7) & ~7
+  @inline private[functions] def pad8(v: Int): Int = (v + 7) & ~7
 
   /** Edge-replicate `src` (w×h, top-down) onto the padded W×H canvas. */
   private[graft] def padCanvas(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -72,7 +72,7 @@ object McVideoKernels {
     out
   }
 
-  private def cropCanvas(padded: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private[functions] def cropCanvas(padded: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val W = pad8(w)
     val out = new Array[Byte](w * h)
     var y = 0
@@ -129,7 +129,7 @@ object McVideoKernels {
     * clamping — THE shared reconstruction arithmetic (encoder and
     * decoder both call exactly this). `predBase` is 128.0 for intra
     * blocks (the level shift) or the MC prediction for inter blocks. */
-  private def reconstructBlock(coef: Array[Int], pred: (Int, Int) => Double,
+  private[functions] def reconstructBlock(coef: Array[Int], pred: (Int, Int) => Double,
                                canvas: Array[Byte], W: Int,
                                bx: Int, by: Int): Unit = {
     val res = new Array[Double](64)
@@ -147,33 +147,45 @@ object McVideoKernels {
     }
   }
 
-  /** Encode one frame. `cur` is the PADDED W×H source canvas; `prevRecon`
-    * the PADDED previous reconstruction (null ⇒ I-frame). Returns
-    * (bitstream, reconstruction) — the reconstruction feeds the next
-    * frame's prediction on the encoder side, mirroring the decoder.
-    * `mvUsed` (length ≥ 1) reports whether any nonzero motion vector was
-    * chosen (index 0, OR-ed). The third result is the byte size an
-    * ALL-INTRA coding of this frame would have cost — the mode decision
-    * intra-codes every P block anyway, so the comparison baseline for
-    * `inter_saves` falls out of the same pass free (for an I-frame it
-    * simply equals the bitstream length). */
-  private[graft] def mcEncodeFrame(cur: Array[Byte], prevRecon: Array[Byte],
-                                   W: Int, H: Int, mvUsed: Array[Boolean])
-      : (Array[Byte], Array[Byte], Long) = {
-    val out = new java.io.ByteArrayOutputStream(W * H / 2 + 16)
+  /** One block's coding decision, serialization-agnostic — the hand-off
+    * between the mode/motion/transform machinery and a bitstream coder
+    * (the self-specified byte coder below, or [[McVlcKernels]]'s
+    * Annex-B-shaped VLC coder — both serialize the SAME plan, so their
+    * reconstruction chains are identical by construction).
+    * `mode`: -1 I-frame intra block (coef = intra coefficients),
+    * 0 skip, 1 MC only, 2 MC+residual (coef = residual), 3 P-intra. */
+  private[graft] final class BlockPlan(val mode: Int, val mx: Int,
+                                       val my: Int, val coef: Array[Int])
+
+  /** Plan one frame: mode decision, motion search, quantized
+    * coefficients, and the reconstruction — everything EXCEPT
+    * serialization. `cur` is the PADDED W×H source canvas; `prevRecon`
+    * the PADDED previous reconstruction (null ⇒ I-frame). The mode
+    * decision prices alternatives with the BYTE coder's costs (the
+    * codec's fixed cost model; the VLC coder inherits the same
+    * decisions, keeping the two bitstreams reconstruction-equal).
+    * `mvUsed` (length ≥ 1) reports whether any nonzero motion vector
+    * was chosen (index 0, OR-ed). The third result is the byte size an
+    * ALL-INTRA byte coding of this frame would have cost — the mode
+    * decision intra-codes every P block anyway, so the `inter_saves`
+    * baseline falls out of the same pass free. */
+  private[graft] def planFrame(cur: Array[Byte], prevRecon: Array[Byte],
+                               W: Int, H: Int, mvUsed: Array[Boolean])
+      : (Array[BlockPlan], Array[Byte], Long) = {
     val recon = new Array[Byte](W * H)
     val isI = prevRecon == null
+    val plans = new Array[BlockPlan]((W / 8) * (H / 8))
+    var bi = 0
     var intraAlt = 1L
-    out.write(if (isI) 'I' else 'P')
     val blockIn = new Array[Double](64)
-    val coef = new Array[Int](64)
     var by = 0
     while (by < H) {
       var bx = 0
       while (bx < W) {
         if (isI) {
+          val coef = new Array[Int](64)
           intraCode(cur, W, bx, by, blockIn, coef)
-          writeCoefs(out, coef)
+          plans(bi) = new BlockPlan(-1, 0, 0, coef)
           reconstructBlock(coef, (_, _) => 128.0, recon, W, bx, by)
         } else {
           // full-search integer-pel MC against the previous recon,
@@ -195,6 +207,7 @@ object McVideoKernels {
             my += 1
           }
           // residual after MC, quantized
+          val coef = new Array[Int](64)
           var i = 0
           while (i < 64) {
             val x = i & 7; val y = i >> 3
@@ -218,32 +231,65 @@ object McVideoKernels {
           intraAlt += intraBody.size // the I-frame coding of this block
           if (interCost <= intraCost) {
             if (bmx != 0 || bmy != 0) mvUsed(0) = true
-            if (interZero && bmx == 0 && bmy == 0) out.write(0) // skip
-            else {
-              out.write(if (interZero) 1 else 2)
-              out.write(bmx & 0xff); out.write(bmy & 0xff)
-              if (!interZero) interBody.writeTo(out)
-            }
+            plans(bi) =
+              if (interZero && bmx == 0 && bmy == 0) new BlockPlan(0, 0, 0, null)
+              else if (interZero) new BlockPlan(1, bmx, bmy, null)
+              else new BlockPlan(2, bmx, bmy, coef)
             val (pmx, pmy) = (bmx, bmy)
             val cf = if (interZero) zeroCoef else coef
             reconstructBlock(cf,
               (x, y) => (prevRecon((by + y + pmy) * W + bx + x + pmx) & 0xff).toDouble,
               recon, W, bx, by)
           } else {
-            out.write(3)
-            intraBody.writeTo(out)
+            plans(bi) = new BlockPlan(3, 0, 0, intraCoef)
             reconstructBlock(intraCoef, (_, _) => 128.0, recon, W, bx, by)
           }
         }
+        bi += 1
         bx += 8
       }
       by += 8
     }
-    val bits = out.toByteArray
-    (bits, recon, if (isI) bits.length.toLong else intraAlt)
+    (plans, recon, if (isI) -1L else intraAlt)
   }
 
-  private val zeroCoef = new Array[Int](64)
+  /** Serialize a frame plan with the self-specified BYTE coder (the
+    * bitstream documented above). */
+  private[graft] def serializeBytes(isI: Boolean,
+                                    plans: Array[BlockPlan]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(plans.length * 8 + 16)
+    out.write(if (isI) 'I' else 'P')
+    var bi = 0
+    while (bi < plans.length) {
+      val p = plans(bi)
+      p.mode match {
+        case -1 => writeCoefs(out, p.coef)
+        case 0 => out.write(0)
+        case 1 =>
+          out.write(1); out.write(p.mx & 0xff); out.write(p.my & 0xff)
+        case 2 =>
+          out.write(2); out.write(p.mx & 0xff); out.write(p.my & 0xff)
+          writeCoefs(out, p.coef)
+        case 3 =>
+          out.write(3); writeCoefs(out, p.coef)
+      }
+      bi += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode one frame with the byte coder: [[planFrame]] +
+    * [[serializeBytes]]. Returns (bitstream, reconstruction, all-intra
+    * alternative size) — see [[planFrame]]. */
+  private[graft] def mcEncodeFrame(cur: Array[Byte], prevRecon: Array[Byte],
+                                   W: Int, H: Int, mvUsed: Array[Boolean])
+      : (Array[Byte], Array[Byte], Long) = {
+    val (plans, recon, intraAlt) = planFrame(cur, prevRecon, W, H, mvUsed)
+    val bits = serializeBytes(prevRecon == null, plans)
+    (bits, recon, if (prevRecon == null) bits.length.toLong else intraAlt)
+  }
+
+  private[functions] val zeroCoef = new Array[Int](64)
 
   private def intraCode(cur: Array[Byte], W: Int, bx: Int, by: Int,
                         blockIn: Array[Double], coef: Array[Int]): Unit = {

@@ -1,0 +1,613 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** VLC ENTROPY CODING for the motion-compensated transform codec — the
+  * bitstream layer ISO/IEC 11172-2 (MPEG-1 Video) Annex B specifies,
+  * replacing [[McVideoKernels]]'s self-specified byte coder for the
+  * SAME frame plans: macroblock address increments for skip runs
+  * (Table B.1), P-picture macroblock types (Table B.2b), motion codes
+  * (Table B.4), intra DC size/differential coding (Table B.5a) and
+  * run-level DCT coefficient codes with the 6-bit escape (Table B.5b/c)
+  * — all published prefix-free Huffman tables, validated prefix-free at
+  * class load. Both coders serialize the output of
+  * [[McVideoKernels.planFrame]], so their reconstruction chains are
+  * bit-identical by construction; the VLC stream is certified SMALLER
+  * (`vlc_smaller`) on top of the five byte-codec attestations.
+  *
+  * Honest scope: this is the Annex-B COEFFICIENT/MOTION/TYPE coding
+  * layer over our frame plans — there are no sequence/GOP/picture/slice
+  * headers and the container stays a self-specified 'GMV1' AVI stream,
+  * so no conformance claim is made for whole streams; the tables and
+  * their grammar (first-coefficient convention, EOB, escape level
+  * formats, sign bits, MBA escapes) follow the published layout.
+  *
+  * Frame syntax: byte 0 'I'/'P', then a single MSB-first bitstream:
+  *  - I-frame: every 8×8 block in raster order as an INTRA block —
+  *    dct_dc_size VLC + differential bits (predictor = previous intra
+  *    block's quantized DC, 0 at frame start), then run-level AC codes
+  *    (next-coefficient table, sign bit appended), EOB.
+  *  - P-frame: coded blocks prefixed by a macroblock address increment
+  *    (gap+1 over skipped blocks; escape adds 33); types: '1' MC+coded
+  *    (+2 motion codes, + coefficients with the FIRST-coefficient
+  *    convention), '01' coded with zero MV, '001' MC only (+2 motion
+  *    codes), '00011' intra (DC predictor resets to 0). The LAST block
+  *    of a P-frame is never skipped (a skip plan is promoted to
+  *    '001' with MV (0,0) — reconstruction-identical), matching the
+  *    MPEG rule that a slice cannot end in a skipped macroblock.
+  *  - zero padding to the byte boundary; trailing bytes reject.
+  * Decoders return null on ANY malformation (unknown prefix, motion
+  * vector off canvas, coefficient overrun, address overrun, nonzero
+  * padding, trailing bytes), never throw.
+  */
+object McVlcKernels {
+
+  // ---- bit I/O ----
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1)
+        nb += 1
+        if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def putCode(c: (Int, Int)): Unit = putBits(c._1, c._2)
+    def alignZero(): Unit = if (nb != 0) putBits(0, 8 - nb)
+    def toByteArray: Array[Byte] = buf.toByteArray
+    def size: Int = buf.size + (if (nb > 0) 1 else 0)
+  }
+
+  private final class BitReader(data: Array[Byte], startByte: Int) {
+    private var pos = startByte * 8
+    private val end = data.length * 8
+    var bad = false
+    def bit(): Int =
+      if (pos >= end) { bad = true; 0 }
+      else {
+        val b = (data(pos >>> 3) >> (7 - (pos & 7))) & 1
+        pos += 1
+        b
+      }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def bitPos: Int = pos
+    def bitEnd: Int = end
+  }
+
+  // ---- VLC tables (codes as "bitstring" literals, parsed once) ----
+
+  private def parse(s: String): (Int, Int) =
+    (java.lang.Integer.parseInt(s, 2), s.length)
+
+  /** Validate a code set is prefix-free (and duplicate-free) — a
+    * misremembered table entry must fail at class load, not silently
+    * corrupt decode. */
+  private def requirePrefixFree(name: String, codes: Seq[String]): Unit =
+    codes.combinations(2).foreach { case Seq(a, b) =>
+      require(a != b && !a.startsWith(b) && !b.startsWith(a),
+        s"VLC table $name: codes '$a' and '$b' are not prefix-free")
+    }
+
+  /** Generic prefix decoder over (value, bitstring) entries. */
+  private final class VlcDecoder(entries: Seq[(Int, String)]) {
+    private val map = new java.util.HashMap[Integer, Integer](entries.size * 2)
+    private val maxLen = entries.map(_._2.length).max
+    entries.foreach { case (v, s) =>
+      val (code, len) = parse(s)
+      map.put(Integer.valueOf((len << 24) | code), Integer.valueOf(v))
+    }
+    /** Next symbol, or Int.MinValue with `br.bad` set on an unknown
+      * prefix / overrun. */
+    def read(br: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < maxLen && !br.bad) {
+        code = (code << 1) | br.bit()
+        len += 1
+        val v = map.get(Integer.valueOf((len << 24) | code))
+        if (v != null) return v.intValue
+      }
+      br.bad = true
+      Int.MinValue
+    }
+  }
+
+  /** Table B.1 — macroblock_address_increment 1..33 + escape (+33). */
+  private val MbaEntries: Seq[(Int, String)] = Seq(
+    1 -> "1", 2 -> "011", 3 -> "010", 4 -> "0011", 5 -> "0010",
+    6 -> "00011", 7 -> "00010", 8 -> "0000111", 9 -> "0000110",
+    10 -> "00001011", 11 -> "00001010", 12 -> "00001001",
+    13 -> "00001000", 14 -> "00000111", 15 -> "00000110",
+    16 -> "0000010111", 17 -> "0000010110", 18 -> "0000010101",
+    19 -> "0000010100", 20 -> "0000010011", 21 -> "0000010010",
+    22 -> "00000100011", 23 -> "00000100010", 24 -> "00000100001",
+    25 -> "00000100000", 26 -> "00000011111", 27 -> "00000011110",
+    28 -> "00000011101", 29 -> "00000011100", 30 -> "00000011011",
+    31 -> "00000011010", 32 -> "00000011001", 33 -> "00000011000")
+  private val MbaEscapeStr = "00000001000"
+  private val MbaEscape = 0 // sentinel value in the decoder
+  requirePrefixFree("mba", MbaEntries.map(_._2) :+ MbaEscapeStr)
+  private val MbaCodes: Map[Int, (Int, Int)] =
+    MbaEntries.map { case (v, s) => v -> parse(s) }.toMap
+  private val MbaEscapeCode = parse(MbaEscapeStr)
+  private val MbaDecoder =
+    new VlcDecoder(MbaEntries :+ (MbaEscape -> MbaEscapeStr))
+
+  /** Table B.2b — the P-picture macroblock types this codec emits:
+    * 1 = MC+coded, 2 = coded zero-MV, 3 = MC not coded, 4 = intra. */
+  private val TypeEntries: Seq[(Int, String)] = Seq(
+    1 -> "1", 2 -> "01", 3 -> "001", 4 -> "00011")
+  requirePrefixFree("mbtype", TypeEntries.map(_._2))
+  private val TypeCodes: Map[Int, (Int, Int)] =
+    TypeEntries.map { case (v, s) => v -> parse(s) }.toMap
+  private val TypeDecoder = new VlcDecoder(TypeEntries)
+
+  /** Table B.4 — motion code magnitudes (sign bit appended when
+    * nonzero; 0 = positive). This codec's search range is ±4; the
+    * table carries the published codes through 7. */
+  private val MvEntries: Seq[(Int, String)] = Seq(
+    0 -> "1", 1 -> "01", 2 -> "001", 3 -> "0001",
+    4 -> "000011", 5 -> "0000101", 6 -> "0000100", 7 -> "0000011")
+  requirePrefixFree("mv",
+    MvEntries.flatMap { case (v, s) => if (v == 0) Seq(s) else Seq(s + "0", s + "1") })
+  private val MvCodes: Map[Int, (Int, Int)] =
+    MvEntries.map { case (v, s) => v -> parse(s) }.toMap
+  private val MvDecoder = new VlcDecoder(MvEntries)
+  private val MvMax = MvEntries.map(_._1).max
+
+  /** Table B.5a — dct_dc_size_luminance (differential magnitude bit
+    * count 0..8, so |DC differential| ≤ 255). */
+  private val DcSizeEntries: Seq[(Int, String)] = Seq(
+    0 -> "100", 1 -> "00", 2 -> "01", 3 -> "101", 4 -> "110",
+    5 -> "1110", 6 -> "11110", 7 -> "111110", 8 -> "1111110")
+  requirePrefixFree("dcsize", DcSizeEntries.map(_._2))
+  private val DcSizeCodes: Map[Int, (Int, Int)] =
+    DcSizeEntries.map { case (v, s) => v -> parse(s) }.toMap
+  private val DcSizeDecoder = new VlcDecoder(DcSizeEntries)
+
+  /** Table B.5b/c — run-level codes (sign bit appended), EOB, and the
+    * 6-bit escape. `(0,1)` at the FIRST coefficient position codes as
+    * '1' (EOB cannot occur there — a coded non-intra block has at
+    * least one coefficient), everywhere else as '11'. */
+  private val RunLevelEntries: Seq[((Int, Int), String)] = Seq(
+    (0, 1) -> "11", (0, 2) -> "0100", (0, 3) -> "00101",
+    (0, 4) -> "0000110", (0, 5) -> "00100110", (0, 6) -> "00100001",
+    (0, 7) -> "0000001010",
+    (1, 1) -> "011", (1, 2) -> "000110", (1, 3) -> "00100101",
+    (2, 1) -> "0101", (2, 2) -> "0000100",
+    (3, 1) -> "00111", (3, 2) -> "00100100",
+    (4, 1) -> "00110",
+    (5, 1) -> "000111", (6, 1) -> "000101", (7, 1) -> "000100",
+    (8, 1) -> "0000111", (9, 1) -> "0000101",
+    (10, 1) -> "00100111", (11, 1) -> "00100011", (12, 1) -> "00100010",
+    (13, 1) -> "00100000")
+  private val EobStr = "10"
+  private val EscStr = "000001"
+  // decoder symbol packing: (run << 9) | level; sentinels below
+  private val SymEob = 1 << 20
+  private val SymEsc = 1 << 21
+  requirePrefixFree("runlevel-next",
+    RunLevelEntries.flatMap { case (_, s) => Seq(s + "0", s + "1") } ++
+      Seq(EobStr, EscStr))
+  // first-coefficient alphabet: (0,1) -> '1', no EOB
+  requirePrefixFree("runlevel-first",
+    (RunLevelEntries.toMap.updated((0, 1), "1"))
+      .values.toSeq.flatMap(s => Seq(s + "0", s + "1")) :+ EscStr)
+  private val RunLevelCodes: Map[(Int, Int), (Int, Int)] =
+    RunLevelEntries.map { case (rl, s) => rl -> parse(s) }.toMap
+  private val EobCode = parse(EobStr)
+  private val EscCode = parse(EscStr)
+  private val NextDecoder = new VlcDecoder(
+    RunLevelEntries.map { case ((r, l), s) => ((r << 9) | l) -> s } ++
+      Seq(SymEob -> EobStr, SymEsc -> EscStr))
+  private val FirstDecoder = new VlcDecoder(
+    RunLevelEntries.map { case ((r, l), s) =>
+      ((r << 9) | l) -> (if (r == 0 && l == 1) "1" else s) } :+
+      (SymEsc -> EscStr))
+
+  // ---- coefficient / block coding ----
+
+  /** One (run, level) symbol: table code + sign bit when present,
+    * escape (6-bit run, then the Annex-B level format: 8-bit two's
+    * complement for |level| ≤ 127, '00000000'+8 bits for 128..255,
+    * '10000000'+8 bits of level+256 for −128..−255) otherwise. */
+  private def writeRunLevel(bw: BitWriter, run: Int, level: Int,
+                            first: Boolean): Unit = {
+    val mag = math.abs(level)
+    require(mag >= 1 && mag <= 255 && run >= 0 && run <= 63,
+      s"McVlcKernels: (run=$run, level=$level) outside the Annex-B range")
+    RunLevelCodes.get((run, mag)) match {
+      case Some((code, len)) =>
+        if (first && run == 0 && mag == 1) bw.putBits(1, 1)
+        else bw.putBits(code, len)
+        bw.putBits(if (level < 0) 1 else 0, 1)
+      case None =>
+        bw.putCode(EscCode)
+        bw.putBits(run, 6)
+        if (mag <= 127) bw.putBits(level & 0xff, 8)
+        else if (level > 0) { bw.putBits(0, 8); bw.putBits(level, 8) }
+        else { bw.putBits(0x80, 8); bw.putBits((level + 256) & 0xff, 8) }
+    }
+  }
+
+  /** Read one symbol: level into `out(0)`, run into `out(1)`; returns
+    * false on EOB (never signalled at the first position). */
+  private def readRunLevel(br: BitReader, first: Boolean,
+                           out: Array[Int]): Boolean = {
+    val sym = (if (first) FirstDecoder else NextDecoder).read(br)
+    if (br.bad) return false
+    if (sym == SymEob) return false
+    if (sym == SymEsc) {
+      val run = br.bits(6)
+      val b0 = br.bits(8)
+      val level =
+        if (b0 == 0) br.bits(8)
+        else if (b0 == 0x80) br.bits(8) - 256
+        else b0.toByte.toInt
+      if (level == 0 || level < -255 || level > 255) { br.bad = true; return false }
+      out(0) = level; out(1) = run
+    } else {
+      val sign = br.bit()
+      val mag = sym & 0x1ff
+      out(0) = if (sign == 1) -mag else mag
+      out(1) = sym >> 9
+    }
+    true
+  }
+
+  /** Intra block: DC size + differential bits (JPEG-style EXTEND
+    * encoding), AC run-level codes, EOB. Returns the new DC predictor
+    * (this block's quantized DC). */
+  private def writeIntraBlock(bw: BitWriter, coef: Array[Int],
+                              dcPred: Int): Int = {
+    val dc = coef(0)
+    val diff = dc - dcPred
+    var size = 0
+    var m = math.abs(diff)
+    while (m > 0) { size += 1; m >>= 1 }
+    require(size <= 8,
+      s"McVlcKernels: intra DC differential $diff exceeds size 8")
+    bw.putCode(DcSizeCodes(size))
+    if (size > 0)
+      bw.putBits(if (diff >= 0) diff else diff + (1 << size) - 1, size)
+    var run = 0
+    var z = 1
+    while (z < 64) {
+      val v = coef(JpegKernels.Zig(z))
+      if (v == 0) run += 1
+      else { writeRunLevel(bw, run, v, first = false); run = 0 }
+      z += 1
+    }
+    bw.putCode(EobCode)
+    dc
+  }
+
+  /** Parse an intra block into `coef` (natural order). Returns the new
+    * DC predictor, with `br.bad` set on malformation. */
+  private def readIntraBlock(br: BitReader, coef: Array[Int],
+                             dcPred: Int): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val size = DcSizeDecoder.read(br)
+    if (br.bad) return 0
+    val diff =
+      if (size == 0) 0
+      else {
+        val v = br.bits(size)
+        if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+      }
+    val dc = dcPred + diff
+    coef(0) = dc
+    val out = new Array[Int](2)
+    var z = 0 // index of the last filled zigzag position
+    var done = false
+    while (!done && !br.bad) {
+      if (readRunLevel(br, first = false, out)) {
+        z += out(1) + 1
+        if (z > 63) { br.bad = true; done = true }
+        else coef(JpegKernels.Zig(z)) = out(0)
+      } else done = true
+    }
+    dc
+  }
+
+  /** Non-intra (residual) block: all 64 positions, first-coefficient
+    * convention, EOB. The plan guarantees ≥ 1 nonzero coefficient. */
+  private def writeInterBlock(bw: BitWriter, coef: Array[Int]): Unit = {
+    var run = 0
+    var z = 0
+    var first = true
+    while (z < 64) {
+      val v = coef(JpegKernels.Zig(z))
+      if (v == 0) run += 1
+      else { writeRunLevel(bw, run, v, first); first = false; run = 0 }
+      z += 1
+    }
+    require(!first, "McVlcKernels: a coded non-intra block must have " +
+      "at least one coefficient (the plan never emits an empty one)")
+    bw.putCode(EobCode)
+  }
+
+  private def readInterBlock(br: BitReader, coef: Array[Int]): Unit = {
+    java.util.Arrays.fill(coef, 0)
+    val out = new Array[Int](2)
+    // first coefficient is mandatory
+    if (!readRunLevel(br, first = true, out)) { br.bad = true; return }
+    var z = out(1)
+    if (z > 63) { br.bad = true; return }
+    coef(JpegKernels.Zig(z)) = out(0)
+    var done = false
+    while (!done && !br.bad) {
+      if (readRunLevel(br, first = false, out)) {
+        z += out(1) + 1
+        if (z > 63) { br.bad = true; done = true }
+        else coef(JpegKernels.Zig(z)) = out(0)
+      } else done = true
+    }
+  }
+
+  private def writeMv(bw: BitWriter, v: Int): Unit = {
+    val mag = math.abs(v)
+    require(mag <= MvMax, s"McVlcKernels: |motion code| $mag > $MvMax")
+    bw.putCode(MvCodes(mag))
+    if (mag != 0) bw.putBits(if (v < 0) 1 else 0, 1)
+  }
+
+  private def readMv(br: BitReader): Int = {
+    val mag = MvDecoder.read(br)
+    if (br.bad || mag == 0) 0
+    else if (br.bit() == 1) -mag else mag
+  }
+
+  private def writeMba(bw: BitWriter, incr0: Int): Unit = {
+    var incr = incr0
+    while (incr > 33) { bw.putCode(MbaEscapeCode); incr -= 33 }
+    bw.putCode(MbaCodes(incr))
+  }
+
+  private def readMba(br: BitReader): Int = {
+    var add = 0
+    var v = MbaDecoder.read(br)
+    while (v == MbaEscape && !br.bad) { add += 33; v = MbaDecoder.read(br) }
+    if (br.bad) 0 else add + v
+  }
+
+  // ---- frame serialization over McVideoKernels plans ----
+
+  /** Serialize one frame plan as the VLC bitstream (frame syntax in
+    * the object scaladoc). */
+  private[graft] def serializeVlc(isI: Boolean,
+                                  plans: Array[McVideoKernels.BlockPlan]): Array[Byte] = {
+    val bw = new BitWriter
+    if (isI) {
+      var dcPred = 0
+      var bi = 0
+      while (bi < plans.length) {
+        dcPred = writeIntraBlock(bw, plans(bi).coef, dcPred)
+        bi += 1
+      }
+    } else {
+      var gap = 0
+      var bi = 0
+      while (bi < plans.length) {
+        val p0 = plans(bi)
+        val last = bi == plans.length - 1
+        if (p0.mode == 0 && !last) gap += 1
+        else {
+          // a trailing skip is promoted to MC-not-coded with MV (0,0) —
+          // reconstruction-identical, and the frame never ends skipped
+          val mode = if (p0.mode == 0) 1 else p0.mode
+          val (mx, my) = if (p0.mode == 0) (0, 0) else (p0.mx, p0.my)
+          writeMba(bw, gap + 1)
+          gap = 0
+          mode match {
+            case 1 =>
+              bw.putCode(TypeCodes(3))
+              writeMv(bw, mx); writeMv(bw, my)
+            case 2 =>
+              if (mx == 0 && my == 0) bw.putCode(TypeCodes(2))
+              else {
+                bw.putCode(TypeCodes(1))
+                writeMv(bw, mx); writeMv(bw, my)
+              }
+              writeInterBlock(bw, p0.coef)
+            case 3 =>
+              bw.putCode(TypeCodes(4))
+              writeIntraBlock(bw, p0.coef, 0)
+          }
+        }
+        bi += 1
+      }
+    }
+    bw.alignZero()
+    val body = bw.toByteArray
+    val out = new Array[Byte](body.length + 1)
+    out(0) = (if (isI) 'I' else 'P').toByte
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
+
+  /** Decode one VLC frame over the previous PADDED reconstruction
+    * (null ⇒ I-frame required). Returns the new padded reconstruction
+    * or null on any malformation. */
+  def mcVlcDecodeFrame(data: Array[Byte], prevRecon: Array[Byte],
+                       W: Int, H: Int): Array[Byte] = {
+    if (data == null || data.length < 1 || W <= 0 || H <= 0 ||
+        (W & 7) != 0 || (H & 7) != 0 ||
+        (prevRecon != null && prevRecon.length != W * H)) return null
+    val isI = data(0) == 'I'
+    if (!isI && data(0) != 'P') return null
+    if (!isI && prevRecon == null) return null
+    val nBlocks = (W / 8) * (H / 8)
+    val blocksPerRow = W / 8
+    val recon = new Array[Byte](W * H)
+    val coef = new Array[Int](64)
+    val br = new BitReader(data, 1)
+    @inline def blockXY(bi: Int): (Int, Int) =
+      ((bi % blocksPerRow) * 8, (bi / blocksPerRow) * 8)
+    if (isI) {
+      var dcPred = 0
+      var bi = 0
+      while (bi < nBlocks) {
+        dcPred = readIntraBlock(br, coef, dcPred)
+        if (br.bad) return null
+        val (bx, by) = blockXY(bi)
+        McVideoKernels.reconstructBlock(coef, (_, _) => 128.0, recon, W, bx, by)
+        bi += 1
+      }
+    } else {
+      var bi = -1 // address of the previously coded block
+      while (bi < nBlocks - 1) {
+        val incr = readMba(br)
+        if (br.bad || incr < 1 || bi + incr >= nBlocks + 1) return null
+        // skipped blocks reconstruct as copy-previous
+        var s = bi + 1
+        while (s < bi + incr) {
+          val (bx, by) = blockXY(s)
+          McVideoKernels.reconstructBlock(McVideoKernels.zeroCoef,
+            (x, y) => (prevRecon((by + y) * W + bx + x) & 0xff).toDouble,
+            recon, W, bx, by)
+          s += 1
+        }
+        bi += incr
+        if (bi >= nBlocks) return null
+        val (bx, by) = blockXY(bi)
+        val t = TypeDecoder.read(br)
+        if (br.bad) return null
+        if (t == 4) {
+          readIntraBlock(br, coef, 0)
+          if (br.bad) return null
+          McVideoKernels.reconstructBlock(coef, (_, _) => 128.0,
+            recon, W, bx, by)
+        } else {
+          val (mx, my) =
+            if (t == 2) (0, 0)
+            else {
+              val a = readMv(br); val b = readMv(br)
+              (a, b)
+            }
+          if (br.bad) return null
+          if (bx + mx < 0 || bx + mx + 8 > W ||
+              by + my < 0 || by + my + 8 > H) return null
+          if (t == 3) java.util.Arrays.fill(coef, 0)
+          else {
+            readInterBlock(br, coef)
+            if (br.bad) return null
+          }
+          McVideoKernels.reconstructBlock(coef,
+            (x, y) => (prevRecon((by + y + my) * W + bx + x + mx) & 0xff).toDouble,
+            recon, W, bx, by)
+        }
+      }
+    }
+    // byte-boundary padding must be zero bits, then exact end
+    while (br.bitPos % 8 != 0) if (br.bit() != 0 || br.bad) return null
+    if (br.bitPos != br.bitEnd) return null
+    recon
+  }
+
+  /** The VLC twin of [[McVideoKernels.mcRoundTripStats]]: the same
+    * planted-global-motion frames and the SAME frame plans, serialized
+    * with the Annex-B VLC layer into a 'GMV1' AVI, chain-decoded and
+    * certified — `struct<width, height, fps, n_frames, err_in_bound,
+    * recon_exact, mv_engaged, inter_saves, trunc_rejected,
+    * vlc_smaller>`. The first five attestations mean what they mean on
+    * the byte codec ([[McVideoKernels.mcRoundTripStats]]), with
+    * `inter_saves` comparing against a VLC all-intra coding of the
+    * same frames; `vlc_smaller` attests the VLC stream total is
+    * strictly smaller than the byte coder's for the identical plans —
+    * the point of entropy coding. Null if anything fails to decode. */
+  def mcVlcRoundTripStats(seed: Long, width: Int, height: Int,
+                          nFrames: Int, fps: Int): InternalRow =
+    // an out-of-Annex-B-range coefficient (|level| > 255 — possible
+    // only on adversarial content far outside the synth scenes'
+    // bounded amplitude) surfaces as the kernel's null contract, not
+    // a throw inside an expression
+    try mcVlcRoundTripStatsImpl(seed, width, height, nFrames, fps)
+    catch { case _: IllegalArgumentException => null }
+
+  private def mcVlcRoundTripStatsImpl(seed: Long, width: Int, height: Int,
+                                      nFrames: Int, fps: Int): InternalRow = {
+    if (nFrames <= 1 || nFrames > 256 || width <= 0 || height <= 0 ||
+        width.toLong * height * nFrames > (1 << 24)) return null
+    val W = McVideoKernels.pad8(width); val H = McVideoKernels.pad8(height)
+    val src = McVideoKernels.synthGlobalMotion(seed, width, height, nFrames)
+    val padded = src.map(McVideoKernels.padCanvas(_, width, height))
+    val enc = new Array[Array[Byte]](nFrames)
+    val encRecons = new Array[Array[Byte]](nFrames)
+    val mvUsed = new Array[Boolean](1)
+    val dummy = new Array[Boolean](1)
+    var interBytes = 0L
+    var intraBytes = 0L
+    var vlcTotal = 0L
+    var byteTotal = 0L
+    var prevRecon: Array[Byte] = null
+    var f = 0
+    while (f < nFrames) {
+      val (plans, recon, _) =
+        McVideoKernels.planFrame(padded(f), prevRecon, W, H, mvUsed)
+      val bits = serializeVlc(f == 0, plans)
+      enc(f) = bits
+      encRecons(f) = recon
+      vlcTotal += bits.length
+      byteTotal += McVideoKernels.serializeBytes(f == 0, plans).length
+      if (f > 0) {
+        interBytes += bits.length
+        // the all-intra alternative, in the SAME entropy coder's terms
+        val (iPlans, _, _) =
+          McVideoKernels.planFrame(padded(f), null, W, H, dummy)
+        intraBytes += serializeVlc(true, iPlans).length
+      }
+      prevRecon = recon
+      f += 1
+    }
+    val avi = AviKernels.aviEncodeGmv(width, height, fps, enc)
+    if (avi == null) return null
+    val vid = AviKernels.aviDecodeGmv(avi)
+    if (vid == null || vid.width != width || vid.height != height ||
+        vid.frames.length != nFrames) return null
+    var errInBound = true
+    var reconExact = true
+    var decPrev: Array[Byte] = null
+    f = 0
+    while (f < nFrames) {
+      val dec = mcVlcDecodeFrame(vid.frames(f), decPrev, W, H)
+      if (dec == null) return null
+      if (!java.util.Arrays.equals(dec, encRecons(f))) reconExact = false
+      val cropped = McVideoKernels.cropCanvas(dec, width, height)
+      var i = 0
+      while (i < cropped.length) {
+        if (math.abs((cropped(i) & 0xff) - (src(f)(i) & 0xff)) >
+            JpegKernels.ErrBound) errInBound = false
+        i += 1
+      }
+      decPrev = dec
+      f += 1
+    }
+    val truncFrame = mcVlcDecodeFrame(
+      java.util.Arrays.copyOf(enc(0), enc(0).length - 1), null, W, H) == null
+    val truncRejected =
+      AviKernels.aviDecodeGmv(
+        java.util.Arrays.copyOf(avi, avi.length / 2)) == null && truncFrame
+    val r = new GenericInternalRow(10)
+    r.setInt(0, vid.width); r.setInt(1, vid.height); r.setInt(2, vid.fps)
+    r.setInt(3, vid.frames.length)
+    r.setBoolean(4, errInBound)
+    r.setBoolean(5, reconExact)
+    r.setBoolean(6, mvUsed(0))
+    r.setBoolean(7, interBytes < intraBytes)
+    r.setBoolean(8, truncRejected)
+    r.setBoolean(9, vlcTotal < byteTotal)
+    r
+  }
+}

@@ -525,6 +525,43 @@ object MediaExpressions {
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
 
+  private val mcVlcRoundTripType = StructType(
+    mcRoundTripType.fields :+
+      StructField("vlc_smaller", BooleanType, nullable = false))
+
+  /** [[McVideoRoundTrip]]'s VLC twin ([[McVlcKernels
+    * .mcVlcRoundTripStats]]): same planted motion, same frame plans,
+    * Annex-B-shaped entropy coding into a 'GMV1' AVI — one extra
+    * attestation `vlc_smaller` (the VLC stream beats the byte coder on
+    * the identical plans). */
+  case class McVlcVideoRoundTrip(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression, fps: Int)
+      extends QuaternaryExpression {
+    override def dataType: DataType = mcVlcRoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mc_vlc_video_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+      McVlcKernels.mcVlcRoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], n.asInstanceOf[Int], fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, n) => s"""
+        |${ev.value} = graft.functions.McVlcKernels.mcVlcRoundTripStats($seed, $w, $h, $n, $fps);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  def mcVlcVideoRoundTrip(seed: Column, width: Column, height: Column,
+                          nFrames: Column, fps: Int): Column =
+    ColumnBridge.column(McVlcVideoRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 

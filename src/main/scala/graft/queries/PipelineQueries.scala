@@ -1787,6 +1787,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The VLC-coded sibling: the SAME frame plans entropy-coded with
+    // the ISO/IEC 11172-2 Annex-B table layout (macroblock address
+    // increments, P macroblock types, motion codes, intra DC
+    // size/differential, run-level coefficient codes with the 6-bit
+    // escape — prefix-freeness machine-checked at class load) into a
+    // 'GMV1' AVI. Same five attestations, plus `vlc_smaller`: the VLC
+    // stream strictly beats the byte coder on identical plans — the
+    // point of entropy coding, certified per row.
+    "multimodal_video_vlc" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.mcVlcVideoRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 11 + 10 as int)"),
+            expr("cast(doc_id % 9 + 10 as int)"),
+            expr("cast(doc_id % 4 + 2 as int)"), fps = 12).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.fps").as("fps"), col("st.n_frames").as("n_frames"),
+          col("st.err_in_bound").as("err_in_bound"),
+          col("st.recon_exact").as("recon_exact"),
+          col("st.mv_engaged").as("mv_engaged"),
+          col("st.inter_saves").as("inter_saves"),
+          col("st.trunc_rejected").as("trunc_rejected"),
+          col("st.vlc_smaller").as("vlc_smaller"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame sampling through the TYPED Dataset surface (the API a
     // pipeline calls): documents become video MediaRecords (MJPEG-AVI,
     // 2..7 frames), Multimodal.sampleFrames + CodecDecoder returns
@@ -4150,6 +4178,22 @@ object PipelineQueries {
          true AS mv_engaged,
          true AS inter_saves,
          true AS trunc_rejected
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying like multimodal_video_mc, with the sixth
+    // attestation: the VLC stream must beat the byte coder per row.
+    "multimodal_video_vlc" ->
+      """SELECT doc_id,
+         CAST(doc_id % 11 + 10 AS INT) AS width,
+         CAST(doc_id % 9 + 10 AS INT) AS height,
+         CAST(12 AS INT) AS fps,
+         CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+         true AS err_in_bound,
+         true AS recon_exact,
+         true AS mv_engaged,
+         true AS inter_saves,
+         true AS trunc_rejected,
+         true AS vlc_smaller
          FROM documents ORDER BY doc_id""",
 
     // Self-certifying (see the query comment): DuckDB replays the dims
