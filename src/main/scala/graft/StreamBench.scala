@@ -23,6 +23,9 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("docsstream")) {
       docsStreamIngest(spark, n.toInt, batches); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("gatedstream")) {
+      gatedStreamIngest(spark, n.toInt, batches); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_STREAM").contains("docs")) {
       docsIngest(spark, n.toInt, batches); spark.stop(); return
     }
@@ -301,6 +304,130 @@ object StreamBench {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
       }
     }
+  }
+
+  /** MODEL-GATED streaming ingest end-to-end
+    * (`SPARK_GRAFT_STREAM=gatedstream`): the
+    * [[graft.streaming.StreamingIngest.docsStreamGated]] composition —
+    * trained LM perplexity cutoff + NB classifier in front of the
+    * bloom/LSH/span admission — timed against the UNGATED
+    * [[graft.streaming.StreamingIngest.docsStream]] on identical batch
+    * shapes (80% fresh clean, 10% disjoint-vocabulary junk the models
+    * must catch, 10% exact corpus dups the dedup stages must catch),
+    * plus each gate stage timed in ISOLATION on one batch so the gate's
+    * cost is attributed per stage, not inferred from the difference.
+    * Models are trained once on the trusted corpus and pinned
+    * (localCheckpoint) before the stream starts — the deployment
+    * shape. */
+  private def gatedStreamIngest(spark: SparkSession, n: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    import graft.operators.TextAnalysis
+    val corpus = synthDocs(spark) _
+    def junkDocs(from: Long, nDocs: Long, salt: Int) =
+      spark.range(from, from + nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(59)),
+            i => concat(lit("zzq"),
+              pmod(xxhash64(col("id"), i, lit(salt)), lit(50000))))).as("text"))
+    val batchN = math.max(n / 4, 1)
+    def batchOf(b: Int): org.apache.spark.sql.DataFrame = {
+      val fresh = corpus(n.toLong + b.toLong * batchN, batchN * 8L / 10, b + 1)
+      val junk = junkDocs(10000000L + b.toLong * batchN, batchN / 10, b + 17)
+      val dups = corpus((b % 4).toLong * batchN, batchN / 10, 0)
+        .select((col("doc_id") + n.toLong * (batches + 2 + b)).as("doc_id"),
+          col("text"))
+      fresh.unionByName(junk).unionByName(dups)
+    }
+    // models: LM on the trusted corpus (cutoff = its p99.9 self-score +
+    // margin), NB on trusted-vs-junk labels — trained once, pinned
+    val tm = System.nanoTime()
+    val lm0 = TextAnalysis.ngramTrain(corpus(0, n, 0), col("text"), minCount = 2)
+    val lm = lm0.copy(uni = lm0.uni.localCheckpoint(true),
+      bi = lm0.bi.localCheckpoint(true), tri = lm0.tri.localCheckpoint(true),
+      total = lm0.total.localCheckpoint(true))
+    val cutoff = TextAnalysis.ngramScore(corpus(0, n, 0), col("doc_id"),
+        col("text"), lm)
+      .agg(expr("percentile(avg_neg_logp, 0.999)")).head().getDouble(0) + 0.5
+    val labeled = corpus(0, n, 0).withColumn("y", lit(true))
+      .unionByName(junkDocs(20000000L, n / 4, 99).withColumn("y", lit(false)))
+    val nb0 = TextAnalysis.nbTrain(labeled, col("y"), col("text"))
+    val nb = nb0.copy(tok = nb0.tok.localCheckpoint(true),
+      totals = nb0.totals.localCheckpoint(true))
+    val gate = IngestApp.ModelGate(lm = Some((lm, cutoff)), nb = Some(nb))
+    val trainSec = (System.nanoTime() - tm) / 1e9
+
+    def runStream(gated: Boolean): (Double, Long, Long, Map[String, Long]) = {
+      val p = if (gated) "gated_stream_store" else "ungated_stream_store"
+      IndexStore.dropDocs(spark, p)
+      val srcDir = java.nio.file.Files.createTempDirectory("gate-src").toString
+      val outDir = java.nio.file.Files.createTempDirectory("gate-out").toString
+      try {
+        IndexStore.buildDocs(corpus(0, n, 0), col("doc_id"), col("text"), p)
+        var total = 0L
+        (0 until batches).foreach { b =>
+          val batch = batchOf(b)
+          total += batch.count()
+          batch.coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        val t0 = System.nanoTime()
+        val q =
+          if (gated)
+            graft.streaming.StreamingIngest.docsStreamGated(spark, srcDir, p,
+              outDir, minQuality = 0.0, models = gate,
+              readerOptions = Map("maxFilesPerTrigger" -> "1"))
+          else
+            graft.streaming.StreamingIngest.docsStream(spark, srcDir, p,
+              outDir, readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val admitted = spark.table(IndexStore.docsTable(p)).count() - n
+        val reasons = spark.read.parquet(s"$outDir/rejects")
+          .groupBy(col("reason")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (sec, total, admitted, reasons)
+      } finally {
+        IndexStore.dropDocs(spark, p)
+        Seq(srcDir, outDir).foreach { d =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        }
+      }
+    }
+
+    val (gSec, gTotal, gAdmitted, gReasons) = runStream(gated = true)
+    val (uSec, uTotal, uAdmitted, uReasons) = runStream(gated = false)
+
+    // per-stage attribution on ONE materialized batch against a fresh
+    // store (admission only, nothing appended)
+    val p = "gate_attr_store"
+    IndexStore.dropDocs(spark, p)
+    val stage =
+      try {
+        IndexStore.buildDocs(corpus(0, n, 0), col("doc_id"), col("text"), p)
+        val batch = batchOf(0).localCheckpoint(true)
+        def timed(f: => Long): (Double, Long) = {
+          val t = System.nanoTime()
+          val c = f
+          ((System.nanoTime() - t) / 1e9, c)
+        }
+        val (qualSec, _) = timed(
+          IngestApp.qualityRejects(batch, minQuality = 0.5).count())
+        val (lmSec, lmRej) = timed(
+          TextAnalysis.ngramScore(batch, col("doc_id"), col("text"), lm)
+            .filter(col("avg_neg_logp") > cutoff).count())
+        val (nbSec, nbRej) = timed(
+          TextAnalysis.nbScore(batch, col("doc_id"), col("text"), nb)
+            .filter(!col("predict_pos")).count())
+        val (dedupSec, dedupRej) = timed(
+          IngestApp.admitDocs(spark, p, batch)._2
+            .select(col("doc_id")).distinct().count())
+        f""""stage_quality_sec":$qualSec%.2f,"stage_lm_sec":$lmSec%.2f,"stage_lm_rejects":$lmRej,"stage_nb_sec":$nbSec%.2f,"stage_nb_rejects":$nbRej,"stage_dedup_sec":$dedupSec%.2f,"stage_dedup_rejects":$dedupRej"""
+      } finally IndexStore.dropDocs(spark, p)
+
+    def reasonsJson(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"gated_stream_docs_per_sec","gated_value":${gTotal / gSec}%.0f,"ungated_value":${uTotal / uSec}%.0f,"docs":$gTotal,"corpus":$n,"batches":$batches,"gated_sec":$gSec%.2f,"ungated_sec":$uSec%.2f,"train_sec":$trainSec%.2f,"lm_cutoff":$cutoff%.3f,"gated_admitted":$gAdmitted,"ungated_admitted":$uAdmitted,"gated_reasons":${reasonsJson(gReasons)},"ungated_reasons":${reasonsJson(uReasons)},$stage}""")
   }
 
   /** Maintenance-operation cost on a GROWN docs store
