@@ -592,6 +592,29 @@ object ScaleProbe {
         println(f"""{"metric":"mc_video_scale","docs":$n,"w":$w,"h":$h,"frames":$nf,"all_green":$ok,"sec":$sec%.2f,"mpix_per_sec":$mpix%.1f}""")
       }
 
+      // The VLC entropy layer's throughput cost at the same realistic
+      // frame size: the full GMV1 certification round trip (which also
+      // byte-serializes every plan for the vlc_smaller attestation and
+      // VLC-codes an all-intra alternative per P frame — so this deck is
+      // strictly MORE work per doc than the byte probe's), all six
+      // attestations required green.
+      if (on("mcvlc")) {
+        import graft.functions.MediaExpressions
+        val (w, h, nf) = (64, 48, 8)
+        val t0 = System.nanoTime()
+        val ok = spark.range(n.toLong)
+          .select(MediaExpressions.mcVlcVideoRoundTrip(col("id"),
+            lit(w), lit(h), lit(nf), fps = 12).as("st"))
+          .agg(sum(when(col("st.recon_exact") && col("st.err_in_bound") &&
+              col("st.mv_engaged") && col("st.inter_saves") &&
+              col("st.trunc_rejected") && col("st.vlc_smaller"), 1L)
+            .otherwise(0L)))
+          .collect()(0).getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mpix = n.toLong * w * h * nf / sec / 1e6
+        println(f"""{"metric":"mc_vlc_scale","docs":$n,"w":$w,"h":$h,"frames":$nf,"all_green":$ok,"sec":$sec%.2f,"mpix_per_sec":$mpix%.1f}""")
+      }
+
       // Streaming PCA at scale: fold three n-vector micro-batches into
       // the fenced moment table — per batch the cost is ONE d²-state
       // aggregate of the batch (constant in the stored history), and

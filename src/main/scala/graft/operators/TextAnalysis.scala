@@ -1108,9 +1108,13 @@ object TextAnalysis {
     * Past the threshold the failure is BY NAME with the `minCount` lever
     * in the message; pass `allowShuffle = true` to deliberately train an
     * over-threshold model, which [[ngramScore]] then joins WITHOUT
-    * broadcast hints — the priced shuffle regime, entered loudly. On the
-    * common pruned path the guard's whole cost is the one map-side
-    * pre-screen scan. */
+    * broadcast hints — the priced shuffle regime, entered loudly. A
+    * session that DISABLED auto-broadcast (a non-positive threshold,
+    * e.g. "-1" — parsed with Spark's own leading-minus semantics) is
+    * honored the same way: the model trains unhinted and the joins run
+    * in the planner's shuffle regime, which is what the user asked for.
+    * On the common pruned path the guard's whole cost is the one
+    * map-side pre-screen scan. */
   def ngramTrain(corpus: DataFrame, text: Column, minCount: Int = 1,
                  allowShuffle: Boolean = false): NgramModel = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
@@ -1378,4 +1382,37 @@ object TextAnalysis {
   def nbQuality(docs: DataFrame, id: Column, label: Column,
                 text: Column): DataFrame =
     nbScore(docs, id, text, nbTrain(docs, label, text))
+
+  /** HELD-OUT evaluation of a trained classifier — the calibration
+    * report an operator reads before trusting a model with admission
+    * decisions: score `docs` (carrying TRUE labels) under `model` and
+    * roll up the one-row confusion matrix with the derived
+    * precision / recall / accuracy (engine-exact [[quant6]] quotients;
+    * null when the denominator is empty — never a fabricated 0 or 1).
+    * Token-less documents carry no evidence and are out of scope (the
+    * [[nbScore]] convention). One map-side scoring pass against the
+    * broadcast model tables + one 1-row aggregate — evaluation costs
+    * one scan of the held-out slice regardless of model or corpus
+    * size. */
+  def nbEval(docs: DataFrame, id: Column, label: Column, text: Column,
+             model: NbModel): DataFrame = {
+    val scored = nbScore(docs, id, text, model)
+      .join(docs.select(id.as("doc_id"), label.as("y")), Seq("doc_id"))
+    scored
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predict_pos") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predict_pos") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("predict_pos") && !col("y"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("predict_pos") && col("y"), 1L).otherwise(0L)).as("fn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("tp") + col("fp") > 0, quant6(
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0, quant6(
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("recall"),
+        when(col("n_docs") > 0, quant6(
+          (col("tp") + col("tn")).cast("double") / col("n_docs")))
+          .as("accuracy"))
+  }
 }

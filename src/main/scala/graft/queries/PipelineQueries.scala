@@ -1897,6 +1897,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Classifier CALIBRATION on a held-out split — the report an
+    // operator reads before trusting the model gate: train NB on the
+    // doc_id % 4 != 0 slice (same parity label proxy as
+    // text_quality_model), evaluate on the disjoint % 4 == 0 slice —
+    // one-row confusion matrix + precision/recall/accuracy (quant6
+    // quotients, null on empty denominators). The oracle retrains on
+    // the same split and replays scoring + the rollup from scratch.
+    "text_classifier_eval" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val label = expr("cast(substring(source, 4, 8) as int) % 2 = 0")
+      val model = TextAnalysis.nbTrain(
+        t.documents.filter(col("doc_id") % 4 =!= 0), label, col("text"))
+      TextAnalysis.nbEval(t.documents.filter(col("doc_id") % 4 === 0),
+        col("doc_id"), label, col("text"), model)
+    },
+
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.documents
@@ -4445,6 +4461,61 @@ object PipelineQueries {
            round(CAST(sd + prior AS DOUBLE), 6) AS score,
            (sd + prior > CAST(0 AS DECIMAL(18,6))) AS predict_pos
          FROM agg CROSS JOIN pr ORDER BY doc_id""",
+
+    // Retrains NB on the % 4 != 0 split, replays scoring over the
+    // held-out % 4 == 0 slice (identical arithmetic to
+    // text_quality_model), then the confusion rollup with quant6
+    // precision/recall/accuracy.
+    "text_classifier_eval" ->
+      s"""WITH lab AS (SELECT doc_id,
+              (CAST(substring(source, 4, 8) AS INT) % 2 = 0) AS y, text
+            FROM documents),
+            trn AS (SELECT * FROM lab WHERE doc_id % 4 != 0),
+            hld AS (SELECT * FROM lab WHERE doc_id % 4 = 0),
+            tok AS (SELECT doc_id, y, unnest($tokensSql) AS token FROM trn),
+            cnt AS (SELECT token,
+                      sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+                    FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+                      count(*) AS vocab FROM cnt),
+            pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                      sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+                    FROM trn),
+            htok AS (SELECT doc_id, unnest($tokensSql) AS token FROM hld),
+            s AS (SELECT t.doc_id,
+                    CAST(round(ln(
+                      (CAST(coalesce(c.c_pos, 0) + 1 AS DOUBLE)
+                         / CAST(tot.tot_pos + tot.vocab AS DOUBLE))
+                      / (CAST(coalesce(c.c_neg, 0) + 1 AS DOUBLE)
+                         / CAST(tot.tot_neg + tot.vocab AS DOUBLE))), 6)
+                      AS DECIMAL(18,6)) AS llr
+                  FROM htok t LEFT JOIN cnt c ON t.token = c.token
+                    CROSS JOIN tot),
+            agg AS (SELECT doc_id, sum(llr) AS sd FROM s GROUP BY 1),
+            pr AS (SELECT CAST(round(ln(CAST(n_pos + 1 AS DOUBLE)
+                      / CAST(n_neg + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                      AS prior FROM pri),
+            verdicts AS (SELECT a.doc_id,
+                      (a.sd + pr.prior > CAST(0 AS DECIMAL(18,6))) AS p,
+                      h.y
+                    FROM agg a CROSS JOIN pr JOIN hld h USING (doc_id)),
+            cm AS (SELECT count(*) AS n_docs,
+                     sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn,
+                     sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn
+                   FROM verdicts)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fp))
+             * 1000000 + 0.5) / 1000000 END AS precision,
+           CASE WHEN tp + fn > 0 THEN floor((CAST(tp AS DOUBLE) / (tp + fn))
+             * 1000000 + 0.5) / 1000000 END AS recall,
+           CASE WHEN n_docs > 0 THEN floor((CAST(tp + tn AS DOUBLE) / n_docs)
+             * 1000000 + 0.5) / 1000000 END AS accuracy
+         FROM cm""",
 
     "token_freq_topk" ->
       s"""SELECT token, count(*) AS n

@@ -740,4 +740,36 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(empty.isEmpty)
   }
+
+  test("nbEval: hand-computed confusion matrix, quant6 quotients, null " +
+       "on empty denominators, token-less docs out of scope") {
+    val train = Seq(
+      (1L, true, "apple banana apple"), (2L, true, "banana cherry"),
+      (3L, false, "spam spam"), (4L, false, "spam junk cherry"))
+      .toDF("id", "y", "text")
+    val model = TextAnalysis.nbTrain(train, col("y"), col("text"))
+    // held out: apple->pos (TP), spam->neg (TN), spam but labeled
+    // pos (FN), apple but labeled neg (FP x2), blank (dropped)
+    val held = Seq(
+      (10L, true, "apple apple"), (11L, false, "spam"),
+      (12L, true, "spam junk"), (13L, false, "apple"),
+      (14L, false, "banana apple"), (15L, true, "   "))
+      .toDF("id", "y", "text")
+    val r = TextAnalysis.nbEval(held, col("id"), col("y"), col("text"),
+      model).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) == ((5L, 1L, 2L, 1L, 1L)),
+      row.toString)
+    // precision 1/3, recall 1/2, accuracy 2/5 — quant6'd
+    assert(row.getDouble(5) == 0.333333 && row.getDouble(6) == 0.5 &&
+      row.getDouble(7) == 0.4, row.toString)
+    // an all-negative-predicted slice: precision null, not fabricated
+    val r2 = TextAnalysis.nbEval(
+      Seq((20L, false, "spam spam"), (21L, true, "junk")).toDF("id", "y", "text"),
+      col("id"), col("y"), col("text"), model).collect()(0)
+    assert(r2.isNullAt(5) && r2.getDouble(6) == 0.0 && r2.getDouble(7) == 0.5,
+      r2.toString)
+  }
 }
