@@ -153,9 +153,14 @@ object McVideoKernels {
     * Annex-B-shaped VLC coder — both serialize the SAME plan, so their
     * reconstruction chains are identical by construction).
     * `mode`: -1 I-frame intra block (coef = intra coefficients),
-    * 0 skip, 1 MC only, 2 MC+residual (coef = residual), 3 P-intra. */
+    * 0 skip, 1 MC only, 2 MC+residual (coef = residual), 3 P-intra.
+    * `intraCoef` carries the block's INTRA coefficients for every
+    * P-frame block (the mode decision computes them anyway) — the
+    * all-intra alternative any serializer can price without a second
+    * planning pass; equals `coef` for mode 3 and for I-frame blocks. */
   private[graft] final class BlockPlan(val mode: Int, val mx: Int,
-                                       val my: Int, val coef: Array[Int])
+                                       val my: Int, val coef: Array[Int],
+                                       val intraCoef: Array[Int])
 
   /** Plan one frame: mode decision, motion search, quantized
     * coefficients, and the reconstruction — everything EXCEPT
@@ -185,7 +190,7 @@ object McVideoKernels {
         if (isI) {
           val coef = new Array[Int](64)
           intraCode(cur, W, bx, by, blockIn, coef)
-          plans(bi) = new BlockPlan(-1, 0, 0, coef)
+          plans(bi) = new BlockPlan(-1, 0, 0, coef, coef)
           reconstructBlock(coef, (_, _) => 128.0, recon, W, bx, by)
         } else {
           // full-search integer-pel MC against the previous recon,
@@ -232,16 +237,17 @@ object McVideoKernels {
           if (interCost <= intraCost) {
             if (bmx != 0 || bmy != 0) mvUsed(0) = true
             plans(bi) =
-              if (interZero && bmx == 0 && bmy == 0) new BlockPlan(0, 0, 0, null)
-              else if (interZero) new BlockPlan(1, bmx, bmy, null)
-              else new BlockPlan(2, bmx, bmy, coef)
+              if (interZero && bmx == 0 && bmy == 0)
+                new BlockPlan(0, 0, 0, null, intraCoef)
+              else if (interZero) new BlockPlan(1, bmx, bmy, null, intraCoef)
+              else new BlockPlan(2, bmx, bmy, coef, intraCoef)
             val (pmx, pmy) = (bmx, bmy)
             val cf = if (interZero) zeroCoef else coef
             reconstructBlock(cf,
               (x, y) => (prevRecon((by + y + pmy) * W + bx + x + pmx) & 0xff).toDouble,
               recon, W, bx, by)
           } else {
-            plans(bi) = new BlockPlan(3, 0, 0, intraCoef)
+            plans(bi) = new BlockPlan(3, 0, 0, intraCoef, intraCoef)
             reconstructBlock(intraCoef, (_, _) => 128.0, recon, W, bx, by)
           }
         }

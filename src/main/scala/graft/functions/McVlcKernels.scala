@@ -546,7 +546,6 @@ object McVlcKernels {
     val enc = new Array[Array[Byte]](nFrames)
     val encRecons = new Array[Array[Byte]](nFrames)
     val mvUsed = new Array[Boolean](1)
-    val dummy = new Array[Boolean](1)
     var interBytes = 0L
     var intraBytes = 0L
     var vlcTotal = 0L
@@ -563,9 +562,11 @@ object McVlcKernels {
       byteTotal += McVideoKernels.serializeBytes(f == 0, plans).length
       if (f > 0) {
         interBytes += bits.length
-        // the all-intra alternative, in the SAME entropy coder's terms
-        val (iPlans, _, _) =
-          McVideoKernels.planFrame(padded(f), null, W, H, dummy)
+        // the all-intra alternative, in the SAME entropy coder's terms —
+        // the plan already carries every block's intra coefficients
+        // (the mode decision computed them), so no second planning pass
+        val iPlans = plans.map(p =>
+          new McVideoKernels.BlockPlan(-1, 0, 0, p.intraCoef, p.intraCoef))
         intraBytes += serializeVlc(true, iPlans).length
       }
       prevRecon = recon

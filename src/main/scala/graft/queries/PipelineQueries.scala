@@ -115,8 +115,10 @@ object PipelineQueries {
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
+        // the delta-updated trainer — bit-identical merges
+        // (BpeFastTrainSpec), one corpus scan instead of 8 jobs
         val m = TextAnalysis.bpeMerges(
-          TextAnalysis.bpeTrain(Tables(s, dir).documents, col("text"),
+          TextAnalysis.bpeTrainFast(Tables(s, dir).documents, col("text"),
             nMerges = 8))
         // The DuckDB oracles replay all 8 rounds as chained CTEs and
         // cross-join `FROM tok, m1..m8` — a corpus degenerate enough to
@@ -138,9 +140,10 @@ object PipelineQueries {
     bpeByteMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
+        // fast trainer, bit-identical (see trainedMerges)
         val m = TextAnalysis.bpeMerges(
-          TextAnalysis.bpeTrainBytes(Tables(s, dir).documents, col("text"),
-            nMerges = 8))
+          TextAnalysis.bpeTrainBytesFast(Tables(s, dir).documents,
+            col("text"), nMerges = 8))
         require(m.size == 8,
           s"trainedByteMerges: corpus trained only ${m.size}/8 byte-level " +
             "BPE merges — too few repeated byte pairs for the 8-round " +
