@@ -382,6 +382,50 @@ object McVlcKernels {
     if (br.bad) 0 else add + v
   }
 
+  // ---- spec hooks: primitive-layer round trips on arbitrary inputs ----
+
+  /** Round-trip one non-intra coefficient block (≥ 1 nonzero, natural
+    * order) through the bit layer; returns the decoded block, or null
+    * if decode failed. Exercises the run-level tables AND all three
+    * escape level formats on inputs the query corpora never reach. */
+  private[graft] def interBlockRoundTrip(coef: Array[Int]): Array[Int] = {
+    val bw = new BitWriter
+    writeInterBlock(bw, coef)
+    bw.alignZero()
+    val br = new BitReader(bw.toByteArray, 0)
+    val out = new Array[Int](64)
+    readInterBlock(br, out)
+    if (br.bad) null else out
+  }
+
+  /** Round-trip a CHAIN of intra blocks (DC predictor threaded exactly
+    * as in a frame); null on decode failure. */
+  private[graft] def intraBlocksRoundTrip(blocks: Array[Array[Int]]): Array[Array[Int]] = {
+    val bw = new BitWriter
+    var pred = 0
+    blocks.foreach(b => pred = writeIntraBlock(bw, b, pred))
+    bw.alignZero()
+    val br = new BitReader(bw.toByteArray, 0)
+    val out = Array.fill(blocks.length)(new Array[Int](64))
+    var p = 0
+    out.foreach { b => p = readIntraBlock(br, b, p) }
+    if (br.bad) null else out
+  }
+
+  /** Round-trip motion codes and address increments (incl. repeated
+    * escapes for increments > 33); null on decode failure. */
+  private[graft] def mvMbaRoundTrip(mvs: Array[Int],
+                                    incrs: Array[Int]): (Array[Int], Array[Int]) = {
+    val bw = new BitWriter
+    mvs.foreach(writeMv(bw, _))
+    incrs.foreach(writeMba(bw, _))
+    bw.alignZero()
+    val br = new BitReader(bw.toByteArray, 0)
+    val m = mvs.map(_ => readMv(br))
+    val a = incrs.map(_ => readMba(br))
+    if (br.bad) null else (m, a)
+  }
+
   // ---- frame serialization over McVideoKernels plans ----
 
   /** Serialize one frame plan as the VLC bitstream (frame syntax in

@@ -52,6 +52,57 @@ class McVlcSpec extends SparkSpec {
     }
   }
 
+  test("primitive-layer fuzz: 2000 random coefficient blocks round-trip " +
+       "exactly — every table entry, every escape level format, " +
+       "chained DC predictors, MV/MBA escapes") {
+    val rnd = new scala.util.Random(0xC0DEC)
+    def randBlock(maxLevel: Int, allowEmpty: Boolean): Array[Int] = {
+      val c = new Array[Int](64)
+      val nnz = rnd.nextInt(12) + (if (allowEmpty) 0 else 1)
+      for (_ <- 0 until nnz) {
+        val mag = 1 + rnd.nextInt(maxLevel)
+        c(rnd.nextInt(64)) = if (rnd.nextBoolean()) mag else -mag
+      }
+      if (!allowEmpty && c.forall(_ == 0)) c(rnd.nextInt(64)) = 1
+      c
+    }
+    // inter blocks: levels across the whole Annex-B range, incl. the
+    // 128..255 / -255..-128 double-byte escape formats
+    for (i <- 0 until 2000) {
+      val maxLevel = Seq(1, 2, 7, 127, 255)(i % 5)
+      val c = randBlock(maxLevel, allowEmpty = false)
+      val got = V.interBlockRoundTrip(c)
+      assert(got != null && java.util.Arrays.equals(got, c),
+        s"inter block diverged (maxLevel $maxLevel): " +
+          s"${c.mkString(",")} -> ${if (got == null) "null" else got.mkString(",")}")
+    }
+    // intra chains: DC range through the full size-8 differential
+    // envelope (predictors chain, so diffs swing -255..255)
+    for (_ <- 0 until 400) {
+      val blocks = Array.fill(rnd.nextInt(6) + 1) {
+        val b = randBlock(120, allowEmpty = true)
+        b(0) = rnd.nextInt(256) - 128 // DC in [-128, 127]
+        b
+      }
+      val got = V.intraBlocksRoundTrip(blocks)
+      assert(got != null && got.length == blocks.length &&
+        got.indices.forall(i => java.util.Arrays.equals(got(i), blocks(i))))
+    }
+    // MVs over the full coded range, MBA increments through repeated
+    // escapes (1..200 covers 1x..5x the +33 escape)
+    for (_ <- 0 until 200) {
+      val mvs = Array.fill(8)(rnd.nextInt(15) - 7)
+      val incrs = Array.fill(8)(1 + rnd.nextInt(200))
+      val got = V.mvMbaRoundTrip(mvs, incrs)
+      assert(got != null && got._1.toSeq == mvs.toSeq &&
+        got._2.toSeq == incrs.toSeq, s"${mvs.toSeq} / ${incrs.toSeq}")
+    }
+    // out-of-range inputs fail BY NAME, not silently
+    val big = new Array[Int](64); big(5) = 256
+    val e = intercept[IllegalArgumentException](V.interBlockRoundTrip(big))
+    assert(e.getMessage.contains("Annex-B range"), e.getMessage)
+  }
+
   test("malformation rejection: truncations at every prefix, trailing " +
        "bytes, nonzero padding, bad type, off-canvas MV") {
     val (w, h) = (16, 16)
