@@ -433,6 +433,20 @@ object McVlcKernels {
   private[graft] def serializeVlc(isI: Boolean,
                                   plans: Array[McVideoKernels.BlockPlan]): Array[Byte] = {
     val bw = new BitWriter
+    writeFrameBody(bw, isI, plans)
+    bw.alignZero()
+    val body = bw.toByteArray
+    val out = new Array[Byte](body.length + 1)
+    out(0) = (if (isI) 'I' else 'P').toByte
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
+
+  /** The macroblock-layer bitstream of one frame plan — shared by the
+    * 'GMV1' frame serialization and the elementary-stream picture
+    * payload (which wraps it in start-coded headers). */
+  private def writeFrameBody(bw: BitWriter, isI: Boolean,
+                             plans: Array[McVideoKernels.BlockPlan]): Unit = {
     if (isI) {
       var dcPred = 0
       var bi = 0
@@ -473,12 +487,6 @@ object McVlcKernels {
         bi += 1
       }
     }
-    bw.alignZero()
-    val body = bw.toByteArray
-    val out = new Array[Byte](body.length + 1)
-    out(0) = (if (isI) 'I' else 'P').toByte
-    System.arraycopy(body, 0, out, 1, body.length)
-    out
   }
 
   /** Decode one VLC frame over the previous PADDED reconstruction
@@ -492,11 +500,24 @@ object McVlcKernels {
     val isI = data(0) == 'I'
     if (!isI && data(0) != 'P') return null
     if (!isI && prevRecon == null) return null
+    val br = new BitReader(data, 1)
+    val recon = readFrameBody(br, isI, prevRecon, W, H)
+    if (recon == null) return null
+    // byte-boundary padding must be zero bits, then exact end
+    while (br.bitPos % 8 != 0) if (br.bit() != 0 || br.bad) return null
+    if (br.bitPos != br.bitEnd) return null
+    recon
+  }
+
+  /** Parse one frame's macroblock layer from the reader's current
+    * position; returns the padded reconstruction or null on
+    * malformation (reader left wherever the failure occurred). */
+  private def readFrameBody(br: BitReader, isI: Boolean,
+                            prevRecon: Array[Byte], W: Int, H: Int): Array[Byte] = {
     val nBlocks = (W / 8) * (H / 8)
     val blocksPerRow = W / 8
     val recon = new Array[Byte](W * H)
     val coef = new Array[Int](64)
-    val br = new BitReader(data, 1)
     @inline def blockXY(bi: Int): (Int, Int) =
       ((bi % blocksPerRow) * 8, (bi / blocksPerRow) * 8)
     if (isI) {
@@ -554,10 +575,167 @@ object McVlcKernels {
         }
       }
     }
-    // byte-boundary padding must be zero bits, then exact end
-    while (br.bitPos % 8 != 0) if (br.bit() != 0 || br.bad) return null
-    if (br.bitPos != br.bitEnd) return null
     recon
+  }
+
+  // ---- MPEG-1-shaped ELEMENTARY STREAM framing (ISO/IEC 11172-2 §2.4) ----
+
+  /** Picture-rate enumeration (§2.4.3.2), code 1..8 → Hz. The 4-bit
+    * field cannot carry an arbitrary fps (e.g. 12), so the ES stamps
+    * the NEAREST enumerated rate and the container fps remains the
+    * playback authority — documented, not silently wrong. */
+  private val PictureRates =
+    Array(23.976, 24.0, 25.0, 29.97, 30.0, 50.0, 59.94, 60.0)
+  private def rateCode(fps: Int): Int = {
+    var best = 1
+    var bd = Double.MaxValue
+    var i = 0
+    while (i < PictureRates.length) {
+      val d = math.abs(PictureRates(i) - fps)
+      if (d < bd) { bd = d; best = i + 1 }
+      i += 1
+    }
+    best
+  }
+
+  /** Frame plans → ONE MPEG-1-video-SHAPED elementary stream:
+    * sequence header (B3: dims, aspect, enumerated rate, variable
+    * bit-rate, default quantizer matrices), GOP header (B8), and per
+    * frame a picture header (00: temporal reference, I/P type, vbv
+    * delay, full-pel forward vector with f_code 1 — our vectors are
+    * integer-pel) + one slice (01: quantizer_scale, then the
+    * macroblock layer [[writeFrameBody]] emits), closed by a
+    * sequence_end code (B7). Every header sits behind a byte-aligned
+    * 0x000001 start code; the VLC grammar's zero runs are bounded far
+    * under the 23 zeros a start code needs, so payload bytes can never
+    * emulate one — certified by the start-code census in the stats
+    * kernel. Honest scope: one GOP, one slice per picture, 8×8
+    * "macroblocks", the codec's fixed quantizer — stream-SHAPED per
+    * §2.4's layering, not a conformance claim. */
+  private[graft] def mcVlcEncodeEs(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[McVideoKernels.BlockPlan]]): Array[Byte] = {
+    require(width >= 1 && width < 4096 && height >= 1 && height < 4096,
+      s"mcVlcEncodeEs: dims ${width}x$height outside the 12-bit fields")
+    val bw = new BitWriter
+    def startCode(code: Int): Unit = {
+      bw.alignZero(); bw.putBits(0, 16); bw.putBits(1, 8); bw.putBits(code, 8)
+    }
+    startCode(0xB3) // sequence header
+    bw.putBits(width, 12); bw.putBits(height, 12)
+    bw.putBits(1, 4) // pel_aspect_ratio '0001'
+    bw.putBits(rateCode(fps), 4)
+    bw.putBits(0x3FFFF, 18) // bit_rate: variable
+    bw.putBits(1, 1) // marker
+    bw.putBits(0, 10) // vbv_buffer_size
+    bw.putBits(0, 3) // constrained flag, both load-matrix flags
+    startCode(0xB8) // GOP header
+    bw.putBits(0, 12); bw.putBits(1, 1); bw.putBits(0, 12) // time_code (marker mid)
+    bw.putBits(1, 1) // closed_gop
+    bw.putBits(0, 1) // broken_link
+    var f = 0
+    frames.foreach { plans =>
+      startCode(0x00) // picture
+      bw.putBits(f % 1024, 10) // temporal_reference (display == coded order)
+      bw.putBits(if (f == 0) 1 else 2, 3) // picture_coding_type I/P
+      bw.putBits(0xFFFF, 16) // vbv_delay: variable
+      if (f > 0) {
+        bw.putBits(1, 1) // full_pel_forward_vector: integer-pel MVs
+        bw.putBits(1, 3) // forward_f_code = 1
+      }
+      startCode(0x01) // slice 1
+      bw.putBits(4, 5) // quantizer_scale (display; the quantizer is fixed)
+      bw.putBits(0, 1) // extra_bit_slice
+      writeFrameBody(bw, f == 0, plans)
+      f += 1
+    }
+    startCode(0xB7) // sequence_end
+    bw.alignZero()
+    bw.toByteArray
+  }
+
+  private[graft] final case class EsVideo(width: Int, height: Int,
+                                          rateCode: Int,
+                                          recons: Array[Array[Byte]])
+
+  /** Parse an [[mcVlcEncodeEs]] stream: headers validated field by
+    * field (markers, start codes in order, temporal references,
+    * full-pel/f_code convention, quantizer range), each picture's
+    * macroblock layer chain-decoded over the reconstruction chain.
+    * Null on ANY malformation, including trailing bytes or a missing
+    * sequence_end. */
+  private[graft] def mcVlcDecodeEs(data: Array[Byte]): EsVideo = {
+    if (data == null || data.length < 16) return null
+    val br = new BitReader(data, 0)
+    def align(): Boolean = {
+      while (br.bitPos % 8 != 0) if (br.bit() != 0 || br.bad) return false
+      true
+    }
+    def expectStart(code: Int): Boolean =
+      align() && br.bits(24) == 1 && br.bits(8) == code && !br.bad
+    if (!expectStart(0xB3)) return null
+    val width = br.bits(12); val height = br.bits(12)
+    if (br.bad || width < 1 || height < 1) return null
+    if (br.bits(4) != 1) return null // aspect
+    val rc = br.bits(4)
+    if (br.bad || rc < 1 || rc > 8) return null
+    br.bits(18) // bit_rate
+    if (br.bits(1) != 1) return null // marker
+    br.bits(10) // vbv
+    if (br.bits(3) != 0 || br.bad) return null // constrained + matrix flags
+    if (!expectStart(0xB8)) return null
+    br.bits(12)
+    if (br.bits(1) != 1) return null // time_code marker
+    br.bits(12)
+    br.bits(2) // closed_gop + broken_link
+    if (br.bad) return null
+    val W = McVideoKernels.pad8(width); val H = McVideoKernels.pad8(height)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var prev: Array[Byte] = null
+    var done = false
+    var f = 0
+    while (!done) {
+      if (!align()) return null
+      if (br.bits(24) != 1 || br.bad) return null
+      br.bits(8) match {
+        case 0xB7 => done = true
+        case 0x00 =>
+          if (br.bits(10) != f % 1024) return null // temporal_reference
+          val ptype = br.bits(3)
+          if (br.bad || (ptype != 1 && ptype != 2)) return null
+          if (ptype == 2 && prev == null) return null
+          br.bits(16) // vbv_delay
+          if (ptype == 2 &&
+              (br.bits(1) != 1 || br.bits(3) != 1)) return null
+          if (br.bad) return null
+          if (!expectStart(0x01)) return null
+          val q = br.bits(5)
+          if (br.bad || q < 1 || q > 31) return null
+          if (br.bits(1) != 0) return null // extra_bit_slice
+          val recon = readFrameBody(br, ptype == 1, prev, W, H)
+          if (recon == null) return null
+          out += recon
+          prev = recon
+          f += 1
+        case _ => return null
+      }
+    }
+    if (!align()) return null
+    if (br.bitPos != br.bitEnd || out.isEmpty) return null
+    EsVideo(width, height, rc, out.toArray)
+  }
+
+  /** Byte-aligned 0x000001 occurrences across EVERY offset — what a
+    * resyncing decoder would find. The stats kernel requires this to
+    * equal the number of EMITTED start codes, certifying the payload
+    * never emulates one. */
+  private[graft] def startCodeCensus(b: Array[Byte]): Int = {
+    var c = 0
+    var i = 0
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) c += 1
+      i += 1
+    }
+    c
   }
 
   /** The VLC twin of [[McVideoKernels.mcRoundTripStats]]: the same
@@ -570,7 +748,11 @@ object McVlcKernels {
     * `inter_saves` comparing against a VLC all-intra coding of the
     * same frames; `vlc_smaller` attests the VLC stream total is
     * strictly smaller than the byte coder's for the identical plans —
-    * the point of entropy coding. Null if anything fails to decode. */
+    * the point of entropy coding; `es_roundtrip` attests the
+    * MPEG-1-shaped elementary stream ([[mcVlcEncodeEs]]) chain-decodes
+    * to the same reconstructions, rejects truncation, and contains
+    * EXACTLY the emitted start codes (no payload emulation). Null if
+    * anything fails to decode. */
   def mcVlcRoundTripStats(seed: Long, width: Int, height: Int,
                           nFrames: Int, fps: Int): InternalRow =
     // an out-of-Annex-B-range coefficient (|level| > 255 — possible
@@ -589,6 +771,7 @@ object McVlcKernels {
     val padded = src.map(McVideoKernels.padCanvas(_, width, height))
     val enc = new Array[Array[Byte]](nFrames)
     val encRecons = new Array[Array[Byte]](nFrames)
+    val allPlans = new Array[Array[McVideoKernels.BlockPlan]](nFrames)
     val mvUsed = new Array[Boolean](1)
     var interBytes = 0L
     var intraBytes = 0L
@@ -602,6 +785,7 @@ object McVlcKernels {
       val bits = serializeVlc(f == 0, plans)
       enc(f) = bits
       encRecons(f) = recon
+      allPlans(f) = plans
       vlcTotal += bits.length
       byteTotal += McVideoKernels.serializeBytes(f == 0, plans).length
       if (f > 0) {
@@ -644,7 +828,19 @@ object McVlcKernels {
     val truncRejected =
       AviKernels.aviDecodeGmv(
         java.util.Arrays.copyOf(avi, avi.length / 2)) == null && truncFrame
-    val r = new GenericInternalRow(10)
+    // the MPEG-1-shaped ELEMENTARY STREAM over the same plans:
+    // chain-decode equals the shared recon chain, truncation rejects,
+    // and the start-code census proves the payload never emulates a
+    // start code (the bounded-zero-run property, measured not assumed)
+    val es = mcVlcEncodeEs(width, height, fps, allPlans.toSeq)
+    val esv = mcVlcDecodeEs(es)
+    val esOk = esv != null && esv.width == width && esv.height == height &&
+      esv.recons.length == nFrames &&
+      esv.recons.indices.forall(i =>
+        java.util.Arrays.equals(esv.recons(i), encRecons(i))) &&
+      mcVlcDecodeEs(java.util.Arrays.copyOf(es, es.length - 1)) == null &&
+      startCodeCensus(es) == 3 + 2 * nFrames
+    val r = new GenericInternalRow(11)
     r.setInt(0, vid.width); r.setInt(1, vid.height); r.setInt(2, vid.fps)
     r.setInt(3, vid.frames.length)
     r.setBoolean(4, errInBound)
@@ -653,6 +849,7 @@ object McVlcKernels {
     r.setBoolean(7, interBytes < intraBytes)
     r.setBoolean(8, truncRejected)
     r.setBoolean(9, vlcTotal < byteTotal)
+    r.setBoolean(10, esOk)
     r
   }
 }

@@ -526,14 +526,17 @@ object MediaExpressions {
       ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
 
   private val mcVlcRoundTripType = StructType(
-    mcRoundTripType.fields :+
-      StructField("vlc_smaller", BooleanType, nullable = false))
+    mcRoundTripType.fields ++ Seq(
+      StructField("vlc_smaller", BooleanType, nullable = false),
+      StructField("es_roundtrip", BooleanType, nullable = false)))
 
   /** [[McVideoRoundTrip]]'s VLC twin ([[McVlcKernels
     * .mcVlcRoundTripStats]]): same planted motion, same frame plans,
-    * Annex-B-shaped entropy coding into a 'GMV1' AVI — one extra
-    * attestation `vlc_smaller` (the VLC stream beats the byte coder on
-    * the identical plans). */
+    * Annex-B-shaped entropy coding into a 'GMV1' AVI — two extra
+    * attestations: `vlc_smaller` (the VLC stream beats the byte coder
+    * on the identical plans) and `es_roundtrip` (the MPEG-1-shaped
+    * elementary stream decodes to the same reconstructions with no
+    * start-code emulation). */
   case class McVlcVideoRoundTrip(first: Expression, second: Expression,
                                  third: Expression, fourth: Expression, fps: Int)
       extends QuaternaryExpression {

@@ -1795,9 +1795,14 @@ object PipelineQueries {
     // increments, P macroblock types, motion codes, intra DC
     // size/differential, run-level coefficient codes with the 6-bit
     // escape — prefix-freeness machine-checked at class load) into a
-    // 'GMV1' AVI. Same five attestations, plus `vlc_smaller`: the VLC
+    // 'GMV1' AVI. Same five attestations, plus `vlc_smaller` (the VLC
     // stream strictly beats the byte coder on identical plans — the
-    // point of entropy coding, certified per row.
+    // point of entropy coding) and `es_roundtrip` (the MPEG-1-shaped
+    // start-coded ELEMENTARY STREAM — sequence/GOP/picture/slice
+    // headers per ISO/IEC 11172-2 §2.4 — chain-decodes to the same
+    // reconstructions, rejects truncation, and its start-code census
+    // proves the payload never emulates a start code), certified per
+    // row.
     "multimodal_video_vlc" -> { (s, dir) =>
       import graft.functions.MediaExpressions
       Tables(s, dir).documents
@@ -1814,7 +1819,8 @@ object PipelineQueries {
           col("st.mv_engaged").as("mv_engaged"),
           col("st.inter_saves").as("inter_saves"),
           col("st.trunc_rejected").as("trunc_rejected"),
-          col("st.vlc_smaller").as("vlc_smaller"))
+          col("st.vlc_smaller").as("vlc_smaller"),
+          col("st.es_roundtrip").as("es_roundtrip"))
         .orderBy(col("doc_id"))
     },
 
@@ -4212,7 +4218,8 @@ object PipelineQueries {
          true AS mv_engaged,
          true AS inter_saves,
          true AS trunc_rejected,
-         true AS vlc_smaller
+         true AS vlc_smaller,
+         true AS es_roundtrip
          FROM documents ORDER BY doc_id""",
 
     // Self-certifying (see the query comment): DuckDB replays the dims

@@ -137,12 +137,12 @@ class McVlcSpec extends SparkSpec {
     assert(V.mcVlcDecodeFrame(vlcBits(0), null, 12, 16) == null)
   }
 
-  test("'GMV1' AVI + end-to-end stats: all six attestations green over " +
-       "the query's full parameter lattice") {
+  test("'GMV1' AVI + end-to-end stats: all seven attestations green " +
+       "over the query's full parameter lattice") {
     val st = V.mcVlcRoundTripStats(3L, 18, 12, 3, 12)
     assert(st != null)
     assert(st.getInt(0) == 18 && st.getInt(1) == 12 && st.getInt(3) == 3)
-    assert((4 to 9).forall(st.getBoolean), st.toString)
+    assert((4 to 10).forall(st.getBoolean), st.toString)
     // the exact (width, height, nFrames) lattice the registered query
     // derives from doc_id — every combination must certify, so sf0.1
     // can never hit an uncovered shape
@@ -150,7 +150,7 @@ class McVlcSpec extends SparkSpec {
       val s = V.mcVlcRoundTripStats(wm * 100L + hm * 10L + nm,
         wm + 10, hm + 10, nm + 2, 12)
       assert(s != null, s"null stats at ${wm + 10}x${hm + 10}, ${nm + 2} frames")
-      assert((4 to 9).forall(s.getBoolean),
+      assert((4 to 10).forall(s.getBoolean),
         s"attestation failed at ${wm + 10}x${hm + 10}, ${nm + 2} frames: $s")
     }
     // degenerate sizes reject
@@ -165,5 +165,51 @@ class McVlcSpec extends SparkSpec {
     val vid = AviKernels.aviDecodeGmv(avi)
     assert(vid != null && vid.frames.length == 3)
     assert(JpegKernels.ErrBound >= 0) // keep the import honest
+  }
+
+  test("MPEG-1-shaped elementary stream: headers parse, chain decode " +
+       "equals the recon chain, start-code census exact, every " +
+       "truncation prefix rejects, header corruption rejects") {
+    val (w, h, n) = (20, 13, 4)
+    val W = (w + 7) & ~7; val H = (h + 7) & ~7
+    val src = K.synthGlobalMotion(11L, w, h, n)
+    val mv = new Array[Boolean](1)
+    val plans = new Array[Array[K.BlockPlan]](n)
+    val recons = new Array[Array[Byte]](n)
+    var prev: Array[Byte] = null
+    for (f <- 0 until n) {
+      val (p, r, _) = K.planFrame(K.padCanvas(src(f), w, h), prev, W, H, mv)
+      plans(f) = p; recons(f) = r; prev = r
+    }
+    val es = V.mcVlcEncodeEs(w, h, 12, plans.toSeq)
+    // decode: dims, enumerated rate (12 fps -> nearest = 23.976, code 1),
+    // frame-exact recon chain
+    val esv = V.mcVlcDecodeEs(es)
+    assert(esv != null && esv.width == w && esv.height == h &&
+      esv.rateCode == 1 && esv.recons.length == n)
+    for (f <- 0 until n)
+      assert(java.util.Arrays.equals(esv.recons(f), recons(f)),
+        s"ES recon diverged at frame $f")
+    // start codes: exactly seq + gop + end + (picture + slice) per frame,
+    // found by a full every-offset scan — no payload emulation
+    assert(V.startCodeCensus(es) == 3 + 2 * n, V.startCodeCensus(es).toString)
+    // every truncation prefix rejects
+    for (cut <- 0 until es.length)
+      assert(V.mcVlcDecodeEs(java.util.Arrays.copyOf(es, cut)) == null,
+        s"ES truncated to $cut bytes must reject")
+    // trailing garbage rejects
+    assert(V.mcVlcDecodeEs(es :+ 0x00.toByte) == null)
+    // header corruption rejects: break the sequence start code, the
+    // marker bit region, and a picture type
+    def corrupt(at: Int, mask: Int): Array[Byte] = {
+      val c = es.clone(); c(at) = (c(at) ^ mask).toByte; c
+    }
+    assert(V.mcVlcDecodeEs(corrupt(2, 0xFF)) == null) // start code byte
+    assert(V.mcVlcDecodeEs(corrupt(3, 0xFF)) == null) // B3 -> something else
+    // fps maps to the nearest enumerated picture rate
+    val es25 = V.mcVlcEncodeEs(w, h, 25, plans.toSeq)
+    assert(V.mcVlcDecodeEs(es25).rateCode == 3)
+    val es30 = V.mcVlcEncodeEs(w, h, 30, plans.toSeq)
+    assert(V.mcVlcDecodeEs(es30).rateCode == 5)
   }
 }
