@@ -62,6 +62,28 @@ class BpeFastTrainSpec extends SparkSpec {
     }
   }
 
+  test("randomized corpora: fast == classic across 6 seeded random " +
+       "token distributions, both alphabets, to exhaustion depth") {
+    val rnd = new scala.util.Random(1717)
+    for (c <- 0 until 6) {
+      // small vocab + skew so ties, chains, and early exhaustion all
+      // occur naturally at some seed
+      val vocab = Array.fill(4 + rnd.nextInt(6))(
+        (1 to 2 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      val texts = (0 until 20 + rnd.nextInt(30)).map(_ =>
+        (0 until 1 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      val docs = texts.toDF("text")
+      val depth = 15 // deep enough to exhaust some corpora
+      assert(rows(TextAnalysis.bpeTrainFast(docs, col("text"), depth)) ==
+        rows(TextAnalysis.bpeTrain(docs, col("text"), depth)),
+        s"char divergence on random corpus $c: $texts")
+      assert(rows(TextAnalysis.bpeTrainBytesFast(docs, col("text"), depth)) ==
+        rows(TextAnalysis.bpeTrainBytes(docs, col("text"), depth)),
+        s"byte divergence on random corpus $c: $texts")
+    }
+  }
+
   test("footprint guard fails by name citing the minWordFreq lever; " +
        "minWordFreq prunes the table it trains on") {
     val docs = Tables(spark, sfDir).documents
