@@ -267,6 +267,21 @@ object ScaleProbe {
         assert(math.abs(mass - 1.0) < 1e-3,
           s"undirected rank mass must be ~1: $mass")
         println(f"""{"metric":"pagerank_scale","edges":$n,"nodes":${row.getLong(0)},"iters":5,"sec":$secP%.2f,"mass":$mass%.6f}""")
+        // the STANDARD-definition mode on the DIRECTED half (every
+        // node that never appears as src is a sink): prices the one
+        // extra node-sized semi-join scalar aggregate per iteration,
+        // and mass must still be ~1 BECAUSE of the redistribution
+        fwd.cache().count()
+        val t1 = System.nanoTime()
+        val prd = graft.operators.Graph.pageRank(fwd, col("a"), col("b"),
+          iters = 5, danglingRedistribution = true)
+        val rowD = prd.agg(count(lit(1)), sum(col("rank"))).head()
+        val secD = (System.nanoTime() - t1) / 1e9
+        val massD = rowD.getDouble(1)
+        assert(math.abs(massD - 1.0) < 1e-3,
+          s"dangling redistribution must conserve mass: $massD")
+        println(f"""{"metric":"pagerank_dangling_scale","edges":${n / 2},"nodes":${rowD.getLong(0)},"iters":5,"sec":$secD%.2f,"mass":$massD%.6f}""")
+        fwd.unpersist()
         edges.unpersist()
       }
 

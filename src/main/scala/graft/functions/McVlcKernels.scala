@@ -838,7 +838,9 @@ object McVlcKernels {
       esv.recons.length == nFrames &&
       esv.recons.indices.forall(i =>
         java.util.Arrays.equals(esv.recons(i), encRecons(i))) &&
-      mcVlcDecodeEs(java.util.Arrays.copyOf(es, es.length - 1)) == null &&
+      // mid-stream truncation: fails inside a picture (a last-byte cut
+      // would re-parse the whole stream before failing at sequence_end)
+      mcVlcDecodeEs(java.util.Arrays.copyOf(es, es.length / 2)) == null &&
       startCodeCensus(es) == 3 + 2 * nFrames
     val r = new GenericInternalRow(11)
     r.setInt(0, vid.width); r.setInt(1, vid.height); r.setInt(2, vid.fps)
