@@ -1404,6 +1404,34 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Distribution-drift monitoring, numeric: PSI of order totals over
+    // 10 reference-quantile bins, with a PLANTED +10% shift on the
+    // current side so the index is genuinely nonzero. Boundaries from
+    // the reference's exact percentiles; Laplace-smoothed bin
+    // probabilities; per-bin terms rounded then DECIMAL-summed
+    // (engine-exact, the LM contract).
+    "drift_psi" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ref = t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_totalprice").cast("double").as("v"))
+      val cur = t.orders.filter(col("o_orderkey") % 2 === 1)
+        .select((col("o_totalprice").cast("double") * 1.1).as("v"))
+      graft.operators.Drift.psi(ref, cur, col("v"), nBins = 10)
+    },
+
+    // Vocabulary drift: the reference's top-30 tokens + the rest
+    // bucket, per-bucket probability gaps, with a planted drift token
+    // appended to every current document — the earliest visible
+    // symptom of an upstream source change.
+    "drift_tokens" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ref = t.documents.filter(col("doc_id") % 2 === 0)
+      val cur = t.documents.filter(col("doc_id") % 2 === 1)
+        .select(concat(col("text"),
+          lit(" zdrifttoken zdrifttoken")).as("text"))
+      graft.operators.Drift.tokenDrift(ref, cur, col("text"), topK = 30)
+    },
+
     // CCNet's head/middle/tail split: per-LANGUAGE perplexity terciles
     // under the self-trained trigram LM (the published shape — buckets
     // are computed within each language, because perplexity scales are
@@ -4471,6 +4499,82 @@ object PipelineQueries {
            round(CAST(sd + prior AS DOUBLE), 6) AS score,
            (sd + prior > CAST(0 AS DECIMAL(18,6))) AS predict_pos
          FROM agg CROSS JOIN pr ORDER BY doc_id""",
+
+    // PSI replayed from scratch: reference quantile boundaries
+    // (quantile_cont == Spark's exact percentile, the established
+    // cross-engine pair), fold-count bin assignment, Laplace
+    // probabilities as IEEE integer-ratio divisions, per-bin terms
+    // rounded to 6dp and DECIMAL-summed.
+    "drift_psi" ->
+      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                      WHERE o_orderkey % 2 = 0),
+            cur AS (SELECT CAST(o_totalprice AS DOUBLE) * 1.1 AS v
+                    FROM orders WHERE o_orderkey % 2 = 1),
+            b AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS bs
+                  FROM ref),
+            rc AS (SELECT 1 + list_sum(list_transform(b.bs,
+                     x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS bin
+                   FROM ref, b),
+            cc AS (SELECT 1 + list_sum(list_transform(b.bs,
+                     x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS bin
+                   FROM cur, b),
+            rn AS (SELECT bin, count(*) AS ref_n FROM rc GROUP BY 1),
+            cn AS (SELECT bin, count(*) AS cur_n FROM cc GROUP BY 1),
+            bins AS (SELECT * FROM generate_series(1, 10) t(bin)),
+            tot AS (SELECT (SELECT count(*) FROM ref) AS rt,
+                      (SELECT count(*) FROM cur) AS ct),
+            j AS (SELECT bin, coalesce(ref_n, 0) AS ref_n,
+                    coalesce(cur_n, 0) AS cur_n
+                  FROM bins LEFT JOIN rn USING (bin)
+                            LEFT JOIN cn USING (bin)),
+            terms AS (SELECT ref_n, cur_n,
+                    CAST(round(
+                      (CAST(cur_n + 1 AS DOUBLE) / (ct + 10)
+                        - CAST(ref_n + 1 AS DOUBLE) / (rt + 10))
+                      * ln((CAST(cur_n + 1 AS DOUBLE) / (ct + 10))
+                           / (CAST(ref_n + 1 AS DOUBLE) / (rt + 10))), 6)
+                      AS DECIMAL(18,6)) AS term
+                  FROM j CROSS JOIN tot)
+         SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(ref_n) AS BIGINT) AS ref_n,
+           CAST(sum(cur_n) AS BIGINT) AS cur_n,
+           CAST(sum(term) AS DOUBLE) AS psi
+         FROM terms""",
+
+    // Token drift replayed: top-30 reference tokens (count DESC, token
+    // ASC), left-joined current counts, the rest bucket from totals,
+    // quant6 integer-ratio probabilities and gaps.
+    "drift_tokens" ->
+      s"""WITH refd AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+            curd AS (SELECT text || ' zdrifttoken zdrifttoken' AS text
+                     FROM documents WHERE doc_id % 2 = 1),
+            rtok AS (SELECT unnest($tokensSql) AS token FROM refd),
+            ctok AS (SELECT unnest($tokensSql) AS token FROM curd),
+            rn AS (SELECT token, count(*) AS ref_n FROM rtok GROUP BY 1),
+            cn AS (SELECT token, count(*) AS cur_n FROM ctok GROUP BY 1),
+            top AS (SELECT token, ref_n FROM rn
+                    ORDER BY ref_n DESC, token LIMIT 30),
+            named AS (SELECT t.token AS bucket, false AS is_rest,
+                        t.ref_n, coalesce(c.cur_n, 0) AS cur_n
+                      FROM top t LEFT JOIN cn c ON t.token = c.token),
+            tot AS (SELECT (SELECT count(*) FROM rtok) AS rt,
+                      (SELECT count(*) FROM ctok) AS ct),
+            rest AS (SELECT '' AS bucket, true AS is_rest,
+                       rt - (SELECT sum(ref_n) FROM named) AS ref_n,
+                       ct - (SELECT sum(cur_n) FROM named) AS cur_n
+                     FROM tot),
+            uni AS (SELECT * FROM named UNION ALL SELECT * FROM rest)
+         SELECT bucket, is_rest, CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           floor((CAST(ref_n AS DOUBLE) / rt) * 1000000 + 0.5) / 1000000
+             AS ref_p,
+           floor((CAST(cur_n AS DOUBLE) / ct) * 1000000 + 0.5) / 1000000
+             AS cur_p,
+           floor(abs(CAST(cur_n AS DOUBLE) / ct
+                     - CAST(ref_n AS DOUBLE) / rt) * 1000000 + 0.5)
+             / 1000000 AS gap
+         FROM uni CROSS JOIN tot ORDER BY is_rest, bucket""",
 
     // Retrains NB on the % 4 != 0 split, replays scoring over the
     // held-out % 4 == 0 slice (identical arithmetic to
