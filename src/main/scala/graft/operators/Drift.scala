@@ -42,22 +42,51 @@ object Drift {
     * Null values carry no evidence and are out of scope. */
   def psiBins(reference: DataFrame, current: DataFrame, value: Column,
               nBins: Int = 10): DataFrame = {
+    val bs = refBoundaries(reference, value, nBins)
+    psiBinsWith(binCounts(reference, value, bs, "ref_n"),
+      binCounts(current, value, bs, "cur_n"), nBins,
+      reference.sparkSession)
+  }
+
+  /** The reference's exact interior percentiles (k/nBins, linear
+    * interpolation) — nBins−1 doubles, driver-sized by construction.
+    * These ARE the monitor's model: [[graft.streaming.StreamingDrift]]
+    * persists them and re-bins every future batch against the SAME
+    * boundaries. */
+  private[graft] def refBoundaries(reference: DataFrame, value: Column,
+                                   nBins: Int): Seq[Double] = {
     require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000: $nBins")
     val fracs = (1 until nBins).map(k => k.toDouble / nBins)
-    val bounds = broadcast(reference.select(value.cast("double").as("v"))
+    val row = reference.select(value.cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .agg(expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("bs")))
-    def binned(df: DataFrame, n: Column => Column): DataFrame =
-      df.select(value.cast("double").as("v"))
-        .filter(col("v").isNotNull)
-        .crossJoin(bounds)
-        .select(aggregate(col("bs"), lit(1),
-          (acc, b) => acc + when(col("v") > b, 1).otherwise(0)).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-        .select(col("bin"), n(col("cnt")))
-    val ref = binned(reference, _.as("ref_n"))
-    val cur = binned(current, _.as("cur_n"))
-    val allBins = reference.sparkSession.range(1, nBins + 1)
+      .agg(expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("bs"))
+      .head()
+    require(!row.isNullAt(0),
+      "Drift: the reference has no non-null values to derive bins from")
+    row.getSeq[Double](0)
+  }
+
+  /** Per-bin counts of `df` under fixed boundaries: bin = 1 + number
+    * of boundaries strictly below the value (a fold over the literal
+    * boundary array — map-only, then one nBins-sized aggregate). */
+  private[graft] def binCounts(df: DataFrame, value: Column,
+                               boundaries: Seq[Double],
+                               alias: String): DataFrame = {
+    val bs = typedLit(boundaries)
+    df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(aggregate(bs, lit(1),
+        (acc, b) => acc + when(col("v") > b, 1).otherwise(0)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(alias))
+  }
+
+  /** The PSI bin frame from two (bin, count) frames — shared by the
+    * batch operator and the streaming monitor (which feeds STORED
+    * reference counts). */
+  private[graft] def psiBinsWith(ref: DataFrame, cur: DataFrame,
+                                 nBins: Int,
+                                 spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val allBins = spark.range(1, nBins + 1)
       .select(col("id").cast("int").as("bin"))
     val refTotal = broadcast(ref.agg(coalesce(sum(col("ref_n")), lit(0L))
       .as("ref_total")))
@@ -78,15 +107,18 @@ object Drift {
         round((curP - refP) * log(curP / refP), 6).as("psi_term"))
   }
 
+  /** Fold a [[psiBins]]-shaped frame to the 1-row summary. */
+  private[graft] def psiSummary(bins: DataFrame): DataFrame =
+    bins.agg(count(lit(1)).as("n_bins"),
+      sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"),
+      sum(col("psi_term").cast(dec)).cast("double").as("psi"))
+
   /** One-row PSI summary: bin frame folded to
     * `(n_bins, ref_n, cur_n, psi)` — the rounded per-bin terms summed
     * as DECIMAL (fixed order, engine-exact). */
   def psi(reference: DataFrame, current: DataFrame, value: Column,
           nBins: Int = 10): DataFrame =
-    psiBins(reference, current, value, nBins)
-      .agg(count(lit(1)).as("n_bins"),
-        sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"),
-        sum(col("psi_term").cast(dec)).cast("double").as("psi"))
+    psiSummary(psiBins(reference, current, value, nBins))
 
   /** Token-distribution drift over the reference's top-K tokens
     * (count DESC, token ASC — deterministic) plus ONE rest bucket

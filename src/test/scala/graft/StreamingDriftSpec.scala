@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Drift
+import graft.streaming.StreamingDrift
+import org.apache.spark.sql.functions._
+
+/** Streaming drift monitor: stored-model scoring is bit-identical to
+  * the batch operator, fences fail by name, and the per-batch log is
+  * replay-idempotent. */
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = "drift_spec_store"
+
+  test("scoreBatch == batch psi bit for bit; model survives sessions " +
+       "via the catalog; fences fail by name") {
+    val ref = spark.range(2000)
+      .select((pmod(xxhash64(col("id")), lit(1000))).cast("double").as("v"))
+    val cur = spark.range(500)
+      .select((pmod(xxhash64(col("id"), lit(7)), lit(1000)) * 1.3)
+        .cast("double").as("v"))
+    StreamingDrift.drop(spark, p)
+    try {
+      StreamingDrift.provision(spark, p, ref, col("v"), nBins = 10)
+      val streamed = StreamingDrift.scoreBatch(spark, p, cur, col("v"))
+        .collect()(0)
+      val batch = Drift.psi(ref, cur, col("v"), nBins = 10).collect()(0)
+      assert(streamed == batch,
+        s"stored-model scoring diverged: $streamed vs $batch")
+      // drifted input reads as drift
+      assert(streamed.getDouble(3) > 0.1, streamed.toString)
+      // missing store fails by name
+      val e = intercept[IllegalArgumentException] {
+        StreamingDrift.scoreBatch(spark, "no_such_drift", cur, col("v"))
+      }
+      assert(e.getMessage.contains("StreamingDrift"), e.getMessage)
+      // torn provision (stamp cleared) fails by name
+      graft.sources.CatalogProps.setProps(spark,
+        StreamingDrift.refTable(p), Map("graft.drift.complete" -> "false"))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingDrift.scoreBatch(spark, p, cur, col("v"))
+      }
+      assert(e2.getMessage.contains("completeness stamp"), e2.getMessage)
+    } finally StreamingDrift.drop(spark, p)
+  }
+
+  test("stream: per-batch partitions, crash-replay idempotent") {
+    val ref = spark.range(1000)
+      .select((col("id") % 100).cast("double").as("v"))
+    val srcDir = java.nio.file.Files.createTempDirectory("drift-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("drift-out").toString
+    StreamingDrift.drop(spark, p)
+    try {
+      StreamingDrift.provision(spark, p, ref, col("v"), nBins = 5)
+      // batch 0: same distribution; batch 1: shifted
+      spark.range(400).select((col("id") % 100).cast("double").as("v"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      spark.range(400).select((col("id") % 100 + 60).cast("double").as("v"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      StreamingDrift.stream(spark, srcDir, p, outDir,
+        readerOptions = Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+      val log = spark.read.parquet(s"$outDir/drift")
+        .orderBy(col("batch")).collect()
+      assert(log.length == 2, log.mkString("\n"))
+      val psis = log.map(r => r.getDouble(r.fieldIndex("psi")))
+      assert(psis(0) < 0.01 && psis(1) > 0.25,
+        s"batch 0 stable, batch 1 shifted: ${psis.toSeq}")
+      // replay from a FRESH checkpoint: partitions overwrite, log
+      // row count and values unchanged
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$outDir/ckpt"))
+      StreamingDrift.stream(spark, srcDir, p, outDir,
+        readerOptions = Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+      val log2 = spark.read.parquet(s"$outDir/drift")
+        .orderBy(col("batch")).collect()
+      assert(log2.length == 2 &&
+        log2.map(_.toString).toSeq == log.map(_.toString).toSeq,
+        "replay must overwrite, not duplicate or change")
+    } finally {
+      StreamingDrift.drop(spark, p)
+      Seq(srcDir, outDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+}
