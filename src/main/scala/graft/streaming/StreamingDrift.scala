@@ -107,6 +107,83 @@ object StreamingDrift {
       .start()
   }
 
-  def drop(spark: SparkSession, prefix: String): Unit =
+  // ---- token-distribution twin ----
+
+  def tokenTable(prefix: String): String = s"${prefix}_drifttok"
+
+  /** Profile the reference's TOKEN distribution: the top-K tokens with
+    * their counts plus the stored rest mass and total — K+1 rows, the
+    * whole vocabulary model a batch is scored against. */
+  def provisionTokens(spark: SparkSession, prefix: String,
+                      reference: DataFrame, text: Column,
+                      topK: Int = 50): Unit = {
+    Bucketing.dropManagedTable(spark, tokenTable(prefix))
+    val refTok = reference
+      .select(explode(graft.operators.TextAnalysis.tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ref_n"))
+    val top = refTok.orderBy(col("ref_n").desc, col("token")).limit(topK)
+      .localCheckpoint(true)
+    val total = refTok.agg(coalesce(sum(col("ref_n")), lit(0L)).as("t"))
+      .head().getLong(0)
+    val named = top.select(col("token").as("bucket"),
+      lit(false).as("is_rest"), col("ref_n"))
+    val namedSum = top.agg(coalesce(sum(col("ref_n")), lit(0L)))
+      .head().getLong(0)
+    val model = named.unionByName(
+        spark.range(1).select(lit("").as("bucket"), lit(true).as("is_rest"),
+          lit(total - namedSum).as("ref_n")))
+      .localCheckpoint(true)
+    model.write.saveAsTable(tokenTable(prefix))
+    CatalogProps.setProps(spark, tokenTable(prefix), Map(
+      "graft.drift.topk" -> topK.toString,
+      "graft.drift.complete" -> "true"))
+  }
+
+  /** Score one batch's token distribution against the stored model:
+    * the [[graft.operators.Drift.tokenDrift]] frame shape (bucket,
+    * is_rest, ref_n, cur_n, ref_p, cur_p, gap), arithmetic identical
+    * to the batch operator with the same reference — the spec pins the
+    * parity. One batch scan + a (K+1)-row broadcast join. */
+  def scoreBatchTokens(spark: SparkSession, prefix: String,
+                       batch: DataFrame, text: Column): DataFrame = {
+    val t = tokenTable(prefix)
+    require(spark.catalog.tableExists(t),
+      s"StreamingDrift: no token model table $t — provisionTokens first")
+    require(CatalogProps.propOption(spark, t, "graft.drift.complete")
+        .contains("true"),
+      s"StreamingDrift: $t lacks its completeness stamp — torn " +
+        "provision; re-provision")
+    val model = spark.table(t)
+    val curTok = batch
+      .select(explode(graft.operators.TextAnalysis.tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cur_n"))
+    val named = broadcast(model.filter(!col("is_rest")))
+      .join(curTok, col("bucket") === col("token"), "left")
+      .na.fill(0L, Seq("cur_n"))
+      .select(col("bucket"), col("is_rest"), col("ref_n"), col("cur_n"))
+    val curTotal = broadcast(curTok.agg(
+      coalesce(sum(col("cur_n")), lit(0L)).as("cur_total")))
+    val namedCur = broadcast(named.agg(
+      coalesce(sum(col("cur_n")), lit(0L)).as("ncur")))
+    val rest = broadcast(model.filter(col("is_rest")))
+      .crossJoin(namedCur).crossJoin(curTotal)
+      .select(col("bucket"), col("is_rest"), col("ref_n"),
+        (col("cur_total") - col("ncur")).as("cur_n"))
+    val refTotal = broadcast(model.agg(
+      coalesce(sum(col("ref_n")), lit(0L)).as("ref_total")))
+    val refP = col("ref_n").cast("double") / col("ref_total")
+    val curP = col("cur_n").cast("double") / col("cur_total")
+    named.unionByName(rest)
+      .crossJoin(refTotal).crossJoin(curTotal)
+      .select(col("bucket"), col("is_rest"), col("ref_n"), col("cur_n"),
+        graft.operators.TextAnalysis.quant6(refP).as("ref_p"),
+        graft.operators.TextAnalysis.quant6(curP).as("cur_p"),
+        graft.operators.TextAnalysis.quant6(abs(curP - refP)).as("gap"))
+      .orderBy(col("is_rest"), col("bucket"))
+  }
+
+  def drop(spark: SparkSession, prefix: String): Unit = {
     Bucketing.dropManagedTable(spark, refTable(prefix))
+    Bucketing.dropManagedTable(spark, tokenTable(prefix))
+  }
 }

@@ -44,6 +44,26 @@ class StreamingDriftSpec extends SparkSpec {
     } finally StreamingDrift.drop(spark, p)
   }
 
+  test("token model: stored scoring == batch tokenDrift bit for bit; " +
+       "fences by name") {
+    val ref = Seq("aa bb aa", "aa cc", "bb dd ee aa").toDF("text")
+    val cur = Seq("aa bb zz", "aa cc zz zz").toDF("text")
+    StreamingDrift.drop(spark, p)
+    try {
+      StreamingDrift.provisionTokens(spark, p, ref, col("text"), topK = 3)
+      val streamed = StreamingDrift
+        .scoreBatchTokens(spark, p, cur, col("text")).collect()
+      val batch = Drift.tokenDrift(ref, cur, col("text"), topK = 3).collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+        s"stored-model token scoring diverged:\n" +
+          s"${streamed.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+      val e = intercept[IllegalArgumentException] {
+        StreamingDrift.scoreBatchTokens(spark, "no_such_tok", cur, col("text"))
+      }
+      assert(e.getMessage.contains("provisionTokens"), e.getMessage)
+    } finally StreamingDrift.drop(spark, p)
+  }
+
   test("stream: per-batch partitions, crash-replay idempotent") {
     val ref = spark.range(1000)
       .select((col("id") % 100).cast("double").as("v"))
