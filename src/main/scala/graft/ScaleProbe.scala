@@ -285,6 +285,40 @@ object ScaleProbe {
         edges.unpersist()
       }
 
+      // Drift monitoring at scale: PSI over 50x the row count (one
+      // map-side bin fold + one 10-row aggregate per side — the claim
+      // is "a constant-cost tap", so the wall must track the scan),
+      // and token drift on the n-doc corpus (two token aggregates + a
+      // K-row broadcast). Both with planted drift so the scores are
+      // nonzero, asserting the instrument actually fires at scale.
+      if (on("drift")) {
+        import graft.operators.Drift
+        val big = n.toLong * 50
+        val ref = spark.range(big)
+          .select(pmod(xxhash64(col("id")), lit(100000)).cast("double").as("v"))
+        val cur = spark.range(big)
+          .select((pmod(xxhash64(col("id"), lit(3)), lit(100000)) * 1.15)
+            .cast("double").as("v"))
+        val t0 = System.nanoTime()
+        val r = Drift.psi(ref, cur, col("v")).head()
+        val secPsi = (System.nanoTime() - t0) / 1e9
+        assert(r.getLong(1) == big && r.getLong(2) == big &&
+          r.getDouble(3) > 0.01, r.toString)
+        docs.cache().count()
+        val drifted = docs.select(
+          concat(col("text"), lit(" zdrift zdrift")).as("text"))
+        val t1 = System.nanoTime()
+        // the shared corpus has a ~21-type vocabulary; topK=15 keeps
+        // real tail mass in the rest bucket alongside the drift token
+        val rows = Drift.tokenDrift(docs, drifted, col("text"), topK = 15)
+          .collect()
+        val secTok = (System.nanoTime() - t1) / 1e9
+        val restGap = rows.filter(_.getBoolean(1)).head.getDouble(6)
+        assert(rows.length == 16 && restGap > 0.0, rows.length.toString)
+        println(f"""{"metric":"drift_scale","psi_rows":$big,"psi_sec":$secPsi%.2f,"psi":${r.getDouble(3)}%.4f,"token_docs":$n,"token_sec":$secTok%.2f,"rest_gap":$restGap%.4f}""")
+        docs.unpersist()
+      }
+
       // BM25 at scale: n 30-token synthetic docs. Times the in-query
       // operator (tokenize + score per query), the one-time index build,
       // and the stored-index probe — the claimed cost split: the probe
