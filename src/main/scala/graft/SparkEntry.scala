@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries ++ ChatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle ++ RelationalQueries.oracle ++ PipelineQueries.oracle
+    ParityQueries.oracle ++ RelationalQueries.oracle ++
+      PipelineQueries.oracle ++ ChatQueries.oracle
 }

@@ -363,7 +363,21 @@ object Sampling {
     * proxy. Same packing map contract and determinism. */
   def packSequencesBy(docs: DataFrame, id: Column, nTokens: Column,
                       nShards: Int, seqLen: Int,
-                      salt: String = ""): DataFrame = {
+                      salt: String = ""): DataFrame =
+    packSequencesPosBy(docs, id, nTokens, nShards, seqLen, salt)
+      .drop("seq_pos")
+
+  /** [[packSequencesBy]] plus `seq_pos` — the piece's 0-based token
+    * position WITHIN its sequence. That's the coordinate a loader needs
+    * to place per-document metadata into the packed sequence: document
+    * boundaries for block-diagonal attention masks, or loss-mask spans
+    * shifted into sequence space
+    * ([[graft.operators.ChatPrep.packedAssistantMasks]]). Same plan
+    * (the window already carries the running offset; the extra column
+    * is free), same determinism and partitioning invariance. */
+  def packSequencesPosBy(docs: DataFrame, id: Column, nTokens: Column,
+                         nShards: Int, seqLen: Int,
+                         salt: String = ""): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val n = nTokens.cast("long")
     val sharded = shuffleShards(
@@ -382,7 +396,9 @@ object Sampling {
           .as("tok_start"),
         (least(col("__n"), (col("seq_id") + 1) * seqLen - col("__start")) -
           greatest(lit(0L), col("seq_id") * seqLen - col("__start")))
-          .as("n_toks"))
+          .as("n_toks"),
+        greatest(lit(0L), col("__start") - col("seq_id") * seqLen)
+          .as("seq_pos"))
   }
 
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata

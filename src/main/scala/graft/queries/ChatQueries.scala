@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ChatPrep, TextAnalysis}
+
+/** SFT / chat-conversation prep queries over `documents`, each with a
+  * DuckDB oracle.
+  *
+  * The driver tables carry no conversation store, so every query first
+  * DERIVES one deterministically from `documents.text`: the token list
+  * is cut into four contiguous quarters (integer boundaries
+  * `floor(k·n/4)`), which become `user q0 / assistant q1 / user q2 /
+  * assistant q3`, with a fixed system prompt prepended on every third
+  * doc — the same slicing both engines replay exactly
+  * (`slice`/`list_slice` on the shared whitespace tokenizer). Planted
+  * defects (an empty assistant turn on `doc_id % 11`, a broken role
+  * alternation on `doc_id % 13`, a shared assistant answer on
+  * `doc_id % 17`) make the validation and dedup outputs non-trivial.
+  *
+  * Everything except the dedup canonical is a pure projection — see
+  * [[graft.operators.ChatPrep]] for the execution contract.
+  */
+object ChatQueries {
+
+  /** Fixed system prompt for the derived conversations (27 chars). */
+  private val SysPrompt = "you are a helpful assistant"
+
+  private val EmptyTurns =
+    "CAST(array() AS array<struct<role: STRING, content: STRING>>)"
+
+  /** Token-quarter slicing: `(doc_id, q0..q3)` for docs with >= 4
+    * tokens (every sf doc has >= 10). Boundary k is `floor(k·n/4)`. */
+  private def quarters(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def bnd(k: Int): Column =
+      floor((col("__n") * lit(k)) / lit(4.0)).cast("int")
+    def seg(k: Int): Column =
+      array_join(slice(col("__toks"), bnd(k) + 1, bnd(k + 1) - bnd(k)), " ")
+    docs
+      .select(col("doc_id"), toks.as("__toks"), size(toks).as("__n"))
+      .where(col("__n") >= 4)
+      .select(col("doc_id"), seg(0).as("q0"), seg(1).as("q1"),
+        seg(2).as("q2"), seg(3).as("q3"))
+  }
+
+  /** Assemble the turns array, with the query-specific plants. */
+  private def convs(docs: DataFrame, plantInvalid: Boolean,
+                    plantDup: Boolean): DataFrame = {
+    val q = quarters(docs)
+    val dup = pmod(col("doc_id"), lit(17)) === 0
+    val a1 =
+      if (plantDup) when(dup, lit("the answer is 42")).otherwise(col("q1"))
+      else col("q1")
+    val a2base =
+      if (plantDup) when(dup, lit("thanks for asking")).otherwise(col("q3"))
+      else col("q3")
+    val a2 =
+      if (plantInvalid)
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("")).otherwise(a2base)
+      else a2base
+    val role3 =
+      if (plantInvalid)
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("assistant"))
+          .otherwise(lit("user"))
+      else lit("user")
+    q.select(col("doc_id").as("conv_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          array(struct(lit("system").as("role"),
+            lit(SysPrompt).as("content"))))
+          .otherwise(expr(EmptyTurns)),
+        array(
+          struct(lit("user").as("role"), col("q0").as("content")),
+          struct(lit("assistant").as("role"), a1.as("content")),
+          struct(role3.as("role"), col("q2").as("content")),
+          struct(lit("assistant").as("role"), a2.as("content"))))
+        .as("turns"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Template render: turns -> the model-input string. Pure projection
+    // (one string fold per conversation, no exchange).
+    "chat_render" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      ChatPrep.render(convs(t.documents, plantInvalid = false,
+          plantDup = false), col("conv_id"), col("turns"))
+        .orderBy(col("conv_id"))
+    },
+
+    // Structural admission over conversations with planted defects:
+    // an empty assistant turn (doc_id % 11) and a broken alternation
+    // (doc_id % 13). Reason precedence is part of the contract.
+    "chat_validate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      ChatPrep.validate(convs(t.documents, plantInvalid = true,
+          plantDup = false), col("conv_id"), col("turns"))
+        .orderBy(col("conv_id"))
+    },
+
+    // Loss-mask character spans of the assistant turns within the
+    // rendered string — one aggregate fold, output-sized explode.
+    "chat_mask_spans" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      ChatPrep.assistantSpans(convs(t.documents, plantInvalid = false,
+          plantDup = false), col("conv_id"), col("turns"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
+    // TOKEN-space loss masks under the trained BPE tokenizer: special
+    // tokens atomic, content tokenized standalone — the offsets a
+    // training loader actually uses. One fold per conversation; the
+    // tokenizer kernel runs once per turn.
+    "chat_token_spans" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = PipelineQueries.trainedMerges(s, dir)
+      ChatPrep.assistantTokenSpans(
+          convs(t.documents, plantInvalid = false, plantDup = false),
+          col("conv_id"), col("turns"),
+          c => TextAnalysis.bpeEncodeCount(c, merges).cast("long"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
+    // The full SFT loader map: pack whole conversations into fixed
+    // 256-token training sequences (real BPE totals, deterministic
+    // shards), then shift every assistant loss-mask span into packed-
+    // sequence coordinates — spans straddling a cut split per side.
+    "chat_pack_masks" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = PipelineQueries.trainedMerges(s, dir)
+      val count: Column => Column =
+        c => TextAnalysis.bpeEncodeCount(c, merges).cast("long")
+      val cs = convs(t.documents, plantInvalid = false, plantDup = false)
+      val totals = cs.select(col("conv_id"),
+        aggregate(col("turns"), lit(0L),
+          (acc, t0) => acc + lit(2L) + count(t0.getField("content")))
+          .as("__tot"))
+      val packMap = graft.operators.Sampling.packSequencesPosBy(
+        totals, col("conv_id"), col("__tot"),
+        nShards = 4, seqLen = 256, salt = "r17c")
+      val spans = ChatPrep.assistantTokenSpans(cs, col("conv_id"),
+        col("turns"), count)
+      ChatPrep.packedAssistantMasks(packMap, spans)
+        .orderBy(col("shard"), col("seq_id"), col("conv_id"),
+          col("turn_idx"), col("mask_start"))
+    },
+
+    // Exact dedup on assistant content: every 17th doc shares one
+    // planted answer pair; canonical = min conv_id. The exchange
+    // carries (xxhash64, length), never the text.
+    "chat_dedup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      ChatPrep.dedupByAssistant(convs(t.documents, plantInvalid = false,
+          plantDup = true), col("conv_id"), col("turns"))
+        .orderBy(col("conv_id"))
+    }
+  )
+
+  import PipelineQueries.{tokensSql, blankSql}
+
+  /** Shared oracle CTEs for the TOKEN-space chat queries: the 8-round
+    * BPE training replay, per-word counts summed over each quarter's
+    * token-index range (`cbase`: c0..c3 + the system-prompt count sc),
+    * per-conv totals under the atomic-special-token contract (`ctot`:
+    * 2 tokens per turn of template overhead), and the two assistant
+    * spans (`cspans`). chat_token_spans and chat_pack_masks build on
+    * the same block so the span model can never drift between them. */
+  private lazy val chatBpeCtes: String = {
+    val rounds = 8
+    val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+    val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+      s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', " +
+        s"'|' || m$k.l || m$k.r || '|')"
+    }
+    val ms = (1 to rounds).map("m" + _).mkString(", ")
+    PipelineQueries.bpeTrainCtes(rounds) +
+      s""",
+         ctok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                    unnest(range(1, len($tokensSql) + 1)) AS i,
+                    len($tokensSql) AS n
+                  FROM documents WHERE NOT $blankSql),
+         cenc AS (SELECT doc_id, i, n,
+                    CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                         THEN len(string_split(trim($chained, '|'), '||'))
+                         ELSE 1 END AS c
+                  FROM ctok, $ms),
+         csum AS (SELECT doc_id,
+                    sum(CASE WHEN i <= floor(n / 4.0)
+                             THEN c ELSE 0 END) AS c0,
+                    sum(CASE WHEN i > floor(n / 4.0)
+                              AND i <= floor(n * 2 / 4.0)
+                             THEN c ELSE 0 END) AS c1,
+                    sum(CASE WHEN i > floor(n * 2 / 4.0)
+                              AND i <= floor(n * 3 / 4.0)
+                             THEN c ELSE 0 END) AS c2,
+                    sum(CASE WHEN i > floor(n * 3 / 4.0)
+                             THEN c ELSE 0 END) AS c3
+                  FROM cenc WHERE n >= 4 GROUP BY doc_id),
+         sysw AS (SELECT unnest(
+                    ['you', 'are', 'a', 'helpful', 'assistant']) AS t),
+         sysenc AS (SELECT CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                             THEN len(string_split(
+                               trim($chained, '|'), '||'))
+                             ELSE 1 END AS c
+                    FROM sysw, $ms),
+         syscnt AS (SELECT sum(c) AS sc FROM sysenc),
+         cbase AS (SELECT doc_id AS conv_id, (doc_id % 3 = 0) AS has_sys,
+                     c0, c1, c2, c3, sc
+                   FROM csum CROSS JOIN syscnt),
+         ctot AS (SELECT conv_id,
+                    CAST(CASE WHEN has_sys THEN 2 + sc ELSE 0 END
+                      + 8 + c0 + c1 + c2 + c3 AS BIGINT) AS n
+                  FROM cbase),
+         tspans AS (
+           SELECT conv_id,
+             CAST(CASE WHEN has_sys THEN 2 ELSE 1 END AS BIGINT)
+               AS turn_idx,
+             CASE WHEN has_sys THEN 2 + sc ELSE 0 END + 2 + c0 + 1 AS s1,
+             c1, c2, c3
+           FROM cbase),
+         cspans AS (
+           SELECT conv_id, turn_idx,
+             CAST(s1 AS BIGINT) AS start_tok,
+             CAST(s1 + c1 AS BIGINT) AS end_tok
+           FROM tspans
+           UNION ALL
+           SELECT conv_id, turn_idx + 2,
+             CAST(s1 + c1 + c2 + 4 AS BIGINT),
+             CAST(s1 + c1 + c2 + 4 + c3 AS BIGINT)
+           FROM tspans)"""
+  }
+
+  /** Shared oracle CTEs: the quarter derivation (`s`). */
+  private val quartersCte =
+    s"""WITH f AS (
+         SELECT doc_id, $tokensSql AS toks, len($tokensSql) AS n
+         FROM documents WHERE NOT $blankSql),
+        s AS (
+         SELECT doc_id, n, (doc_id % 3 = 0) AS has_sys,
+           array_to_string(list_slice(toks, 1,
+             CAST(floor(n / 4.0) AS INT)), ' ') AS q0,
+           array_to_string(list_slice(toks,
+             CAST(floor(n / 4.0) AS INT) + 1,
+             CAST(floor(n * 2 / 4.0) AS INT)), ' ') AS q1,
+           array_to_string(list_slice(toks,
+             CAST(floor(n * 2 / 4.0) AS INT) + 1,
+             CAST(floor(n * 3 / 4.0) AS INT)), ' ') AS q2,
+           array_to_string(list_slice(toks,
+             CAST(floor(n * 3 / 4.0) AS INT) + 1, n), ' ') AS q3
+         FROM f WHERE n >= 4)"""
+
+  def oracle: Map[String, String] = Map(
+
+    "chat_render" ->
+      s"""$quartersCte,
+          r AS (
+           SELECT doc_id AS conv_id,
+             CAST(CASE WHEN has_sys THEN 5 ELSE 4 END AS BIGINT) AS n_turns,
+             CAST(2 AS BIGINT) AS n_assistant,
+             (CASE WHEN has_sys
+                   THEN '<|system|>$SysPrompt<|end|>' ELSE '' END
+              || '<|user|>' || q0 || '<|end|>'
+              || '<|assistant|>' || q1 || '<|end|>'
+              || '<|user|>' || q2 || '<|end|>'
+              || '<|assistant|>' || q3 || '<|end|>') AS rendered
+           FROM s)
+         SELECT conv_id, n_turns, n_assistant, rendered,
+           CAST(length(rendered) AS BIGINT) AS n_chars
+         FROM r ORDER BY conv_id""",
+
+    "chat_validate" ->
+      s"""$quartersCte
+         SELECT doc_id AS conv_id,
+           CAST(CASE WHEN has_sys THEN 5 ELSE 4 END AS BIGINT) AS n_turns,
+           (doc_id % 13 <> 0 AND doc_id % 11 <> 0) AS valid,
+           CASE WHEN doc_id % 13 = 0 THEN 'role_alternation'
+                WHEN doc_id % 11 = 0 THEN 'empty_content'
+                ELSE NULL END AS reason
+         FROM s ORDER BY conv_id""",
+
+    // Closed-form span arithmetic: per-turn rendered length is
+    // length(role) + length(content) + 11; the assistant content starts
+    // 4 + length(role) after the turn start. The system turn totals
+    // 11 + 6 + 27 = 44.
+    "chat_mask_spans" ->
+      s"""$quartersCte,
+          l AS (
+           SELECT doc_id, has_sys,
+             CAST(CASE WHEN has_sys THEN 44 ELSE 0 END AS BIGINT) AS off0,
+             CAST(length(q0) AS BIGINT) AS l0,
+             CAST(length(q1) AS BIGINT) AS l1,
+             CAST(length(q2) AS BIGINT) AS l2,
+             CAST(length(q3) AS BIGINT) AS l3
+           FROM s),
+          spans AS (
+           SELECT doc_id AS conv_id,
+             CAST(CASE WHEN has_sys THEN 2 ELSE 1 END AS BIGINT) AS turn_idx,
+             off0 + l0 + 28 AS start_char,
+             off0 + l0 + 28 + l1 AS end_char
+           FROM l
+           UNION ALL
+           SELECT doc_id AS conv_id,
+             CAST(CASE WHEN has_sys THEN 4 ELSE 3 END AS BIGINT) AS turn_idx,
+             off0 + l0 + 28 + l1 + l2 + 35 AS start_char,
+             off0 + l0 + 28 + l1 + l2 + 35 + l3 AS end_char
+           FROM l)
+         SELECT conv_id, turn_idx, start_char, end_char
+         FROM spans ORDER BY conv_id, turn_idx""",
+
+    // BPE training replayed via the shared CTEs (the published 8-round
+    // loop), then per-word token counts summed over each quarter's
+    // token-index range; span arithmetic mirrors the atomic-special-
+    // token contract: each turn occupies 2 + count(content) positions.
+    "chat_token_spans" ->
+      (chatBpeCtes +
+        s"""
+         SELECT conv_id, turn_idx, start_tok, end_tok
+         FROM cspans ORDER BY conv_id, turn_idx"""),
+
+    // Packing replayed exactly as pack_bpe_sequences' oracle (md5
+    // shard, (hh, id)-ordered running offsets, bin explode) on the
+    // per-conversation totals from the shared chat CTEs, then the
+    // piece × span intersection in sequence coordinates.
+    "chat_pack_masks" ->
+      (chatBpeCtes +
+        s""",
+         ph AS (SELECT conv_id, n,
+                  md5(CAST(conv_id AS VARCHAR) || 'r17c') AS hh
+                FROM ctot WHERE n > 0),
+         psh AS (SELECT conv_id, n, hh,
+                   CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 4
+                     AS INT) AS shard
+                 FROM ph),
+         pp AS (SELECT conv_id, n, shard,
+                  CAST(coalesce(sum(n) OVER (PARTITION BY shard
+                    ORDER BY hh, conv_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS strt
+                FROM psh),
+         pe AS (SELECT shard, conv_id, n, strt, b AS seq_id
+                FROM pp, unnest(range(strt // 256,
+                  (strt + n - 1) // 256 + 1)) AS u(b)),
+         pieces AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+                      conv_id,
+                      greatest(0, seq_id * 256 - strt) AS tok_start,
+                      least(n, (seq_id + 1) * 256 - strt)
+                        - greatest(0, seq_id * 256 - strt) AS n_toks,
+                      greatest(0, strt - seq_id * 256) AS seq_pos
+                    FROM pe)
+         SELECT pi.shard, pi.seq_id, pi.conv_id, sp.turn_idx,
+           CAST(pi.seq_pos
+             + greatest(0, sp.start_tok - pi.tok_start) AS BIGINT)
+             AS mask_start,
+           CAST(pi.seq_pos
+             + least(pi.n_toks, sp.end_tok - pi.tok_start) AS BIGINT)
+             AS mask_end
+         FROM pieces pi JOIN cspans sp USING (conv_id)
+         WHERE sp.start_tok < pi.tok_start + pi.n_toks
+           AND sp.end_tok > pi.tok_start
+         ORDER BY shard, seq_id, conv_id, turn_idx, mask_start"""),
+
+    "chat_dedup" ->
+      s"""$quartersCte,
+          a AS (
+           SELECT doc_id AS conv_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'the answer is 42 thanks for asking'
+                  ELSE q1 || ' ' || q3 END AS atext
+           FROM s),
+          c AS (
+           SELECT conv_id,
+             min(conv_id) OVER (PARTITION BY atext) AS canonical_id
+           FROM a)
+         SELECT conv_id, canonical_id,
+           (conv_id <> canonical_id) AS is_dup
+         FROM c ORDER BY conv_id"""
+  )
+}

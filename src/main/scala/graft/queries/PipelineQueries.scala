@@ -111,7 +111,7 @@ object PipelineQueries {
     * the memo — it IS the training query. */
   private val bpeMergeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
-  private def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+  private[queries] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
@@ -2232,12 +2232,12 @@ object PipelineQueries {
     * `tokensSql` matches [[graft.operators.TextAnalysis.tokens]] and the
     * one-pass kernels exactly: no empty tokens, whatever whitespace the
     * text starts or ends with. */
-  private val wsClassSql = """[ \t\n\f\r\x0B]"""
+  private[queries] val wsClassSql = """[ \t\n\f\r\x0B]"""
   private val wsTrimSql =
     s"""regexp_replace(text, '^$wsClassSql+|$wsClassSql+$$', '', 'g')"""
-  private val tokensSql =
+  private[queries] val tokensSql =
     s"""list_filter(regexp_split_to_array(text, '$wsClassSql+'), t -> t <> '')"""
-  private val blankSql = s"""length($wsTrimSql) = 0"""
+  private[queries] val blankSql = s"""length($wsTrimSql) = 0"""
 
   /** Per-language composite language-id scores (`s_<lang>` SELECT items)
     * over a `text` column in scope — the SQL replay of the PROFILE
@@ -2332,7 +2332,7 @@ object PipelineQueries {
     * from the double-separator symbol strings (p$k), the (freq DESC, l,
     * r) argmax (m$k), and the SAME greedy literal replace the Spark side
     * applies (s$k). See [[graft.operators.TextAnalysis.bpeTrain]]. */
-  private def bpeTrainCtes(rounds: Int): String = {
+  private[queries] def bpeTrainCtes(rounds: Int): String = {
     val head =
       """WITH w0 AS (SELECT w, count(*) AS freq
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
