@@ -552,6 +552,58 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // SFT chat pipeline at scale: derive conversations from the doc
+      // corpus (the ChatQueries derivation), then price each stage —
+      // structural validation, template render, token-space loss spans
+      // under a trained tokenizer, and the packed loader map — plus the
+      // end-to-end certification that every supervised token survives
+      // packing exactly once. All stages are projections except the
+      // packing window, so the wall should track the scan.
+      if (on("chat")) {
+        import graft.operators.{ChatPrep, Sampling, TextAnalysis}
+        docs.cache().count()
+        val merges = TextAnalysis.bpeMerges(
+          TextAnalysis.bpeTrain(docs, col("text"), nMerges = 16))
+        val count: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          c => TextAnalysis.bpeEncodeCount(c, merges).cast("long")
+        val convs = graft.queries.ChatQueries
+          .convs(docs.select(col("doc_id"), col("text")),
+            plantInvalid = true, plantDup = false)
+        convs.cache().count()
+        val tV = System.nanoTime()
+        val nValid = convs
+          .where(ChatPrep.reasonCol(col("turns")).isNull).count()
+        val secValid = (System.nanoTime() - tV) / 1e9
+        val tR = System.nanoTime()
+        val totalChars = ChatPrep.render(convs, col("conv_id"), col("turns"))
+          .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+        val secRender = (System.nanoTime() - tR) / 1e9
+        val tS = System.nanoTime()
+        val spans = ChatPrep.assistantTokenSpans(convs, col("conv_id"),
+          col("turns"), count)
+        val spanTotal = spans
+          .agg(sum(col("end_tok") - col("start_tok"))).collect()(0).getLong(0)
+        val secSpans = (System.nanoTime() - tS) / 1e9
+        val tP = System.nanoTime()
+        val totals = convs.select(col("conv_id"),
+          aggregate(col("turns"), lit(0L),
+            (acc, t0) => acc + lit(2L) + count(t0.getField("content")))
+            .as("__tot"))
+        val packMap = Sampling.packSequencesPosBy(totals, col("conv_id"),
+          col("__tot"), nShards = 32, seqLen = 512, salt = "probe")
+        val masks = ChatPrep.packedAssistantMasks(packMap, spans)
+        val maskTotal = masks
+          .agg(sum(col("mask_end") - col("mask_start"))).collect()(0)
+          .getLong(0)
+        val secPack = (System.nanoTime() - tP) / 1e9
+        require(maskTotal == spanTotal,
+          s"chat probe: packed masks cover $maskTotal supervised tokens " +
+            s"but spans declare $spanTotal — packing dropped or doubled " +
+            "mask coverage")
+        println(f"""{"metric":"chat_scale","convs":$n,"valid":$nValid,"validate_sec":$secValid%.2f,"render_sec":$secRender%.2f,"render_chars":$totalChars,"spans_sec":$secSpans%.2f,"pack_sec":$secPack%.2f,"masked_tokens":$maskTotal,"mask_mtok_per_sec":${maskTotal / (secSpans + secPack) / 1e6}%.2f}""")
+        convs.unpersist(); docs.unpersist()
+      }
+
       // Byte-level BPE encode at scale: same min-rank kernel as the
       // char probe (table-size independence transfers), but every token
       // decomposes into UTF-8 bytes — ~4-5x the symbol count per doc —

@@ -95,9 +95,18 @@ object ChatPrep {
     * The precedence is part of the contract (an oracle replaying the
     * verdict must order its CASE the same way). All checks are array
     * folds over the turns column — pure projection. */
-  def validate(df: DataFrame, convId: Column, turns: Column): DataFrame = {
-    val base = df.select(convId.as("conv_id"), turns.as("__t"))
-    val t = col("__t")
+  def validate(df: DataFrame, convId: Column, turns: Column): DataFrame =
+    df.select(convId.as("conv_id"), turns.as("__t"))
+      .select(col("conv_id"), size(col("__t")).cast("long").as("n_turns"),
+        reasonCol(col("__t")).as("reason"))
+      .select(col("conv_id"), col("n_turns"),
+        col("reason").isNull.as("valid"), col("reason"))
+
+  /** [[validate]]'s verdict as a bare Column — null when valid, else the
+    * first failing reason in the documented precedence. Shared by the
+    * batch verdict frame and the streaming admission gate
+    * ([[graft.streaming.StreamingChat]]), so the two can never drift. */
+  def reasonCol(t: Column): Column = {
     // turns after the optional leading system prompt
     val core = when(role(element_at(t, 1)) === "system",
       slice(t, lit(2), greatest(size(t) - 1, lit(0)))).otherwise(t)
@@ -112,7 +121,7 @@ object ChatPrep {
         slice(core, lit(2), greatest(size(core) - 1, lit(0))),
         (a, b) => role(a) === role(b)),
       x => x)
-    val reason = when(size(t) === 0, lit("no_turns"))
+    when(size(t) === 0, lit("no_turns"))
       .when(badRole, lit("bad_role"))
       .when(sysInside, lit("system_position"))
       .when(size(core) === 0, lit("no_core_turns"))
@@ -122,10 +131,6 @@ object ChatPrep {
         lit("last_not_assistant"))
       .when(emptyContent, lit("empty_content"))
       .otherwise(lit(null).cast("string"))
-    base.select(col("conv_id"), size(t).cast("long").as("n_turns"),
-        reason.as("reason"))
-      .select(col("conv_id"), col("n_turns"),
-        col("reason").isNull.as("valid"), col("reason"))
   }
 
   private val SpanArrayType =

@@ -46,9 +46,10 @@ object ChatQueries {
         seg(2).as("q2"), seg(3).as("q3"))
   }
 
-  /** Assemble the turns array, with the query-specific plants. */
-  private def convs(docs: DataFrame, plantInvalid: Boolean,
-                    plantDup: Boolean): DataFrame = {
+  /** Assemble the turns array, with the query-specific plants. Shared
+    * with the ScaleProbe chat probe (same derivation, 1M-doc corpus). */
+  private[graft] def convs(docs: DataFrame, plantInvalid: Boolean,
+                           plantDup: Boolean): DataFrame = {
     val q = quarters(docs)
     val dup = pmod(col("doc_id"), lit(17)) === 0
     val a1 =
