@@ -401,6 +401,38 @@ object Sampling {
           .as("seq_pos"))
   }
 
+  /** Packing-efficiency report over a [[packSequencesBy]] map — the
+    * numbers a loader team tracks per shard: sequence count, document
+    * and piece counts, split incidence, total tokens, tail waste, and
+    * fill fraction. Waste is ONLY the final sequence's unfilled tail —
+    * every non-last sequence is exactly seqLen by construction — so
+    * `fill_frac` doubles as a packing-correctness check (anything
+    * below (n_seqs−1)·seqLen/total would mean a mid-stream hole).
+    *
+    * Two grouped aggregates: per-(shard, doc) then per-shard — the
+    * first exchange is the map's own key, the second is shard-sized.
+    * 6-dp fill via the engine-exact quantizer
+    * ([[TextAnalysis.quant6]]). */
+  def packReport(packMap: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    packMap
+      .groupBy(col("shard"), col("doc_id"))
+      .agg(count(lit(1)).as("__pieces"), sum(col("n_toks")).as("__dtoks"),
+        max(col("seq_id")).as("__mseq"))
+      .groupBy(col("shard"))
+      .agg(
+        (max(col("__mseq")) + 1L).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__pieces")).as("n_pieces"),
+        sum(when(col("__pieces") > 1, 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("__dtoks")).as("total_tokens"))
+      .select(col("shard"), col("n_seqs"), col("n_docs"), col("n_pieces"),
+        col("n_split_docs"), col("total_tokens"),
+        (col("n_seqs") * seqLen - col("total_tokens")).as("tail_waste"),
+        TextAnalysis.quant6(col("total_tokens").cast("double")
+          / (col("n_seqs") * seqLen)).as("fill_frac"))
+  }
+
   /** Data mixing: per-stratum sampling weights (e.g. by source). Strata
     * absent from `weights` get `defaultWeight`; weights above 1.0 keep the
     * whole stratum (upsampling is the caller's union). */

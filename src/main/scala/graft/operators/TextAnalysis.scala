@@ -251,6 +251,65 @@ object TextAnalysis {
         LongNumRe, "<NUM>"),
       PhoneRe, "<PHONE>")
 
+  /** A UTF-8 string as it looks after the classic double-encoding
+    * defect: its UTF-8 bytes misread as windows-1252, each byte
+    * becoming one character. `mojify("é") == "Ã©"`,
+    * `mojify("—") == "â€”"` — the forms web corpora actually contain
+    * (ftfy's core case). Uses ftfy's SLOPPY-windows-1252 convention for
+    * the five bytes cp1252 leaves undefined (0x81 8D 8F 90 9D → the C1
+    * controls): Java's strict decoder would map all five to U+FFFD,
+    * which is LOSSY — `Á Í Ï Ð Ý` and `”` would collapse onto
+    * identical mojibake forms and become unrepairable. The sloppy
+    * mapping keeps every byte distinct, which is exactly why real-world
+    * mojibake (produced by latin-1-ish decoders) is repairable at
+    * all. */
+  private[graft] def mojify(s: String): String =
+    s.getBytes("UTF-8").map { b =>
+      val i = b & 0xFF
+      if (i == 0x81 || i == 0x8D || i == 0x8F || i == 0x90 || i == 0x9D)
+        i.toChar
+      else new String(Array(b), "windows-1252").charAt(0)
+    }.mkString
+
+  /** The curated repair table: (mojibake form → original character),
+    * longest-form-first, keys verified pairwise distinct at init.
+    * Coverage is the Latin-1 accented letters (2-byte UTF-8 → `Ã`-led
+    * digraphs) plus the windows-1252 punctuation block (3-byte UTF-8 →
+    * `â`-led trigraphs: curly quotes, dashes, ellipsis, euro, bullet).
+    * The classes cannot overlap (every trigraph starts `â`, every
+    * digraph `Ã`, and no trigraph tail contains `Ã`), so replace order
+    * cannot change the result — still fixed, as part of the contract.
+    *
+    * DELIBERATELY single-pass (one replace per entry, no fixpoint) —
+    * ftfy's decode-once semantics. Documented boundaries of the
+    * curated-table approach: C2-led digraphs (`Â°`, `Â·`, NBSP) are
+    * excluded because `Â` also appears as a passthrough byte inside
+    * doubly-corrupted sequences, so a table rule for it would corrupt
+    * them; consequently DOUBLE-mojified text is out of contract (one
+    * application repairs one clean level). */
+  val MojibakeTable: Seq[(String, String)] = {
+    val targets =
+      "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ" +
+        "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÞß" +
+        "‘’“”–—…€•™"
+    val table = targets.map(c => (mojify(c.toString), c.toString))
+      .sortBy { case (m, t) => (-m.length, t) }
+    require(table.map(_._1).distinct.size == table.size,
+      "MojibakeTable: duplicate mojibake keys — a target set change " +
+        "introduced two characters whose corrupted forms collide")
+    table
+  }
+
+  /** Repair double-encoded (mojibake) text: every [[MojibakeTable]]
+    * form replaced by its original character, longest first — pure
+    * per-row chained `replace`, codegen'd, shuffle-free, and exactly
+    * replayable in any engine with literal replace (the oracle builds
+    * its SQL from the same table). */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (m, t)) =>
+      org.apache.spark.sql.functions.replace(c, lit(m), lit(t))
+    }
+
   /** HTML → text extraction, the CommonCrawl-style first stage of a web
     * pretraining pipeline, as a REGEX-DEFINED contract (valid in both
     * Java regex and RE2, like the PII patterns — no lookaround): drop

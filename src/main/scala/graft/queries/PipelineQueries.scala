@@ -673,6 +673,33 @@ object PipelineQueries {
         .orderBy(col("shard"), col("seq_id"), col("doc_id"))
     },
 
+    // Per-sequence document boundaries in SEQUENCE coordinates — the
+    // block-diagonal attention-mask map a pretraining loader
+    // materializes next to each packed sequence (the chat_pack_masks
+    // sibling for plain document packing). Pure re-projection of the
+    // position-carrying packing map.
+    "pack_doc_spans" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling.packSequencesPosBy(t.documents,
+          col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long"),
+          nShards = 4, seqLen = 256, salt = "r5")
+        .select(col("shard"), col("seq_id"), col("doc_id"),
+          col("seq_pos").as("span_start"),
+          (col("seq_pos") + col("n_toks")).as("span_end"))
+        .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+    },
+
+    // Packing-efficiency report over the pack_sequences map: per-shard
+    // sequence/doc/piece counts, split incidence, tail waste, fill.
+    "pack_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling.packReport(
+          graft.operators.Sampling.packSequences(t.documents, col("doc_id"),
+            col("text"), nShards = 4, seqLen = 256, salt = "r5"),
+          seqLen = 256)
+        .orderBy(col("shard"))
+    },
+
     // Sequence packing over REAL tokenizer output: train 8 BPE merges,
     // count each document's encoded subwords, and cut 256-token training
     // sequences on THAT budget — the tokenize-then-pack step a training
@@ -2062,6 +2089,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Mojibake (double-encoding) repair over a corpus with a planted
+    // corrupted phrase on two of every three docs — the ftfy core case:
+    // UTF-8 read as windows-1252. The clean third certifies the fixer
+    // never touches healthy ASCII text.
+    "text_fix_mojibake" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val corrupted = TextAnalysis.mojify(" café — “quoted” …costs €5•")
+      val planted = t.documents.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(corrupted))).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.fixMojibake(col("text")).as("clean"),
+          (length(col("text")) - length(TextAnalysis.fixMojibake(col("text"))))
+            .cast("long").as("n_saved"))
+        .orderBy(col("doc_id"))
+    },
+
     // Boilerplate paragraph removal over a corpus with planted recurring
     // lines (every 5th doc gets a "subscribe" footer, every 7th a rights
     // notice): paragraphs occurring in >= 3 distinct docs are stripped
@@ -2377,6 +2421,38 @@ object PipelineQueries {
                    '|' || m.l || m.r || '|') AS s, w.freq
                  FROM s${k - 1} w, m$k m)"""
     }.mkString
+
+  /** The pack_sequences packing map as oracle CTEs (whitespace counts,
+    * 4 shards, seqLen 256, salt 'r5' — the pack_sequences query config),
+    * ending in `pieces(shard, seq_id, doc_id, tok_start, n_toks)` —
+    * shared by pack_sequences and pack_report so the map and the report
+    * can never drift. */
+  private lazy val packSeqCtes: String =
+    s"""WITH d AS (
+           SELECT doc_id,
+             CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n
+           FROM documents),
+          nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM d WHERE n > 0),
+          h AS (SELECT doc_id, n,
+                  md5(CAST(doc_id AS VARCHAR) || 'r5') AS hh
+                FROM nz),
+          s AS (SELECT doc_id, n, hh,
+                  CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+                FROM h),
+          p AS (SELECT doc_id, n, shard,
+                  CAST(coalesce(sum(n) OVER (PARTITION BY shard
+                    ORDER BY hh, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS strt
+                FROM s),
+          e AS (SELECT shard, doc_id, n, strt, b AS seq_id
+                FROM p, unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS u(b)),
+          pieces AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             greatest(0, seq_id * 256 - strt) AS tok_start,
+             least(n, (seq_id + 1) * 256 - strt)
+               - greatest(0, seq_id * 256 - strt) AS n_toks,
+             greatest(0, strt - seq_id * 256) AS seq_pos
+           FROM e)"""
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -2857,30 +2933,42 @@ object PipelineQueries {
          FROM s ORDER BY shard, pos""",
 
     "pack_sequences" ->
-      s"""WITH d AS (
-           SELECT doc_id,
-             CASE WHEN $blankSql THEN 0 ELSE len($tokensSql) END AS n
-           FROM documents),
-          nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM d WHERE n > 0),
-          h AS (SELECT doc_id, n,
-                  md5(CAST(doc_id AS VARCHAR) || 'r5') AS hh
-                FROM nz),
-          s AS (SELECT doc_id, n, hh,
-                  CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 4 AS INT) AS shard
-                FROM h),
-          p AS (SELECT doc_id, n, shard,
-                  CAST(coalesce(sum(n) OVER (PARTITION BY shard
-                    ORDER BY hh, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS strt
-                FROM s),
-          e AS (SELECT shard, doc_id, n, strt, b AS seq_id
-                FROM p, unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS u(b))
-         SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-           greatest(0, seq_id * 256 - strt) AS tok_start,
-           least(n, (seq_id + 1) * 256 - strt)
-             - greatest(0, seq_id * 256 - strt) AS n_toks
-         FROM e ORDER BY shard, seq_id, doc_id""",
+      (packSeqCtes +
+        """
+         SELECT shard, seq_id, doc_id, tok_start, n_toks
+         FROM pieces ORDER BY shard, seq_id, doc_id"""),
+
+    // seq_pos comes from the same shared pieces CTE: a piece sits at 0
+    // when it continues a document across the cut, else at strt − seq·256.
+    "pack_doc_spans" ->
+      (packSeqCtes +
+        """
+         SELECT shard, seq_id, doc_id,
+           CAST(seq_pos AS BIGINT) AS span_start,
+           CAST(seq_pos + n_toks AS BIGINT) AS span_end
+         FROM pieces ORDER BY shard, seq_id, doc_id"""),
+
+    // One grouped pass over the packing map — the loader-team health
+    // report: sequence counts, split incidence, and fill (waste is the
+    // tail sequence only, since every non-last sequence is exactly
+    // seqLen by construction — asserted by the fill arithmetic itself).
+    "pack_report" ->
+      (packSeqCtes +
+        s""",
+          pd AS (SELECT shard, doc_id, count(*) AS pieces,
+                   sum(n_toks) AS dtoks, max(seq_id) AS mseq
+                 FROM pieces GROUP BY shard, doc_id)
+         SELECT shard,
+           CAST(max(mseq) + 1 AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(CASE WHEN pieces > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs,
+           CAST(sum(dtoks) AS BIGINT) AS total_tokens,
+           CAST((max(mseq) + 1) * 256 - sum(dtoks) AS BIGINT) AS tail_waste,
+           floor(CAST(sum(dtoks) AS DOUBLE) / ((max(mseq) + 1) * 256)
+             * 1000000 + 0.5) / 1000000 AS fill_frac
+         FROM pd GROUP BY shard ORDER BY shard"""),
 
     "sample_mixture" ->
       """SELECT doc_id, source FROM (
@@ -4724,6 +4812,24 @@ object PipelineQueries {
                '${TextAnalysis.LongNumRe}', '<NUM>', 'g'),
              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
          FROM planted ORDER BY doc_id""",
+
+    // The oracle builds its replace chain from the SAME MojibakeTable
+    // the operator folds, so the table and the SQL can never drift;
+    // the planted literal is computed by the same mojify().
+    "text_fix_mojibake" -> {
+      val corrupted = TextAnalysis.mojify(" café — “quoted” …costs €5•")
+      val fix = TextAnalysis.MojibakeTable.foldLeft("text") {
+        case (acc, (m, t)) => s"replace($acc, '$m', '$t')"
+      }
+      s"""WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || '$corrupted' END AS text
+           FROM documents)
+         SELECT doc_id, $fix AS clean,
+           CAST(length(text) - length($fix) AS BIGINT) AS n_saved
+         FROM planted ORDER BY doc_id"""
+    },
 
     // The synth and the strip are the same regex/concat pipeline on
     // both engines; (?is)/(?s) inline flags and 'g' are RE2-valid, and

@@ -143,6 +143,34 @@ class ChatPrepSpec extends SparkSpec {
       (11L, false, Some("role_alternation"))))
   }
 
+  test("plan guards: render, validate, and both span forms are pure " +
+       "projections (no Exchange); dedup exchanges the fingerprint, " +
+       "never the turns") {
+    import org.apache.spark.sql.Column
+    val wc: Column => Column =
+      c => size(graft.operators.TextAnalysis.tokens(c)).cast("long")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val pr = planOf(ChatPrep.render(good, col("conv_id"), col("turns")))
+    assert(!pr.contains("Exchange"), s"render shuffled:\n$pr")
+    val pv = planOf(ChatPrep.validate(good, col("conv_id"), col("turns")))
+    assert(!pv.contains("Exchange"), s"validate shuffled:\n$pv")
+    val ps = planOf(ChatPrep.assistantSpans(good, col("conv_id"),
+      col("turns")))
+    assert(!ps.contains("Exchange"), s"char spans shuffled:\n$ps")
+    val pt = planOf(ChatPrep.assistantTokenSpans(good, col("conv_id"),
+      col("turns"), wc))
+    assert(!pt.contains("Exchange"), s"token spans shuffled:\n$pt")
+    // dedup's one exchange partitions on the fingerprint, and the
+    // assistant text itself is projected away before the shuffle
+    val pd = planOf(ChatPrep.dedupByAssistant(good, col("conv_id"),
+      col("turns")))
+    assert(pd.contains("Exchange hashpartitioning(__fp"),
+      s"dedup must shuffle on the fingerprint:\n$pd")
+    assert(!pd.contains("Exchange hashpartitioning(__a"),
+      s"dedup exchange keyed on the text:\n$pd")
+  }
+
   test("dedupByAssistant: same assistant content collapses to the min " +
        "conv_id; prompt-side differences do not split the group") {
     val convs = df(

@@ -258,6 +258,40 @@ class SamplingSpec extends SparkSpec {
     assert(got2 == got, s"blank fragment leaked: $got2")
   }
 
+  test("packSequencesPosBy + packReport: pieces tile each sequence on " +
+       "seq_pos, report identities hold (waste = tail only)") {
+    val seqLen = 64
+    val posMap = Sampling.packSequencesPosBy(docs, col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+      nShards = 4, seqLen = seqLen, salt = "t")
+    val rows = posMap.collect().map(r => (r.getAs[Int]("shard"),
+      r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_toks"), r.getAs[Long]("seq_pos")))
+    // within each (shard, seq): pieces tile [0, fill) contiguously
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((sh, sq), ps) =>
+      val sorted = ps.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"shard $sh seq $sq starts at ${sorted.head._5}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + a._4 == b._5, s"shard $sh seq $sq gap/overlap")
+        case _ =>
+      }
+      assert(sorted.last._5 + sorted.last._4 <= seqLen)
+    }
+    // report identities per shard
+    val rep = Sampling.packReport(posMap.drop("seq_pos"), seqLen)
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val nSeqs = r.getAs[Long]("n_seqs"); val total = r.getAs[Long]("total_tokens")
+      val waste = r.getAs[Long]("tail_waste"); val fill = r.getAs[Double]("fill_frac")
+      assert(waste >= 0 && waste < seqLen, r.toString)
+      assert(total + waste == nSeqs * seqLen, r.toString)
+      assert(fill > 0.0 && fill <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_docs"), r.toString)
+    }
+  }
+
   test("sequence packing: full bins, contiguous doc coverage, partitioning-invariant") {
     val seqLen = 64
     val out = Sampling.packSequences(docs, col("doc_id"), col("text"),

@@ -772,4 +772,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.isNullAt(5) && r2.getDouble(6) == 0.0 && r2.getDouble(7) == 0.5,
       r2.toString)
   }
+
+  test("fixMojibake: repairs the double-encoding round trip, leaves " +
+       "clean text alone, single-pass on double corruption") {
+    import graft.operators.TextAnalysis.{fixMojibake, mojify}
+    val phrase = "café — \u201cquoted\u201d …costs €5• naïve Ñandú ÀÉÎÕÜ ß’s"
+    val corrupt = mojify(phrase)
+    assert(corrupt != phrase && corrupt.contains("Ã©"), corrupt)
+    val out = Seq((1L, corrupt), (2L, "plain ascii text stays put"),
+        (3L, mojify(corrupt)))
+      .toDF("id", "text")
+      .select(col("id"), fixMojibake(col("text")).as("clean"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == phrase, out(0).getString(1))
+    assert(out(1).getString(1) == "plain ascii text stays put")
+    // double-mojified text is OUT OF CONTRACT (decode-once semantics;
+    // the C2 passthrough bytes a second corruption level introduces are
+    // deliberately not table rules) -- one pass repairs one level and
+    // must not pretend otherwise
+    assert(out(2).getString(1) != phrase, "double corruption is not repaired in one pass")
+    // the five letters whose UTF-8 second byte is cp1252-undefined are
+    // the sloppy-mapping regression guard: each must round-trip
+    Seq("\u00c1", "\u00cd", "\u00cf", "\u00d0", "\u00dd", "\u201d").foreach { ch =>
+      val fixed = Seq(Tuple1(mojify(ch))).toDF("text")
+        .select(fixMojibake(col("text"))).collect()(0).getString(0)
+      assert(fixed == ch, s"sloppy-cp1252 round trip broke for $ch: $fixed")
+    }
+  }
 }
