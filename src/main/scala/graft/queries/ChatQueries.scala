@@ -149,6 +149,60 @@ object ChatQueries {
           col("turn_idx"), col("mask_start"))
     },
 
+    // The FLAGSHIP SFT funnel, one row: mojibake repair -> conversation
+    // derivation (all plants active) -> structural validation ->
+    // assistant-content dedup -> real-tokenizer totals -> packing ->
+    // packed loss masks. The Spark side runs every operator for real;
+    // the oracle predicts each stage's aggregate closed-form (n_seqs =
+    // per-shard ceil(total/seqLen) because pieces tile contiguously;
+    // masked tokens = span totals because packedAssistantMasks
+    // preserves them exactly — the invariant the spec and the 1M-conv
+    // probe pin).
+    "chat_funnel" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = PipelineQueries.trainedMerges(s, dir)
+      val count: Column => Column =
+        c => TextAnalysis.bpeEncodeCount(c, merges).cast("long")
+      val corrupted = TextAnalysis.mojify(" café — “quoted” …costs €5•")
+      val fixedDocs = t.documents.select(col("doc_id"),
+        TextAnalysis.fixMojibake(
+          when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(corrupted)))).as("text"))
+      val cs = convs(fixedDocs, plantInvalid = true, plantDup = true)
+        .localCheckpoint()
+      val valid = cs.where(ChatPrep.reasonCol(col("turns")).isNull)
+      val dedup = ChatPrep.dedupByAssistant(valid, col("conv_id"),
+        col("turns")).localCheckpoint()
+      val kept = valid.join(
+        dedup.where(!col("is_dup")).select("conv_id"), "conv_id")
+      val totals = kept.select(col("conv_id"),
+        aggregate(col("turns"), lit(0L),
+          (acc, t0) => acc + lit(2L) + count(t0.getField("content")))
+          .as("__tot")).localCheckpoint()
+      val packMap = graft.operators.Sampling.packSequencesPosBy(
+        totals, col("conv_id"), col("__tot"),
+        nShards = 4, seqLen = 256, salt = "fun")
+      val spans = ChatPrep.assistantTokenSpans(kept, col("conv_id"),
+        col("turns"), count)
+      val masks = ChatPrep.packedAssistantMasks(packMap, spans)
+      val convAgg = cs.agg(
+        count_distinct(col("conv_id")).as("n_convs"),
+        sum(when(ChatPrep.reasonCol(col("turns")).isNotNull, 1L)
+          .otherwise(0L)).as("n_invalid"))
+      val dupAgg = dedup.agg(
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      val keptAgg = totals.agg(
+        count_distinct(col("conv_id")).as("n_kept"),
+        sum(col("__tot")).as("total_tokens"))
+      val seqAgg = packMap.groupBy(col("shard"))
+        .agg((max(col("seq_id")) + 1L).as("__ns"))
+        .agg(sum(col("__ns")).as("n_seqs"))
+      val maskAgg = masks.agg(
+        sum(col("mask_end") - col("mask_start")).as("masked_tokens"))
+      convAgg.crossJoin(dupAgg).crossJoin(keptAgg).crossJoin(seqAgg)
+        .crossJoin(maskAgg)
+    },
+
     // Exact dedup on assistant content: every 17th doc shares one
     // planted answer pair; canonical = min conv_id. The exchange
     // carries (xxhash64, length), never the text.
@@ -362,6 +416,119 @@ object ChatQueries {
          WHERE sp.start_tok < pi.tok_start + pi.n_toks
            AND sp.end_tok > pi.tok_start
          ORDER BY shard, seq_id, conv_id, turn_idx, mask_start"""),
+
+    // Every stage predicted closed-form on the FIXED corpus: the train
+    // CTEs replay on the raw documents (trainedMerges' corpus), token
+    // counts on the repaired+planted text, validity and dup plants by
+    // congruence, per-shard sequence counts as ceil(total/256) (pieces
+    // tile contiguously from 0), masked tokens as the span-total
+    // identity that packedAssistantMasks preserves by contract.
+    "chat_funnel" -> {
+      val rounds = 8
+      val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', " +
+          s"'|' || m$k.l || m$k.r || '|')"
+      }
+      val ms = (1 to rounds).map("m" + _).mkString(", ")
+      val corrupted = TextAnalysis.mojify(" café — “quoted” …costs €5•")
+      val fixed = TextAnalysis.MojibakeTable.foldLeft(
+        s"CASE WHEN doc_id % 3 = 0 THEN text ELSE text || '$corrupted' END") {
+        case (acc, (m, t)) => s"replace($acc, '$m', '$t')"
+      }
+      PipelineQueries.bpeTrainCtes(rounds) +
+        s""",
+           fx AS (SELECT doc_id, $fixed AS text FROM documents),
+           ftk AS MATERIALIZED (SELECT doc_id, $tokensSql AS toks,
+                     len($tokensSql) AS n
+                   FROM fx WHERE NOT $blankSql),
+           xw AS (SELECT unnest(['you', 'are', 'a', 'helpful',
+                    'assistant', 'the', 'answer', 'is', '42', 'thanks',
+                    'for', 'asking']) AS w),
+           fvocab AS (SELECT DISTINCT t FROM (
+                        SELECT unnest(toks) AS t FROM ftk
+                        UNION ALL SELECT w FROM xw)),
+           wcnt AS MATERIALIZED (
+                    SELECT t,
+                      CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                           THEN len(string_split(trim($chained, '|'), '||'))
+                           ELSE 1 END AS c
+                    FROM fvocab, $ms),
+           ftok AS (SELECT doc_id, unnest(toks) AS t,
+                      unnest(range(1, n + 1)) AS i, n
+                    FROM ftk WHERE n >= 4),
+           fenc AS (SELECT doc_id, i, n, w.c AS c
+                    FROM ftok JOIN wcnt w USING (t)),
+           fsum AS (SELECT doc_id,
+                      sum(CASE WHEN i <= floor(n / 4.0)
+                               THEN c ELSE 0 END) AS c0,
+                      sum(CASE WHEN i > floor(n / 4.0)
+                                AND i <= floor(n * 2 / 4.0)
+                               THEN c ELSE 0 END) AS c1,
+                      sum(CASE WHEN i > floor(n * 2 / 4.0)
+                                AND i <= floor(n * 3 / 4.0)
+                               THEN c ELSE 0 END) AS c2,
+                      sum(CASE WHEN i > floor(n * 3 / 4.0)
+                               THEN c ELSE 0 END) AS c3
+                    FROM fenc GROUP BY doc_id),
+           fq AS (SELECT doc_id,
+                    array_to_string(list_slice(toks,
+                      CAST(floor(n / 4.0) AS INT) + 1,
+                      CAST(floor(n * 2 / 4.0) AS INT)), ' ') AS q1,
+                    array_to_string(list_slice(toks,
+                      CAST(floor(n * 3 / 4.0) AS INT) + 1, n), ' ') AS q3
+                  FROM ftk WHERE n >= 4),
+           syscnt AS (SELECT sum(c) AS sc FROM wcnt
+                      WHERE t IN ('you', 'are', 'a', 'helpful',
+                        'assistant')),
+           p1cnt AS (SELECT sum(c) AS sc1 FROM wcnt
+                     WHERE t IN ('the', 'answer', 'is', '42')),
+           p2cnt AS (SELECT sum(c) AS sc2 FROM wcnt
+                     WHERE t IN ('thanks', 'for', 'asking')),
+           base AS MATERIALIZED (SELECT f.doc_id AS conv_id,
+                      (f.doc_id % 3 = 0) AS has_sys,
+                      (f.doc_id % 11 = 0 OR f.doc_id % 13 = 0) AS invalid,
+                      (f.doc_id % 17 = 0) AS dup,
+                      f.c0 AS c0,
+                      CASE WHEN f.doc_id % 17 = 0 THEN sc1
+                           ELSE f.c1 END AS c1,
+                      f.c2 AS c2,
+                      CASE WHEN f.doc_id % 17 = 0 THEN sc2
+                           ELSE f.c3 END AS c3,
+                      sc,
+                      CASE WHEN f.doc_id % 17 = 0
+                           THEN 'the answer is 42 thanks for asking'
+                           ELSE q.q1 || ' ' || q.q3 END AS atext
+                    FROM fsum f JOIN fq q ON f.doc_id = q.doc_id
+                    CROSS JOIN syscnt CROSS JOIN p1cnt CROSS JOIN p2cnt),
+           vdedup AS MATERIALIZED (SELECT conv_id,
+                        min(conv_id) OVER (PARTITION BY atext)
+                          AS canonical
+                      FROM base WHERE NOT invalid),
+           kept AS (SELECT conv_id FROM vdedup WHERE conv_id = canonical),
+           ktot AS MATERIALIZED (SELECT b.conv_id,
+                      CAST(CASE WHEN b.has_sys THEN 2 + b.sc ELSE 0 END
+                        + 8 + b.c0 + b.c1 + b.c2 + b.c3 AS BIGINT) AS n,
+                      CAST(b.c1 + b.c3 AS BIGINT) AS masked
+                    FROM base b JOIN kept USING (conv_id)),
+           sh AS (SELECT conv_id, n, masked,
+                    CAST(CAST(('0x' || substr(md5(
+                      CAST(conv_id AS VARCHAR) || 'fun'), 1, 8)) AS BIGINT)
+                      % 4 AS INT) AS shard
+                  FROM ktot WHERE n > 0),
+           pershard AS (SELECT shard, sum(n) AS stot FROM sh GROUP BY shard)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_convs,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE invalid)
+             AS n_invalid,
+           (SELECT CAST(count(*) AS BIGINT) FROM vdedup
+             WHERE conv_id <> canonical) AS n_dups,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+           (SELECT CAST(sum((stot + 255) // 256) AS BIGINT) FROM pershard)
+             AS n_seqs,
+           (SELECT CAST(sum(n) AS BIGINT) FROM ktot) AS total_tokens,
+           (SELECT CAST(sum(masked) AS BIGINT) FROM ktot) AS masked_tokens"""
+    },
 
     "chat_dedup" ->
       s"""$quartersCte,
