@@ -103,4 +103,54 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** SYNCHRONOUS label propagation — the standard cheap community
+    * detector (Raghavan et al. 2007, the synchronous variant): every
+    * node starts labeled with itself; each iteration every node adopts
+    * the MOST FREQUENT label among its in-neighbors, ties broken to the
+    * SMALLEST label (the deterministic tie-break that makes the result
+    * engine-exact — the published algorithm breaks ties randomly, which
+    * no oracle could replay). Nodes with no in-edges keep their label.
+    * Feed both edge directions for the undirected form. Multi-edges
+    * collapse first (one vote per distinct edge). Returns
+    * `(id, label)` after exactly `iters` rounds — fixed iteration
+    * count, not convergence detection, both because bipartite-ish
+    * graphs oscillate under synchronous updates (documented; the
+    * asynchronous variant that avoids it is order-dependent and
+    * unreplayable) and because a fixed count is what an oracle can
+    * unroll.
+    *
+    * Scale shape: labels and votes are node-sized, the join is
+    * edge-sized — per iteration one labels→src join and one
+    * (dst, label) count aggregate, then the argmax via
+    * `max(struct(cnt, -label))` INSIDE the same aggregate pattern (no
+    * per-node window/sort: the mode is a second small aggregate, not a
+    * row_number over the vote table). Each round's label frame is
+    * localCheckpoint-pinned like [[pageRank]]'s ranks. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.select(src.cast("long").as("src"),
+      dst.cast("long").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node"), col("label")),
+          e("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val mode = votes.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m").getField("nl")).as("__new"))
+      labels = labels
+        .join(mode, labels("node") === mode("dst"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").as("id"), col("label"))
+  }
 }

@@ -307,6 +307,15 @@ object RelationalQueries {
         .orderBy(col("id"))
     },
 
+    // Label-propagation communities (synchronous, 4 rounds,
+    // smallest-label tie-break) on the undirected co-occurrence graph.
+    "graph_label_prop" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Graph
+        .labelPropagation(graphEdges(t), col("a"), col("b"), iters = 4)
+        .orderBy(col("id"))
+    },
+
     // Global sort + limit (TakeOrderedAndProject, no full sort at scale).
     "q_sort_limit" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -941,6 +950,28 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(5),
     "graph_pagerank_dangling" -> pageRankDanglingSql(5),
+
+    // The synchronous recurrence unrolled: per round, votes = in-
+    // neighbor labels counted per (dst, label), mode = row_number over
+    // (cnt DESC, label ASC), keep-own for nodes with no in-edges.
+    "graph_label_prop" -> {
+      val iters = 4
+      val steps = (1 to iters).map { k =>
+        s"""v$k AS (SELECT e.dst, l.lab, count(*) AS cnt
+                    FROM e JOIN l${k - 1} l ON e.src = l.node
+                    GROUP BY 1, 2),
+            m$k AS (SELECT dst, lab FROM (
+                      SELECT dst, lab, row_number() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, lab ASC) AS rn
+                      FROM v$k) WHERE rn = 1),
+            l$k AS (SELECT l.node, coalesce(m.lab, l.lab) AS lab
+                    FROM l${k - 1} l LEFT JOIN m$k m ON l.node = m.dst)"""
+      }.mkString(",\n")
+      s"""WITH $graphBaseSql,
+            l0 AS (SELECT node, node AS lab FROM nodes),
+            $steps
+         SELECT node AS id, lab AS label FROM l$iters ORDER BY id"""
+    },
 
     // Min-label transitive closure to fixpoint: r holds (v, u) for every
     // u that reaches v; the component label is the minimum — exactly the

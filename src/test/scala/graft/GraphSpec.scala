@@ -108,4 +108,32 @@ class GraphSpec extends SparkSpec {
     val undirected = directed ++ directed.map(_.swap)
     assert(runDangling(undirected, 4) == run(undirected, 4))
   }
+
+  test("labelPropagation: communities form, smallest-label tie-break, " +
+       "no-in-edge nodes keep their label, multi-edges collapse") {
+    // two triangles {1,2,3} and {10,11,12} joined by a single bridge
+    // 3-10; undirected (both directions fed)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val und = (tri ++ tri.map(_.swap)).toDF("a", "b")
+    val labels = Graph.labelPropagation(und, col("a"), col("b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle collapses onto its own minimum label
+    assert(labels(1) == 1L && labels(2) == 1L && labels(3) == 1L, labels.toString)
+    assert(Set(labels(10), labels(11), labels(12)).size == 1, labels.toString)
+    // tie-break: node with two equally-frequent neighbor labels takes
+    // the smaller one after round 1
+    val tie = Seq((5L, 7L), (6L, 7L)).toDF("a", "b")
+    val l1 = Graph.labelPropagation(tie, col("a"), col("b"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(7L) == 5L, l1.toString)
+    // sources have no in-edges on the directed form: they keep themselves
+    assert(l1(5L) == 5L && l1(6L) == 6L, l1.toString)
+    // multi-edges collapse: duplicating edge 6->7 five times must not
+    // outvote the tie-break
+    val multi = (Seq((5L, 7L)) ++ Seq.fill(5)((6L, 7L))).toDF("a", "b")
+    val lm = Graph.labelPropagation(multi, col("a"), col("b"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm(7L) == 5L, lm.toString)
+  }
 }
