@@ -285,6 +285,45 @@ object ScaleProbe {
         edges.unpersist()
       }
 
+      // Label propagation at scale: same synthetic undirected graph as
+      // the pagerank probe — per round one edge-sized join + two node-
+      // sized aggregates, so the wall should be linear in edges ×
+      // rounds. The assertion is structural: labels are a partition
+      // refinement of connected components (no label crosses a
+      // component — checked via the components operator on the same
+      // edges).
+      if (on("labelprop")) {
+        val nNodes = math.max(2, n / 100)
+        val u = pmod(xxhash64(col("id"), lit(1)), lit(nNodes))
+        val h = pmod(xxhash64(col("id"), lit(2)), lit(nNodes))
+          .cast("double").divide(lit(nNodes))
+        val w = pmod(xxhash64(col("id"), lit(3)), lit(nNodes))
+          .cast("double").divide(lit(nNodes))
+        val fwd = spark.range(n.toLong)
+          .select(u.as("a"), floor(h * w * nNodes).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+        val edges = fwd.unionByName(
+          fwd.select(col("b").as("a"), col("a").as("b")))
+        edges.cache().count()
+        val t0 = System.nanoTime()
+        val lp = graft.operators.Graph.labelPropagation(edges, col("a"),
+          col("b"), iters = 4).cache()
+        val nLabels = lp.select(count_distinct(col("label"))).head().getLong(0)
+        val nNodesOut = lp.count()
+        val secL = (System.nanoTime() - t0) / 1e9
+        val comp = Dedup.componentsFromPairs(
+            edges.select(col("a").as("id_a"), col("b").as("id_b")))
+          .select(col("id").as("cid"), col("label").as("comp"))
+        val crossing = lp.join(comp, lp("id") === comp("cid"))
+          .groupBy(lp("label"))
+          .agg(count_distinct(col("comp")).as("nc"))
+          .filter(col("nc") > 1).count()
+        assert(crossing == 0,
+          s"a propagated label crossed a component boundary: $crossing")
+        println(f"""{"metric":"labelprop_scale","edges":$n,"nodes":$nNodesOut,"iters":4,"sec":$secL%.2f,"labels":$nLabels}""")
+        lp.unpersist(); edges.unpersist()
+      }
+
       // Drift monitoring at scale: PSI over 50x the row count (one
       // map-side bin fold + one 10-row aggregate per side — the claim
       // is "a constant-cost tap", so the wall must track the scan),
