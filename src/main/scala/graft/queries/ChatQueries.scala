@@ -149,6 +149,25 @@ object ChatQueries {
           col("turn_idx"), col("mask_start"))
     },
 
+    // Conversation-level NEAR-dup on assistant content: every 20th
+    // conversation gets a twin whose answers differ only by an appended
+    // postscript — the "same answer, light rephrase" class exact dedup
+    // misses. Composes the MinHash-LSH pair machinery over the derived
+    // assistant text; the oracle is the brute-force shingle jaccard.
+    "chat_neardup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val at = convs(t.documents, plantInvalid = false, plantDup = false)
+        .select(col("conv_id"),
+          ChatPrep.assistantText(col("turns")).as("text"))
+      val twins = at.filter(pmod(col("conv_id"), lit(20)) === 0)
+        .select((col("conv_id") + 100000).as("conv_id"),
+          concat(col("text"), lit(" postscript thanks")).as("text"))
+      graft.operators.Dedup
+        .minhashLshPairs(at.unionByName(twins), col("conv_id"),
+          col("text"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // The FLAGSHIP SFT funnel, one row: mojibake repair -> conversation
     // derivation (all plants active) -> structural validation ->
     // assistant-content dedup -> real-tokenizer totals -> packing ->
@@ -416,6 +435,32 @@ object ChatQueries {
          WHERE sp.start_tok < pi.tok_start + pi.n_toks
            AND sp.end_tok > pi.tok_start
          ORDER BY shard, seq_id, conv_id, turn_idx, mask_start"""),
+
+    // Brute-force 3-gram shingle jaccard over the derived assistant
+    // text + planted twins — the dedup_minhash_lsh oracle shape.
+    "chat_neardup" ->
+      (quartersCte +
+        s""",
+          at AS (SELECT doc_id AS conv_id, q1 || ' ' || q3 AS text FROM s),
+          uni AS (SELECT conv_id, text FROM at
+                  UNION ALL
+                  SELECT conv_id + 100000, text || ' postscript thanks'
+                  FROM at WHERE conv_id % 20 = 0),
+          tt AS (SELECT conv_id, string_split(text, ' ') AS toks FROM uni),
+          dd AS (SELECT conv_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS sh
+                 FROM tt WHERE len(toks) >= 3)
+         SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+         FROM dd a JOIN dd b ON a.conv_id < b.conv_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             >= 0.8
+         ORDER BY id_a, id_b"""),
 
     // Every stage predicted closed-form on the FIXED corpus: the train
     // CTEs replay on the raw documents (trainedMerges' corpus), token
