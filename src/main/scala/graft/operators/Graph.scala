@@ -104,6 +104,70 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank"))
   }
 
+  /** HITS (Kleinberg 1999): hubs point at good authorities, authorities
+    * are pointed at by good hubs. Per iteration, on the DIRECTED graph:
+    * `a(v) = Σ_{u→v} h(u)` then L1-normalized, `h(u) = Σ_{u→v} a(v)`
+    * then L1-normalized. L1 (sum) normalization instead of the
+    * textbook L2 — same fixpoint direction, but the normalizer is an
+    * EXACT DECIMAL sum of already-quantized scores instead of a
+    * sqrt-of-sum-of-squares, which is what keeps every iteration
+    * engine-exact under the [[pageRank]] discipline: contributions are
+    * `round(score, scale)` cast to DECIMAL and summed exactly, the
+    * normalizing division runs in IEEE doubles, and the result is
+    * re-quantized. Multi-edges collapse first. Nodes without in-edges
+    * score authority 0 (and sources/sinks correspondingly) — on a
+    * bipartite src→dst graph authorities live entirely on the dst side,
+    * hubs on the src side, which is the classic use. Returns
+    * `(node, hub, authority)` after `iters` rounds. Scale shape: two
+    * edge-keyed joins + two node-sized aggregates + two 1-row broadcast
+    * normalizers per iteration; frames localCheckpoint-pinned. */
+  def hits(edges: DataFrame, src: Column, dst: Column, iters: Int,
+           scale: Int = 9): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val dec = s"decimal(38,$scale)"
+    val e = edges.select(src.cast("long").as("src"),
+      dst.cast("long").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e
+        .join(hub.select(col("node").as("hn"), col("h")),
+          e("src") === col("hn"))
+        .select(col("dst"), col("h").cast(dec).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("ar"))
+      val aFull = nodes
+        .join(araw, col("node") === col("dst"), "left")
+        .select(col("node"),
+          coalesce(col("ar"), lit(0).cast(dec)).as("ar"))
+      val aNorm = broadcast(aFull.agg(sum(col("ar")).as("asum")))
+      auth = aFull.crossJoin(aNorm)
+        .select(col("node"),
+          round(col("ar").cast("double") / col("asum").cast("double"),
+            scale).as("a"))
+        .localCheckpoint(true)
+      val hraw = e
+        .join(auth.select(col("node").as("an"), col("a")),
+          e("dst") === col("an"))
+        .select(col("src"), col("a").cast(dec).as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("hr"))
+      val hFull = nodes
+        .join(hraw, col("node") === col("src"), "left")
+        .select(col("node"),
+          coalesce(col("hr"), lit(0).cast(dec)).as("hr"))
+      val hNorm = broadcast(hFull.agg(sum(col("hr")).as("hsum")))
+      hub = hFull.crossJoin(hNorm)
+        .select(col("node"),
+          round(col("hr").cast("double") / col("hsum").cast("double"),
+            scale).as("h"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** SYNCHRONOUS label propagation — the standard cheap community
     * detector (Raghavan et al. 2007, the synchronous variant): every
     * node starts labeled with itself; each iteration every node adopts

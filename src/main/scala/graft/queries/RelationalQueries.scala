@@ -307,6 +307,16 @@ object RelationalQueries {
         .orderBy(col("id"))
     },
 
+    // HITS hubs/authorities on the DIRECTED supplier→part graph
+    // (bipartite: hubs = suppliers, authorities = parts), 4 rounds,
+    // L1-normalized engine-exact iteration.
+    "graph_hits" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Graph
+        .hits(directedGraphEdges(t), col("a"), col("b"), iters = 4)
+        .orderBy(col("node"))
+    },
+
     // Label-propagation communities (synchronous, 4 rounds,
     // smallest-label tie-break) on the undirected co-occurrence graph.
     "graph_label_prop" -> { (s, dir) =>
@@ -950,6 +960,45 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(5),
     "graph_pagerank_dangling" -> pageRankDanglingSql(5),
+
+    // HITS unrolled: per round an exact-DECIMAL in-neighbor hub sum,
+    // L1 normalization in IEEE doubles, re-quantized — then the same
+    // for hubs over the fresh authorities. Same DECIMAL discipline as
+    // the pageRank oracles.
+    "graph_hits" -> {
+      val iters = 4
+      val steps = (1 to iters).map { k =>
+        s"""arr$k AS MATERIALIZED (SELECT e.dst AS node,
+                    sum(CAST(h.h AS DECIMAL(38,9))) AS s
+                  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+            arf$k AS MATERIALIZED (SELECT n.node,
+                        coalesce(s, CAST(0 AS DECIMAL(38,9))) AS ar
+                      FROM nodes n LEFT JOIN arr$k r ON n.node = r.node),
+            a$k AS MATERIALIZED (SELECT node, round(CAST(ar AS DOUBLE)
+                      / (SELECT CAST(sum(ar) AS DOUBLE) FROM arf$k), 9)
+                      AS a
+                    FROM arf$k),
+            hrr$k AS MATERIALIZED (SELECT e.src AS node,
+                        sum(CAST(a.a AS DECIMAL(38,9))) AS s
+                      FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+            hrf$k AS MATERIALIZED (SELECT n.node,
+                        coalesce(s, CAST(0 AS DECIMAL(38,9))) AS hr
+                      FROM nodes n LEFT JOIN hrr$k r ON n.node = r.node),
+            h$k AS MATERIALIZED (SELECT node, round(CAST(hr AS DOUBLE)
+                      / (SELECT CAST(sum(hr) AS DOUBLE) FROM hrf$k), 9)
+                      AS h
+                    FROM hrf$k)"""
+      }.mkString(",\n")
+      s"""WITH fd AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+               CAST(l_partkey AS BIGINT) + 10000000 AS b
+             FROM lineitem WHERE l_quantity >= 48),
+           e AS (SELECT DISTINCT a AS src, b AS dst FROM fd),
+           nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+           $steps
+         SELECT h.node AS node, h.h AS hub, a.a AS authority
+         FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
+    },
 
     // The synchronous recurrence unrolled: per round, votes = in-
     // neighbor labels counted per (dst, label), mode = row_number over

@@ -136,4 +136,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm(7L) == 5L, lm.toString)
   }
+
+  test("hits: hand-checked bipartite round, L1 mass 1 per side, " +
+       "role separation on a directed graph") {
+    // hubs 1,2 -> authorities 10,11,12; 11 is doubly cited
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)).toDF("a", "b")
+    val out = Graph.hits(e, col("a"), col("b"), iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // iter 1 by hand: a_raw = (1, 2, 1)/4; h_raw = (.75, .75)/1.5
+    assert(out(10L)._2 == 0.25 && out(11L)._2 == 0.5 && out(12L)._2 == 0.25,
+      out.toString)
+    assert(out(1L)._1 == 0.5 && out(2L)._1 == 0.5, out.toString)
+    // role separation: sources have authority 0, sinks hub 0
+    assert(out(1L)._2 == 0.0 && out(10L)._1 == 0.0, out.toString)
+    // L1 mass 1 on each side, at deeper iterations too
+    val deep = Graph.hits(e, col("a"), col("b"), iters = 4).collect()
+    val hm = deep.map(_.getDouble(1)).sum
+    val am = deep.map(_.getDouble(2)).sum
+    assert(math.abs(hm - 1.0) < 1e-6 && math.abs(am - 1.0) < 1e-6,
+      s"$hm $am")
+    // the doubly-cited authority stays on top
+    val dm = deep.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(dm(11L) > dm(10L) && dm(11L) > dm(12L), dm.toString)
+  }
 }
