@@ -154,4 +154,34 @@ object Cdc {
     dim.join(k, Seq("key"), "left_anti")
       .unionByName(scd2Tagged(affectedHist, tieBreak.size))
   }
+
+  /** Corpus snapshot diff — the dataset-release comparison: which keys
+    * were ADDED, REMOVED, or CHANGED between snapshot `a` and snapshot
+    * `b`. Returns `(key, status)` for the non-identical keys only
+    * (unchanged rows are the overwhelming majority at scale and are
+    * reported by count, not by row — callers that need them have the
+    * snapshots).
+    *
+    * The payload comparison is by 64-bit fingerprint + length, never by
+    * the payload itself, so the full-outer join exchanges fixed-width
+    * rows however large the documents — the
+    * [[TextAnalysis.stripBoilerplate]] collision contract (a missed
+    * change needs a same-length 64-bit collision). One co-keyed
+    * full-outer join; both sides shuffle once on the key. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: Column,
+                   payload: Column): DataFrame = {
+    def keyed(df: DataFrame, side: String): DataFrame =
+      df.select(key.as(s"__k$side"),
+        xxhash64(payload).as(s"__fp$side"),
+        length(payload).cast("long").as(s"__len$side"))
+    keyed(a, "a").join(keyed(b, "b"),
+        col("__ka") === col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as("key"),
+        when(col("__ka").isNull, lit("added"))
+          .when(col("__kb").isNull, lit("removed"))
+          .when(col("__fpa") =!= col("__fpb") ||
+            col("__lena") =!= col("__lenb"), lit("changed"))
+          .otherwise(lit(null).cast("string")).as("status"))
+      .where(col("status").isNotNull)
+  }
 }

@@ -2127,6 +2127,23 @@ object PipelineQueries {
     // totals, language mix, exact decimal-mean quality, span-duplication
     // incidence, and distinct-text count (via 64-bit fingerprints so the
     // distinct aggregation never exchanges text).
+    // Dataset-release diff between two corpus snapshots: planted
+    // removals (%31), edits (%37), and additions (%41). Fingerprint
+    // comparison — text never shuffles through the full-outer join.
+    "corpus_diff" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.documents.select(col("doc_id"), col("text"))
+      val b = a.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(37)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(a.filter(pmod(col("doc_id"), lit(41)) === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      graft.operators.Cdc.snapshotDiff(a, b, col("doc_id"), col("text"))
+        .orderBy(col("key"))
+    },
+
     "corpus_report" -> { (s, dir) =>
       val t = Tables(s, dir)
       val quality = TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
@@ -4896,6 +4913,26 @@ object PipelineQueries {
            WHERE para NOT IN (SELECT para FROM common))
          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Payloads compared directly (the fingerprint stands in for text
+    // equality on the Spark side — the documented collision contract).
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+            b AS (SELECT doc_id,
+                    CASE WHEN doc_id % 37 = 0 THEN text || ' rev2'
+                         ELSE text END AS text
+                  FROM documents WHERE doc_id % 31 <> 0
+                  UNION ALL
+                  SELECT doc_id + 600000, text FROM documents
+                  WHERE doc_id % 41 = 0),
+            d AS (SELECT coalesce(a.doc_id, b.doc_id) AS key,
+                    CASE WHEN a.doc_id IS NULL THEN 'added'
+                         WHEN b.doc_id IS NULL THEN 'removed'
+                         WHEN a.text <> b.text THEN 'changed'
+                         END AS status
+                  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT key, status FROM d WHERE status IS NOT NULL
+         ORDER BY key""",
 
     "corpus_report" -> {
       val hits = langHitsSql

@@ -130,4 +130,19 @@ class CdcSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$plan")
   }
+
+  test("snapshotDiff: added/removed/changed classification, unchanged " +
+       "suppressed, text never compared directly") {
+    import graft.operators.Cdc
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("id", "payload")
+    val b = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"),
+      (9L, "new doc")).toDF("id", "payload")
+    val out = Cdc.snapshotDiff(a, b, col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 9L -> "added"),
+      out.toString)
+    // identical snapshots diff to nothing
+    assert(Cdc.snapshotDiff(a, a, col("id"), col("payload")).count() == 0L)
+  }
 }
