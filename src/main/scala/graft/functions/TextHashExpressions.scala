@@ -443,4 +443,41 @@ object TextHashExpressions {
   def shingleJaccard(a: Column, b: Column, ngram: Int = 3): Column =
     ColumnBridge.column(
       ShingleJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b), ngram))
+
+  /** [[TextKernels.unigramSegment]]: SentencePiece-unigram Viterbi
+    * segmentation to `struct<logp_micro: bigint, n_pieces: bigint>` —
+    * exact Long DP over pre-quantized micro-nat piece scores, the
+    * engine-exact form of unigram-LM tokenization. */
+  case class UnigramSegment(child: Expression, pieces: Seq[(String, Long)],
+                            maxLen: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("logp_micro", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment"
+
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+      pieces.foreach { case (p, v) => m.put(p, java.lang.Long.valueOf(v)) }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegment(input.asInstanceOf[UTF8String], table, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniTable", table, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegment(" +
+          s"$c, $tableRef, $maxLen);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegment(text: Column, pieces: Seq[(String, Long)],
+                     maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegment(ColumnBridge.expression(text), pieces, maxLen))
 }

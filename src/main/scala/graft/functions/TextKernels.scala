@@ -703,7 +703,85 @@ object TextKernels {
     while (k < arr.length) { arr(k) = out.get(k).intValue; k += 1 }
     new GenericArrayData(arr)
   }
+
+  /** SentencePiece-UNIGRAM Viterbi segmentation, reduced to the two
+    * numbers a pipeline consumes per document: the total segmentation
+    * log-probability in integer MICRO-NATS and the piece count. All DP
+    * arithmetic is exact Long addition of pre-quantized per-piece
+    * scores (floor(ln(p)*1e6 + 0.5), computed once at training), so the
+    * maximization is bit-exact on any engine — there is no float
+    * anywhere in the per-document path.
+    *
+    * Contract (mirrored by the DuckDB oracle's recursive-CTE DP):
+    * whitespace tokens matching `[a-z]+` run the Viterbi DP over pieces
+    * of length 1..maxLen from the trained table; the best segmentation
+    * maximizes (score, then FEWEST pieces) — the deterministic
+    * tie-break that replaces SentencePiece's unspecified one. A
+    * character absent from the table scores [[UnigramUnkMicro]] as a
+    * single-char piece; any other token (mixed case, digits, non-ASCII)
+    * is one OOV piece at the same penalty — the same OOV contract as
+    * [[bpeEncode]]. Null-free: empty/blank text scores (0, 0).
+    *
+    * Cost: O(len · maxLen) hash probes per word, independent of
+    * vocabulary size. */
+  val UnigramUnkMicro: Long = -20000000L
+
+  def unigramSegment(text: UTF8String,
+                     table: java.util.HashMap[String, java.lang.Long],
+                     maxLen: Int): InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var totalScore = 0L
+    var totalPieces = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      var lower = true
+      while (i < len && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if (b < 'a' || b > 'z') lower = false
+        i += 1
+      }
+      val n = i - s
+      if (n > 0) {
+        if (!lower) { totalScore += UnigramUnkMicro; totalPieces += 1 }
+        else {
+          val score = new Array[Long](n + 1)
+          val np = new Array[Int](n + 1)
+          var pos = 1
+          while (pos <= n) {
+            var bestS = Long.MinValue
+            var bestN = 0
+            var k = 1
+            val kMax = if (pos < maxLen) pos else maxLen
+            while (k <= kMax) {
+              val piece = new String(bytes, s + pos - k, k,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              val pm = table.get(piece)
+              val cand: Long =
+                if (pm != null) score(pos - k) + pm.longValue
+                else if (k == 1) score(pos - k) + UnigramUnkMicro
+                else Long.MinValue
+              if (cand != Long.MinValue) {
+                val candN = np(pos - k) + 1
+                if (cand > bestS || (cand == bestS && candN < bestN)) {
+                  bestS = cand; bestN = candN
+                }
+              }
+              k += 1
+            }
+            score(pos) = bestS; np(pos) = bestN
+            pos += 1
+          }
+          totalScore += score(n); totalPieces += np(n)
+        }
+      }
+    }
+    InternalRow(totalScore, totalPieces)
+  }
 }
+
 
 /** All language trigram profiles as ONE open-addressed primitive map:
   * 3 CODEPOINTS packed into a 63-bit long key (21 bits each — every

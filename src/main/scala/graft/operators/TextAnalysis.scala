@@ -938,6 +938,70 @@ object TextAnalysis {
     * Model-sized by construction (bpeTrain emits ≤ nMerges rows), but
     * capped by name anyway so a mistakenly-passed corpus frame fails with
     * a message, not a driver OOM. */
+  /** SentencePiece-UNIGRAM training, frequency-initialized: candidate
+    * pieces are every substring (length 1..maxPieceLen) of the corpus's
+    * `[a-z]+` whitespace tokens, counted over word OCCURRENCES
+    * (overlapping matches count); single characters are always
+    * retained, longer pieces need `minCount`. Scores are unigram-LM
+    * log-probabilities `ln(cnt/total)` quantized ONCE to integer
+    * MICRO-NATS (`floor(x·1e6 + 0.5)` — the engine-exact quantizer
+    * convention), so every downstream Viterbi comparison is exact Long
+    * arithmetic. This is the frequency-initialization stage of the
+    * published algorithm WITHOUT the EM refinement loop — documented
+    * scope: segmentations are optimal for THESE scores, and the scores
+    * are the classic initialization, not the EM fixpoint.
+    *
+    * Returns `(piece, cnt, logp_micro)`. Execution: one token explode +
+    * two bounded explodes over (position, length) — piece rows are
+    * O(Σ word-occurrence length · maxPieceLen) before the first
+    * aggregate's map-side combine; everything after is
+    * vocabulary-sized. */
+  def unigramTrain(docs: DataFrame, text: Column, maxPieceLen: Int = 4,
+                   minCount: Long = 2L): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val keep = words
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("f"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .where(col("i") + col("l") - 1 <= length(col("w")))
+      .select(expr("substring(w, i, l)").as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .where(length(col("piece")) === 1 || col("cnt") >= minCount)
+      .localCheckpoint()
+    val tot = broadcast(keep.agg(sum(col("cnt")).as("__T")))
+    keep.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
+  /** Driver hand-off of [[unigramTrain]]'s table for the segmentation
+    * kernel, guarded like [[bpeMerges]]. */
+  def unigramPieces(model: DataFrame,
+                    maxPieces: Int = 1 << 20): Seq[(String, Long)] = {
+    val rows = model.select(col("piece"), col("logp_micro").cast("long"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"unigramPieces: more than $maxPieces pieces — is this really a " +
+        "trained unigram table?")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** UNIGRAM Viterbi segmentation to
+    * `struct<logp_micro: bigint, n_pieces: bigint>` per document —
+    * exact Long DP over the micro-nat scores, best score then FEWEST
+    * pieces (the deterministic tie-break); OOV contract and algorithm
+    * in [[graft.functions.TextKernels.unigramSegment]]. Map-side,
+    * per-doc cost O(len · maxLen) hash probes independent of
+    * vocabulary size. */
+  def unigramSegment(text: Column, pieces: Seq[(String, Long)],
+                     maxLen: Int = 4): Column =
+    graft.functions.TextHashExpressions.unigramSegment(text, pieces, maxLen)
+
   def bpeMerges(model: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String)] = {
     val rows = model.select(col("rank").cast("int"), col("left"), col("right"))
       .orderBy(col("rank")).limit(maxMerges + 1).collect()

@@ -111,6 +111,19 @@ object PipelineQueries {
     * the memo — it IS the training query. */
   private val bpeMergeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** [[bpeMergeMemo]]'s unigram twin: the frequency-initialized piece
+    * table trains once per content-keyed corpus per JVM; training is
+    * deterministic, so the memo is result-identical to in-query
+    * retraining. */
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private[queries] def trainedUnigram(s: SparkSession,
+                                      dir: String): Seq[(String, Long)] =
+    unigramMemo.computeIfAbsent(
+      graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => TextAnalysis.unigramPieces(
+        TextAnalysis.unigramTrain(Tables(s, dir).documents, col("text"))))
   private[queries] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
@@ -1268,6 +1281,34 @@ object PipelineQueries {
       t.documents.select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+
+    // UNIGRAM tokenizer TRAINING (the second major tokenizer family):
+    // frequency-initialized SentencePiece-unigram piece table — every
+    // 1..4-char substring of the corpus words counted over occurrences,
+    // scored as micro-nat log-probabilities. Top-40 window certified.
+    "text_unigram_train" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.unigramTrain(t.documents, col("text"))
+        .where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
+    // UNIGRAM Viterbi segmentation per document: total segmentation
+    // log-prob in exact integer micro-nats + piece count, best score
+    // then fewest pieces. The oracle replays the DP as a recursive CTE
+    // carrying a 4-slot sliding window of (score, count)-encoded keys —
+    // bit-exact Long arithmetic on both engines, no float in the path.
+    "text_unigram_segment" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pieces = trainedUnigram(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.unigramSegment(col("text"), pieces).as("__s"))
+        .select(col("doc_id"),
+          col("__s").getField("logp_micro").as("logp_micro"),
+          col("__s").getField("n_pieces").as("n_pieces"))
         .orderBy(col("doc_id"))
     },
 
@@ -2470,6 +2511,31 @@ object PipelineQueries {
                - greatest(0, seq_id * 256 - strt) AS n_toks,
              greatest(0, strt - seq_id * 256) AS seq_pos
            FROM e)"""
+
+  /** The unigram tokenizer's training replay: word-occurrence
+    * frequencies, all 1..4-char substrings counted (overlapping), the
+    * single-char/minCount retention rule, and the micro-nat score table
+    * (`ptab`) — shared by the train and segment oracles so the model
+    * can never drift between them. */
+  private lazy val unigramTrainCtes: String =
+    s"""tokw AS (SELECT unnest($tokensSql) AS t FROM documents),
+          uwords AS (SELECT t AS w, count(*) AS f FROM tokw
+                     WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t),
+          usubs AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT))
+                      AS piece, sum(f) AS cnt
+                    FROM uwords,
+                      unnest(range(1, len(w) + 1)) AS u(i),
+                      unnest(range(1, 5)) AS v(l)
+                    WHERE i + l - 1 <= len(w)
+                    GROUP BY 1),
+          ukeep AS MATERIALIZED (SELECT piece, cnt FROM usubs
+                    WHERE length(piece) = 1 OR cnt >= 2),
+          utot AS (SELECT sum(cnt) AS T FROM ukeep),
+          ptab AS MATERIALIZED (
+            SELECT piece,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS pm
+            FROM ukeep CROSS JOIN utot)"""
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -3842,6 +3908,77 @@ object PipelineQueries {
     // and the SAME literal replace the Spark side applies (the
     // double-bar encoding makes replace-all's non-overlapping scan a
     // correct greedy merge — see TextAnalysis.bpeTrain).
+    "text_unigram_train" ->
+      s"""WITH $unigramTrainCtes
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS logp_micro
+         FROM ukeep CROSS JOIN utot
+         WHERE length(piece) >= 2
+         ORDER BY cnt DESC, piece LIMIT 40""",
+
+    // The Viterbi DP as a recursive CTE: one level per character
+    // position, each row carrying a 4-slot sliding window of DP states
+    // encoded as key = score_micro·1024 − n_pieces (maximizing the key
+    // IS maximizing (score, fewest pieces) for n < 1024 — corpus words
+    // are far shorter). Missing length-1 pieces take the −20e6 UNK
+    // penalty; missing longer pieces get a −4e15 sentinel. All exact
+    // BIGINT arithmetic — the quantization to micro-nats happened once
+    // in ptab.
+    "text_unigram_segment" ->
+      s"""WITH RECURSIVE $unigramTrainCtes,
+            dwords AS MATERIALIZED (SELECT w FROM uwords),
+            dp(w, i, k0, k1, k2, k3) AS (
+              SELECT w, 0, CAST(0 AS BIGINT),
+                CAST(-4000000000000000 AS BIGINT),
+                CAST(-4000000000000000 AS BIGINT),
+                CAST(-4000000000000000 AS BIGINT)
+              FROM dwords
+              UNION ALL
+              SELECT dp.w, dp.i + 1,
+                greatest(
+                  dp.k0 + coalesce(p1.pm, -20000000) * 1024 - 1,
+                  CASE WHEN p2.pm IS NULL
+                       THEN CAST(-4000000000000000 AS BIGINT)
+                       ELSE dp.k1 + p2.pm * 1024 - 1 END,
+                  CASE WHEN p3.pm IS NULL
+                       THEN CAST(-4000000000000000 AS BIGINT)
+                       ELSE dp.k2 + p3.pm * 1024 - 1 END,
+                  CASE WHEN p4.pm IS NULL
+                       THEN CAST(-4000000000000000 AS BIGINT)
+                       ELSE dp.k3 + p4.pm * 1024 - 1 END),
+                dp.k0, dp.k1, dp.k2
+              FROM dp
+              LEFT JOIN ptab p1 ON p1.piece = substr(dp.w, dp.i + 1, 1)
+              LEFT JOIN ptab p2 ON dp.i >= 1
+                AND p2.piece = substr(dp.w, dp.i, 2)
+              LEFT JOIN ptab p3 ON dp.i >= 2
+                AND p3.piece = substr(dp.w, dp.i - 1, 3)
+              LEFT JOIN ptab p4 ON dp.i >= 3
+                AND p4.piece = substr(dp.w, dp.i - 2, 4)
+              WHERE dp.i < len(dp.w)),
+            wseg AS MATERIALIZED (
+              SELECT w,
+                (k0 + (((-k0) % 1024 + 1024) % 1024)) // 1024
+                  AS score_micro,
+                ((-k0) % 1024 + 1024) % 1024 AS n_pieces
+              FROM dp WHERE i = len(w)),
+            doctok AS (SELECT doc_id, unnest($tokensSql) AS t
+                       FROM documents),
+            docsum AS (
+              SELECT d.doc_id,
+                sum(CASE WHEN regexp_matches(d.t, '^[a-z]+$$')
+                         THEN ws.score_micro ELSE -20000000 END) AS lm,
+                sum(CASE WHEN regexp_matches(d.t, '^[a-z]+$$')
+                         THEN ws.n_pieces ELSE 1 END) AS np
+              FROM doctok d LEFT JOIN wseg ws ON d.t = ws.w
+              GROUP BY 1)
+         SELECT doc_id,
+           CAST(coalesce(lm, 0) AS BIGINT) AS logp_micro,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_pieces
+         FROM documents LEFT JOIN docsum USING (doc_id)
+         ORDER BY doc_id""",
+
     "text_bpe_train" -> {
       val rounds = 8
       val tail = (1 to rounds)

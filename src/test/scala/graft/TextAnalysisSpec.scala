@@ -799,4 +799,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(fixed == ch, s"sloppy-cp1252 round trip broke for $ch: $fixed")
     }
   }
+
+  test("unigram tokenizer: hand-computed train table, Viterbi optimum, " +
+       "fewest-pieces tie-break, OOV and unseen-char penalties") {
+    import graft.operators.TextAnalysis
+    // corpus: "ab ab b" -> words ab(f2), b(f1); pieces a(2) b(3) ab(2),
+    // total 7
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val table = TextAnalysis.unigramTrain(docs, col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def micro(c: Long) = math.floor(math.log(c.toDouble / 7.0) * 1e6 + 0.5).toLong
+    assert(table == Map("a" -> (2L, micro(2)), "b" -> (3L, micro(3)),
+      "ab" -> (2L, micro(2))), table.toString)
+    // Viterbi on "ab": [ab] (one ln(2/7)) beats [a, b]
+    val seg = Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.unigramSegment(col("text"),
+        table.toSeq.map { case (p, (_, m)) => (p, m) }).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    assert(seg.getLong(0) == micro(2) && seg.getLong(1) == 1L, seg.toString)
+    // exact score tie -> fewest pieces wins
+    val tiePieces = Seq(("a", -1000000L), ("b", -1000000L), ("ab", -2000000L))
+    val tie = Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.unigramSegment(col("text"), tiePieces).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    assert(tie.getLong(0) == -2000000L && tie.getLong(1) == 1L, tie.toString)
+    // non-lowercase token: one OOV piece at the UNK penalty; unseen
+    // lowercase char: per-char UNK inside the DP
+    val oov = Seq(Tuple1("Ab9 az")).toDF("text")
+      .select(TextAnalysis.unigramSegment(col("text"), tiePieces).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    // "Ab9" -> (-20e6, 1); "az" -> a(-1e6) + z(-20e6), 2 pieces
+    assert(oov.getLong(0) == -41000000L && oov.getLong(1) == 3L, oov.toString)
+    // blank scores (0, 0)
+    val blank = Seq(Tuple1("   ")).toDF("text")
+      .select(TextAnalysis.unigramSegment(col("text"), tiePieces).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    assert(blank.getLong(0) == 0L && blank.getLong(1) == 0L)
+  }
 }
