@@ -643,6 +643,35 @@ object ScaleProbe {
         convs.unpersist(); docs.unpersist()
       }
 
+      // Unigram Viterbi segmentation at scale: train the piece table on
+      // the corpus, then price the DP kernel per doc — O(len·maxLen)
+      // hash probes per word, so throughput should be flat in
+      // vocabulary size (checked by padding the table 10x with junk
+      // pieces that can never match).
+      if (on("unigram")) {
+        import graft.operators.TextAnalysis
+        docs.cache().count()
+        val t0 = System.nanoTime()
+        val pieces = TextAnalysis.unigramPieces(
+          TextAnalysis.unigramTrain(docs, col("text")))
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        def segAll(tab: Seq[(String, Long)]): (Long, Long, Double) = {
+          val t = System.nanoTime()
+          val row = docs.select(
+            TextAnalysis.unigramSegment(col("text"), tab).as("s"))
+            .agg(sum(col("s.n_pieces")).cast("long"),
+              sum(col("s.logp_micro")).cast("long")).collect()(0)
+          (row.getLong(0), row.getLong(1), (System.nanoTime() - t) / 1e9)
+        }
+        val (np, lp, sec) = segAll(pieces)
+        val padded = pieces ++ (0 until pieces.size * 9).map(i =>
+          (s"ZZ$i", -30000000L))
+        val (np2, _, secPad) = segAll(padded)
+        assert(np2 == np, s"junk padding changed the segmentation: $np2 != $np")
+        println(f"""{"metric":"unigram_scale","docs":$n,"pieces":${pieces.size},"train_sec":$secTrain%.2f,"seg_sec":$sec%.2f,"seg_padded_sec":$secPad%.2f,"n_pieces":$np,"logp_micro":$lp,"mpiece_per_sec":${np / sec / 1e6}%.1f}""")
+        docs.unpersist()
+      }
+
       // Byte-level BPE encode at scale: same min-rank kernel as the
       // char probe (table-size independence transfers), but every token
       // decomposes into UTF-8 bytes — ~4-5x the symbol count per doc —

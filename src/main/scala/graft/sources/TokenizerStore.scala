@@ -106,4 +106,56 @@ object TokenizerStore {
 
   def drop(spark: SparkSession, prefix: String): Unit =
     Bucketing.dropManagedTable(spark, bpeTable(prefix))
+
+  // ---- unigram (SentencePiece-family) model store ----------------------
+
+  def unigramTable(prefix: String): String = s"${prefix}_unigram"
+
+  /** Train the frequency-initialized unigram piece table
+    * ([[TextAnalysis.unigramTrain]]) and persist it under the prefix —
+    * the same build/stamp/fence lifecycle as the BPE store: piece count
+    * and maxPieceLen stamped, completeness marker written LAST so a
+    * torn build is rejected by name at load. */
+  def buildUnigram(spark: SparkSession, prefix: String, docs: DataFrame,
+                   text: Column, maxPieceLen: Int = 4,
+                   minCount: Long = 2L): Unit = {
+    Bucketing.dropManagedTable(spark, unigramTable(prefix))
+    val model = TextAnalysis
+      .unigramTrain(docs, text, maxPieceLen, minCount)
+      .localCheckpoint(true)
+    val n = model.count()
+    model.write.saveAsTable(unigramTable(prefix))
+    CatalogProps.setProps(spark, unigramTable(prefix), Map(
+      "graft.tok.npieces" -> n.toString,
+      "graft.tok.maxlen" -> maxPieceLen.toString,
+      "graft.tok.complete" -> "true"))
+  }
+
+  /** The stored unigram model as `(pieces, maxLen)` — the two arguments
+    * [[TextAnalysis.unigramSegment]] takes. Fails by name on a missing
+    * table, a torn build, or a row count disagreeing with the stamp. */
+  def loadUnigram(spark: SparkSession,
+                  prefix: String): (Seq[(String, Long)], Int) = {
+    val t = unigramTable(prefix)
+    require(spark.catalog.tableExists(t),
+      s"TokenizerStore: no table $t — build with " +
+        "TokenizerStore.buildUnigram")
+    require(CatalogProps.propOption(spark, t, "graft.tok.complete")
+        .contains("true"),
+      s"TokenizerStore $t lacks its completeness stamp — torn build; " +
+        "rebuild with TokenizerStore.buildUnigram")
+    val declared = CatalogProps.prop(spark, t, "graft.tok.npieces",
+      "TokenizerStore").toLong
+    val maxLen = CatalogProps.prop(spark, t, "graft.tok.maxlen",
+      "TokenizerStore").toInt
+    val pieces = TextAnalysis.unigramPieces(spark.table(t))
+    require(pieces.size.toLong == declared,
+      s"TokenizerStore $t: stamped $declared pieces but read " +
+        s"${pieces.size} — partial data; rebuild with " +
+        "TokenizerStore.buildUnigram")
+    (pieces, maxLen)
+  }
+
+  def dropUnigram(spark: SparkSession, prefix: String): Unit =
+    Bucketing.dropManagedTable(spark, unigramTable(prefix))
 }

@@ -46,4 +46,41 @@ class TokenizerStoreSpec extends SparkSpec {
       TokenizerStore.load(spark, "tokx"))
     assert(e3.getMessage.contains("no table"), e3.getMessage)
   }
+
+  test("unigram store: build -> load round trip, segmentation parity, " +
+       "torn-build and partial-data fences") {
+    import graft.operators.TextAnalysis
+    import graft.sources.{CatalogProps, TokenizerStore}
+    val docs = Seq((1L, "ab ab b cd cd cd")).toDF("doc_id", "text")
+    TokenizerStore.buildUnigram(spark, "utokx", docs, col("text"))
+    val (pieces, maxLen) = TokenizerStore.loadUnigram(spark, "utokx")
+    assert(maxLen == 4)
+    // stored model segments exactly like the freshly-trained one
+    val fresh = TextAnalysis.unigramPieces(
+      TextAnalysis.unigramTrain(docs, col("text")))
+    assert(pieces.toMap == fresh.toMap, pieces.toString)
+    val seg = docs.select(
+      TextAnalysis.unigramSegment(col("text"), pieces, maxLen).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    val segF = docs.select(
+      TextAnalysis.unigramSegment(col("text"), fresh).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
+    assert(seg == segF, s"$seg vs $segF")
+    // torn build rejected by name
+    CatalogProps.setProps(spark, TokenizerStore.unigramTable("utokx"),
+      Map("graft.tok.complete" -> "torn"))
+    val e1 = intercept[IllegalArgumentException](
+      TokenizerStore.loadUnigram(spark, "utokx"))
+    assert(e1.getMessage.contains("completeness stamp"), e1.getMessage)
+    // stamped-count mismatch rejected by name
+    CatalogProps.setProps(spark, TokenizerStore.unigramTable("utokx"),
+      Map("graft.tok.complete" -> "true", "graft.tok.npieces" -> "3"))
+    val e2 = intercept[IllegalArgumentException](
+      TokenizerStore.loadUnigram(spark, "utokx"))
+    assert(e2.getMessage.contains("partial data"), e2.getMessage)
+    TokenizerStore.dropUnigram(spark, "utokx")
+    val e3 = intercept[IllegalArgumentException](
+      TokenizerStore.loadUnigram(spark, "utokx"))
+    assert(e3.getMessage.contains("no table"), e3.getMessage)
+  }
 }
