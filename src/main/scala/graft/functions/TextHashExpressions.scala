@@ -480,4 +480,39 @@ object TextHashExpressions {
                      maxLen: Int): Column =
     ColumnBridge.column(
       UnigramSegment(ColumnBridge.expression(text), pieces, maxLen))
+
+  /** [[TextKernels.unigramSegmentPieces]]: the best segmentation's
+    * piece array — the hard-EM E-step hand-off. */
+  case class UnigramSegmentPieces(child: Expression,
+                                  pieces: Seq[(String, Long)],
+                                  maxLen: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_pieces"
+
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+      pieces.foreach { case (p, v) => m.put(p, java.lang.Long.valueOf(v)) }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentPieces(input.asInstanceOf[UTF8String], table,
+        maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniTable", table, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegmentPieces(" +
+          s"$c, $tableRef, $maxLen);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentPieces(text: Column, pieces: Seq[(String, Long)],
+                           maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegmentPieces(ColumnBridge.expression(text), pieces, maxLen))
 }

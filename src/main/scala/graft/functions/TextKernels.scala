@@ -780,7 +780,98 @@ object TextKernels {
     }
     InternalRow(totalScore, totalPieces)
   }
+
+  /** [[unigramSegment]]'s PATH-emitting form: the actual piece sequence
+    * of the best segmentation, for every whitespace token in order —
+    * lowercase words via the same exact-Long Viterbi DP, any other
+    * token passed through whole as one OOV piece (the [[bpeEncode]]
+    * contract). The path is made UNIQUE by a third tie-break layer on
+    * top of (score, fewest pieces): walking BACKWARD from the word end,
+    * take the LONGEST piece whose predecessor state reproduces the
+    * stored optimum exactly ((score, count) equality in Longs — no
+    * tolerance). This is the hand-off the hard-EM re-estimation step
+    * counts ([[graft.operators.TextAnalysis.unigramEmStep]]); its
+    * length always equals [[unigramSegment]]'s n_pieces and its scores
+    * sum to logp_micro (spec-pinned). */
+  def unigramSegmentPieces(text: UTF8String,
+                           table: java.util.HashMap[String, java.lang.Long],
+                           maxLen: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      var lower = true
+      while (i < len && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if (b < 'a' || b > 'z') lower = false
+        i += 1
+      }
+      val n = i - s
+      if (n > 0) {
+        if (!lower) out.add(UTF8String.fromBytes(bytes, s, n))
+        else {
+          val score = new Array[Long](n + 1)
+          val np = new Array[Int](n + 1)
+          var pos = 1
+          while (pos <= n) {
+            var bestS = Long.MinValue
+            var bestN = 0
+            var k = 1
+            val kMax = if (pos < maxLen) pos else maxLen
+            while (k <= kMax) {
+              val piece = new String(bytes, s + pos - k, k,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              val pm = table.get(piece)
+              val cand: Long =
+                if (pm != null) score(pos - k) + pm.longValue
+                else if (k == 1) score(pos - k) + UnigramUnkMicro
+                else Long.MinValue
+              if (cand != Long.MinValue) {
+                val candN = np(pos - k) + 1
+                if (cand > bestS || (cand == bestS && candN < bestN)) {
+                  bestS = cand; bestN = candN
+                }
+              }
+              k += 1
+            }
+            score(pos) = bestS; np(pos) = bestN
+            pos += 1
+          }
+          // backward walk: longest piece reproducing the stored optimum
+          val rev = new java.util.ArrayList[AnyRef]()
+          var p = n
+          while (p > 0) {
+            var chosen = 1
+            var k = if (p < maxLen) p else maxLen
+            var done = false
+            while (!done && k >= 1) {
+              val piece = new String(bytes, s + p - k, k,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              val pm = table.get(piece)
+              val cand: Long =
+                if (pm != null) score(p - k) + pm.longValue
+                else if (k == 1) score(p - k) + UnigramUnkMicro
+                else Long.MinValue
+              if (cand == score(p) && np(p - k) + 1 == np(p)) {
+                chosen = k; done = true
+              }
+              k -= 1
+            }
+            rev.add(UTF8String.fromBytes(bytes, s + p - chosen, chosen))
+            p -= chosen
+          }
+          var r = rev.size - 1
+          while (r >= 0) { out.add(rev.get(r)); r -= 1 }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
+
 
 
 /** All language trigram profiles as ONE open-addressed primitive map:

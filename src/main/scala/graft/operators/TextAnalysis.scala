@@ -1002,6 +1002,49 @@ object TextAnalysis {
                      maxLen: Int = 4): Column =
     graft.functions.TextHashExpressions.unigramSegment(text, pieces, maxLen)
 
+  /** The best segmentation's PIECE ARRAY per document — the tokenizer's
+    * actual output under the unigram model; path uniqueness contract in
+    * [[graft.functions.TextKernels.unigramSegmentPieces]]. */
+  def unigramSegmentPieces(text: Column, pieces: Seq[(String, Long)],
+                           maxLen: Int = 4): Column =
+    graft.functions.TextHashExpressions.unigramSegmentPieces(text, pieces,
+      maxLen)
+
+  /** One HARD-EM re-estimation round for the unigram model: segment
+    * every corpus word under the CURRENT piece scores (Viterbi, the
+    * deterministic path), count the pieces actually used (weighted by
+    * word occurrence frequency), and re-normalize to fresh micro-nat
+    * scores. Pieces the optimal segmentations never use drop out — the
+    * standard EM pruning; what survives is scored `ln(cnt/total)`
+    * quantized exactly like [[unigramTrain]], so the output frame is a
+    * drop-in replacement model. This is the hard-EM (Viterbi-EM)
+    * variant, not forward-backward soft counts — soft E-steps sum in
+    * probability space and cannot be engine-exact; the hard E-step is
+    * pure exact-Long path extraction + integer counting (documented
+    * trade).
+    *
+    * Execution: the word-frequency aggregate (one token explode), then
+    * a MAP-SIDE segmentation of the vocabulary-sized word table and a
+    * vocabulary-sized count — the corpus is scanned once regardless of
+    * EM rounds chained. */
+  def unigramEmStep(docs: DataFrame, text: Column,
+                    pieces: Seq[(String, Long)],
+                    maxLen: Int = 4): DataFrame = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val cnts = words
+      .select(col("f"),
+        explode(unigramSegmentPieces(col("w"), pieces, maxLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .localCheckpoint()
+    val tot = broadcast(cnts.agg(sum(col("cnt")).as("__T")))
+    cnts.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
   def bpeMerges(model: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String)] = {
     val rows = model.select(col("rank").cast("int"), col("left"), col("right"))
       .orderBy(col("rank")).limit(maxMerges + 1).collect()

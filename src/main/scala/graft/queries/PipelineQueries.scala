@@ -1312,6 +1312,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // One HARD-EM round over the frequency-initialized model: Viterbi
+    // paths of every corpus word (deterministic longest-piece backward
+    // walk), occurrence-weighted piece counts, re-normalized micro-nat
+    // scores. The oracle re-derives the paths with a BACKWARD recursive
+    // CTE that re-checks the forward DP's exact key identities.
+    "text_unigram_em" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      TextAnalysis.unigramEmStep(t.documents, col("text"),
+          trainedUnigram(s, dir))
+        .where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
     // BPE merge TRAINING (not just segment counting): the first 8 merge
     // rules learned from the corpus's word-frequency table. The oracle
     // replays all 8 rounds — pair counts, deterministic argmax, greedy
@@ -2536,6 +2550,43 @@ object PipelineQueries {
               CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T AS DOUBLE))
                 * 1000000 + 0.5) AS BIGINT) AS pm
             FROM ukeep CROSS JOIN utot)"""
+
+  /** [[unigramTrainCtes]] plus the FORWARD Viterbi DP as a recursive
+    * CTE (`dp(w, i, k0..k3)`: a 4-slot sliding window of
+    * score·1024 − n_pieces keys per position) — shared by the segment
+    * and hard-EM oracles. */
+  private lazy val unigramDpCtes: String =
+    s"""$unigramTrainCtes,
+          dwords AS MATERIALIZED (SELECT w FROM uwords),
+          dp(w, i, k0, k1, k2, k3) AS (
+            SELECT w, 0, CAST(0 AS BIGINT),
+              CAST(-4000000000000000 AS BIGINT),
+              CAST(-4000000000000000 AS BIGINT),
+              CAST(-4000000000000000 AS BIGINT)
+            FROM dwords
+            UNION ALL
+            SELECT dp.w, dp.i + 1,
+              greatest(
+                dp.k0 + coalesce(p1.pm, -20000000) * 1024 - 1,
+                CASE WHEN p2.pm IS NULL
+                     THEN CAST(-4000000000000000 AS BIGINT)
+                     ELSE dp.k1 + p2.pm * 1024 - 1 END,
+                CASE WHEN p3.pm IS NULL
+                     THEN CAST(-4000000000000000 AS BIGINT)
+                     ELSE dp.k2 + p3.pm * 1024 - 1 END,
+                CASE WHEN p4.pm IS NULL
+                     THEN CAST(-4000000000000000 AS BIGINT)
+                     ELSE dp.k3 + p4.pm * 1024 - 1 END),
+              dp.k0, dp.k1, dp.k2
+            FROM dp
+            LEFT JOIN ptab p1 ON p1.piece = substr(dp.w, dp.i + 1, 1)
+            LEFT JOIN ptab p2 ON dp.i >= 1
+              AND p2.piece = substr(dp.w, dp.i, 2)
+            LEFT JOIN ptab p3 ON dp.i >= 2
+              AND p3.piece = substr(dp.w, dp.i - 1, 3)
+            LEFT JOIN ptab p4 ON dp.i >= 3
+              AND p4.piece = substr(dp.w, dp.i - 2, 4)
+            WHERE dp.i < len(dp.w))"""
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -3926,37 +3977,7 @@ object PipelineQueries {
     // BIGINT arithmetic — the quantization to micro-nats happened once
     // in ptab.
     "text_unigram_segment" ->
-      s"""WITH RECURSIVE $unigramTrainCtes,
-            dwords AS MATERIALIZED (SELECT w FROM uwords),
-            dp(w, i, k0, k1, k2, k3) AS (
-              SELECT w, 0, CAST(0 AS BIGINT),
-                CAST(-4000000000000000 AS BIGINT),
-                CAST(-4000000000000000 AS BIGINT),
-                CAST(-4000000000000000 AS BIGINT)
-              FROM dwords
-              UNION ALL
-              SELECT dp.w, dp.i + 1,
-                greatest(
-                  dp.k0 + coalesce(p1.pm, -20000000) * 1024 - 1,
-                  CASE WHEN p2.pm IS NULL
-                       THEN CAST(-4000000000000000 AS BIGINT)
-                       ELSE dp.k1 + p2.pm * 1024 - 1 END,
-                  CASE WHEN p3.pm IS NULL
-                       THEN CAST(-4000000000000000 AS BIGINT)
-                       ELSE dp.k2 + p3.pm * 1024 - 1 END,
-                  CASE WHEN p4.pm IS NULL
-                       THEN CAST(-4000000000000000 AS BIGINT)
-                       ELSE dp.k3 + p4.pm * 1024 - 1 END),
-                dp.k0, dp.k1, dp.k2
-              FROM dp
-              LEFT JOIN ptab p1 ON p1.piece = substr(dp.w, dp.i + 1, 1)
-              LEFT JOIN ptab p2 ON dp.i >= 1
-                AND p2.piece = substr(dp.w, dp.i, 2)
-              LEFT JOIN ptab p3 ON dp.i >= 2
-                AND p3.piece = substr(dp.w, dp.i - 1, 3)
-              LEFT JOIN ptab p4 ON dp.i >= 3
-                AND p4.piece = substr(dp.w, dp.i - 2, 4)
-              WHERE dp.i < len(dp.w)),
+      s"""WITH RECURSIVE $unigramDpCtes,
             wseg AS MATERIALIZED (
               SELECT w,
                 (k0 + (((-k0) % 1024 + 1024) % 1024)) // 1024
@@ -3978,6 +3999,52 @@ object PipelineQueries {
            CAST(coalesce(np, 0) AS BIGINT) AS n_pieces
          FROM documents LEFT JOIN docsum USING (doc_id)
          ORDER BY doc_id""",
+
+    // Hard-EM round: the backward walk re-derives each word's unique
+    // Viterbi path by checking the forward DP's EXACT key identities
+    // longest-piece-first (k=4..2, else 1 — the kernel's tie-break),
+    // then occurrence-weighted piece counts re-normalize.
+    "text_unigram_em" -> {
+      val kstar =
+        """CASE WHEN b.pos >= 4 AND p4.pm IS NOT NULL
+                 AND d4.k0 + p4.pm * 1024 - 1 = d0.k0 THEN 4
+                WHEN b.pos >= 3 AND p3.pm IS NOT NULL
+                 AND d3.k0 + p3.pm * 1024 - 1 = d0.k0 THEN 3
+                WHEN b.pos >= 2 AND p2.pm IS NOT NULL
+                 AND d2.k0 + p2.pm * 1024 - 1 = d0.k0 THEN 2
+                ELSE 1 END"""
+      s"""WITH RECURSIVE $unigramDpCtes,
+            bk(w, pos, piece) AS (
+              SELECT w, len(w), CAST(NULL AS VARCHAR) FROM dwords
+              UNION ALL
+              SELECT b.w, b.pos - $kstar,
+                substr(b.w, CAST(b.pos - $kstar + 1 AS INT),
+                  CAST($kstar AS INT))
+              FROM bk b
+              JOIN dp d0 ON d0.w = b.w AND d0.i = b.pos
+              LEFT JOIN dp d2 ON d2.w = b.w AND d2.i = b.pos - 2
+              LEFT JOIN dp d3 ON d3.w = b.w AND d3.i = b.pos - 3
+              LEFT JOIN dp d4 ON d4.w = b.w AND d4.i = b.pos - 4
+              LEFT JOIN ptab p2 ON b.pos >= 2
+                AND p2.piece = substr(b.w, CAST(b.pos - 1 AS INT), 2)
+              LEFT JOIN ptab p3 ON b.pos >= 3
+                AND p3.piece = substr(b.w, CAST(b.pos - 2 AS INT), 3)
+              LEFT JOIN ptab p4 ON b.pos >= 4
+                AND p4.piece = substr(b.w, CAST(b.pos - 3 AS INT), 4)
+              WHERE b.pos > 0),
+            emcnt AS MATERIALIZED (
+              SELECT bk.piece, sum(u.f) AS cnt
+              FROM bk JOIN uwords u ON bk.w = u.w
+              WHERE bk.piece IS NOT NULL
+              GROUP BY 1),
+            emtot AS (SELECT sum(cnt) AS T2 FROM emcnt)
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T2 AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS logp_micro
+         FROM emcnt CROSS JOIN emtot
+         WHERE length(piece) >= 2
+         ORDER BY cnt DESC, piece LIMIT 40"""
+    },
 
     "text_bpe_train" -> {
       val rounds = 8

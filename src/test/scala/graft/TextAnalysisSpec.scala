@@ -837,4 +837,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select(col("s.logp_micro"), col("s.n_pieces")).collect()(0)
     assert(blank.getLong(0) == 0L && blank.getLong(1) == 0L)
   }
+
+  test("unigram hard-EM: path consistency with the scorer, hand-checked " +
+       "re-estimation, EM pruning") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val pieces = TextAnalysis.unigramPieces(
+      TextAnalysis.unigramTrain(docs, col("text")))
+    val tab = pieces.toMap
+    // the emitted path's length and table-score sum must equal the
+    // scorer's (n_pieces, logp_micro) on every doc
+    val both = docs.select(
+      TextAnalysis.unigramSegment(col("text"), pieces).as("s"),
+      TextAnalysis.unigramSegmentPieces(col("text"), pieces).as("p"))
+      .collect()(0)
+    val path = both.getSeq[String](1)
+    assert(path.length.toLong == both.getStruct(0).getLong(1), path.toString)
+    assert(path.map(tab).sum == both.getStruct(0).getLong(0), path.toString)
+    // hand EM: "ab" segments as [ab] (f 2), "b" as [b] (f 1) ->
+    // counts ab=2, b=1, total 3; 'a' is pruned (never on a best path)
+    val em = TextAnalysis.unigramEmStep(docs, col("text"), pieces)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def m(c: Long, t: Long) =
+      math.floor(math.log(c.toDouble / t) * 1e6 + 0.5).toLong
+    assert(em == Map("ab" -> (2L, m(2, 3)), "b" -> (1L, m(1, 3))),
+      em.toString)
+  }
 }
