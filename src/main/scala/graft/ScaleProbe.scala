@@ -669,6 +669,15 @@ object ScaleProbe {
         val (np2, _, secPad) = segAll(padded)
         assert(np2 == np, s"junk padding changed the segmentation: $np2 != $np")
         println(f"""{"metric":"unigram_scale","docs":$n,"pieces":${pieces.size},"train_sec":$secTrain%.2f,"seg_sec":$sec%.2f,"seg_padded_sec":$secPad%.2f,"n_pieces":$np,"logp_micro":$lp,"mpiece_per_sec":${np / sec / 1e6}%.1f}""")
+        // one hard-EM round: the E-step segments the VOCABULARY (not
+        // the corpus), so the wall should be train-shaped, and chaining
+        // a second round on the refined table must stay green
+        val t1 = System.nanoTime()
+        val em1 = TextAnalysis.unigramPieces(
+          TextAnalysis.unigramEmStep(docs, col("text"), pieces))
+        val secEm = (System.nanoTime() - t1) / 1e9
+        val (np3, _, secSeg2) = segAll(em1)
+        println(f"""{"metric":"unigram_em_scale","docs":$n,"pieces_in":${pieces.size},"pieces_out":${em1.size},"em_sec":$secEm%.2f,"seg_refined_sec":$secSeg2%.2f,"n_pieces_refined":$np3}""")
         docs.unpersist()
       }
 
