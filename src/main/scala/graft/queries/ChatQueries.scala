@@ -162,9 +162,13 @@ object ChatQueries {
       val twins = at.filter(pmod(col("conv_id"), lit(20)) === 0)
         .select((col("conv_id") + 100000).as("conv_id"),
           concat(col("text"), lit(" postscript thanks")).as("text"))
+      // pin the derived assistant-text frame: the LSH stages scan their
+      // input several times (signatures, candidate verification), and
+      // re-running the tokenize+slice derivation per scan cost ~4x the
+      // documents-based twin of this query
+      val corpus = at.unionByName(twins).localCheckpoint()
       graft.operators.Dedup
-        .minhashLshPairs(at.unionByName(twins), col("conv_id"),
-          col("text"))
+        .minhashLshPairs(corpus, col("conv_id"), col("text"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
