@@ -617,19 +617,25 @@ object ScaleProbe {
         val totalChars = ChatPrep.render(convs, col("conv_id"), col("turns"))
           .agg(sum(col("n_chars"))).collect()(0).getLong(0)
         val secRender = (System.nanoTime() - tR) / 1e9
+        // pin each stage's frame so stage timings measure THAT stage:
+        // without the checkpoints the masks action re-runs the whole
+        // tokenizer twice (spans + totals) inside "pack_sec"
         val tS = System.nanoTime()
         val spans = ChatPrep.assistantTokenSpans(convs, col("conv_id"),
-          col("turns"), count)
+          col("turns"), count).localCheckpoint()
         val spanTotal = spans
           .agg(sum(col("end_tok") - col("start_tok"))).collect()(0).getLong(0)
         val secSpans = (System.nanoTime() - tS) / 1e9
-        val tP = System.nanoTime()
+        val tT = System.nanoTime()
         val totals = convs.select(col("conv_id"),
           aggregate(col("turns"), lit(0L),
             (acc, t0) => acc + lit(2L) + count(t0.getField("content")))
-            .as("__tot"))
+            .as("__tot")).localCheckpoint()
+        val secTotals = (System.nanoTime() - tT) / 1e9
+        val tP = System.nanoTime()
         val packMap = Sampling.packSequencesPosBy(totals, col("conv_id"),
           col("__tot"), nShards = 32, seqLen = 512, salt = "probe")
+          .localCheckpoint()
         val masks = ChatPrep.packedAssistantMasks(packMap, spans)
         val maskTotal = masks
           .agg(sum(col("mask_end") - col("mask_start"))).collect()(0)
@@ -639,7 +645,7 @@ object ScaleProbe {
           s"chat probe: packed masks cover $maskTotal supervised tokens " +
             s"but spans declare $spanTotal — packing dropped or doubled " +
             "mask coverage")
-        println(f"""{"metric":"chat_scale","convs":$n,"valid":$nValid,"validate_sec":$secValid%.2f,"render_sec":$secRender%.2f,"render_chars":$totalChars,"spans_sec":$secSpans%.2f,"pack_sec":$secPack%.2f,"masked_tokens":$maskTotal,"mask_mtok_per_sec":${maskTotal / (secSpans + secPack) / 1e6}%.2f}""")
+        println(f"""{"metric":"chat_scale","convs":$n,"valid":$nValid,"validate_sec":$secValid%.2f,"render_sec":$secRender%.2f,"render_chars":$totalChars,"spans_sec":$secSpans%.2f,"totals_sec":$secTotals%.2f,"pack_sec":$secPack%.2f,"masked_tokens":$maskTotal,"mask_mtok_per_sec":${maskTotal / (secSpans + secTotals + secPack) / 1e6}%.2f}""")
         convs.unpersist(); docs.unpersist()
       }
 

@@ -450,6 +450,9 @@ object TextHashExpressions {
     * engine-exact form of unigram-LM tokenization. */
   case class UnigramSegment(child: Expression, pieces: Seq[(String, Long)],
                             maxLen: Int) extends UnaryExpression {
+    require(maxLen >= 1,
+      s"$prettyName: maxLen must be >= 1, got $maxLen — a zero window " +
+        "would leave every DP cell at Long.MinValue and wrap the totals")
     override def dataType: DataType = StructType(Seq(
       StructField("logp_micro", LongType, nullable = false),
       StructField("n_pieces", LongType, nullable = false)))
@@ -486,6 +489,9 @@ object TextHashExpressions {
   case class UnigramSegmentPieces(child: Expression,
                                   pieces: Seq[(String, Long)],
                                   maxLen: Int) extends UnaryExpression {
+    require(maxLen >= 1,
+      s"$prettyName: maxLen must be >= 1, got $maxLen — a zero window " +
+        "would leave every DP cell at Long.MinValue and wrap the totals")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "unigram_segment_pieces"

@@ -726,6 +726,44 @@ object TextKernels {
     * vocabulary size. */
   val UnigramUnkMicro: Long = -20000000L
 
+  /** The shared forward Viterbi fill of [[unigramSegment]] and
+    * [[unigramSegmentPieces]] — fills score/np for positions 1..n of
+    * the lowercase word at bytes[s, s+n): best (score, fewest pieces)
+    * per prefix, UNK fallback for unseen single chars. One
+    * implementation so the scorer and the path extractor can never
+    * drift (the spec pins their consistency). */
+  private def viterbiFill(bytes: Array[Byte], s: Int, n: Int,
+                          table: java.util.HashMap[String, java.lang.Long],
+                          maxLen: Int, score: Array[Long],
+                          np: Array[Int]): Unit = {
+    var pos = 1
+    while (pos <= n) {
+      var bestS = Long.MinValue
+      var bestN = 0
+      var k = 1
+      val kMax = if (pos < maxLen) pos else maxLen
+      while (k <= kMax) {
+        val piece = new String(bytes, s + pos - k, k,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val pm = table.get(piece)
+        val cand: Long =
+          if (pm != null) score(pos - k) + pm.longValue
+          else if (k == 1) score(pos - k) + UnigramUnkMicro
+          else Long.MinValue
+        if (cand != Long.MinValue) {
+          val candN = np(pos - k) + 1
+          if (cand > bestS || (cand == bestS && candN < bestN)) {
+            bestS = cand; bestN = candN
+          }
+        }
+        k += 1
+      }
+      score(pos) = bestS; np(pos) = bestN
+      pos += 1
+    }
+  }
+
+
   def unigramSegment(text: UTF8String,
                      table: java.util.HashMap[String, java.lang.Long],
                      maxLen: Int): InternalRow = {
@@ -749,31 +787,7 @@ object TextKernels {
         else {
           val score = new Array[Long](n + 1)
           val np = new Array[Int](n + 1)
-          var pos = 1
-          while (pos <= n) {
-            var bestS = Long.MinValue
-            var bestN = 0
-            var k = 1
-            val kMax = if (pos < maxLen) pos else maxLen
-            while (k <= kMax) {
-              val piece = new String(bytes, s + pos - k, k,
-                java.nio.charset.StandardCharsets.US_ASCII)
-              val pm = table.get(piece)
-              val cand: Long =
-                if (pm != null) score(pos - k) + pm.longValue
-                else if (k == 1) score(pos - k) + UnigramUnkMicro
-                else Long.MinValue
-              if (cand != Long.MinValue) {
-                val candN = np(pos - k) + 1
-                if (cand > bestS || (cand == bestS && candN < bestN)) {
-                  bestS = cand; bestN = candN
-                }
-              }
-              k += 1
-            }
-            score(pos) = bestS; np(pos) = bestN
-            pos += 1
-          }
+          viterbiFill(bytes, s, n, table, maxLen, score, np)
           totalScore += score(n); totalPieces += np(n)
         }
       }
@@ -815,31 +829,7 @@ object TextKernels {
         else {
           val score = new Array[Long](n + 1)
           val np = new Array[Int](n + 1)
-          var pos = 1
-          while (pos <= n) {
-            var bestS = Long.MinValue
-            var bestN = 0
-            var k = 1
-            val kMax = if (pos < maxLen) pos else maxLen
-            while (k <= kMax) {
-              val piece = new String(bytes, s + pos - k, k,
-                java.nio.charset.StandardCharsets.US_ASCII)
-              val pm = table.get(piece)
-              val cand: Long =
-                if (pm != null) score(pos - k) + pm.longValue
-                else if (k == 1) score(pos - k) + UnigramUnkMicro
-                else Long.MinValue
-              if (cand != Long.MinValue) {
-                val candN = np(pos - k) + 1
-                if (cand > bestS || (cand == bestS && candN < bestN)) {
-                  bestS = cand; bestN = candN
-                }
-              }
-              k += 1
-            }
-            score(pos) = bestS; np(pos) = bestN
-            pos += 1
-          }
+          viterbiFill(bytes, s, n, table, maxLen, score, np)
           // backward walk: longest piece reproducing the stored optimum
           val rev = new java.util.ArrayList[AnyRef]()
           var p = n

@@ -122,8 +122,26 @@ object PipelineQueries {
                                       dir: String): Seq[(String, Long)] =
     unigramMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
-      _ => TextAnalysis.unigramPieces(
-        TextAnalysis.unigramTrain(Tables(s, dir).documents, col("text"))))
+      _ => {
+        // The DuckDB oracles encode each DP state as score·1024 −
+        // n_pieces; a lowercase word of >= 1024 chars would alias the
+        // encoding (n_pieces can reach word length) and produce a
+        // baffling parity mismatch while the Scala kernel stays exact.
+        // Measure once per corpus and fail BY NAME instead.
+        val docs = Tables(s, dir).documents
+        val worst = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .where(col("w").rlike("^[a-z]+$"))
+          .agg(max(length(col("w")))).head()
+        val maxW = if (worst.isNullAt(0)) 0 else worst.getInt(0)
+        require(maxW < 1000,
+          s"trainedUnigram: corpus has a $maxW-char lowercase word — " +
+            "the unigram oracles' score*1024 - n_pieces key encoding " +
+            "aliases past 1023 pieces; split pathological tokens " +
+            "upstream or widen the oracle encoding")
+        TextAnalysis.unigramPieces(
+          TextAnalysis.unigramTrain(docs, col("text")))
+      })
   private[queries] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
@@ -2154,10 +2172,10 @@ object PipelineQueries {
       val planted = t.documents.select(col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
           .otherwise(concat(col("text"), lit(corrupted))).as("text"))
-      planted.select(col("doc_id"),
-          TextAnalysis.fixMojibake(col("text")).as("clean"),
-          (length(col("text")) - length(TextAnalysis.fixMojibake(col("text"))))
-            .cast("long").as("n_saved"))
+      planted.select(col("doc_id"), length(col("text")).as("__raw"),
+          TextAnalysis.fixMojibake(col("text")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          (col("__raw") - length(col("clean"))).cast("long").as("n_saved"))
         .orderBy(col("doc_id"))
     },
 
