@@ -102,4 +102,53 @@ class StreamingChatSpec extends SparkSpec {
     assert(streamedRen == batchRendered, streamedRen.toString)
     assert(streamedRen.map(_._1) == Set(1L, 3L))
   }
+
+  test("gate survives a checkpoint restart: committed batches are not " +
+       "re-emitted, dedup state persists across the restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("chat-src").toString
+    val outDir = Files.createTempDirectory("chat-out").toString
+    val ckpt = Files.createTempDirectory("chat-ck").toString
+    val schema = StructType(Seq(
+      StructField("conv_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("turns", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType)))))))
+    def mk(rows: Seq[(Long, Timestamp, Seq[(String, String)])]): Unit =
+      rows.toDF("conv_id", "ts", "turns")
+        .select(col("conv_id"), col("ts"),
+          transform(col("turns"), t => struct(t.getField("_1").as("role"),
+            t.getField("_2").as("content"))).as("turns"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamingChat.gate(src, col("turns"), "ts", "10 minutes")
+        .select("conv_id")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val t0 = ts("2024-01-01 10:00:00")
+    mk(Seq(
+      (1L, t0, Seq("user" -> "q", "assistant" -> "answer a")),
+      (2L, t0, Seq("user" -> "other q", "assistant" -> "answer a")),
+      (3L, t0, Seq("assistant" -> "orphan"))))
+    runOnce()
+    assert(spark.read.parquet(outDir).select("conv_id")
+      .as[Long].collect().toSet == Set(1L))
+    // restart over the same checkpoint with a second file: the old
+    // batch is not re-emitted, and the dedup state still rejects the
+    // in-window duplicate
+    mk(Seq(
+      (4L, ts("2024-01-01 10:05:00"),
+        Seq("user" -> "rephrased", "assistant" -> "answer a")),
+      (5L, ts("2024-01-01 10:05:00"),
+        Seq("user" -> "q", "assistant" -> "answer b"))))
+    runOnce()
+    assert(spark.read.parquet(outDir).select("conv_id")
+      .as[Long].collect().toSet == Set(1L, 5L))
+  }
 }
