@@ -521,4 +521,48 @@ object TextHashExpressions {
                            maxLen: Int): Column =
     ColumnBridge.column(
       UnigramSegmentPieces(ColumnBridge.expression(text), pieces, maxLen))
+
+  /** [[TextKernels.unigramSegmentIds]]: best-path pieces straight to
+    * vocabulary ids (both hash tables build once per expression). */
+  case class UnigramSegmentIds(child: Expression,
+                               pieces: Seq[(String, Long)],
+                               vocab: Seq[(String, Int)],
+                               maxLen: Int) extends UnaryExpression {
+    require(maxLen >= 1,
+      s"unigram_segment_ids: maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_ids"
+
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+      pieces.foreach { case (p, v) => m.put(p, java.lang.Long.valueOf(v)) }
+      m
+    }
+    @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      vocab.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentIds(input.asInstanceOf[UTF8String], table,
+        ids, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniTable", table, "java.util.HashMap")
+      val idsRef = ctx.addReferenceObj("uniIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegmentIds(" +
+          s"$c, $tableRef, $idsRef, $maxLen);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentIds(text: Column, pieces: Seq[(String, Long)],
+                        vocab: Seq[(String, Int)], maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegmentIds(ColumnBridge.expression(text), pieces, vocab, maxLen))
 }

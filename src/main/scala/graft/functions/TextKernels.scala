@@ -860,7 +860,28 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** [[unigramSegmentPieces]] mapped to VOCABULARY IDS — the loader
+    * hand-off, mirroring [[bpeEncodeIds]]: each best-path piece looked
+    * up in the id table (rank by (count DESC, piece ASC) at training),
+    * unseen pieces and OOV passthrough tokens → −1. */
+  def unigramSegmentIds(text: UTF8String,
+                        table: java.util.HashMap[String, java.lang.Long],
+                        ids: java.util.HashMap[String, Integer],
+                        maxLen: Int): ArrayData = {
+    val pieces = unigramSegmentPieces(text, table, maxLen)
+    val n = pieces.numElements
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = ids.get(pieces.getUTF8String(i).toString)
+      out(i) = if (v == null) Integer.valueOf(-1) else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
+
 
 
 

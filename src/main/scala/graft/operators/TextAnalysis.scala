@@ -1010,6 +1010,32 @@ object TextAnalysis {
     graft.functions.TextHashExpressions.unigramSegmentPieces(text, pieces,
       maxLen)
 
+  /** Vocabulary id assignment for the unigram model: pieces ranked by
+    * `(cnt DESC, piece ASC)` get ids `0..V−1` — the deterministic
+    * ordering both engines reproduce. Input is [[unigramTrain]]'s
+    * frame (it carries `cnt`). */
+  def unigramVocab(model: DataFrame,
+                   maxPieces: Int = 1 << 20): Seq[(String, Int)] = {
+    val rows = model.select(col("piece"), col("cnt").cast("long"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"unigramVocab: more than $maxPieces pieces — is this really a " +
+        "trained unigram table?")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, _), i) => (p, i) }
+  }
+
+  /** Best-path segmentation straight to VOCABULARY IDS per document —
+    * the loader hand-off, mirroring [[bpeEncodeIds]]: unseen pieces and
+    * OOV passthrough tokens map to −1. Map-side kernel, both hash
+    * tables build once per expression. */
+  def unigramSegmentIds(text: Column, pieces: Seq[(String, Long)],
+                        vocab: Seq[(String, Int)],
+                        maxLen: Int = 4): Column =
+    graft.functions.TextHashExpressions.unigramSegmentIds(text, pieces,
+      vocab, maxLen)
+
   /** One HARD-EM re-estimation round for the unigram model: segment
     * every corpus word under the CURRENT piece scores (Viterbi, the
     * deterministic path), count the pieces actually used (weighted by

@@ -116,10 +116,16 @@ object PipelineQueries {
     * table trains once per content-keyed corpus per JVM; training is
     * deterministic, so the memo is result-identical to in-query
     * retraining. */
-  private val unigramMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Seq[(String, Int)])]()
   private[queries] def trainedUnigram(s: SparkSession,
                                       dir: String): Seq[(String, Long)] =
+    trainedUnigramModel(s, dir)._1
+  private[queries] def trainedUnigramVocab(s: SparkSession,
+                                           dir: String): Seq[(String, Int)] =
+    trainedUnigramModel(s, dir)._2
+  private def trainedUnigramModel(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[(String, Int)]) =
     unigramMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
@@ -139,8 +145,9 @@ object PipelineQueries {
             "the unigram oracles' score*1024 - n_pieces key encoding " +
             "aliases past 1023 pieces; split pathological tokens " +
             "upstream or widen the oracle encoding")
-        TextAnalysis.unigramPieces(
-          TextAnalysis.unigramTrain(docs, col("text")))
+        val model = TextAnalysis.unigramTrain(docs, col("text"))
+          .localCheckpoint()
+        (TextAnalysis.unigramPieces(model), TextAnalysis.unigramVocab(model))
       })
   private[queries] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
@@ -1327,6 +1334,22 @@ object PipelineQueries {
         .select(col("doc_id"),
           col("__s").getField("logp_micro").as("logp_micro"),
           col("__s").getField("n_pieces").as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Best-path segmentation to VOCABULARY IDS (ids by (cnt DESC,
+    // piece ASC) rank) — the unigram twin of text_bpe_ids: whole id
+    // sequence per doc as text, OOV positions counted.
+    "text_unigram_ids" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          TextAnalysis.unigramSegmentIds(col("text"),
+            trainedUnigram(s, dir), trainedUnigramVocab(s, dir))
+            .as("ids"))
+        .select(col("doc_id"),
+          size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
+          array_join(transform(col("ids"), _.cast("string")), " ")
+            .as("ids_text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2605,6 +2628,40 @@ object PipelineQueries {
             LEFT JOIN ptab p4 ON dp.i >= 3
               AND p4.piece = substr(dp.w, dp.i - 2, 4)
             WHERE dp.i < len(dp.w))"""
+
+  /** [[unigramDpCtes]] plus the BACKWARD path walk (`bk(w, pos,
+    * piece)`: at each step the LONGEST piece whose predecessor state
+    * reproduces the stored optimum key exactly) — shared by the hard-EM
+    * and ids oracles so the path model cannot drift between them. */
+  private lazy val unigramBkCtes: String = {
+    val kstar =
+      """CASE WHEN b.pos >= 4 AND p4.pm IS NOT NULL
+               AND d4.k0 + p4.pm * 1024 - 1 = d0.k0 THEN 4
+              WHEN b.pos >= 3 AND p3.pm IS NOT NULL
+               AND d3.k0 + p3.pm * 1024 - 1 = d0.k0 THEN 3
+              WHEN b.pos >= 2 AND p2.pm IS NOT NULL
+               AND d2.k0 + p2.pm * 1024 - 1 = d0.k0 THEN 2
+              ELSE 1 END"""
+    s"""$unigramDpCtes,
+          bk(w, pos, piece) AS (
+            SELECT w, len(w), CAST(NULL AS VARCHAR) FROM dwords
+            UNION ALL
+            SELECT b.w, b.pos - $kstar,
+              substr(b.w, CAST(b.pos - $kstar + 1 AS INT),
+                CAST($kstar AS INT))
+            FROM bk b
+            JOIN dp d0 ON d0.w = b.w AND d0.i = b.pos
+            LEFT JOIN dp d2 ON d2.w = b.w AND d2.i = b.pos - 2
+            LEFT JOIN dp d3 ON d3.w = b.w AND d3.i = b.pos - 3
+            LEFT JOIN dp d4 ON d4.w = b.w AND d4.i = b.pos - 4
+            LEFT JOIN ptab p2 ON b.pos >= 2
+              AND p2.piece = substr(b.w, CAST(b.pos - 1 AS INT), 2)
+            LEFT JOIN ptab p3 ON b.pos >= 3
+              AND p3.piece = substr(b.w, CAST(b.pos - 2 AS INT), 3)
+            LEFT JOIN ptab p4 ON b.pos >= 4
+              AND p4.piece = substr(b.w, CAST(b.pos - 3 AS INT), 4)
+            WHERE b.pos > 0)"""
+  }
 
   /** One BM25 oracle for both the in-query and the stored-index probe —
     * the store must reproduce the operator exactly, so they share the
@@ -4018,38 +4075,49 @@ object PipelineQueries {
          FROM documents LEFT JOIN docsum USING (doc_id)
          ORDER BY doc_id""",
 
+    // Ids replayed from the shared backward paths: vocabulary ids by
+    // (cnt DESC, piece ASC) rank, per-word id strings in path order
+    // (bk rows sort forward on their start position), doc sequences
+    // assembled in token order with -1 for OOV passthrough tokens.
+    "text_unigram_ids" ->
+      s"""WITH RECURSIVE $unigramBkCtes,
+            uvocab AS (SELECT piece,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                           - 1 AS INT) AS id
+                       FROM ukeep),
+            wids AS MATERIALIZED (
+              SELECT b.w,
+                string_agg(CAST(coalesce(v.id, -1) AS VARCHAR),
+                  ' ' ORDER BY b.pos) AS wt,
+                count(CASE WHEN v.id IS NULL THEN 1 END) AS woov
+              FROM bk b LEFT JOIN uvocab v ON b.piece = v.piece
+              WHERE b.piece IS NOT NULL
+              GROUP BY b.w),
+            idoctok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                          unnest(range(1, len($tokensSql) + 1)) AS j
+                        FROM documents),
+            idocids AS (
+              SELECT d.doc_id,
+                string_agg(
+                  CASE WHEN regexp_matches(d.t, '^[a-z]+$$')
+                       THEN wa.wt ELSE '-1' END, ' ' ORDER BY d.j)
+                  AS ids_text,
+                sum(CASE WHEN regexp_matches(d.t, '^[a-z]+$$')
+                         THEN wa.woov ELSE 1 END) AS n_oov
+              FROM idoctok d LEFT JOIN wids wa ON d.t = wa.w
+              GROUP BY 1)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+           coalesce(a.ids_text, '') AS ids_text
+         FROM documents d LEFT JOIN idocids a USING (doc_id)
+         ORDER BY d.doc_id""",
+
     // Hard-EM round: the backward walk re-derives each word's unique
     // Viterbi path by checking the forward DP's EXACT key identities
     // longest-piece-first (k=4..2, else 1 — the kernel's tie-break),
     // then occurrence-weighted piece counts re-normalize.
     "text_unigram_em" -> {
-      val kstar =
-        """CASE WHEN b.pos >= 4 AND p4.pm IS NOT NULL
-                 AND d4.k0 + p4.pm * 1024 - 1 = d0.k0 THEN 4
-                WHEN b.pos >= 3 AND p3.pm IS NOT NULL
-                 AND d3.k0 + p3.pm * 1024 - 1 = d0.k0 THEN 3
-                WHEN b.pos >= 2 AND p2.pm IS NOT NULL
-                 AND d2.k0 + p2.pm * 1024 - 1 = d0.k0 THEN 2
-                ELSE 1 END"""
-      s"""WITH RECURSIVE $unigramDpCtes,
-            bk(w, pos, piece) AS (
-              SELECT w, len(w), CAST(NULL AS VARCHAR) FROM dwords
-              UNION ALL
-              SELECT b.w, b.pos - $kstar,
-                substr(b.w, CAST(b.pos - $kstar + 1 AS INT),
-                  CAST($kstar AS INT))
-              FROM bk b
-              JOIN dp d0 ON d0.w = b.w AND d0.i = b.pos
-              LEFT JOIN dp d2 ON d2.w = b.w AND d2.i = b.pos - 2
-              LEFT JOIN dp d3 ON d3.w = b.w AND d3.i = b.pos - 3
-              LEFT JOIN dp d4 ON d4.w = b.w AND d4.i = b.pos - 4
-              LEFT JOIN ptab p2 ON b.pos >= 2
-                AND p2.piece = substr(b.w, CAST(b.pos - 1 AS INT), 2)
-              LEFT JOIN ptab p3 ON b.pos >= 3
-                AND p3.piece = substr(b.w, CAST(b.pos - 2 AS INT), 3)
-              LEFT JOIN ptab p4 ON b.pos >= 4
-                AND p4.piece = substr(b.w, CAST(b.pos - 3 AS INT), 4)
-              WHERE b.pos > 0),
+      s"""WITH RECURSIVE $unigramBkCtes,
             emcnt AS MATERIALIZED (
               SELECT bk.piece, sum(u.f) AS cnt
               FROM bk JOIN uwords u ON bk.w = u.w

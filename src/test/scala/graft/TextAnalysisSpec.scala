@@ -864,4 +864,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(em == Map("ab" -> (2L, m(2, 3)), "b" -> (1L, m(1, 3))),
       em.toString)
   }
+
+  test("unigramSegmentIds: rank-ordered vocab, path ids match pieces, " +
+       "OOV and unseen map to -1") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramTrain(docs, col("text"))
+    val pieces = TextAnalysis.unigramPieces(model)
+    val vocab = TextAnalysis.unigramVocab(model).toMap
+    // counts: a=2, ab=2, b=3 -> rank: b(0), a(1), ab(2) by (cnt desc, piece)
+    assert(vocab == Map("b" -> 0, "a" -> 1, "ab" -> 2), vocab.toString)
+    val ids = Seq(Tuple1("ab b Zed xq")).toDF("text")
+      .select(TextAnalysis.unigramSegmentIds(col("text"), pieces,
+        vocab.toSeq).as("ids")).collect()(0).getSeq[Int](0)
+    // "ab" -> [ab]=2; "b" -> [b]=0; "Zed" OOV -> -1; "xq" lowercase but
+    // unseen chars -> two -1 pieces
+    assert(ids == Seq(2, 0, -1, -1, -1), ids.toString)
+  }
 }
