@@ -684,6 +684,22 @@ object ScaleProbe {
         val secEm = (System.nanoTime() - t1) / 1e9
         val (np3, _, secSeg2) = segAll(em1)
         println(f"""{"metric":"unigram_em_scale","docs":$n,"pieces_in":${pieces.size},"pieces_out":${em1.size},"em_sec":$secEm%.2f,"seg_refined_sec":$secSeg2%.2f,"n_pieces_refined":$np3}""")
+        // ids path: the loader hand-off — same DP plus the O(1) id map;
+        // total id count must equal the scorer's piece count
+        val model2 = TextAnalysis.unigramTrain(docs, col("text"))
+        val vocab = TextAnalysis.unigramVocab(model2)
+        val tI = System.nanoTime()
+        val idAgg = docs.select(
+          TextAnalysis.unigramSegmentIds(col("text"), pieces, vocab)
+            .as("ids"))
+          .agg(sum(size(col("ids"))).cast("long"),
+            sum(size(filter(col("ids"), i => i === -1))).cast("long"))
+          .collect()(0)
+        val secIds = (System.nanoTime() - tI) / 1e9
+        assert(idAgg.getLong(0) == np,
+          s"ids path emitted ${idAgg.getLong(0)} ids but the scorer " +
+            s"counted $np pieces")
+        println(f"""{"metric":"unigram_ids_scale","docs":$n,"vocab":${vocab.size},"ids_sec":$secIds%.2f,"n_ids":${idAgg.getLong(0)},"n_oov":${idAgg.getLong(1)},"mid_per_sec":${idAgg.getLong(0) / secIds / 1e6}%.1f}""")
         docs.unpersist()
       }
 
