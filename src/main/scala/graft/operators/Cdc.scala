@@ -166,21 +166,38 @@ object Cdc {
     * the payload itself, so the full-outer join exchanges fixed-width
     * rows however large the documents — the
     * [[TextAnalysis.stripBoilerplate]] collision contract (a missed
-    * change needs a same-length 64-bit collision). One co-keyed
-    * full-outer join; both sides shuffle once on the key. */
+    * change needs a same-length 64-bit collision).
+    *
+    * Keys need NOT be unique within a snapshot: each side is first
+    * reduced to one row per key — an order-insensitive multiset
+    * fingerprint `(count, sum/min/max of row fingerprint, sum of
+    * length)` — so duplicate keys compare as multisets instead of
+    * exploding the full-outer join into a per-key cross product. For
+    * unique keys this degenerates to exactly the single-row
+    * fingerprint comparison. One pre-aggregation plus one co-keyed
+    * join; both sides shuffle once on the key (the agg and the join
+    * share the key partitioning). */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: Column,
                    payload: Column): DataFrame = {
     def keyed(df: DataFrame, side: String): DataFrame =
       df.select(key.as(s"__k$side"),
-        xxhash64(payload).as(s"__fp$side"),
-        length(payload).cast("long").as(s"__len$side"))
+          xxhash64(payload).as("__fp"),
+          length(payload).cast("long").as("__len"))
+        .groupBy(col(s"__k$side"))
+        .agg(struct(
+          count(lit(1)).as("cnt"),
+          // DECIMAL: xxhash64 spans the full long range, a plain long
+          // sum overflows under ANSI
+          sum(col("__fp").cast("decimal(38,0)")).as("fp_sum"),
+          min(col("__fp")).as("fp_min"),
+          max(col("__fp")).as("fp_max"),
+          sum(col("__len")).as("len_sum")).as(s"__sig$side"))
     keyed(a, "a").join(keyed(b, "b"),
         col("__ka") === col("__kb"), "full_outer")
       .select(coalesce(col("__ka"), col("__kb")).as("key"),
         when(col("__ka").isNull, lit("added"))
           .when(col("__kb").isNull, lit("removed"))
-          .when(col("__fpa") =!= col("__fpb") ||
-            col("__lena") =!= col("__lenb"), lit("changed"))
+          .when(col("__siga") =!= col("__sigb"), lit("changed"))
           .otherwise(lit(null).cast("string")).as("status"))
       .where(col("status").isNotNull)
   }

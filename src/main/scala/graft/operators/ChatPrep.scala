@@ -111,7 +111,11 @@ object ChatPrep {
     val core = when(role(element_at(t, 1)) === "system",
       slice(t, lit(2), greatest(size(t) - 1, lit(0)))).otherwise(t)
     val tail = slice(t, lit(2), greatest(size(t) - 1, lit(0)))
-    val badRole = exists(t, x => !role(x).isin(Roles: _*))
+    // isNull first: isin(null-role) is SQL-null, which exists() would
+    // treat as false and let null-role turns slip past every later
+    // role comparison (they all null out and skip).
+    val badRole =
+      exists(t, x => role(x).isNull || !role(x).isin(Roles: _*))
     val sysInside = exists(tail, x => role(x) === "system")
     val emptyContent =
       exists(t, x => content(x).isNull || length(content(x)) === 0)
@@ -265,13 +269,23 @@ object ChatPrep {
     * sharing the same [[assistantText]]. The exchange carries
     * `(xxhash64, length)` of the assistant text, never the text — the
     * same collision contract as boilerplate stripping: a false merge
-    * needs a same-length 64-bit collision. */
+    * needs a same-length 64-bit collision.
+    *
+    * Conversations with ZERO assistant turns (possible on unvalidated
+    * input — [[validate]] rejects them) are each their own cluster:
+    * their key is salted with the conv_id, so the shared
+    * empty-assistant-text fingerprint can never merge them. */
   def dedupByAssistant(df: DataFrame, convId: Column,
                        turns: Column): DataFrame = {
     val base = df
-      .select(convId.as("conv_id"), assistantText(turns).as("__a"))
-      .select(col("conv_id"), xxhash64(col("__a")).as("__fp"),
-        length(col("__a")).cast("long").as("__len"))
+      .select(convId.as("conv_id"), assistantText(turns).as("__a"),
+        exists(turns, t => role(t) === "assistant").as("__has"))
+      .select(col("conv_id"),
+        when(col("__has"), xxhash64(col("__a")))
+          .otherwise(xxhash64(lit("__no_assistant"), col("conv_id")))
+          .as("__fp"),
+        when(col("__has"), length(col("__a")).cast("long"))
+          .otherwise(lit(-1L)).as("__len"))
     val w = Window.partitionBy(col("__fp"), col("__len"))
     base
       .select(col("conv_id"),

@@ -145,4 +145,19 @@ class CdcSpec extends SparkSpec {
     // identical snapshots diff to nothing
     assert(Cdc.snapshotDiff(a, a, col("id"), col("payload")).count() == 0L)
   }
+
+  test("snapshotDiff: duplicate keys compare as multisets — one row per " +
+       "key, order-insensitive, no per-key cross product") {
+    import graft.operators.Cdc
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "p"), (2L, "p"), (3L, "solo"))
+      .toDF("id", "payload")
+    // key 1: same multiset, reordered -> unchanged (suppressed)
+    // key 2: one copy dropped -> changed; key 3: payload swap -> changed
+    val b = Seq((1L, "y"), (1L, "x"), (2L, "p"), (3L, "other"))
+      .toDF("id", "payload")
+    val rows = Cdc.snapshotDiff(a, b, col("id"), col("payload")).collect()
+    assert(rows.length == 2, rows.mkString(", ")) // ONE row per key
+    val out = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "changed"), out.toString)
+  }
 }

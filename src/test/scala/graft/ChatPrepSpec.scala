@@ -143,6 +143,22 @@ class ChatPrepSpec extends SparkSpec {
       (11L, false, Some("role_alternation"))))
   }
 
+  test("validate: NULL role fails as bad_role (isin(null) is SQL-null, " +
+       "which must not read as pass)") {
+    val fixtures = df(
+      conv(1L, "user" -> "q", (null: String) -> "a"),
+      conv(2L, (null: String) -> "q", "assistant" -> "a"),
+      // null role alongside a defect later in precedence: bad_role wins
+      conv(3L, (null: String) -> "", "user" -> "q"))
+    val out = ChatPrep.validate(fixtures, col("conv_id"), col("turns"))
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, false, Some("bad_role")),
+      (2L, false, Some("bad_role")),
+      (3L, false, Some("bad_role"))))
+  }
+
   test("plan guards: render, validate, and both span forms are pure " +
        "projections (no Exchange); dedup exchanges the fingerprint, " +
        "never the turns") {
@@ -186,5 +202,19 @@ class ChatPrepSpec extends SparkSpec {
     // conv 13's assistant text is "same answer" too (space-joined)
     assert(out.toSeq == Seq((10L, 10L, false), (11L, 10L, true),
       (12L, 12L, false), (13L, 10L, true)))
+  }
+
+  test("dedupByAssistant: assistant-free conversations are each their " +
+       "own cluster, never merged on the shared empty assistant text") {
+    val convs = df(
+      conv(20L, "user" -> "unanswered one"),
+      conv(21L, "user" -> "unanswered two"),
+      conv(22L, "user" -> "q", "assistant" -> "a"),
+      conv(23L, "user" -> "q2", "assistant" -> "a"))
+    val out = ChatPrep.dedupByAssistant(convs, col("conv_id"), col("turns"))
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((20L, 20L, false), (21L, 21L, false),
+      (22L, 22L, false), (23L, 22L, true)))
   }
 }
