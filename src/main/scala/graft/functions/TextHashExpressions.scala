@@ -565,4 +565,122 @@ object TextHashExpressions {
                         vocab: Seq[(String, Int)], maxLen: Int): Column =
     ColumnBridge.column(
       UnigramSegmentIds(ColumnBridge.expression(text), pieces, vocab, maxLen))
+
+  /** [[TextKernels.unigramSegmentBytes]]: BYTE-level unigram Viterbi
+    * segmentation — the production-alphabet twin of [[UnigramSegment]]:
+    * every whitespace token of any script segments through the exact
+    * Long DP over its UTF-8 bytes; pieces are lowercase-hex strings
+    * from [[graft.operators.TextAnalysis.unigramTrainBytes]]. */
+  case class UnigramSegmentBytes(child: Expression,
+                                 pieces: Seq[(String, Long)], maxLen: Int)
+      extends UnaryExpression {
+    require(maxLen >= 1,
+      s"$prettyName: maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = StructType(Seq(
+      StructField("logp_micro", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_bytes"
+
+    @transient private lazy val table =
+      new UnigramByteTable(pieces, maxLen)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentBytes(input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniByteTable", table,
+        "graft.functions.UnigramByteTable")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegmentBytes(" +
+          s"$c, $tableRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentBytes(text: Column, pieces: Seq[(String, Long)],
+                          maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegmentBytes(ColumnBridge.expression(text), pieces, maxLen))
+
+  /** [[TextKernels.unigramSegmentBytesPieces]]: the byte-level best
+    * path as lowercase-hex piece strings — the hard-EM hand-off. */
+  case class UnigramSegmentBytesPieces(child: Expression,
+                                       pieces: Seq[(String, Long)],
+                                       maxLen: Int)
+      extends UnaryExpression {
+    require(maxLen >= 1,
+      s"$prettyName: maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_bytes_pieces"
+
+    @transient private lazy val table =
+      new UnigramByteTable(pieces, maxLen)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentBytesPieces(input.asInstanceOf[UTF8String],
+        table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniByteTable", table,
+        "graft.functions.UnigramByteTable")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegmentBytesPieces(" +
+          s"$c, $tableRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentBytesPieces(text: Column, pieces: Seq[(String, Long)],
+                                maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegmentBytesPieces(ColumnBridge.expression(text), pieces, maxLen))
+
+  /** [[TextKernels.unigramSegmentBytesIds]]: byte-level best path
+    * straight to vocabulary ids. */
+  case class UnigramSegmentBytesIds(child: Expression,
+                                    pieces: Seq[(String, Long)],
+                                    vocab: Seq[(String, Int)], maxLen: Int)
+      extends UnaryExpression {
+    require(maxLen >= 1,
+      s"unigram_segment_bytes_ids: maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_bytes_ids"
+
+    @transient private lazy val table =
+      new UnigramByteTable(pieces, maxLen)
+    @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      vocab.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentBytesIds(input.asInstanceOf[UTF8String],
+        table, ids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniByteTable", table,
+        "graft.functions.UnigramByteTable")
+      val idsRef = ctx.addReferenceObj("uniByteIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramSegmentBytesIds(" +
+          s"$c, $tableRef, $idsRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentBytesIds(text: Column, pieces: Seq[(String, Long)],
+                             vocab: Seq[(String, Int)], maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSegmentBytesIds(ColumnBridge.expression(text), pieces, vocab,
+        maxLen))
 }

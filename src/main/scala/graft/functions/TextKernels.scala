@@ -880,10 +880,269 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  // ---- BYTE-level unigram (production alphabet) ------------------------
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of `bytes[start, start+len)` — the byte-level piece
+    * representation (the [[graft.operators.TextAnalysis.bpeTrainBytes]]
+    * alphabet convention: even-length hex strings). */
+  def hexOf(bytes: Array[Byte], start: Int, len: Int): UTF8String = {
+    val out = new Array[Byte](len * 2)
+    var i = 0
+    while (i < len) {
+      val b = bytes(start + i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4).toByte
+      out(i * 2 + 1) = HexDigits(b & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** The shared forward Viterbi fill of the BYTE-level segmenters — DP
+    * over BYTE positions 1..n of the token at bytes[s, s+n), pieces
+    * probed allocation-free through [[UnigramByteTable]]. Identical
+    * optimization contract to [[viterbiFill]]: best (score, fewest
+    * pieces) per prefix, [[UnigramUnkMicro]] fallback for a single byte
+    * absent from the table — so EVERY token of any script segments
+    * totally (the GPT-2 byte-fallback property; with all seen single
+    * bytes retained at training there is no OOV path at all). */
+  private def viterbiFillBytes(bytes: Array[Byte], s: Int, n: Int,
+                               table: UnigramByteTable, score: Array[Long],
+                               np: Array[Int]): Unit = {
+    val maxLen = table.maxLen
+    var pos = 1
+    while (pos <= n) {
+      var bestS = Long.MinValue
+      var bestN = 0
+      var k = 1
+      val kMax = if (pos < maxLen) pos else maxLen
+      while (k <= kMax) {
+        val pm = table.score(bytes, s + pos - k, k)
+        val cand: Long =
+          if (pm != Long.MinValue) score(pos - k) + pm
+          else if (k == 1) score(pos - k) + UnigramUnkMicro
+          else Long.MinValue
+        if (cand != Long.MinValue) {
+          val candN = np(pos - k) + 1
+          if (cand > bestS || (cand == bestS && candN < bestN)) {
+            bestS = cand; bestN = candN
+          }
+        }
+        k += 1
+      }
+      score(pos) = bestS; np(pos) = bestN
+      pos += 1
+    }
+  }
+
+  /** BYTE-level unigram Viterbi segmentation to
+    * `(logp_micro, n_pieces)` per document — [[unigramSegment]]'s
+    * production-alphabet twin: every whitespace token (any script,
+    * any case, astral planes included) runs the exact-Long DP over its
+    * UTF-8 BYTES; there is no regex gate and no whole-token OOV
+    * passthrough. Cost O(len · maxLen) allocation-free probes. */
+  def unigramSegmentBytes(text: UTF8String,
+                          table: UnigramByteTable): InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var totalScore = 0L
+    var totalPieces = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      val n = i - s
+      if (n > 0) {
+        val score = new Array[Long](n + 1)
+        val np = new Array[Int](n + 1)
+        viterbiFillBytes(bytes, s, n, table, score, np)
+        totalScore += score(n); totalPieces += np(n)
+      }
+    }
+    InternalRow(totalScore, totalPieces)
+  }
+
+  /** [[unigramSegmentBytes]]'s PATH-emitting form: the best
+    * segmentation's pieces as lowercase-HEX strings (the training
+    * alphabet, so the hard-EM count explode joins the model frame
+    * directly). Path uniqueness: the [[unigramSegmentPieces]] backward
+    * walk — longest piece whose predecessor state reproduces the stored
+    * optimum exactly. */
+  def unigramSegmentBytesPieces(text: UTF8String,
+                                table: UnigramByteTable): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val maxLen = table.maxLen
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      val n = i - s
+      if (n > 0) {
+        val score = new Array[Long](n + 1)
+        val np = new Array[Int](n + 1)
+        viterbiFillBytes(bytes, s, n, table, score, np)
+        val rev = new java.util.ArrayList[AnyRef]()
+        var p = n
+        while (p > 0) {
+          var chosen = 1
+          var k = if (p < maxLen) p else maxLen
+          var done = false
+          while (!done && k >= 1) {
+            val pm = table.score(bytes, s + p - k, k)
+            val cand: Long =
+              if (pm != Long.MinValue) score(p - k) + pm
+              else if (k == 1) score(p - k) + UnigramUnkMicro
+              else Long.MinValue
+            if (cand == score(p) && np(p - k) + 1 == np(p)) {
+              chosen = k; done = true
+            }
+            k -= 1
+          }
+          rev.add(hexOf(bytes, s + p - chosen, chosen))
+          p -= chosen
+        }
+        var r = rev.size - 1
+        while (r >= 0) { out.add(rev.get(r)); r -= 1 }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[unigramSegmentBytesPieces]] mapped to VOCABULARY IDS — the
+    * loader hand-off: each best-path hex piece looked up in the id
+    * table (rank by (count DESC, piece ASC) at training); a piece
+    * absent from the vocabulary maps to −1 (unreachable when the
+    * vocabulary is the training table itself — byte fallback means no
+    * OOV — but the contract stays total). */
+  def unigramSegmentBytesIds(text: UTF8String, table: UnigramByteTable,
+                             ids: java.util.HashMap[String, Integer])
+      : ArrayData = {
+    val pieces = unigramSegmentBytesPieces(text, table)
+    val n = pieces.numElements
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = ids.get(pieces.getUTF8String(i).toString)
+      out(i) = if (v == null) Integer.valueOf(-1) else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 
 
+
+/** BYTE-level unigram piece table: hex-string pieces (the
+  * [[graft.operators.TextAnalysis.unigramTrainBytes]] model rows)
+  * compiled into allocation-free probe structures for the Viterbi hot
+  * loop. Pieces of 1..8 BYTES — the overwhelming majority of any real
+  * vocabulary — live in per-length open-addressed long tables (the k
+  * bytes packed big-endian are injective at fixed k, so the length is
+  * the table index and the packed value is the whole key); pieces of
+  * 9..maxLen bytes fall back to a HashMap keyed by the raw bytes
+  * (ISO-8859-1 is the 1:1 byte↔char charset, so the key is exact).
+  * Probe cost per (position, length): one pack loop + one
+  * open-addressed lookup, no allocation for k ≤ 8. */
+final class UnigramByteTable(pieces: Seq[(String, Long)], val maxLen: Int)
+    extends Serializable {
+  require(maxLen >= 1, s"UnigramByteTable: maxLen must be >= 1, got $maxLen")
+
+  private val packedCap = new Array[Int](9) // capacity mask per length 1..8
+  private val packedKeys = new Array[Array[Long]](9)
+  private val packedUsed = new Array[Array[Boolean]](9)
+  private val packedVals = new Array[Array[Long]](9)
+  private val longPieces = new java.util.HashMap[String, java.lang.Long]()
+
+  locally {
+    val byLen = new Array[java.util.ArrayList[(Array[Byte], Long)]](9)
+    var li = 1
+    while (li <= 8) { byLen(li) = new java.util.ArrayList(); li += 1 }
+    pieces.foreach { case (hex, pm) =>
+      require(hex.length >= 2 && hex.length % 2 == 0,
+        s"UnigramByteTable: piece '$hex' is not even-length hex")
+      val k = hex.length / 2
+      val b = new Array[Byte](k)
+      var i = 0
+      while (i < k) {
+        val hi = Character.digit(hex.charAt(i * 2), 16)
+        val lo = Character.digit(hex.charAt(i * 2 + 1), 16)
+        require(hi >= 0 && lo >= 0 && !Character.isUpperCase(hex.charAt(i * 2))
+          && !Character.isUpperCase(hex.charAt(i * 2 + 1)),
+          s"UnigramByteTable: piece '$hex' is not lowercase hex")
+        b(i) = ((hi << 4) | lo).toByte
+        i += 1
+      }
+      if (k <= 8) byLen(k).add((b, pm))
+      else longPieces.put(
+        new String(b, java.nio.charset.StandardCharsets.ISO_8859_1),
+        java.lang.Long.valueOf(pm))
+    }
+    li = 1
+    while (li <= 8) {
+      val group = byLen(li)
+      var cap = 16
+      while (cap < group.size * 2) cap <<= 1
+      packedCap(li) = cap - 1
+      packedKeys(li) = new Array[Long](cap)
+      packedUsed(li) = new Array[Boolean](cap)
+      packedVals(li) = new Array[Long](cap)
+      var gi = 0
+      while (gi < group.size) {
+        val (b, pm) = group.get(gi)
+        var key = 0L
+        var bi = 0
+        while (bi < li) { key = (key << 8) | (b(bi) & 0xffL); bi += 1 }
+        var slot = UnigramByteTable.mix(key) & packedCap(li)
+        while (packedUsed(li)(slot) && packedKeys(li)(slot) != key)
+          slot = (slot + 1) & packedCap(li)
+        packedKeys(li)(slot) = key
+        packedVals(li)(slot) = pm
+        packedUsed(li)(slot) = true
+        gi += 1
+      }
+      li += 1
+    }
+  }
+
+  /** The micro-nat score of the k-byte piece at `bytes[start, start+k)`,
+    * or `Long.MinValue` when absent. */
+  def score(bytes: Array[Byte], start: Int, k: Int): Long =
+    if (k <= 8) {
+      var key = 0L
+      var i = 0
+      while (i < k) { key = (key << 8) | (bytes(start + i) & 0xffL); i += 1 }
+      val mask = packedCap(k)
+      var slot = UnigramByteTable.mix(key) & mask
+      while (packedUsed(k)(slot)) {
+        if (packedKeys(k)(slot) == key) return packedVals(k)(slot)
+        slot = (slot + 1) & mask
+      }
+      Long.MinValue
+    } else {
+      val v = longPieces.get(new String(bytes, start, k,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (v == null) Long.MinValue else v.longValue
+    }
+}
+
+object UnigramByteTable {
+  /** murmur3's 64-bit finalizer — spreads packed byte keys across the
+    * table so linear probing stays O(1) at 50% load. */
+  @inline private[functions] def mix(x0: Long): Int = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    (x & 0x7fffffffL).toInt
+  }
+}
 
 /** All language trigram profiles as ONE open-addressed primitive map:
   * 3 CODEPOINTS packed into a 63-bit long key (21 bits each — every

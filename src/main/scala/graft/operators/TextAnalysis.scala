@@ -1036,6 +1036,31 @@ object TextAnalysis {
     graft.functions.TextHashExpressions.unigramSegmentIds(text, pieces,
       vocab, maxLen)
 
+  /** BYTE-level unigram Viterbi segmentation to
+    * `struct<logp_micro, n_pieces>` — [[unigramSegment]]'s
+    * production-alphabet twin over [[unigramTrainBytes]] models: every
+    * whitespace token of any script segments over its UTF-8 bytes,
+    * allocation-free piece probes, no OOV path. */
+  def unigramSegmentBytes(text: Column, pieces: Seq[(String, Long)],
+                          maxLen: Int = 8): Column =
+    graft.functions.TextHashExpressions.unigramSegmentBytes(text, pieces,
+      maxLen)
+
+  /** The byte-level best path as lowercase-hex piece strings. */
+  def unigramSegmentBytesPieces(text: Column, pieces: Seq[(String, Long)],
+                                maxLen: Int = 8): Column =
+    graft.functions.TextHashExpressions.unigramSegmentBytesPieces(text,
+      pieces, maxLen)
+
+  /** Byte-level best path straight to vocabulary ids ([[unigramVocab]]
+    * ranking); −1 only for pieces outside the vocabulary (unreachable
+    * when the vocabulary is the trained table itself). */
+  def unigramSegmentBytesIds(text: Column, pieces: Seq[(String, Long)],
+                             vocab: Seq[(String, Int)],
+                             maxLen: Int = 8): Column =
+    graft.functions.TextHashExpressions.unigramSegmentBytesIds(text, pieces,
+      vocab, maxLen)
+
   /** One HARD-EM re-estimation round for the unigram model: segment
     * every corpus word under the CURRENT piece scores (Viterbi, the
     * deterministic path), count the pieces actually used (weighted by
@@ -1069,6 +1094,228 @@ object TextAnalysis {
       .select(col("piece"), col("cnt").cast("long").as("cnt"),
         floor(log(col("cnt").cast("double") / col("__T").cast("double"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
+  /** BYTE-level unigram training, frequency-initialized — the
+    * PRODUCTION-alphabet twin of [[unigramTrain]] (the
+    * [[bpeTrainBytes]] move): candidate pieces are every 1..maxPieceLen
+    * BYTE substring of every whitespace token's UTF-8 encoding, any
+    * script, any case, astral planes included — so the trained model
+    * has NO OOV path (all seen single bytes are always retained; unseen
+    * bytes can only appear on out-of-corpus text and take the UNK
+    * fallback). Pieces are lowercase-HEX strings (the repo's byte
+    * alphabet convention); scores are micro-nat `ln(cnt/total)`
+    * quantized once, exactly as the char-level family.
+    *
+    * Execution: one token explode + word-frequency aggregate, then two
+    * bounded explodes over (byte position, length) — piece rows are
+    * O(Σ distinct-word bytes · maxPieceLen) before the first
+    * aggregate's map-side combine; everything after is
+    * vocabulary-sized. */
+  def unigramTrainBytes(docs: DataFrame, text: Column, maxPieceLen: Int = 8,
+                        minCount: Long = 2L): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(lower(hex(col("w").cast("binary"))).as("hw"),
+        octet_length(col("w")).as("nb"), col("f"))
+    val keep = words
+      .select(col("hw"), col("nb"), col("f"),
+        explode(sequence(lit(1), col("nb"))).as("i"))
+      .select(col("hw"), col("nb"), col("f"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .where(col("i") + col("l") - 1 <= col("nb"))
+      .select(expr("substring(hw, 2 * i - 1, 2 * l)").as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .where(length(col("piece")) === 2 || col("cnt") >= minCount)
+      .localCheckpoint()
+    val tot = broadcast(keep.agg(sum(col("cnt")).as("__T")))
+    keep.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
+  /** One HARD-EM round for the BYTE-level model — [[unigramEmStep]]'s
+    * production-alphabet twin: EVERY whitespace token Viterbi-segments
+    * over its UTF-8 bytes under the current scores (the deterministic
+    * longest-piece backward walk), occurrence-weighted piece counts
+    * re-normalize to fresh micro-nat scores. Same drop-out pruning and
+    * quantization as the char-level step; same one-corpus-scan
+    * execution (the segmentation runs map-side over the
+    * vocabulary-sized word table). */
+  def unigramEmStepBytes(docs: DataFrame, text: Column,
+                         pieces: Seq[(String, Long)],
+                         maxLen: Int = 8): DataFrame = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val cnts = words
+      .select(col("f"),
+        explode(graft.functions.TextHashExpressions
+          .unigramSegmentBytesPieces(col("w"), pieces, maxLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .localCheckpoint()
+    val tot = broadcast(cnts.agg(sum(col("cnt")).as("__T")))
+    cnts.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
+  /** PRODUCTION-DEPTH byte-level unigram training — the
+    * [[bpeTrainFast]] move applied to the unigram family: ONE
+    * distributed word-frequency scan, a MEASURED driver-footprint guard,
+    * then frequency initialization plus `emRounds` hard-EM rounds on the
+    * collected vocabulary-shaped word table, all driver-local. Each
+    * stage is BIT-IDENTICAL to the distributed formulation
+    * ([[unigramTrainBytes]] then chained [[unigramEmStepBytes]]):
+    * the substring counting weights by the same word frequencies, the
+    * retention rule and micro-nat quantization replicate the exact
+    * float op order (`floor(ln(cnt/T)·1e6 + 0.5)` in IEEE doubles),
+    * and the EM E-step calls the SAME
+    * [[graft.functions.TextKernels.unigramSegmentBytesPieces]] kernel
+    * the distributed expression wraps — UnigramBytesSpec pins frame
+    * equality at every stage. Per-round cost is vocabulary-shaped
+    * (segment each distinct word once), not corpus-shaped, which is how
+    * SentencePiece itself trains: distributed counting, local EM.
+    *
+    * 100 TB shape: the corpus-sized work is the one word-count
+    * aggregate (map-side partial agg + one shuffle on the word); the
+    * collected table is vocabulary-shaped and its driver footprint is
+    * measured BEFORE collecting — over `maxTableBytes` the call fails
+    * by name citing the `minWordFreq` lever, the standard
+    * frequency-pruning move (with the default `minWordFreq = 1` the
+    * result is exactly the distributed formulation's). */
+  def unigramTrainBytesFast(docs: DataFrame, text: Column,
+                            maxPieceLen: Int = 8, minCount: Long = 2L,
+                            emRounds: Int = 0, minWordFreq: Long = 1L,
+                            maxTableBytes: Long = 2L << 30): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
+    require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
+    val spark = docs.sparkSession
+    val wc = bpeWordCountsBytes(docs, text)
+    val pruned =
+      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
+    val m = pruned.agg(count(lit(1)).as("rows"),
+      coalesce(sum(octet_length(col("w"))), lit(0L)).as("syms")).head()
+    val (rows, syms) = (m.getLong(0), m.getLong(1))
+    // words + freqs + the substring-count map (each byte position can
+    // open up to maxPieceLen distinct-piece entries, ~48 B apiece
+    // amortized across words that share pieces)
+    val est = rows * 120L + syms * (48L * maxPieceLen)
+    if (est > maxTableBytes)
+      throw new IllegalArgumentException(
+        s"unigramTrainBytesFast: the word-frequency table ($rows words, " +
+          s"$syms bytes, ~$est B on the driver) exceeds maxTableBytes " +
+          s"($maxTableBytes B). Raise minWordFreq (currently " +
+          s"$minWordFreq) to frequency-prune the long tail — the " +
+          "standard production-tokenizer move — or raise maxTableBytes " +
+          "if the driver heap genuinely has room")
+    val collected = pruned.select(col("w"), col("freq").cast("long")).collect()
+    val wordBytes = new Array[Array[Byte]](collected.length)
+    val freqs = new Array[Long](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      wordBytes(i) = collected(i).getString(0)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      freqs(i) = collected(i).getLong(1)
+      i += 1
+    }
+    var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
+    var round = 0
+    while (round < emRounds) {
+      model = unigramEmLocal(wordBytes, freqs, model, maxPieceLen)
+      round += 1
+    }
+    import spark.implicits._
+    model.toDF("piece", "cnt", "logp_micro")
+  }
+
+  /** Driver-exact micro-nat quantization — the same IEEE op order as the
+    * distributed `floor(log(cnt/T) * 1e6 + 0.5)` column. */
+  @inline private def microNat(cnt: Long, total: Long): Long =
+    java.lang.Math.floor(
+      java.lang.Math.log(cnt.toDouble / total.toDouble) * 1000000.0 + 0.5)
+      .toLong
+
+  /** Frequency initialization on the collected word table — replicates
+    * [[unigramTrainBytes]]'s counting (overlapping substrings weighted
+    * by word frequency, single bytes always retained, `minCount` for
+    * longer) bit for bit. */
+  private def unigramInitLocal(words: Array[Array[Byte]], freqs: Array[Long],
+                               maxPieceLen: Int, minCount: Long)
+      : Seq[(String, Long, Long)] = {
+    val cnt = new java.util.HashMap[String, java.lang.Long]()
+    var wi = 0
+    while (wi < words.length) {
+      val b = words(wi)
+      val f = freqs(wi)
+      var s = 0
+      while (s < b.length) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, b.length - s)
+        while (l <= lMax) {
+          val key = graft.functions.TextKernels.hexOf(b, s, l).toString
+          val prev = cnt.get(key)
+          cnt.put(key,
+            java.lang.Long.valueOf(if (prev == null) f else prev.longValue + f))
+          l += 1
+        }
+        s += 1
+      }
+      wi += 1
+    }
+    finishModel(cnt, keepSingles = true, minCount)
+  }
+
+  /** One driver-local hard-EM round — the SAME kernel DP the distributed
+    * [[unigramEmStepBytes]] expression wraps, then occurrence-weighted
+    * counting and re-normalization. */
+  private def unigramEmLocal(words: Array[Array[Byte]], freqs: Array[Long],
+                             model: Seq[(String, Long, Long)],
+                             maxPieceLen: Int): Seq[(String, Long, Long)] = {
+    val table = new graft.functions.UnigramByteTable(
+      model.map { case (p, _, lp) => (p, lp) }, maxPieceLen)
+    val cnt = new java.util.HashMap[String, java.lang.Long]()
+    var wi = 0
+    while (wi < words.length) {
+      val pieces = graft.functions.TextKernels.unigramSegmentBytesPieces(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(words(wi)), table)
+      val f = freqs(wi)
+      var pi = 0
+      val n = pieces.numElements
+      while (pi < n) {
+        val key = pieces.getUTF8String(pi).toString
+        val prev = cnt.get(key)
+        cnt.put(key,
+          java.lang.Long.valueOf(if (prev == null) f else prev.longValue + f))
+        pi += 1
+      }
+      wi += 1
+    }
+    // EM keeps every piece the optimal paths actually used (drop-out
+    // pruning happened by the paths not using it) — no minCount here,
+    // matching unigramEmStepBytes
+    finishModel(cnt, keepSingles = true, minCount = 1L)
+  }
+
+  private def finishModel(cnt: java.util.HashMap[String, java.lang.Long],
+                          keepSingles: Boolean, minCount: Long)
+      : Seq[(String, Long, Long)] = {
+    val kept = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val it = cnt.entrySet.iterator
+    var total = 0L
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue
+      if ((keepSingles && e.getKey.length == 2) || c >= minCount) {
+        kept += ((e.getKey, c))
+        total += c
+      }
+    }
+    val t = total
+    kept.map { case (p, c) => (p, c, microNat(c, t)) }.toSeq
   }
 
   def bpeMerges(model: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String)] = {
