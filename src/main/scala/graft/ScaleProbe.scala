@@ -703,6 +703,65 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // BYTE-level unigram PRODUCTION training at scale: a 50k-type
+      // multi-script vocabulary (base36 word stems, every 17th type
+      // accented, every 29th carrying an astral emoji) — the 20-word
+      // shared corpus can't exercise a production vocabulary. The fast
+      // trainer runs at maxPieceLen = 16 with one hard-EM round; the
+      // probe asserts a >= 8k-piece trained vocabulary, round-trips the
+      // BIG model through TokenizerStore, and prices byte segmentation
+      // under it.
+      if (on("unigram_bytes")) {
+        import graft.operators.TextAnalysis
+        import graft.sources.TokenizerStore
+        val docsB = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(29)), i => {
+              val t = pmod(xxhash64(col("id"), i), lit(50000))
+              val base = concat(lit("w"), conv(t.cast("string"), 10, 36))
+              when(pmod(t, lit(17)) === 0, concat(base, lit("é")))
+                .when(pmod(t, lit(29)) === 0,
+                  concat(base, lit("🚀")))
+                .otherwise(base)
+            })).as("text"))
+        docsB.cache().count()
+        val t0 = System.nanoTime()
+        val model = TextAnalysis.unigramTrainBytesFast(docsB, col("text"),
+          maxPieceLen = 16, minCount = 2L, emRounds = 1)
+          .localCheckpoint(true)
+        val pieces = TextAnalysis.unigramPieces(model, maxPieces = 4 << 20)
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        assert(pieces.size >= 8192,
+          s"production probe trained only ${pieces.size} pieces — " +
+            "the vocabulary is not production-shaped")
+        // the BIG model survives the store round trip bit-for-bit
+        TokenizerStore.dropUnigram(spark, "uni_bytes_probe")
+        val tS = System.nanoTime()
+        TokenizerStore.buildUnigramBytesFrom(spark, "uni_bytes_probe",
+          model, maxPieceLen = 16, emRounds = 1)
+        val (loaded, maxLenL) =
+          TokenizerStore.loadUnigramBytes(spark, "uni_bytes_probe")
+        val secStore = (System.nanoTime() - tS) / 1e9
+        assert(maxLenL == 16)
+        assert(loaded.toMap == pieces.toMap,
+          "stored model diverged from the trained one")
+        TokenizerStore.dropUnigram(spark, "uni_bytes_probe")
+        // segmentation throughput under the big vocabulary, and the
+        // byte-fallback property: every token segments, none at the
+        // whole-token UNK
+        val t1 = System.nanoTime()
+        val row = docsB.select(
+            TextAnalysis.unigramSegmentBytes(col("text"), loaded,
+              maxLen = 16).as("s"))
+          .agg(sum(col("s.n_pieces")).cast("long"),
+            sum(col("s.logp_micro")).cast("long")).collect()(0)
+        val secSeg = (System.nanoTime() - t1) / 1e9
+        val (np, lp) = (row.getLong(0), row.getLong(1))
+        assert(np > 0 && lp < 0)
+        println(f"""{"metric":"unigram_bytes_train_scale","docs":$n,"pieces":${pieces.size},"train_sec":$secTrain%.2f,"store_roundtrip_sec":$secStore%.2f,"seg_sec":$secSeg%.2f,"n_pieces":$np,"logp_micro":$lp,"mpiece_per_sec":${np / secSeg / 1e6}%.1f}""")
+        docsB.unpersist()
+      }
+
       // Byte-level BPE encode at scale: same min-rank kernel as the
       // char probe (table-size independence transfers), but every token
       // decomposes into UTF-8 bytes — ~4-5x the symbol count per doc —

@@ -81,6 +81,40 @@ object ChatQueries {
         .as("turns"))
   }
 
+  /** Fixed planted prompt shared by every 17th pair (prompt dedup). */
+  private val FixedPrompt = "what is the answer"
+
+  /** Derived preference pairs: prompt = optional system + `user q0 /
+    * assistant q1 / user q2` (a multi-turn prefix ending in user),
+    * chosen = q3, rejected = q1. Plants: identical branches
+    * (`doc_id % 19`: rejected := q3), an empty rejected response
+    * (`doc_id % 11`), a broken prompt alternation (`doc_id % 13`, via
+    * an assistant role on the q2 turn), and one shared FIXED prompt on
+    * `doc_id % 17` — the prompt-dedup cluster. */
+  private[graft] def prefPairs(docs: DataFrame): DataFrame = {
+    val q = quarters(docs)
+    val fixed = pmod(col("doc_id"), lit(17)) === 0
+    val broken = pmod(col("doc_id"), lit(13)) === 0 && !fixed
+    val normalPrompt = concat(
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        array(struct(lit("system").as("role"),
+          lit(SysPrompt).as("content"))))
+        .otherwise(expr(EmptyTurns)),
+      array(
+        struct(lit("user").as("role"), col("q0").as("content")),
+        struct(lit("assistant").as("role"), col("q1").as("content")),
+        struct(when(broken, lit("assistant")).otherwise(lit("user"))
+          .as("role"), col("q2").as("content"))))
+    val fixedPrompt = array(
+      struct(lit("user").as("role"), lit(FixedPrompt).as("content")))
+    q.select(col("doc_id").as("pair_id"),
+      when(fixed, fixedPrompt).otherwise(normalPrompt).as("prompt_turns"),
+      col("q3").as("chosen"),
+      when(pmod(col("doc_id"), lit(19)) === 0, col("q3"))
+        .when(pmod(col("doc_id"), lit(11)) === 0, lit(""))
+        .otherwise(col("q1")).as("rejected"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Template render: turns -> the model-input string. Pure projection
@@ -226,6 +260,77 @@ object ChatQueries {
         .crossJoin(maskAgg)
     },
 
+    // Preference-pair (DPO) render: both branches through the SAME
+    // chat template — prompt prefix + the candidate response appended
+    // as one assistant turn. Pure projection, two folds per pair.
+    "chat_pref_render" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.PrefPrep.render(prefPairs(t.documents),
+          col("pair_id"), col("prompt_turns"), col("chosen"),
+          col("rejected"))
+        .orderBy(col("pair_id"))
+    },
+
+    // Pair admission: both branches through the SAME ChatPrep verdict
+    // (chosen_ / rejected_ prefixed, chosen first), then the pair-level
+    // identical_branches check — planted defects on %13 (broken prompt
+    // alternation), %11 (empty rejected), %19 (identical responses).
+    "chat_pref_validate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.PrefPrep.validate(prefPairs(t.documents),
+          col("pair_id"), col("prompt_turns"), col("chosen"),
+          col("rejected"))
+        .orderBy(col("pair_id"))
+    },
+
+    // The DPO loader funnel, one row: validate -> prompt-fingerprint
+    // dedup (every 17th pair shares the planted fixed prompt) -> both
+    // branches packed into 256-token sequences under real BPE totals
+    // (branch_key = pair_id*2 (+1), even/odd keeps the pairing
+    // join-free) -> response-token masks in packed coordinates. The
+    // oracle predicts each stage closed-form, the chat_funnel shape.
+    "chat_pref_pack" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val merges = PipelineQueries.trainedMerges(s, dir)
+      val count: Column => Column =
+        c => TextAnalysis.bpeEncodeCount(c, merges).cast("long")
+      val pp = prefPairs(t.documents).localCheckpoint()
+      val valid = pp.where(graft.operators.PrefPrep.reasonCol(
+        col("prompt_turns"), col("chosen"), col("rejected")).isNull)
+      val dedup = graft.operators.PrefPrep.dedupByPrompt(valid,
+        col("pair_id"), col("prompt_turns")).localCheckpoint()
+      val kept = valid.join(
+        dedup.where(!col("is_dup")).select("pair_id"), "pair_id")
+        .localCheckpoint()
+      val totals = graft.operators.PrefPrep.branchTotals(kept,
+        col("pair_id"), col("prompt_turns"), col("chosen"),
+        col("rejected"), count).localCheckpoint()
+      val packMap = graft.operators.Sampling.packSequencesPosBy(
+        totals, col("branch_key"), col("total_toks"),
+        nShards = 4, seqLen = 256, salt = "pref")
+      val spans = graft.operators.PrefPrep.responseSpans(kept,
+        col("pair_id"), col("prompt_turns"), col("chosen"),
+        col("rejected"), count)
+      val masks = ChatPrep.packedAssistantMasks(packMap, spans)
+      val pairAgg = pp.agg(
+        count_distinct(col("pair_id")).as("n_pairs"),
+        sum(when(graft.operators.PrefPrep.reasonCol(col("prompt_turns"),
+          col("chosen"), col("rejected")).isNotNull, 1L).otherwise(0L))
+          .as("n_invalid"))
+      val dupAgg = dedup.agg(
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_prompt_dups"))
+      val keptAgg = totals.agg(
+        count_distinct(col("pair_id")).as("n_kept"),
+        sum(col("total_toks")).as("total_tokens"))
+      val seqAgg = packMap.groupBy(col("shard"))
+        .agg((max(col("seq_id")) + 1L).as("__ns"))
+        .agg(sum(col("__ns")).as("n_seqs"))
+      val maskAgg = masks.agg(
+        sum(col("mask_end") - col("mask_start")).as("masked_tokens"))
+      pairAgg.crossJoin(dupAgg).crossJoin(keptAgg).crossJoin(seqAgg)
+        .crossJoin(maskAgg)
+    },
+
     // Exact dedup on assistant content: every 17th doc shares one
     // planted answer pair; canonical = min conv_id. The exchange
     // carries (xxhash64, length), never the text.
@@ -246,14 +351,24 @@ object ChatQueries {
     * 2 tokens per turn of template overhead), and the two assistant
     * spans (`cspans`). chat_token_spans and chat_pack_masks build on
     * the same block so the span model can never drift between them. */
-  private lazy val chatBpeCtes: String = {
+  /** The 8-round chained-replace BPE encode expression over a token
+    * column `t`, plus the merge-CTE FROM list — shared by
+    * [[chatBpeCtes]] and the preference-pack oracle's fixed-prompt
+    * count. */
+  private lazy val (bpeChained8, bpeMs8): (String, String) = {
     val rounds = 8
     val sep = """'||' || regexp_replace(t, '(.)', '\1||', 'g')"""
     val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
       s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', " +
         s"'|' || m$k.l || m$k.r || '|')"
     }
-    val ms = (1 to rounds).map("m" + _).mkString(", ")
+    (chained, (1 to rounds).map("m" + _).mkString(", "))
+  }
+
+  private lazy val chatBpeCtes: String = {
+    val rounds = 8
+    val chained = bpeChained8
+    val ms = bpeMs8
     PipelineQueries.bpeTrainCtes(rounds) +
       s""",
          ctok AS (SELECT doc_id, unnest($tokensSql) AS t,
@@ -330,7 +445,120 @@ object ChatQueries {
              CAST(floor(n * 3 / 4.0) AS INT) + 1, n), ' ') AS q3
          FROM f WHERE n >= 4)"""
 
+  /** Shared preference-pair derivation CTEs (on the quarters `s`):
+    * `prf` = pair parts + planted defects, `prr` = the rendered prompt
+    * string (the dedup key and render prefix). */
+  private lazy val prefCte: String =
+    s"""prf AS (
+         SELECT doc_id, has_sys,
+           (doc_id % 17 = 0) AS fixed,
+           (doc_id % 13 = 0 AND doc_id % 17 <> 0) AS broken,
+           q0, q1, q2,
+           q3 AS chosen,
+           CASE WHEN doc_id % 19 = 0 THEN q3
+                WHEN doc_id % 11 = 0 THEN ''
+                ELSE q1 END AS rejected
+         FROM s),
+        prr AS (
+         SELECT doc_id, fixed, broken, chosen, rejected,
+           CASE WHEN fixed THEN '<|user|>$FixedPrompt<|end|>'
+                ELSE (CASE WHEN has_sys
+                           THEN '<|system|>$SysPrompt<|end|>'
+                           ELSE '' END
+                  || '<|user|>' || q0 || '<|end|>'
+                  || '<|assistant|>' || q1 || '<|end|>'
+                  || (CASE WHEN broken THEN '<|assistant|>'
+                           ELSE '<|user|>' END) || q2 || '<|end|>')
+           END AS prompt_r
+         FROM prf)"""
+
   def oracle: Map[String, String] = Map(
+
+    "chat_pref_render" ->
+      s"""$quartersCte,
+          $prefCte
+         SELECT doc_id AS pair_id,
+           prompt_r || '<|assistant|>' || chosen || '<|end|>'
+             AS chosen_rendered,
+           prompt_r || '<|assistant|>' || rejected || '<|end|>'
+             AS rejected_rendered,
+           CAST(length(prompt_r) + 13 + length(chosen) + 7 AS BIGINT)
+             AS n_chars_chosen,
+           CAST(length(prompt_r) + 13 + length(rejected) + 7 AS BIGINT)
+             AS n_chars_rejected
+         FROM prr ORDER BY pair_id""",
+
+    "chat_pref_validate" ->
+      s"""$quartersCte,
+          $prefCte,
+          prv AS (SELECT doc_id AS pair_id,
+                    CASE WHEN broken THEN 'chosen_role_alternation'
+                         WHEN rejected = '' THEN 'rejected_empty_content'
+                         WHEN chosen = rejected THEN 'identical_branches'
+                         ELSE NULL END AS reason
+                  FROM prr)
+         SELECT pair_id, reason IS NULL AS valid, reason
+         FROM prv ORDER BY pair_id""",
+
+    // The DPO funnel closed-form: verdicts, prompt-string dedup among
+    // the valid, per-branch totals from the replayed BPE counts
+    // (prompt = template overhead + c0 + c1 + c2 or the fixed prompt's
+    // count), the md5-sharded packing tiling for n_seqs, and the
+    // mask-preservation invariant for masked_tokens.
+    "chat_pref_pack" ->
+      (chatBpeCtes +
+        s""",
+          ${quartersCte.stripPrefix("WITH ")},
+          $prefCte,
+          fixw AS (SELECT unnest(['what', 'is', 'the', 'answer']) AS t),
+          fixenc AS (SELECT CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                              THEN len(string_split(
+                                trim($bpeChained8, '|'), '||'))
+                              ELSE 1 END AS c
+                     FROM fixw, $bpeMs8),
+          fixcnt AS MATERIALIZED (SELECT sum(c) AS fc FROM fixenc),
+          pv AS MATERIALIZED (SELECT r.doc_id, r.fixed, r.broken, r.prompt_r,
+                   b.has_sys, b.c0, b.c1, b.c2, b.c3, b.sc, fx.fc,
+                   CASE WHEN r.broken THEN 'chosen_role_alternation'
+                        WHEN r.rejected = '' THEN 'rejected_empty_content'
+                        WHEN r.chosen = r.rejected
+                          THEN 'identical_branches'
+                        ELSE NULL END AS reason
+                 FROM prr r JOIN cbase b ON r.doc_id = b.conv_id
+                 CROSS JOIN fixcnt fx),
+          pvv AS MATERIALIZED (SELECT * FROM pv WHERE reason IS NULL),
+          pcanon AS MATERIALIZED (SELECT *, min(doc_id) OVER (PARTITION BY prompt_r)
+                       AS canon
+                     FROM pvv),
+          pkept AS MATERIALIZED (SELECT *,
+                      CASE WHEN fixed THEN 2 + fc
+                           ELSE (CASE WHEN has_sys THEN 2 + sc ELSE 0 END)
+                             + 6 + c0 + c1 + c2 END AS ptoks
+                    FROM pcanon WHERE doc_id = canon),
+          pbr AS MATERIALIZED (SELECT doc_id * 2 AS bkey, ptoks + 2 + c3 AS n
+                  FROM pkept
+                  UNION ALL
+                  SELECT doc_id * 2 + 1, ptoks + 2 + c1 FROM pkept),
+          bpsh AS MATERIALIZED (SELECT bkey, n,
+                     CAST(CAST(('0x' || substr(
+                       md5(CAST(bkey AS VARCHAR) || 'pref'), 1, 8))
+                       AS BIGINT) % 4 AS INT) AS shard
+                   FROM pbr WHERE n > 0),
+          nseq AS (SELECT sum((stot + 255) // 256) AS ns
+                   FROM (SELECT shard, sum(n) AS stot FROM bpsh
+                         GROUP BY 1))
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM prr) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM pv
+            WHERE reason IS NOT NULL) AS n_invalid,
+           (SELECT CAST(count(*) AS BIGINT) FROM pcanon
+            WHERE doc_id <> canon) AS n_prompt_dups,
+           (SELECT CAST(count(*) AS BIGINT) FROM pkept) AS n_kept,
+           (SELECT CAST(sum(n) AS BIGINT) FROM pbr) AS total_tokens,
+           (SELECT CAST(ns AS BIGINT) FROM nseq) AS n_seqs,
+           (SELECT CAST(sum(c3 + c1) AS BIGINT) FROM pkept)
+             AS masked_tokens"""),
+
 
     "chat_render" ->
       s"""$quartersCte,

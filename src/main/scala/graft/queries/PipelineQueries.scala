@@ -129,8 +129,8 @@ object PipelineQueries {
     unigramMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
-        // The DuckDB oracles encode each DP state as score·1024 −
-        // n_pieces; a lowercase word of >= 1024 chars would alias the
+        // The DuckDB oracles encode each DP state as score·2^20 −
+        // n_pieces; a lowercase word of >= 2^20 chars would alias the
         // encoding (n_pieces can reach word length) and produce a
         // baffling parity mismatch while the Scala kernel stays exact.
         // Measure once per corpus and fail BY NAME instead.
@@ -140,15 +140,50 @@ object PipelineQueries {
           .where(col("w").rlike("^[a-z]+$"))
           .agg(max(length(col("w")))).head()
         val maxW = if (worst.isNullAt(0)) 0 else worst.getInt(0)
-        require(maxW < 1000,
+        require(maxW < 1000000,
           s"trainedUnigram: corpus has a $maxW-char lowercase word — " +
-            "the unigram oracles' score*1024 - n_pieces key encoding " +
-            "aliases past 1023 pieces; split pathological tokens " +
+            "the unigram oracles' score*2^20 - n_pieces key encoding " +
+            "aliases past 2^20 - 1 pieces; split pathological tokens " +
             "upstream or widen the oracle encoding")
         val model = TextAnalysis.unigramTrain(docs, col("text"))
           .localCheckpoint()
         (TextAnalysis.unigramPieces(model), TextAnalysis.unigramVocab(model))
       })
+  /** [[unigramMemo]]'s BYTE-level twin: the frequency-initialized
+    * byte-alphabet piece table over the PLANTED corpus (the byte family
+    * exists precisely to handle the non-`[a-z]` text the char family
+    * scopes out), trained once per content-keyed corpus per JVM. */
+  private val unigramBytesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Seq[(String, Int)])]()
+  private[queries] def trainedUnigramBytes(s: SparkSession,
+                                           dir: String): Seq[(String, Long)] =
+    trainedUnigramBytesModel(s, dir)._1
+  private[queries] def trainedUnigramBytesVocab(s: SparkSession,
+                                                dir: String): Seq[(String, Int)] =
+    trainedUnigramBytesModel(s, dir)._2
+  private def trainedUnigramBytesModel(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[(String, Int)]) =
+    unigramBytesMemo.computeIfAbsent(
+      graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => {
+        // same aliasing guard as the char family, at the widened 2^20
+        // key base and in BYTES (n_pieces can reach the token's byte
+        // length)
+        val docs = plantedDocs(s, dir)
+        val worst = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .agg(max(octet_length(col("w")))).head()
+        val maxW = if (worst.isNullAt(0)) 0 else worst.getInt(0)
+        require(maxW < 1000000,
+          s"trainedUnigramBytes: corpus has a $maxW-byte token — the " +
+            "byte unigram oracles' score*2^20 - n_pieces key encoding " +
+            "aliases past 2^20 - 1 pieces; split pathological tokens " +
+            "upstream or widen the oracle encoding")
+        val model = TextAnalysis.unigramTrainBytes(docs, col("text"))
+          .localCheckpoint()
+        (TextAnalysis.unigramPieces(model), TextAnalysis.unigramVocab(model))
+      })
+
   private[queries] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
@@ -1363,6 +1398,71 @@ object PipelineQueries {
       TextAnalysis.unigramEmStep(t.documents, col("text"),
           trainedUnigram(s, dir))
         .where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
+    // BYTE-level unigram training over the PLANTED corpus (accented
+    // Latin, CJK, astral emoji, mixed case, digits): every whitespace
+    // token's UTF-8 bytes, all 1..8-byte substrings, hex pieces — the
+    // production alphabet with no OOV path. Oracle replays the counting
+    // over hex(token) substrings.
+    "text_unigram_bytes_train" -> { (s, dir) =>
+      TextAnalysis.unigramTrainBytes(plantedDocs(s, dir), col("text"))
+        .where(length(col("piece")) >= 4)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
+    // BYTE Viterbi segmentation per planted doc: exact-Long DP over
+    // UTF-8 bytes, score·2^20 − n_pieces key encoding in the oracle's
+    // recursive CTE (8-slot sliding window, one level per byte).
+    "text_unigram_bytes_segment" -> { (s, dir) =>
+      val pieces = trainedUnigramBytes(s, dir)
+      plantedDocs(s, dir).select(col("doc_id"),
+          TextAnalysis.unigramSegmentBytes(col("text"), pieces).as("__s"))
+        .select(col("doc_id"),
+          col("__s").getField("logp_micro").as("logp_micro"),
+          col("__s").getField("n_pieces").as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Byte best-path to VOCABULARY IDS: with byte fallback the id
+    // sequence has no -1 on in-corpus text — n_oov certifies exactly
+    // that, and ids_text pins every path piece and its rank.
+    "text_unigram_bytes_ids" -> { (s, dir) =>
+      plantedDocs(s, dir).select(col("doc_id"),
+          TextAnalysis.unigramSegmentBytesIds(col("text"),
+            trainedUnigramBytes(s, dir), trainedUnigramBytesVocab(s, dir))
+            .as("ids"))
+        .select(col("doc_id"),
+          size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
+          array_join(transform(col("ids"), _.cast("string")), " ")
+            .as("ids_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // One hard-EM round for the byte model — the DISTRIBUTED classic
+    // formulation (the kernel expression over the word table). The
+    // oracle re-derives every byte path with the backward recursive CTE.
+    "text_unigram_bytes_em" -> { (s, dir) =>
+      TextAnalysis.unigramEmStepBytes(plantedDocs(s, dir), col("text"),
+          trainedUnigramBytes(s, dir))
+        .where(length(col("piece")) >= 4)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
+    // The PRODUCTION-DEPTH fast trainer (one corpus scan, driver-local
+    // init + EM on the measured-guarded word table) at emRounds = 1 —
+    // certified against the CLASSIC formulation's DuckDB replay (the
+    // same oracle as text_unigram_bytes_em), the bpeTrainFast pattern:
+    // the fast path is graded against the published algorithm, not
+    // against itself.
+    "text_unigram_bytes_fast" -> { (s, dir) =>
+      TextAnalysis.unigramTrainBytesFast(plantedDocs(s, dir), col("text"),
+          emRounds = 1)
+        .where(length(col("piece")) >= 4)
         .orderBy(col("cnt").desc, col("piece"))
         .limit(40)
     },
@@ -2594,30 +2694,30 @@ object PipelineQueries {
 
   /** [[unigramTrainCtes]] plus the FORWARD Viterbi DP as a recursive
     * CTE (`dp(w, i, k0..k3)`: a 4-slot sliding window of
-    * score·1024 − n_pieces keys per position) — shared by the segment
+    * score·2^20 − n_pieces keys per position) — shared by the segment
     * and hard-EM oracles. */
   private lazy val unigramDpCtes: String =
     s"""$unigramTrainCtes,
           dwords AS MATERIALIZED (SELECT w FROM uwords),
           dp(w, i, k0, k1, k2, k3) AS (
             SELECT w, 0, CAST(0 AS BIGINT),
-              CAST(-4000000000000000 AS BIGINT),
-              CAST(-4000000000000000 AS BIGINT),
-              CAST(-4000000000000000 AS BIGINT)
+              CAST(-4000000000000000000 AS BIGINT),
+              CAST(-4000000000000000000 AS BIGINT),
+              CAST(-4000000000000000000 AS BIGINT)
             FROM dwords
             UNION ALL
             SELECT dp.w, dp.i + 1,
               greatest(
-                dp.k0 + coalesce(p1.pm, -20000000) * 1024 - 1,
+                dp.k0 + coalesce(p1.pm, -20000000) * 1048576 - 1,
                 CASE WHEN p2.pm IS NULL
-                     THEN CAST(-4000000000000000 AS BIGINT)
-                     ELSE dp.k1 + p2.pm * 1024 - 1 END,
+                     THEN CAST(-4000000000000000000 AS BIGINT)
+                     ELSE dp.k1 + p2.pm * 1048576 - 1 END,
                 CASE WHEN p3.pm IS NULL
-                     THEN CAST(-4000000000000000 AS BIGINT)
-                     ELSE dp.k2 + p3.pm * 1024 - 1 END,
+                     THEN CAST(-4000000000000000000 AS BIGINT)
+                     ELSE dp.k2 + p3.pm * 1048576 - 1 END,
                 CASE WHEN p4.pm IS NULL
-                     THEN CAST(-4000000000000000 AS BIGINT)
-                     ELSE dp.k3 + p4.pm * 1024 - 1 END),
+                     THEN CAST(-4000000000000000000 AS BIGINT)
+                     ELSE dp.k3 + p4.pm * 1048576 - 1 END),
               dp.k0, dp.k1, dp.k2
             FROM dp
             LEFT JOIN ptab p1 ON p1.piece = substr(dp.w, dp.i + 1, 1)
@@ -2636,11 +2736,11 @@ object PipelineQueries {
   private lazy val unigramBkCtes: String = {
     val kstar =
       """CASE WHEN b.pos >= 4 AND p4.pm IS NOT NULL
-               AND d4.k0 + p4.pm * 1024 - 1 = d0.k0 THEN 4
+               AND d4.k0 + p4.pm * 1048576 - 1 = d0.k0 THEN 4
               WHEN b.pos >= 3 AND p3.pm IS NOT NULL
-               AND d3.k0 + p3.pm * 1024 - 1 = d0.k0 THEN 3
+               AND d3.k0 + p3.pm * 1048576 - 1 = d0.k0 THEN 3
               WHEN b.pos >= 2 AND p2.pm IS NOT NULL
-               AND d2.k0 + p2.pm * 1024 - 1 = d0.k0 THEN 2
+               AND d2.k0 + p2.pm * 1048576 - 1 = d0.k0 THEN 2
               ELSE 1 END"""
     s"""$unigramDpCtes,
           bk(w, pos, piece) AS (
@@ -2660,6 +2760,151 @@ object PipelineQueries {
               AND p3.piece = substr(b.w, CAST(b.pos - 2 AS INT), 3)
             LEFT JOIN ptab p4 ON b.pos >= 4
               AND p4.piece = substr(b.w, CAST(b.pos - 3 AS INT), 4)
+            WHERE b.pos > 0)"""
+  }
+
+  // ---- BYTE-level unigram oracle machinery -----------------------------
+
+  /** The hard-EM replay shared verbatim by `text_unigram_bytes_em` (the
+    * distributed classic step) and `text_unigram_bytes_fast` (the
+    * driver-local production trainer at emRounds = 1): backward paths →
+    * occurrence-weighted counts → re-normalized micro-nat scores. */
+  private lazy val unigramBytesEmOracle: String =
+    s"""WITH RECURSIVE ${unigramBytesBkCtes(8)},
+          bemcnt AS MATERIALIZED (
+            SELECT bbk.piece, sum(u.f) AS cnt
+            FROM bbk JOIN bhw u ON bbk.hw = u.hw
+            WHERE bbk.piece IS NOT NULL
+            GROUP BY 1),
+          bemtot AS (SELECT sum(cnt) AS T2 FROM bemcnt)
+       SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T2 AS DOUBLE))
+           * 1000000 + 0.5) AS BIGINT) AS logp_micro
+       FROM bemcnt CROSS JOIN bemtot
+       WHERE length(piece) >= 4
+       ORDER BY cnt DESC, piece LIMIT 40"""
+
+  /** The planted-corpus strings for the byte-level unigram family:
+    * accented Latin, CJK, astral emoji, Greek, mixed case, digits —
+    * everything the char-level `[a-z]+` scope excludes. The SAME Scala
+    * constants build the Spark literal and the oracle SQL, so the two
+    * corpora cannot drift. */
+  private[queries] val UniPlantA =
+    " naïve café 東京タワー" +
+      " 🚀🌍 Ωμέγα"
+  private[queries] val UniPlantB = " MixedCASE tok3ns ¿señor?"
+
+  /** The byte-family query corpus: `documents` with the planted strings
+    * appended to every 7th / 11th doc — both engines derive it with the
+    * same arithmetic. */
+  private[queries] def plantedDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(UniPlantA)))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(UniPlantB)))
+        .otherwise(col("text")).as("text"))
+
+  private val uniPlantedSql: String =
+    s"""bdocs AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || '$UniPlantA'
+                 WHEN doc_id % 11 = 0 THEN text || '$UniPlantB'
+                 ELSE text END AS text
+          FROM documents)"""
+
+  /** Byte-level training replay over the planted corpus: every
+    * whitespace token hex-encoded (`hex(VARCHAR)` is the UTF-8 bytes on
+    * both engines), all 1..L byte substrings counted with overlap,
+    * single bytes always retained, `minCount = 2` for longer — the
+    * [[graft.operators.TextAnalysis.unigramTrainBytes]] contract. */
+  private def unigramBytesTrainCtes(maxL: Int): String =
+    s"""$uniPlantedSql,
+          btokw AS (SELECT unnest($tokensSql) AS t FROM bdocs),
+          buwords AS (SELECT t AS w, count(*) AS f FROM btokw GROUP BY t),
+          bhw AS MATERIALIZED (SELECT lower(hex(w)) AS hw, f FROM buwords),
+          busubs AS (SELECT substr(hw, CAST(2 * i - 1 AS INT),
+                       CAST(2 * l AS INT)) AS piece, sum(f) AS cnt
+                     FROM bhw,
+                       unnest(range(1, len(hw) // 2 + 1)) AS u(i),
+                       unnest(range(1, $maxL + 1)) AS v(l)
+                     WHERE i + l - 1 <= len(hw) // 2
+                     GROUP BY 1),
+          bukeep AS MATERIALIZED (SELECT piece, cnt FROM busubs
+                     WHERE length(piece) = 2 OR cnt >= 2),
+          butot AS (SELECT sum(cnt) AS T FROM bukeep),
+          bptab AS MATERIALIZED (
+            SELECT piece,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS pm
+            FROM bukeep CROSS JOIN butot)"""
+
+  /** [[unigramBytesTrainCtes]] plus the forward BYTE Viterbi DP
+    * (`bdp(hw, i, k0..k{L-1})`): one level per BYTE position over the
+    * hex-encoded word, an L-slot sliding window of
+    * score·2^20 − n_pieces keys — the byte twin of [[unigramDpCtes]],
+    * generated for any piece length L. */
+  private def unigramBytesDpCtes(maxL: Int): String = {
+    val B = 1048576L
+    val sent = "CAST(-4000000000000000000 AS BIGINT)"
+    val slotNames = (0 until maxL).map(k => s"k$k")
+    val baseSlots = (s"CAST(0 AS BIGINT)" +: Seq.fill(maxL - 1)(sent))
+      .mkString(",\n              ")
+    val cands = (1 to maxL).map { k =>
+      if (k == 1) s"dp.k0 + coalesce(p1.pm, -20000000) * $B - 1"
+      else
+        s"""CASE WHEN p$k.pm IS NULL THEN $sent
+                     ELSE dp.k${k - 1} + p$k.pm * $B - 1 END"""
+    }.mkString(",\n                ")
+    val shifted = slotNames.dropRight(1).map(s => s"dp.$s")
+      .mkString(", ")
+    val joins = (1 to maxL).map { k =>
+      val guard = if (k == 1) "" else s"dp.i >= ${k - 1}\n              AND "
+      s"""LEFT JOIN bptab p$k ON $guard""" +
+        s"""p$k.piece = substr(dp.hw, CAST(2 * dp.i - ${2 * k - 3} AS INT), ${2 * k})"""
+    }.mkString("\n            ")
+    s"""${unigramBytesTrainCtes(maxL)},
+          bdwords AS MATERIALIZED (SELECT DISTINCT lower(hex(w)) AS hw
+                                   FROM buwords),
+          bdp(hw, i, ${slotNames.mkString(", ")}) AS (
+            SELECT hw, 0, $baseSlots
+            FROM bdwords
+            UNION ALL
+            SELECT dp.hw, dp.i + 1,
+              greatest(
+                $cands),
+              $shifted
+            FROM bdp dp
+            $joins
+            WHERE dp.i < len(dp.hw) // 2)"""
+  }
+
+  /** [[unigramBytesDpCtes]] plus the backward path walk (`bbk(hw, pos,
+    * piece)`): at each step the LONGEST piece whose predecessor key
+    * reproduces the stored optimum exactly — the byte twin of
+    * [[unigramBkCtes]]. */
+  private def unigramBytesBkCtes(maxL: Int): String = {
+    val B = 1048576L
+    val kstar = ((maxL to 2 by -1).map { k =>
+      s"""WHEN b.pos >= $k AND p$k.pm IS NOT NULL
+               AND d$k.k0 + p$k.pm * $B - 1 = d0.k0 THEN $k"""
+    } :+ "ELSE 1 END").mkString("CASE ", "\n              ", "")
+    val dJoins = (2 to maxL).map { k =>
+      s"LEFT JOIN bdp d$k ON d$k.hw = b.hw AND d$k.i = b.pos - $k"
+    }.mkString("\n            ")
+    val pJoins = (2 to maxL).map { k =>
+      s"""LEFT JOIN bptab p$k ON b.pos >= $k
+              AND p$k.piece = substr(b.hw, CAST(2 * b.pos - ${2 * k - 1} AS INT), ${2 * k})"""
+    }.mkString("\n            ")
+    s"""${unigramBytesDpCtes(maxL)},
+          bbk(hw, pos, piece) AS (
+            SELECT hw, len(hw) // 2, CAST(NULL AS VARCHAR) FROM bdwords
+            UNION ALL
+            SELECT b.hw, b.pos - ($kstar),
+              substr(b.hw, CAST(2 * (b.pos - ($kstar)) + 1 AS INT),
+                CAST(2 * ($kstar) AS INT))
+            FROM bbk b
+            JOIN bdp d0 ON d0.hw = b.hw AND d0.i = b.pos
+            $dJoins
+            $pJoins
             WHERE b.pos > 0)"""
   }
 
@@ -4045,19 +4290,19 @@ object PipelineQueries {
 
     // The Viterbi DP as a recursive CTE: one level per character
     // position, each row carrying a 4-slot sliding window of DP states
-    // encoded as key = score_micro·1024 − n_pieces (maximizing the key
-    // IS maximizing (score, fewest pieces) for n < 1024 — corpus words
+    // encoded as key = score_micro·2^20 − n_pieces (maximizing the key
+    // IS maximizing (score, fewest pieces) for n < 2^20 — corpus words
     // are far shorter). Missing length-1 pieces take the −20e6 UNK
-    // penalty; missing longer pieces get a −4e15 sentinel. All exact
+    // penalty; missing longer pieces get a −4e18 sentinel. All exact
     // BIGINT arithmetic — the quantization to micro-nats happened once
     // in ptab.
     "text_unigram_segment" ->
       s"""WITH RECURSIVE $unigramDpCtes,
             wseg AS MATERIALIZED (
               SELECT w,
-                (k0 + (((-k0) % 1024 + 1024) % 1024)) // 1024
+                (k0 + (((-k0) % 1048576 + 1048576) % 1048576)) // 1048576
                   AS score_micro,
-                ((-k0) % 1024 + 1024) % 1024 AS n_pieces
+                ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
               FROM dp WHERE i = len(w)),
             doctok AS (SELECT doc_id, unnest($tokensSql) AS t
                        FROM documents),
@@ -4131,6 +4376,82 @@ object PipelineQueries {
          WHERE length(piece) >= 2
          ORDER BY cnt DESC, piece LIMIT 40"""
     },
+
+    // BYTE-level training replay: hex-substring counting over the
+    // planted corpus — every script participates, single bytes always
+    // kept.
+    "text_unigram_bytes_train" ->
+      s"""WITH ${unigramBytesTrainCtes(8)}
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS logp_micro
+         FROM bukeep CROSS JOIN butot
+         WHERE length(piece) >= 4
+         ORDER BY cnt DESC, piece LIMIT 40""",
+
+    // The byte Viterbi DP as a recursive CTE: one level per BYTE over
+    // the hex-encoded token, an 8-slot sliding window of
+    // score·2^20 − n_pieces keys; every token of every script joins —
+    // there is no OOV branch at all.
+    "text_unigram_bytes_segment" ->
+      s"""WITH RECURSIVE ${unigramBytesDpCtes(8)},
+            bwseg AS MATERIALIZED (
+              SELECT hw,
+                (k0 + (((-k0) % 1048576 + 1048576) % 1048576)) // 1048576
+                  AS score_micro,
+                ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
+              FROM bdp WHERE i = len(hw) // 2),
+            bdoctok AS (SELECT doc_id, unnest($tokensSql) AS t FROM bdocs),
+            bdocsum AS (
+              SELECT d.doc_id, sum(ws.score_micro) AS lm,
+                sum(ws.n_pieces) AS np
+              FROM bdoctok d JOIN bwseg ws ON lower(hex(d.t)) = ws.hw
+              GROUP BY 1)
+         SELECT doc_id,
+           CAST(coalesce(lm, 0) AS BIGINT) AS logp_micro,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_pieces
+         FROM documents LEFT JOIN bdocsum USING (doc_id)
+         ORDER BY doc_id""",
+
+    // Byte ids replayed from the shared backward paths; byte fallback
+    // means coalesce(v.id, -1) never actually fires on in-corpus text
+    // and n_oov pins that at 0 per doc.
+    "text_unigram_bytes_ids" ->
+      s"""WITH RECURSIVE ${unigramBytesBkCtes(8)},
+            buvocab AS (SELECT piece,
+                          CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                            - 1 AS INT) AS id
+                        FROM bukeep),
+            bwids AS MATERIALIZED (
+              SELECT b.hw,
+                string_agg(CAST(coalesce(v.id, -1) AS VARCHAR),
+                  ' ' ORDER BY b.pos) AS wt,
+                count(CASE WHEN v.id IS NULL THEN 1 END) AS woov
+              FROM bbk b LEFT JOIN buvocab v ON b.piece = v.piece
+              WHERE b.piece IS NOT NULL
+              GROUP BY b.hw),
+            bidoctok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                           unnest(range(1, len($tokensSql) + 1)) AS j
+                         FROM bdocs),
+            bidocids AS (
+              SELECT d.doc_id,
+                string_agg(wa.wt, ' ' ORDER BY d.j) AS ids_text,
+                sum(wa.woov) AS n_oov
+              FROM bidoctok d JOIN bwids wa ON lower(hex(d.t)) = wa.hw
+              GROUP BY 1)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+           coalesce(a.ids_text, '') AS ids_text
+         FROM documents d LEFT JOIN bidocids a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "text_unigram_bytes_em" -> unigramBytesEmOracle,
+
+    // The fast trainer at emRounds = 1 must land EXACTLY on the classic
+    // init→EM replay — same oracle text as text_unigram_bytes_em by
+    // construction (one string, two graded paths: the distributed
+    // kernel expression and the driver-local fast loop).
+    "text_unigram_bytes_fast" -> unigramBytesEmOracle,
 
     "text_bpe_train" -> {
       val rounds = 8

@@ -148,6 +148,10 @@ object TokenizerStore {
       "TokenizerStore").toLong
     val maxLen = CatalogProps.prop(spark, t, "graft.tok.maxlen",
       "TokenizerStore").toInt
+    require(!CatalogProps.propOption(spark, t, "graft.tok.alphabet")
+        .contains("bytes"),
+      s"TokenizerStore $t holds a BYTE-level model — load with " +
+        "TokenizerStore.loadUnigramBytes")
     val pieces = TextAnalysis.unigramPieces(spark.table(t))
     require(pieces.size.toLong == declared,
       s"TokenizerStore $t: stamped $declared pieces but read " +
@@ -158,4 +162,70 @@ object TokenizerStore {
 
   def dropUnigram(spark: SparkSession, prefix: String): Unit =
     Bucketing.dropManagedTable(spark, unigramTable(prefix))
+
+  /** Train the BYTE-level unigram model through the production-depth
+    * fast trainer ([[TextAnalysis.unigramTrainBytesFast]]: one corpus
+    * scan, measured driver guard, driver-local init + `emRounds`
+    * hard-EM) and persist it under the prefix — same lifecycle as the
+    * char store plus an `alphabet = bytes` stamp so the two model kinds
+    * can never be cross-loaded silently. */
+  def buildUnigramBytes(spark: SparkSession, prefix: String, docs: DataFrame,
+                        text: Column, maxPieceLen: Int = 8,
+                        minCount: Long = 2L, emRounds: Int = 0,
+                        minWordFreq: Long = 1L,
+                        maxTableBytes: Long = 2L << 30): Unit = {
+    buildUnigramBytesFrom(spark, prefix,
+      TextAnalysis.unigramTrainBytesFast(docs, text, maxPieceLen, minCount,
+        emRounds, minWordFreq, maxTableBytes),
+      maxPieceLen, emRounds)
+  }
+
+  /** Persist an ALREADY-TRAINED byte-level unigram model (any
+    * [[TextAnalysis]] unigram trainer's output frame) under the prefix
+    * — the [[buildFrom]] hand-off for callers that train once and
+    * store, e.g. the production-depth scale probe. */
+  def buildUnigramBytesFrom(spark: SparkSession, prefix: String,
+                            trained: DataFrame, maxPieceLen: Int,
+                            emRounds: Int = 0): Unit = {
+    Bucketing.dropManagedTable(spark, unigramTable(prefix))
+    val model = trained.localCheckpoint(true)
+    val n = model.count()
+    model.write.saveAsTable(unigramTable(prefix))
+    CatalogProps.setProps(spark, unigramTable(prefix), Map(
+      "graft.tok.npieces" -> n.toString,
+      "graft.tok.maxlen" -> maxPieceLen.toString,
+      "graft.tok.alphabet" -> "bytes",
+      "graft.tok.emrounds" -> emRounds.toString,
+      "graft.tok.complete" -> "true"))
+  }
+
+  /** The stored BYTE-level model as `(pieces, maxLen)` — the arguments
+    * [[TextAnalysis.unigramSegmentBytes]] takes. Fails by name on a
+    * missing table, a torn build, a char-level model under the prefix,
+    * or a row count disagreeing with the stamp. */
+  def loadUnigramBytes(spark: SparkSession,
+                       prefix: String): (Seq[(String, Long)], Int) = {
+    val t = unigramTable(prefix)
+    require(spark.catalog.tableExists(t),
+      s"TokenizerStore: no table $t — build with " +
+        "TokenizerStore.buildUnigramBytes")
+    require(CatalogProps.propOption(spark, t, "graft.tok.complete")
+        .contains("true"),
+      s"TokenizerStore $t lacks its completeness stamp — torn build; " +
+        "rebuild with TokenizerStore.buildUnigramBytes")
+    require(CatalogProps.propOption(spark, t, "graft.tok.alphabet")
+        .contains("bytes"),
+      s"TokenizerStore $t holds a CHAR-level model — load with " +
+        "TokenizerStore.loadUnigram")
+    val declared = CatalogProps.prop(spark, t, "graft.tok.npieces",
+      "TokenizerStore").toLong
+    val maxLen = CatalogProps.prop(spark, t, "graft.tok.maxlen",
+      "TokenizerStore").toInt
+    val pieces = TextAnalysis.unigramPieces(spark.table(t))
+    require(pieces.size.toLong == declared,
+      s"TokenizerStore $t: stamped $declared pieces but read " +
+        s"${pieces.size} — partial data; rebuild with " +
+        "TokenizerStore.buildUnigramBytes")
+    (pieces, maxLen)
+  }
 }

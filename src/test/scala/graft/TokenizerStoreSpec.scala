@@ -83,4 +83,41 @@ class TokenizerStoreSpec extends SparkSpec {
       TokenizerStore.loadUnigram(spark, "utokx"))
     assert(e3.getMessage.contains("no table"), e3.getMessage)
   }
+
+  test("BYTE unigram store: fast-trained build -> load round trip, " +
+       "segmentation parity on full-Unicode text, alphabet cross-load " +
+       "fences both ways") {
+    import graft.operators.TextAnalysis
+    import graft.sources.TokenizerStore
+    val docs = Seq((1L, "café café 🚀 ab ab"),
+      (2L, "ab café 東京")).toDF("doc_id", "text")
+    TokenizerStore.buildUnigramBytes(spark, "utokb", docs, col("text"),
+      emRounds = 1)
+    val (pieces, maxLen) = TokenizerStore.loadUnigramBytes(spark, "utokb")
+    assert(maxLen == 8)
+    // stored model == the fast trainer's fresh output, and it segments
+    // identically
+    val fresh = TextAnalysis.unigramPieces(
+      TextAnalysis.unigramTrainBytesFast(docs, col("text"), emRounds = 1))
+    assert(pieces.toMap == fresh.toMap)
+    val seg = docs.orderBy("doc_id").select(
+        TextAnalysis.unigramSegmentBytes(col("text"), pieces, maxLen)
+          .as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect().toSeq
+    val segF = docs.orderBy("doc_id").select(
+        TextAnalysis.unigramSegmentBytes(col("text"), fresh).as("s"))
+      .select(col("s.logp_micro"), col("s.n_pieces")).collect().toSeq
+    assert(seg == segF)
+    // a byte model refuses the char loader, and vice versa — by name
+    val e1 = intercept[IllegalArgumentException](
+      TokenizerStore.loadUnigram(spark, "utokb"))
+    assert(e1.getMessage.contains("BYTE-level"), e1.getMessage)
+    TokenizerStore.buildUnigram(spark, "utokc",
+      Seq((1L, "ab ab b")).toDF("doc_id", "text"), col("text"))
+    val e2 = intercept[IllegalArgumentException](
+      TokenizerStore.loadUnigramBytes(spark, "utokc"))
+    assert(e2.getMessage.contains("CHAR-level"), e2.getMessage)
+    TokenizerStore.dropUnigram(spark, "utokb")
+    TokenizerStore.dropUnigram(spark, "utokc")
+  }
 }
