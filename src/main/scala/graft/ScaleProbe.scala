@@ -703,6 +703,39 @@ object ScaleProbe {
         docs.unpersist()
       }
 
+      // Whole-document BEST-FIT-DECREASING packing at scale: 1M docs
+      // with hash-varied token counts (20..512 on seqLen 512 — the
+      // regime where bin packing actually has something to lose), 32
+      // shards. The probe prices the sequential per-shard BFD pass and
+      // compares the result against the absolute lower bound
+      // (per-shard ceil(total/seqLen)): the padding the no-split
+      // regime pays over the splitting packer, measured not guessed.
+      if (on("bfd")) {
+        import graft.operators.Sampling
+        val seqLen = 512
+        val totals = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            (pmod(xxhash64(col("id")), lit(493)) + 20).as("ntok"))
+        totals.cache().count()
+        val t0 = System.nanoTime()
+        val map = Sampling.packSequencesWholeBy(totals, col("doc_id"),
+          col("ntok"), nShards = 32, seqLen = seqLen, salt = "bfd")
+        val rep = Sampling.packReport(map.drop("seq_pos"), seqLen)
+          .collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nSeqs = rep.map(_.getAs[Long]("n_seqs")).sum
+        val total = rep.map(_.getAs[Long]("total_tokens")).sum
+        val lb = rep.map(r => (r.getAs[Long]("total_tokens") + seqLen - 1)
+          / seqLen).sum
+        val fill = total.toDouble / (nSeqs * seqLen)
+        assert(rep.forall(_.getAs[Long]("n_split_docs") == 0L),
+          "no-split regime emitted split docs")
+        assert(fill > 0.95,
+          f"BFD fill $fill%.4f — best-fit should be near the bound here")
+        println(f"""{"metric":"pack_bestfit_scale","docs":$n,"n_seqs":$nSeqs,"lower_bound":$lb,"total_tokens":$total,"fill_frac":$fill%.4f,"overhead_vs_bound":${(nSeqs - lb).toDouble / lb}%.4f,"sec":$sec%.2f}""")
+        totals.unpersist()
+      }
+
       // BYTE-level unigram PRODUCTION training at scale: a 50k-type
       // multi-script vocabulary (base36 word stems, every 17th type
       // accented, every 29th carrying an astral emoji) — the 20-word

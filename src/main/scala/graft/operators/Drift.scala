@@ -66,6 +66,59 @@ object Drift {
     row.getSeq[Double](0)
   }
 
+  /** APPROXIMATE reference boundaries — the 100×-scale path:
+    * `approx_percentile` (one mergeable-sketch aggregate, no global
+    * sort) instead of the exact percentile, SELF-CERTIFIED before use:
+    * the measured rank of every returned boundary (the fraction of
+    * reference values at or below it — one counting aggregate) must sit
+    * within `rankTol` of its target k/nBins, or the call fails BY NAME
+    * with the worst offender. The returned boundaries then feed the
+    * same [[binCounts]]/[[psiBinsWith]] machinery — the monitor's
+    * arithmetic downstream of the boundaries is unchanged. */
+  private[graft] def refBoundariesApprox(reference: DataFrame, value: Column,
+                                         nBins: Int, accuracy: Int = 10000,
+                                         rankTol: Double = 0.02): Seq[Double] = {
+    require(nBins >= 2 && nBins <= 1000, s"need 2 <= nBins <= 1000: $nBins")
+    require(accuracy >= nBins * 10,
+      s"Drift: approx accuracy $accuracy is below 10·nBins — the sketch " +
+        "cannot resolve the requested bins")
+    val fracs = (1 until nBins).map(k => k.toDouble / nBins)
+    val v = reference.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint()
+    val row = v.agg(expr(
+      s"approx_percentile(v, array(${fracs.mkString(", ")}), $accuracy)")
+      .as("bs")).head()
+    require(!row.isNullAt(0),
+      "Drift: the reference has no non-null values to derive bins from")
+    val bs = row.getSeq[Double](0)
+    // rank attestation: ONE aggregate measures every boundary's true rank
+    val leCols = bs.zipWithIndex.map { case (b, i) =>
+      sum(when(col("v") <= b, 1L).otherwise(0L)).as(s"le$i")
+    }
+    val ranks = v.agg(count(lit(1)).as("n"), leCols: _*).head()
+    val n = ranks.getLong(0)
+    fracs.zipWithIndex.foreach { case (target, i) =>
+      val measured = ranks.getLong(i + 1).toDouble / n
+      require(math.abs(measured - target) <= rankTol,
+        f"Drift.refBoundariesApprox: boundary for rank $target%.3f " +
+          f"measured at $measured%.4f — off by more than $rankTol; " +
+          "raise accuracy or fall back to exact boundaries")
+    }
+    bs
+  }
+
+  /** [[psi]] on approximate, rank-certified boundaries — identical
+    * downstream arithmetic, no exact-percentile sort on the reference.
+    * The exact default remains [[psi]]; this is the opt-in for
+    * references too large to sort. */
+  def psiApprox(reference: DataFrame, current: DataFrame, value: Column,
+                nBins: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val bs = refBoundariesApprox(reference, value, nBins, accuracy)
+    psiSummary(psiBinsWith(binCounts(reference, value, bs, "ref_n"),
+      binCounts(current, value, bs, "cur_n"), nBins,
+      reference.sparkSession))
+  }
+
   /** Per-bin counts of `df` under fixed boundaries: bin = 1 + number
     * of boundaries strictly below the value (a fold over the literal
     * boundary array — map-only, then one nBins-sized aggregate). */
@@ -119,6 +172,91 @@ object Drift {
   def psi(reference: DataFrame, current: DataFrame, value: Column,
           nBins: Int = 10): DataFrame =
     psiSummary(psiBins(reference, current, value, nBins))
+
+  /** EMBEDDING drift — the VECTOR-column member of the monitor family
+    * (numeric: [[psi]]; tokens: [[tokenDrift]]; vectors: this), one
+    * summary row from two instruments:
+    *
+    *  1. MEAN-VECTOR SHIFT: per-dimension means of both frames through
+    *     exact per-element DECIMAL(38,9) sums (order-independent, the
+    *     repo's float-summation contract), then the L2 norm of the
+    *     difference folded in dimension order and quantized —
+    *     engine-exact, replayed verbatim by the DuckDB oracle.
+    *  2. PSI OVER PCA-PROJECTED COORDINATES: the reference's own top-k
+    *     principal axes ([[Pca.train]] on the reference — the monitoring
+    *     basis a production monitor persists), both frames projected,
+    *     each component PSI-scored against the reference's own decile
+    *     boundaries. The projection basis is not SQL-replayable, so
+    *     these columns are SELF-CERTIFYING attestations (the
+    *     `embed_pca` pattern): orthonormality of the basis,
+    *     psi(ref, ref) = 0 exactly per component, every component PSI
+    *     ≥ 0, and whether any component crossed `alertAt`.
+    *
+    * Execution: one moments pass on the reference (d² aggregate), one
+    * k-percentile aggregate + one bin count per frame per component
+    * (projections are map-side dot products), one posexplode-sum for
+    * the means — nothing corpus-×-corpus, boundaries broadcast. */
+  def embeddingDrift(reference: DataFrame, current: DataFrame, vec: Column,
+                     k: Int = 4, nBins: Int = 10,
+                     alertAt: Double = 0.1): DataFrame = {
+    val spark = reference.sparkSession
+    val model = Pca.train(reference, vec, k)
+
+    def dimSums(df: DataFrame): (Long, Array[java.math.BigDecimal]) = {
+      val rows = df.select(posexplode(vec.cast("array<double>"))
+          .as(Seq("pos", "e")))
+        .groupBy(col("pos"))
+        .agg(sum(col("e").cast("decimal(38,9)")).as("s"),
+          count(lit(1)).as("n"))
+        .orderBy(col("pos")).collect()
+      require(rows.length == model.dim,
+        s"Drift.embeddingDrift: ragged vectors — ${rows.length} " +
+          s"dimensions counted, model dim ${model.dim}")
+      val n = rows.head.getLong(2)
+      require(rows.forall(_.getLong(2) == n),
+        "Drift.embeddingDrift: ragged vectors — dimension counts differ")
+      (n, rows.map(_.getDecimal(1)))
+    }
+    val (nRef, refSums) = dimSums(reference)
+    val (nCur, curSums) = dimSums(current)
+    // fixed dimension-order fold, quant6 — both engines identical
+    var acc = 0.0
+    var i = 0
+    while (i < model.dim) {
+      val d = curSums(i).doubleValue / nCur - refSums(i).doubleValue / nRef
+      acc += d * d
+      i += 1
+    }
+    val meanShift =
+      math.floor(math.sqrt(acc) * 1000000.0 + 0.5) / 1000000.0
+
+    def projected(df: DataFrame): DataFrame =
+      Pca.project(df.select(lit(0L).as("__id"), vec.as("__v")),
+        col("__id"), col("__v"), model)
+    val refProj = projected(reference).localCheckpoint()
+    val curProj = projected(current).localCheckpoint()
+    val psis = (0 until k).map { j =>
+      val zc = col(s"z$j")
+      val bs = refBoundaries(refProj, zc, nBins)
+      val cur = psiSummary(psiBinsWith(
+        binCounts(refProj, zc, bs, "ref_n"),
+        binCounts(curProj, zc, bs, "cur_n"), nBins, spark))
+        .head().getDouble(3)
+      val self = psiSummary(psiBinsWith(
+        binCounts(refProj, zc, bs, "ref_n"),
+        binCounts(refProj, zc, bs, "cur_n"), nBins, spark))
+        .head().getDouble(3)
+      (cur, self)
+    }
+    spark.range(1).select(
+      lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+      lit(model.dim).as("dim"), lit(k).as("k"),
+      lit(meanShift).as("mean_shift_l2"),
+      lit(model.gramMaxDeviation < 1e-9).as("basis_orthonormal"),
+      lit(psis.forall(_._2 == 0.0)).as("psi_self_zero"),
+      lit(psis.forall(_._1 >= 0.0)).as("psi_all_nonneg"),
+      lit(psis.exists(_._1 > alertAt)).as("psi_alert"))
+  }
 
   /** Token-distribution drift over the reference's top-K tokens
     * (count DESC, token ASC — deterministic) plus ONE rest bucket

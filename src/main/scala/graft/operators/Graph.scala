@@ -48,7 +48,39 @@ object Graph {
     * it, each round is one job over a node-sized cached frame. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85, scale: Int = 9,
-               danglingRedistribution: Boolean = false): DataFrame = {
+               danglingRedistribution: Boolean = false): DataFrame =
+    pageRankLoop(edges, src, dst, iters, damping, scale,
+      danglingRedistribution, tol = None)._1
+
+  /** [[pageRank]] with an ENGINE-EXACT stopping criterion: after each
+    * round, `Δᵢ = Σ_v |prᵢ(v) − prᵢ₋₁(v)|` — both rank frames are
+    * already quantized to `scale` decimals, so the per-node difference
+    * is exact and the sum is an exact DECIMAL (order-free); the loop
+    * stops once `Δᵢ ≤ tol` (or at `maxIters`). Returns
+    * `(ranks, roundsRun)`. With `tol = 0` the stop fires only at the
+    * EXACT quantized fixpoint, where every further round provably
+    * returns the identical frame — the spec pins early-stop ==
+    * fixed-count there. Cost per round over the fixed-count loop: one
+    * node-sized join + one scalar DECIMAL aggregate.
+    *
+    * 100×-scale rationale: power iteration's round count is a guess;
+    * on a billion-node graph every over-provisioned round is two full
+    * exchanges. The delta test converts the guess into a measurement
+    * at node-sized cost. */
+  def pageRankConverged(edges: DataFrame, src: Column, dst: Column,
+                        maxIters: Int, tol: Double = 0.0,
+                        damping: Double = 0.85, scale: Int = 9,
+                        danglingRedistribution: Boolean = false)
+      : (DataFrame, Int) = {
+    require(tol >= 0.0, s"need tol >= 0, got $tol")
+    pageRankLoop(edges, src, dst, maxIters, damping, scale,
+      danglingRedistribution, tol = Some(tol))
+  }
+
+  private def pageRankLoop(edges: DataFrame, src: Column, dst: Column,
+                           iters: Int, damping: Double, scale: Int,
+                           danglingRedistribution: Boolean,
+                           tol: Option[Double]): (DataFrame, Int) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"need 0 < damping < 1: $damping")
     val dec = DecimalType(38, scale)
@@ -69,7 +101,10 @@ object Graph {
     var ranks = nodes.crossJoin(nTotal)
       .select(col("node"), round(lit(1.0) / col("nn"), scale).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var roundsRun = 0
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val prev = ranks
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
@@ -100,8 +135,18 @@ object Graph {
           round((lit(1.0) - lit(damping)) / col("nn")
             + lit(damping) * inflow, scale).as("r"))
         .localCheckpoint(true)
+      roundsRun += 1
+      tol.foreach { t =>
+        // exact DECIMAL L1 delta of two already-quantized rank frames
+        val delta = ranks
+          .join(prev.select(col("node"), col("r").as("__pr")), "node")
+          .agg(coalesce(sum(abs(col("r") - col("__pr")).cast(dec)),
+            lit(0).cast(dec)).as("d"))
+          .head().getDecimal(0)
+        if (delta.doubleValue <= t) converged = true
+      }
     }
-    ranks.select(col("node"), col("r").as("rank"))
+    (ranks.select(col("node"), col("r").as("rank")), roundsRun)
   }
 
   /** HITS (Kleinberg 1999): hubs point at good authorities, authorities
@@ -192,7 +237,22 @@ object Graph {
     * row_number over the vote table). Each round's label frame is
     * localCheckpoint-pinned like [[pageRank]]'s ranks. */
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
-                       iters: Int): DataFrame = {
+                       iters: Int): DataFrame =
+    labelPropagationLoop(edges, src, dst, iters, stopWhenStable = false)._1
+
+  /** [[labelPropagation]] with the natural stopping criterion: stop as
+    * soon as a round changes ZERO labels (an exact integer count over
+    * the node-sized frame — once no label moves, every further round is
+    * provably a no-op, so early-stop output == any larger fixed count;
+    * the spec pins it). Returns `(labels, roundsRun)`. */
+  def labelPropagationConverged(edges: DataFrame, src: Column, dst: Column,
+                                maxIters: Int): (DataFrame, Int) =
+    labelPropagationLoop(edges, src, dst, maxIters, stopWhenStable = true)
+
+  private def labelPropagationLoop(edges: DataFrame, src: Column,
+                                   dst: Column, iters: Int,
+                                   stopWhenStable: Boolean)
+      : (DataFrame, Int) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val e = edges.select(src.cast("long").as("src"),
       dst.cast("long").as("dst")).distinct().localCheckpoint(true)
@@ -200,7 +260,10 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    var roundsRun = 0
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val prev = labels
       val votes = e
         .join(labels.select(col("node"), col("label")),
           e("src") === col("node"))
@@ -214,7 +277,14 @@ object Graph {
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint(true)
+      roundsRun += 1
+      if (stopWhenStable) {
+        val changed = labels
+          .join(prev.select(col("node"), col("label").as("__pl")), "node")
+          .filter(col("label") =!= col("__pl")).count()
+        if (changed == 0L) converged = true
+      }
     }
-    labels.select(col("node").as("id"), col("label"))
+    (labels.select(col("node").as("id"), col("label")), roundsRun)
   }
 }

@@ -401,6 +401,100 @@ object Sampling {
           .as("seq_pos"))
   }
 
+  /** WHOLE-document BEST-FIT-DECREASING packing — the no-split
+    * regime: every document lands intact in exactly one sequence
+    * (padding fills the tails), for loaders that refuse cross-document
+    * attention rather than masking it. Within each shard, documents
+    * sort by `(tokens DESC, doc_id)` and best-fit-decreasing assigns
+    * each to the open sequence with the SMALLEST remaining capacity
+    * that still fits (ties → lowest seq_id), opening a new sequence
+    * when none fits — the classic BFD bin-packing heuristic
+    * (≤ 11/9·OPT + 1 sequences), deterministic and
+    * partitioning-invariant by construction. Output schema matches
+    * [[packSequencesPosBy]] (`tok_start` is always 0 — documents are
+    * whole), so [[packReport]] and
+    * [[graft.operators.ChatPrep.packedAssistantMasks]] compose
+    * unchanged; in the report, `tail_waste`/`fill_frac` price the
+    * PADDING this regime trades for clean attention boundaries.
+    *
+    * Execution: one shard-keyed exchange + in-partition sort, then a
+    * single sequential pass per shard (`mapPartitions`) carrying the
+    * open-bin state — a TreeMap of remaining capacities, O(log bins)
+    * per document. The state is bins-per-shard-sized; `nShards` is the
+    * lever that bounds it (more shards = smaller per-shard state and
+    * more parallelism, the standard trade). A document longer than
+    * `seqLen` cannot pack whole and fails BY NAME. */
+  def packSequencesWholeBy(docs: DataFrame, id: Column, nTokens: Column,
+                           nShards: Int, seqLen: Int,
+                           salt: String = ""): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val base = shuffleShards(
+      docs.select(id.as("doc_id"), nTokens.cast("long").as("__n"))
+        .filter(col("__n") > 0),
+      col("doc_id"), nShards, salt)
+      .select(col("shard"), col("doc_id"), col("__n"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema("shard"),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      base.schema("doc_id").copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("tok_start",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val sorted = base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__n").desc, col("doc_id"))
+    sorted.mapPartitions { rows =>
+      var curShard: Any = null
+      var started = false
+      // remaining capacity -> seq ids at that remaining (lowest first)
+      var byRem: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      var fills: scala.collection.mutable.ArrayBuffer[Long] = null
+      def reset(): Unit = {
+        byRem = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        fills = new scala.collection.mutable.ArrayBuffer[Long]()
+      }
+      rows.map { r =>
+        val shard = r.get(0)
+        if (!started || shard != curShard) {
+          reset(); curShard = shard; started = true
+        }
+        val n = r.getLong(2)
+        if (n > seqLen) throw new IllegalArgumentException(
+          s"packSequencesWholeBy: document ${r.get(1)} has $n tokens — " +
+            s"longer than seqLen=$seqLen, it cannot pack whole. Split " +
+            "or chunk oversized documents upstream, or use the " +
+            "splitting packer (packSequencesPosBy)")
+        val fit = byRem.ceilingEntry(n)
+        val seqId =
+          if (fit == null) {
+            fills += 0L
+            (fills.length - 1).toLong
+          } else {
+            val set = fit.getValue
+            val sid = set.first()
+            set.remove(sid)
+            if (set.isEmpty) byRem.remove(fit.getKey)
+            sid
+          }
+        val pos = fills(seqId.toInt)
+        fills(seqId.toInt) = pos + n
+        val rem = seqLen - (pos + n)
+        if (rem > 0) {
+          var set = byRem.get(rem)
+          if (set == null) {
+            set = new java.util.TreeSet[Long]()
+            byRem.put(rem, set)
+          }
+          set.add(seqId)
+        }
+        org.apache.spark.sql.Row(shard, seqId, r.get(1), 0L, n, pos)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Packing-efficiency report over a [[packSequencesBy]] map — the
     * numbers a loader team tracks per shard: sequence count, document
     * and piece counts, split incidence, total tokens, tail waste, and

@@ -773,6 +773,35 @@ object PipelineQueries {
         .orderBy(col("shard"))
     },
 
+    // WHOLE-document BEST-FIT-DECREASING packing — the no-split regime
+    // (clean attention boundaries, padding priced instead of splits).
+    // The oracle replays the BFD heuristic move for move as a recursive
+    // CTE carrying the open-bin remaining-capacity list — a wrong sort
+    // order, fit rule, or tie-break diverges on the first affected doc.
+    "pack_bestfit" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling.packSequencesWholeBy(
+          t.documents.filter(col("doc_id") < 300), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          nShards = 1, seqLen = 256, salt = "bf")
+        .select(col("doc_id"), col("seq_id"), col("n_toks"),
+          col("seq_pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The report over the best-fit map: padding waste and fill of the
+    // no-split regime, zero split docs by construction.
+    "pack_bestfit_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Sampling.packReport(
+          graft.operators.Sampling.packSequencesWholeBy(
+            t.documents.filter(col("doc_id") < 300), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long"),
+            nShards = 1, seqLen = 256, salt = "bf").drop("seq_pos"),
+          seqLen = 256)
+        .orderBy(col("shard"))
+    },
+
     // Sequence packing over REAL tokenizer output: train 8 BPE merges,
     // count each document's encoded subwords, and cut 256-token training
     // sequences on THAT budget — the tokenize-then-pack step a training
@@ -1653,6 +1682,22 @@ object PipelineQueries {
         .select(concat(col("text"),
           lit(" zdrifttoken zdrifttoken")).as("text"))
       graft.operators.Drift.tokenDrift(ref, cur, col("text"), topK = 30)
+    },
+
+    // EMBEDDING drift — the vector member of the monitor family: exact
+    // DECIMAL mean-vector shift (replayed verbatim by the oracle) plus
+    // PSI over the reference's own PCA axes with planted scale+offset
+    // drift on the current frame; the projection basis is not
+    // SQL-replayable, so those columns are self-certifying attestations
+    // (the embed_pca pattern).
+    "drift_embedding" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ref = t.embeddings.filter(col("vec_id") % 2 === 0)
+      val cur = t.embeddings.filter(col("vec_id") % 2 === 1)
+        .select(transform(col("embedding"),
+          x => x * lit(1.5) + lit(0.3)).as("embedding"))
+      graft.operators.Drift.embeddingDrift(ref, cur, col("embedding"),
+        k = 4, nBins = 10)
     },
 
     // CCNet's head/middle/tail split: per-LANGUAGE perplexity terciles
@@ -2635,6 +2680,40 @@ object PipelineQueries {
                  FROM s${k - 1} w, m$k m)"""
     }.mkString
 
+  /** Best-fit-decreasing replayed move for move as a recursive CTE:
+    * docs sorted `(n DESC, doc_id)`, one recursion level per doc, the
+    * state row carrying the open-bin remaining-capacity LIST. `mn` is
+    * the smallest remaining capacity that fits (best fit);
+    * `list_position` takes its FIRST holder — the lowest bin id, the
+    * operator's tie-break. Shared by pack_bestfit (per-doc assignment)
+    * and pack_bestfit_report (padding report) so the map and report
+    * can never drift. */
+  private lazy val bfdCtes: String = {
+    val mn = "list_min(list_filter(p.bins, b -> b >= d.n))"
+    s"""WITH RECURSIVE
+          bfd AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n
+                  FROM documents WHERE doc_id < 300),
+          bfo AS (SELECT doc_id, n,
+                    row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+                  FROM bfd WHERE n > 0),
+          bfp(i, doc_id, n, bin, pos, bins) AS (
+            SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              CAST(NULL AS INT), CAST(NULL AS BIGINT),
+              CAST([] AS BIGINT[])
+            UNION ALL
+            SELECT p.i + 1, d.doc_id, d.n,
+              CASE WHEN $mn IS NULL THEN CAST(len(p.bins) + 1 AS INT)
+                   ELSE list_position(p.bins, $mn) END,
+              CASE WHEN $mn IS NULL THEN CAST(0 AS BIGINT)
+                   ELSE 256 - $mn END,
+              CASE WHEN $mn IS NULL THEN list_append(p.bins, 256 - d.n)
+                   ELSE [CASE WHEN j = list_position(p.bins, $mn)
+                              THEN p.bins[j] - d.n
+                              ELSE p.bins[j] END
+                         for j in range(1, len(p.bins) + 1)] END
+            FROM bfp p JOIN bfo d ON d.rn = p.i + 1)"""
+  }
+
   /** The pack_sequences packing map as oracle CTEs (whitespace counts,
     * 4 shards, seqLen 256, salt 'r5' — the pack_sequences query config),
     * ending in `pieces(shard, seq_id, doc_id, tok_start, n_toks)` —
@@ -3423,6 +3502,27 @@ object PipelineQueries {
            floor(CAST(sum(dtoks) AS DOUBLE) / ((max(mseq) + 1) * 256)
              * 1000000 + 0.5) / 1000000 AS fill_frac
          FROM pd GROUP BY shard ORDER BY shard"""),
+
+    "pack_bestfit" ->
+      (bfdCtes +
+        """
+         SELECT doc_id, CAST(bin - 1 AS BIGINT) AS seq_id,
+           n AS n_toks, pos AS seq_pos
+         FROM bfp WHERE i > 0 ORDER BY doc_id"""),
+
+    "pack_bestfit_report" ->
+      (bfdCtes +
+        """
+         SELECT CAST(0 AS INT) AS shard,
+           CAST(max(bin) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(0 AS BIGINT) AS n_split_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(max(bin) * 256 - sum(n) AS BIGINT) AS tail_waste,
+           floor(CAST(sum(n) AS DOUBLE) / (max(bin) * 256)
+             * 1000000 + 0.5) / 1000000 AS fill_frac
+         FROM bfp WHERE i > 0"""),
 
     "sample_mixture" ->
       """SELECT doc_id, source FROM (
@@ -5257,6 +5357,43 @@ object PipelineQueries {
            CAST(sum(cur_n) AS BIGINT) AS cur_n,
            CAST(sum(term) AS DOUBLE) AS psi
          FROM terms""",
+
+    // Mean-vector shift replayed exactly (per-dimension DECIMAL(38,9)
+    // sums, dimension-order fold, quant6); the PCA-basis PSI columns
+    // are attested booleans (basis orthonormal, psi(ref,ref) = 0,
+    // terms nonneg, planted 1.5x+0.3 drift over the alert line).
+    "drift_embedding" ->
+      """WITH refv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id % 2 = 0),
+            curv AS (SELECT [x * 1.5 + 0.3 for x in embedding::DOUBLE[]]
+                       AS v
+                     FROM embeddings WHERE vec_id % 2 = 1),
+            re AS (SELECT unnest(v) AS e,
+                     unnest(range(1, len(v) + 1)) AS i
+                   FROM refv),
+            ce AS (SELECT unnest(v) AS e,
+                     unnest(range(1, len(v) + 1)) AS i
+                   FROM curv),
+            rs AS (SELECT i, sum(CAST(e AS DECIMAL(38,9))) AS s,
+                     count(*) AS n FROM re GROUP BY i),
+            cs AS (SELECT i, sum(CAST(e AS DECIMAL(38,9))) AS s,
+                     count(*) AS n FROM ce GROUP BY i),
+            dd AS (SELECT r.i,
+                     (CAST(c.s AS DOUBLE) / c.n
+                       - CAST(r.s AS DOUBLE) / r.n) AS d
+                   FROM rs r JOIN cs c ON r.i = c.i),
+            l2 AS (SELECT floor(sqrt(list_sum(list(d * d ORDER BY i)))
+                     * 1000000 + 0.5) / 1000000 AS ms
+                   FROM dd)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM refv) AS n_ref,
+           (SELECT CAST(count(*) AS BIGINT) FROM curv) AS n_cur,
+           CAST(64 AS INT) AS dim, CAST(4 AS INT) AS k,
+           (SELECT ms FROM l2) AS mean_shift_l2,
+           true AS basis_orthonormal,
+           true AS psi_self_zero,
+           true AS psi_all_nonneg,
+           true AS psi_alert""",
 
     // Token drift replayed: top-30 reference tokens (count DESC, token
     // ASC), left-joined current counts, the rest bucket from totals,

@@ -182,8 +182,107 @@ object StreamingDrift {
       .orderBy(col("is_rest"), col("bucket"))
   }
 
+  // ---- embedding (PCA-basis) twin ----
+
+  def embBinsTable(prefix: String): String = s"${prefix}_driftembbins"
+  def embAxesTable(prefix: String): String = s"${prefix}_driftembaxes"
+
+  /** Profile the reference EMBEDDING distribution: train the PCA basis
+    * on the reference ([[graft.operators.Pca.train]]), project it, and
+    * persist the monitor's whole model — per-component decile
+    * boundaries + reference bin counts (k × nBins rows) and the
+    * projection basis itself (axis array + folded mean dot, k rows).
+    * Batches are then scored with map-side dot products against the
+    * STORED basis; the reference is never rescanned — the same
+    * constant-cost-tap property as the numeric and token monitors. */
+  def provisionEmbedding(spark: SparkSession, prefix: String,
+                         reference: DataFrame, vec: Column, k: Int = 4,
+                         nBins: Int = 10): Unit = {
+    Bucketing.dropManagedTable(spark, embBinsTable(prefix))
+    Bucketing.dropManagedTable(spark, embAxesTable(prefix))
+    val model = graft.operators.Pca.train(reference, vec, k)
+    val proj = graft.operators.Pca.project(
+      reference.select(lit(0L).as("__id"), vec.as("__v")),
+      col("__id"), col("__v"), model).localCheckpoint()
+    val binRows = (0 until k).map { j =>
+      val zc = col(s"z$j")
+      val bs = graft.operators.Drift.refBoundaries(proj, zc, nBins)
+      val counts = graft.operators.Drift.binCounts(proj, zc, bs, "ref_n")
+      val allBins = spark.range(1, nBins + 1)
+        .select(col("id").cast("int").as("bin"))
+      val ubs = typedLit(bs)
+      allBins.join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("ref_n"))
+        .select(lit(j).as("component"), col("bin"), col("ref_n"),
+          when(col("bin") < nBins, element_at(ubs, col("bin"))).as("ub"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    binRows.write.saveAsTable(embBinsTable(prefix))
+    import spark.implicits._
+    val axes = model.components.zipWithIndex.map { case (comp, j) =>
+      var md = 0.0
+      var t = 0
+      while (t < comp.length) { md += comp(t) * model.mean(t); t += 1 }
+      (j, comp.toSeq, md)
+    }.toSeq.toDF("component", "axis", "mean_dot").localCheckpoint(true)
+    axes.write.saveAsTable(embAxesTable(prefix))
+    CatalogProps.setProps(spark, embBinsTable(prefix), Map(
+      "graft.drift.k" -> k.toString,
+      "graft.drift.nbins" -> nBins.toString,
+      "graft.drift.complete" -> "true"))
+  }
+
+  /** Score one batch's embeddings against the stored basis: k rows
+    * `(component, n_bins, ref_n, cur_n, psi)`, arithmetic identical to
+    * the reference-side profiling — the spec pins that scoring the
+    * reference itself returns psi = 0 on every component. Map-side
+    * projection (one codegen'd dot per component), one bin count per
+    * component, boundaries broadcast. */
+  def scoreBatchEmbedding(spark: SparkSession, prefix: String,
+                          batch: DataFrame, vec: Column): DataFrame = {
+    val tb = embBinsTable(prefix)
+    require(spark.catalog.tableExists(tb),
+      s"StreamingDrift: no embedding model table $tb — " +
+        "provisionEmbedding first")
+    require(CatalogProps.propOption(spark, tb, "graft.drift.complete")
+        .contains("true"),
+      s"StreamingDrift: $tb lacks its completeness stamp — torn " +
+        "provision; re-provision")
+    val k = CatalogProps.prop(spark, tb, "graft.drift.k",
+      "StreamingDrift").toInt
+    val nBins = CatalogProps.prop(spark, tb, "graft.drift.nbins",
+      "StreamingDrift").toInt
+    val bins = spark.table(tb)
+    require(bins.count() == k.toLong * nBins,
+      s"StreamingDrift: $tb row count disagrees with its k/nBins " +
+        "stamps — partial data; re-provision")
+    val axes = spark.table(embAxesTable(prefix))
+      .orderBy(col("component")).collect()
+    require(axes.length == k,
+      s"StreamingDrift: ${embAxesTable(prefix)} holds ${axes.length} " +
+        s"axes but the model is stamped k=$k — re-provision")
+    import graft.functions.VectorExpressions.dotProduct
+    (0 until k).map { j =>
+      val axis = axes(j).getSeq[Double](1)
+      val meanDot = axes(j).getDouble(2)
+      val comp = bins.filter(col("component") === j)
+      val bs = comp.filter(col("bin") < nBins).orderBy(col("bin"))
+        .collect().map(_.getDouble(3)).toSeq
+      val refCounts = comp.select(col("bin"), col("ref_n"))
+      val z = dotProduct(vec.cast("array<double>"), typedLit(axis)) -
+        lit(meanDot)
+      val cur = graft.operators.Drift.binCounts(
+        batch.select(z.as("__z")), col("__z"), bs, "cur_n")
+      graft.operators.Drift.psiSummary(
+        graft.operators.Drift.psiBinsWith(refCounts, cur, nBins, spark))
+        .select(lit(j).as("component"), col("n_bins"), col("ref_n"),
+          col("cur_n"), col("psi"))
+    }.reduce(_ unionByName _)
+  }
+
   def drop(spark: SparkSession, prefix: String): Unit = {
     Bucketing.dropManagedTable(spark, refTable(prefix))
     Bucketing.dropManagedTable(spark, tokenTable(prefix))
+    Bucketing.dropManagedTable(spark, embBinsTable(prefix))
+    Bucketing.dropManagedTable(spark, embAxesTable(prefix))
   }
 }

@@ -73,4 +73,56 @@ class DriftSpec extends SparkSpec {
     val zero = Drift.tokenDrift(ref, ref, col("text"), topK = 2).collect()
     assert(zero.forall(_.getDouble(6) == 0.0))
   }
+
+  test("refBoundariesApprox: rank-certified boundaries; PSI downstream " +
+       "agrees with the exact path on smooth data; impossible tolerance " +
+       "fails by name") {
+    val ref = spark.range(20000)
+      .select(pmod(xxhash64(col("id")), lit(10000)).cast("double").as("v"))
+    val cur = spark.range(20000)
+      .select((pmod(xxhash64(col("id"), lit(3)), lit(10000)) * 1.4)
+        .cast("double").as("v"))
+    val exact = Drift.psi(ref, cur, col("v"), nBins = 10).collect()(0)
+    val approx = Drift.psiApprox(ref, cur, col("v"), nBins = 10,
+      accuracy = 50000).collect()(0)
+    // same verdict class: both read the planted drift, counts complete
+    assert(approx.getLong(1) == exact.getLong(1) &&
+      approx.getLong(2) == exact.getLong(2))
+    assert(exact.getDouble(3) > 0.1 && approx.getDouble(3) > 0.1)
+    assert(math.abs(approx.getDouble(3) - exact.getDouble(3)) < 0.05,
+      s"approx boundaries moved PSI too far: $approx vs $exact")
+    // a tolerance the sketch cannot meet fails by name, not silently
+    val e = intercept[IllegalArgumentException] {
+      Drift.refBoundariesApprox(ref, col("v"), nBins = 10,
+        accuracy = 100, rankTol = 1e-7)
+    }
+    assert(e.getMessage.contains("refBoundariesApprox") ||
+      e.getMessage.contains("accuracy"), e.getMessage)
+  }
+
+  test("embeddingDrift: zero drift -> mean shift 0, no alert, " +
+       "attestations hold; planted scale+offset -> exact mean shift " +
+       "and a PSI alert") {
+    val vecs = spark.range(400).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0
+          - 1.0)).as("embedding"))
+    val same = Drift.embeddingDrift(vecs, vecs, col("embedding"),
+      k = 3, nBins = 8).collect()(0)
+    assert(same.getLong(0) == 400 && same.getLong(1) == 400)
+    assert(same.getInt(2) == 8 && same.getInt(3) == 3)
+    assert(same.getDouble(4) == 0.0, s"self mean shift: $same")
+    assert(same.getBoolean(5) && same.getBoolean(6) && same.getBoolean(7))
+    assert(!same.getBoolean(8), "self-comparison must not alert")
+    // planted pure offset: +0.5 on every dim -> mean shift exactly
+    // sqrt(8*0.25) = sqrt(2) quantized; scale drives the PSI alert
+    val cur = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2.0 + 0.5).as("embedding"))
+    val drifted = Drift.embeddingDrift(vecs, cur, col("embedding"),
+      k = 3, nBins = 8).collect()(0)
+    assert(drifted.getBoolean(8), s"planted drift must alert: $drifted")
+    assert(drifted.getBoolean(5) && drifted.getBoolean(6) &&
+      drifted.getBoolean(7))
+    assert(drifted.getDouble(4) > 0.5, s"mean shift too small: $drifted")
+  }
 }

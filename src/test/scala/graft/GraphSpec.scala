@@ -160,4 +160,47 @@ class GraphSpec extends SparkSpec {
     val dm = deep.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(dm(11L) > dm(10L) && dm(11L) > dm(12L), dm.toString)
   }
+
+  test("pageRankConverged: tol=0 stops at the exact quantized fixpoint " +
+       "and equals the fixed-count output; rounds-run is reported") {
+    // a directed 3-cycle is at the fixpoint from round 1 (uniform ranks
+    // reproduce themselves exactly at scale 9)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val (ranks, rounds) = Graph.pageRankConverged(cycle, col("s"),
+      col("d"), maxIters = 50, tol = 0.0)
+    assert(rounds == 1, s"cycle must converge in one round, ran $rounds")
+    val early = ranks.as[(Long, Double)].collect().toMap
+    val fixed = Graph.pageRank(cycle, col("s"), col("d"), iters = 50)
+      .as[(Long, Double)].collect().toMap
+    assert(early == fixed, s"$early vs $fixed")
+    // a star needs more rounds; with tol=0 it must also land exactly on
+    // the fixed-count output once converged, in fewer than maxIters
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L)).toDF("s", "d")
+    val (r2, n2) = Graph.pageRankConverged(star, col("s"), col("d"),
+      maxIters = 200, tol = 0.0)
+    assert(n2 < 200, "star never reached the quantized fixpoint")
+    val f2 = Graph.pageRank(star, col("s"), col("d"), iters = 200)
+      .as[(Long, Double)].collect().toMap
+    assert(r2.as[(Long, Double)].collect().toMap == f2)
+    // a loose tolerance stops earlier than the exact fixpoint
+    val (_, n3) = Graph.pageRankConverged(star, col("s"), col("d"),
+      maxIters = 200, tol = 1e-3)
+    assert(n3 <= n2, s"looser tol must not run longer: $n3 vs $n2")
+  }
+
+  test("labelPropagationConverged: stops when no label changes and " +
+       "equals any larger fixed count") {
+    // two triangles joined by one bridge edge, both directions
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val und = (tri ++ tri.map(_.swap)).toDF("s", "d")
+    val (labels, rounds) = Graph.labelPropagationConverged(und, col("s"),
+      col("d"), maxIters = 50)
+    assert(rounds < 50, "label propagation never stabilized")
+    val early = labels.as[(Long, Long)].collect().toMap
+    val fixed = Graph.labelPropagation(und, col("s"), col("d"),
+      iters = rounds + 7).as[(Long, Long)].collect().toMap
+    assert(early == fixed, s"$early vs $fixed")
+  }
 }

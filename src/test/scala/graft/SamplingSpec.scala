@@ -292,6 +292,83 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesWholeBy: BFD invariants (docs whole, bins never " +
+       "overflow, positions tile), driver-replay bit equality, " +
+       "oversized doc fails by name, partitioning-invariant") {
+    val seqLen = 128
+    val counts = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Sampling.packSequencesWholeBy(docs, col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+      nShards = 3, seqLen = seqLen, salt = "bf")
+    val rows = out.collect().map(r => (r.getAs[Int]("shard"),
+      r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"),
+      r.getAs[Long]("seq_pos")))
+    // every doc exactly once, whole
+    assert(rows.map(_._3).toSet == counts.filter(_._2 > 0).keySet)
+    assert(rows.length == rows.map(_._3).distinct.length)
+    rows.foreach { t =>
+      assert(t._4 == 0L && t._5 == counts(t._3), t.toString)
+    }
+    // per (shard, seq): no overflow, positions tile [0, fill)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((sh, sq), ps) =>
+      val sorted = ps.sortBy(_._6)
+      assert(sorted.head._6 == 0L, s"$sh/$sq starts at ${sorted.head._6}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 + a._5 == b._6, s"$sh/$sq gap")
+        case _ =>
+      }
+      assert(sorted.last._6 + sorted.last._5 <= seqLen, s"$sh/$sq overflow")
+    }
+    // driver BFD replay on the same (n DESC, doc_id) order, bit equality
+    val byShard = rows.groupBy(_._1)
+    byShard.foreach { case (sh, ps) =>
+      val order = ps.map(t => (t._3, counts(t._3)))
+        .sortBy { case (id, n) => (-n, id) }
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      val expect = order.map { case (id, n) =>
+        val open = bins.zipWithIndex
+          .filter { case (fill, _) => seqLen - fill >= n }
+        val sid =
+          if (open.isEmpty) { bins += 0L; bins.length - 1 }
+          else open.minBy { case (fill, i) => (seqLen - fill, i) }._2
+        val pos = bins(sid)
+        bins(sid) = pos + n
+        id -> ((sid.toLong, pos))
+      }.toMap
+      ps.foreach { t =>
+        assert(expect(t._3) == ((t._2, t._6)),
+          s"shard $sh doc ${t._3}: ${expect(t._3)} vs ${(t._2, t._6)}")
+      }
+    }
+    // packReport prices the padding of the no-split regime
+    val rep = Sampling.packReport(out.drop("seq_pos"), seqLen).collect()
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_split_docs") == 0L, r.toString)
+      assert(r.getAs[Long]("tail_waste") ==
+        r.getAs[Long]("n_seqs") * seqLen - r.getAs[Long]("total_tokens"))
+    }
+    // an oversized doc fails by name
+    val e = intercept[Exception] {
+      Sampling.packSequencesWholeBy(
+        Seq((1L, 100L)).toDF("doc_id", "n"), col("doc_id"), col("n"),
+        nShards = 1, seqLen = 64).collect()
+    }
+    assert(messageChain(e).contains("packSequencesWholeBy"),
+      messageChain(e))
+    // partitioning invariance
+    val again = Sampling.packSequencesWholeBy(docs.repartition(13),
+        col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 3, seqLen = seqLen, salt = "bf")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("seq_pos"))).sortBy(_._3)
+    assert(again.toSeq == rows.sortBy(_._3).toSeq)
+  }
+
   test("sequence packing: full bins, contiguous doc coverage, partitioning-invariant") {
     val seqLen = 64
     val out = Sampling.packSequences(docs, col("doc_id"), col("text"),

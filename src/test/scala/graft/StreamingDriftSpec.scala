@@ -103,4 +103,47 @@ class StreamingDriftSpec extends SparkSpec {
       }
     }
   }
+
+  test("embedding model: stored-basis scoring gives psi 0 per component " +
+       "on the reference itself, reads planted drift, fences by name") {
+    val pe = "drift_emb_store"
+    val vecs = spark.range(600).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(5)), i =>
+        (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0
+          - 1.0)).as("embedding"))
+    StreamingDrift.drop(spark, pe)
+    try {
+      StreamingDrift.provisionEmbedding(spark, pe, vecs, col("embedding"),
+        k = 3, nBins = 8)
+      // the reference scores itself at exactly 0 on every component
+      val self = StreamingDrift.scoreBatchEmbedding(spark, pe, vecs,
+        col("embedding")).orderBy("component").collect()
+      assert(self.length == 3)
+      assert(self.forall(r => r.getLong(1) == 8 && r.getDouble(4) == 0.0),
+        self.mkString(", "))
+      assert(self.forall(r => r.getLong(2) == 600 && r.getLong(3) == 600))
+      // a scaled batch drifts on at least one component
+      val cur = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x * 2.0).as("embedding"))
+      val drifted = StreamingDrift.scoreBatchEmbedding(spark, pe, cur,
+        col("embedding")).collect()
+      assert(drifted.exists(_.getDouble(4) > 0.05),
+        drifted.mkString(", "))
+      // missing store fails by name
+      val e = intercept[IllegalArgumentException] {
+        StreamingDrift.scoreBatchEmbedding(spark, "no_such_emb", vecs,
+          col("embedding"))
+      }
+      assert(e.getMessage.contains("provisionEmbedding"), e.getMessage)
+      // torn provision fails by name
+      graft.sources.CatalogProps.setProps(spark,
+        StreamingDrift.embBinsTable(pe),
+        Map("graft.drift.complete" -> "false"))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingDrift.scoreBatchEmbedding(spark, pe, vecs,
+          col("embedding"))
+      }
+      assert(e2.getMessage.contains("completeness stamp"), e2.getMessage)
+    } finally StreamingDrift.drop(spark, pe)
+  }
 }
