@@ -641,6 +641,65 @@ object TextHashExpressions {
     ColumnBridge.column(
       UnigramSegmentBytesPieces(ColumnBridge.expression(text), pieces, maxLen))
 
+  /** [[TextKernels.unigramSegmentBytesPiecesMarked]]: the byte-level
+    * best path with token-start markers — the invertible form. */
+  case class UnigramSegmentBytesPiecesMarked(child: Expression,
+                                             pieces: Seq[(String, Long)],
+                                             maxLen: Int)
+      extends UnaryExpression {
+    require(maxLen >= 1,
+      s"$prettyName: maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_segment_bytes_marked"
+
+    @transient private lazy val table =
+      new UnigramByteTable(pieces, maxLen)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramSegmentBytesPiecesMarked(
+        input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("uniByteTable", table,
+        "graft.functions.UnigramByteTable")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels" +
+          s".unigramSegmentBytesPiecesMarked($c, $tableRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramSegmentBytesPiecesMarked(text: Column,
+                                      pieces: Seq[(String, Long)],
+                                      maxLen: Int): Column =
+    ColumnBridge.column(UnigramSegmentBytesPiecesMarked(
+      ColumnBridge.expression(text), pieces, maxLen))
+
+  /** [[TextKernels.unigramDetokBytes]]: marked hex pieces back to the
+    * whitespace-normalized text. */
+  case class UnigramDetokBytes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "unigram_detok_bytes"
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.unigramDetokBytes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.unigramDetokBytes($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unigramDetokBytes(pieces: Column): Column =
+    ColumnBridge.column(UnigramDetokBytes(ColumnBridge.expression(pieces)))
+
   /** [[TextKernels.unigramSegmentBytesIds]]: byte-level best path
     * straight to vocabulary ids. */
   case class UnigramSegmentBytesIds(child: Expression,

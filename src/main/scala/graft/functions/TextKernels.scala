@@ -1014,6 +1014,90 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[unigramSegmentBytesPieces]] with TOKEN-START MARKERS — the
+    * SentencePiece "▁" convention in the hex alphabet: the first piece
+    * of every whitespace token carries a leading `_` (not a hex digit,
+    * so unambiguous), which makes the flat piece stream INVERTIBLE —
+    * concatenate the pieces' bytes, re-inserting one space before each
+    * marked piece after the first, and the whitespace-normalized text
+    * comes back exactly (detok contract; pieces may split multi-byte
+    * UTF-8 sequences, which is why decode happens once after the byte
+    * concat, never per piece). */
+  def unigramSegmentBytesPiecesMarked(text: UTF8String,
+                                      table: UnigramByteTable): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val maxLen = table.maxLen
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      val n = i - s
+      if (n > 0) {
+        val score = new Array[Long](n + 1)
+        val np = new Array[Int](n + 1)
+        viterbiFillBytes(bytes, s, n, table, score, np)
+        val rev = new java.util.ArrayList[AnyRef]()
+        var p = n
+        while (p > 0) {
+          var chosen = 1
+          var k = if (p < maxLen) p else maxLen
+          var done = false
+          while (!done && k >= 1) {
+            val pm = table.score(bytes, s + p - k, k)
+            val cand: Long =
+              if (pm != Long.MinValue) score(p - k) + pm
+              else if (k == 1) score(p - k) + UnigramUnkMicro
+              else Long.MinValue
+            if (cand == score(p) && np(p - k) + 1 == np(p)) {
+              chosen = k; done = true
+            }
+            k -= 1
+          }
+          rev.add(hexOf(bytes, s + p - chosen, chosen))
+          p -= chosen
+        }
+        var r = rev.size - 1
+        while (r >= 0) {
+          val piece = rev.get(r).asInstanceOf[UTF8String]
+          out.add(if (r == rev.size - 1)
+            UTF8String.concat(UTF8String.fromString("_"), piece)
+          else piece)
+          r -= 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The detokenizer for [[unigramSegmentBytesPiecesMarked]] output:
+    * bytes concatenate across the whole stream FIRST (pieces split
+    * multi-byte characters freely), one space re-inserted before each
+    * marked piece after the first, then ONE UTF-8 decode — the inverse
+    * of tokenize-then-segment up to whitespace normalization. */
+  def unigramDetokBytes(pieces: ArrayData): UTF8String = {
+    val n = pieces.numElements
+    val buf = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < n) {
+      var hex = pieces.getUTF8String(i).toString
+      if (hex.nonEmpty && hex.charAt(0) == '_') {
+        if (buf.size > 0) buf.write(' ')
+        hex = hex.substring(1)
+      }
+      var j = 0
+      while (j < hex.length - 1) {
+        buf.write((Character.digit(hex.charAt(j), 16) << 4) |
+          Character.digit(hex.charAt(j + 1), 16))
+        j += 2
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(buf.toByteArray)
+  }
+
   /** [[unigramSegmentBytesPieces]] mapped to VOCABULARY IDS — the
     * loader hand-off: each best-path hex piece looked up in the id
     * table (rank by (count DESC, piece ASC) at training); a piece

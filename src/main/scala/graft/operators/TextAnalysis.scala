@@ -1052,6 +1052,22 @@ object TextAnalysis {
     graft.functions.TextHashExpressions.unigramSegmentBytesPieces(text,
       pieces, maxLen)
 
+  /** The byte-level best path with SentencePiece-style token-start
+    * markers (`_` prefix on each token's first hex piece) — the
+    * INVERTIBLE form; [[unigramDetokBytes]] is its inverse up to
+    * whitespace normalization. */
+  def unigramSegmentBytesPiecesMarked(text: Column,
+                                      pieces: Seq[(String, Long)],
+                                      maxLen: Int = 8): Column =
+    graft.functions.TextHashExpressions.unigramSegmentBytesPiecesMarked(
+      text, pieces, maxLen)
+
+  /** Marked hex pieces back to the whitespace-normalized text: bytes
+    * concatenate across the whole stream before the ONE UTF-8 decode —
+    * pieces split multi-byte characters freely. */
+  def unigramDetokBytes(pieces: Column): Column =
+    graft.functions.TextHashExpressions.unigramDetokBytes(pieces)
+
   /** Byte-level best path straight to vocabulary ids ([[unigramVocab]]
     * ranking); −1 only for pieces outside the vocabulary (unreachable
     * when the vocabulary is the trained table itself). */
@@ -1212,7 +1228,215 @@ object TextAnalysis {
           s"$minWordFreq) to frequency-prune the long tail — the " +
           "standard production-tokenizer move — or raise maxTableBytes " +
           "if the driver heap genuinely has room")
-    val collected = pruned.select(col("w"), col("freq").cast("long")).collect()
+    val (wordBytes, freqs) = collectWordTable(pruned)
+    var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
+    var round = 0
+    while (round < emRounds) {
+      model = unigramEmLocal(wordBytes, freqs, model, maxPieceLen)
+      round += 1
+    }
+    import spark.implicits._
+    model.toDF("piece", "cnt", "logp_micro")
+  }
+
+  /** SOFT-EM byte-level unigram training — the PUBLISHED SentencePiece
+    * E-step: per word, FORWARD-BACKWARD in log space computes every
+    * in-table piece occurrence's posterior probability under the
+    * current model, and the M-step re-normalizes the
+    * occurrence-frequency-weighted EXPECTED counts. Same one-scan /
+    * measured-guard / driver-local shape as [[unigramTrainBytesFast]];
+    * the E-step is `O(len · maxLen)` per distinct word per round.
+    *
+    * Exactness contract (and why this is the family's one
+    * spec-verified-not-oracle-replayed trainer): soft counts sum in
+    * PROBABILITY space — log-sum-exp over alternative segmentations —
+    * which no integer quantization makes engine-exact, so this mode is
+    * pinned by UnigramBytesSpec instead of a DuckDB replay:
+    * brute-force posterior equality on enumerable words, the EM
+    * likelihood-monotonicity guarantee across rounds, agreement with
+    * hard-EM in the peaked limit, and the exact support identity (every
+    * init-table piece keeps positive expected count — single-byte
+    * completability means every occurrence has nonzero posterior — so
+    * soft EM NEVER drops pieces, where hard EM prunes; the registered
+    * query checks that identity in BIGINTs). Output:
+    * `(piece, ecount: double, logp_micro)` — scores re-quantized to
+    * micro-nats each round so the segmentation kernels consume the
+    * model unchanged.
+    *
+    * Returns the final model; [[unigramTrainBytesSoftDiag]] exposes the
+    * per-round corpus log-likelihood for monitoring (EM guarantees it
+    * non-decreasing; the spec asserts it). */
+  def unigramTrainBytesSoft(docs: DataFrame, text: Column,
+                            maxPieceLen: Int = 8, minCount: Long = 2L,
+                            emRounds: Int = 1, minWordFreq: Long = 1L,
+                            maxTableBytes: Long = 2L << 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramTrainBytesSoftDiag(docs, text, maxPieceLen, minCount, emRounds,
+      minWordFreq, maxTableBytes)._1
+      .toDF("piece", "ecount", "logp_micro")
+  }
+
+  /** [[unigramTrainBytesSoft]] plus diagnostics: `(model rows,
+    * llPerRound, expectedPieces)` where `llPerRound(i)` is the corpus
+    * log-likelihood `Σ_w freq·log P(w)` under the model each round
+    * STARTED from, and `expectedPieces` is `Σ_w freq·E[#pieces in w]`
+    * under the final E-step — the numbers the registered query's
+    * attestations check. */
+  def unigramTrainBytesSoftDiag(docs: DataFrame, text: Column,
+                                maxPieceLen: Int = 8, minCount: Long = 2L,
+                                emRounds: Int = 1, minWordFreq: Long = 1L,
+                                maxTableBytes: Long = 2L << 30)
+      : (Seq[(String, Double, Long)], Seq[Double], Double) = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
+    val wc = bpeWordCountsBytes(docs, text)
+    val pruned =
+      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
+    val m = pruned.agg(count(lit(1)).as("rows"),
+      coalesce(sum(octet_length(col("w"))), lit(0L)).as("syms")).head()
+    val (rows, syms) = (m.getLong(0), m.getLong(1))
+    val est = rows * 120L + syms * (48L * maxPieceLen)
+    if (est > maxTableBytes)
+      throw new IllegalArgumentException(
+        s"unigramTrainBytesSoft: the word-frequency table ($rows words, " +
+          s"$syms bytes, ~$est B on the driver) exceeds maxTableBytes " +
+          s"($maxTableBytes B). Raise minWordFreq (currently " +
+          s"$minWordFreq) to frequency-prune the long tail, or raise " +
+          "maxTableBytes if the driver heap genuinely has room")
+    val (wordBytes, freqs) = collectWordTable(pruned)
+    var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
+      .map { case (p, c, lp) => (p, c.toDouble, lp) }
+    val lls = new scala.collection.mutable.ArrayBuffer[Double]()
+    var ePieces = 0.0
+    var round = 0
+    while (round < emRounds) {
+      val (next, ll, ep) =
+        unigramSoftEmLocal(wordBytes, freqs, model, maxPieceLen)
+      lls += ll
+      ePieces = ep
+      model = next
+      round += 1
+    }
+    (model, lls.toSeq, ePieces)
+  }
+
+  /** One forward-backward soft-EM round. `model` rows are
+    * `(hexPiece, anyCount, logp_micro)`; scores enter the DP as nats
+    * (`logp_micro / 1e6`), missing single bytes take the UNK fallback
+    * exactly like the Viterbi kernels, so every word has positive
+    * total probability. Returns `(newModel, corpusLL, expectedPieces)`.
+    * Iteration order is fixed (word order, then position, then piece
+    * length), so the doubles are bit-reproducible run to run. */
+  private def unigramSoftEmLocal(words: Array[Array[Byte]],
+                                 freqs: Array[Long],
+                                 model: Seq[(String, Double, Long)],
+                                 maxLen: Int)
+      : (Seq[(String, Double, Long)], Double, Double) = {
+    val table = new graft.functions.UnigramByteTable(
+      model.map { case (p, _, lp) => (p, lp) }, maxLen)
+    val unkNats = graft.functions.TextKernels.UnigramUnkMicro / 1e6
+    val ec = new java.util.LinkedHashMap[String, java.lang.Double]()
+    var ll = 0.0
+    var ePieces = 0.0
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val mx = math.max(a, b); mx + math.log1p(math.exp(-math.abs(a - b))) }
+    var wi = 0
+    while (wi < words.length) {
+      val b = words(wi)
+      val n = b.length
+      val f = freqs(wi).toDouble
+      // piece log-prob at (start s, length k), UNK fallback for k=1
+      def lp(s: Int, k: Int): Double = {
+        val pm = table.score(b, s, k)
+        if (pm != Long.MinValue) pm / 1e6
+        else if (k == 1) unkNats
+        else Double.NaN // caller skips
+      }
+      val alpha = new Array[Double](n + 1)
+      val beta = new Array[Double](n + 1)
+      java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+      java.util.Arrays.fill(beta, Double.NegativeInfinity)
+      alpha(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var k = 1
+        val kMax = if (i < maxLen) i else maxLen
+        while (k <= kMax) {
+          val l = lp(i - k, k)
+          if (!l.isNaN && alpha(i - k) != Double.NegativeInfinity)
+            alpha(i) = lse(alpha(i), alpha(i - k) + l)
+          k += 1
+        }
+        i += 1
+      }
+      beta(n) = 0.0
+      i = n - 1
+      while (i >= 0) {
+        var k = 1
+        val kMax = if (n - i < maxLen) n - i else maxLen
+        while (k <= kMax) {
+          val l = lp(i, k)
+          if (!l.isNaN && beta(i + k) != Double.NegativeInfinity)
+            beta(i) = lse(beta(i), l + beta(i + k))
+          k += 1
+        }
+        i -= 1
+      }
+      val z = alpha(n)
+      ll += f * z
+      // expected counts: every in-table occurrence's posterior
+      i = 0
+      while (i < n) {
+        var k = 1
+        val kMax = if (n - i < maxLen) n - i else maxLen
+        while (k <= kMax) {
+          val l = lp(i, k)
+          if (!l.isNaN && alpha(i) != Double.NegativeInfinity &&
+              beta(i + k) != Double.NegativeInfinity) {
+            val post = math.exp(alpha(i) + l + beta(i + k) - z)
+            if (post > 0.0) {
+              val key = graft.functions.TextKernels.hexOf(b, i, k).toString
+              val prev = ec.get(key)
+              val add = f * post
+              ec.put(key, java.lang.Double.valueOf(
+                if (prev == null) add else prev.doubleValue + add))
+              ePieces += add
+            }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    var total = 0.0
+    val it0 = ec.values.iterator
+    while (it0.hasNext) total += it0.next().doubleValue
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Double, Long)](ec.size)
+    val it = ec.entrySet.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.doubleValue
+      out += ((e.getKey, c,
+        java.lang.Math.floor(
+          java.lang.Math.log(c / total) * 1000000.0 + 0.5).toLong))
+    }
+    (out.toSeq, ll, ePieces)
+  }
+
+  /** Collect the word table in CANONICAL (word) order — collect()
+    * returns rows in partition order, which varies with the input
+    * partitioning; the hard-EM path is immune (exact integer counting
+    * is order-free) but the soft-EM doubles accumulate in word order,
+    * so the order must be pinned for bit-reproducibility. */
+  private def collectWordTable(pruned: DataFrame)
+      : (Array[Array[Byte]], Array[Long]) = {
+    val collected = pruned.select(col("w"), col("freq").cast("long"))
+      .collect().sortBy(_.getString(0))
     val wordBytes = new Array[Array[Byte]](collected.length)
     val freqs = new Array[Long](collected.length)
     var i = 0
@@ -1222,14 +1446,7 @@ object TextAnalysis {
       freqs(i) = collected(i).getLong(1)
       i += 1
     }
-    var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
-    var round = 0
-    while (round < emRounds) {
-      model = unigramEmLocal(wordBytes, freqs, model, maxPieceLen)
-      round += 1
-    }
-    import spark.implicits._
-    model.toDF("piece", "cnt", "logp_micro")
+    (wordBytes, freqs)
   }
 
   /** Driver-exact micro-nat quantization — the same IEEE op order as the

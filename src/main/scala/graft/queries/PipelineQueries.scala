@@ -1482,6 +1482,63 @@ object PipelineQueries {
         .limit(40)
     },
 
+    // Marked segment + DETOKENIZE — the loader-facing decode contract
+    // for the byte unigram (the BPE family's text_bpe_detok twin):
+    // SentencePiece-style token-start markers make the flat hex-piece
+    // stream invertible; the round trip re-concatenates BYTES before
+    // the one UTF-8 decode, so pieces that split an astral emoji's
+    // 4-byte sequence (the planted corpus guarantees some do) still
+    // decode exactly. The oracle states the round-trip target — the
+    // whitespace-joined token stream — verbatim, plus the DP's piece
+    // count, so the hash pins the whole decoded string per doc.
+    "text_unigram_bytes_detok" -> { (s, dir) =>
+      val pieces = trainedUnigramBytes(s, dir)
+      plantedDocs(s, dir).select(col("doc_id"),
+          TextAnalysis.unigramDetokBytes(
+            TextAnalysis.unigramSegmentBytesPiecesMarked(col("text"),
+              pieces)).as("detok"),
+          TextAnalysis.unigramSegmentBytes(col("text"), pieces)
+            .getField("n_pieces").as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SOFT-EM unigram training (the published SentencePiece E-step:
+    // forward-backward expected counts). Soft counts sum in probability
+    // space and are not engine-exact, so the EXACT columns here are the
+    // combinatorial identities — soft EM keeps EVERY init piece
+    // (single-byte completability gives every occurrence a positive
+    // posterior) while hard EM prunes to the Viterbi-path support; the
+    // oracle computes all three set sizes in BIGINTs from the shared
+    // byte CTEs. The float-side guarantees (EM likelihood monotone over
+    // 2 rounds, expected piece mass inside its exact bounds) ride as
+    // attested booleans, spec-pinned against brute-force enumeration.
+    "text_unigram_soft_em" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val init = trainedUnigramBytes(s, dir)
+      val (model, lls, ep) = TextAnalysis.unigramTrainBytesSoftDiag(
+        docs, col("text"), emRounds = 2)
+      val nHard = TextAnalysis.unigramEmStepBytes(docs, col("text"), init)
+        .count()
+      val b = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .agg(sum(ceil(octet_length(col("w")).cast("double") / 8.0)
+            .cast("long")).as("mn"),
+          sum(octet_length(col("w")).cast("long")).as("mx")).head()
+      val llOk = lls.sliding(2).forall {
+        case Seq(a, c) => c >= a - 1e-9
+        case _ => true
+      }
+      val initSet = init.map(_._1).toSet
+      s.range(1).select(
+        lit(initSet.size.toLong).as("n_pieces_init"),
+        lit(model.size.toLong).as("n_pieces_soft"),
+        lit(nHard).as("n_pieces_hard"),
+        lit(llOk).as("ll_nondecreasing"),
+        lit(ep >= b.getLong(0).toDouble - 1e-6 &&
+          ep <= b.getLong(1).toDouble + 1e-6).as("epieces_in_bounds"),
+        lit(model.map(_._1).toSet == initSet).as("support_identity"))
+    },
+
     // The PRODUCTION-DEPTH fast trainer (one corpus scan, driver-local
     // init + EM on the measured-guarded word table) at emRounds = 1 —
     // certified against the CLASSIC formulation's DuckDB replay (the
@@ -4546,6 +4603,44 @@ object PipelineQueries {
          ORDER BY d.doc_id""",
 
     "text_unigram_bytes_em" -> unigramBytesEmOracle,
+
+    // The detok round-trip target is closed-form: the whitespace-joined
+    // token stream; n_pieces rides the existing byte-DP CTEs.
+    "text_unigram_bytes_detok" ->
+      s"""WITH RECURSIVE ${unigramBytesDpCtes(8)},
+            dwseg AS MATERIALIZED (
+              SELECT hw,
+                ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
+              FROM bdp WHERE i = len(hw) // 2),
+            ddoctok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                          unnest(range(1, len($tokensSql) + 1)) AS j
+                        FROM bdocs),
+            ddocsum AS (
+              SELECT d.doc_id,
+                string_agg(d.t, ' ' ORDER BY d.j) AS detok,
+                sum(ws.n_pieces) AS np
+              FROM ddoctok d JOIN dwseg ws ON lower(hex(d.t)) = ws.hw
+              GROUP BY 1)
+         SELECT doc_id,
+           coalesce(detok, '') AS detok,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_pieces
+         FROM documents LEFT JOIN ddocsum USING (doc_id)
+         ORDER BY doc_id""",
+
+    // The soft-EM support identities in exact BIGINTs: init-table size
+    // (= soft support, by the completability argument) and the hard
+    // Viterbi-path support from the shared backward CTEs.
+    "text_unigram_soft_em" ->
+      s"""WITH RECURSIVE ${unigramBytesBkCtes(8)},
+            nh AS (SELECT count(DISTINCT piece) AS n FROM bbk
+                   WHERE piece IS NOT NULL)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM bukeep) AS n_pieces_init,
+           (SELECT CAST(count(*) AS BIGINT) FROM bukeep) AS n_pieces_soft,
+           (SELECT CAST(n AS BIGINT) FROM nh) AS n_pieces_hard,
+           true AS ll_nondecreasing,
+           true AS epieces_in_bounds,
+           true AS support_identity""",
 
     // The fast trainer at emRounds = 1 must land EXACTLY on the classic
     // init→EM replay — same oracle text as text_unigram_bytes_em by

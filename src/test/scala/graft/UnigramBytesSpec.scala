@@ -162,6 +162,139 @@ class UnigramBytesSpec extends SparkSpec {
     assert(e.getMessage.contains("minWordFreq"))
   }
 
+  test("marked pieces + detok: exact round trip to the whitespace-" +
+       "normalized text, even when pieces split an astral emoji's " +
+       "4-byte sequence") {
+    val d = docs("  naïve   café\t東京タワー 🚀🌍 plain ",
+      "MixedCASE tok3ns ¿señor? 🚀")
+    val model = TextAnalysis.unigramTrainBytes(d, col("text"))
+      .localCheckpoint()
+    val pieces = TextAnalysis.unigramPieces(model)
+    val rows = d.select(col("text"),
+        TextAnalysis.unigramSegmentBytesPiecesMarked(col("text"), pieces)
+          .as("m"),
+        TextAnalysis.unigramDetokBytes(
+          TextAnalysis.unigramSegmentBytesPiecesMarked(col("text"),
+            pieces)).as("dt"),
+        TextAnalysis.unigramSegmentBytesPieces(col("text"), pieces)
+          .as("p"))
+      .collect()
+    rows.foreach { r =>
+      val norm = r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      assert(r.getString(2) == norm,
+        s"round trip broke: '${r.getString(2)}' vs '$norm'")
+      // marked stream == unmarked stream with one _ per token
+      val marked = r.getSeq[String](1)
+      val plain = r.getSeq[String](3)
+      assert(marked.map(_.stripPrefix("_")) == plain)
+      assert(marked.count(_.startsWith("_")) ==
+        r.getString(0).trim.split("\\s+").count(_.nonEmpty))
+    }
+    // a piece that splits the rocket's 4-byte sequence must still
+    // decode: force a 2-byte-max table so every emoji splits
+    val tiny = pieces.filter(_._1.length <= 4)
+    val split = d.select(TextAnalysis.unigramDetokBytes(
+        TextAnalysis.unigramSegmentBytesPiecesMarked(col("text"), tiny,
+          maxLen = 2)).as("dt"), col("text"))
+      .collect()
+    split.foreach { r =>
+      val norm = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      assert(r.getString(0) == norm, s"split-decode broke: $r")
+    }
+  }
+
+  test("soft EM: expected counts equal brute-force segmentation " +
+       "enumeration on a small word; support keeps every init piece") {
+    // corpus: "aba" x3, "ab" x2 — enumerable by hand
+    val d = docs("aba aba aba ab ab")
+    val init = TextAnalysis.unigramTrainBytes(d, col("text"),
+      maxPieceLen = 3, minCount = 2L).localCheckpoint()
+    val pieces = TextAnalysis.unigramPieces(init)
+    val scores = pieces.toMap.map { case (p, lp) => p -> lp / 1e6 }
+    // brute force: all segmentations of a byte string over the table
+    def segs(hex: String): Seq[Seq[String]] =
+      if (hex.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(3, hex.length / 2)).flatMap { k =>
+        val h = hex.take(2 * k)
+        if (scores.contains(h)) segs(hex.drop(2 * k)).map(h +: _)
+        else Seq.empty
+      }
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    def expectedCounts(word: String): (Map[String, Double], Double) = {
+      val all = segs(hexOf(word))
+      val ws = all.map(sg => sg.map(scores).sum).map(math.exp)
+      val z = ws.sum
+      val ec = all.zip(ws).flatMap { case (sg, w) =>
+        sg.map(p => p -> w / z)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (ec, math.log(z))
+    }
+    val (ecAba, llAba) = expectedCounts("aba")
+    val (ecAb, llAb) = expectedCounts("ab")
+    val (model, lls, _) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d, col("text"), maxPieceLen = 3, minCount = 2L, emRounds = 1)
+    val got = model.map(t => t._1 -> t._2).toMap
+    val want = (ecAba.keySet ++ ecAb.keySet).map { p =>
+      p -> (3.0 * ecAba.getOrElse(p, 0.0) + 2.0 * ecAb.getOrElse(p, 0.0))
+    }.toMap
+    assert(got.keySet == want.keySet, s"$got vs $want")
+    want.foreach { case (p, v) =>
+      assert(math.abs(got(p) - v) < 1e-9, s"piece $p: ${got(p)} vs $v")
+    }
+    assert(math.abs(lls.head - (3 * llAba + 2 * llAb)) < 1e-9)
+    // support identity: soft EM keeps every init piece
+    assert(got.keySet == pieces.map(_._1).toSet)
+  }
+
+  test("soft EM: corpus log-likelihood is non-decreasing across rounds " +
+       "(the EM guarantee) and the run is bit-reproducible") {
+    val d = docs("segment the segments", "token the tokens the",
+      "naïve café 🚀 segment")
+    val (_, lls, ep) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d, col("text"), emRounds = 4)
+    assert(lls.length == 4)
+    lls.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b >= a - 1e-9, s"EM likelihood decreased: $lls")
+      case _ =>
+    }
+    assert(ep > 0.0)
+    val (m1, lls1, _) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d, col("text"), emRounds = 4)
+    val (m2, lls2, _) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d.repartition(5), col("text"), emRounds = 4)
+    assert(lls1 == lls2 && m1.toSet == m2.toSet,
+      "soft EM must be bit-reproducible across partitionings")
+  }
+
+  test("soft EM agrees with hard EM in the peaked limit (one dominant " +
+       "segmentation per word)") {
+    // one 36-byte all-distinct word repeated: under the uniform init
+    // (666 substrings, p = 1/666 each), the single-piece segmentation
+    // outweighs ALL 2^35-1 splits combined by ~19:1 — so the soft
+    // posterior concentrates on exactly the path hard EM picks
+    val w = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val d = docs(Seq.fill(8)(w).mkString(" "))
+    val init = TextAnalysis.unigramTrainBytes(d, col("text"),
+      maxPieceLen = 36).localCheckpoint()
+    val hard = TextAnalysis.unigramEmStepBytes(d, col("text"),
+        TextAnalysis.unigramPieces(init), maxLen = 36)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullHex = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    assert(hard.keySet == Set(fullHex) && hard(fullHex) == 8L,
+      s"hard EM should keep only the whole-word path: $hard")
+    val (soft, _, _) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d, col("text"), maxPieceLen = 36, emRounds = 1)
+    val softMap = soft.map(t => t._1 -> t._2).toMap
+    assert(math.abs(softMap(fullHex) - 8.0) / 8.0 < 0.1,
+      s"soft ${softMap(fullHex)} vs hard 8")
+    // the dominant piece carries the max expected count
+    assert(softMap.maxBy(_._2)._1 == fullHex)
+  }
+
   test("UnigramByteTable: rejects non-hex and odd-length pieces; " +
        "kernel probe distinguishes same-prefix different-length pieces") {
     intercept[IllegalArgumentException] {
