@@ -792,6 +792,24 @@ object ScaleProbe {
         val (np, lp) = (row.getLong(0), row.getLong(1))
         assert(np > 0 && lp < 0)
         println(f"""{"metric":"unigram_bytes_train_scale","docs":$n,"pieces":${pieces.size},"train_sec":$secTrain%.2f,"store_roundtrip_sec":$secStore%.2f,"seg_sec":$secSeg%.2f,"n_pieces":$np,"logp_micro":$lp,"mpiece_per_sec":${np / secSeg / 1e6}%.1f}""")
+        // vocabulary-size control at the same scale: seed -> prune to
+        // 8192 -> one hard-EM refinement; every token must still
+        // segment (singles survive pruning by contract)
+        val t2 = System.nanoTime()
+        val targeted = TextAnalysis.unigramTrainBytesFast(docsB,
+          col("text"), maxPieceLen = 16, minCount = 2L, emRounds = 1,
+          targetVocab = 8192).localCheckpoint(true)
+        val nT = targeted.count()
+        val secTarget = (System.nanoTime() - t2) / 1e9
+        assert(nT <= 8192, s"targetVocab overshot: $nT")
+        val piecesT = TextAnalysis.unigramPieces(targeted)
+        val rowT = docsB.select(
+            TextAnalysis.unigramSegmentBytes(col("text"), piecesT,
+              maxLen = 16).as("s"))
+          .agg(sum(col("s.n_pieces")).cast("long")).collect()(0)
+        assert(rowT.getLong(0) >= np,
+          "a smaller vocabulary cannot use fewer pieces than the full one")
+        println(f"""{"metric":"unigram_bytes_vocab_scale","docs":$n,"target":8192,"pieces":$nT,"train_sec":$secTarget%.2f,"n_pieces":${rowT.getLong(0)}}""")
         docsB.unpersist()
       }
 

@@ -1178,6 +1178,39 @@ object TextAnalysis {
           * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
   }
 
+  /** Vocabulary PRUNING to a target size — the lever a tokenizer team
+    * actually ships with (SentencePiece seeds a large candidate table
+    * and prunes between EM rounds until the target): keep EVERY
+    * single-byte piece (they are the no-OOV fallback and must never
+    * leave) plus the top multi-byte pieces by `(cnt DESC, piece ASC)`
+    * until `targetVocab` rows, then re-normalize the kept counts to
+    * fresh micro-nat scores. Engine-exact: integer counts, the
+    * deterministic ordering both engines reproduce, the family's
+    * quantizer. Input/output is the standard model frame, so the
+    * result chains straight into [[unigramEmStepBytes]] or the
+    * segmentation kernels. Fails by name when the target cannot even
+    * hold the single-byte alphabet. */
+  def unigramPruneToVocab(model: DataFrame, targetVocab: Int): DataFrame = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1: $targetVocab")
+    val singles = model.filter(length(col("piece")) === 2)
+      .localCheckpoint(true)
+    val nSingles = singles.count()
+    require(targetVocab >= nSingles,
+      s"unigramPruneToVocab: targetVocab=$targetVocab cannot hold the " +
+        s"$nSingles single-byte pieces — the no-OOV fallback is not " +
+        "prunable; raise the target past the alphabet size")
+    val kept = singles.unionByName(
+        model.filter(length(col("piece")) > 2)
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit((targetVocab - nSingles).toInt))
+      .localCheckpoint()
+    val tot = broadcast(kept.agg(sum(col("cnt")).as("__T")))
+    kept.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
   /** PRODUCTION-DEPTH byte-level unigram training — the
     * [[bpeTrainFast]] move applied to the unigram family: ONE
     * distributed word-frequency scan, a MEASURED driver-footprint guard,
@@ -1205,10 +1238,12 @@ object TextAnalysis {
   def unigramTrainBytesFast(docs: DataFrame, text: Column,
                             maxPieceLen: Int = 8, minCount: Long = 2L,
                             emRounds: Int = 0, minWordFreq: Long = 1L,
-                            maxTableBytes: Long = 2L << 30): DataFrame = {
+                            maxTableBytes: Long = 2L << 30,
+                            targetVocab: Int = 0): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
     require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
+    require(targetVocab >= 0, s"targetVocab must be >= 0: $targetVocab")
     val spark = docs.sparkSession
     val wc = bpeWordCountsBytes(docs, text)
     val pruned =
@@ -1230,6 +1265,12 @@ object TextAnalysis {
           "if the driver heap genuinely has room")
     val (wordBytes, freqs) = collectWordTable(pruned)
     var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
+    // vocabulary-size control, the SentencePiece lever: prune ONCE
+    // after frequency initialization (singles always kept — the no-OOV
+    // fallback); hard-EM rounds then refine the pruned table, their
+    // natural drop-out shrinking support further. Bit-identical to
+    // [[unigramPruneToVocab]] on the same frame (spec-pinned).
+    if (targetVocab > 0) model = pruneLocal(model, targetVocab)
     var round = 0
     while (round < emRounds) {
       model = unigramEmLocal(wordBytes, freqs, model, maxPieceLen)
@@ -1237,6 +1278,25 @@ object TextAnalysis {
     }
     import spark.implicits._
     model.toDF("piece", "cnt", "logp_micro")
+  }
+
+  /** Driver-exact twin of [[unigramPruneToVocab]]: same retention rule
+    * (all singles + top multi-byte by `(cnt DESC, piece ASC)` — hex
+    * pieces are ASCII, so String order == engine binary order), same
+    * renormalization. */
+  private def pruneLocal(model: Seq[(String, Long, Long)],
+                         targetVocab: Int): Seq[(String, Long, Long)] = {
+    val singles = model.filter(_._1.length == 2)
+    require(targetVocab >= singles.size,
+      s"unigramPruneToVocab: targetVocab=$targetVocab cannot hold the " +
+        s"${singles.size} single-byte pieces — the no-OOV fallback is " +
+        "not prunable; raise the target past the alphabet size")
+    val multi = model.filter(_._1.length > 2)
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(targetVocab - singles.size)
+    val kept = singles ++ multi
+    val t = kept.iterator.map(_._2).sum
+    kept.map { case (p, c, _) => (p, c, microNat(c, t)) }
   }
 
   /** SOFT-EM byte-level unigram training — the PUBLISHED SentencePiece

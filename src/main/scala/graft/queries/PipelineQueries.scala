@@ -1502,6 +1502,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary pruning to a TARGET SIZE — the tokenizer-team lever:
+    // singles always kept (the no-OOV fallback), top multi-byte pieces
+    // by (cnt DESC, piece ASC) until 300 rows, renormalized, then one
+    // hard-EM round refines the pruned table. The oracle replays the
+    // retention rule, the renormalization, AND the full byte-DP /
+    // backward-walk round over the PRUNED score table — a wrong cut,
+    // tie-break, or renormalization moves paths and diverges.
+    "text_unigram_bytes_prune" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val init = TextAnalysis.unigramTrainBytes(docs, col("text"))
+        .localCheckpoint()
+      val pruned = TextAnalysis.unigramPruneToVocab(init, targetVocab = 300)
+        .localCheckpoint()
+      TextAnalysis.unigramEmStepBytes(docs, col("text"),
+          TextAnalysis.unigramPieces(pruned))
+        .where(length(col("piece")) >= 4)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    },
+
     // SOFT-EM unigram training (the published SentencePiece E-step:
     // forward-backward expected counts). Soft counts sum in probability
     // space and are not engine-exact, so the EXACT columns here are the
@@ -2978,7 +2998,9 @@ object PipelineQueries {
     * hex-encoded word, an L-slot sliding window of
     * score·2^20 − n_pieces keys — the byte twin of [[unigramDpCtes]],
     * generated for any piece length L. */
-  private def unigramBytesDpCtes(maxL: Int): String = {
+  private def unigramBytesDpCtes(maxL: Int,
+                                 ptab: String = "bptab",
+                                 extra: String = ""): String = {
     val B = 1048576L
     val sent = "CAST(-4000000000000000000 AS BIGINT)"
     val slotNames = (0 until maxL).map(k => s"k$k")
@@ -2994,10 +3016,10 @@ object PipelineQueries {
       .mkString(", ")
     val joins = (1 to maxL).map { k =>
       val guard = if (k == 1) "" else s"dp.i >= ${k - 1}\n              AND "
-      s"""LEFT JOIN bptab p$k ON $guard""" +
+      s"""LEFT JOIN $ptab p$k ON $guard""" +
         s"""p$k.piece = substr(dp.hw, CAST(2 * dp.i - ${2 * k - 3} AS INT), ${2 * k})"""
     }.mkString("\n            ")
-    s"""${unigramBytesTrainCtes(maxL)},
+    s"""${unigramBytesTrainCtes(maxL)},$extra
           bdwords AS MATERIALIZED (SELECT DISTINCT lower(hex(w)) AS hw
                                    FROM buwords),
           bdp(hw, i, ${slotNames.mkString(", ")}) AS (
@@ -3017,7 +3039,9 @@ object PipelineQueries {
     * piece)`): at each step the LONGEST piece whose predecessor key
     * reproduces the stored optimum exactly — the byte twin of
     * [[unigramBkCtes]]. */
-  private def unigramBytesBkCtes(maxL: Int): String = {
+  private def unigramBytesBkCtes(maxL: Int,
+                                 ptab: String = "bptab",
+                                 extra: String = ""): String = {
     val B = 1048576L
     val kstar = ((maxL to 2 by -1).map { k =>
       s"""WHEN b.pos >= $k AND p$k.pm IS NOT NULL
@@ -3027,10 +3051,10 @@ object PipelineQueries {
       s"LEFT JOIN bdp d$k ON d$k.hw = b.hw AND d$k.i = b.pos - $k"
     }.mkString("\n            ")
     val pJoins = (2 to maxL).map { k =>
-      s"""LEFT JOIN bptab p$k ON b.pos >= $k
+      s"""LEFT JOIN $ptab p$k ON b.pos >= $k
               AND p$k.piece = substr(b.hw, CAST(2 * b.pos - ${2 * k - 1} AS INT), ${2 * k})"""
     }.mkString("\n            ")
-    s"""${unigramBytesDpCtes(maxL)},
+    s"""${unigramBytesDpCtes(maxL, ptab, extra)},
           bbk(hw, pos, piece) AS (
             SELECT hw, len(hw) // 2, CAST(NULL AS VARCHAR) FROM bdwords
             UNION ALL
@@ -4626,6 +4650,39 @@ object PipelineQueries {
            CAST(coalesce(np, 0) AS BIGINT) AS n_pieces
          FROM documents LEFT JOIN ddocsum USING (doc_id)
          ORDER BY doc_id""",
+
+    // Prune replay: the retention rule (all singles + top-(300−S)
+    // multi-byte by (cnt DESC, piece ASC)), renormalized micro-nats,
+    // then the hard-EM round's backward walk OVER THE PRUNED TABLE.
+    "text_unigram_bytes_prune" -> {
+      val pruneCtes = s"""
+          pkeep AS MATERIALIZED (
+            SELECT piece, cnt FROM bukeep WHERE length(piece) = 2
+            UNION ALL
+            (SELECT piece, cnt FROM bukeep WHERE length(piece) > 2
+             ORDER BY cnt DESC, piece
+             LIMIT 300 - (SELECT count(*) FROM bukeep
+                          WHERE length(piece) = 2))),
+          pptot AS (SELECT sum(cnt) AS T3 FROM pkeep),
+          pptab AS MATERIALIZED (
+            SELECT piece,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T3 AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS pm
+            FROM pkeep CROSS JOIN pptot),"""
+      s"""WITH RECURSIVE ${unigramBytesBkCtes(8, "pptab", pruneCtes)},
+            zemcnt AS MATERIALIZED (
+              SELECT bbk.piece, sum(u.f) AS cnt
+              FROM bbk JOIN bhw u ON bbk.hw = u.hw
+              WHERE bbk.piece IS NOT NULL
+              GROUP BY 1),
+            zemtot AS (SELECT sum(cnt) AS T4 FROM zemcnt)
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(T4 AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS logp_micro
+         FROM zemcnt CROSS JOIN zemtot
+         WHERE length(piece) >= 4
+         ORDER BY cnt DESC, piece LIMIT 40"""
+    },
 
     // The soft-EM support identities in exact BIGINTs: init-table size
     // (= soft support, by the completability argument) and the hard

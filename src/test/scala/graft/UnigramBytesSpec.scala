@@ -205,6 +205,50 @@ class UnigramBytesSpec extends SparkSpec {
     }
   }
 
+  test("unigramPruneToVocab: singles always kept, top multi-byte by " +
+       "(cnt DESC, piece ASC), renormalized; fast trainer's targetVocab " +
+       "is bit-identical; impossible target fails by name") {
+    val d = docs("the naïve café crew 🚀", "the the crew café token",
+      "token the crew naïve naïve")
+    val init = TextAnalysis.unigramTrainBytes(d, col("text"))
+      .localCheckpoint()
+    val nSingles = init.filter(length(col("piece")) === 2).count()
+    val target = nSingles.toInt + 5
+    val pruned = TextAnalysis.unigramPruneToVocab(init, target)
+      .localCheckpoint()
+    assert(pruned.count() == target.toLong)
+    // every single survived; the 5 multi-byte keeps are the count-top 5
+    assert(pruned.filter(length(col("piece")) === 2).count() == nSingles)
+    val keptMulti = pruned.filter(length(col("piece")) > 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val topMulti = init.filter(length(col("piece")) > 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }.take(5).toSet
+    assert(keptMulti == topMulti)
+    // renormalization: scores are ln(cnt/keptTotal) micro-quantized
+    val t = pruned.agg(sum(col("cnt"))).head().getLong(0)
+    pruned.collect().foreach { r =>
+      val exp = java.lang.Math.floor(java.lang.Math.log(
+        r.getLong(1).toDouble / t.toDouble) * 1000000.0 + 0.5).toLong
+      assert(r.getLong(2) == exp, r.toString)
+    }
+    // fast trainer with targetVocab == distributed prune(init), exactly
+    val fast = modelSet(TextAnalysis.unigramTrainBytesFast(d, col("text"),
+      targetVocab = target))
+    assert(fast == modelSet(pruned))
+    // and with an EM round on top: fast == emStep(prune(init))
+    val fastEm = modelSet(TextAnalysis.unigramTrainBytesFast(d,
+      col("text"), emRounds = 1, targetVocab = target))
+    val chained = modelSet(TextAnalysis.unigramEmStepBytes(d, col("text"),
+      TextAnalysis.unigramPieces(pruned)))
+    assert(fastEm == chained)
+    // a target below the alphabet fails by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramPruneToVocab(init, 2)
+    }
+    assert(e.getMessage.contains("unigramPruneToVocab"), e.getMessage)
+  }
+
   test("soft EM: expected counts equal brute-force segmentation " +
        "enumeration on a small word; support keeps every init piece") {
     // corpus: "aba" x3, "ab" x2 — enumerable by hand
