@@ -971,60 +971,14 @@ object TextKernels {
     * directly). Path uniqueness: the [[unigramSegmentPieces]] backward
     * walk — longest piece whose predecessor state reproduces the stored
     * optimum exactly. */
-  def unigramSegmentBytesPieces(text: UTF8String,
-                                table: UnigramByteTable): ArrayData = {
-    val bytes = text.getBytes
-    val len = bytes.length
-    val maxLen = table.maxLen
-    val out = new java.util.ArrayList[AnyRef]()
-    var i = 0
-    while (i < len) {
-      while (i < len && isWs(bytes(i))) i += 1
-      val s = i
-      while (i < len && !isWs(bytes(i))) i += 1
-      val n = i - s
-      if (n > 0) {
-        val score = new Array[Long](n + 1)
-        val np = new Array[Int](n + 1)
-        viterbiFillBytes(bytes, s, n, table, score, np)
-        val rev = new java.util.ArrayList[AnyRef]()
-        var p = n
-        while (p > 0) {
-          var chosen = 1
-          var k = if (p < maxLen) p else maxLen
-          var done = false
-          while (!done && k >= 1) {
-            val pm = table.score(bytes, s + p - k, k)
-            val cand: Long =
-              if (pm != Long.MinValue) score(p - k) + pm
-              else if (k == 1) score(p - k) + UnigramUnkMicro
-              else Long.MinValue
-            if (cand == score(p) && np(p - k) + 1 == np(p)) {
-              chosen = k; done = true
-            }
-            k -= 1
-          }
-          rev.add(hexOf(bytes, s + p - chosen, chosen))
-          p -= chosen
-        }
-        var r = rev.size - 1
-        while (r >= 0) { out.add(rev.get(r)); r -= 1 }
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  /** [[unigramSegmentBytesPieces]] with TOKEN-START MARKERS — the
-    * SentencePiece "▁" convention in the hex alphabet: the first piece
-    * of every whitespace token carries a leading `_` (not a hex digit,
-    * so unambiguous), which makes the flat piece stream INVERTIBLE —
-    * concatenate the pieces' bytes, re-inserting one space before each
-    * marked piece after the first, and the whitespace-normalized text
-    * comes back exactly (detok contract; pieces may split multi-byte
-    * UTF-8 sequences, which is why decode happens once after the byte
-    * concat, never per piece). */
-  def unigramSegmentBytesPiecesMarked(text: UTF8String,
-                                      table: UnigramByteTable): ArrayData = {
+  /** ONE shared tokenize + Viterbi + backward walk for both byte-level
+    * piece emitters — the path semantics (longest piece reproducing the
+    * stored optimum) live in exactly one place, so the marked and
+    * unmarked streams (and through them the detok round trip) can never
+    * drift. Emits each token's hex pieces in order; `markTokenStart`
+    * prefixes each token's FIRST piece with `_`. */
+  private def segmentBytesWalk(text: UTF8String, table: UnigramByteTable,
+                               markTokenStart: Boolean): ArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
     val maxLen = table.maxLen
@@ -1062,7 +1016,7 @@ object TextKernels {
         var r = rev.size - 1
         while (r >= 0) {
           val piece = rev.get(r).asInstanceOf[UTF8String]
-          out.add(if (r == rev.size - 1)
+          out.add(if (markTokenStart && r == rev.size - 1)
             UTF8String.concat(UTF8String.fromString("_"), piece)
           else piece)
           r -= 1
@@ -1071,6 +1025,23 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  def unigramSegmentBytesPieces(text: UTF8String,
+                                table: UnigramByteTable): ArrayData =
+    segmentBytesWalk(text, table, markTokenStart = false)
+
+  /** [[unigramSegmentBytesPieces]] with TOKEN-START MARKERS — the
+    * SentencePiece "▁" convention in the hex alphabet: the first piece
+    * of every whitespace token carries a leading `_` (not a hex digit,
+    * so unambiguous), which makes the flat piece stream INVERTIBLE —
+    * concatenate the pieces' bytes, re-inserting one space before each
+    * marked piece after the first, and the whitespace-normalized text
+    * comes back exactly (detok contract; pieces may split multi-byte
+    * UTF-8 sequences, which is why decode happens once after the byte
+    * concat, never per piece). */
+  def unigramSegmentBytesPiecesMarked(text: UTF8String,
+                                      table: UnigramByteTable): ArrayData =
+    segmentBytesWalk(text, table, markTokenStart = true)
 
   /** The detokenizer for [[unigramSegmentBytesPiecesMarked]] output:
     * bytes concatenate across the whole stream FIRST (pieces split

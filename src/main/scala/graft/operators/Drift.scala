@@ -203,12 +203,24 @@ object Drift {
     val model = Pca.train(reference, vec, k)
 
     def dimSums(df: DataFrame): (Long, Array[java.math.BigDecimal]) = {
-      val rows = df.select(posexplode(vec.cast("array<double>"))
-          .as(Seq("pos", "e")))
+      // null ELEMENTS would silently bias the mean (sum skips nulls,
+      // count doesn't) — poison by name like Pca.train's guard; the
+      // reference side already went through Pca.train, but the CURRENT
+      // frame only passes through here
+      val v0 = vec.cast("array<double>")
+      val guarded = when(v0.isNotNull && exists(v0, x => x.isNull),
+        raise_error(lit("Drift.embeddingDrift: a vector contains null " +
+          "elements — clean or filter the embedding column first"))
+          .cast("array<double>"))
+        .otherwise(v0)
+      val rows = df.select(posexplode(guarded).as(Seq("pos", "e")))
         .groupBy(col("pos"))
         .agg(sum(col("e").cast("decimal(38,9)")).as("s"),
           count(lit(1)).as("n"))
         .orderBy(col("pos")).collect()
+      require(rows.nonEmpty,
+        "Drift.embeddingDrift: a frame has no vectors — nothing to " +
+          "profile")
       require(rows.length == model.dim,
         s"Drift.embeddingDrift: ragged vectors — ${rows.length} " +
           s"dimensions counted, model dim ${model.dim}")

@@ -972,11 +972,7 @@ object TextAnalysis {
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .where(length(col("piece")) === 1 || col("cnt") >= minCount)
       .localCheckpoint()
-    val tot = broadcast(keep.agg(sum(col("cnt")).as("__T")))
-    keep.crossJoin(tot)
-      .select(col("piece"), col("cnt").cast("long").as("cnt"),
-        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+    renormalizedModel(keep)
   }
 
   /** Driver hand-off of [[unigramTrain]]'s table for the segmentation
@@ -1105,11 +1101,7 @@ object TextAnalysis {
         explode(unigramSegmentPieces(col("w"), pieces, maxLen)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .localCheckpoint()
-    val tot = broadcast(cnts.agg(sum(col("cnt")).as("__T")))
-    cnts.crossJoin(tot)
-      .select(col("piece"), col("cnt").cast("long").as("cnt"),
-        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+    renormalizedModel(cnts)
   }
 
   /** BYTE-level unigram training, frequency-initialized — the
@@ -1145,11 +1137,7 @@ object TextAnalysis {
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .where(length(col("piece")) === 2 || col("cnt") >= minCount)
       .localCheckpoint()
-    val tot = broadcast(keep.agg(sum(col("cnt")).as("__T")))
-    keep.crossJoin(tot)
-      .select(col("piece"), col("cnt").cast("long").as("cnt"),
-        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+    renormalizedModel(keep)
   }
 
   /** One HARD-EM round for the BYTE-level model — [[unigramEmStep]]'s
@@ -1171,11 +1159,7 @@ object TextAnalysis {
           .unigramSegmentBytesPieces(col("w"), pieces, maxLen)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .localCheckpoint()
-    val tot = broadcast(cnts.agg(sum(col("cnt")).as("__T")))
-    cnts.crossJoin(tot)
-      .select(col("piece"), col("cnt").cast("long").as("cnt"),
-        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+    renormalizedModel(cnts)
   }
 
   /** Vocabulary PRUNING to a target size — the lever a tokenizer team
@@ -1204,11 +1188,7 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("piece"))
           .limit((targetVocab - nSingles).toInt))
       .localCheckpoint()
-    val tot = broadcast(kept.agg(sum(col("cnt")).as("__T")))
-    kept.crossJoin(tot)
-      .select(col("piece"), col("cnt").cast("long").as("cnt"),
-        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+    renormalizedModel(kept)
   }
 
   /** PRODUCTION-DEPTH byte-level unigram training — the
@@ -1245,25 +1225,8 @@ object TextAnalysis {
     require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
     require(targetVocab >= 0, s"targetVocab must be >= 0: $targetVocab")
     val spark = docs.sparkSession
-    val wc = bpeWordCountsBytes(docs, text)
-    val pruned =
-      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
-    val m = pruned.agg(count(lit(1)).as("rows"),
-      coalesce(sum(octet_length(col("w"))), lit(0L)).as("syms")).head()
-    val (rows, syms) = (m.getLong(0), m.getLong(1))
-    // words + freqs + the substring-count map (each byte position can
-    // open up to maxPieceLen distinct-piece entries, ~48 B apiece
-    // amortized across words that share pieces)
-    val est = rows * 120L + syms * (48L * maxPieceLen)
-    if (est > maxTableBytes)
-      throw new IllegalArgumentException(
-        s"unigramTrainBytesFast: the word-frequency table ($rows words, " +
-          s"$syms bytes, ~$est B on the driver) exceeds maxTableBytes " +
-          s"($maxTableBytes B). Raise minWordFreq (currently " +
-          s"$minWordFreq) to frequency-prune the long tail — the " +
-          "standard production-tokenizer move — or raise maxTableBytes " +
-          "if the driver heap genuinely has room")
-    val (wordBytes, freqs) = collectWordTable(pruned)
+    val (wordBytes, freqs) = guardedWordTable(docs, text, maxPieceLen,
+      minWordFreq, maxTableBytes, "unigramTrainBytesFast")
     var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
     // vocabulary-size control, the SentencePiece lever: prune ONCE
     // after frequency initialization (singles always kept — the no-OOV
@@ -1351,21 +1314,8 @@ object TextAnalysis {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
     require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
-    val wc = bpeWordCountsBytes(docs, text)
-    val pruned =
-      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
-    val m = pruned.agg(count(lit(1)).as("rows"),
-      coalesce(sum(octet_length(col("w"))), lit(0L)).as("syms")).head()
-    val (rows, syms) = (m.getLong(0), m.getLong(1))
-    val est = rows * 120L + syms * (48L * maxPieceLen)
-    if (est > maxTableBytes)
-      throw new IllegalArgumentException(
-        s"unigramTrainBytesSoft: the word-frequency table ($rows words, " +
-          s"$syms bytes, ~$est B on the driver) exceeds maxTableBytes " +
-          s"($maxTableBytes B). Raise minWordFreq (currently " +
-          s"$minWordFreq) to frequency-prune the long tail, or raise " +
-          "maxTableBytes if the driver heap genuinely has room")
-    val (wordBytes, freqs) = collectWordTable(pruned)
+    val (wordBytes, freqs) = guardedWordTable(docs, text, maxPieceLen,
+      minWordFreq, maxTableBytes, "unigramTrainBytesSoft")
     var model = unigramInitLocal(wordBytes, freqs, maxPieceLen, minCount)
       .map { case (p, c, lp) => (p, c.toDouble, lp) }
     val lls = new scala.collection.mutable.ArrayBuffer[Double]()
@@ -1389,7 +1339,7 @@ object TextAnalysis {
     * total probability. Returns `(newModel, corpusLL, expectedPieces)`.
     * Iteration order is fixed (word order, then position, then piece
     * length), so the doubles are bit-reproducible run to run. */
-  private def unigramSoftEmLocal(words: Array[Array[Byte]],
+  private[graft] def unigramSoftEmLocal(words: Array[Array[Byte]],
                                  freqs: Array[Long],
                                  model: Seq[(String, Double, Long)],
                                  maxLen: Int)
@@ -1473,6 +1423,19 @@ object TextAnalysis {
       }
       wi += 1
     }
+    // UNDERFLOW FLOOR: an occurrence sitting ~745+ nats below its
+    // word's total makes exp() underflow to exactly 0.0, which would
+    // silently drop the piece and break the support identity the
+    // registered query pins in BIGINTs. Every model piece occurs in
+    // some corpus word by construction (its count came from these
+    // words), so re-seed the missing/zeroed ones at the smallest
+    // positive double — the probability-space analogue of Laplace's
+    // never-zero rule, negligible in the normalizer.
+    model.foreach { case (p, _, _) =>
+      val cur = ec.get(p)
+      if (cur == null || cur.doubleValue == 0.0)
+        ec.put(p, java.lang.Double.valueOf(java.lang.Double.MIN_VALUE))
+    }
     var total = 0.0
     val it0 = ec.values.iterator
     while (it0.hasNext) total += it0.next().doubleValue
@@ -1486,6 +1449,49 @@ object TextAnalysis {
           java.lang.Math.log(c / total) * 1000000.0 + 0.5).toLong))
     }
     (out.toSeq, ll, ePieces)
+  }
+
+  /** `(piece, cnt)` frame → the model frame: broadcast total + the
+    * family's micro-nat quantization — ONE implementation shared by
+    * the init, EM, and prune paths (char and byte), so a quantization
+    * tweak can never update one and strand the spec-pinned
+    * bit-equalities between them. */
+  private def renormalizedModel(kept: DataFrame): DataFrame = {
+    val tot = broadcast(kept.agg(sum(col("cnt")).as("__T")))
+    kept.crossJoin(tot)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        floor(log(col("cnt").cast("double") / col("__T").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp_micro"))
+  }
+
+  /** The measured-guard word-table hand-off shared by both byte-level
+    * fast trainers: one distributed word-count scan, minWordFreq
+    * pruning, the driver footprint MEASURED before anything collects
+    * (words + freqs + the substring-count map — each byte position can
+    * open up to maxPieceLen distinct-piece entries, ~48 B apiece
+    * amortized across words sharing pieces), failure BY NAME citing the
+    * minWordFreq lever. One implementation so the two trainers' guards
+    * can never drift. */
+  private def guardedWordTable(docs: DataFrame, text: Column,
+                               maxPieceLen: Int, minWordFreq: Long,
+                               maxTableBytes: Long, caller: String)
+      : (Array[Array[Byte]], Array[Long]) = {
+    val wc = bpeWordCountsBytes(docs, text)
+    val pruned =
+      if (minWordFreq > 1) wc.filter(col("freq") >= minWordFreq) else wc
+    val m = pruned.agg(count(lit(1)).as("rows"),
+      coalesce(sum(octet_length(col("w"))), lit(0L)).as("syms")).head()
+    val (rows, syms) = (m.getLong(0), m.getLong(1))
+    val est = rows * 120L + syms * (48L * maxPieceLen)
+    if (est > maxTableBytes)
+      throw new IllegalArgumentException(
+        s"$caller: the word-frequency table ($rows words, " +
+          s"$syms bytes, ~$est B on the driver) exceeds maxTableBytes " +
+          s"($maxTableBytes B). Raise minWordFreq (currently " +
+          s"$minWordFreq) to frequency-prune the long tail — the " +
+          "standard production-tokenizer move — or raise maxTableBytes " +
+          "if the driver heap genuinely has room")
+    collectWordTable(pruned)
   }
 
   /** Collect the word table in CANONICAL (word) order — collect()

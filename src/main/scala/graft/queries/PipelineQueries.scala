@@ -130,21 +130,25 @@ object PipelineQueries {
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
         // The DuckDB oracles encode each DP state as score·2^20 −
-        // n_pieces; a lowercase word of >= 2^20 chars would alias the
-        // encoding (n_pieces can reach word length) and produce a
-        // baffling parity mismatch while the Scala kernel stays exact.
-        // Measure once per corpus and fail BY NAME instead.
+        // n_pieces. Two independent bounds say a word must stay well
+        // under 10^5 chars: past ~190k chars the accumulated key (worst
+        // case −20e6 micro-nats/char · 2^20) crosses the −4e18
+        // missing-piece sentinel (silently wrong segmentation), and
+        // past ~440k it overflows BIGINT outright; n_pieces aliasing
+        // needs 2^20. The 10^5 guard keeps a 2x margin under the
+        // tightest bound. Measure once per corpus and fail BY NAME.
         val docs = Tables(s, dir).documents
         val worst = docs
           .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
           .where(col("w").rlike("^[a-z]+$"))
           .agg(max(length(col("w")))).head()
         val maxW = if (worst.isNullAt(0)) 0 else worst.getInt(0)
-        require(maxW < 1000000,
+        require(maxW < 100000,
           s"trainedUnigram: corpus has a $maxW-char lowercase word — " +
-            "the unigram oracles' score*2^20 - n_pieces key encoding " +
-            "aliases past 2^20 - 1 pieces; split pathological tokens " +
-            "upstream or widen the oracle encoding")
+            "the unigram oracles' score*2^20 - n_pieces keys cross the " +
+            "missing-piece sentinel (and eventually overflow BIGINT) " +
+            "on longer words; split pathological tokens upstream or " +
+            "widen the oracle encoding")
         val model = TextAnalysis.unigramTrain(docs, col("text"))
           .localCheckpoint()
         (TextAnalysis.unigramPieces(model), TextAnalysis.unigramVocab(model))
@@ -166,18 +170,19 @@ object PipelineQueries {
     unigramBytesMemo.computeIfAbsent(
       graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
       _ => {
-        // same aliasing guard as the char family, at the widened 2^20
-        // key base and in BYTES (n_pieces can reach the token's byte
-        // length)
+        // same key-magnitude guard as the char family (sentinel
+        // crossing then BIGINT overflow — see trainedUnigramModel), in
+        // BYTES
         val docs = plantedDocs(s, dir)
         val worst = docs
           .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
           .agg(max(octet_length(col("w")))).head()
         val maxW = if (worst.isNullAt(0)) 0 else worst.getInt(0)
-        require(maxW < 1000000,
+        require(maxW < 100000,
           s"trainedUnigramBytes: corpus has a $maxW-byte token — the " +
-            "byte unigram oracles' score*2^20 - n_pieces key encoding " +
-            "aliases past 2^20 - 1 pieces; split pathological tokens " +
+            "byte unigram oracles' score*2^20 - n_pieces keys cross " +
+            "the missing-piece sentinel (and eventually overflow " +
+            "BIGINT) on longer tokens; split pathological tokens " +
             "upstream or widen the oracle encoding")
         val model = TextAnalysis.unigramTrainBytes(docs, col("text"))
           .localCheckpoint()

@@ -152,11 +152,16 @@ object TokenizerStore {
         .contains("bytes"),
       s"TokenizerStore $t holds a BYTE-level model — load with " +
         "TokenizerStore.loadUnigramBytes")
-    val pieces = TextAnalysis.unigramPieces(spark.table(t))
-    require(pieces.size.toLong == declared,
-      s"TokenizerStore $t: stamped $declared pieces but read " +
-        s"${pieces.size} — partial data; rebuild with " +
+    // stamp check FIRST (a cheap model-table count), then the hand-off
+    // with the stamped count as its cap — a model legitimately stored
+    // past unigramPieces' default maxPieces must stay loadable
+    val actual = spark.table(t).count()
+    require(actual == declared,
+      s"TokenizerStore $t: stamped $declared pieces but holds " +
+        s"$actual — partial data; rebuild with " +
         "TokenizerStore.buildUnigram")
+    val pieces = TextAnalysis.unigramPieces(spark.table(t),
+      maxPieces = math.max(declared, 1L).min(Int.MaxValue.toLong).toInt)
     (pieces, maxLen)
   }
 
@@ -221,11 +226,17 @@ object TokenizerStore {
       "TokenizerStore").toLong
     val maxLen = CatalogProps.prop(spark, t, "graft.tok.maxlen",
       "TokenizerStore").toInt
-    val pieces = TextAnalysis.unigramPieces(spark.table(t))
-    require(pieces.size.toLong == declared,
-      s"TokenizerStore $t: stamped $declared pieces but read " +
-        s"${pieces.size} — partial data; rebuild with " +
+    // stamp check FIRST, then the hand-off with the stamped count as
+    // its cap: a web-scale byte model legitimately exceeds
+    // unigramPieces' default maxPieces (the scale probe's own 16-byte
+    // model needs 4<<20) and must stay loadable
+    val actual = spark.table(t).count()
+    require(actual == declared,
+      s"TokenizerStore $t: stamped $declared pieces but holds " +
+        s"$actual — partial data; rebuild with " +
         "TokenizerStore.buildUnigramBytes")
+    val pieces = TextAnalysis.unigramPieces(spark.table(t),
+      maxPieces = math.max(declared, 1L).min(Int.MaxValue.toLong).toInt)
     (pieces, maxLen)
   }
 }

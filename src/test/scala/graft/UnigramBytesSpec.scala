@@ -314,6 +314,39 @@ class UnigramBytesSpec extends SparkSpec {
       "soft EM must be bit-reproducible across partitionings")
   }
 
+  test("soft EM underflow floor: an occurrence whose posterior " +
+       "underflows exp() to 0.0 keeps its piece at the denormal floor " +
+       "— the support identity holds by construction") {
+    // synthetic extreme-skew model over one 200-byte word: the
+    // whole-word piece at -1 nat vs singles at -20 nats each — the
+    // all-singles path sits ~3999 nats below the best, so every
+    // mid-word single's posterior is exp(-3979) = 0.0 in IEEE doubles
+    val w = Array.fill(200)('a'.toByte)
+    val fullHex = w.map(b => f"${b & 0xff}%02x").mkString
+    val model = Seq((fullHex, 1.0, -1000000L), ("61", 1.0, -20000000L))
+    val (next, ll, _) = TextAnalysis.unigramSoftEmLocal(
+      Array(w), Array(1L), model, maxLen = 200)
+    val got = next.map(t => t._1 -> t._2).toMap
+    assert(got.keySet == Set(fullHex, "61"),
+      s"support broke: ${got.keySet.size} pieces")
+    // the single survived at exactly the floor; the whole word at ~1
+    assert(got("61") == java.lang.Double.MIN_VALUE, got.toString)
+    assert(math.abs(got(fullHex) - 1.0) < 1e-9, got.toString)
+    assert(math.abs(ll - (-1.0)) < 1e-6, s"ll $ll")
+    // and the corpus-level trainer keeps the identity on a long-word
+    // corpus end to end
+    val ww = "ab" * 120
+    val d = docs(s"$ww $ww cc cc")
+    val init = TextAnalysis.unigramTrainBytes(d, col("text"),
+      maxPieceLen = 240).localCheckpoint()
+    val initSet = TextAnalysis.unigramPieces(init, maxPieces = 1 << 21)
+      .map(_._1).toSet
+    val (m2, _, _) = TextAnalysis.unigramTrainBytesSoftDiag(
+      d, col("text"), maxPieceLen = 240, emRounds = 1)
+    assert(m2.map(_._1).toSet == initSet,
+      s"soft EM dropped ${(initSet -- m2.map(_._1).toSet).size} pieces")
+  }
+
   test("soft EM agrees with hard EM in the peaked limit (one dominant " +
        "segmentation per word)") {
     // one 36-byte all-distinct word repeated: under the uniform init
