@@ -1487,6 +1487,27 @@ object PipelineQueries {
         .limit(40)
     },
 
+    // DSIR data selection (Xie et al. 2023): hashed uni+bigram feature
+    // buckets (portable md5 buckets — both engines re-derive them),
+    // Laplace-smoothed target/raw importance log-ratios rounded once,
+    // per-doc DECIMAL-summed log-weights, rank-limited top-20. Domain
+    // planted on every 10th raw doc; the target is the %7 sample with
+    // the domain suffix.
+    "dsir_select" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val raw = t.documents.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"),
+            lit(" quantum flux capacitor quantum flux")))
+          .otherwise(col("text")).as("text"))
+      val tgt = t.documents.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" quantum flux capacitor")).as("text"))
+      graft.operators.Dsir.select(raw, tgt, col("doc_id"), col("text"),
+          k = 20, ngram = 2, nBuckets = 4096)
+        .orderBy(col("logw").desc, col("doc_id"))
+    },
+
     // Marked segment + DETOKENIZE — the loader-facing decode contract
     // for the byte unigram (the BPE family's text_bpe_detok twin):
     // SentencePiece-style token-start markers make the flat hex-piece
@@ -4632,6 +4653,60 @@ object PipelineQueries {
          ORDER BY d.doc_id""",
 
     "text_unigram_bytes_em" -> unigramBytesEmOracle,
+
+    // DSIR replayed end to end: md5-bucketed uni+bigram features,
+    // full-outer count join, Laplace over the shared bucket vocabulary,
+    // round-once log-ratios, DECIMAL-summed doc weights, top-20.
+    "dsir_select" ->
+      s"""WITH rawd AS (SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0
+                   THEN text || ' quantum flux capacitor quantum flux'
+                   ELSE text END AS text
+            FROM documents),
+          tgtd AS (SELECT doc_id, text || ' quantum flux capacitor'
+                     AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+          rtok AS (SELECT doc_id, $tokensSql AS tk FROM rawd),
+          ttok AS (SELECT doc_id, $tokensSql AS tk FROM tgtd),
+          rfeat AS MATERIALIZED (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % 4096 AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM rtok)),
+          tfeat AS (
+            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % 4096 AS VARCHAR) AS f
+            FROM (SELECT unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM ttok)),
+          rcnt AS (SELECT f, count(*) AS raw_n FROM rfeat GROUP BY 1),
+          tcnt AS (SELECT f, count(*) AS tgt_n FROM tfeat GROUP BY 1),
+          vtab AS MATERIALIZED (
+            SELECT coalesce(r.f, t.f) AS f,
+              coalesce(raw_n, 0) AS raw_n, coalesce(tgt_n, 0) AS tgt_n
+            FROM rcnt r FULL OUTER JOIN tcnt t ON r.f = t.f),
+          st AS (SELECT count(*) AS V, sum(raw_n) AS NR,
+                   sum(tgt_n) AS NT
+                 FROM vtab),
+          ratio AS MATERIALIZED (
+            SELECT f,
+              CAST(round(
+                ln(CAST(tgt_n + 1 AS DOUBLE) / (NT + V))
+                - ln(CAST(raw_n + 1 AS DOUBLE) / (NR + V)), 6)
+                AS DECIMAL(38,6)) AS lr
+            FROM vtab CROSS JOIN st),
+          docw AS (SELECT rf.doc_id, count(*) AS n_feats,
+                     CAST(sum(lr) AS DOUBLE) AS logw
+                   FROM rfeat rf JOIN ratio USING (f) GROUP BY 1),
+          fullw AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                      coalesce(logw, 0.0) AS logw
+                    FROM rawd d LEFT JOIN docw USING (doc_id))
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, logw
+         FROM fullw ORDER BY logw DESC, doc_id LIMIT 20""",
 
     // The detok round-trip target is closed-form: the whitespace-joined
     // token stream; n_pieces rides the existing byte-DP CTEs.
