@@ -171,12 +171,19 @@ object Cdc {
     * Keys need NOT be unique within a snapshot: each side is first
     * reduced to one row per key — an order-insensitive multiset
     * fingerprint `(count, sum/min/max of row fingerprint, sum of
-    * length)` — so duplicate keys compare as multisets instead of
-    * exploding the full-outer join into a per-key cross product. For
-    * unique keys this degenerates to exactly the single-row
-    * fingerprint comparison. One pre-aggregation plus one co-keyed
-    * join; both sides shuffle once on the key (the agg and the join
-    * share the key partitioning). */
+    * RE-HASHED fingerprint, sum of length)` — so duplicate keys
+    * compare as multisets instead of exploding the full-outer join
+    * into a per-key cross product. The re-hashed component
+    * (`sum of xxhash64(fp)`) breaks additive symmetry: without it two
+    * different 4+-row multisets could collide by compensating shifts
+    * ({a,b,c,d} vs {a,b+d1,c-d1,d} preserves count/sum/min/max with no
+    * hash collision at all); with it a missed change needs the
+    * compensated rows to ALSO preserve a sum of independently-hashed
+    * 64-bit values — i.e. a genuine hash collision again. For unique
+    * keys this degenerates to exactly the single-row fingerprint
+    * comparison. One pre-aggregation plus one co-keyed join; both
+    * sides shuffle once on the key (the agg and the join share the key
+    * partitioning). */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: Column,
                    payload: Column): DataFrame = {
     def keyed(df: DataFrame, side: String): DataFrame =
@@ -189,6 +196,9 @@ object Cdc {
           // DECIMAL: xxhash64 spans the full long range, a plain long
           // sum overflows under ANSI
           sum(col("__fp").cast("decimal(38,0)")).as("fp_sum"),
+          // re-hash before summing: a nonlinear second sum that
+          // compensating fp shifts cannot preserve (see scaladoc)
+          sum(xxhash64(col("__fp")).cast("decimal(38,0)")).as("fph_sum"),
           min(col("__fp")).as("fp_min"),
           max(col("__fp")).as("fp_max"),
           sum(col("__len")).as("len_sum")).as(s"__sig$side"))

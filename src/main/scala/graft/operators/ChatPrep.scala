@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SFT / instruction-tuning conversation prep — the four operations a
@@ -274,7 +273,14 @@ object ChatPrep {
     * Conversations with ZERO assistant turns (possible on unvalidated
     * input — [[validate]] rejects them) are each their own cluster:
     * their key is salted with the conv_id, so the shared
-    * empty-assistant-text fingerprint can never merge them. */
+    * empty-assistant-text fingerprint can never merge them.
+    *
+    * Canonical derivation is AGG + JOIN on the fingerprint key (the
+    * dedup_canonical shape), not `min().over(partitionBy(fp))` — a
+    * window would force a per-partition SORT of every row just to
+    * propagate one group minimum; the partial-aggregating hash agg +
+    * key-colocated join does the same work sort-free and AQE can
+    * broadcast the cluster-sized agg side. */
   def dedupByAssistant(df: DataFrame, convId: Column,
                        turns: Column): DataFrame = {
     val base = df
@@ -286,10 +292,10 @@ object ChatPrep {
           .as("__fp"),
         when(col("__has"), length(col("__a")).cast("long"))
           .otherwise(lit(-1L)).as("__len"))
-    val w = Window.partitionBy(col("__fp"), col("__len"))
-    base
-      .select(col("conv_id"),
-        min(col("conv_id")).over(w).as("canonical_id"))
+    val canon = base.groupBy(col("__fp"), col("__len"))
+      .agg(min(col("conv_id")).as("canonical_id"))
+    base.join(canon, Seq("__fp", "__len"))
+      .select(col("conv_id"), col("canonical_id"))
       .withColumn("is_dup", col("conv_id") =!= col("canonical_id"))
   }
 }

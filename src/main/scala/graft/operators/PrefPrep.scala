@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Preference-pair (RLHF / DPO) data prep — the other half of what an
@@ -86,7 +85,9 @@ object PrefPrep {
     * rendered prompt — never the text. Pairs with an EMPTY prompt
     * (possible on unvalidated input) are each their own cluster
     * (pair_id-salted key), mirroring
-    * [[ChatPrep.dedupByAssistant]]'s contract. */
+    * [[ChatPrep.dedupByAssistant]]'s contract — including its
+    * sort-free AGG + JOIN canonical derivation (no Window in the
+    * lineage; see that scaladoc for why). */
   def dedupByPrompt(df: DataFrame, pairId: Column,
                     promptTurns: Column): DataFrame = {
     val base = df
@@ -99,10 +100,10 @@ object PrefPrep {
           .as("__fp"),
         when(col("__has"), length(col("__p")).cast("long"))
           .otherwise(lit(-1L)).as("__len"))
-    val w = Window.partitionBy(col("__fp"), col("__len"))
-    base
-      .select(col("pair_id"),
-        min(col("pair_id")).over(w).as("canonical_id"))
+    val canon = base.groupBy(col("__fp"), col("__len"))
+      .agg(min(col("pair_id")).as("canonical_id"))
+    base.join(canon, Seq("__fp", "__len"))
+      .select(col("pair_id"), col("canonical_id"))
       .withColumn("is_dup", col("pair_id") =!= col("canonical_id"))
   }
 

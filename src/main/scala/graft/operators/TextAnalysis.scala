@@ -1233,7 +1233,8 @@ object TextAnalysis {
     // fallback); hard-EM rounds then refine the pruned table, their
     // natural drop-out shrinking support further. Bit-identical to
     // [[unigramPruneToVocab]] on the same frame (spec-pinned).
-    if (targetVocab > 0) model = pruneLocal(model, targetVocab)
+    if (targetVocab > 0)
+      model = pruneLocal(model, targetVocab, "unigramTrainBytesFast")
     var round = 0
     while (round < emRounds) {
       model = unigramEmLocal(wordBytes, freqs, model, maxPieceLen)
@@ -1248,10 +1249,14 @@ object TextAnalysis {
     * pieces are ASCII, so String order == engine binary order), same
     * renormalization. */
   private def pruneLocal(model: Seq[(String, Long, Long)],
-                         targetVocab: Int): Seq[(String, Long, Long)] = {
+                         targetVocab: Int,
+                         caller: String): Seq[(String, Long, Long)] = {
     val singles = model.filter(_._1.length == 2)
+    // fail citing the API the caller actually invoked (the
+    // guardedWordTable convention), not this private twin's public
+    // sibling
     require(targetVocab >= singles.size,
-      s"unigramPruneToVocab: targetVocab=$targetVocab cannot hold the " +
+      s"$caller: targetVocab=$targetVocab cannot hold the " +
         s"${singles.size} single-byte pieces — the no-OOV fallback is " +
         "not prunable; raise the target past the alphabet size")
     val multi = model.filter(_._1.length > 2)

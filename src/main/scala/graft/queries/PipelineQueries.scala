@@ -229,6 +229,29 @@ object PipelineQueries {
         m
       })
 
+  /** pack_bestfit's input frame, GUARDED: the BFD oracle's recursive
+    * CTE silently opens a negative-remaining-capacity bin for a
+    * document longer than seqLen and keeps packing, while
+    * [[graft.operators.Sampling.packSequencesWholeBy]] fails by name —
+    * a future corpus with a >256-token doc would otherwise surface as
+    * a baffling parity mismatch instead of the operator's named error.
+    * Assert the no-split regime's precondition HERE, once, before
+    * either side runs (the trainedUnigram measure-once-fail-by-name
+    * pattern). */
+  private def bestFitDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.filter(col("doc_id") < 300)
+    val worst = docs
+      .agg(max(TextAnalysis.tokenCount(col("text")).cast("long"))).head()
+    val maxN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(maxN <= 256,
+      s"pack_bestfit: corpus has a $maxN-token document past the " +
+        "256-token sequence length — the whole-document regime cannot " +
+        "hold it (the operator fails by name; the BFD oracle replay " +
+        "would silently mispack); raise seqLen or split oversize " +
+        "documents upstream")
+    docs
+  }
+
   /** Build-if-absent persisted vectors store + PQ sidecar for the
     * sim_*_store probes, keyed by the embeddings file's (mtime, length)
     * fingerprint with a stale-sibling sweep (the ingest_admit pattern:
@@ -784,9 +807,8 @@ object PipelineQueries {
     // CTE carrying the open-bin remaining-capacity list — a wrong sort
     // order, fit rule, or tie-break diverges on the first affected doc.
     "pack_bestfit" -> { (s, dir) =>
-      val t = Tables(s, dir)
       graft.operators.Sampling.packSequencesWholeBy(
-          t.documents.filter(col("doc_id") < 300), col("doc_id"),
+          bestFitDocs(s, dir), col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long"),
           nShards = 1, seqLen = 256, salt = "bf")
         .select(col("doc_id"), col("seq_id"), col("n_toks"),
@@ -797,10 +819,9 @@ object PipelineQueries {
     // The report over the best-fit map: padding waste and fill of the
     // no-split regime, zero split docs by construction.
     "pack_bestfit_report" -> { (s, dir) =>
-      val t = Tables(s, dir)
       graft.operators.Sampling.packReport(
           graft.operators.Sampling.packSequencesWholeBy(
-            t.documents.filter(col("doc_id") < 300), col("doc_id"),
+            bestFitDocs(s, dir), col("doc_id"),
             TextAnalysis.tokenCount(col("text")).cast("long"),
             nShards = 1, seqLen = 256, salt = "bf").drop("seq_pos"),
           seqLen = 256)

@@ -185,6 +185,10 @@ class ChatPrepSpec extends SparkSpec {
       s"dedup must shuffle on the fingerprint:\n$pd")
     assert(!pd.contains("Exchange hashpartitioning(__a"),
       s"dedup exchange keyed on the text:\n$pd")
+    // the canonical comes from AGG + JOIN, never min().over(fp): a
+    // window would sort every partition just to spread a group min
+    assert(!pd.contains("Window"),
+      s"dedup lineage contains a Window (sorting) operator:\n$pd")
   }
 
   test("dedupByAssistant: same assistant content collapses to the min " +

@@ -138,5 +138,9 @@ class PrefPrepSpec extends SparkSpec {
       s"dedup must shuffle on the fingerprint:\n$pd")
     assert(!pd.contains("Exchange hashpartitioning(__p"),
       s"dedup exchange keyed on the rendered prompt:\n$pd")
+    // canonical via AGG + JOIN (the dedup_canonical shape), never
+    // min().over(fp) — a window sorts every partition for a group min
+    assert(!pd.contains("Window"),
+      s"dedup lineage contains a Window (sorting) operator:\n$pd")
   }
 }
