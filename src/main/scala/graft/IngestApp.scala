@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Dsir, Similarity, TextAnalysis}
 import graft.sources.IndexStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -88,13 +88,22 @@ object IngestApp {
     *  - `nb`: a naive-Bayes quality classifier
     *    ([[TextAnalysis.nbTrain]], curated-vs-crawl labels) — a document
     *    it predicts NEGATIVE is rejected as `classifier_rejected`.
-    * Both apply map-side against broadcast/vocabulary-shaped model
-    * tables; per-document cost is model-size-independent. Blank
-    * documents carry no model evidence and pass both model gates (the
-    * heuristic quality gate is what rejects them). */
+    *  - `dsir`: a trained DSIR importance model
+    *    ([[graft.operators.Dsir.model]], typically loaded from
+    *    [[graft.sources.DsirStore]]) plus the minimum admissible
+    *    log-weight — a document whose importance log-weight under the
+    *    target-vs-raw model falls below the threshold is rejected as
+    *    `dsir_out_of_domain` (Xie et al. 2023 as a persistent gate).
+    * lm/nb apply map-side against broadcast/vocabulary-shaped model
+    * tables (per-document cost model-size-independent); dsir pays ONE
+    * feature-keyed exchange per batch against the vocabulary-shaped
+    * ratio table — still independent of the training corpora's size.
+    * Blank documents carry no model evidence and pass all three model
+    * gates (the heuristic quality gate is what rejects them). */
   final case class ModelGate(
       lm: Option[(TextAnalysis.NgramModel, Double)] = None,
-      nb: Option[TextAnalysis.NbModel] = None)
+      nb: Option[TextAnalysis.NbModel] = None,
+      dsir: Option[(Dsir.Model, Double)] = None)
 
   def qualityRejects(batch: DataFrame, minQuality: Double,
                      langs: Set[String] = Set.empty,
@@ -114,11 +123,16 @@ object IngestApp {
           .filter(col("avg_neg_logp") > maxNegLogP)
           .select(col("doc_id"), lit("lm_perplexity").as("reason")))
     }
-    models.nb.fold(withLm) { model =>
+    val withNb = models.nb.fold(withLm) { model =>
       withLm.unionByName(
         TextAnalysis.nbScore(batch, col("doc_id"), col("text"), model)
           .filter(!col("predict_pos"))
           .select(col("doc_id"), lit("classifier_rejected").as("reason")))
+    }
+    models.dsir.fold(withNb) { case (model, minLogw) =>
+      withNb.unionByName(
+        Dsir.gateRejects(batch, model, col("doc_id"), col("text"),
+          minLogw))
     }
   }
 

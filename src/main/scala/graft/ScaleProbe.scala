@@ -736,6 +736,64 @@ object ScaleProbe {
         totals.unpersist()
       }
 
+      // DSIR PRODUCTION LOOP at scale: train the hashed-bucket
+      // importance model once (two counting scans) on the shared corpus
+      // with the domain marker planted on every 100th doc vs a
+      // 2000-doc target, round-trip it through DsirStore, then GATE
+      // the full corpus as a batch against the STORED model — pricing
+      // train / store / per-batch scoring separately (the per-batch
+      // cost is the number a pretraining team actually pays per crawl).
+      // Greedy selection must recover the planted set exactly; the
+      // Gumbel draw reports its (stochastic) planted share.
+      if (on("dsir")) {
+        import graft.operators.{Dsir, Sampling}
+        import graft.sources.DsirStore
+        val nPlanted = n / 100
+        val planted = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(100)) === 7,
+            concat(col("text"), lit(" quantum flux capacitor quantum flux")))
+            .otherwise(col("text")))
+        val target = spark.range(2000)
+          .select((col("id") + n).as("doc_id"),
+            lit("quantum flux capacitor studies quantum flux").as("text"))
+        planted.cache().count()
+        val t0 = System.nanoTime()
+        val m = Dsir.model(planted, target, col("doc_id"), col("text"),
+          ngram = 2)
+        val secTrain = (System.nanoTime() - t0) / 1e9
+        DsirStore.drop(spark, "dsir_probe")
+        val tS = System.nanoTime()
+        DsirStore.buildFrom(spark, "dsir_probe", m)
+        val loaded = DsirStore.load(spark, "dsir_probe")
+        val secStore = (System.nanoTime() - tS) / 1e9
+        val t1 = System.nanoTime()
+        val scored = Dsir.scoreAgainst(planted, loaded, col("doc_id"),
+          col("text")).localCheckpoint(true)
+        val sep = scored.agg(
+          min(when(pmod(col("doc_id"), lit(100)) === 7, col("logw")))
+            .as("pmin"),
+          max(when(pmod(col("doc_id"), lit(100)) =!= 7, col("logw")))
+            .as("nmax")).head()
+        val secGate = (System.nanoTime() - t1) / 1e9
+        val (pmin, nmax) = (sep.getDouble(0), sep.getDouble(1))
+        assert(pmin > nmax,
+          f"no planted separation: planted min $pmin%.2f vs $nmax%.2f")
+        val greedy = scored.orderBy(col("logw").desc, col("doc_id"))
+          .limit(nPlanted).collect()
+        assert(greedy.forall(_.getLong(0) % 100 == 7),
+          "greedy selection admitted a non-planted doc inside the margin")
+        val tG = System.nanoTime()
+        val drawn = Sampling.gumbelTopK(scored, col("doc_id"),
+          col("logw"), k = nPlanted).collect()
+        val secSample = (System.nanoTime() - tG) / 1e9
+        val share = drawn.count(_.getLong(0) % 100 == 7).toDouble / nPlanted
+        assert(share >= 0.5,
+          f"Gumbel draw planted share $share%.2f — weights not biting")
+        DsirStore.drop(spark, "dsir_probe")
+        println(f"""{"metric":"dsir_scale","docs":$n,"features":${m.nFeatures},"train_sec":$secTrain%.2f,"store_roundtrip_sec":$secStore%.2f,"gate_sec":$secGate%.2f,"sample_sec":$secSample%.2f,"margin_nats":${pmin - nmax}%.2f,"gumbel_planted_share":$share%.3f,"docs_per_sec_gate":${n / secGate}%.0f}""")
+        planted.unpersist()
+      }
+
       // BYTE-level unigram PRODUCTION training at scale: a 50k-type
       // multi-script vocabulary (base36 word stems, every 17th type
       // accented, every 29th carrying an astral emoji) — the 20-word

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -12,11 +12,16 @@ import org.apache.spark.sql.types.DecimalType
   * weight — the standard way a pretraining team skews a web crawl
   * toward a quality/domain sample without training a classifier.
   *
-  * Features are the document's 1..n-gram token multiset (the paper uses
-  * hashed n-grams; the hermetic form here keys features by the grams
-  * themselves, which any engine replays exactly — at 100 TB the
-  * feature table is vocabulary-shaped either way, and [[Dedup]]-style
-  * hashing composes upstream when the gram space must be bounded).
+  * Features are the document's 1..n-gram token multiset, HASHED into
+  * `nBuckets` md5 buckets by default ([[DefaultBuckets]]) — the paper's
+  * own form: at 100 TB an unhashed n-gram vocabulary is not
+  * "vocabulary-shaped", it is corpus-shaped in the tail, while hashed
+  * buckets bound the feature space a priori AND pool the rare-gram tail
+  * into well-estimated buckets instead of each rare gram meeting
+  * Laplace smoothing alone. The raw-gram space (`nBuckets = 0`) stays
+  * available behind a MEASURED pre-screen guard (one map-side
+  * approx-distinct pass; over `maxFeatures` the call fails by name
+  * citing the hashing lever — the [[TextAnalysis.ngramTrain]] pattern).
   * Both distributions are Laplace-smoothed over the SHARED feature
   * vocabulary V (every feature seen in either corpus):
   * `p(f) = (n_f + 1) / (N + |V|)` — no zero anywhere, so the
@@ -28,10 +33,29 @@ import org.apache.spark.sql.types.DecimalType
   * ratios — exact, associativity-free, bit-equal on any engine (the
   * n-gram-LM contract).
   *
+  * The PRODUCTION LOOP — a pretraining team uses DSIR as a persistent
+  * gate, not a one-shot query:
+  *  - [[model]] trains once (two counting scans); persist it with
+  *    [[graft.sources.DsirStore]] (build/stamp/fence lifecycle, the
+  *    TokenizerStore pattern) and load it from any later session.
+  *  - [[scoreAgainst]] scores ANY batch against the trained model —
+  *    features unseen at training time take the Laplace-default ratio
+  *    (counts 0/0 under the trained totals), so the score is total on
+  *    novel text.
+  *  - [[gateRejects]] is the admission form: reject a batch document
+  *    whose log-weight falls below a calibrated threshold — composes
+  *    with [[graft.IngestApp]]'s gate chain
+  *    (`ModelGate(dsir = Some(model -> minLogw))`) for both batch and
+  *    streaming ingestion.
+  *  - [[sampled]] is the paper's actual resampling: Gumbel-top-k over
+  *    the log-weights ([[Sampling.gumbelTopK]]) — a deterministic,
+  *    engine-replayable draw from softmax(logw) without replacement.
+  *    [[select]] remains the expectation-shaped greedy top-k.
+  *
   * Scale shape: two counting aggregates (one scan per corpus), one
-  * vocabulary-sized join to build the ratio table, then the raw docs'
-  * exploded features join the ratios on the feature key (shuffle on
-  * the feature — the same exchange the LM scorers pay) and fold back
+  * vocabulary-sized join to build the ratio table, then the scored
+  * docs' exploded features join the ratios on the feature key (shuffle
+  * on the feature — the same exchange the LM scorers pay) and fold back
   * to one row per document. Selection is a rank-limited top-k
   * (TakeOrderedAndProject), never a global sort. Nothing is ever
   * corpus-×-corpus.
@@ -39,6 +63,28 @@ import org.apache.spark.sql.types.DecimalType
 object Dsir {
 
   private val dec = DecimalType(38, 6)
+
+  /** Default hashed-feature-space size. The paper uses 10k buckets; a
+    * larger power of two keeps per-bucket pooling mild while the ratio
+    * table stays trivially vocabulary-shaped (65536 rows max). */
+  val DefaultBuckets: Int = 1 << 16
+
+  /** A trained DSIR importance model: the ratio table
+    * `(f, tgt_n, raw_n, logr)` plus the training totals that make
+    * scoring total on unseen features. `nFeatures` = |V| (= ratio-table
+    * rows), `nRawOcc`/`nTgtOcc` = total feature occurrences per side.
+    * Persist/load via [[graft.sources.DsirStore]]. */
+  final case class Model(ratios: DataFrame, ngram: Int, nBuckets: Int,
+                         nFeatures: Long, nRawOcc: Long, nTgtOcc: Long) {
+    /** The Laplace-default log-ratio of a feature UNSEEN at training
+      * time — exactly the table formula at counts 0/0:
+      * `round(ln(1/(NT+V)) − ln(1/(NR+V)), 6)`. Same float op order as
+      * the table rows, so any engine re-derives it from the stamped
+      * totals. */
+    def logr0: Column = round(
+      log(lit(1.0) / lit(nTgtOcc + nFeatures).cast("double")) -
+        log(lit(1.0) / lit(nRawOcc + nFeatures).cast("double")), 6)
+  }
 
   /** The 1..n-gram feature multiset of a text column, exploded:
     * one row per occurrence. */
@@ -67,16 +113,35 @@ object Dsir {
     exploded.select(col("doc_id"), f.as("f"))
   }
 
-  /** Per-feature importance log-ratio table:
-    * `(f, tgt_n, raw_n, logr)` where `logr = round(ln(p_tgt/p_raw), 6)`
-    * under Laplace smoothing over the shared vocabulary. Vocabulary-
-    * sized. For n-gram features of k > 2 the second slice shifts by
-    * k−1 — grams never cross token boundaries. */
-  def ratioTable(raw: DataFrame, target: DataFrame, id: Column,
-                 text: Column, ngram: Int = 2,
-                 nBuckets: Int = 0): DataFrame = {
+  /** Train the importance model: per-feature raw/target counts
+    * (full-outer joined over the shared vocabulary, pinned), the
+    * corpus totals collected ONCE (three numbers), and the round-once
+    * log-ratio table derived from them. Eager — the counts materialize
+    * here (deployment persists the result via
+    * [[graft.sources.DsirStore]] and never retrains per batch).
+    *
+    * `nBuckets = 0` (raw grams) runs the measured pre-screen first:
+    * one map-side approx-distinct pass over both feature streams; an
+    * estimate over `maxFeatures` fails by name citing the hashing
+    * lever before any corpus-shaped table is built. */
+  def model(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+            ngram: Int = 2, nBuckets: Int = DefaultBuckets,
+            maxFeatures: Long = 4L << 20): Model = {
     require(ngram >= 1 && ngram <= 3, s"need 1 <= ngram <= 3: $ngram")
     require(nBuckets >= 0, s"need nBuckets >= 0: $nBuckets")
+    require(maxFeatures >= 1, s"need maxFeatures >= 1: $maxFeatures")
+    if (nBuckets == 0) {
+      // raw-gram mode: measure BEFORE building (partial agg, one small
+      // result row — no corpus-shaped materialization on the guard)
+      val est = features(raw, id, text, ngram, 0).select(col("f"))
+        .unionAll(features(target, id, text, ngram, 0).select(col("f")))
+        .agg(approx_count_distinct(col("f")).as("v")).head().getLong(0)
+      require(est <= maxFeatures,
+        s"Dsir: raw-gram feature space is ~$est distinct grams — past " +
+          s"maxFeatures=$maxFeatures the ratio table is corpus-shaped " +
+          "in the tail, not vocabulary-shaped; hash the feature space " +
+          "with nBuckets (the paper's form) or raise maxFeatures")
+    }
     val rawCnt = features(raw, id, text, ngram, nBuckets)
       .groupBy(col("f")).agg(count(lit(1)).as("raw_n"))
     val tgtCnt = features(target, id, text, ngram, nBuckets)
@@ -84,18 +149,30 @@ object Dsir {
     val joined = rawCnt.join(tgtCnt, Seq("f"), "full_outer")
       .na.fill(0L, Seq("raw_n", "tgt_n"))
       .localCheckpoint()
-    val stats = broadcast(joined.agg(
-      count(lit(1)).as("__V"),
-      sum(col("raw_n")).as("__NR"),
-      sum(col("tgt_n")).as("__NT")))
-    joined.crossJoin(stats)
-      .select(col("f"), col("tgt_n"), col("raw_n"),
-        round(
-          log((col("tgt_n") + 1).cast("double") /
-              (col("__NT") + col("__V")).cast("double")) -
-          log((col("raw_n") + 1).cast("double") /
-              (col("__NR") + col("__V")).cast("double")), 6).as("logr"))
+    val st: Row = joined.agg(
+      count(lit(1)).as("v"),
+      sum(col("raw_n")).as("nr"),
+      sum(col("tgt_n")).as("nt")).head()
+    val (v, nr, nt) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val ratios = joined.select(col("f"), col("tgt_n"), col("raw_n"),
+      round(
+        log((col("tgt_n") + 1).cast("double") /
+            lit(nt + v).cast("double")) -
+        log((col("raw_n") + 1).cast("double") /
+            lit(nr + v).cast("double")), 6).as("logr"))
+    Model(ratios, ngram, nBuckets, v, nr, nt)
   }
+
+  /** Per-feature importance log-ratio table:
+    * `(f, tgt_n, raw_n, logr)` where `logr = round(ln(p_tgt/p_raw), 6)`
+    * under Laplace smoothing over the shared vocabulary. Vocabulary-
+    * sized. For n-gram features of k > 2 the second slice shifts by
+    * k−1 — grams never cross token boundaries. */
+  def ratioTable(raw: DataFrame, target: DataFrame, id: Column,
+                 text: Column, ngram: Int = 2,
+                 nBuckets: Int = DefaultBuckets,
+                 maxFeatures: Long = 4L << 20): DataFrame =
+    model(raw, target, id, text, ngram, nBuckets, maxFeatures).ratios
 
   /** Per-document importance log-weights over the raw corpus:
     * `(doc_id, n_feats, logw)` — the DECIMAL-summed rounded ratios.
@@ -109,10 +186,20 @@ object Dsir {
     * estimate-quality is the caller's dial, per the paper). */
   def weights(raw: DataFrame, target: DataFrame, id: Column,
               text: Column, ngram: Int = 2,
-              nBuckets: Int = 0): DataFrame = {
-    val ratios = ratioTable(raw, target, id, text, ngram, nBuckets)
-      .select(col("f"), col("logr"))
-    val docF = features(raw, id, text, ngram, nBuckets)
+              nBuckets: Int = DefaultBuckets,
+              maxFeatures: Long = 4L << 20): DataFrame =
+    weightsWith(raw,
+      model(raw, target, id, text, ngram, nBuckets, maxFeatures),
+      id, text)
+
+  /** [[weights]] against a PRE-BUILT model over the model's own raw
+    * corpus — every feature is in the table by construction, so the
+    * join is inner. For a batch the model has never seen, use
+    * [[scoreAgainst]] (left join + Laplace default). */
+  def weightsWith(raw: DataFrame, m: Model, id: Column,
+                  text: Column): DataFrame = {
+    val ratios = m.ratios.select(col("f"), col("logr"))
+    val docF = features(raw, id, text, m.ngram, m.nBuckets)
     val scored = docF.join(ratios, Seq("f"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
@@ -122,16 +209,71 @@ object Dsir {
       .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
   }
 
+  /** Score an ARBITRARY batch against a trained model — the deployment
+    * form ([[graft.sources.DsirStore.load]] then score every new
+    * crawl): `(doc_id, n_feats, n_unseen, logw)`. Features absent from
+    * the trained vocabulary take [[Model.logr0]], the Laplace-default
+    * ratio at counts 0/0 — the score stays total on novel text, and
+    * `n_unseen` reports how much of the batch the model had no
+    * evidence for (a high unseen fraction means the model is stale —
+    * the retrain signal). One feature-keyed exchange; per-batch cost
+    * is independent of the training corpora. */
+  def scoreAgainst(batch: DataFrame, m: Model, id: Column,
+                   text: Column): DataFrame = {
+    val ratios = m.ratios.select(col("f"), col("logr"))
+    val docF = features(batch, id, text, m.ngram, m.nBuckets)
+    val scored = docF.join(ratios, Seq("f"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(when(col("logr").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(coalesce(col("logr"), m.logr0).cast(dec)).cast("double")
+          .as("logw"))
+    batch.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_feats", "n_unseen")).na.fill(0.0, Seq("logw"))
+  }
+
+  /** The ADMISSION form: `(doc_id, reason)` rejects for batch documents
+    * scoring below `minLogw` — the persistent-gate shape a pretraining
+    * team actually runs (threshold calibrated offline against the
+    * model; see [[graft.IngestApp.ModelGate]] for the gate-chain
+    * composition, batch and streaming). Documents with NO features
+    * carry no model evidence and PASS (the ModelGate convention — the
+    * heuristic quality gate owns blanks). */
+  def gateRejects(batch: DataFrame, m: Model, id: Column, text: Column,
+                  minLogw: Double): DataFrame =
+    scoreAgainst(batch, m, id, text)
+      .filter(col("n_feats") > 0 && col("logw") < minLogw)
+      .select(col("doc_id"), lit("dsir_out_of_domain").as("reason"))
+
   /** The selection: top-`k` raw documents by `(logw DESC, doc_id)` —
     * deterministic, rank-limited. This is the EXPECTATION-shaped form
-    * of the paper's Gumbel resampling (greedy top-k by weight); for the
-    * sampled form compose `logw` with [[Sampling.weightedTopK]]'s
-    * seeded-priority machinery. */
+    * of the paper's Gumbel resampling (greedy top-k by weight); the
+    * sampled form is [[sampled]]. */
   def select(raw: DataFrame, target: DataFrame, id: Column, text: Column,
-             k: Int, ngram: Int = 2, nBuckets: Int = 0): DataFrame = {
+             k: Int, ngram: Int = 2, nBuckets: Int = DefaultBuckets,
+             maxFeatures: Long = 4L << 20): DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
-    weights(raw, target, id, text, ngram, nBuckets)
+    weights(raw, target, id, text, ngram, nBuckets, maxFeatures)
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The paper's ACTUAL resampling: k documents drawn WITHOUT
+    * replacement with probability proportional to the importance
+    * weight `exp(logw)` — the Gumbel-top-k draw
+    * ([[Sampling.gumbelTopK]]: per-doc priority
+    * `round(logw − ln(−ln(u(doc_id))), 6)`, u deterministic from
+    * md5(doc_id)), entirely in log space so web-scale |logw| never
+    * overflows, deterministic and engine-replayable like every other
+    * seeded draw in [[Sampling]]. Returns the winners with their
+    * priorities; rank-limited top-k, never a global sort. */
+  def sampled(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+              k: Int, ngram: Int = 2, nBuckets: Int = DefaultBuckets,
+              maxFeatures: Long = 4L << 20): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    Sampling.gumbelTopK(
+      weights(raw, target, id, text, ngram, nBuckets, maxFeatures),
+      col("doc_id"), col("logw"), k)
   }
 }

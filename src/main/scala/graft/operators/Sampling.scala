@@ -295,6 +295,31 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedTopK]] in LOG space — the Gumbel-top-k draw: each row's
+    * priority is `logWeight + Gumbel(u(id))` with
+    * `Gumbel(u) = −ln(−ln(u))`, and the k highest priorities are a
+    * sample WITHOUT replacement proportional to `exp(logWeight)` (the
+    * Gumbel-max trick; distributionally the same draw as
+    * [[weightedTopK]] at `weight = exp(logWeight)`, but total for any
+    * logWeight — importance log-weights at web scale overflow the
+    * linear form long before they trouble this one). Same determinism
+    * contract: u is id-derived, priorities round to 6 decimals before
+    * ranking (libm's 1-ulp `ln` slack cannot reorder engines), ties
+    * break on id, and the top-k is rank-limited
+    * (TakeOrderedAndProject — map-side partial top-k, one scan at any
+    * corpus size). Null logWeight rows are EXCLUDED (no weight, no
+    * ticket — the weightedTopK non-positive-weight convention). */
+  def gumbelTopK(df: DataFrame, id: Column, logWeight: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(logWeight.isNotNull)
+      .withColumn("priority",
+        round(logWeight.cast("double") -
+          log(-log(uniformFromId(id))), 6))
+      .orderBy(col("priority").desc, id)
+      .limit(k)
+  }
+
   /** Per-stratum [[weightedTopK]]: the k highest-priority rows of EACH
     * stratum. One stratum-keyed window whose rank filter prunes to k
     * rows per stratum before any downstream sort (WindowGroupLimit), so

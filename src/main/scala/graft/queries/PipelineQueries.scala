@@ -229,6 +229,30 @@ object PipelineQueries {
         m
       })
 
+  /** The planted DSIR corpora shared by dsir_select / dsir_gate /
+    * dsir_sampled (and their oracles via [[dsirCtes]]): the raw corpus
+    * with the domain marker on every 10th doc, the target = the %7
+    * sample with the marker suffix. One definition so the three
+    * queries' models can never drift. */
+  private def dsirCorpora(s: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(s, dir)
+    val raw = t.documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"),
+          lit(" quantum flux capacitor quantum flux")))
+        .otherwise(col("text")).as("text"))
+    val tgt = t.documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" quantum flux capacitor")).as("text"))
+    (raw, tgt)
+  }
+
+  /** dsir_gate's admission threshold — sits inside the planted margin
+    * (in-domain docs clear it, plain docs fall short at every tested
+    * SF); the oracle replays the same constant. */
+  private val DsirGateMinLogw = 2.0
+
   /** pack_bestfit's input frame, GUARDED: the BFD oracle's recursive
     * CTE silently opens a negative-remaining-capacity bin for a
     * document longer than seqLen and keeps packing, while
@@ -1515,18 +1539,53 @@ object PipelineQueries {
     // planted on every 10th raw doc; the target is the %7 sample with
     // the domain suffix.
     "dsir_select" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      val raw = t.documents.select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(10)) === 0,
-          concat(col("text"),
-            lit(" quantum flux capacitor quantum flux")))
-          .otherwise(col("text")).as("text"))
-      val tgt = t.documents.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" quantum flux capacitor")).as("text"))
+      val (raw, tgt) = dsirCorpora(s, dir)
       graft.operators.Dsir.select(raw, tgt, col("doc_id"), col("text"),
           k = 20, ngram = 2, nBuckets = 4096)
         .orderBy(col("logw").desc, col("doc_id"))
+    },
+
+    // DSIR as a PERSISTENT GATE — the production loop: the importance
+    // model trains once (hermetic in-query; deployment builds it with
+    // DsirStore and loads it per session), then a NEW batch — every 5th
+    // doc, in-domain suffix on %10, a NOVEL gram planted on %20 — is
+    // scored against the trained vocabulary. Unseen feature buckets
+    // (guaranteed by the 2^20 bucket space + the planted novel grams)
+    // take the Laplace-default ratio at counts 0/0 under the trained
+    // totals; n_unseen pins that path fired, and the admission verdict
+    // thresholds the engine-exact DECIMAL-summed logw.
+    "dsir_gate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val (raw, tgt) = dsirCorpora(s, dir)
+      val m = graft.operators.Dsir.model(raw, tgt, col("doc_id"),
+        col("text"), ngram = 2, nBuckets = 1 << 20)
+      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" quantum flux capacitor")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(20)) === 0,
+              lit(" zz9novelgram zz9weird")).otherwise(lit("")))
+            .as("text"))
+      graft.operators.Dsir.scoreAgainst(batch, m, col("doc_id"),
+          col("text"))
+        .withColumn("admitted",
+          col("n_feats") === 0 || col("logw") >= DsirGateMinLogw)
+        .orderBy(col("doc_id"))
+    },
+
+    // The paper's ACTUAL resampling: Gumbel-top-k over the importance
+    // log-weights — k docs drawn without replacement proportional to
+    // exp(logw), deterministic from md5(doc_id) (the sample_weighted
+    // machinery in log space). The oracle replays u digit-by-digit and
+    // the Gumbel transform verbatim.
+    "dsir_sampled" -> { (s, dir) =>
+      val (raw, tgt) = dsirCorpora(s, dir)
+      graft.operators.Dsir.sampled(raw, tgt, col("doc_id"), col("text"),
+          k = 20, ngram = 2, nBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"), col("logw"),
+          col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
     },
 
     // Marked segment + DETOKENIZE — the loader-facing decode contract
@@ -3149,6 +3208,56 @@ object PipelineQueries {
     s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $coef"
   }.mkString(" + ")
 
+  /** The DSIR importance model replayed end to end at a given bucket
+    * count — planted corpora (the [[dsirCorpora]] construction),
+    * md5-bucketed uni+bigram features, full-outer count join, Laplace
+    * over the shared bucket vocabulary, round-once log-ratios — ending
+    * in `ratio(f, lr)` + `st(V, NR, NT)`. Shared by dsir_select /
+    * dsir_gate / dsir_sampled so the replayed model can never drift
+    * between them. */
+  private def dsirCtes(nBuckets: Long): String =
+    s"""rawd AS (SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0
+                   THEN text || ' quantum flux capacitor quantum flux'
+                   ELSE text END AS text
+            FROM documents),
+          tgtd AS (SELECT doc_id, text || ' quantum flux capacitor'
+                     AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+          rtok AS (SELECT doc_id, $tokensSql AS tk FROM rawd),
+          ttok AS (SELECT doc_id, $tokensSql AS tk FROM tgtd),
+          rfeat AS MATERIALIZED (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % $nBuckets AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM rtok)),
+          tfeat AS (
+            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % $nBuckets AS VARCHAR) AS f
+            FROM (SELECT unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM ttok)),
+          rcnt AS (SELECT f, count(*) AS raw_n FROM rfeat GROUP BY 1),
+          tcnt AS (SELECT f, count(*) AS tgt_n FROM tfeat GROUP BY 1),
+          vtab AS MATERIALIZED (
+            SELECT coalesce(r.f, t.f) AS f,
+              coalesce(raw_n, 0) AS raw_n, coalesce(tgt_n, 0) AS tgt_n
+            FROM rcnt r FULL OUTER JOIN tcnt t ON r.f = t.f),
+          st AS (SELECT count(*) AS V, sum(raw_n) AS NR,
+                   sum(tgt_n) AS NT
+                 FROM vtab),
+          ratio AS MATERIALIZED (
+            SELECT f,
+              CAST(round(
+                ln(CAST(tgt_n + 1 AS DOUBLE) / (NT + V))
+                - ln(CAST(raw_n + 1 AS DOUBLE) / (NR + V)), 6)
+                AS DECIMAL(38,6)) AS lr
+            FROM vtab CROSS JOIN st)"""
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH corpus AS (
@@ -4679,47 +4788,7 @@ object PipelineQueries {
     // full-outer count join, Laplace over the shared bucket vocabulary,
     // round-once log-ratios, DECIMAL-summed doc weights, top-20.
     "dsir_select" ->
-      s"""WITH rawd AS (SELECT doc_id,
-              CASE WHEN doc_id % 10 = 0
-                   THEN text || ' quantum flux capacitor quantum flux'
-                   ELSE text END AS text
-            FROM documents),
-          tgtd AS (SELECT doc_id, text || ' quantum flux capacitor'
-                     AS text
-                   FROM documents WHERE doc_id % 7 = 0),
-          rtok AS (SELECT doc_id, $tokensSql AS tk FROM rawd),
-          ttok AS (SELECT doc_id, $tokensSql AS tk FROM tgtd),
-          rfeat AS MATERIALIZED (
-            SELECT doc_id,
-              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
-                % 4096 AS VARCHAR) AS f
-            FROM (SELECT doc_id, unnest(list_concat(tk,
-                    [tk[i] || ' ' || tk[i+1]
-                     for i in range(1, len(tk))])) AS g
-                  FROM rtok)),
-          tfeat AS (
-            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
-                % 4096 AS VARCHAR) AS f
-            FROM (SELECT unnest(list_concat(tk,
-                    [tk[i] || ' ' || tk[i+1]
-                     for i in range(1, len(tk))])) AS g
-                  FROM ttok)),
-          rcnt AS (SELECT f, count(*) AS raw_n FROM rfeat GROUP BY 1),
-          tcnt AS (SELECT f, count(*) AS tgt_n FROM tfeat GROUP BY 1),
-          vtab AS MATERIALIZED (
-            SELECT coalesce(r.f, t.f) AS f,
-              coalesce(raw_n, 0) AS raw_n, coalesce(tgt_n, 0) AS tgt_n
-            FROM rcnt r FULL OUTER JOIN tcnt t ON r.f = t.f),
-          st AS (SELECT count(*) AS V, sum(raw_n) AS NR,
-                   sum(tgt_n) AS NT
-                 FROM vtab),
-          ratio AS MATERIALIZED (
-            SELECT f,
-              CAST(round(
-                ln(CAST(tgt_n + 1 AS DOUBLE) / (NT + V))
-                - ln(CAST(raw_n + 1 AS DOUBLE) / (NR + V)), 6)
-                AS DECIMAL(38,6)) AS lr
-            FROM vtab CROSS JOIN st),
+      s"""WITH ${dsirCtes(4096)},
           docw AS (SELECT rf.doc_id, count(*) AS n_feats,
                      CAST(sum(lr) AS DOUBLE) AS logw
                    FROM rfeat rf JOIN ratio USING (f) GROUP BY 1),
@@ -4728,6 +4797,72 @@ object PipelineQueries {
                     FROM rawd d LEFT JOIN docw USING (doc_id))
          SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, logw
          FROM fullw ORDER BY logw DESC, doc_id LIMIT 20""",
+
+    // The gate replay: the 2^20-bucket model, a fresh batch (%5 docs,
+    // in-domain suffix on %10, novel grams on %20) scored through a
+    // LEFT join with the Laplace-default ratio on unseen buckets
+    // (counts 0/0 under the trained totals), and the threshold verdict.
+    "dsir_gate" ->
+      s"""WITH ${dsirCtes(1L << 20)},
+          l0 AS (SELECT CAST(round(
+                   ln(1.0 / (NT + V)) - ln(1.0 / (NR + V)), 6)
+                   AS DECIMAL(38,6)) AS lr0
+                 FROM st),
+          batch AS (SELECT doc_id,
+              text
+                || CASE WHEN doc_id % 10 = 0
+                        THEN ' quantum flux capacitor' ELSE '' END
+                || CASE WHEN doc_id % 20 = 0
+                        THEN ' zz9novelgram zz9weird' ELSE '' END
+                AS text
+            FROM documents WHERE doc_id % 5 = 0),
+          btok AS (SELECT doc_id, $tokensSql AS tk FROM batch),
+          bfeat AS (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % ${1L << 20} AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM btok)),
+          docw AS (SELECT b.doc_id, count(*) AS n_feats,
+                     sum(CASE WHEN r.lr IS NULL THEN 1 ELSE 0 END)
+                       AS n_unseen,
+                     CAST(sum(coalesce(r.lr, (SELECT lr0 FROM l0)))
+                       AS DOUBLE) AS logw
+                   FROM bfeat b LEFT JOIN ratio r ON b.f = r.f
+                   GROUP BY 1),
+          fullw AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                      coalesce(n_unseen, 0) AS n_unseen,
+                      coalesce(logw, 0.0) AS logw
+                    FROM batch d LEFT JOIN docw USING (doc_id))
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(n_unseen AS BIGINT) AS n_unseen, logw,
+           (n_feats = 0 OR logw >= $DsirGateMinLogw) AS admitted
+         FROM fullw ORDER BY doc_id""",
+
+    // Gumbel-top-k replay: u re-derived digit-by-digit from
+    // md5(doc_id) (the sample_weighted machinery), priority =
+    // round(logw − ln(−ln(u)), 6), top-20 without replacement.
+    "dsir_sampled" ->
+      s"""WITH ${dsirCtes(4096)},
+          docw AS (SELECT rf.doc_id, count(*) AS n_feats,
+                     CAST(sum(lr) AS DOUBLE) AS logw
+                   FROM rfeat rf JOIN ratio USING (f) GROUP BY 1),
+          fullw AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                      coalesce(logw, 0.0) AS logw
+                    FROM rawd d LEFT JOIN docw USING (doc_id)),
+          gh AS (SELECT doc_id, n_feats, logw,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+                 FROM fullw),
+          gp AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                   logw,
+                   round(logw - ln(-ln(
+                     CAST(($md5DigitSumSql) + 1 AS DOUBLE)
+                       / 4503599627370496.0)), 6) AS priority
+                 FROM gh)
+         SELECT doc_id, n_feats, logw, priority FROM gp
+         ORDER BY priority DESC, doc_id LIMIT 20""",
 
     // The detok round-trip target is closed-form: the whitespace-joined
     // token stream; n_pieces rides the existing byte-DP CTEs.

@@ -14,7 +14,7 @@ class DsirSpec extends SparkSpec {
     val tgt = Seq((10L, "aa aa aa bb")).toDF("doc_id", "text")
     // raw counts: aa 2, bb 3 (N_R = 5); tgt: aa 3, bb 1 (N_T = 4); V = 2
     val rt = Dsir.ratioTable(raw, tgt, col("doc_id"), col("text"),
-        ngram = 1)
+        ngram = 1, nBuckets = 0)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     def r6(x: Double) = BigDecimal(x)
@@ -24,7 +24,8 @@ class DsirSpec extends SparkSpec {
     assert(rt("aa") == ((3L, 2L, aaExp)), rt.toString)
     assert(rt("bb") == ((1L, 3L, bbExp)), rt.toString)
     // doc 1 = 2*aa + 1*bb, doc 2 = 2*bb — exact DECIMAL sums
-    val w = Dsir.weights(raw, tgt, col("doc_id"), col("text"), ngram = 1)
+    val w = Dsir.weights(raw, tgt, col("doc_id"), col("text"),
+        ngram = 1, nBuckets = 0)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2))).toMap
     assert(w(1L)._1 == 3L && w(2L)._1 == 2L)
@@ -119,5 +120,154 @@ class DsirSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"selection must be rank-limited:\n$plan")
+  }
+
+  test("scoreAgainst: unseen features take the Laplace-default ratio " +
+       "(hand-computed), n_unseen counts them, blanks score (0,0,0)") {
+    val raw = Seq((1L, "aa aa bb"), (2L, "bb bb")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "aa aa aa bb")).toDF("doc_id", "text")
+    // V = 2, NR = 5, NT = 4 (the ratioTable fixture above)
+    val m = Dsir.model(raw, tgt, col("doc_id"), col("text"), ngram = 1,
+      nBuckets = 0)
+    assert((m.nFeatures, m.nRawOcc, m.nTgtOcc) == ((2L, 5L, 4L)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aaExp = r6(math.log(4.0 / 6.0) - math.log(3.0 / 7.0))
+    val lr0 = r6(math.log(1.0 / 6.0) - math.log(1.0 / 7.0))
+    val batch = Seq((100L, "aa cc"), (101L, "  ")).toDF("doc_id", "text")
+    val out = Dsir.scoreAgainst(batch, m, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(100L)._1 == 2L && out(100L)._2 == 1L, out.toString)
+    assert(math.abs(out(100L)._3 -
+      (BigDecimal(aaExp) + BigDecimal(lr0)).toDouble) < 1e-12,
+      s"${out(100L)._3} vs ${aaExp + lr0}")
+    assert(out(101L) == ((0L, 0L, 0.0)), out.toString)
+    // the gate: the blank passes at ANY threshold (no model evidence);
+    // the scored doc obeys the threshold
+    val rejAll = Dsir.gateRejects(batch, m, col("doc_id"), col("text"),
+      minLogw = 1000.0).collect()
+    assert(rejAll.map(_.getLong(0)).toSeq == Seq(100L) &&
+      rejAll.head.getString(1) == "dsir_out_of_domain", rejAll.toSeq)
+    assert(Dsir.gateRejects(batch, m, col("doc_id"), col("text"),
+      minLogw = -1000.0).count() == 0L)
+  }
+
+  test("DsirStore: round trip reproduces the model bitwise; torn and " +
+       "missing stores fail by name") {
+    import graft.sources.DsirStore
+    val raw = spark.range(60).select(col("id").as("doc_id"),
+      concat(concat_ws(" ", transform(sequence(lit(0), lit(9)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(30))
+            .cast("string")))),
+        when(pmod(col("id"), lit(10)) === 0, lit(" quantum flux"))
+          .otherwise(lit(""))).as("text"))
+    val tgt = spark.range(8).select((col("id") + 100).as("doc_id"),
+      lit("quantum flux quantum flux").as("text"))
+    DsirStore.drop(spark, "dst")
+    val m = Dsir.model(raw, tgt, col("doc_id"), col("text"), ngram = 2,
+      nBuckets = 1024)
+    DsirStore.buildFrom(spark, "dst", m)
+    val loaded = DsirStore.load(spark, "dst")
+    assert((loaded.ngram, loaded.nBuckets, loaded.nFeatures,
+      loaded.nRawOcc, loaded.nTgtOcc) ==
+      ((m.ngram, m.nBuckets, m.nFeatures, m.nRawOcc, m.nTgtOcc)))
+    val batch = spark.range(20).select((col("id") * 3).as("doc_id"),
+      concat(lit("w1 w2 zznovel"),
+        when(pmod(col("id"), lit(2)) === 0, lit(" quantum flux"))
+          .otherwise(lit(""))).as("text"))
+    val a = Dsir.scoreAgainst(batch, m, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Dsir.scoreAgainst(batch, loaded, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq, "stored model diverged from fresh model")
+    // fences: a missing prefix and a torn (stampless) build reject by
+    // name before any batch can be gated on partial ratios
+    val eMissing = intercept[IllegalArgumentException](
+      DsirStore.load(spark, "dst_nope"))
+    assert(eMissing.getMessage.contains("DsirStore.build"),
+      eMissing.getMessage)
+    graft.sources.Bucketing.dropManagedTable(spark, "dst_torn_dsir")
+    m.ratios.write.saveAsTable("dst_torn_dsir")
+    val eTorn = intercept[IllegalArgumentException](
+      DsirStore.load(spark, "dst_torn"))
+    assert(eTorn.getMessage.contains("completeness stamp"),
+      eTorn.getMessage)
+    graft.sources.Bucketing.dropManagedTable(spark, "dst_torn_dsir")
+    DsirStore.drop(spark, "dst")
+  }
+
+  test("ModelGate composition: qualityRejects(dsir = ...) emits exactly " +
+       "gateRejects' verdicts alongside the heuristic gates") {
+    val raw = spark.range(80).select(col("id").as("doc_id"),
+      concat(concat_ws(" ", transform(sequence(lit(0), lit(11)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(40))
+            .cast("string")))),
+        when(pmod(col("id"), lit(10)) === 0,
+          lit(" quantum flux capacitor")).otherwise(lit("")))
+        .as("text"))
+    val tgt = spark.range(12).select((col("id") + 200).as("doc_id"),
+      lit("quantum flux capacitor quantum flux").as("text"))
+    val m = Dsir.model(raw, tgt, col("doc_id"), col("text"), ngram = 2,
+      nBuckets = 1024)
+    val batch = raw.filter(col("doc_id") % 2 === 0)
+    val direct = Dsir.gateRejects(batch, m, col("doc_id"), col("text"),
+        minLogw = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(direct.nonEmpty, "fixture must reject something")
+    val viaGate = graft.IngestApp.qualityRejects(batch,
+        minQuality = -1.0,
+        models = graft.IngestApp.ModelGate(dsir = Some(m -> 1.0)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGate.toSeq == direct.toSeq,
+      s"gate chain diverged: ${viaGate.toSeq} vs ${direct.toSeq}")
+  }
+
+  test("sampled: Gumbel-top-k matches an in-engine replay of the " +
+       "priority formula; deterministic under repartitioning; a " +
+       "dominant log-weight always wins") {
+    val raw = spark.range(150).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(9)), i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), i), lit(40))
+          .cast("string")))).as("text"))
+    val tgt = spark.range(10).select((col("id") + 300).as("doc_id"),
+      lit("w1 w2 w3 w4 quantum").as("text"))
+    val out = Dsir.sampled(raw, tgt, col("doc_id"), col("text"), k = 15,
+        ngram = 1, nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // replay: the same u / Gumbel arithmetic, independently composed
+    val w = Dsir.weights(raw, tgt, col("doc_id"), col("text"),
+      ngram = 1, nBuckets = 256)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val replay = w.select(col("doc_id"),
+        round(col("logw") - log(-log(u)), 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == replay.toSeq)
+    val again = Dsir.sampled(raw.repartition(7), tgt, col("doc_id"),
+        col("text"), k = 15, ngram = 1, nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // Gumbel noise is O(few nats): a +1000-nat doc must always draw
+    val boosted = graft.operators.Sampling.gumbelTopK(
+      w.withColumn("logw", when(col("doc_id") === 77L,
+        col("logw") + 1000.0).otherwise(col("logw"))),
+      col("doc_id"), col("logw"), k = 1).collect()
+    assert(boosted.map(_.getLong(0)).toSeq == Seq(77L))
+  }
+
+  test("raw-gram mode guard: a feature space past maxFeatures fails by " +
+       "name citing the hashing lever") {
+    val raw = spark.range(500).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(9)), i =>
+        concat(lit("u"), (col("id") * 10 + i).cast("string"))))
+        .as("text"))
+    val tgt = raw.limit(10)
+    val e = intercept[IllegalArgumentException](
+      Dsir.model(raw, tgt, col("doc_id"), col("text"), ngram = 2,
+        nBuckets = 0, maxFeatures = 100))
+    assert(e.getMessage.contains("nBuckets") &&
+      e.getMessage.contains("maxFeatures"), e.getMessage)
   }
 }
