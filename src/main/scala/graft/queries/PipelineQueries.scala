@@ -253,6 +253,54 @@ object PipelineQueries {
     * SF); the oracle replays the same constant. */
   private val DsirGateMinLogw = 2.0
 
+  /** [[plantedDocs]] with the `source` column retained — the
+    * loader-parity queries report per source over the same planted
+    * multilingual corpus the byte-unigram model trains on. */
+  private def plantedDocsWithSource(s: SparkSession,
+                                    dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(UniPlantA)))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(UniPlantB)))
+        .otherwise(col("text")).as("text"))
+
+  /** Build-if-absent PERSISTED byte-unigram tokenizer store over the
+    * planted corpus — the loader-parity path: tokenizer_report_unigram
+    * and sample_token_budget_unigram segment with the STORED model
+    * ([[graft.sources.TokenizerStore]] build → load lifecycle, fences
+    * included), not an in-query retrain, so a team can A/B the BPE and
+    * unigram tokenizers through the same downstream query shapes.
+    * Keyed by documents.parquet's content fingerprint with a
+    * stale-sibling sweep (the ensurePqStore pattern); the loaded
+    * pieces are memoized per JVM. */
+  private val unigramStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Int)]()
+  private def storedUnigramBytes(s: SparkSession,
+                                 dir: String): (Seq[(String, Long)], Int) =
+    unigramStoreMemo.computeIfAbsent(
+      graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      key => {
+        val p = "q_unib_store_" + key
+        val tbl = graft.sources.TokenizerStore.unigramTable(p)
+        if (!s.catalog.tableExists(tbl)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("q_unib_store_") && nm != tbl) {
+              if (s.catalog.tableExists(nm))
+                graft.sources.Bucketing.dropManagedTable(s, nm)
+              else fs.delete(st.getPath, true)
+            }
+          }
+          graft.sources.TokenizerStore.buildUnigramBytesFrom(s, p,
+            TextAnalysis.unigramTrainBytes(plantedDocs(s, dir),
+              col("text")),
+            maxPieceLen = 8)
+        }
+        graft.sources.TokenizerStore.loadUnigramBytes(s, p)
+      })
+
   /** pack_bestfit's input frame, GUARDED: the BFD oracle's recursive
     * CTE silently opens a negative-remaining-capacity bin for a
     * document longer than seqLen and keeps packing, while
@@ -772,6 +820,23 @@ object PipelineQueries {
         .tokenBudget(t.documents, Seq(col("source")), col("doc_id"),
           TextAnalysis.bpeEncodeCount(col("text"), merges).cast("long"),
           budget = 600L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The budget fill on STORED byte-unigram counts — the A/B twin of
+    // sample_token_budget_bpe: each source's budget fills against the
+    // Viterbi piece count under the TokenizerStore-loaded model. Byte
+    // pieces run well above the BPE subword counts at this vocabulary
+    // depth, so the budget doubles to keep the fill depth comparable.
+    "sample_token_budget_unigram" -> { (s, dir) =>
+      val (pieces, maxLen) = storedUnigramBytes(s, dir)
+      graft.operators.Sampling
+        .tokenBudget(plantedDocsWithSource(s, dir), Seq(col("source")),
+          col("doc_id"),
+          TextAnalysis.unigramSegmentBytes(col("text"), pieces, maxLen)
+            .getField("n_pieces").cast("long"),
+          budget = 1200L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
@@ -1836,6 +1901,34 @@ object PipelineQueries {
             TextAnalysis.quant6(
               col("n_text_bytes").cast("double") / col("n_bpe_tokens")))
             .as("bytes_per_token"))
+        .orderBy(col("source"))
+    },
+
+    // The UNIGRAM twin of tokenizer_report — fertility under the
+    // STORED byte-unigram model (TokenizerStore build → load through
+    // the fenced lifecycle, not an in-query retrain): bytes per
+    // Viterbi piece per source over the planted multilingual corpus.
+    // With the BPE report this lets a tokenizer team A/B the two
+    // trained families through one downstream query shape.
+    "tokenizer_report_unigram" -> { (s, dir) =>
+      val (pieces, maxLen) = storedUnigramBytes(s, dir)
+      plantedDocsWithSource(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          TextAnalysis.unigramSegmentBytes(col("text"), pieces, maxLen)
+            .getField("n_pieces").as("np"),
+          octet_length(col("text")).cast("long").as("nbytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("n_ws_tokens"),
+          sum(col("np")).as("n_unigram_pieces"),
+          sum(col("nbytes")).as("n_text_bytes"))
+        .select(col("source"), col("n_docs"), col("n_ws_tokens"),
+          col("n_unigram_pieces"), col("n_text_bytes"),
+          when(col("n_unigram_pieces") > 0,
+            TextAnalysis.quant6(
+              col("n_text_bytes").cast("double")
+                / col("n_unigram_pieces")))
+            .as("bytes_per_piece"))
         .orderBy(col("source"))
     },
 
@@ -3688,6 +3781,33 @@ object PipelineQueries {
          WHERE cum < 600 ORDER BY doc_id"""
     },
 
+    // The unigram budget fill: per-doc Viterbi piece counts re-derived
+    // through the shared byte-DP CTEs, then the identical budget window
+    // over those counts.
+    "sample_token_budget_unigram" ->
+      s"""WITH RECURSIVE ${unigramBytesDpCtes(8)},
+            sbwseg AS MATERIALIZED (
+              SELECT hw,
+                ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
+              FROM bdp WHERE i = len(hw) // 2),
+            sbdoctok AS (SELECT doc_id, unnest($tokensSql) AS t
+                         FROM bdocs),
+            sbdocsum AS (SELECT d.doc_id, sum(w.n_pieces) AS np
+                         FROM sbdoctok d
+                         JOIN sbwseg w ON lower(hex(d.t)) = w.hw
+                         GROUP BY 1),
+            sbwd AS (SELECT dd.doc_id, dd.source,
+                       coalesce(np, 0) AS n_tok
+                     FROM documents dd
+                     LEFT JOIN sbdocsum s2 ON dd.doc_id = s2.doc_id)
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM sbwd)
+         WHERE cum < 1200 ORDER BY doc_id""",
+
     "corpus_shuffle" ->
       """WITH h AS (
            SELECT doc_id,
@@ -5222,6 +5342,42 @@ object PipelineQueries {
            END AS bytes_per_token
          FROM agg ORDER BY source"""
     },
+
+    // The unigram report: the byte-DP CTEs re-derive every word's
+    // Viterbi piece count under the replayed model, folded per source
+    // over the planted corpus — the stored model must match the replay
+    // exactly or every aggregate shifts.
+    "tokenizer_report_unigram" ->
+      s"""WITH RECURSIVE ${unigramBytesDpCtes(8)},
+            trwseg AS MATERIALIZED (
+              SELECT hw,
+                ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
+              FROM bdp WHERE i = len(hw) // 2),
+            trdoctok AS (SELECT doc_id, unnest($tokensSql) AS t
+                         FROM bdocs),
+            trdocsum AS (
+              SELECT d.doc_id, count(*) AS ws, sum(w.n_pieces) AS np
+              FROM trdoctok d JOIN trwseg w ON lower(hex(d.t)) = w.hw
+              GROUP BY 1),
+            trbase AS (
+              SELECT dd.source,
+                coalesce(s2.ws, 0) AS ws, coalesce(s2.np, 0) AS np,
+                CAST(octet_length(encode(b.text)) AS BIGINT) AS nbytes
+              FROM documents dd
+              JOIN bdocs b USING (doc_id)
+              LEFT JOIN trdocsum s2 ON dd.doc_id = s2.doc_id),
+            tragg AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                        CAST(sum(np) AS BIGINT) AS n_unigram_pieces,
+                        CAST(sum(nbytes) AS BIGINT) AS n_text_bytes
+                      FROM trbase GROUP BY source)
+         SELECT source, n_docs, n_ws_tokens, n_unigram_pieces,
+           n_text_bytes,
+           CASE WHEN n_unigram_pieces > 0
+                THEN floor((CAST(n_text_bytes AS DOUBLE)
+                            / n_unigram_pieces) * 1000000 + 0.5) / 1000000
+           END AS bytes_per_piece
+         FROM tragg ORDER BY source""",
 
     // BPE-token packing: the pack_sequences map recomputed over REAL
     // trained-tokenizer counts — training CTEs + per-token encoded
