@@ -871,6 +871,62 @@ object ScaleProbe {
         docsB.unpersist()
       }
 
+      // SOFT-vs-HARD EM bridge at production depth: from the same
+      // frequency init over the 50k-type multi-script corpus, one
+      // published soft E-step (forward-backward expected counts) vs
+      // one hard (Viterbi-count) round, both pruned to the 8192
+      // target — measuring the E-step's cost/quality trade instead of
+      // asserting it: wall cost, vocabulary overlap at the target,
+      // and corpus Viterbi likelihood under each pruned vocabulary.
+      if (on("unigram_soft")) {
+        import graft.operators.TextAnalysis
+        val docsS = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(29)), i => {
+              val t = pmod(xxhash64(col("id"), i), lit(50000))
+              val base = concat(lit("w"), conv(t.cast("string"), 10, 36))
+              when(pmod(t, lit(17)) === 0, concat(base, lit("é")))
+                .when(pmod(t, lit(29)) === 0,
+                  concat(base, lit("🚀")))
+                .otherwise(base)
+            })).as("text"))
+        docsS.cache().count()
+        val tH = System.nanoTime()
+        val hard = TextAnalysis.unigramTrainBytesFast(docsS, col("text"),
+          maxPieceLen = 16, minCount = 2L, emRounds = 1,
+          targetVocab = 8192).localCheckpoint(true)
+        val secHard = (System.nanoTime() - tH) / 1e9
+        val tS = System.nanoTime()
+        val soft = TextAnalysis.unigramTrainBytesSoft(docsS, col("text"),
+          maxPieceLen = 16, minCount = 2L, emRounds = 1)
+          .localCheckpoint(true)
+        val softPruned = TextAnalysis.unigramPruneSoftToVocab(soft, 8192)
+          .localCheckpoint(true)
+        val secSoft = (System.nanoTime() - tS) / 1e9
+        val hardV = hard.select(col("piece")).collect()
+          .map(_.getString(0)).toSet
+        val softV = softPruned.select(col("piece")).collect()
+          .map(_.getString(0)).toSet
+        assert(softV.size <= 8192 && hardV.size <= 8192)
+        val overlap = (hardV & softV).size.toDouble / 8192
+        // corpus Viterbi likelihood + piece count under each pruned
+        // vocabulary — the quality axis of the trade
+        def segTotals(pieces: Seq[(String, Long)]): (Long, Long) = {
+          val r = docsS.select(TextAnalysis.unigramSegmentBytes(
+              col("text"), pieces, maxLen = 16).as("s"))
+            .agg(sum(col("s.logp_micro")).cast("long"),
+              sum(col("s.n_pieces")).cast("long")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (hardLp, hardNp) =
+          segTotals(TextAnalysis.unigramPieces(hard))
+        val (softLp, softNp) =
+          segTotals(TextAnalysis.unigramPieces(softPruned))
+        assert(hardNp > 0 && softNp > 0, "both vocabularies must segment")
+        println(f"""{"metric":"unigram_soft_vs_hard","docs":$n,"target":8192,"hard_sec":$secHard%.2f,"soft_sec":$secSoft%.2f,"vocab_overlap":$overlap%.4f,"hard_logp_micro":$hardLp,"soft_logp_micro":$softLp,"hard_n_pieces":$hardNp,"soft_n_pieces":$softNp}""")
+        docsS.unpersist()
+      }
+
       // Byte-level BPE encode at scale: same min-rank kernel as the
       // char probe (table-size independence transfers), but every token
       // decomposes into UTF-8 bytes — ~4-5x the symbol count per doc —

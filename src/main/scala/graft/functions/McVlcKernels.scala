@@ -16,12 +16,23 @@ import org.apache.spark.sql.catalyst.InternalRow
   * bit-identical by construction; the VLC stream is certified SMALLER
   * (`vlc_smaller`) on top of the five byte-codec attestations.
   *
-  * Honest scope: this is the Annex-B COEFFICIENT/MOTION/TYPE coding
-  * layer over our frame plans — there are no sequence/GOP/picture/slice
-  * headers and the container stays a self-specified 'GMV1' AVI stream,
-  * so no conformance claim is made for whole streams; the tables and
-  * their grammar (first-coefficient convention, EOB, escape level
-  * formats, sign bits, MBA escapes) follow the published layout.
+  * Two stream forms carry the coded frames: the self-specified 'GMV1'
+  * AVI container (frame-per-chunk, the byte codec's container), and an
+  * MPEG-1-video-SHAPED elementary stream ([[mcVlcEncodeEs]], §2.4
+  * layering): sequence header (B3), GOP header (B8), picture and
+  * slice headers behind byte-aligned 0x000001 start codes, closed by
+  * sequence_end (B7) — every header field parse-validated on decode,
+  * truncation rejected mid-picture, and the start-code census
+  * certifying the payload never emulates a start code.
+  *
+  * Honest scope: the VLC tables and their grammar (first-coefficient
+  * convention, EOB, escape level formats, sign bits, MBA escapes) and
+  * the §2.4 header grammar follow the published layout, but the
+  * macroblock layer runs on this codec's 8×8 luma-only "macroblocks"
+  * with a fixed quantizer and one slice per picture — not the spec's
+  * 16×16 4:2:0 macroblock structure — so a reference decoder would
+  * parse the headers yet misread the block layer; no conformance
+  * claim is made for whole streams.
   *
   * Frame syntax: byte 0 'I'/'P', then a single MSB-first bitstream:
   *  - I-frame: every 8×8 block in raster order as an INTRA block —

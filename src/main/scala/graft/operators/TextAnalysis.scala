@@ -1191,6 +1191,40 @@ object TextAnalysis {
     renormalizedModel(kept)
   }
 
+  /** [[unigramPruneToVocab]] for a SOFT-EM model
+    * ([[unigramTrainBytesSoft]]'s `(piece, ecount, logp_micro)` frame)
+    * — the soft→deployment bridge: soft EM keeps EVERY init piece
+    * (single-byte completability gives every occurrence a positive
+    * posterior), so the vocabulary-size lever must be applied at prune
+    * time. Same retention rule with EXPECTED counts in place of
+    * Viterbi counts (singles always kept, top multi-byte by
+    * `(ecount DESC, piece ASC)`), scores renormalized over the kept
+    * expected mass in the family's micro-nat quantizer. Expected
+    * counts are float-summed, so this is NOT engine-exact like the
+    * hard family — the probe/spec contract is combinatorial (vocab
+    * membership, singles retention) plus bounded float agreement. */
+  def unigramPruneSoftToVocab(model: DataFrame,
+                              targetVocab: Int): DataFrame = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1: $targetVocab")
+    val singles = model.filter(length(col("piece")) === 2)
+      .localCheckpoint(true)
+    val nSingles = singles.count()
+    require(targetVocab >= nSingles,
+      s"unigramPruneSoftToVocab: targetVocab=$targetVocab cannot hold " +
+        s"the $nSingles single-byte pieces — the no-OOV fallback is " +
+        "not prunable; raise the target past the alphabet size")
+    val kept = singles.unionByName(
+        model.filter(length(col("piece")) > 2)
+          .orderBy(col("ecount").desc, col("piece"))
+          .limit((targetVocab - nSingles).toInt))
+      .localCheckpoint()
+    val tot = broadcast(kept.agg(sum(col("ecount")).as("__T")))
+    kept.crossJoin(tot)
+      .select(col("piece"), col("ecount"),
+        floor(log(col("ecount") / col("__T")) * 1000000.0 + 0.5)
+          .cast("long").as("logp_micro"))
+  }
+
   /** PRODUCTION-DEPTH byte-level unigram training — the
     * [[bpeTrainFast]] move applied to the unigram family: ONE
     * distributed word-frequency scan, a MEASURED driver-footprint guard,

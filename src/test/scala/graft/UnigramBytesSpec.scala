@@ -372,6 +372,44 @@ class UnigramBytesSpec extends SparkSpec {
     assert(softMap.maxBy(_._2)._1 == fullHex)
   }
 
+  test("unigramPruneSoftToVocab: singles always kept, top multi-byte " +
+       "by (ecount DESC, piece ASC), renormalized over kept expected " +
+       "mass; pruned table segments with no OOV; impossible target " +
+       "fails by name") {
+    val d = docs("the naïve café crew 🚀", "the the crew café token",
+      "token the crew naïve naïve")
+    val soft = TextAnalysis.unigramTrainBytesSoft(d, col("text"),
+      emRounds = 1).localCheckpoint()
+    val nS = soft.filter(length(col("piece")) === 2).count()
+    val target = nS.toInt + 5
+    val pruned = TextAnalysis.unigramPruneSoftToVocab(soft, target)
+      .localCheckpoint()
+    assert(pruned.count() == target.toLong)
+    assert(pruned.filter(length(col("piece")) === 2).count() == nS)
+    val keptMulti = pruned.filter(length(col("piece")) > 2)
+      .collect().map(_.getString(0)).toSet
+    val topMulti = soft.filter(length(col("piece")) > 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (p, c) => (-c, p) }.take(5).map(_._1).toSet
+    assert(keptMulti == topMulti)
+    // renormalization: ln(ecount / kept expected mass), micro-quantized
+    // (1-micro-nat slack for float summation order)
+    val t = pruned.agg(sum(col("ecount"))).head().getDouble(0)
+    pruned.collect().foreach { r =>
+      val exp = math.floor(math.log(r.getDouble(1) / t) * 1e6 + 0.5).toLong
+      assert(math.abs(r.getLong(2) - exp) <= 1L, r.toString)
+    }
+    // the soft-pruned vocabulary drives the SAME segmentation kernels:
+    // singles survive, so every token of the corpus segments
+    val segged = d.select(TextAnalysis.unigramSegmentBytes(col("text"),
+        TextAnalysis.unigramPieces(pruned)).as("s"))
+      .agg(sum(col("s.n_pieces")).cast("long")).head().getLong(0)
+    assert(segged > 0L)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.unigramPruneSoftToVocab(soft, 2))
+    assert(e.getMessage.contains("unigramPruneSoftToVocab"), e.getMessage)
+  }
+
   test("UnigramByteTable: rejects non-hex and odd-length pieces; " +
        "kernel probe distinguishes same-prefix different-length pieces") {
     intercept[IllegalArgumentException] {
