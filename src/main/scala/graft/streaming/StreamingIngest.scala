@@ -102,12 +102,15 @@ object StreamingIngest {
     * the already-appended survivors as their own exact duplicates.
     *
     * `models` adds the TRAINED gate signals ([[IngestApp.ModelGate]]:
-    * LM perplexity cutoff and/or NB classifier) in the same position —
-    * model scoring is a deterministic map-side function of the batch
-    * against fixed model tables, so replay idempotence is unchanged.
-    * Train (or load) the models ONCE before starting the stream and pin
-    * their tables (localCheckpoint); a lazily-derived model would replay
-    * its training scan every micro-batch. */
+    * LM perplexity cutoff, NB classifier, and/or the DSIR importance
+    * gate) in the same position — model scoring is a deterministic
+    * function of the batch against fixed model tables (map-side for
+    * lm/nb; one feature-keyed exchange for dsir), so replay idempotence
+    * is unchanged. Train (or load) the models ONCE before starting the
+    * stream and pin their tables (localCheckpoint; [[graft.sources
+    * .DsirStore.load]] returns catalog tables, already stable); a
+    * lazily-derived model would replay its training scan every
+    * micro-batch. */
   def docsStreamGated(spark: SparkSession, srcDir: String, prefix: String,
                       outDir: String, minQuality: Double,
                       langs: Set[String] = Set.empty,

@@ -231,6 +231,70 @@ class IngestMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("DSIR-gated streaming ingest: the STORE-loaded importance model " +
+       "gates micro-batches as dsir_out_of_domain; replay idempotent") {
+    import graft.sources.DsirStore
+    val p = "mt_dsir"
+    IndexStore.dropDocs(spark, p)
+    val srcDir = java.nio.file.Files.createTempDirectory("dsir-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dsir-out").toString
+    val replayOut = java.nio.file.Files.createTempDirectory("dsir-rp").toString
+    try {
+      IndexStore.buildDocs(corpusDocs, col("doc_id"), col("text"), p,
+        IndexStore.DocConfig(buckets = 4))
+      // the production loop's streaming half: train ONCE on the planted
+      // corpora, PERSIST through the fenced store, LOAD, gate forever
+      val raw = spark.range(80).select(col("id").as("doc_id"),
+        concat(concat_ws(" ", transform(sequence(lit(0), lit(11)), i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), i), lit(40))
+              .cast("string")))),
+          when(pmod(col("id"), lit(10)) === 0,
+            lit(" quantum flux capacitor")).otherwise(lit("")))
+          .as("text"))
+      val tgt = spark.range(12).select((col("id") + 200).as("doc_id"),
+        lit("quantum flux capacitor quantum flux").as("text"))
+      DsirStore.drop(spark, "mt_dsirm")
+      DsirStore.build(spark, "mt_dsirm", raw, tgt, col("doc_id"),
+        col("text"), ngram = 2, nBuckets = 1024)
+      val m = DsirStore.load(spark, "mt_dsirm")
+      Seq((9800L, "w1 w2 w3 quantum flux capacitor w4"),
+          (9801L, "w5 w6 w7 w8 w9 w10 w11 w12"),
+          (9802L, "quantum flux capacitor quantum flux w2"),
+          (9803L, "w13 w14 w15 w16 w17 w18"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val models = graft.IngestApp.ModelGate(dsir = Some(m -> 1.0))
+      StreamingIngest.docsStreamGated(spark, srcDir, p, outDir,
+        minQuality = 0.0, models = models).awaitTermination()
+      val rejects = spark.read.parquet(s"$outDir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(rejects.contains((9801L, "dsir_out_of_domain")) &&
+        rejects.contains((9803L, "dsir_out_of_domain")), rejects.toString)
+      val storeIds = spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet
+      assert(storeIds.contains(9800L) && storeIds.contains(9802L),
+        "in-domain batch docs must append")
+      assert(!storeIds.contains(9801L) && !storeIds.contains(9803L),
+        "out-of-domain docs must never append")
+      // fresh-checkpoint replay: scoring against the stored model is
+      // deterministic, so verdicts re-fire identically, store unchanged
+      StreamingIngest.docsStreamGated(spark, srcDir, p, replayOut,
+        minQuality = 0.0, models = models).awaitTermination()
+      assert(spark.table(IndexStore.docsTable(p))
+        .select("doc_id").as[Long].collect().toSet == storeIds)
+      val replayRejects = spark.read.parquet(s"$replayOut/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toSet
+      assert(replayRejects.contains((9801L, "dsir_out_of_domain")) &&
+        replayRejects.contains((9803L, "dsir_out_of_domain")),
+        replayRejects.toString)
+    } finally {
+      DsirStore.drop(spark, "mt_dsirm")
+      IndexStore.dropDocs(spark, p)
+      Seq(srcDir, outDir, replayOut).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("streaming ingest: checkpointed micro-batches admit+append; replay is idempotent") {
     val p = "mt_stream"
     IndexStore.dropDocs(spark, p)
