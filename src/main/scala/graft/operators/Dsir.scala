@@ -153,6 +153,12 @@ object Dsir {
       count(lit(1)).as("v"),
       sum(col("raw_n")).as("nr"),
       sum(col("tgt_n")).as("nt")).head()
+    // a featureless pair of corpora (all-blank text) would otherwise
+    // surface as a null-sum NPE here or an infinite logr0 downstream —
+    // fail by name at the training boundary instead
+    require(st.getLong(0) > 0,
+      "Dsir: the corpora produced ZERO features — blank or empty " +
+        "raw+target input cannot train an importance model")
     val (v, nr, nt) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val ratios = joined.select(col("f"), col("tgt_n"), col("raw_n"),
       round(

@@ -320,6 +320,26 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum [[gumbelTopK]]: each stratum draws its own k-sample
+    * without replacement proportional to `exp(logWeight)` — the
+    * per-domain budget form of importance resampling
+    * ([[Dsir.sampled]]'s stratified twin). Same window shape as
+    * [[weightedStratifiedTopK]]: the rank filter prunes to k rows per
+    * stratum before any downstream sort (WindowGroupLimit). */
+  def gumbelStratifiedTopK(df: DataFrame, strata: Seq[Column], id: Column,
+                           logWeight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(col("priority").desc, id)
+    df.filter(logWeight.isNotNull)
+      .withColumn("priority",
+        round(logWeight.cast("double") -
+          log(-log(uniformFromId(id))), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-stratum [[weightedTopK]]: the k highest-priority rows of EACH
     * stratum. One stratum-keyed window whose rank filter prunes to k
     * rows per stratum before any downstream sort (WindowGroupLimit), so

@@ -1673,6 +1673,24 @@ object PipelineQueries {
         .orderBy(col("priority").desc, col("doc_id"))
     },
 
+    // Per-DOMAIN Gumbel resampling — the paper's per-domain budget
+    // form: every source draws its own 3-doc sample from
+    // softmax(logw) without replacement (one stratum-keyed window,
+    // WindowGroupLimit-pruned; no global sort).
+    "dsir_sampled_strata" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val (raw, _) = dsirCorpora(s, dir)
+      val w = graft.operators.Dsir.weightsWith(raw,
+          dsirModel(s, dir, 4096), col("doc_id"), col("text"))
+        .join(t.documents.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      graft.operators.Sampling.gumbelStratifiedTopK(w,
+          Seq(col("source")), col("doc_id"), col("logw"), k = 3)
+        .select(col("doc_id"), col("source"), col("logw"),
+          col("priority"))
+        .orderBy(col("source"), col("priority").desc, col("doc_id"))
+    },
+
     // Marked segment + DETOKENIZE — the loader-facing decode contract
     // for the byte unigram (the BPE family's text_bpe_detok twin):
     // SentencePiece-style token-start markers make the flat hex-piece
@@ -5003,6 +5021,31 @@ object PipelineQueries {
                  FROM gh)
          SELECT doc_id, n_feats, logw, priority FROM gp
          ORDER BY priority DESC, doc_id LIMIT 20""",
+
+    // Per-domain draw: the same priority arithmetic under a
+    // source-partitioned rank window, 3 per source.
+    "dsir_sampled_strata" ->
+      s"""WITH ${dsirCtes(4096)},
+          docw AS (SELECT rf.doc_id, count(*) AS n_feats,
+                     CAST(sum(lr) AS DOUBLE) AS logw
+                   FROM rfeat rf JOIN ratio USING (f) GROUP BY 1),
+          fullw AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                      coalesce(logw, 0.0) AS logw
+                    FROM rawd d LEFT JOIN docw USING (doc_id)),
+          gh AS (SELECT f.doc_id, d.source, f.logw,
+                   substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 13) AS h
+                 FROM fullw f JOIN documents d USING (doc_id)),
+          gp AS (SELECT doc_id, source, logw,
+                   round(logw - ln(-ln(
+                     CAST(($md5DigitSumSql) + 1 AS DOUBLE)
+                       / 4503599627370496.0)), 6) AS priority
+                 FROM gh),
+          grk AS (SELECT doc_id, source, logw, priority,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY priority DESC, doc_id) AS rn
+                  FROM gp)
+         SELECT doc_id, source, logw, priority FROM grk WHERE rn <= 3
+         ORDER BY source, priority DESC, doc_id""",
 
     // The detok round-trip target is closed-form: the whitespace-joined
     // token stream; n_pieces rides the existing byte-DP CTEs.

@@ -257,6 +257,36 @@ class DsirSpec extends SparkSpec {
     assert(boosted.map(_.getLong(0)).toSeq == Seq(77L))
   }
 
+  test("gumbelStratifiedTopK: every stratum draws exactly its own k, " +
+       "and each stratum's draw equals gumbelTopK applied alone") {
+    import graft.operators.Sampling
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      pmod(col("id"), lit(4)).cast("string").as("src"),
+      (col("id") % 7).cast("double").as("lw"))
+    val strat = Sampling.gumbelStratifiedTopK(df, Seq(col("src")),
+        col("doc_id"), col("lw"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(3)))
+    assert(strat.groupBy(_._1).forall(_._2.length == 5), strat.toSeq)
+    (0 until 4).foreach { s0 =>
+      val alone = Sampling.gumbelTopK(
+          df.filter(col("src") === s0.toString),
+          col("doc_id"), col("lw"), k = 5)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(3)))
+        .toSet
+      assert(strat.filter(_._1 == s0.toString).toSet == alone,
+        s"stratum $s0 diverged from the standalone draw")
+    }
+  }
+
+  test("model: a featureless corpus pair fails by name at the " +
+       "training boundary, never an NPE or infinite default ratio") {
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dsir.model(blank, blank, col("doc_id"), col("text"),
+        ngram = 1, nBuckets = 64))
+    assert(e.getMessage.contains("ZERO features"), e.getMessage)
+  }
+
   test("raw-gram mode guard: a feature space past maxFeatures fails by " +
        "name citing the hashing lever") {
     val raw = spark.range(500).select(col("id").as("doc_id"),
