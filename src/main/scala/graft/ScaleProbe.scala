@@ -748,6 +748,9 @@ object ScaleProbe {
       if (on("dsir")) {
         import graft.operators.{Dsir, Sampling}
         import graft.sources.DsirStore
+        require(n >= 800,
+          s"dsir probe needs n >= 800 (one planted doc per 100, and " +
+            s"enough corpus for a stable margin): got $n")
         val nPlanted = n / 100
         val planted = docs.withColumn("text",
           when(pmod(col("doc_id"), lit(100)) === 7,

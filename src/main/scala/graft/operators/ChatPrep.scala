@@ -283,15 +283,26 @@ object ChatPrep {
     * broadcast the cluster-sized agg side. */
   def dedupByAssistant(df: DataFrame, convId: Column,
                        turns: Column): DataFrame = {
+    // a null-rendering conversation (null turns array, or — were the
+    // array_join contract ever to change — null content leaking
+    // through) must take the SALTED branch: a null __len key would be
+    // silently dropped by the null-rejecting equi-join below, losing
+    // the row from the verdict frame entirely
     val base = df
       .select(convId.as("conv_id"), assistantText(turns).as("__a"),
         exists(turns, t => role(t) === "assistant").as("__has"))
       .select(col("conv_id"),
-        when(col("__has"), xxhash64(col("__a")))
+        when(col("__has") && col("__a").isNotNull, xxhash64(col("__a")))
           .otherwise(xxhash64(lit("__no_assistant"), col("conv_id")))
           .as("__fp"),
-        when(col("__has"), length(col("__a")).cast("long"))
+        when(col("__has") && col("__a").isNotNull,
+          length(col("__a")).cast("long"))
           .otherwise(lit(-1L)).as("__len"))
+      // both the agg side and the join probe consume this frame; pin
+      // the NARROW projection (24 bytes/row) once, or the corpus scan
+      // + render fold runs twice (the partial agg before the exchange
+      // defeats ReusedExchange) — measured 2x on chat_dedup
+      .localCheckpoint(true)
     val canon = base.groupBy(col("__fp"), col("__len"))
       .agg(min(col("conv_id")).as("canonical_id"))
     base.join(canon, Seq("__fp", "__len"))

@@ -90,16 +90,25 @@ object PrefPrep {
     * lineage; see that scaladoc for why). */
   def dedupByPrompt(df: DataFrame, pairId: Column,
                     promptTurns: Column): DataFrame = {
+    // a NULL-rendering prompt (non-empty turns with a null role or
+    // content: the concat fold nulls out) takes the salted own-cluster
+    // branch — a null __len key would otherwise be dropped by the
+    // null-rejecting equi-join below and the pair would VANISH from
+    // the verdict frame (the Window form it replaced kept it)
     val base = df
       .select(pairId.as("pair_id"),
         ChatPrep.renderCol(promptTurns).as("__p"),
         (size(promptTurns) > 0).as("__has"))
       .select(col("pair_id"),
-        when(col("__has"), xxhash64(col("__p")))
+        when(col("__has") && col("__p").isNotNull, xxhash64(col("__p")))
           .otherwise(xxhash64(lit("__no_prompt"), col("pair_id")))
           .as("__fp"),
-        when(col("__has"), length(col("__p")).cast("long"))
+        when(col("__has") && col("__p").isNotNull,
+          length(col("__p")).cast("long"))
           .otherwise(lit(-1L)).as("__len"))
+      // pinned once: both the agg and the join probe consume it — see
+      // ChatPrep.dedupByAssistant (partial agg defeats ReusedExchange)
+      .localCheckpoint(true)
     val canon = base.groupBy(col("__fp"), col("__len"))
       .agg(min(col("pair_id")).as("canonical_id"))
     base.join(canon, Seq("__fp", "__len"))

@@ -1174,21 +1174,31 @@ object TextAnalysis {
     * result chains straight into [[unigramEmStepBytes]] or the
     * segmentation kernels. Fails by name when the target cannot even
     * hold the single-byte alphabet. */
-  def unigramPruneToVocab(model: DataFrame, targetVocab: Int): DataFrame = {
+  def unigramPruneToVocab(model: DataFrame, targetVocab: Int): DataFrame =
+    renormalizedModel(
+      pruneRetain(model, targetVocab, "cnt", "unigramPruneToVocab"))
+
+  /** The SHARED retention core of the prune variants: every
+    * single-byte piece (the no-OOV fallback) plus the top multi-byte
+    * pieces by `(countCol DESC, piece ASC)` until `targetVocab` rows —
+    * one definition so the hard and soft families can never drift on
+    * the retention rule (the soft-vs-hard A/B probe compares exactly
+    * these vocabularies). */
+  private def pruneRetain(model: DataFrame, targetVocab: Int,
+                          countCol: String, caller: String): DataFrame = {
     require(targetVocab >= 1, s"targetVocab must be >= 1: $targetVocab")
     val singles = model.filter(length(col("piece")) === 2)
       .localCheckpoint(true)
     val nSingles = singles.count()
     require(targetVocab >= nSingles,
-      s"unigramPruneToVocab: targetVocab=$targetVocab cannot hold the " +
+      s"$caller: targetVocab=$targetVocab cannot hold the " +
         s"$nSingles single-byte pieces — the no-OOV fallback is not " +
         "prunable; raise the target past the alphabet size")
-    val kept = singles.unionByName(
+    singles.unionByName(
         model.filter(length(col("piece")) > 2)
-          .orderBy(col("cnt").desc, col("piece"))
+          .orderBy(col(countCol).desc, col("piece"))
           .limit((targetVocab - nSingles).toInt))
       .localCheckpoint()
-    renormalizedModel(kept)
   }
 
   /** [[unigramPruneToVocab]] for a SOFT-EM model
@@ -1205,19 +1215,8 @@ object TextAnalysis {
     * membership, singles retention) plus bounded float agreement. */
   def unigramPruneSoftToVocab(model: DataFrame,
                               targetVocab: Int): DataFrame = {
-    require(targetVocab >= 1, s"targetVocab must be >= 1: $targetVocab")
-    val singles = model.filter(length(col("piece")) === 2)
-      .localCheckpoint(true)
-    val nSingles = singles.count()
-    require(targetVocab >= nSingles,
-      s"unigramPruneSoftToVocab: targetVocab=$targetVocab cannot hold " +
-        s"the $nSingles single-byte pieces — the no-OOV fallback is " +
-        "not prunable; raise the target past the alphabet size")
-    val kept = singles.unionByName(
-        model.filter(length(col("piece")) > 2)
-          .orderBy(col("ecount").desc, col("piece"))
-          .limit((targetVocab - nSingles).toInt))
-      .localCheckpoint()
+    val kept = pruneRetain(model, targetVocab, "ecount",
+      "unigramPruneSoftToVocab")
     val tot = broadcast(kept.agg(sum(col("ecount")).as("__T")))
     kept.crossJoin(tot)
       .select(col("piece"), col("ecount"),

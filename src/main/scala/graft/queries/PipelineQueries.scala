@@ -262,8 +262,13 @@ object PipelineQueries {
     String, graft.operators.Dsir.Model]()
   private def dsirModel(s: SparkSession, dir: String,
                         nBuckets: Int): graft.operators.Dsir.Model =
+    // unlike the sibling memos this one holds DataFrames (checkpointed
+    // RDDs bound to a SparkContext), so the applicationId is part of
+    // the key: a JVM that stops the session and starts another must
+    // retrain, never execute against a dead context
     dsirModelMemo.computeIfAbsent(
-      graft.sources.CatalogProps.contentKey(dir, "documents.parquet") +
+      s.sparkContext.applicationId + ":" +
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet") +
         ":" + nBuckets,
       _ => {
         val (raw, tgt) = dsirCorpora(s, dir)

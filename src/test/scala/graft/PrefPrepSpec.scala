@@ -76,6 +76,21 @@ class PrefPrepSpec extends SparkSpec {
       (12L, 12L, false), (13L, 13L, false), (14L, 14L, false)))
   }
 
+  test("dedupByPrompt: a NULL-rendering prompt (null content in a " +
+       "non-empty turn list) is retained as its own cluster — the " +
+       "null-key join can never silently drop the pair") {
+    val p = pairs(
+      (20L, Seq("user" -> "clean prompt"), "a", "b"),
+      (21L, Seq("user" -> null), "a", "b"),
+      (22L, Seq("user" -> null), "c", "d"))
+    val out = PrefPrep.dedupByPrompt(p, col("pair_id"), col("prompt"))
+      .orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // all three rows PRESENT; the two null-render pairs never merge
+    assert(out.toSeq == Seq((20L, 20L, false), (21L, 21L, false),
+      (22L, 22L, false)), out.toSeq.toString)
+  }
+
   test("branchTotals + responseSpans: even/odd branch keys, atomic " +
        "special-token arithmetic, span width == response token count") {
     val p = pairs(
