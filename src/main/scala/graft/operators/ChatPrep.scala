@@ -280,7 +280,15 @@ object ChatPrep {
     * window would force a per-partition SORT of every row just to
     * propagate one group minimum; the partial-aggregating hash agg +
     * key-colocated join does the same work sort-free and AQE can
-    * broadcast the cluster-sized agg side. */
+    * broadcast the cluster-sized agg side.
+    *
+    * EAGER: the narrow `(fp, len)` projection is pinned with
+    * `localCheckpoint(true)` at call time (one Spark job runs here),
+    * or the corpus scan + render fold would execute twice — measured
+    * 2x on chat_dedup. Batch relations only — a streaming frame cannot
+    * be checkpointed this way (the
+    * [[graft.streaming.StreamingChat]]/[[graft.streaming.StreamingDedup]]
+    * paths own streams). */
   def dedupByAssistant(df: DataFrame, convId: Column,
                        turns: Column): DataFrame = {
     // a null-rendering conversation (null turns array, or — were the

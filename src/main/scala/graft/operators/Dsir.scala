@@ -73,9 +73,13 @@ object Dsir {
     * `(f, tgt_n, raw_n, logr)` plus the training totals that make
     * scoring total on unseen features. `nFeatures` = |V| (= ratio-table
     * rows), `nRawOcc`/`nTgtOcc` = total feature occurrences per side.
-    * Persist/load via [[graft.sources.DsirStore]]. */
+    * `minLogw` is the CALIBRATED admission threshold when the store
+    * carries one ([[graft.sources.DsirStore.buildCalibrated]] stamps
+    * it; [[calibrateThreshold]] derives it) — None on an uncalibrated
+    * model. Persist/load via [[graft.sources.DsirStore]]. */
   final case class Model(ratios: DataFrame, ngram: Int, nBuckets: Int,
-                         nFeatures: Long, nRawOcc: Long, nTgtOcc: Long) {
+                         nFeatures: Long, nRawOcc: Long, nTgtOcc: Long,
+                         minLogw: Option[Double] = None) {
     /** The Laplace-default log-ratio of a feature UNSEEN at training
       * time — exactly the table formula at counts 0/0:
       * `round(ln(1/(NT+V)) − ln(1/(NR+V)), 6)`. Same float op order as
@@ -132,15 +136,22 @@ object Dsir {
     require(maxFeatures >= 1, s"need maxFeatures >= 1: $maxFeatures")
     if (nBuckets == 0) {
       // raw-gram mode: measure BEFORE building (partial agg, one small
-      // result row — no corpus-shaped materialization on the guard)
+      // result row — no corpus-shaped materialization on the guard).
+      // The estimate is approximate (rsd 2%), so the guard keeps a 5%
+      // safety margin (> 2 rsd) and fails CLOSED near the boundary: a
+      // space the estimator might be under-reading never slips past
+      // the limit it exists to enforce.
       val est = features(raw, id, text, ngram, 0).select(col("f"))
         .unionAll(features(target, id, text, ngram, 0).select(col("f")))
-        .agg(approx_count_distinct(col("f")).as("v")).head().getLong(0)
-      require(est <= maxFeatures,
-        s"Dsir: raw-gram feature space is ~$est distinct grams — past " +
-          s"maxFeatures=$maxFeatures the ratio table is corpus-shaped " +
-          "in the tail, not vocabulary-shaped; hash the feature space " +
-          "with nBuckets (the paper's form) or raise maxFeatures")
+        .agg(approx_count_distinct(col("f"), 0.02).as("v"))
+        .head().getLong(0)
+      require(est <= maxFeatures - maxFeatures / 20,
+        s"Dsir: raw-gram feature space is ~$est distinct grams (approx, " +
+          "rsd 2%; the guard keeps a 5% margin under " +
+          s"maxFeatures=$maxFeatures) — past the limit the ratio table " +
+          "is corpus-shaped in the tail, not vocabulary-shaped; hash " +
+          "the feature space with nBuckets (the paper's form) or raise " +
+          "maxFeatures")
     }
     val rawCnt = features(raw, id, text, ngram, nBuckets)
       .groupBy(col("f")).agg(count(lit(1)).as("raw_n"))
@@ -252,6 +263,72 @@ object Dsir {
       .filter(col("n_feats") > 0 && col("logw") < minLogw)
       .select(col("doc_id"), lit("dsir_out_of_domain").as("reason"))
 
+  /** [[gateRejects]] with the threshold THE MODEL CARRIES — the stored
+    * calibration ([[graft.sources.DsirStore.buildCalibrated]] /
+    * [[calibrateThreshold]]); fails by name on an uncalibrated model so
+    * a deployment can never silently gate at an unconfigured constant. */
+  def gateRejects(batch: DataFrame, m: Model, id: Column,
+                  text: Column): DataFrame = {
+    require(m.minLogw.isDefined,
+      "Dsir.gateRejects: model carries no calibrated minLogw — build the " +
+        "store with DsirStore.buildCalibrated (or pass an explicit " +
+        "threshold)")
+    gateRejects(batch, m, id, text, m.minLogw.get)
+  }
+
+  /** Calibrate the admission threshold from the training corpus's OWN
+    * log-weight distribution instead of a hand-picked constant: the KLL
+    * q-quantile of `logw` (k = 200 → normalized rank error ~1.3%),
+    * returned as `(minLogw, eps)` with eps read from the sketch itself.
+    * One partial-aggregating scan over the weights — the sketch is
+    * mergeable ([[graft.functions.SketchAggregators]], the
+    * q_quantile_rollup machinery), so at any corpus size the driver
+    * sees ONE sketch, never the weights. Deployment stamps the result
+    * into [[graft.sources.DsirStore]] so every later session loads the
+    * threshold with the model; the exact rank of the returned value is
+    * certifiable in one extra pass (|CDF(minLogw) − q| ≤ 2·eps — the
+    * registered query attests exactly that). */
+  def calibrateThreshold(weights: DataFrame, q: Double): (Double, Double) = {
+    require(q > 0.0 && q < 1.0, s"need 0 < q < 1: $q")
+    import graft.functions.SketchAggregators
+    val arr = weights
+      .agg(SketchAggregators.kllAgg(col("logw"), 200).as("sk"))
+      .agg(SketchAggregators.kllUnionQuantiles(col("sk"), Seq(q), 200)
+        .as("qe"))
+      .head().getSeq[Double](0)
+    require(arr.nonEmpty,
+      "Dsir.calibrateThreshold: the weights frame is EMPTY — an empty " +
+        "corpus cannot calibrate an admission threshold")
+    (arr(0), arr(1))
+  }
+
+  /** The STALENESS MONITOR over [[scoreAgainst]]'s `n_unseen` signal —
+    * per group: docs, total features, unseen features, the unseen
+    * FRACTION (quant6 of the exact bigint quotient — engine-exact), and
+    * the verdict against `staleFrac`. A rising unseen fraction means the
+    * trained vocabulary no longer covers the stream — THE retrain
+    * signal (the score itself stays total via the Laplace default, so
+    * nothing else surfaces the drift). Registered like the Drift
+    * family; one feature-keyed exchange + one group-keyed fold. */
+  def stalenessReport(batch: DataFrame, m: Model, id: Column, text: Column,
+                      groups: Seq[(String, Column)],
+                      staleFrac: Double): DataFrame = {
+    require(groups.nonEmpty, "stalenessReport: need at least one group col")
+    val dims = batch.select(
+      (id.as("doc_id") +: groups.map { case (n, c) => c.as(n) }): _*)
+    scoreAgainst(batch, m, id, text)
+      .join(dims, Seq("doc_id"))
+      .groupBy(groups.map(g => col(g._1)): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_feats")).as("n_feats"),
+        sum(col("n_unseen")).as("n_unseen"))
+      .withColumn("unseen_frac",
+        when(col("n_feats") > 0, TextAnalysis.quant6(
+          col("n_unseen").cast("double") / col("n_feats").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("stale", col("unseen_frac") > staleFrac)
+  }
+
   /** The selection: top-`k` raw documents by `(logw DESC, doc_id)` —
     * deterministic, rank-limited. This is the EXPECTATION-shaped form
     * of the paper's Gumbel resampling (greedy top-k by weight); the
@@ -281,5 +358,133 @@ object Dsir {
     Sampling.gumbelTopK(
       weights(raw, target, id, text, ngram, nBuckets, maxFeatures),
       col("doc_id"), col("logw"), k)
+  }
+
+  // ---- multi-target: one crawl, several target domains at once -------
+
+  /** A MULTI-TARGET importance model (the paper's practical deployment:
+    * one crawl gated against SEVERAL target domains at once): per-domain
+    * ratio rows STACKED under a `domain` key —
+    * `(domain, f, tgt_n, raw_n, logr)`, a FULL GRID of k rows per
+    * vocabulary feature (k·|V| rows, still vocabulary-shaped for small
+    * k) — so scoring all k domains is ONE feature-keyed exchange into
+    * the stacked table, never k passes over the corpus. Smoothing runs
+    * over the SHARED vocabulary V (every feature seen in raw or ANY
+    * target): `p_d(f) = (n_{d,f}+1)/(N_d+|V|)` with the raw side
+    * common — one consistent denominator family, so scores are
+    * comparable ACROSS domains (the per-domain-budget composition,
+    * [[Sampling.gumbelStratifiedTopK]], needs exactly that). */
+  final case class MultiModel(ratios: DataFrame, ngram: Int, nBuckets: Int,
+                              nFeatures: Long, nRawOcc: Long,
+                              domains: Seq[String])
+
+  /** Train the multi-target model: one raw counting scan, one scan per
+    * target (unioned into a single domain-keyed aggregate), the shared
+    * vocabulary pinned once, per-domain totals collected as k numbers,
+    * and the stacked round-once ratio grid derived from them. Eager,
+    * like [[model]]. A target whose corpus yields zero features fails
+    * by name (its smoothed distribution would be uniform noise). */
+  def modelMulti(raw: DataFrame, targets: Seq[(String, DataFrame)],
+                 id: Column, text: Column, ngram: Int = 2,
+                 nBuckets: Int = DefaultBuckets,
+                 maxFeatures: Long = 4L << 20): MultiModel = {
+    require(targets.nonEmpty, "Dsir.modelMulti: need >= 1 target domain")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"Dsir.modelMulti: duplicate domain names in ${targets.map(_._1)}")
+    require(ngram >= 1 && ngram <= 3, s"need 1 <= ngram <= 3: $ngram")
+    require(nBuckets >= 0, s"need nBuckets >= 0: $nBuckets")
+    if (nBuckets == 0) {
+      val est = targets.map(t => features(t._2, id, text, ngram, 0))
+        .foldLeft(features(raw, id, text, ngram, 0))(_ unionAll _)
+        .agg(approx_count_distinct(col("f"), 0.02).as("v"))
+        .head().getLong(0)
+      require(est <= maxFeatures - maxFeatures / 20,
+        s"Dsir.modelMulti: raw-gram feature space is ~$est distinct " +
+          "grams (approx, rsd 2%; 5% margin) — hash with nBuckets or " +
+          s"raise maxFeatures=$maxFeatures")
+    }
+    val rawCnt = features(raw, id, text, ngram, nBuckets)
+      .groupBy(col("f")).agg(count(lit(1)).as("raw_n"))
+    val tgtCnt = targets.map { case (d, df) =>
+        features(df, id, text, ngram, nBuckets)
+          .select(lit(d).as("domain"), col("f"))
+      }.reduce(_ unionAll _)
+      .groupBy(col("domain"), col("f")).agg(count(lit(1)).as("tgt_n"))
+      .localCheckpoint()
+    // shared vocabulary: every feature in raw or ANY target, raw counts
+    // restored (vocabulary-shaped; pinned — the grid and the totals
+    // both read it)
+    val vocab = rawCnt.select(col("f"))
+      .unionAll(tgtCnt.select(col("f"))).distinct()
+      .join(rawCnt, Seq("f"), "left")
+      .na.fill(0L, Seq("raw_n"))
+      .localCheckpoint()
+    val st: Row = vocab.agg(count(lit(1)).as("v"),
+      sum(col("raw_n")).as("nr")).head()
+    require(st.getLong(0) > 0,
+      "Dsir.modelMulti: the corpora produced ZERO features — blank or " +
+        "empty input cannot train an importance model")
+    val (v, nr) = (st.getLong(0), st.getLong(1))
+    val totals = tgtCnt.groupBy(col("domain"))
+      .agg(sum(col("tgt_n")).as("nt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (d, _) =>
+      require(totals.contains(d),
+        s"Dsir.modelMulti: target domain '$d' trained ZERO features — " +
+          "a blank target cannot define a domain distribution")
+    }
+    val spark = raw.sparkSession
+    import scala.jdk.CollectionConverters._
+    val totalsDf = spark.createDataFrame(
+      targets.map(t => Row(t._1, totals(t._1))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("nt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val grid = vocab.select(col("f"), col("raw_n"),
+        explode(array(targets.map(t => lit(t._1)): _*)).as("domain"))
+      .join(tgtCnt, Seq("domain", "f"), "left")
+      .na.fill(0L, Seq("tgt_n"))
+      .join(broadcast(totalsDf), Seq("domain"))
+    // pin the stacked grid (k·|V| rows — vocabulary-shaped): scoring
+    // then joins a materialized table, so k domains plan exactly the
+    // same exchanges as one (spec-asserted), and the grid's own joins
+    // never replay per batch
+    val ratios = grid.select(col("domain"), col("f"), col("tgt_n"),
+      col("raw_n"),
+      round(
+        log((col("tgt_n") + 1).cast("double") /
+            (col("nt") + lit(v)).cast("double")) -
+        log((col("raw_n") + 1).cast("double") /
+            lit(nr + v).cast("double")), 6).as("logr"))
+      .localCheckpoint()
+    MultiModel(ratios, ngram, nBuckets, v, nr, targets.map(_._1))
+  }
+
+  /** Per-document, PER-DOMAIN importance log-weights of the model's own
+    * raw corpus: `(doc_id, domain, n_feats, logw)`. The features explode
+    * ONCE and join the stacked grid on the feature key alone — one
+    * exchange scores every domain (each occurrence fans out to its k
+    * domain rows on the join's probe side, map-side), then one
+    * (doc, domain)-keyed DECIMAL fold. Zero-feature docs surface once
+    * per domain with logw 0 (the [[weightsWith]] convention; the
+    * restore side is a broadcast of the k-row domain dimension).
+    * Composes with [[Sampling.gumbelStratifiedTopK]] on `domain` for
+    * per-domain resampling budgets. */
+  def weightsMultiWith(raw: DataFrame, mm: MultiModel, id: Column,
+                       text: Column): DataFrame = {
+    val scored = features(raw, id, text, mm.ngram, mm.nBuckets)
+      .join(mm.ratios.select(col("f"), col("domain"), col("logr")),
+        Seq("f"))
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("logr").cast(dec)).cast("double").as("logw"))
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val dims = broadcast(mm.domains.toDF("domain"))
+    raw.select(id.as("doc_id")).crossJoin(dims)
+      .join(scored, Seq("doc_id", "domain"), "left")
+      .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
   }
 }

@@ -87,7 +87,13 @@ object PrefPrep {
     * (pair_id-salted key), mirroring
     * [[ChatPrep.dedupByAssistant]]'s contract — including its
     * sort-free AGG + JOIN canonical derivation (no Window in the
-    * lineage; see that scaladoc for why). */
+    * lineage; see that scaladoc for why).
+    *
+    * EAGER: the narrow fingerprint projection is pinned with
+    * `localCheckpoint(true)` at call time (one Spark job runs here),
+    * or the corpus scan + render fold would execute twice. Batch
+    * relations only — a streaming frame cannot be checkpointed this
+    * way (the [[graft.streaming.StreamingPref]] path owns streams). */
   def dedupByPrompt(df: DataFrame, pairId: Column,
                     promptTurns: Column): DataFrame = {
     // a NULL-rendering prompt (non-empty turns with a null role or

@@ -266,6 +266,34 @@ object Sampling {
     (conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("double")
       + lit(1.0)) / lit(4503599627370496.0)
 
+  /** [[uniformFromId]] clamped strictly below 1 for the GUMBEL
+    * transform: u can be exactly 1.0 (an all-f 13-hex md5 prefix,
+    * p = 2^-52 per row), where −ln(u) = 0 and the outer ln diverges —
+    * Spark evaluates log(0) to NULL (silently excluding the row from
+    * the draw) while DuckDB's ln(0) raises, an engine divergence the
+    * 6-dp rounding contract doesn't cover. `least(u, 1.0 − 1e-16)`
+    * pins that one value to the largest double below 1 (1 − 2^-53 —
+    * both engines constant-fold the literal subtraction to the same
+    * IEEE double) and leaves every other u untouched; the oracles
+    * state the same LEAST verbatim. `ln(u)` itself is total at u = 1
+    * (priority 0), so the linear-space forms keep the unclamped u. */
+  private def gumbelUniform(id: Column): Column =
+    least(uniformFromId(id), lit(1.0 - 1e-16))
+
+  /** THE cross-engine draw contract, stated exactly once: the A-Res
+    * priority `round(ln(u)/w, 6)` (linear space) and the Gumbel-top-k
+    * priority `round(logw − ln(−ln(u)), 6)` (log space). The two
+    * rankings coincide where the weights correspond (w = exp(logw)):
+    * each orders by a monotone transform of `−ln(u)/w` — pinned by
+    * SamplingSpec. The 6-dp rounding is load-bearing (it is what lets
+    * another engine replay the draw bit-exactly past libm's 1-ulp ln
+    * slack), so the formula lives here and nowhere else. */
+  private def weightedPriority(id: Column, weight: Column): Column =
+    round(log(uniformFromId(id)) / weight.cast("double"), 6)
+
+  private def gumbelPriority(id: Column, logWeight: Column): Column =
+    round(logWeight.cast("double") - log(-log(gumbelUniform(id))), 6)
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
     * each row draws its deterministic uniform u = u(id) and gets
     * priority `ln(u)/w` — distributionally equivalent to ranking by
@@ -289,8 +317,7 @@ object Sampling {
                    k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     df.filter(weight > 0)
-      .withColumn("priority",
-        round(log(uniformFromId(id)) / weight.cast("double"), 6))
+      .withColumn("priority", weightedPriority(id, weight))
       .orderBy(col("priority").desc, id)
       .limit(k)
   }
@@ -313,9 +340,7 @@ object Sampling {
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     df.filter(logWeight.isNotNull)
-      .withColumn("priority",
-        round(logWeight.cast("double") -
-          log(-log(uniformFromId(id))), 6))
+      .withColumn("priority", gumbelPriority(id, logWeight))
       .orderBy(col("priority").desc, id)
       .limit(k)
   }
@@ -332,9 +357,7 @@ object Sampling {
     val w = Window.partitionBy(strata: _*)
       .orderBy(col("priority").desc, id)
     df.filter(logWeight.isNotNull)
-      .withColumn("priority",
-        round(logWeight.cast("double") -
-          log(-log(uniformFromId(id))), 6))
+      .withColumn("priority", gumbelPriority(id, logWeight))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")
@@ -351,8 +374,7 @@ object Sampling {
     val w = Window.partitionBy(strata: _*)
       .orderBy(col("priority").desc, id)
     df.filter(weight > 0)
-      .withColumn("priority",
-        round(log(uniformFromId(id)) / weight.cast("double"), 6))
+      .withColumn("priority", weightedPriority(id, weight))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

@@ -276,6 +276,91 @@ object PipelineQueries {
           ngram = 2, nBuckets = nBuckets)
       })
 
+  /** Build-if-absent PERSISTED + CALIBRATED DSIR store — the full
+    * deployment lifecycle registered as a query path: the memoized
+    * 2^20-bucket model (the dsir_gate model, whose planted margin is
+    * the proven one: plain docs below 2.0, in-domain above — the
+    * median therefore sits under EVERY in-domain batch score) persists
+    * through [[graft.sources.DsirStore]] (buildFrom → calibrateAndStamp
+    * at q = 0.5 over the raw corpus's own log-weights → load), so
+    * dsir_gate_calibrated gates with a threshold LOADED FROM THE
+    * STORE, not a hand-picked constant. Keyed by corpus fingerprint
+    * with the stale-sibling sweep; the loaded model is memoized per
+    * (appId, corpus) because it carries session-bound DataFrames.
+    * Returns (model-with-minLogw, q, eps). */
+  private val dsirCalStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Dsir.Model, Double, Double)]()
+  private def dsirCalibratedStore(s: SparkSession, dir: String)
+      : (graft.operators.Dsir.Model, Double, Double) =
+    dsirCalStoreMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" +
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => {
+        val key = graft.sources.CatalogProps.contentKey(dir,
+          "documents.parquet")
+        val p = "q_dsir_store_" + key
+        val tbl = graft.sources.DsirStore.table(p)
+        if (!s.catalog.tableExists(tbl) ||
+            graft.sources.DsirStore.loadCalibration(s, p).isEmpty) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("q_dsir_store_") && nm != tbl) {
+              if (s.catalog.tableExists(nm))
+                graft.sources.Bucketing.dropManagedTable(s, nm)
+              else fs.delete(st.getPath, true)
+            }
+          }
+          val m0 = dsirModel(s, dir, 1 << 20)
+          graft.sources.DsirStore.buildFrom(s, p, m0)
+          val (raw, _) = dsirCorpora(s, dir)
+          graft.sources.DsirStore.calibrateAndStamp(s, p,
+            graft.operators.Dsir.weightsWith(raw, m0, col("doc_id"),
+              col("text")), q = 0.5)
+        }
+        val m = graft.sources.DsirStore.load(s, p)
+        val (_, q, eps) = graft.sources.DsirStore.loadCalibration(s, p).get
+        (m, q, eps)
+      })
+
+  /** The multi-target DSIR corpora + model for dsir_multi (memoized
+    * like [[dsirModel]]): raw corpus planting marker A on %10 and
+    * marker B on %9 (both, in that order, on %90), target A = %7 docs
+    * + marker A, target B = %11 docs + marker B — two genuinely
+    * different domain distributions over one crawl. */
+  private def dsirMultiCorpora(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    val t = Tables(s, dir)
+    val raw = t.documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          lit(" quantum flux capacitor quantum flux")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" neural lattice resonator neural lattice"))
+          .otherwise(lit(""))).as("text"))
+    val tgtA = t.documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" quantum flux capacitor")).as("text"))
+    val tgtB = t.documents.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" neural lattice resonator")).as("text"))
+    (raw, Seq("a" -> tgtA, "b" -> tgtB))
+  }
+  private val dsirMultiModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Dsir.MultiModel]()
+  private def dsirMultiModel(s: SparkSession,
+                             dir: String): graft.operators.Dsir.MultiModel =
+    dsirMultiModelMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" +
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => {
+        val (raw, targets) = dsirMultiCorpora(s, dir)
+        graft.operators.Dsir.modelMulti(raw, targets, col("doc_id"),
+          col("text"), ngram = 2, nBuckets = 4096)
+      })
+
   /** [[plantedDocs]] with the `source` column retained — the
     * loader-parity queries report per source over the same planted
     * multilingual corpus the byte-unigram model trains on. */
@@ -1694,6 +1779,116 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("logw"),
           col("priority"))
         .orderBy(col("source"), col("priority").desc, col("doc_id"))
+    },
+
+    // DSIR with a CALIBRATED threshold loaded from the persisted store
+    // (DsirStore buildFrom → calibrateAndStamp → load — the full
+    // deployment lifecycle in-query): the gate runs at the stamped KLL
+    // median of the training corpus's own log-weights instead of a
+    // hand-picked constant. Self-certifying (the q_quantile_rollup
+    // pattern — the threshold itself is sketch-derived, so per-doc
+    // verdicts are not SQL-replayable): the oracle states the
+    // deterministic remainder — corpus counts — plus four attestations
+    // that hold at ANY scale factor: |exact CDF(thr) − q| ≤ 2·eps (eps
+    // from the stamp), every rejected logw below every admitted one, a
+    // median threshold genuinely splits the batch (both sides
+    // nonempty), and the PRODUCTION entry point
+    // (Dsir.gateRejects(batch, m) — no explicit threshold) emits
+    // exactly the thresholded reject set.
+    "dsir_gate_calibrated" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val (m, q, eps) = dsirCalibratedStore(s, dir)
+      val thr = m.minLogw.get
+      val (raw, _) = dsirCorpora(s, dir)
+      val trainW = graft.operators.Dsir.weightsWith(raw, m, col("doc_id"),
+        col("text"))
+      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" quantum flux capacitor")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(20)) === 0,
+              lit(" zz9novelgram zz9weird")).otherwise(lit("")))
+            .as("text"))
+      val scored = graft.operators.Dsir.scoreAgainst(batch, m,
+          col("doc_id"), col("text"))
+        .withColumn("admitted",
+          col("n_feats") === 0 || col("logw") >= thr)
+      val trainAgg = trainW.agg(
+        count(lit(1)).as("n_train"),
+        (abs(sum(when(col("logw") <= thr, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - q) <= eps * 2)
+          .as("rank_ok"))
+      val batchAgg = scored.agg(
+        count(lit(1)).as("n_batch"),
+        (coalesce(max(when(not(col("admitted")), col("logw"))),
+            lit(Double.MinValue)) <
+          coalesce(min(when(col("admitted") && col("n_feats") > 0,
+              col("logw"))), lit(Double.MaxValue))).as("separation_ok"),
+        (sum(when(col("admitted"), 1L).otherwise(0L)) > 0 &&
+          sum(when(not(col("admitted")), 1L).otherwise(0L)) > 0)
+          .as("both_sides_nonempty"))
+      // the production entry point (threshold carried by the model)
+      // must emit EXACTLY the thresholded rejects — two code paths,
+      // one verdict set
+      val apiRejects = graft.operators.Dsir.gateRejects(batch, m,
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), lit(1L).as("side"))
+      val qryRejects = scored.filter(not(col("admitted")))
+        .select(col("doc_id"), lit(2L).as("side"))
+      val apiAgg = apiRejects.unionAll(qryRejects)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("side")).as("s"), count(lit(1)).as("c"))
+        .agg((coalesce(sum(when(col("c") =!= 2 || col("s") =!= 3, 1L)
+          .otherwise(0L)), lit(0L)) === 0).as("gate_api_consistent"))
+      trainAgg.crossJoin(batchAgg).crossJoin(apiAgg)
+        .select(col("n_train"), col("n_batch"), col("rank_ok"),
+          col("separation_ok"), col("both_sides_nonempty"),
+          col("gate_api_consistent"))
+    },
+
+    // The STALENESS MONITOR (the n_unseen retrain signal as a
+    // registered Drift-family query): the dsir_gate batch split into
+    // the novel-gram cohort (%20 — planted grams the 2^20-bucket model
+    // never saw) vs the in-vocabulary cohort, each reporting its exact
+    // unseen-feature fraction. The oracle replays the whole thing —
+    // model, buckets, Laplace-left-join, quant6 quotient, verdict.
+    "dsir_staleness" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val m = dsirModel(s, dir, 1 << 20)
+      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" quantum flux capacitor")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(20)) === 0,
+              lit(" zz9novelgram zz9weird")).otherwise(lit("")))
+            .as("text"))
+      graft.operators.Dsir.stalenessReport(batch, m, col("doc_id"),
+          col("text"),
+          Seq("cohort" -> when(pmod(col("doc_id"), lit(20)) === 0,
+            lit("novel")).otherwise(lit("in_vocab"))),
+          staleFrac = 0.001)
+        .orderBy(col("cohort"))
+    },
+
+    // MULTI-TARGET DSIR — one crawl scored against TWO target domains
+    // in a single pass (the stacked domain-keyed ratio grid: one
+    // feature-keyed exchange scores both, never two corpus passes),
+    // composed with the per-domain Gumbel budget
+    // (gumbelStratifiedTopK on `domain`, 3 winners each). The oracle
+    // re-derives both domain models over the shared vocabulary and
+    // replays the draw.
+    "dsir_multi" -> { (s, dir) =>
+      val (raw, _) = dsirMultiCorpora(s, dir)
+      val mm = dsirMultiModel(s, dir)
+      val w = graft.operators.Dsir.weightsMultiWith(raw, mm,
+        col("doc_id"), col("text"))
+      graft.operators.Sampling.gumbelStratifiedTopK(w,
+          Seq(col("domain")), col("doc_id"), col("logw"), k = 3)
+        .select(col("doc_id"), col("domain"), col("n_feats"),
+          col("logw"), col("priority"))
+        .orderBy(col("domain"), col("priority").desc, col("doc_id"))
     },
 
     // Marked segment + DETOKENIZE — the loader-facing decode contract
@@ -3394,6 +3589,98 @@ object PipelineQueries {
                 AS DECIMAL(38,6)) AS lr
             FROM vtab CROSS JOIN st)"""
 
+  /** The MULTI-TARGET DSIR model replayed end to end: raw corpus with
+    * both domain markers (A on %10, B on %9), two targets (%7+A,
+    * %11+B), md5-bucketed uni+bigram features, the SHARED vocabulary
+    * (raw ∪ both targets), per-domain Laplace totals, and the stacked
+    * round-once ratio grid — ending in `ratio_m(domain, f, lr)` +
+    * `fullw(doc_id, domain, n_feats, logw)`. Mirrors
+    * [[graft.operators.Dsir.modelMulti]]/[[graft.operators.Dsir.weightsMultiWith]]
+    * construction exactly (shared V, per-domain N_d, raw side common). */
+  private def dsirMultiCtes(nBuckets: Long): String =
+    s"""rawd AS (SELECT doc_id,
+              text
+                || CASE WHEN doc_id % 10 = 0
+                   THEN ' quantum flux capacitor quantum flux'
+                   ELSE '' END
+                || CASE WHEN doc_id % 9 = 0
+                   THEN ' neural lattice resonator neural lattice'
+                   ELSE '' END AS text
+            FROM documents),
+          tgta AS (SELECT doc_id, text || ' quantum flux capacitor'
+                     AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+          tgtb AS (SELECT doc_id, text || ' neural lattice resonator'
+                     AS text
+                   FROM documents WHERE doc_id % 11 = 0),
+          rtok AS (SELECT doc_id, $tokensSql AS tk FROM rawd),
+          atok AS (SELECT doc_id, $tokensSql AS tk FROM tgta),
+          btok2 AS (SELECT doc_id, $tokensSql AS tk FROM tgtb),
+          rfeat AS MATERIALIZED (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % $nBuckets AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM rtok)),
+          afeat AS (
+            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % $nBuckets AS VARCHAR) AS f
+            FROM (SELECT unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM atok)),
+          bfeat2 AS (
+            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % $nBuckets AS VARCHAR) AS f
+            FROM (SELECT unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM btok2)),
+          rcnt AS (SELECT f, count(*) AS raw_n FROM rfeat GROUP BY 1),
+          acnt AS (SELECT f, count(*) AS tgt_n FROM afeat GROUP BY 1),
+          bcnt AS (SELECT f, count(*) AS tgt_n FROM bfeat2 GROUP BY 1),
+          vocab AS MATERIALIZED (
+            SELECT v.f, coalesce(r.raw_n, 0) AS raw_n
+            FROM (SELECT DISTINCT f FROM (
+                    SELECT f FROM rcnt UNION ALL SELECT f FROM acnt
+                    UNION ALL SELECT f FROM bcnt)) v
+            LEFT JOIN rcnt r ON v.f = r.f),
+          st AS (SELECT count(*) AS V, sum(raw_n) AS NR FROM vocab),
+          nta AS (SELECT CAST(coalesce(sum(tgt_n), 0) AS BIGINT) AS nt
+                  FROM acnt),
+          ntb AS (SELECT CAST(coalesce(sum(tgt_n), 0) AS BIGINT) AS nt
+                  FROM bcnt),
+          ratio_m AS MATERIALIZED (
+            SELECT 'a' AS domain, v.f,
+              CAST(round(
+                ln(CAST(coalesce(a.tgt_n, 0) + 1 AS DOUBLE)
+                  / ((SELECT nt FROM nta) + V))
+                - ln(CAST(v.raw_n + 1 AS DOUBLE) / (NR + V)), 6)
+                AS DECIMAL(38,6)) AS lr
+            FROM vocab v CROSS JOIN st LEFT JOIN acnt a ON v.f = a.f
+            UNION ALL
+            SELECT 'b' AS domain, v.f,
+              CAST(round(
+                ln(CAST(coalesce(b.tgt_n, 0) + 1 AS DOUBLE)
+                  / ((SELECT nt FROM ntb) + V))
+                - ln(CAST(v.raw_n + 1 AS DOUBLE) / (NR + V)), 6)
+                AS DECIMAL(38,6)) AS lr
+            FROM vocab v CROSS JOIN st LEFT JOIN bcnt b ON v.f = b.f),
+          docw_m AS (SELECT rf.doc_id, rm.domain, count(*) AS n_feats,
+                       CAST(sum(lr) AS DOUBLE) AS logw
+                     FROM rfeat rf JOIN ratio_m rm USING (f)
+                     GROUP BY 1, 2),
+          fullw AS (SELECT d.doc_id, dom.domain,
+                      coalesce(n_feats, 0) AS n_feats,
+                      coalesce(logw, 0.0) AS logw
+                    FROM rawd d
+                    CROSS JOIN (SELECT 'a' AS domain
+                                UNION ALL SELECT 'b') dom
+                    LEFT JOIN docw_m w
+                      ON d.doc_id = w.doc_id AND dom.domain = w.domain)"""
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH corpus AS (
@@ -5020,9 +5307,9 @@ object PipelineQueries {
                  FROM fullw),
           gp AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
                    logw,
-                   round(logw - ln(-ln(
+                   round(logw - ln(-ln(least(
                      CAST(($md5DigitSumSql) + 1 AS DOUBLE)
-                       / 4503599627370496.0)), 6) AS priority
+                       / 4503599627370496.0, 1.0 - 1e-16))), 6) AS priority
                  FROM gh)
          SELECT doc_id, n_feats, logw, priority FROM gp
          ORDER BY priority DESC, doc_id LIMIT 20""",
@@ -5041,9 +5328,9 @@ object PipelineQueries {
                    substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 13) AS h
                  FROM fullw f JOIN documents d USING (doc_id)),
           gp AS (SELECT doc_id, source, logw,
-                   round(logw - ln(-ln(
+                   round(logw - ln(-ln(least(
                      CAST(($md5DigitSumSql) + 1 AS DOUBLE)
-                       / 4503599627370496.0)), 6) AS priority
+                       / 4503599627370496.0, 1.0 - 1e-16))), 6) AS priority
                  FROM gh),
           grk AS (SELECT doc_id, source, logw, priority,
                     row_number() OVER (PARTITION BY source
@@ -5051,6 +5338,100 @@ object PipelineQueries {
                   FROM gp)
          SELECT doc_id, source, logw, priority FROM grk WHERE rn <= 3
          ORDER BY source, priority DESC, doc_id""",
+
+    // Self-certifying (the q_quantile_rollup pattern — the gate
+    // threshold is the store's stamped KLL median of the training
+    // logw distribution, not SQL-replayable): the oracle states the
+    // deterministic remainder (corpus counts) plus the four
+    // scale-robust attestations — exact rank within 2·eps, rejected
+    // strictly below admitted, a median threshold splitting the batch
+    // nonempty both ways, and the no-threshold gateRejects entry point
+    // agreeing with the thresholded scores.
+    "dsir_gate_calibrated" ->
+      """SELECT
+           (SELECT count(*) FROM documents) AS n_train,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+             AS n_batch,
+           true AS rank_ok,
+           true AS separation_ok,
+           true AS both_sides_nonempty,
+           true AS gate_api_consistent""",
+
+    // Staleness replay: the dsir_gate machinery (2^20-bucket model,
+    // %5 batch with planted novel grams on %20) folded per cohort —
+    // unseen counts, the quant6 unseen fraction, and the verdict
+    // against the 0.001 threshold, all re-derived from scratch.
+    "dsir_staleness" ->
+      s"""WITH ${dsirCtes(1L << 20)},
+          batch AS (SELECT doc_id,
+              text
+                || CASE WHEN doc_id % 10 = 0
+                        THEN ' quantum flux capacitor' ELSE '' END
+                || CASE WHEN doc_id % 20 = 0
+                        THEN ' zz9novelgram zz9weird' ELSE '' END
+                AS text
+            FROM documents WHERE doc_id % 5 = 0),
+          btok AS (SELECT doc_id, $tokensSql AS tk FROM batch),
+          bfeat AS (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % ${1L << 20} AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM btok)),
+          docw AS (SELECT b.doc_id, count(*) AS n_feats,
+                     sum(CASE WHEN r.lr IS NULL THEN 1 ELSE 0 END)
+                       AS n_unseen
+                   FROM bfeat b LEFT JOIN ratio r ON b.f = r.f
+                   GROUP BY 1),
+          fullw AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                      coalesce(n_unseen, 0) AS n_unseen
+                    FROM batch d LEFT JOIN docw USING (doc_id)),
+          coh AS (SELECT
+                    CASE WHEN doc_id % 20 = 0 THEN 'novel'
+                         ELSE 'in_vocab' END AS cohort,
+                    count(*) AS n_docs,
+                    CAST(sum(n_feats) AS BIGINT) AS n_feats,
+                    CAST(sum(n_unseen) AS BIGINT) AS n_unseen
+                  FROM fullw GROUP BY 1)
+         SELECT cohort, n_docs, n_feats, n_unseen,
+           CASE WHEN n_feats > 0
+                THEN floor(CAST(n_unseen AS DOUBLE)
+                       / CAST(n_feats AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE 0.0 END AS unseen_frac,
+           (CASE WHEN n_feats > 0
+                 THEN floor(CAST(n_unseen AS DOUBLE)
+                        / CAST(n_feats AS DOUBLE) * 1000000.0 + 0.5)
+                      / 1000000.0
+                 ELSE 0.0 END) > CAST(0.001 AS DOUBLE) AS stale
+         FROM coh ORDER BY cohort""",
+
+    // Multi-target replay: both domain models re-derived over the
+    // SHARED vocabulary (per-domain Laplace totals, common raw side),
+    // one stacked ratio grid, per-(doc, domain) DECIMAL folds, and the
+    // per-domain Gumbel draw — the engine's one-exchange scoring
+    // reproduced as plain SQL.
+    "dsir_multi" ->
+      s"""WITH ${dsirMultiCtes(4096)},
+          gh AS (SELECT doc_id, domain, n_feats, logw,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+                 FROM fullw),
+          gp AS (SELECT doc_id, domain,
+                   CAST(n_feats AS BIGINT) AS n_feats, logw,
+                   round(logw - ln(-ln(least(
+                     CAST(($md5DigitSumSql) + 1 AS DOUBLE)
+                       / 4503599627370496.0, 1.0 - 1e-16))), 6)
+                     AS priority
+                 FROM gh),
+          grk AS (SELECT doc_id, domain, n_feats, logw, priority,
+                    row_number() OVER (PARTITION BY domain
+                      ORDER BY priority DESC, doc_id) AS rn
+                  FROM gp)
+         SELECT doc_id, domain, n_feats, logw, priority
+         FROM grk WHERE rn <= 3
+         ORDER BY domain, priority DESC, doc_id""",
 
     // The detok round-trip target is closed-form: the whitespace-joined
     // token stream; n_pieces rides the existing byte-DP CTEs.

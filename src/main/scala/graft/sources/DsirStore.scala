@@ -31,20 +31,81 @@ object DsirStore {
     buildFrom(spark, prefix,
       Dsir.model(raw, target, id, text, ngram, nBuckets, maxFeatures))
 
+  /** [[build]] + threshold calibration in ONE lifecycle: train, persist,
+    * score the raw corpus against its own model, and stamp the KLL
+    * q-quantile of that log-weight distribution as the admission
+    * threshold ([[Dsir.calibrateThreshold]]) — so every later
+    * [[load]] hands back a model that CARRIES its `minLogw` and
+    * [[Dsir.gateRejects]] needs no hand-picked constant. Returns the
+    * calibrated model. */
+  def buildCalibrated(spark: SparkSession, prefix: String, raw: DataFrame,
+                      target: DataFrame, id: Column, text: Column,
+                      q: Double = 0.5, ngram: Int = 2,
+                      nBuckets: Int = Dsir.DefaultBuckets,
+                      maxFeatures: Long = 4L << 20): Dsir.Model = {
+    val m = Dsir.model(raw, target, id, text, ngram, nBuckets, maxFeatures)
+    buildFrom(spark, prefix, m)
+    calibrateAndStamp(spark, prefix, Dsir.weightsWith(raw, m, id, text), q)
+    m.copy(minLogw = loadMinLogw(spark, prefix))
+  }
+
+  /** Stamp a calibrated threshold onto an EXISTING complete store: the
+    * KLL q-quantile of `weights.logw` (plus q and the sketch's eps, so
+    * a later reader can re-certify the rank) — the composable half of
+    * [[buildCalibrated]] for callers that already persisted the model
+    * ([[buildFrom]]) and hold its training weights. */
+  def calibrateAndStamp(spark: SparkSession, prefix: String,
+                        weights: DataFrame, q: Double): Double = {
+    val t = table(prefix)
+    require(spark.catalog.tableExists(t) &&
+        CatalogProps.propOption(spark, t, "graft.dsir.complete")
+          .contains("true"),
+      s"DsirStore: no complete store under $t to stamp a calibration " +
+        "onto — build first")
+    val (thr, eps) = Dsir.calibrateThreshold(weights, q)
+    CatalogProps.setProps(spark, t, Map(
+      "graft.dsir.minlogw" -> thr.toString,
+      "graft.dsir.calq" -> q.toString,
+      "graft.dsir.caleps" -> eps.toString))
+    thr
+  }
+
+  /** The stamped calibration threshold, if the store carries one
+    * (None on a missing or never-calibrated store). */
+  def loadMinLogw(spark: SparkSession, prefix: String): Option[Double] =
+    if (!spark.catalog.tableExists(table(prefix))) None
+    else CatalogProps.propOption(spark, table(prefix), "graft.dsir.minlogw")
+      .map(_.toDouble)
+
+  /** The stamped calibration rank `q` and sketch eps (present iff
+    * [[calibrateAndStamp]] ran) — what a certification pass needs to
+    * re-attest |CDF(minLogw) − q| ≤ 2·eps. */
+  def loadCalibration(spark: SparkSession,
+                      prefix: String): Option[(Double, Double, Double)] =
+    for {
+      thr <- loadMinLogw(spark, prefix)
+      q <- CatalogProps.propOption(spark, table(prefix), "graft.dsir.calq")
+      eps <- CatalogProps.propOption(spark, table(prefix),
+        "graft.dsir.caleps")
+    } yield (thr, q.toDouble, eps.toDouble)
+
   /** Persist an ALREADY-TRAINED model under the prefix — the hand-off
     * for callers that train once and store (e.g. a production-depth
     * scale probe). */
   def buildFrom(spark: SparkSession, prefix: String,
                 m: Dsir.Model): Unit = {
-    Bucketing.dropManagedTable(spark, table(prefix))
-    // model() pinned the joined counts; the ratio projection is
-    // vocabulary-shaped — pin it once more so count + write share one
-    // materialization
+    // validate the NEW model BEFORE touching any existing store: a
+    // failed consistency check (or a crash inside this materialization)
+    // must leave a previously good, complete store loadable — the drop
+    // runs only once the replacement is proven whole. model() pinned
+    // the joined counts; the ratio projection is vocabulary-shaped —
+    // pin it once more so count + write share one materialization.
     val ratios = m.ratios.localCheckpoint(true)
     val n = ratios.count()
     require(n == m.nFeatures,
       s"DsirStore: model declares ${m.nFeatures} features but its ratio " +
         s"table holds $n rows — inconsistent model, refusing to persist")
+    Bucketing.dropManagedTable(spark, table(prefix))
     ratios.write.saveAsTable(table(prefix))
     // marker LAST: a crash before this line leaves a table without its
     // completeness stamp, which load rejects by name
@@ -83,7 +144,8 @@ object DsirStore {
     require(actual == v,
       s"DsirStore $t: stamped $v features but holds $actual rows — " +
         "partial data; rebuild with DsirStore.build")
-    Dsir.Model(spark.table(t), ngram, nBuckets, v, nr, nt)
+    Dsir.Model(spark.table(t), ngram, nBuckets, v, nr, nt,
+      minLogw = loadMinLogw(spark, prefix))
   }
 
   def drop(spark: SparkSession, prefix: String): Unit =

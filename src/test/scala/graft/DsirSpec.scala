@@ -300,4 +300,150 @@ class DsirSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets") &&
       e.getMessage.contains("maxFeatures"), e.getMessage)
   }
+
+  test("calibration lifecycle: buildCalibrated stamps a loadable " +
+       "threshold whose exact rank honors the 2*eps bound; gateRejects " +
+       "uses the model-carried value; uncalibrated models fail by name") {
+    import graft.sources.DsirStore
+    val raw = spark.range(120).select(col("id").as("doc_id"),
+      concat(concat_ws(" ", transform(sequence(lit(0), lit(9)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(30))
+            .cast("string")))),
+        when(pmod(col("id"), lit(10)) === 0, lit(" quantum flux"))
+          .otherwise(lit(""))).as("text"))
+    val tgt = spark.range(8).select((col("id") + 500).as("doc_id"),
+      lit("quantum flux quantum flux").as("text"))
+    DsirStore.drop(spark, "dcal")
+    val m = DsirStore.buildCalibrated(spark, "dcal", raw, tgt,
+      col("doc_id"), col("text"), q = 0.5, ngram = 2, nBuckets = 1024)
+    assert(m.minLogw.isDefined, "buildCalibrated must carry minLogw")
+    val loaded = DsirStore.load(spark, "dcal")
+    assert(loaded.minLogw == m.minLogw,
+      s"store round-trip lost the threshold: ${loaded.minLogw} vs " +
+        s"${m.minLogw}")
+    val (thr, q, eps) = DsirStore.loadCalibration(spark, "dcal")
+      .getOrElse(fail("store carries no calibration stamp"))
+    assert(thr == m.minLogw.get && q == 0.5 && eps > 0.0)
+    // exact-rank certification: the thing the registered query attests
+    val w = Dsir.weightsWith(raw, m, col("doc_id"), col("text"))
+      .select(col("logw")).as[Double].collect()
+    val frac = w.count(_ <= thr).toDouble / w.length
+    assert(math.abs(frac - q) <= 2 * eps,
+      s"calibrated threshold rank $frac vs q=$q (eps=$eps)")
+    // the no-threshold overload gates at the stored value
+    val batch = raw.filter(col("doc_id") % 3 === 0)
+    val viaModel = Dsir.gateRejects(batch, loaded, col("doc_id"),
+      col("text")).collect().map(_.getLong(0)).sorted.toSeq
+    val explicit = Dsir.gateRejects(batch, loaded, col("doc_id"),
+      col("text"), thr).collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaModel == explicit && viaModel.nonEmpty)
+    // an uncalibrated model refuses the implicit form by name
+    val bare = Dsir.model(raw, tgt, col("doc_id"), col("text"),
+      ngram = 2, nBuckets = 1024)
+    val e = intercept[IllegalArgumentException](
+      Dsir.gateRejects(batch, bare, col("doc_id"), col("text")))
+    assert(e.getMessage.contains("minLogw"), e.getMessage)
+    DsirStore.drop(spark, "dcal")
+  }
+
+  test("stalenessReport: novel grams raise exactly their cohort's " +
+       "unseen fraction, quant6 quotient verified by hand") {
+    val raw = Seq((1L, "aa aa bb"), (2L, "bb bb")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "aa bb")).toDF("doc_id", "text")
+    val m = Dsir.model(raw, tgt, col("doc_id"), col("text"),
+      ngram = 1, nBuckets = 0)
+    val batch = Seq(
+      (1L, "aa zz9nov", "novel"),
+      (2L, "aa bb", "in_vocab"),
+      (3L, "bb zz9nov zz9nov", "novel")).toDF("doc_id", "text", "cohort")
+    val got = Dsir.stalenessReport(batch, m, col("doc_id"), col("text"),
+        Seq("cohort" -> col("cohort")), staleFrac = 0.1)
+      .orderBy(col("cohort"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    // novel: docs 1+3 — features 2+3=5, unseen 1+2=3 → 0.6; in_vocab: 0
+    assert(got.toSeq == Seq(
+      ("in_vocab", 1L, 2L, 0L, 0.0, false),
+      ("novel", 2L, 5L, 3L, 0.6, true)), got.toSeq.toString)
+  }
+
+  test("modelMulti/weightsMultiWith: hand-computed per-domain ratios " +
+       "over the SHARED vocabulary; zero-feature docs restored; k " +
+       "domains cost the same exchanges as one") {
+    val raw = Seq((1L, "aa aa bb"), (2L, "bb bb"), (3L, ""))
+      .toDF("doc_id", "text")
+    val tgtA = Seq((10L, "aa aa aa bb")).toDF("doc_id", "text")
+    val tgtB = Seq((20L, "bb cc")).toDF("doc_id", "text")
+    val mm = Dsir.modelMulti(raw, Seq("a" -> tgtA, "b" -> tgtB),
+      col("doc_id"), col("text"), ngram = 1, nBuckets = 0)
+    // shared V = {aa, bb, cc} (cc only in target B) → v=3; NR=5;
+    // NTa=4, NTb=2 — per-domain denominators, common raw side
+    assert(mm.nFeatures == 3 && mm.nRawOcc == 5 &&
+      mm.domains == Seq("a", "b"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rt = mm.ratios.collect().map(r => (r.getString(0), r.getString(1))
+      -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rt(("a", "aa")) ==
+      ((3L, 2L, r6(math.log(4.0 / 7.0) - math.log(3.0 / 8.0)))))
+    assert(rt(("a", "cc")) ==
+      ((0L, 0L, r6(math.log(1.0 / 7.0) - math.log(1.0 / 8.0)))))
+    assert(rt(("b", "bb")) ==
+      ((1L, 3L, r6(math.log(2.0 / 5.0) - math.log(4.0 / 8.0)))))
+    assert(rt(("b", "aa")) ==
+      ((0L, 2L, r6(math.log(1.0 / 5.0) - math.log(3.0 / 8.0)))))
+    assert(rt.size == 6, s"full grid must hold k*|V| rows: ${rt.size}")
+    // weights: DECIMAL sums of the rounded ratios, per (doc, domain);
+    // the blank doc surfaces in BOTH domains at logw 0
+    val w = Dsir.weightsMultiWith(raw, mm, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def dsum(parts: (Double, Int)*) = parts.map { case (lr, n) =>
+      BigDecimal(r6(lr)) * n }.sum.toDouble
+    assert(w((1L, "a")) == ((3L, dsum(
+      (math.log(4.0 / 7.0) - math.log(3.0 / 8.0), 2),
+      (math.log(2.0 / 7.0) - math.log(4.0 / 8.0), 1)))))
+    assert(w((2L, "b")) == ((2L, dsum(
+      (math.log(2.0 / 5.0) - math.log(4.0 / 8.0), 2)))))
+    assert(w((3L, "a")) == ((0L, 0.0)) && w((3L, "b")) == ((0L, 0.0)))
+    assert(w.size == 6)
+    // the one-exchange claim: scoring k=2 domains plans exactly the
+    // same number of shuffle exchanges as k=1 (the stacked grid rides
+    // the SAME feature-keyed join; domains fan out map-side)
+    // the one-pass claim, plan-pinned: the corpus features EXPLODE
+    // exactly once whatever k is (all domains ride the single
+    // feature-keyed join against the stacked grid — never one corpus
+    // pass per domain), and the per-(doc, domain) fold is one
+    // aggregation exchange. (Total exchange counts are not compared:
+    // at fixture scale the restore join legitimately flips between
+    // broadcast and shuffle on size estimates — orthogonal to k.)
+    def planOf(k: Int): String = {
+      val doms = Seq("a" -> tgtA, "b" -> tgtB).take(k)
+      Dsir.weightsMultiWith(raw,
+          Dsir.modelMulti(raw, doms, col("doc_id"), col("text"),
+            ngram = 1, nBuckets = 0),
+          col("doc_id"), col("text"))
+        .queryExecution.executedPlan.toString
+    }
+    def scans(p: String): Int = "Generate explode".r.findAllIn(p).length
+    def aggExchanges(p: String): Int =
+      "Exchange hashpartitioning\\(doc_id#\\d+L, domain#".r
+        .findAllIn(p).length
+    val (p1, p2) = (planOf(1), planOf(2))
+    assert(scans(p1) == 1 && scans(p2) == 1,
+      s"corpus features must explode ONCE regardless of k:\n$p2")
+    // the fold + (at most) the restore join — never k-proportional
+    assert(aggExchanges(p1) <= 2 && aggExchanges(p2) <= 2,
+      s"(doc, domain) exchanges must stay k-independent:\n$p2")
+    // guards: duplicate domain names and a featureless target fail by name
+    val eDup = intercept[IllegalArgumentException](Dsir.modelMulti(raw,
+      Seq("a" -> tgtA, "a" -> tgtB), col("doc_id"), col("text"),
+      ngram = 1, nBuckets = 0))
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    val blank = Seq((30L, "  ")).toDF("doc_id", "text")
+    val eBlank = intercept[IllegalArgumentException](Dsir.modelMulti(raw,
+      Seq("a" -> tgtA, "b" -> blank), col("doc_id"), col("text"),
+      ngram = 1, nBuckets = 0))
+    assert(eBlank.getMessage.contains("'b'"), eBlank.getMessage)
+  }
 }

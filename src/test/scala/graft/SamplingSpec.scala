@@ -578,4 +578,33 @@ class SamplingSpec extends SparkSpec {
     assert(e2.getMessage.contains("null") ||
       Option(e2.getCause).exists(_.getMessage.contains("null")), e2.toString)
   }
+
+  test("linear- and log-space draws coincide where weights correspond: " +
+       "gumbelTopK at logw = ln(w) selects the same ranked ids as " +
+       "weightedTopK at w, globally and per stratum") {
+    // both priorities are monotone transforms of −ln(u)/w (A-Res ranks
+    // by ln(u)/w desc ⟺ −ln(u)/w asc; Gumbel by −ln(−ln(u)/w) desc ⟺
+    // the same), so the SELECTED ID SEQUENCES must be identical — the
+    // shared-priority-helper contract. Priorities themselves differ
+    // (different formulas), so compare rankings, not values.
+    val pop = spark.range(300).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(97)) + 1).cast("double").as("w"),
+      pmod(col("id"), lit(4)).cast("string").as("src"))
+    val linIds = Sampling.weightedTopK(pop, col("id"), col("w"), k = 25)
+      .select(col("id")).as[Long].collect().toSeq
+    val logIds = Sampling.gumbelTopK(pop.withColumn("lw", log(col("w"))),
+        col("id"), col("lw"), k = 25)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(linIds == logIds, s"global rankings diverged:\n$linIds\n$logIds")
+    val linS = Sampling.weightedStratifiedTopK(pop, Seq(col("src")),
+        col("id"), col("w"), k = 6)
+      .orderBy(col("src"), col("priority").desc, col("id"))
+      .select(col("id")).as[Long].collect().toSeq
+    val logS = Sampling.gumbelStratifiedTopK(
+        pop.withColumn("lw", log(col("w"))), Seq(col("src")),
+        col("id"), col("lw"), k = 6)
+      .orderBy(col("src"), col("priority").desc, col("id"))
+      .select(col("id")).as[Long].collect().toSeq
+    assert(linS == logS, s"stratified rankings diverged:\n$linS\n$logS")
+  }
 }
