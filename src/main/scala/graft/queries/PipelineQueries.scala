@@ -409,6 +409,59 @@ object PipelineQueries {
         graft.sources.TokenizerStore.loadUnigramBytes(s, p)
       })
 
+  /** The tokenizer INTEROP cycle, once per (appId, corpus): ensure the
+    * persisted byte-BPE store (8 merges over `documents` — the
+    * text_bpe_bytes training) and the byte-unigram store
+    * ([[storedUnigramBytes]]), export BOTH to version-1
+    * [[graft.sources.TokenizerInterop]] JSON under the warehouse,
+    * import each under an `_imp` prefix, and load all four models
+    * back through the fenced store paths. tokenizer_export certifies
+    * the cycle per document. */
+  private val interopMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, String)], Seq[(String, String)],
+      (Seq[(String, Long)], Int), (Seq[(String, Long)], Int))]()
+  private def interopModels(s: SparkSession, dir: String)
+      : (Seq[(String, String)], Seq[(String, String)],
+         (Seq[(String, Long)], Int), (Seq[(String, Long)], Int)) =
+    interopMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" +
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+      _ => {
+        import graft.sources.{TokenizerInterop, TokenizerStore}
+        val key = graft.sources.CatalogProps.contentKey(dir,
+          "documents.parquet")
+        val bp = "q_bpeb_store_" + key
+        if (!TokenizerStore.isComplete(s, bp)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("q_bpeb_store_") &&
+                nm != TokenizerStore.bpeTable(bp)) {
+              if (s.catalog.tableExists(nm))
+                graft.sources.Bucketing.dropManagedTable(s, nm)
+              else fs.delete(st.getPath, true)
+            }
+          }
+          TokenizerStore.build(s, bp, Tables(s, dir).documents,
+            col("text"), nMerges = 8, byteLevel = true)
+        }
+        storedUnigramBytes(s, dir) // ensures the unigram store exists
+        val up = "q_unib_store_" + key
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val bpeJson = s"$wh/q_tok_export_bpe_$key.json"
+        val uniJson = s"$wh/q_tok_export_uni_$key.json"
+        TokenizerInterop.exportBpe(s, bp, bpeJson)
+        TokenizerInterop.importBpe(s, bpeJson, bp + "_imp")
+        TokenizerInterop.exportUnigram(s, up, uniJson)
+        TokenizerInterop.importUnigram(s, uniJson, up + "_imp")
+        (TokenizerStore.loadBytes(s, bp),
+          TokenizerStore.loadBytes(s, bp + "_imp"),
+          TokenizerStore.loadUnigramBytes(s, up),
+          TokenizerStore.loadUnigramBytes(s, up + "_imp"))
+      })
+
   /** pack_bestfit's input frame, GUARDED: the BFD oracle's recursive
     * CTE silently opens a negative-remaining-capacity bin for a
     * document longer than seqLen and keeps packing, while
@@ -1889,6 +1942,46 @@ object PipelineQueries {
         .select(col("doc_id"), col("domain"), col("n_feats"),
           col("logw"), col("priority"))
         .orderBy(col("domain"), col("priority").desc, col("doc_id"))
+    },
+
+    // Tokenizer INTEROP parity: both trained tokenizer families leave
+    // Spark as documented JSON (TokenizerInterop) and come back
+    // bit-losslessly — store → export → import → the original and the
+    // imported model segment EVERY document identically (the id-parity
+    // a pretraining team needs before handing the tokenizer to a
+    // trainer outside Spark). roundtrip_ok conjoins the driver-side
+    // model-table equality with the per-document segmentation
+    // equality; n_pieces pins the totals to the independent DuckDB
+    // replay (the text_bpe_bytes / tokenizer_report_unigram
+    // machinery), so an empty or degenerate cycle can't pass.
+    "tokenizer_export" -> { (s, dir) =>
+      val (bpe0, bpe1, (uni0, uMax0), (uni1, uMax1)) =
+        interopModels(s, dir)
+      val bpeModelsEq = bpe0 == bpe1
+      val uniModelsEq = uni0.sorted == uni1.sorted && uMax0 == uMax1
+      val bpeAgg = Tables(s, dir).documents
+        .select(
+          TextAnalysis.bpeEncodeBytes(col("text"), bpe0).as("e0"),
+          TextAnalysis.bpeEncodeBytes(col("text"), bpe1).as("e1"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("e0")).cast("long")).as("n_pieces"),
+          ((sum(when(not(col("e0") === col("e1")), 1L).otherwise(0L))
+            === 0) && lit(bpeModelsEq)).as("roundtrip_ok"))
+        .select(lit("bpe_bytes").as("family"), col("n_docs"),
+          col("n_pieces"), col("roundtrip_ok"))
+      val uniAgg = plantedDocs(s, dir)
+        .select(
+          TextAnalysis.unigramSegmentBytes(col("text"), uni0, uMax0)
+            .as("s0"),
+          TextAnalysis.unigramSegmentBytes(col("text"), uni1, uMax1)
+            .as("s1"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("s0").getField("n_pieces")).as("n_pieces"),
+          ((sum(when(not(col("s0") === col("s1")), 1L).otherwise(0L))
+            === 0) && lit(uniModelsEq)).as("roundtrip_ok"))
+        .select(lit("unigram_bytes").as("family"), col("n_docs"),
+          col("n_pieces"), col("roundtrip_ok"))
+      bpeAgg.unionByName(uniAgg).orderBy(col("family"))
     },
 
     // Marked segment + DETOKENIZE — the loader-facing decode contract
@@ -5432,6 +5525,55 @@ object PipelineQueries {
          SELECT doc_id, domain, n_feats, logw, priority
          FROM grk WHERE rn <= 3
          ORDER BY domain, priority DESC, doc_id""",
+
+    // Interop parity replay: the per-family piece totals are
+    // re-derived from scratch (byte-BPE 8-round training + encode over
+    // `documents`; byte-unigram Viterbi DP over the planted corpus —
+    // the text_bpe_bytes / tokenizer_report_unigram machinery), and
+    // the round-trip flag is the deterministic expectation `true` —
+    // export → import must be lossless by construction.
+    "tokenizer_export" -> {
+      val rounds = 8
+      val sep =
+        """'||' || regexp_replace(lower(hex(encode(t))), '(..)', '\1||', 'g')"""
+      val chained = (1 to rounds).foldLeft(sep) { (c, k) =>
+        s"replace($c, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|')"
+      }
+      s"""SELECT * FROM (
+           ${bpeTrainBytesCtes(rounds)},
+           tok AS (SELECT doc_id, unnest($tokensSql) AS t,
+                     unnest(range(1, len($tokensSql) + 1)) AS i
+                   FROM documents),
+           encw AS (SELECT doc_id, i,
+                      string_split(trim($chained, '|'), '||') AS syms
+                    FROM tok, ${(1 to rounds).map("m" + _).mkString(", ")}),
+           enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS allsyms
+                   FROM encw GROUP BY doc_id)
+           SELECT 'bpe_bytes' AS family,
+             count(*) AS n_docs,
+             CAST(sum(coalesce(len(e.allsyms), 0)) AS BIGINT) AS n_pieces,
+             true AS roundtrip_ok
+           FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id)
+         UNION ALL
+         SELECT * FROM (
+           WITH RECURSIVE ${unigramBytesDpCtes(8)},
+             iwseg AS MATERIALIZED (
+               SELECT hw,
+                 ((-k0) % 1048576 + 1048576) % 1048576 AS n_pieces
+               FROM bdp WHERE i = len(hw) // 2),
+             idoctok AS (SELECT doc_id, unnest($tokensSql) AS t
+                         FROM bdocs),
+             idocsum AS (
+               SELECT d.doc_id, sum(w.n_pieces) AS np
+               FROM idoctok d JOIN iwseg w ON lower(hex(d.t)) = w.hw
+               GROUP BY 1)
+           SELECT 'unigram_bytes' AS family,
+             count(*) AS n_docs,
+             CAST(sum(coalesce(s2.np, 0)) AS BIGINT) AS n_pieces,
+             true AS roundtrip_ok
+           FROM bdocs b LEFT JOIN idocsum s2 ON b.doc_id = s2.doc_id)
+         ORDER BY family"""
+    },
 
     // The detok round-trip target is closed-form: the whitespace-joined
     // token stream; n_pieces rides the existing byte-DP CTEs.

@@ -118,11 +118,19 @@ object TokenizerStore {
     * torn build is rejected by name at load. */
   def buildUnigram(spark: SparkSession, prefix: String, docs: DataFrame,
                    text: Column, maxPieceLen: Int = 4,
-                   minCount: Long = 2L): Unit = {
+                   minCount: Long = 2L): Unit =
+    buildUnigramFrom(spark, prefix,
+      TextAnalysis.unigramTrain(docs, text, maxPieceLen, minCount),
+      maxPieceLen)
+
+  /** Persist an ALREADY-TRAINED char-level unigram model under the
+    * prefix — the [[buildFrom]] hand-off for the char alphabet (the
+    * byte twin is [[buildUnigramBytesFrom]]); the import half of
+    * [[TokenizerInterop]] needs exactly this seam. */
+  def buildUnigramFrom(spark: SparkSession, prefix: String,
+                       trained: DataFrame, maxPieceLen: Int): Unit = {
     Bucketing.dropManagedTable(spark, unigramTable(prefix))
-    val model = TextAnalysis
-      .unigramTrain(docs, text, maxPieceLen, minCount)
-      .localCheckpoint(true)
+    val model = trained.localCheckpoint(true)
     val n = model.count()
     model.write.saveAsTable(unigramTable(prefix))
     CatalogProps.setProps(spark, unigramTable(prefix), Map(
