@@ -27,12 +27,14 @@ import org.apache.spark.sql.catalyst.InternalRow
   *
   * Honest scope: the VLC tables and their grammar (first-coefficient
   * convention, EOB, escape level formats, sign bits, MBA escapes) and
-  * the §2.4 header grammar follow the published layout, but the
-  * macroblock layer runs on this codec's 8×8 luma-only "macroblocks"
-  * with a fixed quantizer and one slice per picture — not the spec's
-  * 16×16 4:2:0 macroblock structure — so a reference decoder would
-  * parse the headers yet misread the block layer; no conformance
-  * claim is made for whole streams.
+  * the §2.4 header grammar follow the published layout, but THIS
+  * coder's macroblock layer runs on the byte codec's 8×8 luma-only
+  * "macroblocks" with a fixed quantizer — it exists to entropy-code
+  * [[McVideoKernels]]'s plans, not to claim stream conformance. The
+  * CONFORMANT 16×16 4:2:0 macroblock layer (Table B.2/B.3 types and
+  * coded block patterns, differential motion, the §2.4.4
+  * reconstruction arithmetic) is [[Mpeg1Kernels]], which shares these
+  * tables and this bit I/O.
   *
   * Frame syntax: byte 0 'I'/'P', then a single MSB-first bitstream:
   *  - I-frame: every 8×8 block in raster order as an INTRA block —
@@ -56,7 +58,7 @@ object McVlcKernels {
 
   // ---- bit I/O ----
 
-  private final class BitWriter {
+  private[functions] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream(256)
     private var cur = 0
     private var nb = 0
@@ -75,7 +77,7 @@ object McVlcKernels {
     def size: Int = buf.size + (if (nb > 0) 1 else 0)
   }
 
-  private final class BitReader(data: Array[Byte], startByte: Int) {
+  private[functions] final class BitReader(data: Array[Byte], startByte: Int) {
     private var pos = startByte * 8
     private val end = data.length * 8
     var bad = false
@@ -98,20 +100,20 @@ object McVlcKernels {
 
   // ---- VLC tables (codes as "bitstring" literals, parsed once) ----
 
-  private def parse(s: String): (Int, Int) =
+  private[functions] def parse(s: String): (Int, Int) =
     (java.lang.Integer.parseInt(s, 2), s.length)
 
   /** Validate a code set is prefix-free (and duplicate-free) — a
     * misremembered table entry must fail at class load, not silently
     * corrupt decode. */
-  private def requirePrefixFree(name: String, codes: Seq[String]): Unit =
+  private[functions] def requirePrefixFree(name: String, codes: Seq[String]): Unit =
     codes.combinations(2).foreach { case Seq(a, b) =>
       require(a != b && !a.startsWith(b) && !b.startsWith(a),
         s"VLC table $name: codes '$a' and '$b' are not prefix-free")
     }
 
   /** Generic prefix decoder over (value, bitstring) entries. */
-  private final class VlcDecoder(entries: Seq[(Int, String)]) {
+  private[functions] final class VlcDecoder(entries: Seq[(Int, String)]) {
     private val map = new java.util.HashMap[Integer, Integer](entries.size * 2)
     private val maxLen = entries.map(_._2.length).max
     entries.foreach { case (v, s) =>
@@ -149,10 +151,10 @@ object McVlcKernels {
   private val MbaEscapeStr = "00000001000"
   private val MbaEscape = 0 // sentinel value in the decoder
   requirePrefixFree("mba", MbaEntries.map(_._2) :+ MbaEscapeStr)
-  private val MbaCodes: Map[Int, (Int, Int)] =
+  private[functions] val MbaCodes: Map[Int, (Int, Int)] =
     MbaEntries.map { case (v, s) => v -> parse(s) }.toMap
-  private val MbaEscapeCode = parse(MbaEscapeStr)
-  private val MbaDecoder =
+  private[functions] val MbaEscapeCode = parse(MbaEscapeStr)
+  private[functions] val MbaDecoder =
     new VlcDecoder(MbaEntries :+ (MbaEscape -> MbaEscapeStr))
 
   /** Table B.2b — the P-picture macroblock types this codec emits:
@@ -160,22 +162,25 @@ object McVlcKernels {
   private val TypeEntries: Seq[(Int, String)] = Seq(
     1 -> "1", 2 -> "01", 3 -> "001", 4 -> "00011")
   requirePrefixFree("mbtype", TypeEntries.map(_._2))
-  private val TypeCodes: Map[Int, (Int, Int)] =
+  private[functions] val TypeCodes: Map[Int, (Int, Int)] =
     TypeEntries.map { case (v, s) => v -> parse(s) }.toMap
-  private val TypeDecoder = new VlcDecoder(TypeEntries)
+  private[functions] val TypeDecoder = new VlcDecoder(TypeEntries)
 
   /** Table B.4 — motion code magnitudes (sign bit appended when
     * nonzero; 0 = positive). This codec's search range is ±4; the
-    * table carries the published codes through 7. */
+    * table carries the published codes through 10 (what the
+    * differential coding of [[Mpeg1Kernels]] can reach at ±4 search:
+    * |code| ≤ 8, plus margin). */
   private val MvEntries: Seq[(Int, String)] = Seq(
     0 -> "1", 1 -> "01", 2 -> "001", 3 -> "0001",
-    4 -> "000011", 5 -> "0000101", 6 -> "0000100", 7 -> "0000011")
+    4 -> "000011", 5 -> "0000101", 6 -> "0000100", 7 -> "0000011",
+    8 -> "0000001011", 9 -> "0000001010", 10 -> "0000001001")
   requirePrefixFree("mv",
     MvEntries.flatMap { case (v, s) => if (v == 0) Seq(s) else Seq(s + "0", s + "1") })
-  private val MvCodes: Map[Int, (Int, Int)] =
+  private[functions] val MvCodes: Map[Int, (Int, Int)] =
     MvEntries.map { case (v, s) => v -> parse(s) }.toMap
-  private val MvDecoder = new VlcDecoder(MvEntries)
-  private val MvMax = MvEntries.map(_._1).max
+  private[functions] val MvDecoder = new VlcDecoder(MvEntries)
+  private[functions] val MvMax = MvEntries.map(_._1).max
 
   /** Table B.5a — dct_dc_size_luminance (differential magnitude bit
     * count 0..8, so |DC differential| ≤ 255). */
@@ -183,9 +188,9 @@ object McVlcKernels {
     0 -> "100", 1 -> "00", 2 -> "01", 3 -> "101", 4 -> "110",
     5 -> "1110", 6 -> "11110", 7 -> "111110", 8 -> "1111110")
   requirePrefixFree("dcsize", DcSizeEntries.map(_._2))
-  private val DcSizeCodes: Map[Int, (Int, Int)] =
+  private[functions] val DcSizeCodes: Map[Int, (Int, Int)] =
     DcSizeEntries.map { case (v, s) => v -> parse(s) }.toMap
-  private val DcSizeDecoder = new VlcDecoder(DcSizeEntries)
+  private[functions] val DcSizeDecoder = new VlcDecoder(DcSizeEntries)
 
   /** Table B.5b/c — run-level codes (sign bit appended), EOB, and the
     * 6-bit escape. `(0,1)` at the FIRST coefficient position codes as
@@ -217,7 +222,7 @@ object McVlcKernels {
       .values.toSeq.flatMap(s => Seq(s + "0", s + "1")) :+ EscStr)
   private val RunLevelCodes: Map[(Int, Int), (Int, Int)] =
     RunLevelEntries.map { case (rl, s) => rl -> parse(s) }.toMap
-  private val EobCode = parse(EobStr)
+  private[functions] val EobCode = parse(EobStr)
   private val EscCode = parse(EscStr)
   private val NextDecoder = new VlcDecoder(
     RunLevelEntries.map { case ((r, l), s) => ((r << 9) | l) -> s } ++
@@ -233,7 +238,7 @@ object McVlcKernels {
     * escape (6-bit run, then the Annex-B level format: 8-bit two's
     * complement for |level| ≤ 127, '00000000'+8 bits for 128..255,
     * '10000000'+8 bits of level+256 for −128..−255) otherwise. */
-  private def writeRunLevel(bw: BitWriter, run: Int, level: Int,
+  private[functions] def writeRunLevel(bw: BitWriter, run: Int, level: Int,
                             first: Boolean): Unit = {
     val mag = math.abs(level)
     require(mag >= 1 && mag <= 255 && run >= 0 && run <= 63,
@@ -254,7 +259,7 @@ object McVlcKernels {
 
   /** Read one symbol: level into `out(0)`, run into `out(1)`; returns
     * false on EOB (never signalled at the first position). */
-  private def readRunLevel(br: BitReader, first: Boolean,
+  private[functions] def readRunLevel(br: BitReader, first: Boolean,
                            out: Array[Int]): Boolean = {
     val sym = (if (first) FirstDecoder else NextDecoder).read(br)
     if (br.bad) return false
@@ -367,26 +372,26 @@ object McVlcKernels {
     }
   }
 
-  private def writeMv(bw: BitWriter, v: Int): Unit = {
+  private[functions] def writeMv(bw: BitWriter, v: Int): Unit = {
     val mag = math.abs(v)
     require(mag <= MvMax, s"McVlcKernels: |motion code| $mag > $MvMax")
     bw.putCode(MvCodes(mag))
     if (mag != 0) bw.putBits(if (v < 0) 1 else 0, 1)
   }
 
-  private def readMv(br: BitReader): Int = {
+  private[functions] def readMv(br: BitReader): Int = {
     val mag = MvDecoder.read(br)
     if (br.bad || mag == 0) 0
     else if (br.bit() == 1) -mag else mag
   }
 
-  private def writeMba(bw: BitWriter, incr0: Int): Unit = {
+  private[functions] def writeMba(bw: BitWriter, incr0: Int): Unit = {
     var incr = incr0
     while (incr > 33) { bw.putCode(MbaEscapeCode); incr -= 33 }
     bw.putCode(MbaCodes(incr))
   }
 
-  private def readMba(br: BitReader): Int = {
+  private[functions] def readMba(br: BitReader): Int = {
     var add = 0
     var v = MbaDecoder.read(br)
     while (v == MbaEscape && !br.bad) { add += 33; v = MbaDecoder.read(br) }
@@ -622,7 +627,8 @@ object McVlcKernels {
     * emulate one — certified by the start-code census in the stats
     * kernel. Honest scope: one GOP, one slice per picture, 8×8
     * "macroblocks", the codec's fixed quantizer — stream-SHAPED per
-    * §2.4's layering, not a conformance claim. */
+    * §2.4's layering to entropy-code the byte codec's plans; the
+    * CONFORMANT macroblock layer is [[Mpeg1Kernels.encodeEs]]. */
   private[graft] def mcVlcEncodeEs(width: Int, height: Int, fps: Int,
       frames: Seq[Array[McVideoKernels.BlockPlan]]): Array[Byte] = {
     require(width >= 1 && width < 4096 && height >= 1 && height < 4096,

@@ -565,6 +565,56 @@ object MediaExpressions {
       ColumnBridge.expression(seed), ColumnBridge.expression(width),
       ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
 
+  private val mpeg1RoundTripType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("err_in_bound", BooleanType, nullable = false),
+    StructField("recon_exact", BooleanType, nullable = false),
+    StructField("mv_engaged", BooleanType, nullable = false),
+    StructField("trunc_rejected", BooleanType, nullable = false),
+    StructField("census_ok", BooleanType, nullable = false),
+    StructField("cbp_partial", BooleanType, nullable = false),
+    StructField("skip_used", BooleanType, nullable = false),
+    StructField("intra_p_used", BooleanType, nullable = false),
+    StructField("mc_only_used", BooleanType, nullable = false)))
+
+  /** The CONFORMANT sibling ([[Mpeg1Kernels.mpeg1RoundTripStats]]):
+    * 16×16 4:2:0 macroblocks, Table B.2/B.3 types and coded block
+    * patterns, differential full-pel motion, the spec's §2.4.4
+    * reconstruction arithmetic — certified end to end through one
+    * elementary stream. The last four flags report which grammar paths
+    * the clip exercised (content-dependent; spec-pinned, not
+    * oracle-asserted). */
+  case class Mpeg1VideoRoundTrip(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression,
+                                 fps: Int)
+      extends QuaternaryExpression {
+    override def dataType: DataType = mpeg1RoundTripType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mpeg1_video_round_trip"
+
+    override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+      Mpeg1Kernels.mpeg1RoundTripStats(seed.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int], n.asInstanceOf[Int], fps)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (seed, w, h, n) => s"""
+        |${ev.value} = graft.functions.Mpeg1Kernels.mpeg1RoundTripStats($seed, $w, $h, $n, $fps);
+        |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+    override def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
+  }
+
+  def mpeg1VideoRoundTrip(seed: Column, width: Column, height: Column,
+                          nFrames: Column, fps: Int): Column =
+    ColumnBridge.column(Mpeg1VideoRoundTrip(
+      ColumnBridge.expression(seed), ColumnBridge.expression(width),
+      ColumnBridge.expression(height), ColumnBridge.expression(nFrames), fps))
+
   def imageHeader(content: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(content)))
 

@@ -2727,6 +2727,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The CONFORMANT MPEG-1 sibling (ISO/IEC 11172-2 §2.4 end to end):
+    // 16×16 4:2:0 macroblocks over planted move/hold YCbCr motion —
+    // Table B.2a/B.2b macroblock types, Table B.3 coded block
+    // patterns, Table B.1 address increments with genuine skip runs,
+    // both B.5a DC size tables with the three predictors, differential
+    // full-pel motion (f_code 1), and the spec's §2.4.4 dequantization
+    // (default intra matrix, dead-zone non-intra, oddification) — one
+    // elementary stream per document, chain-decoded and certified:
+    // exact recon on all three planes, error in bound, motion engaged,
+    // truncation rejected, start-code census clean. Grammar-path
+    // engagement flags (cbp_partial/skip/intra/mc-only) are
+    // content-dependent and spec-pinned (Mpeg1KernelsSpec), not
+    // oracle-asserted.
+    "multimodal_video_mpeg1" -> { (s, dir) =>
+      import graft.functions.MediaExpressions
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          MediaExpressions.mpeg1VideoRoundTrip(col("doc_id"),
+            expr("cast(doc_id % 14 + 18 as int)"),
+            expr("cast(doc_id % 10 + 18 as int)"),
+            expr("cast(doc_id % 3 + 2 as int)"), fps = 24).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"),
+          col("st.err_in_bound").as("err_in_bound"),
+          col("st.recon_exact").as("recon_exact"),
+          col("st.mv_engaged").as("mv_engaged"),
+          col("st.trunc_rejected").as("trunc_rejected"),
+          col("st.census_ok").as("census_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame sampling through the TYPED Dataset surface (the API a
     // pipeline calls): documents become video MediaRecords (MJPEG-AVI,
     // 2..7 frames), Multimodal.sampleFrames + CodecDecoder returns
@@ -6199,6 +6231,23 @@ object PipelineQueries {
          true AS trunc_rejected,
          true AS vlc_smaller,
          true AS es_roundtrip
+         FROM documents ORDER BY doc_id""",
+
+    // Self-certifying (the multimodal pattern): DuckDB replays the
+    // dims/frame-count arithmetic and the deterministic expectation —
+    // the conformant stream decodes bit-exactly, within bound, with
+    // motion engaged (the planted translation), truncation rejected,
+    // and no start-code emulation — for every document.
+    "multimodal_video_mpeg1" ->
+      """SELECT doc_id,
+         CAST(doc_id % 14 + 18 AS INT) AS width,
+         CAST(doc_id % 10 + 18 AS INT) AS height,
+         CAST(doc_id % 3 + 2 AS INT) AS n_frames,
+         true AS err_in_bound,
+         true AS recon_exact,
+         true AS mv_engaged,
+         true AS trunc_rejected,
+         true AS census_ok
          FROM documents ORDER BY doc_id""",
 
     // Self-certifying (see the query comment): DuckDB replays the dims
