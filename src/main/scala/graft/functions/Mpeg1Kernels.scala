@@ -147,8 +147,6 @@ object Mpeg1Kernels {
     27, 29, 35, 38, 46, 56, 69, 83)
   require(IntraQ(0) == 8 && IntraQ(63) == 83 && IntraQ.length == 64)
 
-  private val UnitQ: Array[Int] = Array.fill(64)(1)
-
   // ---- DCT (same exact-double basis as the JPEG family) ------------------
 
   private val CosTab: Array[Array[Double]] =
@@ -157,27 +155,65 @@ object Mpeg1Kernels {
   private val Cn: Array[Double] =
     Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
-  /** Raw forward DCT-II (no quantization), natural-order output. */
+  /** Raw forward DCT-II (no quantization), natural-order output —
+    * SEPARABLE row-column form (1024 multiplies, not 4096: this kernel
+    * transforms six blocks per macroblock, so the direct form was the
+    * measured hot spot). Encoder and decoder share [[idct]], so the
+    * bit-exact reconstruction contract is untouched. */
   private def fdct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64) // tmp(u*8+x) = Σ_y in(y,x)·cos_u(y)
     var u = 0
     while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) { acc += in(y * 8 + x) * CosTab(u)(y); y += 1 }
+        tmp(u * 8 + x) = acc
+        x += 1
+      }
+      u += 1
+    }
+    var u2 = 0
+    while (u2 < 8) {
       var v = 0
       while (v < 8) {
         var acc = 0.0
-        var y = 0
-        while (y < 8) {
-          val cu = CosTab(u)(y)
-          var x = 0
-          while (x < 8) {
-            acc += in(y * 8 + x) * cu * CosTab(v)(x)
-            x += 1
-          }
-          y += 1
-        }
-        out(u * 8 + v) = 0.25 * Cn(u) * Cn(v) * acc
+        var x = 0
+        while (x < 8) { acc += tmp(u2 * 8 + x) * CosTab(v)(x); x += 1 }
+        out(u2 * 8 + v) = 0.25 * Cn(u2) * Cn(v) * acc
         v += 1
       }
-      u += 1
+      u2 += 1
+    }
+  }
+
+  /** Separable inverse DCT of dequantized levels (natural order). */
+  private def idct(f: Array[Int], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64) // tmp(y*8+v) = Σ_u Cu·F(u,v)·cos_u(y)
+    var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += Cn(u) * f(u * 8 + v) * CosTab(u)(y); u += 1 }
+        tmp(y * 8 + v) = acc
+        v += 1
+      }
+      y += 1
+    }
+    var y2 = 0
+    while (y2 < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += Cn(v) * tmp(y2 * 8 + v) * CosTab(v)(x); v += 1 }
+        out(y2 * 8 + x) = 0.25 * acc
+        x += 1
+      }
+      y2 += 1
     }
   }
 
@@ -249,7 +285,7 @@ object Mpeg1Kernels {
     val dq = new Array[Int](64)
     if (intra) dequantIntra(qf, qs, dq) else dequantInter(qf, qs, dq)
     val res = new Array[Double](64)
-    JpegKernels.idctDequantWith(dq, UnitQ, res)
+    idct(dq, res)
     var y = 0
     while (y < 8) {
       var x = 0
@@ -552,8 +588,20 @@ object Mpeg1Kernels {
             }
             bw.size * 8
           }
-          val intraCand = intraBlocks(bx, by)
-          if (interBits <= 5 + intraBits(intraCand)) { // 5 = intra type code
+          // a zero-cbp macroblock (skip or MC-only) costs a handful of
+          // bits — an intra macroblock can never undercut it, so the
+          // intra candidate (6 FDCTs + a trial serialization) is only
+          // priced when there is a residual to beat
+          val chooseInter = cbp == 0 || {
+            val intraCand = intraBlocks(bx, by)
+            val inter = interBits <= 5 + intraBits(intraCand)
+            if (!inter) {
+              flags(3) = true
+              plans(mb) = new MbPlan(4, 0, 0, 63, intraCand)
+            }
+            inter
+          }
+          if (chooseInter) {
             if (bmx != 0 || bmy != 0) flags(0) = true
             if (cbp != 0 && cbp != 63) flags(1) = true
             plans(mb) =
@@ -563,9 +611,6 @@ object Mpeg1Kernels {
               else if (bmx == 0 && bmy == 0)
                 new MbPlan(3, 0, 0, cbp, interBlocks)
               else new MbPlan(2, bmx, bmy, cbp, interBlocks)
-          } else {
-            flags(3) = true
-            plans(mb) = new MbPlan(4, 0, 0, 63, intraCand)
           }
         }
         mb += 1

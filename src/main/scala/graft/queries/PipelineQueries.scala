@@ -2747,7 +2747,7 @@ object PipelineQueries {
           MediaExpressions.mpeg1VideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 14 + 18 as int)"),
             expr("cast(doc_id % 10 + 18 as int)"),
-            expr("cast(doc_id % 3 + 2 as int)"), fps = 24).as("st"))
+            expr("cast(doc_id % 2 + 2 as int)"), fps = 24).as("st"))
         .select(col("doc_id"),
           col("st.width").as("width"), col("st.height").as("height"),
           col("st.n_frames").as("n_frames"),
@@ -6242,7 +6242,7 @@ object PipelineQueries {
       """SELECT doc_id,
          CAST(doc_id % 14 + 18 AS INT) AS width,
          CAST(doc_id % 10 + 18 AS INT) AS height,
-         CAST(doc_id % 3 + 2 AS INT) AS n_frames,
+         CAST(doc_id % 2 + 2 AS INT) AS n_frames,
          true AS err_in_bound,
          true AS recon_exact,
          true AS mv_engaged,
