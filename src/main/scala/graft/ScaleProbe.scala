@@ -797,6 +797,64 @@ object ScaleProbe {
         planted.unpersist()
       }
 
+      // MULTI-TARGET DSIR at scale: k domains against one crawl must
+      // cost ~ONE feature-keyed exchange, not k corpus passes — the
+      // spec pins the plan (one feature explode regardless of k); this
+      // probe MEASURES it, scoring the same corpus against 1 vs 3
+      // domains and reporting the wall ratio (expected ~1.x from the
+      // k-fold of join-probe rows, never ~k). Per-domain planted
+      // separation is asserted — every domain's own planted docs must
+      // outrank everything else IN THAT DOMAIN, the cross-domain
+      // comparability the shared-vocabulary smoothing buys.
+      if (on("dsir_multi")) {
+        import graft.operators.Dsir
+        require(n >= 800,
+          s"dsir_multi probe needs n >= 800: got $n")
+        val markers = Seq(
+          ("a", 7, "quantum flux capacitor"),
+          ("b", 13, "neural lattice resonator"),
+          ("c", 29, "crystal phase harmonics"))
+        val planted = docs.withColumn("text",
+          markers.foldLeft(col("text")) { case (c, (_, res, mk)) =>
+            when(pmod(col("doc_id"), lit(100)) === res,
+              concat(col("text"), lit(s" $mk $mk"))).otherwise(c)
+          })
+        planted.cache().count()
+        def target(mk: String, off: Long) = spark.range(2000)
+          .select((col("id") + n + off).as("doc_id"),
+            lit(s"$mk studies $mk").as("text"))
+        val doms = markers.zipWithIndex.map { case ((d, _, mk), i) =>
+          d -> target(mk, i * 10000L)
+        }
+        def timeScore(mm: Dsir.MultiModel): Double = {
+          val t0 = System.nanoTime()
+          Dsir.weightsMultiWith(planted, mm, col("doc_id"), col("text"))
+            .agg(count(lit(1)), sum(col("logw"))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val m1 = Dsir.modelMulti(planted, doms.take(1), col("doc_id"),
+          col("text"), ngram = 2)
+        val sec1 = timeScore(m1)
+        val m3 = Dsir.modelMulti(planted, doms, col("doc_id"),
+          col("text"), ngram = 2)
+        val sec3 = timeScore(m3)
+        // per-domain planted separation under the SHARED vocabulary
+        val w3 = Dsir.weightsMultiWith(planted, m3, col("doc_id"),
+          col("text")).localCheckpoint(true)
+        markers.foreach { case (d, res, _) =>
+          val sep = w3.filter(col("domain") === d).agg(
+            min(when(pmod(col("doc_id"), lit(100)) === res, col("logw")))
+              .as("pmin"),
+            max(when(pmod(col("doc_id"), lit(100)) =!= res, col("logw")))
+              .as("nmax")).head()
+          assert(sep.getDouble(0) > sep.getDouble(1),
+            f"domain $d: planted min ${sep.getDouble(0)}%.2f did not " +
+              f"clear others' max ${sep.getDouble(1)}%.2f")
+        }
+        println(f"""{"metric":"dsir_multi_scale","docs":$n,"features":${m3.nFeatures},"domains":3,"score_sec_k1":$sec1%.2f,"score_sec_k3":$sec3%.2f,"k3_over_k1":${sec3 / sec1}%.2f}""")
+        planted.unpersist()
+      }
+
       // BYTE-level unigram PRODUCTION training at scale: a 50k-type
       // multi-script vocabulary (base36 word stems, every 17th type
       // accented, every 29th carrying an astral emoji) — the 20-word

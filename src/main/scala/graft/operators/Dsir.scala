@@ -376,7 +376,15 @@ object Dsir {
     * [[Sampling.gumbelStratifiedTopK]], needs exactly that). */
   final case class MultiModel(ratios: DataFrame, ngram: Int, nBuckets: Int,
                               nFeatures: Long, nRawOcc: Long,
-                              domains: Seq[String])
+                              domains: Seq[String],
+                              nTgtOcc: Map[String, Long]) {
+    /** The PER-DOMAIN Laplace-default log-ratio of a feature unseen at
+      * training time — the table formula at counts 0/0 under domain
+      * `d`'s totals (the [[Model.logr0]] convention, one per domain). */
+    def logr0(d: String): Column = round(
+      log(lit(1.0) / lit(nTgtOcc(d) + nFeatures).cast("double")) -
+        log(lit(1.0) / lit(nRawOcc + nFeatures).cast("double")), 6)
+  }
 
   /** Train the multi-target model: one raw counting scan, one scan per
     * target (unioned into a single domain-keyed aggregate), the shared
@@ -459,7 +467,7 @@ object Dsir {
         log((col("raw_n") + 1).cast("double") /
             lit(nr + v).cast("double")), 6).as("logr"))
       .localCheckpoint()
-    MultiModel(ratios, ngram, nBuckets, v, nr, targets.map(_._1))
+    MultiModel(ratios, ngram, nBuckets, v, nr, targets.map(_._1), totals)
   }
 
   /** Per-document, PER-DOMAIN importance log-weights of the model's own
@@ -486,5 +494,50 @@ object Dsir {
     raw.select(id.as("doc_id")).crossJoin(dims)
       .join(scored, Seq("doc_id", "domain"), "left")
       .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
+  }
+
+  /** [[scoreAgainst]]'s MULTI-TARGET form: an ARBITRARY batch scored
+    * against EVERY domain of the trained model in the same single
+    * feature-keyed pass — `(doc_id, domain, n_feats, n_unseen, logw)`.
+    * Features absent from the shared trained vocabulary miss the grid
+    * entirely (no domain rows off the left join), so they are counted
+    * ONCE per document and every domain charges them its OWN Laplace
+    * default ([[MultiModel.logr0]] — counts 0/0 under that domain's
+    * totals): each domain's score stays total on novel text, and
+    * `n_unseen` (domain-independent by construction) keeps the
+    * staleness signal. Exact DECIMAL arithmetic throughout:
+    * `logw = Σ seen logr + n_unseen × logr0_d` — identical to folding
+    * the default into the occurrence sum, in any order. */
+  def scoreAgainstMulti(batch: DataFrame, mm: MultiModel, id: Column,
+                        text: Column): DataFrame = {
+    val docF = features(batch, id, text, mm.ngram, mm.nBuckets)
+      .join(mm.ratios.select(col("f"), col("domain"), col("logr")),
+        Seq("f"), "left")
+    val seen = docF.filter(col("domain").isNotNull)
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(col("logr").cast(dec)).as("seen_sum"))
+    val unseenCnt = docF.filter(col("domain").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_unseen"))
+    val lr0 = {
+      val first = when(col("domain") === mm.domains.head,
+        mm.logr0(mm.domains.head))
+      mm.domains.tail.foldLeft(first) { (c, d) =>
+        c.when(col("domain") === d, mm.logr0(d))
+      }
+    }
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dims = broadcast(mm.domains.toDF("domain"))
+    batch.select(id.as("doc_id")).crossJoin(dims)
+      .join(seen, Seq("doc_id", "domain"), "left")
+      .join(unseenCnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_seen", "n_unseen"))
+      .select(col("doc_id"), col("domain"),
+        (col("n_seen") + col("n_unseen")).as("n_feats"),
+        col("n_unseen"),
+        (coalesce(col("seen_sum"), lit(0).cast(dec)) +
+          col("n_unseen") * lr0.cast(dec)).cast("double").as("logw"))
   }
 }

@@ -350,15 +350,16 @@ object PipelineQueries {
   }
   private val dsirMultiModelMemo = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.Dsir.MultiModel]()
-  private def dsirMultiModel(s: SparkSession,
-                             dir: String): graft.operators.Dsir.MultiModel =
+  private def dsirMultiModel(s: SparkSession, dir: String,
+                             nBuckets: Int): graft.operators.Dsir.MultiModel =
     dsirMultiModelMemo.computeIfAbsent(
       s.sparkContext.applicationId + ":" +
-        graft.sources.CatalogProps.contentKey(dir, "documents.parquet"),
+        graft.sources.CatalogProps.contentKey(dir, "documents.parquet") +
+        ":" + nBuckets,
       _ => {
         val (raw, targets) = dsirMultiCorpora(s, dir)
         graft.operators.Dsir.modelMulti(raw, targets, col("doc_id"),
-          col("text"), ngram = 2, nBuckets = 4096)
+          col("text"), ngram = 2, nBuckets = nBuckets)
       })
 
   /** [[plantedDocs]] with the `source` column retained — the
@@ -1934,7 +1935,7 @@ object PipelineQueries {
     // replays the draw.
     "dsir_multi" -> { (s, dir) =>
       val (raw, _) = dsirMultiCorpora(s, dir)
-      val mm = dsirMultiModel(s, dir)
+      val mm = dsirMultiModel(s, dir, 4096)
       val w = graft.operators.Dsir.weightsMultiWith(raw, mm,
         col("doc_id"), col("text"))
       graft.operators.Sampling.gumbelStratifiedTopK(w,
@@ -1942,6 +1943,32 @@ object PipelineQueries {
         .select(col("doc_id"), col("domain"), col("n_feats"),
           col("logw"), col("priority"))
         .orderBy(col("domain"), col("priority").desc, col("doc_id"))
+    },
+
+    // The multi-target GATE: a NOVEL batch (%5 docs; domain-A marker
+    // on %10, domain-B marker on %15, genuinely-unseen grams on %20 —
+    // the 2^20 bucket space keeps them unseen) scored against BOTH
+    // stored domains in one feature-keyed pass. Unseen features take
+    // each domain's OWN Laplace default (counts 0/0 under that
+    // domain's totals); n_unseen is domain-independent. The oracle
+    // replays the whole thing — shared vocabulary, per-domain
+    // defaults, DECIMAL folds.
+    "dsir_multi_gate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val mm = dsirMultiModel(s, dir, 1 << 20)
+      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" quantum flux capacitor")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(15)) === 0,
+              lit(" neural lattice resonator")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(20)) === 0,
+              lit(" zz9novelgram zz9weird")).otherwise(lit("")))
+            .as("text"))
+      graft.operators.Dsir.scoreAgainstMulti(batch, mm, col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"), col("domain"))
     },
 
     // Tokenizer INTEROP parity: both trained tokenizer families leave
@@ -5557,6 +5584,66 @@ object PipelineQueries {
          SELECT doc_id, domain, n_feats, logw, priority
          FROM grk WHERE rn <= 3
          ORDER BY domain, priority DESC, doc_id""",
+
+    // Multi-target gate replay: both domain models at 2^20 buckets,
+    // the fresh batch, unseen buckets counted once per doc and charged
+    // each domain's OWN Laplace default, DECIMAL folds — the
+    // one-exchange scoring reproduced as SQL.
+    "dsir_multi_gate" ->
+      s"""WITH ${dsirMultiCtes(1L << 20)},
+          l0 AS (SELECT 'a' AS domain,
+                   CAST(round(ln(1.0 / ((SELECT nt FROM nta) + V))
+                     - ln(1.0 / (NR + V)), 6) AS DECIMAL(38,6)) AS lr0
+                 FROM st
+                 UNION ALL
+                 SELECT 'b',
+                   CAST(round(ln(1.0 / ((SELECT nt FROM ntb) + V))
+                     - ln(1.0 / (NR + V)), 6) AS DECIMAL(38,6))
+                 FROM st),
+          gbatch AS (SELECT doc_id,
+              text
+                || CASE WHEN doc_id % 10 = 0
+                        THEN ' quantum flux capacitor' ELSE '' END
+                || CASE WHEN doc_id % 15 = 0
+                        THEN ' neural lattice resonator' ELSE '' END
+                || CASE WHEN doc_id % 20 = 0
+                        THEN ' zz9novelgram zz9weird' ELSE '' END
+                AS text
+            FROM documents WHERE doc_id % 5 = 0),
+          gbtok AS (SELECT doc_id, $tokensSql AS tk FROM gbatch),
+          gbfeat AS (
+            SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % ${1L << 20} AS VARCHAR) AS f
+            FROM (SELECT doc_id, unnest(list_concat(tk,
+                    [tk[i] || ' ' || tk[i+1]
+                     for i in range(1, len(tk))])) AS g
+                  FROM gbtok)),
+          gseen AS (SELECT b.doc_id, r.domain, count(*) AS n_seen,
+                      sum(r.lr) AS seen_sum
+                    FROM gbfeat b JOIN ratio_m r USING (f)
+                    GROUP BY 1, 2),
+          guns AS (SELECT b.doc_id, count(*) AS n_unseen
+                   FROM gbfeat b LEFT JOIN vocab v ON b.f = v.f
+                   WHERE v.f IS NULL GROUP BY 1),
+          gfull AS (SELECT d.doc_id, dom.domain,
+                      CAST(coalesce(s.n_seen, 0)
+                        + coalesce(u.n_unseen, 0) AS BIGINT) AS n_feats,
+                      CAST(coalesce(u.n_unseen, 0) AS BIGINT) AS n_unseen,
+                      CAST(coalesce(s.seen_sum,
+                          CAST(0 AS DECIMAL(38,6)))
+                        + CAST(coalesce(u.n_unseen, 0) AS DECIMAL(18,0))
+                          * (SELECT lr0 FROM l0
+                             WHERE l0.domain = dom.domain)
+                        AS DOUBLE) AS logw
+                    FROM gbatch d
+                    CROSS JOIN (SELECT 'a' AS domain
+                                UNION ALL SELECT 'b') dom
+                    LEFT JOIN gseen s
+                      ON d.doc_id = s.doc_id AND dom.domain = s.domain
+                    LEFT JOIN guns u ON d.doc_id = u.doc_id)
+         SELECT doc_id, domain, n_feats, n_unseen, logw
+         FROM gfull ORDER BY doc_id, domain""",
 
     // Interop parity replay: the per-family piece totals are
     // re-derived from scratch (byte-BPE 8-round training + encode over

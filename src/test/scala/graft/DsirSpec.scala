@@ -407,6 +407,23 @@ class DsirSpec extends SparkSpec {
       (math.log(2.0 / 5.0) - math.log(4.0 / 8.0), 2)))))
     assert(w((3L, "a")) == ((0L, 0.0)) && w((3L, "b")) == ((0L, 0.0)))
     assert(w.size == 6)
+    // the GATE form on a novel batch: the unseen gram is counted once
+    // per doc and charged each domain's OWN Laplace default
+    // (counts 0/0 under that domain's totals)
+    assert(mm.nTgtOcc == Map("a" -> 4L, "b" -> 2L))
+    val batch = Seq((1L, "aa zz"), (2L, "")).toDF("doc_id", "text")
+    val g = Dsir.scoreAgainstMulti(batch, mm, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val lr0a = math.log(1.0 / 7.0) - math.log(1.0 / 8.0)
+    val lr0b = math.log(1.0 / 5.0) - math.log(1.0 / 8.0)
+    assert(g((1L, "a")) == ((2L, 1L, dsum(
+      (math.log(4.0 / 7.0) - math.log(3.0 / 8.0), 1), (lr0a, 1)))))
+    assert(g((1L, "b")) == ((2L, 1L, dsum(
+      (math.log(1.0 / 5.0) - math.log(3.0 / 8.0), 1), (lr0b, 1)))))
+    assert(g((2L, "a")) == ((0L, 0L, 0.0)) &&
+      g((2L, "b")) == ((0L, 0L, 0.0)))
+    assert(g.size == 4)
     // the one-exchange claim: scoring k=2 domains plans exactly the
     // same number of shuffle exchanges as k=1 (the stacked grid rides
     // the SAME feature-keyed join; domains fan out map-side)
