@@ -900,7 +900,7 @@ object Mpeg1Kernels {
     best
   }
 
-  private[functions] final case class Mpeg1Video(width: Int, height: Int,
+  private[graft] final case class Mpeg1Video(width: Int, height: Int,
       reconsY: Array[Array[Byte]], reconsCb: Array[Array[Byte]],
       reconsCr: Array[Array[Byte]])
 
@@ -911,7 +911,7 @@ object Mpeg1Kernels {
     * forward, f_code 1) + ONE slice (vertical position 1,
     * quantizer_scale = [[QScale]]) carrying the macroblock layer.
     * Returns (stream, per-frame encoder reconstructions, flags). */
-  private[functions] def encodeEs(width: Int, height: Int, fps: Int,
+  private[graft] def encodeEs(width: Int, height: Int, fps: Int,
       ys: Array[Array[Byte]], cbs: Array[Array[Byte]],
       crs: Array[Array[Byte]], flags: Array[Boolean])
       : (Array[Byte], Mpeg1Video) = {
@@ -1046,7 +1046,7 @@ object Mpeg1Kernels {
     * skip path's honest trigger), leaving the leading edges to
     * pattern/intra coding. Planes are generated at PADDED canvas size
     * (content everywhere; the header still stamps the display dims). */
-  private[functions] def synthYuv(seed: Long, width: Int, height: Int,
+  private[graft] def synthYuv(seed: Long, width: Int, height: Int,
       nFrames: Int)
       : (Array[Array[Byte]], Array[Array[Byte]], Array[Array[Byte]]) = {
     val W = pad16(width); val H = pad16(height)

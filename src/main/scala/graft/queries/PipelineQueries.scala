@@ -444,6 +444,9 @@ object PipelineQueries {
                 graft.sources.Bucketing.dropManagedTable(s, nm)
               else fs.delete(st.getPath, true)
             }
+            // stale interop exports of superseded corpus keys
+            if (nm.startsWith("q_tok_export_") && !nm.contains(key))
+              fs.delete(st.getPath, true)
           }
           TokenizerStore.build(s, bp, Tables(s, dir).documents,
             col("text"), nMerges = 8, byteLevel = true)

@@ -102,6 +102,37 @@ class Mpeg1KernelsSpec extends AnyFunSuite {
     assert(Mpeg1Kernels.decodeEs(fake) == null)
   }
 
+  test("every strict prefix of a stream decodes to null (no partial " +
+       "pictures ever surface), and flipping any single byte never " +
+       "throws") {
+    val (ys, cbs, crs) = Mpeg1Kernels.synthYuv(11L, 20, 18, 3)
+    val flags = new Array[Boolean](5)
+    val (es, enc) = Mpeg1Kernels.encodeEs(20, 18, 24, ys, cbs, crs,
+      flags)
+    assert(enc.reconsY.length == 3 && es.length > 32)
+    var i = 0
+    while (i < es.length) {
+      assert(Mpeg1Kernels.decodeEs(java.util.Arrays.copyOf(es, i)) == null,
+        s"prefix of length $i decoded")
+      i += 1
+    }
+    // byte-flip fuzz: a corrupted stream must decode to null or to a
+    // well-formed video (don't-care header fields exist) — NEVER throw
+    var flips = 0
+    var nulls = 0
+    i = 0
+    while (i < es.length) {
+      val mut = es.clone()
+      mut(i) = (mut(i) ^ 0x41).toByte
+      val r = Mpeg1Kernels.decodeEs(mut) // must not throw
+      if (r == null) nulls += 1
+      flips += 1
+      i += 1
+    }
+    assert(nulls > flips / 2,
+      s"only $nulls/$flips byte flips rejected — validation too lax")
+  }
+
   test("degenerate inputs reject at the stats boundary") {
     assert(Mpeg1Kernels.mpeg1RoundTripStats(1L, 16, 16, 1, 24) == null)
     assert(Mpeg1Kernels.mpeg1RoundTripStats(1L, 0, 16, 3, 24) == null)
