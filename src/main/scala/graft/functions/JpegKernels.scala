@@ -113,25 +113,34 @@ object JpegKernels {
     Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
   /** Forward DCT-II + uniform quantization of one level-shifted 8×8 block
-    * (`in` holds f(x,y) − 128). Output in natural (row-major) order. */
+    * (`in` holds f(x,y) − 128). Output in natural (row-major) order.
+    * SEPARABLE row-column form (1024 multiplies, not 4096) — the media
+    * family's measured hot spot; the matching [[idctDequantWith]] is
+    * separable too, so every encoder/decoder pair stays arithmetically
+    * self-consistent (the recon_exact contract compares outputs of the
+    * SAME transform code on both sides). */
   private[functions] def fdctQuant(in: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64) // tmp(u*8+x) = Σ_y in(y,x)·cos_u(y)
     var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) { acc += in(y * 8 + x) * CosTab(u)(y); y += 1 }
+        tmp(u * 8 + x) = acc
+        x += 1
+      }
+      u += 1
+    }
+    u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
         var acc = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          val cu = CosTab(u)(y) // note: u indexes vertical frequency
-          while (x < 8) {
-            acc += in(y * 8 + x) * cu * CosTab(v)(x)
-            x += 1
-          }
-          y += 1
-        }
-        val coef = 0.25 * C(u) * C(v) * acc
-        out(u * 8 + v) = math.round(coef / Q).toInt
+        var x = 0
+        while (x < 8) { acc += tmp(u * 8 + x) * CosTab(v)(x); x += 1 }
+        out(u * 8 + v) = math.round(0.25 * C(u) * C(v) * acc / Q).toInt
         v += 1
       }
       u += 1
@@ -716,27 +725,33 @@ object JpegKernels {
     new JpegImage(width, height, nc, out)
   }
 
-  /** IDCT with the stream's own quant table (zigzag order). */
+  /** IDCT with the stream's own quant table (zigzag order) — separable
+    * row-column form, see [[fdctQuant]]. */
   private[functions] def idctDequantWith(coefNat: Array[Int], quantZig: Array[Int],
                               out: Array[Double]): Unit = {
     val dq = new Array[Double](64)
     var z = 0
     while (z < 64) { dq(Zig(z)) = coefNat(Zig(z)).toDouble * quantZig(z); z += 1 }
+    val tmp = new Array[Double](64) // tmp(y*8+v) = Σ_u Cu·dq(u,v)·cos_u(y)
     var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += C(u) * dq(u * 8 + v) * CosTab(u)(y); u += 1 }
+        tmp(y * 8 + v) = acc
+        v += 1
+      }
+      y += 1
+    }
+    y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var acc = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          val cu = C(u) * CosTab(u)(y)
-          while (v < 8) {
-            acc += cu * C(v) * CosTab(v)(x) * dq(u * 8 + v)
-            v += 1
-          }
-          u += 1
-        }
+        var v = 0
+        while (v < 8) { acc += C(v) * tmp(y * 8 + v) * CosTab(v)(x); v += 1 }
         out(y * 8 + x) = 0.25 * acc
         x += 1
       }
