@@ -1100,6 +1100,28 @@ object ScaleProbe {
         println(f"""{"metric":"mc_vlc_scale","docs":$n,"w":$w,"h":$h,"frames":$nf,"all_green":$ok,"sec":$sec%.2f,"mpix_per_sec":$mpix%.1f}""")
       }
 
+      // The CONFORMANT MPEG-1 layer at the same realistic frame size,
+      // 4:2:0 (so 1.5 planes of pixels per luma pixel): full
+      // elementary-stream encode + chain decode + certification per
+      // clip — 16×16 macroblocks, CBP, differential motion, the
+      // §2.4.4 arithmetic — all five deterministic attestations
+      // required green on every clip. Map-only, per-core throughput.
+      if (on("mpeg1")) {
+        import graft.functions.MediaExpressions
+        val (w, h, nf) = (64, 48, 8)
+        val t0 = System.nanoTime()
+        val ok = spark.range(n.toLong)
+          .select(MediaExpressions.mpeg1VideoRoundTrip(col("id"),
+            lit(w), lit(h), lit(nf), fps = 24).as("st"))
+          .agg(sum(when(col("st.recon_exact") && col("st.err_in_bound") &&
+              col("st.mv_engaged") && col("st.trunc_rejected") &&
+              col("st.census_ok"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mpix = n.toLong * w * h * nf * 3 / 2 / sec / 1e6
+        println(f"""{"metric":"mpeg1_scale","docs":$n,"w":$w,"h":$h,"frames":$nf,"all_green":$ok,"sec":$sec%.2f,"mpix_per_sec":$mpix%.1f}""")
+      }
+
       // Streaming PCA at scale: fold three n-vector micro-batches into
       // the fenced moment table — per batch the cost is ONE d²-state
       // aggregate of the batch (constant in the stored history), and

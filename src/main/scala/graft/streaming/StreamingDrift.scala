@@ -285,4 +285,45 @@ object StreamingDrift {
     Bucketing.dropManagedTable(spark, embBinsTable(prefix))
     Bucketing.dropManagedTable(spark, embAxesTable(prefix))
   }
+
+  // ---- DSIR staleness twin (the n_unseen retrain signal) ----
+
+  /** Expected schema of [[dsirStalenessStream]]'s parquet source. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Drive the DSIR STALENESS monitor from parquet docs arriving in
+    * `srcDir`: every micro-batch scores against the STORED importance
+    * model ([[graft.sources.DsirStore.load]] — catalog tables, stable
+    * across batches, loaded ONCE before the query starts so a missing
+    * or torn store fails by name up front) and its one-row
+    * unseen-fraction report ([[graft.operators.Dsir.stalenessReport]]
+    * over the whole batch) overwrites its own `batch=<id>` partition
+    * under `outDir/dsir_stale` — the replay-idempotent sink shape of
+    * [[stream]]. A RISING `unseen_frac` across batch partitions is the
+    * retrain signal the batch monitor (`dsir_staleness`) reads per
+    * cohort; here it is read per micro-batch of the live ingest.
+    * Per-batch cost: one feature-keyed exchange into the
+    * vocabulary-shaped ratio table + a 1-row fold — independent of the
+    * training corpus, the [[graft.operators.Dsir.scoreAgainst]]
+    * contract. */
+  def dsirStalenessStream(spark: SparkSession, srcDir: String,
+                          storePrefix: String, outDir: String,
+                          staleFrac: Double,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          readerOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
+    val m = graft.sources.DsirStore.load(spark, storePrefix)
+    spark.readStream.options(readerOptions).schema(docSchema)
+      .parquet(srcDir)
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dsir.stalenessReport(batch, m, col("doc_id"),
+            col("text"), Seq("cohort" -> lit("batch")), staleFrac)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/dsir_stale/batch=$batchId")
+      }
+      .start()
+  }
 }

@@ -104,6 +104,73 @@ class StreamingDriftSpec extends SparkSpec {
     }
   }
 
+  test("dsir staleness stream: per-batch unseen fractions from the " +
+       "stored model, novel-gram batch trips the verdict, crash-replay " +
+       "idempotent, missing store fails by name up front") {
+    import graft.sources.DsirStore
+    val pfx = "drift_dsir_store"
+    val raw = spark.range(80).select(col("id").as("doc_id"),
+      concat_ws(" ", org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(9)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(30))
+            .cast("string")))).as("text"))
+    val tgt = spark.range(8).select((col("id") + 500).as("doc_id"),
+      lit("w1 w2 w3 w4").as("text"))
+    val srcDir = java.nio.file.Files.createTempDirectory("dstale-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dstale-out").toString
+    DsirStore.drop(spark, pfx)
+    try {
+      DsirStore.build(spark, pfx, raw, tgt, col("doc_id"), col("text"),
+        ngram = 1, nBuckets = 0)
+      // batch 0: in-vocabulary resample of the raw corpus; batch 1:
+      // every doc carries two novel grams
+      raw.limit(40).coalesce(1).write.mode("append").parquet(srcDir)
+      raw.limit(40).select(col("doc_id") + 1000,
+          concat(col("text"), lit(" zz9nov zz9weird")).as("text"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      StreamingDrift.dsirStalenessStream(spark, srcDir, pfx, outDir,
+          staleFrac = 0.05,
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .awaitTermination()
+      val log = spark.read.parquet(s"$outDir/dsir_stale")
+        .orderBy(col("batch")).collect()
+      assert(log.length == 2, log.mkString("\n"))
+      def frac(r: org.apache.spark.sql.Row) =
+        r.getDouble(r.fieldIndex("unseen_frac"))
+      def stale(r: org.apache.spark.sql.Row) =
+        r.getBoolean(r.fieldIndex("stale"))
+      assert(frac(log(0)) == 0.0 && !stale(log(0)),
+        s"in-vocab batch must read 0: ${log(0)}")
+      // 2 novel of 12 features per doc → 1/6 > 0.05
+      assert(frac(log(1)) > 0.05 && stale(log(1)),
+        s"novel-gram batch must trip: ${log(1)}")
+      // replay from a fresh checkpoint: partitions overwrite
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$outDir/ckpt"))
+      StreamingDrift.dsirStalenessStream(spark, srcDir, pfx, outDir,
+          staleFrac = 0.05,
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .awaitTermination()
+      val log2 = spark.read.parquet(s"$outDir/dsir_stale")
+        .orderBy(col("batch")).collect()
+      assert(log2.length == 2 &&
+        log2.map(_.toString).toSeq == log.map(_.toString).toSeq,
+        "replay must overwrite, not duplicate or change")
+      // a missing store fails by name BEFORE the query starts
+      val e = intercept[IllegalArgumentException] {
+        StreamingDrift.dsirStalenessStream(spark, srcDir, "dstale_nope",
+          outDir, staleFrac = 0.05)
+      }
+      assert(e.getMessage.contains("DsirStore.build"), e.getMessage)
+    } finally {
+      DsirStore.drop(spark, pfx)
+      Seq(srcDir, outDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("embedding model: stored-basis scoring gives psi 0 per component " +
        "on the reference itself, reads planted drift, fences by name") {
     val pe = "drift_emb_store"
