@@ -49,3 +49,40 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
+
+object Tables {
+  /** Spread a frame whose downstream cost is per-ROW kernel compute
+    * rather than bytes (codec round-trips, tokenizer encodes, n-gram
+    * explodes). The driver testdata writes each table as ONE parquet
+    * row group, so every scan here is a single input split and all
+    * map-side work before the first exchange runs on ONE core no
+    * matter how many the session has — the optimization guide's §2.5
+    * "one huge unsplittable file" input-skew case ("repartition
+    * immediately after the read"). One round-robin exchange of the
+    * narrow pre-kernel projection (usually just `doc_id`, ~8
+    * bytes/row) spreads the kernel work across every core.
+    *
+    * The partition count derives from `defaultParallelism`, never a
+    * constant: at `local[4]` this is 16, at `local[32]` 128, on a
+    * real cluster it tracks total cores — and at 100 TB, where the
+    * scan already arrives in thousands of splits, a row-count
+    * rebalance is still exactly what a per-row-cost operator wants
+    * (rows, not bytes, are the unit of work). Exactly one partition
+    * per core: round-robin placement already interleaves the
+    * doc_id-cyclic cost variation (dims/frame counts are doc_id mod
+    * k) evenly across partitions, and a finer split only multiplies
+    * task-scheduling overhead for the many downstream stages that
+    * inherit the partitioning (measured: ×4 cores cost more in task
+    * churn on multi-pass consumers than it bought in balance).
+    *
+    * NOT for frames feeding ITERATIVE driver-orchestrated operators
+    * (PCA / k-means / drift training): those re-execute their input
+    * lineage once per pass over a tiny frame, so extra partitions
+    * multiply per-pass task overhead instead of spreading real work.
+    *
+    * Results are unaffected: round-robin placement changes WHERE a
+    * row is computed, not what is computed, and every caller either
+    * aggregates or ends in an explicit orderBy. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}

@@ -183,16 +183,20 @@ object Graph {
           e("src") === col("hn"))
         .select(col("dst"), col("h").cast(dec).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("ar"))
+      // pin the un-normalized frame ONCE: the normalizer aggregate and
+      // the normalized projection both consume it, and without the pin
+      // each re-executed the edge join + aggregate (2x the per-round
+      // work at any scale)
       val aFull = nodes
         .join(araw, col("node") === col("dst"), "left")
         .select(col("node"),
           coalesce(col("ar"), lit(0).cast(dec)).as("ar"))
+        .localCheckpoint(true)
       val aNorm = broadcast(aFull.agg(sum(col("ar")).as("asum")))
       auth = aFull.crossJoin(aNorm)
         .select(col("node"),
           round(col("ar").cast("double") / col("asum").cast("double"),
             scale).as("a"))
-        .localCheckpoint(true)
       val hraw = e
         .join(auth.select(col("node").as("an"), col("a")),
           e("dst") === col("an"))
@@ -202,12 +206,12 @@ object Graph {
         .join(hraw, col("node") === col("src"), "left")
         .select(col("node"),
           coalesce(col("hr"), lit(0).cast(dec)).as("hr"))
+        .localCheckpoint(true)
       val hNorm = broadcast(hFull.agg(sum(col("hr")).as("hsum")))
       hub = hFull.crossJoin(hNorm)
         .select(col("node"),
           round(col("hr").cast("double") / col("hsum").cast("double"),
             scale).as("h"))
-        .localCheckpoint(true)
     }
     hub.join(auth, "node")
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))

@@ -1879,13 +1879,23 @@ object TextAnalysis {
                  allowShuffle: Boolean = false): NgramModel = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     val g = ngramGrams(corpus, lit(0L), text)
-    val uni = g.groupBy(col("cur")).agg(count(lit(1)).as("c1"))
+    // ONE corpus pass: the unpruned trigram-TYPE table (null p1/p2 kept
+    // as grouping values) is a sufficient statistic for every model
+    // table — uni/bi/tri/total are re-aggregations of it. Pinned
+    // eagerly: without the pin each model table (and the size
+    // pre-screen) re-executed the corpus explode independently — the
+    // measured plan ran SEVEN corpus passes per trained model where two
+    // suffice (this one + the scoring pass). The pinned frame is
+    // trigram-type-shaped (vocabulary class), never corpus-shaped.
+    val t0 = g.groupBy(col("p2"), col("p1"), col("cur"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val uni = t0.groupBy(col("cur")).agg(sum(col("n")).as("c1"))
     val total = uni.agg(sum(col("c1")).as("total"))
-    val bi = g.filter(col("p1").isNotNull)
-      .groupBy(col("p1"), col("cur")).agg(count(lit(1)).as("c2"))
+    val bi = t0.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("cur")).agg(sum(col("n")).as("c2"))
       .filter(col("c2") >= minCount)
-    val tri = g.filter(col("p2").isNotNull)
-      .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c3"))
+    val tri = t0.filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("cur")).agg(sum(col("n")).as("c3"))
       .filter(col("c3") >= minCount)
 
     // Spark's own ConfigHelpers.byteFromString semantics: a leading '-'
@@ -1923,12 +1933,16 @@ object TextAnalysis {
       // regime, which is what a user who set "-1" asked for
       hinted = false
     } else if (!allowShuffle) {
-      // phase 1: map-side approx pre-screen (no shuffle, nothing built)
-      val pre = g.agg(
+      // phase 1: approx pre-screen — read from the pinned type table
+      // (type-distinct sets are identical there and the frame is
+      // vocabulary-class-sized) instead of re-exploding the corpus;
+      // the length estimate stays occurrence-weighted via `n`
+      val pre = t0.agg(
         approx_count_distinct(col("cur")).as("u"),
         approx_count_distinct(struct(col("p1"), col("cur"))).as("b"),
         approx_count_distinct(struct(col("p2"), col("p1"), col("cur"))).as("t"),
-        coalesce(avg(length(col("cur"))), lit(0.0)).as("len")).head()
+        coalesce(sum(length(col("cur")) * col("n")).cast("double") /
+          sum(col("n")).cast("double"), lit(0.0)).as("len")).head()
       val avgLen = pre.getDouble(3)
       def approx(types: Long, toks: Int) =
         estBytes(types, (types * toks * avgLen).toLong)

@@ -39,7 +39,11 @@ object ChatQueries {
       floor((col("__n") * lit(k)) / lit(4.0)).cast("int")
     def seg(k: Int): Column =
       array_join(slice(col("__toks"), bnd(k) + 1, bnd(k + 1) - bnd(k)), " ")
-    docs
+    // spread BEFORE tokenize/slice/join: the conversation derivation +
+    // the per-turn tokenizer kernels downstream are per-row compute, and
+    // the single-row-group documents scan would pin them all to one core
+    // (Tables.spread)
+    Tables.spread(docs)
       .select(col("doc_id"), toks.as("__toks"), size(toks).as("__n"))
       .where(col("__n") >= 4)
       .select(col("doc_id"), seg(0).as("q0"), seg(1).as("q1"),

@@ -229,6 +229,15 @@ object PipelineQueries {
         m
       })
 
+  /** The doc_id spine of `documents`, spread across the session's
+    * cores ([[Tables.spread]]) for queries whose whole cost is per-row
+    * kernel compute synthesized FROM doc_id (the codec round-trip
+    * family): the single-row-group scan otherwise pins every encode +
+    * chain-decode to one core, and the exchange this buys costs 8
+    * bytes/row. */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables(s, dir).documents.select(col("doc_id")))
+
   /** The planted DSIR corpora shared by dsir_select / dsir_gate /
     * dsir_sampled (and their oracles via [[dsirCtes]]): the raw corpus
     * with the domain marker on every 10th doc, the target = the %7
@@ -237,14 +246,18 @@ object PipelineQueries {
   private def dsirCorpora(s: SparkSession,
                           dir: String): (DataFrame, DataFrame) = {
     val t = Tables(s, dir)
-    val raw = t.documents.select(col("doc_id"),
+    // spread BEFORE the n-gram explode + md5 bucketing: the feature
+    // derivation is the per-row-heavy stage of every dsir query, and
+    // the single-row-group scan would otherwise run it on one core
+    // (Tables.spread)
+    val raw = Tables.spread(t.documents.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(10)) === 0,
         concat(col("text"),
           lit(" quantum flux capacitor quantum flux")))
-        .otherwise(col("text")).as("text"))
-    val tgt = t.documents.filter(col("doc_id") % 7 === 0)
+        .otherwise(col("text")).as("text")))
+    val tgt = Tables.spread(t.documents.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
-        concat(col("text"), lit(" quantum flux capacitor")).as("text"))
+        concat(col("text"), lit(" quantum flux capacitor")).as("text")))
     (raw, tgt)
   }
 
@@ -333,19 +346,20 @@ object PipelineQueries {
   private def dsirMultiCorpora(s: SparkSession, dir: String)
       : (DataFrame, Seq[(String, DataFrame)]) = {
     val t = Tables(s, dir)
-    val raw = t.documents.select(col("doc_id"),
+    // spread before the feature explode, as in [[dsirCorpora]]
+    val raw = Tables.spread(t.documents.select(col("doc_id"),
       concat(col("text"),
         when(pmod(col("doc_id"), lit(10)) === 0,
           lit(" quantum flux capacitor quantum flux")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(9)) === 0,
           lit(" neural lattice resonator neural lattice"))
-          .otherwise(lit(""))).as("text"))
-    val tgtA = t.documents.filter(col("doc_id") % 7 === 0)
+          .otherwise(lit(""))).as("text")))
+    val tgtA = Tables.spread(t.documents.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
-        concat(col("text"), lit(" quantum flux capacitor")).as("text"))
-    val tgtB = t.documents.filter(col("doc_id") % 11 === 0)
+        concat(col("text"), lit(" quantum flux capacitor")).as("text")))
+    val tgtB = Tables.spread(t.documents.filter(col("doc_id") % 11 === 0)
       .select(col("doc_id"),
-        concat(col("text"), lit(" neural lattice resonator")).as("text"))
+        concat(col("text"), lit(" neural lattice resonator")).as("text")))
     (raw, Seq("a" -> tgtA, "b" -> tgtB))
   }
   private val dsirMultiModelMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -815,7 +829,7 @@ object PipelineQueries {
     // whole composition.
     "pipeline_chunks" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val planted = t.documents.select(col("doc_id"),
+      val planted = Tables.spread(t.documents).select(col("doc_id"),
         concat(col("text"), lit(" reach me at user"), col("doc_id"),
           lit("@example.com")).as("text"))
       val clean = planted.select(col("doc_id"),
@@ -858,7 +872,7 @@ object PipelineQueries {
         .filter(size(col("toks")) >= 13)
         .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 6, 8)).as("frag"))
       graft.operators.Contamination
-        .exactSubstring(t.documents, col("doc_id"), col("text"),
+        .exactSubstring(Tables.spread(t.documents), col("doc_id"), col("text"),
           frags, col("doc_id"), col("frag"))
         .orderBy(col("doc_id"), col("test_id"))
     },
@@ -873,7 +887,7 @@ object PipelineQueries {
         .filter(size(col("toks")) >= 13)
         .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 6, 8)).as("frag"))
       graft.operators.Contamination
-        .exactSubstringIndexed(t.documents, col("doc_id"), col("text"),
+        .exactSubstringIndexed(Tables.spread(t.documents), col("doc_id"), col("text"),
           frags, col("doc_id"), col("frag"), k = 8)
         .orderBy(col("doc_id"), col("test_id"))
     },
@@ -1630,14 +1644,14 @@ object PipelineQueries {
         lit("<body><!-- doc --><h1>Doc &#39;"), col("doc_id"),
         lit("&#39;</h1><p class=\"main\">"), body,
         lit("</p><div>Tom &amp; Jerry &lt;escaped&gt;</div></body></html>"))
-      t.documents
+      Tables.spread(t.documents)
         .select(col("doc_id"), TextAnalysis.stripHtml(html).as("text"))
         .orderBy(col("doc_id"))
     },
 
     "text_token_stats" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).as("len_chars"))
         .orderBy(col("doc_id"))
@@ -1647,7 +1661,7 @@ object PipelineQueries {
     // next to the whitespace count.
     "text_bpe_tokens" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
         .orderBy(col("doc_id"))
@@ -1673,7 +1687,7 @@ object PipelineQueries {
     "text_unigram_segment" -> { (s, dir) =>
       val t = Tables(s, dir)
       val pieces = trainedUnigram(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.unigramSegment(col("text"), pieces).as("__s"))
         .select(col("doc_id"),
           col("__s").getField("logp_micro").as("logp_micro"),
@@ -1686,7 +1700,7 @@ object PipelineQueries {
     // sequence per doc as text, OOV positions counted.
     "text_unigram_ids" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.unigramSegmentIds(col("text"),
             trainedUnigram(s, dir), trainedUnigramVocab(s, dir))
             .as("ids"))
@@ -1789,7 +1803,8 @@ object PipelineQueries {
     "dsir_gate" -> { (s, dir) =>
       val t = Tables(s, dir)
       val m = dsirModel(s, dir, 1 << 20)
-      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      val batch = Tables.spread(
+        t.documents.filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"),
           concat(col("text"),
             when(pmod(col("doc_id"), lit(10)) === 0,
@@ -1859,7 +1874,8 @@ object PipelineQueries {
       val (raw, _) = dsirCorpora(s, dir)
       val trainW = graft.operators.Dsir.weightsWith(raw, m, col("doc_id"),
         col("text"))
-      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      val batch = Tables.spread(
+        t.documents.filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"),
           concat(col("text"),
             when(pmod(col("doc_id"), lit(10)) === 0,
@@ -1913,7 +1929,8 @@ object PipelineQueries {
     "dsir_staleness" -> { (s, dir) =>
       val t = Tables(s, dir)
       val m = dsirModel(s, dir, 1 << 20)
-      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      val batch = Tables.spread(
+        t.documents.filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"),
           concat(col("text"),
             when(pmod(col("doc_id"), lit(10)) === 0,
@@ -1959,7 +1976,8 @@ object PipelineQueries {
     "dsir_multi_gate" -> { (s, dir) =>
       val t = Tables(s, dir)
       val mm = dsirMultiModel(s, dir, 1 << 20)
-      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      val batch = Tables.spread(
+        t.documents.filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"),
           concat(col("text"),
             when(pmod(col("doc_id"), lit(10)) === 0,
@@ -2141,7 +2159,7 @@ object PipelineQueries {
     "text_bpe_encode" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedMerges(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe"),
@@ -2157,7 +2175,7 @@ object PipelineQueries {
     "text_bpe_detok" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedMerges(s, dir)
-      t.documents.select(col("doc_id"), col("text"),
+      Tables.spread(t.documents).select(col("doc_id"), col("text"),
           TextAnalysis.bpeEncodeMarked(col("text"), merges).as("toks"))
         .select(col("doc_id"),
           array_join(col("toks"), " ").as("marked_text"),
@@ -2175,7 +2193,7 @@ object PipelineQueries {
     "text_bpe_ids" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedMerges(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.bpeEncodeIds(col("text"), merges).as("ids"))
         .select(col("doc_id"),
           size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
@@ -2192,7 +2210,7 @@ object PipelineQueries {
     "text_bpe_bytes" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedByteMerges(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.bpeEncodeBytes(col("text"), merges).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe"),
@@ -2214,7 +2232,8 @@ object PipelineQueries {
         (-3L, "😀 emoji 🤖🤖 mix"),
         (-2L, "𠀀𠀁 cjk-b ▁ marker"),
         (-1L, "tabs\tand\nnewlines")).toDF("doc_id", "text")
-      t.documents.select(col("doc_id"), col("text")).unionByName(planted)
+      Tables.spread(
+          t.documents.select(col("doc_id"), col("text")).unionByName(planted))
         .select(col("doc_id"), col("text"),
           TextAnalysis.bpeEncodeBytesMarked(col("text"), merges).as("toks"))
         .select(col("doc_id"),
@@ -2231,7 +2250,7 @@ object PipelineQueries {
     "text_bpe_bytes_ids" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedByteMerges(s, dir)
-      t.documents.select(col("doc_id"),
+      Tables.spread(t.documents).select(col("doc_id"),
           TextAnalysis.bpeEncodeIdsBytes(col("text"), merges).as("ids"))
         .select(col("doc_id"),
           size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
@@ -2246,7 +2265,7 @@ object PipelineQueries {
     "tokenizer_report" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedByteMerges(s, dir)
-      t.documents.select(col("source"),
+      Tables.spread(t.documents).select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
           TextAnalysis.bpeEncodeBytesCount(col("text"), merges)
             .cast("long").as("bpe"),
@@ -2329,6 +2348,9 @@ object PipelineQueries {
     // (the embed_pca pattern).
     "drift_embedding" -> { (s, dir) =>
       val t = Tables(s, dir)
+      // NO spread here: embeddingDrift's PCA + moment passes re-execute
+      // the input lineage several times over a node-sized frame — extra
+      // partitions multiply per-pass task overhead (Tables.spread note)
       val ref = t.embeddings.filter(col("vec_id") % 2 === 0)
       val cur = t.embeddings.filter(col("vec_id") % 2 === 1)
         .select(transform(col("embedding"),
@@ -2345,9 +2367,9 @@ object PipelineQueries {
     // evidence and are out of scope (the quality gate owns them).
     "ccnet_buckets" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val lm = TextAnalysis.ngramLogProb(t.documents, col("doc_id"),
+      val lm = TextAnalysis.ngramLogProb(Tables.spread(t.documents), col("doc_id"),
         col("text"), minCount = 2)
-      val lang = t.documents.select(col("doc_id"),
+      val lang = Tables.spread(t.documents).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang"))
       graft.operators.Sampling
         .curriculumBinsBy(lm.join(lang, Seq("doc_id")), Seq("lang"),
@@ -2360,7 +2382,7 @@ object PipelineQueries {
 
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
+      TextAnalysis.qualityFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2409,7 +2431,7 @@ object PipelineQueries {
     // replay (histogram -> term -> DECIMAL sum) hash-matches bit for bit.
     "text_entropy" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.entropyFeatures(t.documents, col("doc_id"), col("text"))
+      TextAnalysis.entropyFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2453,7 +2475,7 @@ object PipelineQueries {
         .when(fid === 1,
           element_at(typedLit(Seq(1, 3)), (pmod(sel, lit(2)) + 1).cast("int")))
         .otherwise(lit(3)).cast("int")
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.imageEncode(fmt, w, h, ch).as("content"))
         .select(col("doc_id"),
@@ -2478,7 +2500,7 @@ object PipelineQueries {
       val bits = element_at(typedLit(Seq(8, 16, 24, 32)),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
       val n = (pmod(col("doc_id"), lit(997)) + 100).cast("int")
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.wavEncode(ch, rate, bits, n).as("content"))
         .select(col("doc_id"),
@@ -2503,7 +2525,7 @@ object PipelineQueries {
     // no shuffle — decode-and-resize travels to the data.
     "multimodal_pixels" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           expr("cast(doc_id % 21 + 4 as int)").as("w"),
           expr("cast(doc_id % 17 + 4 as int)").as("h"),
@@ -2525,7 +2547,7 @@ object PipelineQueries {
     // total absolute amplitude; the oracle replays the sample arithmetic.
     "multimodal_waveform" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.wavDecodeStats(
             MediaExpressions.wavEncodePcm(
@@ -2549,7 +2571,7 @@ object PipelineQueries {
     // Closes the former "GIF LZW" half of the codec seam.
     "multimodal_gif" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.gifDecodeStats(
             MediaExpressions.gifEncodeSynth(col("doc_id"),
@@ -2574,7 +2596,7 @@ object PipelineQueries {
     // only video remains a genuine library format.
     "multimodal_jpeg" -> { (s, dir) =>
       import graft.functions.{JpegKernels, MediaExpressions}
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.jpegRoundTrip(col("doc_id"),
             expr("cast(doc_id % 27 + 9 as int)"),
@@ -2599,7 +2621,7 @@ object PipelineQueries {
     // transform flips prog_equals_seq and hash-mismatches.
     "multimodal_jpeg_prog" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.jpegProgRoundTrip(col("doc_id"),
             expr("cast(doc_id % 27 + 9 as int)"),
@@ -2626,7 +2648,7 @@ object PipelineQueries {
     // multimodal codec seam narrows to inter-frame video only.
     "multimodal_jpeg_arith" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.jpegArithRoundTrip(col("doc_id"),
             expr("cast(doc_id % 27 + 9 as int)"),
@@ -2653,7 +2675,7 @@ object PipelineQueries {
     // only — MJPEG is real video produced by real capture hardware.
     "multimodal_video" -> { (s, dir) =>
       import graft.functions.{JpegKernels, MediaExpressions}
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.aviRoundTrip(col("doc_id"),
             expr("cast(doc_id % 11 + 8 as int)"),
@@ -2678,7 +2700,7 @@ object PipelineQueries {
     // nFrames ≥ 2 always, so every document exercises a real delta.
     "multimodal_video_delta" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.rleVideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 9 + 6 as int)"),
@@ -2706,7 +2728,7 @@ object PipelineQueries {
     // real motion compensation.
     "multimodal_video_mc" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.mcVideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 11 + 10 as int)"),
@@ -2738,7 +2760,7 @@ object PipelineQueries {
     // row.
     "multimodal_video_vlc" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.mcVlcVideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 11 + 10 as int)"),
@@ -2772,7 +2794,7 @@ object PipelineQueries {
     // oracle-asserted.
     "multimodal_video_mpeg1" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      Tables(s, dir).documents
+      docIds(s, dir)
         .select(col("doc_id"),
           MediaExpressions.mpeg1VideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 14 + 18 as int)"),
@@ -2801,7 +2823,7 @@ object PipelineQueries {
       import s.implicits._
       import graft.functions.{AviKernels, JpegKernels, MediaKernels}
       import graft.operators.Multimodal
-      val media = Tables(s, dir).documents
+      val media = docIds(s, dir)
         .select(col("doc_id"),
           expr("cast(doc_id % 11 + 8 as int)").as("w"),
           expr("cast(doc_id % 7 + 8 as int)").as("h"),
@@ -2850,7 +2872,7 @@ object PipelineQueries {
     // oracle replays training, pruning, backoff and scoring end to end.
     "text_ngram_logprob" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.ngramLogProb(t.documents, col("doc_id"), col("text"),
+      TextAnalysis.ngramLogProb(Tables.spread(t.documents), col("doc_id"), col("text"),
           minCount = 2)
         .orderBy(col("doc_id"))
     },
@@ -2889,7 +2911,7 @@ object PipelineQueries {
 
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.documents
+      Tables.spread(t.documents)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
@@ -2970,7 +2992,7 @@ object PipelineQueries {
     // pass per document.
     "text_repetition" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.repetitionFeatures(t.documents, col("doc_id"), col("text"))
+      TextAnalysis.repetitionFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2978,7 +3000,7 @@ object PipelineQueries {
     // 8-token overlap; map-only (generate + explode, no shuffle).
     "text_chunk" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.chunkByTokens(t.documents, col("doc_id"), col("text"),
+      TextAnalysis.chunkByTokens(Tables.spread(t.documents), col("doc_id"), col("text"),
           chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
@@ -2989,7 +3011,7 @@ object PipelineQueries {
     // IPs, and phone numbers (the synthetic docs contain none).
     "text_redact_pii" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val planted = t.documents.select(col("doc_id"),
+      val planted = Tables.spread(t.documents).select(col("doc_id"),
         concat(col("text"),
           lit(" reach me at user"), col("doc_id"), lit("@example.com"),
           lit(" or +1 555 000 77"), pmod(col("doc_id"), lit(100)),
@@ -3006,7 +3028,7 @@ object PipelineQueries {
     "text_fix_mojibake" -> { (s, dir) =>
       val t = Tables(s, dir)
       val corrupted = TextAnalysis.mojify(" café — “quoted” …costs €5•")
-      val planted = t.documents.select(col("doc_id"),
+      val planted = Tables.spread(t.documents).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
           .otherwise(concat(col("text"), lit(corrupted))).as("text"))
       planted.select(col("doc_id"), length(col("text")).as("__raw"),
