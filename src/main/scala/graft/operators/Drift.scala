@@ -247,19 +247,70 @@ object Drift {
         col("__id"), col("__v"), model)
     val refProj = projected(reference).localCheckpoint()
     val curProj = projected(current).localCheckpoint()
-    val psis = (0 until k).map { j =>
-      val zc = col(s"z$j")
-      val bs = refBoundaries(refProj, zc, nBins)
-      val cur = psiSummary(psiBinsWith(
-        binCounts(refProj, zc, bs, "ref_n"),
-        binCounts(curProj, zc, bs, "cur_n"), nBins, spark))
-        .head().getDouble(3)
-      val self = psiSummary(psiBinsWith(
-        binCounts(refProj, zc, bs, "ref_n"),
-        binCounts(refProj, zc, bs, "cur_n"), nBins, spark))
-        .head().getDouble(3)
-      (cur, self)
+    // ALL k components batched per pass instead of a driver loop of
+    // per-component jobs (the loop ran ~8 tiny driver-synchronized
+    // jobs PER component — boundaries, two bin counts, two broadcast
+    // totals, two summaries — over node-sized cached frames, so the
+    // operator's wall time was pure job-launch latency). Arithmetic
+    // is the per-component [[refBoundaries]]/[[binCounts]]/
+    // [[psiBinsWith]]/[[psiSummary]] chain verbatim — same percentile
+    // call, same Laplace bin probabilities, same round/quant6/DECIMAL
+    // fold — batched under a `comp` key, so every psi value is
+    // bit-identical to the loop's.
+    val fracs = (1 until nBins).map(b => b.toDouble / nBins)
+    val bRow = refProj.agg(
+      expr(s"percentile(z0, array(${fracs.mkString(", ")}))").as("b0"),
+      (1 until k).map(j =>
+        expr(s"percentile(z$j, array(${fracs.mkString(", ")}))")
+          .as(s"b$j")): _*).head()
+    val bounds: Seq[Seq[Double]] = (0 until k).map { j =>
+      require(!bRow.isNullAt(j),
+        "Drift: the reference has no non-null values to derive bins from")
+      bRow.getSeq[Double](j)
     }
+    // one pass per frame: every component's bin in one exploded select
+    def binCountsAll(df: DataFrame, alias: String): DataFrame =
+      // a null vector projects to all-null z columns (the per-component
+      // [[binCounts]] dropped those rows component-wise; one z0 filter
+      // is the same predicate for every component)
+      df.filter(col("z0").isNotNull)
+        .select(explode(array((0 until k).map(j =>
+          struct(lit(j).as("comp"),
+            aggregate(typedLit(bounds(j)), lit(1),
+              (acc, b) => acc + when(col(s"z$j") > b, 1).otherwise(0))
+              .as("bin"))): _*)).as("cb"))
+        .select(col("cb.comp").as("comp"), col("cb.bin").as("bin"))
+        .groupBy(col("comp"), col("bin")).agg(count(lit(1)).as(alias))
+    val refCounts = binCountsAll(refProj, "ref_n").localCheckpoint(true)
+    // one psi per component, all components in one collect: the
+    // psiBinsWith arithmetic with the single-row totals keyed by comp
+    def psiAll(cur: DataFrame): Map[Int, Double] = {
+      val grid = spark.range(1, nBins + 1)
+        .select(col("id").cast("int").as("bin"))
+        .crossJoin(spark.range(0, k).select(col("id").cast("int").as("comp")))
+      val refT = refCounts.groupBy(col("comp"))
+        .agg(coalesce(sum(col("ref_n")), lit(0L)).as("ref_total"))
+      val curT = cur.groupBy(col("comp"))
+        .agg(coalesce(sum(col("cur_n")), lit(0L)).as("cur_total"))
+      val refP = (col("ref_n") + 1).cast("double") /
+        (col("ref_total") + nBins).cast("double")
+      val curP = (col("cur_n") + 1).cast("double") /
+        (col("cur_total") + nBins).cast("double")
+      grid
+        .join(refCounts, Seq("comp", "bin"), "left")
+        .join(cur, Seq("comp", "bin"), "left")
+        .na.fill(0L, Seq("ref_n", "cur_n"))
+        .join(refT, Seq("comp")).join(curT, Seq("comp"))
+        .select(col("comp"),
+          round((curP - refP) * log(curP / refP), 6).as("psi_term"))
+        .groupBy(col("comp"))
+        .agg(sum(col("psi_term").cast(dec)).cast("double").as("psi"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val curPsi = psiAll(binCountsAll(curProj, "cur_n"))
+    val selfPsi = psiAll(refCounts
+      .select(col("comp"), col("bin"), col("ref_n").as("cur_n")))
+    val psis = (0 until k).map(j => (curPsi(j), selfPsi(j)))
     spark.range(1).select(
       lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
       lit(model.dim).as("dim"), lit(k).as("k"),

@@ -39,11 +39,7 @@ object ChatQueries {
       floor((col("__n") * lit(k)) / lit(4.0)).cast("int")
     def seg(k: Int): Column =
       array_join(slice(col("__toks"), bnd(k) + 1, bnd(k + 1) - bnd(k)), " ")
-    // spread BEFORE tokenize/slice/join: the conversation derivation +
-    // the per-turn tokenizer kernels downstream are per-row compute, and
-    // the single-row-group documents scan would pin them all to one core
-    // (Tables.spread)
-    Tables.spread(docs)
+    docs
       .select(col("doc_id"), toks.as("__toks"), size(toks).as("__n"))
       .where(col("__n") >= 4)
       .select(col("doc_id"), seg(0).as("q0"), seg(1).as("q1"),
@@ -157,7 +153,8 @@ object ChatQueries {
       val t = Tables(s, dir)
       val merges = PipelineQueries.trainedMerges(s, dir)
       ChatPrep.assistantTokenSpans(
-          convs(t.documents, plantInvalid = false, plantDup = false),
+          convs(Tables.spread(t.documents), plantInvalid = false,
+            plantDup = false),
           col("conv_id"), col("turns"),
           c => TextAnalysis.bpeEncodeCount(c, merges).cast("long"))
         .orderBy(col("conv_id"), col("turn_idx"))
@@ -172,7 +169,8 @@ object ChatQueries {
       val merges = PipelineQueries.trainedMerges(s, dir)
       val count: Column => Column =
         c => TextAnalysis.bpeEncodeCount(c, merges).cast("long")
-      val cs = convs(t.documents, plantInvalid = false, plantDup = false)
+      val cs = convs(Tables.spread(t.documents), plantInvalid = false,
+        plantDup = false)
       val totals = cs.select(col("conv_id"),
         aggregate(col("turns"), lit(0L),
           (acc, t0) => acc + lit(2L) + count(t0.getField("content")))

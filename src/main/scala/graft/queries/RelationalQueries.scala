@@ -513,8 +513,14 @@ object RelationalQueries {
     // nulls a row breaks the hash.
     "fmt_roundtrip" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val proj = t.lineitem.select(col("l_returnflag"),
-        col("l_quantity"), col("l_extendedprice"))
+      // spread before the store build: the single-row-group lineitem
+      // scan would otherwise write ONE gzip part per format, and gzip
+      // is unsplittable — every later read of the store would be a
+      // single-task decompress+parse of the whole table. One part per
+      // core gives the readers their parallelism back (guide §6:
+      // unsplittable formats get their split layout at WRITE time).
+      val proj = Tables.spread(t.lineitem.select(col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice")))
       // build-if-absent into a CONTENT-KEYED stable dir (the
       // ensureTextStore idiom): repeated constructions — bench warmup,
       // Explain, Verify — reuse one written copy instead of leaking a
@@ -525,10 +531,16 @@ object RelationalQueries {
       // session can never read a half-written store: readers only ever
       // see the keyed dir complete-with-marker or absent, and a lost
       // rename race defers to the winner's complete copy.
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt_" +
+      // v2 prefix: the layout (one part per core, not one part total)
+      // is part of what the store caches, so it joins the key; stale
+      // v1 dirs are swept on build like every other keyed store
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt2_" +
         graft.sources.CatalogProps.contentKey(dir, "lineitem.parquet")
       val done = new java.io.File(s"$tmp/_done")
       if (!done.exists) {
+        new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+          .filter(f => f.getName.startsWith("graft_fmt_"))
+          .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
         val stage = tmp + ".build_" + java.util.UUID.randomUUID
         graft.sources.Formats.writeOrc(proj, s"$stage/orc")
         graft.sources.Formats.writeCsv(proj, s"$stage/csv")
