@@ -918,7 +918,7 @@ object PipelineQueries {
         .filter(size(col("toks")) >= 13)
         .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 6, 8)).as("frag"))
       graft.operators.Contamination
-        .exactSubstringIndexed(Tables.spread(t.documents), col("doc_id"), col("text"),
+        .exactSubstringIndexed(t.documents, col("doc_id"), col("text"),
           frags, col("doc_id"), col("frag"), k = 8)
         .orderBy(col("doc_id"), col("test_id"))
     },
@@ -1682,7 +1682,7 @@ object PipelineQueries {
 
     "text_token_stats" -> { (s, dir) =>
       val t = Tables(s, dir)
-      Tables.spread(t.documents).select(col("doc_id"),
+      t.documents.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).as("len_chars"))
         .orderBy(col("doc_id"))
@@ -1692,7 +1692,7 @@ object PipelineQueries {
     // next to the whitespace count.
     "text_bpe_tokens" -> { (s, dir) =>
       val t = Tables(s, dir)
-      Tables.spread(t.documents).select(col("doc_id"),
+      t.documents.select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
         .orderBy(col("doc_id"))
@@ -1718,7 +1718,7 @@ object PipelineQueries {
     "text_unigram_segment" -> { (s, dir) =>
       val t = Tables(s, dir)
       val pieces = trainedUnigram(s, dir)
-      Tables.spread(t.documents).select(col("doc_id"),
+      t.documents.select(col("doc_id"),
           TextAnalysis.unigramSegment(col("text"), pieces).as("__s"))
         .select(col("doc_id"),
           col("__s").getField("logp_micro").as("logp_micro"),
@@ -2190,7 +2190,7 @@ object PipelineQueries {
     "text_bpe_encode" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedMerges(s, dir)
-      Tables.spread(t.documents).select(col("doc_id"),
+      t.documents.select(col("doc_id"),
           TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe"),
@@ -2296,7 +2296,7 @@ object PipelineQueries {
     "tokenizer_report" -> { (s, dir) =>
       val t = Tables(s, dir)
       val merges = trainedByteMerges(s, dir)
-      Tables.spread(t.documents).select(col("source"),
+      t.documents.select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
           TextAnalysis.bpeEncodeBytesCount(col("text"), merges)
             .cast("long").as("bpe"),
@@ -2413,7 +2413,7 @@ object PipelineQueries {
 
     "text_quality" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.qualityFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
+      TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2462,7 +2462,7 @@ object PipelineQueries {
     // replay (histogram -> term -> DECIMAL sum) hash-matches bit for bit.
     "text_entropy" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.entropyFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
+      TextAnalysis.entropyFeatures(t.documents, col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2506,7 +2506,7 @@ object PipelineQueries {
         .when(fid === 1,
           element_at(typedLit(Seq(1, 3)), (pmod(sel, lit(2)) + 1).cast("int")))
         .otherwise(lit(3)).cast("int")
-      docIds(s, dir)
+      Tables(s, dir).documents.select(col("doc_id"))
         .select(col("doc_id"),
           MediaExpressions.imageEncode(fmt, w, h, ch).as("content"))
         .select(col("doc_id"),
@@ -2531,7 +2531,7 @@ object PipelineQueries {
       val bits = element_at(typedLit(Seq(8, 16, 24, 32)),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
       val n = (pmod(col("doc_id"), lit(997)) + 100).cast("int")
-      docIds(s, dir)
+      Tables(s, dir).documents.select(col("doc_id"))
         .select(col("doc_id"),
           MediaExpressions.wavEncode(ch, rate, bits, n).as("content"))
         .select(col("doc_id"),
@@ -2578,7 +2578,7 @@ object PipelineQueries {
     // total absolute amplitude; the oracle replays the sample arithmetic.
     "multimodal_waveform" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      docIds(s, dir)
+      Tables(s, dir).documents.select(col("doc_id"))
         .select(col("doc_id"),
           MediaExpressions.wavDecodeStats(
             MediaExpressions.wavEncodePcm(
@@ -2602,7 +2602,7 @@ object PipelineQueries {
     // Closes the former "GIF LZW" half of the codec seam.
     "multimodal_gif" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      docIds(s, dir)
+      Tables(s, dir).documents.select(col("doc_id"))
         .select(col("doc_id"),
           MediaExpressions.gifDecodeStats(
             MediaExpressions.gifEncodeSynth(col("doc_id"),
@@ -2731,7 +2731,7 @@ object PipelineQueries {
     // nFrames ≥ 2 always, so every document exercises a real delta.
     "multimodal_video_delta" -> { (s, dir) =>
       import graft.functions.MediaExpressions
-      docIds(s, dir)
+      Tables(s, dir).documents.select(col("doc_id"))
         .select(col("doc_id"),
           MediaExpressions.rleVideoRoundTrip(col("doc_id"),
             expr("cast(doc_id % 9 + 6 as int)"),
@@ -2942,7 +2942,7 @@ object PipelineQueries {
 
     "token_freq_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
-      Tables.spread(t.documents)
+      t.documents
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
@@ -3023,7 +3023,7 @@ object PipelineQueries {
     // pass per document.
     "text_repetition" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.repetitionFeatures(Tables.spread(t.documents), col("doc_id"), col("text"))
+      TextAnalysis.repetitionFeatures(t.documents, col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -3031,7 +3031,7 @@ object PipelineQueries {
     // 8-token overlap; map-only (generate + explode, no shuffle).
     "text_chunk" -> { (s, dir) =>
       val t = Tables(s, dir)
-      TextAnalysis.chunkByTokens(Tables.spread(t.documents), col("doc_id"), col("text"),
+      TextAnalysis.chunkByTokens(t.documents, col("doc_id"), col("text"),
           chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))

@@ -131,11 +131,19 @@ class RespKVStoreSpec extends SparkSpec {
       assert(observed == 1L || observed == 2L,
         s"surviving count must be 1 (lost) or 2 (applied-unacked), got $observed")
       // new server, same endpoint: the failed call evicted the dead
-      // connection, so this reconnects — over the surviving state
+      // connection, so this reconnects — over the surviving state.
+      // The same at-least-once window applies to the READ above: the
+      // killed handler may apply its in-flight HINCRBY after `observed`
+      // was sampled, so the reconnect increment may land on observed+1
+      // (seen under heavy host contention: 7 != 6).
       val server2 = new RespServer(fixedPort = port, backing = server.state)
       server2.start()
-      try assert(store.hincrBy("k", "f", 5L) == observed + 5L)
-      finally server2.stop()
+      try {
+        val after = store.hincrBy("k", "f", 5L)
+        assert(after == observed + 5L || after == observed + 6L,
+          s"reconnect increment read $after; expected ${observed + 5L} " +
+            s"(or +1 for an applied-unacked write landing after the read)")
+      } finally server2.stop()
     } finally { server.stop(); RespKVStore.resetConnections() }
   }
 
