@@ -63,8 +63,8 @@ object Tables {
     * bytes/row) spreads the kernel work across every core.
     *
     * The partition count derives from `defaultParallelism`, never a
-    * constant: at `local[4]` this is 16, at `local[32]` 128, on a
-    * real cluster it tracks total cores — and at 100 TB, where the
+    * constant: in local mode that equals the core count (`local[4]`→4,
+    * `local[32]`→32), on a real cluster it tracks total cores — and at 100 TB, where the
     * scan already arrives in thousands of splits, a row-count
     * rebalance is still exactly what a per-row-cost operator wants
     * (rows, not bytes, are the unit of work). Exactly one partition

@@ -300,7 +300,13 @@ object Drift {
         .join(refCounts, Seq("comp", "bin"), "left")
         .join(cur, Seq("comp", "bin"), "left")
         .na.fill(0L, Seq("ref_n", "cur_n"))
-        .join(refT, Seq("comp")).join(curT, Seq("comp"))
+        // LEFT join + fill-0 totals: a component with zero bin rows
+        // (frame empty after the z0-null filter) must yield the smoothed
+        // PSI of an all-empty histogram — the psiBinsWith/crossJoin
+        // semantics — not silently vanish from the map and surface later
+        // as a bare NoSuchElementException at curPsi(j)/selfPsi(j)
+        .join(refT, Seq("comp"), "left").join(curT, Seq("comp"), "left")
+        .na.fill(0L, Seq("ref_total", "cur_total"))
         .select(col("comp"),
           round((curP - refP) * log(curP / refP), 6).as("psi_term"))
         .groupBy(col("comp"))

@@ -1879,24 +1879,6 @@ object TextAnalysis {
                  allowShuffle: Boolean = false): NgramModel = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     val g = ngramGrams(corpus, lit(0L), text)
-    // ONE corpus pass: the unpruned trigram-TYPE table (null p1/p2 kept
-    // as grouping values) is a sufficient statistic for every model
-    // table — uni/bi/tri/total are re-aggregations of it. Pinned
-    // eagerly: without the pin each model table (and the size
-    // pre-screen) re-executed the corpus explode independently — the
-    // measured plan ran SEVEN corpus passes per trained model where two
-    // suffice (this one + the scoring pass). The pinned frame is
-    // trigram-type-shaped (vocabulary class), never corpus-shaped.
-    val t0 = g.groupBy(col("p2"), col("p1"), col("cur"))
-      .agg(count(lit(1)).as("n")).localCheckpoint(true)
-    val uni = t0.groupBy(col("cur")).agg(sum(col("n")).as("c1"))
-    val total = uni.agg(sum(col("c1")).as("total"))
-    val bi = t0.filter(col("p1").isNotNull)
-      .groupBy(col("p1"), col("cur")).agg(sum(col("n")).as("c2"))
-      .filter(col("c2") >= minCount)
-    val tri = t0.filter(col("p2").isNotNull)
-      .groupBy(col("p2"), col("p1"), col("cur")).agg(sum(col("n")).as("c3"))
-      .filter(col("c3") >= minCount)
 
     // Spark's own ConfigHelpers.byteFromString semantics: a leading '-'
     // negates (JavaUtils.byteStringAsBytes alone throws on "-1", the
@@ -1927,22 +1909,26 @@ object TextAnalysis {
           "deliberately train an over-threshold model")
 
     var hinted = true
+    var needExact = false
     if (threshold <= 0) {
       // the session disabled auto-broadcast: honor it — no hints, no
       // broadcast-sized guard; the joins run in the planner's shuffle
       // regime, which is what a user who set "-1" asked for
       hinted = false
     } else if (!allowShuffle) {
-      // phase 1: approx pre-screen — read from the pinned type table
-      // (type-distinct sets are identical there and the frame is
-      // vocabulary-class-sized) instead of re-exploding the corpus;
-      // the length estimate stays occurrence-weighted via `n`
-      val pre = t0.agg(
+      // phase 1: approx pre-screen on the RAW gram stream — partial
+      // (map-side) aggregation into one small row, no shuffle of the
+      // grams and NOTHING built or pinned yet, so an over-threshold
+      // corpus fails here without ever paying the type-table shuffle
+      // or its checkpoint (the guard's documented contract). The
+      // distinct sets are the same as the type table's, so the HLL
+      // estimates are unchanged; avg over occurrences IS the
+      // occurrence-weighted length.
+      val pre = g.agg(
         approx_count_distinct(col("cur")).as("u"),
         approx_count_distinct(struct(col("p1"), col("cur"))).as("b"),
         approx_count_distinct(struct(col("p2"), col("p1"), col("cur"))).as("t"),
-        coalesce(sum(length(col("cur")) * col("n")).cast("double") /
-          sum(col("n")).cast("double"), lit(0.0)).as("len")).head()
+        coalesce(avg(length(col("cur"))), lit(0.0)).as("len")).head()
       val avgLen = pre.getDouble(3)
       def approx(types: Long, toks: Int) =
         estBytes(types, (types * toks * avgLen).toLong)
@@ -1956,26 +1942,60 @@ object TextAnalysis {
         val hopeless = overApprox.filter { case (t, _, _) =>
           t == "uni" || minCount == 1 }
         if (hopeless.nonEmpty) fail(hopeless, exact = false)
-        // phase 2: pruning might still save bi/tri — measure exactly
-        // (one union job over the pruned type aggregates)
-        def footprint(df: DataFrame, name: String, strCols: Seq[String]) =
-          df.agg(count(lit(1)).as("rows"),
-            coalesce(sum(strCols.map(c => length(col(c))).reduce(_ + _)),
-              lit(0L)).as("chars"))
-            .select(lit(name).as("t"), col("rows"), col("chars"))
-        val exact = footprint(bi, "bi", Seq("p1", "cur"))
-          .unionByName(footprint(tri, "tri", Seq("p2", "p1", "cur")))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1),
-            estBytes(r.getLong(1), r.getLong(2))))
-        val overExact = exact.filter(_._3 > threshold)
-        if (overExact.nonEmpty) fail(overExact.toSeq, exact = true)
+        needExact = true
       }
     } else {
       // deliberate mode: no measurement, no hints — the planner decides
       // from its own estimates and large tables shuffle-join
       hinted = false
     }
+
+    if (needExact) {
+      // phase 2: pruning might still save bi/tri — measure exactly
+      // (one union job over throwaway PRUNED type aggregates built
+      // straight from the gram stream: aggregation spills where a
+      // materialized unpruned table would OOM, and nothing is pinned
+      // until the verdict is in)
+      def footprint(df: DataFrame, name: String, strCols: Seq[String]) =
+        df.agg(count(lit(1)).as("rows"),
+          coalesce(sum(strCols.map(c => length(col(c))).reduce(_ + _)),
+            lit(0L)).as("chars"))
+          .select(lit(name).as("t"), col("rows"), col("chars"))
+      val biChk = g.filter(col("p1").isNotNull)
+        .groupBy(col("p1"), col("cur")).agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= minCount)
+      val triChk = g.filter(col("p2").isNotNull)
+        .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c3"))
+        .filter(col("c3") >= minCount)
+      val exact = footprint(biChk, "bi", Seq("p1", "cur"))
+        .unionByName(footprint(triChk, "tri", Seq("p2", "p1", "cur")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          estBytes(r.getLong(1), r.getLong(2))))
+      val overExact = exact.filter(_._3 > threshold)
+      if (overExact.nonEmpty) fail(overExact.toSeq, exact = true)
+    }
+
+    // Guard passed (or the deliberate/disabled modes): ONE corpus pass
+    // into the unpruned trigram-TYPE table (null p1/p2 kept as grouping
+    // values) — a sufficient statistic for every model table, which are
+    // re-aggregations of it. Pinned eagerly: without the pin each model
+    // table re-executed the corpus explode independently — the measured
+    // plan ran SEVEN corpus passes per trained model where two suffice
+    // (this one + the scoring pass). The pinned frame is
+    // trigram-type-shaped (vocabulary class), never corpus-shaped, and
+    // it is only built AFTER the guard has fully decided — an
+    // over-threshold corpus never pays this shuffle or its checkpoint.
+    val t0 = g.groupBy(col("p2"), col("p1"), col("cur"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val uni = t0.groupBy(col("cur")).agg(sum(col("n")).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("total"))
+    val bi = t0.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("cur")).agg(sum(col("n")).as("c2"))
+      .filter(col("c2") >= minCount)
+    val tri = t0.filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("cur")).agg(sum(col("n")).as("c3"))
+      .filter(col("c3") >= minCount)
     NgramModel(uni, bi, tri, total, broadcastHint = hinted)
   }
 

@@ -538,9 +538,16 @@ object RelationalQueries {
         graft.sources.CatalogProps.contentKey(dir, "lineitem.parquet")
       val done = new java.io.File(s"$tmp/_done")
       if (!done.exists) {
-        new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
-          .filter(f => f.getName.startsWith("graft_fmt_"))
-          .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+        // stale-v1 sweep, best-effort only: listFiles() can return null,
+        // a matching entry may be a plain file, and a failed delete (e.g.
+        // an older-binary session mid-read) must never fail THIS query
+        Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_fmt_") && f.isDirectory)
+          .foreach { f =>
+            try org.apache.commons.io.FileUtils.deleteDirectory(f)
+            catch { case _: Exception => () }
+          }
         val stage = tmp + ".build_" + java.util.UUID.randomUUID
         graft.sources.Formats.writeOrc(proj, s"$stage/orc")
         graft.sources.Formats.writeCsv(proj, s"$stage/csv")
