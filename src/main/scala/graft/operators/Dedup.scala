@@ -647,8 +647,8 @@ object Dedup {
     * adversarial mostly-duplicated documents where marks ≈ tokens). The
     * start-lists join the corpus by BROADCAST — their rows are a doc_id
     * plus a small int array — and the hint is GUARDED, not assumed: the
-    * marked-doc count is measured first (one narrow job over fixed-width
-    * rows), and above `maxBroadcastMarks` the hint is dropped so a
+    * start-lists are pinned once and their row count read from the pin
+    * (no second pipeline run), and above `maxBroadcastMarks` the hint is dropped so a
     * duplication-dense corpus degrades to a planner-chosen join (each
     * affected document's text then moves once) instead of driving the
     * broadcast build into the 8 GB cap / driver OOM. Documents with no
@@ -667,7 +667,17 @@ object Dedup {
     * exact semantics, string-width exchanges. */
   def spanExcise(docs: DataFrame, id: Column, text: Column,
                  k: Int = 6,
-                 maxBroadcastMarks: Long = 10 * 1000 * 1000): DataFrame = {
+                 maxBroadcastMarks: Long = 10 * 1000 * 1000): DataFrame =
+    spanExciseImpl(docs, id, text, k, maxBroadcastMarks, pinMarks = true)
+
+  /** [[spanExcise]] with the start-list pin optional: the plan-guard
+    * spec passes `pinMarks = false` so the WHOLE mark pipeline (window
+    * hashing, first-occurrence agg, join-back) stays visible in one
+    * executed plan; production callers always pin. */
+  private[graft] def spanExciseImpl(docs: DataFrame, id: Column,
+                                    text: Column, k: Int,
+                                    maxBroadcastMarks: Long,
+                                    pinMarks: Boolean): DataFrame = {
     val w = docs.select(id.as("doc_id"),
         posexplode_outer(TextHashExpressions.spanHashes(text, k))
           .as(Seq("pos", "wh")))
@@ -678,21 +688,26 @@ object Dedup {
         count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("wh"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
-    // non-first occurrences → per-doc sorted removal starts
-    val marks = w.join(firsts, Seq("wh"))
+    // non-first occurrences → per-doc sorted removal starts, PINNED:
+    // both the broadcast-guard count and the rewrite join consume this
+    // frame, and unpinned each re-executed the whole mark pipeline
+    // (scan + two corpus-scale exchanges) — the guide's
+    // consumed-more-than-once materialization rule. The pin is
+    // affected-doc-sized (doc_id + a small int array per doc with
+    // duplicated spans), never corpus-text-sized, and spills to disk
+    // past memory like every localCheckpoint.
+    val marks0 = w.join(firsts, Seq("wh"))
       .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("pos"))).as("starts"))
-    // The count runs the mark pipeline once more (scan + two fixed-width
-    // exchanges; no text ever participates) — deliberately NOT persisted,
-    // for the same reason as minhashIncrementalPairs: an InMemoryRelation
-    // would hide the exchanges from the executed plan and blind the
-    // plan-guard specs. Callers who know their corpus can skip the extra
-    // pass with maxBroadcastMarks = Long.MaxValue (always broadcast) or
-    // force the planner's choice with maxBroadcastMarks = 0.
+    val marks = if (pinMarks) marks0.localCheckpoint(true) else marks0
+    // With the pin the guard count is a count over materialized
+    // partitions, not a second pipeline run. maxBroadcastMarks =
+    // Long.MaxValue still documents "always broadcast";
+    // maxBroadcastMarks = 0 still forces the planner's choice.
     val broadcastSafe =
-      if (maxBroadcastMarks == Long.MaxValue) true       // documented skip:
-      else if (maxBroadcastMarks <= 0L) false            // no counting pass
+      if (maxBroadcastMarks == Long.MaxValue) true
+      else if (maxBroadcastMarks <= 0L) false
       else marks.count() <= maxBroadcastMarks
     // warn only on a MEASURED over-limit — the <= 0 escape hatch is a
     // deliberate config, not a counted excess

@@ -118,13 +118,19 @@ object TextAnalysis {
   private[graft] def quant6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
-  def qualityFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** `extra` columns ride the same single map-side pass (each evaluated
+    * against the input row, aliased to its name) — a caller who needs,
+    * say, a language id NEXT TO the quality features gets one corpus
+    * scan instead of two map-only scans glued by a doc-keyed join. */
+  def qualityFeatures(df: DataFrame, id: Column, text: Column,
+                      extra: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = tokens(text)
-    df.select(
+    df.select(Seq(
         id.as("doc_id"),
         length(text).as("n_chars"),
         size(toks).as("n_tokens"),
-        punctCount(text).as("n_punct"))
+        punctCount(text).as("n_punct")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0,
           quant6((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens")))
@@ -419,8 +425,13 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    // TF pinned once (the bm25Postings discipline): the DF aggregation
+    // and the scoring join are different physical subtrees, so without
+    // the materialization the tokenize + explode + partial aggregate
+    // over all text would execute twice (ReuseExchange cannot share
+    // them) — "one corpus pass" is this checkpoint.
     val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(true)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token")
@@ -532,7 +543,13 @@ object TextAnalysis {
     * one id-keyed aggregation. */
   def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    // frequency table pinned once: the 1-row total and the scoring join
+    // both consume it, and unpinned each re-ran the corpus explode +
+    // token aggregation — with the pin the model costs ONE corpus pass
+    // and scoring the other (the ngramTrain two-pass contract). The pin
+    // is vocabulary-sized, never corpus-sized.
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val total = freq.agg(sum(col("c")).as("total"))
     // no forced hint: the planner broadcasts a vocabulary that fits and
     // degrades to a token-keyed shuffle join when it does not — exactly
@@ -566,10 +583,10 @@ object TextAnalysis {
     * hash-only exchanges), and above `maxBroadcastParagraphs` — a
     * template-saturated corpus where "boilerplate" is most of the data —
     * the hint is dropped and the planner's join runs instead (paragraph
-    * text then shuffles once on the hash key). The count re-runs the
-    * frequency aggregation; deliberately not persisted, both to keep the
-    * executed plan's exchanges visible to the plan-guard spec and
-    * because the re-run touches no text exchange.
+    * text then shuffles once on the hash key). The boilerplate set is
+    * pinned once (it is the count's AND the join's input), so the guard
+    * count reads materialized partitions instead of re-running the
+    * corpus frequency aggregation.
     *
     * Paragraph identity is (xxhash64, length), not the string — this
     * DROPS data on a key collision (a unique paragraph silently deleted,
@@ -588,10 +605,18 @@ object TextAnalysis {
           .as(Seq("pos", "para")))
       .withColumn("ph", xxhash64(col("para")))
       .withColumn("plen", length(col("para")))
+    // PINNED: the broadcast-guard count and the anti join both consume
+    // this frame, and unpinned each re-ran the corpus paragraph explode
+    // + frequency aggregation (a second full pass). The pin is
+    // boilerplate-set-sized — the paragraphs repeated across ≥ minDocs
+    // documents, two longs per row — and spills past memory like every
+    // localCheckpoint, so even a template-saturated corpus only pays
+    // its own boilerplate volume, once.
     val boilerplate = paras.groupBy(col("ph"), col("plen"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("ph"), col("plen"))
+      .localCheckpoint(true)
     val broadcastSafe = boilerplate.count() <= maxBroadcastParagraphs
     if (!broadcastSafe)
       System.err.println(

@@ -3109,14 +3109,18 @@ object PipelineQueries {
 
     "corpus_report" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val quality = TextAnalysis.qualityFeatures(t.documents, col("doc_id"), col("text"))
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      val lang = t.documents.select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        xxhash64(col("text")).as("fp"))
+      // lang/fp ride the quality pass: one map-side corpus scan where
+      // the old quality ⋈ lang shape paid a second full scan plus a
+      // doc-keyed exchange pair to glue two map-only frames together
+      val quality = TextAnalysis.qualityFeatures(t.documents, col("doc_id"),
+          col("text"), extra = Seq(
+            "lang_pred" -> TextAnalysis.langId(col("text")),
+            "fp" -> xxhash64(col("text"))))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("lang_pred"), col("fp"))
       val span = Dedup.spanStats(t.documents, col("doc_id"), col("text"), k = 6)
         .select(col("doc_id"), col("n_dup_windows"))
-      quality.join(lang, "doc_id").join(span, Seq("doc_id"), "left")
+      quality.join(span, Seq("doc_id"), "left")
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"),

@@ -634,12 +634,15 @@ class DedupSpec extends SparkSpec {
   test("plan guard: span excision never shuffles text (map-only rewrite)") {
     // Window hashes aggregate and join as 64-bit keys; the per-doc
     // start-lists broadcast back onto the corpus, so the rewrite is a
-    // projection over the scan — text appears in NO exchange.
+    // projection over the scan — text appears in NO exchange. Inspected
+    // through the UNPINNED impl so the whole mark pipeline (which the
+    // production pin executes in its own job) is in one visible plan.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val root = Dedup.spanExcise(docs, col("doc_id"), col("text"), k = 6)
+      val root = Dedup.spanExciseImpl(docs, col("doc_id"), col("text"), k = 6,
+          maxBroadcastMarks = Long.MaxValue, pinMarks = false)
         .queryExecution.executedPlan
       val shuffles = root.collect { case e: ShuffleExchangeLike => e }
       assert(shuffles.nonEmpty)
